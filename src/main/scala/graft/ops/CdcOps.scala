@@ -1,0 +1,343 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's dataflow operators (SURVEY.md §2 T1-T8, B1-B5, X1, X2,
+  * S2), re-expressed as declarative DataFrame transforms so Catalyst handles
+  * pushdown, pruning and codegen. Each transform is batch/stream agnostic
+  * (pure `DataFrame => DataFrame` where possible) so the streaming pipeline
+  * (graft.stream) reuses the exact same logic per micro-batch.
+  *
+  * The harness replays `events.parquet` as the change stream: `event_type`
+  * maps onto CDC message types and table names derive deterministically from
+  * the event, giving every operator an oracle-checkable batch rendition.
+  */
+object CdcOps {
+
+  /** Static table→index routing config (≙ TableIndexMapping,
+    * /root/reference/config/config.go:13). Keys are `namespace.table`.
+    * `audit_log` is deliberately unmapped: unmapped events are skipped+acked
+    * (connector.go:146-152).
+    */
+  val tableIndexMapping: Map[String, String] = Map(
+    "public.users" -> "users_idx",
+    "public.orders" -> "orders_idx"
+  )
+
+  /** events.parquet replayed as a stream of typed change events.
+    *
+    * Event typing / demux (T1, connector.go:131-142): the reference
+    * type-switches on the decoded WAL struct and DROPS unknown types. Here
+    * `click` plays the unknown type; the rest map onto the four
+    * MessageType variants (message.go:71-78).
+    *
+    * Also derives the source table: signups/errors touch `users`,
+    * purchases land in monthly partitions `orders_YYYY_MM` (exercising
+    * partition-parent resolution T3), views go to the unmapped `audit_log`.
+    */
+  /** events.ts arrives as LongType *nanoseconds* (parquet TIMESTAMP(NANOS)
+    * read via spark.sql.legacy.parquet.nanosAsLong — see Tables.events).
+    * Integer division to micros: double division would lose precision on
+    * int64 epochs.
+    */
+  private val tsMicros = expr("ts div 1000")
+
+  def typedMessages(events: DataFrame): DataFrame = {
+    val msgType = when(col("event_type") === "signup", "INSERT")
+      .when(col("event_type") === "purchase", "UPDATE")
+      .when(col("event_type") === "error", "DELETE")
+      .when(col("event_type") === "view", "SNAPSHOT")
+    val tableName = when(col("event_type") === "purchase",
+        concat(lit("orders_"), date_format(timestamp_micros(tsMicros), "yyyy_MM")))
+      .when(col("event_type") === "view", lit("audit_log"))
+      .otherwise(lit("users"))
+    events
+      .withColumn("msg_type", msgType)
+      .filter(col("msg_type").isNotNull) // unknown types dropped (T1)
+      .select(
+        col("event_id"),
+        tsMicros.as("event_time_us"),
+        lit("public").as("table_namespace"),
+        tableName.as("table_name"),
+        col("msg_type"),
+        col("user_id"),
+        col("value").as("val")
+      )
+  }
+
+  /** T2 routing_map — exact `namespace.table` lookup; unmapped ⇒ skip
+    * (connector.go:174-199, skip+ack connector.go:146-152).
+    *
+    * The mapping is a handful of entries, so it becomes a literal
+    * `map_from_arrays` expression evaluated inside the scan's projection —
+    * no join, no shuffle, survives any scale-up (≙ the reference's
+    * in-process map lookup).
+    */
+  private def mappingLit: Column = {
+    val (ks, vs) = tableIndexMapping.toSeq.sortBy(_._1).unzip
+    map_from_arrays(
+      array(ks.map(lit): _*),
+      array(vs.map(lit): _*)
+    )
+  }
+
+  def routeExact(typed: DataFrame): DataFrame =
+    typed
+      .withColumn(
+        "index_name",
+        element_at(mappingLit, concat(col("table_namespace"), lit("."), col("table_name")))
+      )
+      .filter(col("index_name").isNotNull)
+
+  /** T3 routing_partition — partition-parent resolution
+    * (connector.go:201-249): split the table name on `_`, try progressively
+    * longer prefixes (SHORTEST first — connector.go:239-246 returns the
+    * first hit), map the winning parent through the index mapping.
+    *
+    * Implemented as pure array expressions in one projection: build the
+    * cumulative-prefix array, keep the prefixes present in the mapping,
+    * take the first. No explode, no join, no shuffle — the reference's
+    * `sync.Map` memo cache is unnecessary because the lookup is a constant
+    * folded into codegen.
+    */
+  def resolveParentTable(typed: DataFrame): DataFrame = {
+    val parts = split(col("table_name"), "_")
+    val prefixes = transform(
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, lit(1), i), "_")
+    )
+    val hits = filter(
+      prefixes,
+      p => element_at(mappingLit, concat(col("table_namespace"), lit("."), p)).isNotNull
+    )
+    typed
+      .withColumn("parent_table", try_element_at(hits, lit(1)))
+      .withColumn(
+        "index_name",
+        element_at(mappingLit, concat(col("table_namespace"), lit("."), col("parent_table")))
+      )
+      .filter(col("index_name").isNotNull)
+  }
+
+  /** T5 key_extract — PK value → string doc `_id`. The reference
+    * type-switches int32/int64/float64 (connector_test.go:628-642); Spark's
+    * uniform cast collapses that to one expression.
+    */
+  def extractKey(df: DataFrame, keyCol: String = "user_id"): DataFrame =
+    df.withColumn("doc_id", col(keyCol).cast("string"))
+
+  /** T6 op_annotate — inject `operation: msg.Type` and `version: 1` into the
+    * outgoing doc (connector_test.go:624-627, script-update/main.go:116-117).
+    */
+  def annotateOperation(df: DataFrame): DataFrame =
+    df.withColumn("operation", col("msg_type"))
+      .withColumn("version", lit(1))
+
+  /** T7 json_serialize — `json.Marshal(NewData)` ≙ `to_json(struct(...))`
+    * (example/simple/main.go:113). Field order is struct order, stable.
+    */
+  def serializeDoc(df: DataFrame): DataFrame =
+    df.withColumn(
+      "source",
+      to_json(
+        struct(
+          col("user_id").as("id"),
+          col("msg_type").as("op"),
+          col("event_time_us")
+        )
+      )
+    )
+
+  /** T4 handler_flatmap — the canonical Handler (handler.go:7, instances at
+    * example/simple/main.go:109-130): DELETE → delete action keyed by the
+    * old image's PK; INSERT/UPDATE/SNAPSHOT → index action carrying the
+    * serialized new image. Events the handler returns nothing for are
+    * dropped (connector.go:155-160) — here, anything routing already
+    * removed. 1→0..N shape: expressed as when/otherwise projection (stays
+    * inside whole-stage codegen); the typed flatMap rendition for arbitrary
+    * user handlers lives in graft.stream.Handlers.
+    */
+  def handlerActions(typed: DataFrame): DataFrame = {
+    val routed = extractKey(resolveParentTable(typed))
+    serializeDoc(routed).select(
+      col("event_id"),
+      when(col("msg_type") === "DELETE", "delete").otherwise("index").as("action_type"),
+      col("doc_id"),
+      col("index_name"),
+      when(col("msg_type") === "DELETE", lit(null).cast("string"))
+        .otherwise(col("source"))
+        .as("source")
+    )
+  }
+
+  /** B1 dedup_lww — in-batch last-write-wins keyed by `id:index[:routing]`
+    * (bulk.go:141-157, key at bulk.go:413-418): a later action for the same
+    * key replaces the earlier. Window keyed exactly like the reference,
+    * ordered by arrival sequence desc — shuffle is by the dedup key, the
+    * minimal possible exchange; AQE handles skewed keys.
+    */
+  def dedupLastWriteWins(actions: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("doc_id"), col("index_name"))
+      .orderBy(col("event_id").desc)
+    actions
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** T8 chunk_split — split one flush batch into fixed-size chunks
+    * (internal/slices/slices.go:3-16, size = BatchSizeLimit). Expressed as
+    * per-index arrival-order bucketing. NOTE: a global row_number is
+    * inherently sequential; the streaming path gets this for free from
+    * micro-batch bounds — this batch rendition exists for the oracle.
+    */
+  def chunkSplit(actions: DataFrame, chunkSize: Int): DataFrame = {
+    val w = Window.partitionBy(col("index_name")).orderBy(col("event_id"))
+    actions
+      .withColumn("chunk_id", floor((row_number().over(w) - 1) / chunkSize))
+      .groupBy(col("index_name"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_actions"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id")
+      )
+  }
+
+  /** B2 batch_accumulate — count/byte flush-trigger accounting
+    * (bulk.go:164-173, defaults config.go:37-58): actions accumulate into
+    * batches of `batchSizeLimit`; per batch we expose the byte size the
+    * reference tracks (NDJSON source bytes). Streaming analog:
+    * micro-batch + Trigger.ProcessingTime ≙ the ticker.
+    */
+  def batchAccumulate(actions: DataFrame, batchSizeLimit: Int): DataFrame = {
+    val w = Window.orderBy(col("event_id"))
+    actions
+      .withColumn("batch_id", floor((row_number().over(w) - 1) / batchSizeLimit))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_actions"),
+        sum(coalesce(length(col("source")), lit(0))).as("n_source_bytes"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id")
+      )
+  }
+
+  /** B4 id_escape — backslash-escape `"` in doc IDs before embedding into
+    * the action metadata line (internal/bytes/escape.go:10-21).
+    */
+  def escapeDocId(c: Column): Column =
+    regexp_replace(c, "\"", "\\\\\"")
+
+  /** B3 ndjson_encode — the ES `_bulk` NDJSON action line + source line
+    * (getEsActionJSON, bulk.go:176-245):
+    * `{"index":{"_index":…,"_id":…}}\n<source>` / `{"delete":{…}}`.
+    */
+  def ndjsonEncode(actions: DataFrame): DataFrame =
+    actions.withColumn(
+      "meta",
+      concat(
+        lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
+        col("index_name"), lit("\",\"_id\":\""),
+        escapeDocId(col("doc_id")), lit("\"}}")
+      )
+    )
+
+  /** X2 type_version_gate — include `"_type"` in action metadata only when
+    * the detected ES major version < 8 (bulk.go:194-206,227-230; version
+    * detect client.go:51-74, fallback "7.0.0").
+    */
+  def versionGatedMeta(actions: DataFrame, esMajor: Column): DataFrame =
+    actions
+      .withColumn("es_major", esMajor)
+      .withColumn(
+        "meta",
+        concat(
+          lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
+          col("index_name"), lit("\""),
+          when(col("es_major") < 8, lit(",\"_type\":\"_doc\"")).otherwise(lit("")),
+          lit(",\"_id\":\""), escapeDocId(col("doc_id")), lit("\"}}")
+        )
+      )
+
+  /** B5 concurrent_partition — split the flush batch into exactly N
+    * near-equal chunks, sizes differing by ≤1 (internal/slices/slices.go:
+    * 18-39), each sent as its own `_bulk`. `ntile` reproduces the exact
+    * size invariant; at execution time this is Spark's task-per-partition.
+    */
+  def concurrentPartition(actions: DataFrame, n: Int): DataFrame =
+    actions
+      .withColumn("bucket", ntile(n).over(Window.orderBy(col("event_id"))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_actions"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id")
+      )
+
+  /** X1 script_update — server-side scripted-upsert *semantics*
+    * (example/script-update/main.go:132-182): per-key merge of successive
+    * UPDATE images with a version counter (`coalesce(version,0)+1` per
+    * update) and last-value-wins fields. `max_by` keeps it one shuffle.
+    */
+  def scriptUpdateState(typed: DataFrame): DataFrame =
+    typed
+      .filter(col("msg_type") === "UPDATE")
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("version"),
+        max_by(col("val"), col("event_id")).as("last_value"),
+        max(col("event_time_us")).as("updated_at_us")
+      )
+
+  /** B7 size_parse — human-readable byte sizes, "10mb" → 10·2²⁰
+    * (internal/bytes/bytes.go:57-82). Exposed both as a Scala config util
+    * and as a column expression.
+    */
+  def parseSizeCol(c: Column): Column = {
+    val num = regexp_extract(c, "^([0-9]+)", 1).cast("long")
+    val unit = lower(regexp_extract(c, "([a-zA-Z]+)$", 1))
+    num * when(unit === "b", 1L)
+      .when(unit === "kb", 1L << 10)
+      .when(unit === "mb", 1L << 20)
+      .when(unit === "gb", 1L << 30)
+      .when(unit === "tb", 1L << 40)
+  }
+
+  /** B7 size_parse, config-time form (bytes.go:57-82). */
+  def parseSize(s: String): Long = {
+    val m = "^([0-9]+)\\s*([a-zA-Z]+)$".r
+    s.trim match {
+      case m(n, u) =>
+        val mult = u.toLowerCase match {
+          case "b"            => 1L
+          case "kb" | "k"     => 1L << 10
+          case "mb" | "m"     => 1L << 20
+          case "gb" | "g"     => 1L << 30
+          case "tb" | "t"     => 1L << 40
+          case "pb" | "p"     => 1L << 50
+          case "eb" | "e"     => 1L << 60
+          case other          => throw new IllegalArgumentException(s"bad unit: $other")
+        }
+        n.toLong * mult
+      case other => throw new IllegalArgumentException(s"bad size: $other")
+    }
+  }
+
+  /** S2 snapshot_scan — consistent chunked table scan (README.md:26-45,
+    * chunk size default 8000). Keyset chunking `floor(pk / chunkSize)`:
+    * no global sort, embarrassingly parallel, resumable per chunk — the
+    * Spark-native answer to the reference's claim/heartbeat worker pool
+    * (task scheduling + retry give those semantics for free).
+    */
+  def snapshotChunks(table: DataFrame, keyCol: String, chunkSize: Int): DataFrame =
+    table
+      .groupBy(floor(col(keyCol) / chunkSize).as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key")
+      )
+}
