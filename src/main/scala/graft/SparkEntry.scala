@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.CdcOps
+import graft.ops.{BinaryOps, CdcOps, DedupOps, SimilarityOps, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -123,7 +123,29 @@ object SparkEntry {
 
     // S2 — consistent chunked snapshot scan (README.md:26-45)
     "snapshot_scan" -> ((s, dir) =>
-      CdcOps.snapshotChunks(tbl(s, dir, "customer"), "c_custkey", 100))
+      CdcOps.snapshotChunks(tbl(s, dir, "customer"), "c_custkey", 100)),
+
+    // ------------------------------------------- training-data pipeline ops
+    // (beyond the reference: dedup / similarity / text / multimodal over the
+    // documents + embeddings tables — first-class components per the brief)
+
+    "token_count" -> ((s, dir) => TextOps.tokenCount(tbl(s, dir, "documents"))),
+    "lang_id" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
+    "quality_score" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(tbl(s, dir, "documents"))),
+
+    "dedup_exact" -> ((s, dir) => DedupOps.dedupExact(tbl(s, dir, "documents"))),
+    "minhash_signature" -> ((s, dir) => DedupOps.minhashSignature(tbl(s, dir, "documents"))),
+    "dedup_minhash_lsh" -> ((s, dir) => DedupOps.dedupMinhashLsh(tbl(s, dir, "documents"))),
+    "simhash_signature" -> ((s, dir) => DedupOps.simhashSignature(tbl(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(tbl(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.dedupNgramJaccard(tbl(s, dir, "documents"))),
+    "dedup_embedding_cosine" -> ((s, dir) => DedupOps.dedupEmbeddingCosine(tbl(s, dir, "embeddings"))),
+
+    "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
+    "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
+
+    "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -283,6 +305,26 @@ object SparkEntry {
     "snapshot_scan" ->
       """SELECT CAST(c_custkey // 100 AS BIGINT) AS chunk_id,
         |  count(*) AS n_rows, min(c_custkey) AS min_key, max(c_custkey) AS max_key
-        |FROM customer GROUP BY chunk_id""".stripMargin
+        |FROM customer GROUP BY chunk_id""".stripMargin,
+
+    // ------------------------------------------- training-data pipeline ops
+
+    "token_count" -> TextOps.sqlTokenCount,
+    "lang_id" -> TextOps.sqlLangId,
+    "quality_score" -> TextOps.sqlQualityScore,
+    "doc_fingerprint" -> TextOps.sqlDocFingerprint,
+
+    "dedup_exact" -> DedupOps.sqlDedupExact,
+    "minhash_signature" -> DedupOps.sqlMinhashSignature,
+    "dedup_minhash_lsh" -> DedupOps.sqlDedupMinhashLsh,
+    "simhash_signature" -> DedupOps.sqlSimhashSignature,
+    "dedup_simhash" -> DedupOps.sqlDedupSimhash,
+    "dedup_ngram_jaccard" -> DedupOps.sqlDedupNgramJaccard,
+    "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
+
+    "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,
+    "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
+
+    "multimodal_decode" -> BinaryOps.sqlMultimodalDecode
   )
 }

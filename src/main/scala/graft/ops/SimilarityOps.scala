@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Two paths:
+  *   - [[annTopkBruteForce]]: broadcast the (small) query set, score every
+  *     candidate — the exact baseline. On a cluster this is a broadcast
+  *     nested-loop whose cost is one full scan regardless of query count;
+  *     it parallelizes perfectly (no shuffle of the big side).
+  *   - [[annLshBucket]]: random-hyperplane LSH — each vector gets a sign
+  *     bucket from H fixed integer hyperplanes; search only touches the
+  *     query's bucket. At 100 TB the bucket assignment is a narrow map and
+  *     the candidate join shuffles on the bucket id, reducing scored pairs
+  *     by ~2^H.
+  *
+  * Float parity with the DuckDB oracle: embeddings are cast float→double
+  * (exact), the dot product is a LEFT fold over index order (Spark
+  * `aggregate` ≙ DuckDB `list_reduce` with prepended 0.0), so both engines
+  * produce bit-identical doubles — ranking ties are then impossible to get
+  * wrong, and we tie-break by vec_id anyway.
+  */
+object SimilarityOps {
+
+  /** Number of fixed queries (vec_id < NQueries) and neighbors returned. */
+  val NQueries = 8
+  val TopK = 10
+
+  /** LSH: H hyperplanes → 2^H sign buckets. Integer weights derived from a
+    * fixed multiplicative sequence so Spark and the oracle share them as
+    * literals: w(j)(d) = ((j·64 + d + 1)·2654435761 mod 101) − 50.
+    */
+  val LshPlanes = 4
+  val Dim = 64
+  def planeWeights(j: Int): IndexedSeq[Double] =
+    (0 until Dim).map(d => (((j * Dim + d + 1) * 2654435761L) % 101L - 50L).toDouble)
+
+  // ------------------------------------------------------------ primitives
+
+  /** Left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+
+  /** SQL twin of [[dot]] — identical fold order. */
+  def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s,x) -> s + x)"
+
+  /** embeddings + emb_d (double) + norm, computed once per row. */
+  def withNorm(emb: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    emb.select(col("vec_id"), col("label"), d.as("emb_d"))
+      .withColumn("norm", sqrt(dot(col("emb_d"), col("emb_d"))))
+  }
+
+  def sqlWithNorm(table: String): String =
+    s"""SELECT vec_id, label, emb_d, sqrt(${sqlDot("emb_d", "emb_d")}) AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d FROM $table)""".stripMargin
+
+  /** Cosine similarity given precomputed norms. */
+  def cosine(ea: Column, na: Column, eb: Column, nb: Column): Column =
+    dot(ea, eb) / (na * nb)
+
+  // ---------------------------------------------------- ann_topk_bruteforce
+
+  /** Exact top-K cosine neighbors for the fixed query set: broadcast the
+    * queries, scan candidates once, per-query window for the top K.
+    * The window shuffles only (query_id, score) pairs — N·|Q| rows, not N².
+    */
+  def annTopkBruteForce(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("eq"), col("norm").as("nq"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  def sqlAnnTopkBruteForce: String =
+    s"""WITH e AS (${sqlWithNorm("embeddings")})
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rank <= $TopK""".stripMargin
+
+  // ------------------------------------------------------- ann_lsh_bucket
+
+  /** Sign-bucket id from the fixed hyperplanes (narrow map, no shuffle). */
+  def lshBucket(embD: Column): Column =
+    (0 until LshPlanes).map { j =>
+      val w = array(planeWeights(j).map(lit): _*)
+      when(dot(w, embD) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def sqlPlaneLit(j: Int): String =
+    planeWeights(j).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+
+  def sqlLshBucket(embD: String): String =
+    (0 until LshPlanes).map { j =>
+      s"CASE WHEN ${sqlDot(sqlPlaneLit(j), embD)} > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** LSH-bucketed ANN: neighbors come only from the query's bucket, then
+    * exact cosine ranks within it. Recall < 1 by construction (that's the
+    * scale trade); bucket fan-out ≙ candidate count / 2^H.
+    */
+  def annLshBucket(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb).withColumn("bucket", lshBucket(col("emb_d")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"),
+        col("emb_d").as("eq"), col("norm").as("nq"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "bucket", "rank", "cos_sim")
+  }
+
+  def sqlAnnLshBucket: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, emb_d, norm, ${sqlLshBucket("emb_d")} AS bucket
+       |  FROM (${sqlWithNorm("embeddings")}))
+       |SELECT query_id, neighbor_id, bucket, rank, cos_sim FROM (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
+       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rank <= $TopK""".stripMargin
+}

@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, language ID (stopword-profile
+  * heuristic), quality scoring, and rolling-hash document fingerprinting.
+  *
+  * All operators are single-pass narrow projections — no shuffle, no UDF,
+  * everything stays inside whole-stage codegen, so they scale linearly with
+  * input splits (a 100 TB corpus is just more parquet row-groups).
+  *
+  * Each operator has an exact DuckDB-SQL twin (the `sql*` builders) used as
+  * the driver's oracle. Parity rules used throughout this file and the other
+  * training-data ops:
+  *   - token/shingle hashes derive from `md5` (bit-identical hex in Spark
+  *     and DuckDB) parsed to a 32-bit int — never engine-native `hash()`;
+  *   - every fold is a LEFT fold: Spark `aggregate(xs, zero, f)` ≙ DuckDB
+  *     `list_reduce(list_prepend(zero, xs), f)`;
+  *   - int division is avoided; `/` promotes to double identically in both.
+  */
+object TextOps {
+
+  /** Polynomial/rolling-hash modulus (fits (P-1)*131 + 2^32 in int64). */
+  val P: Long = 1000000007L
+
+  /** Fingerprint rolling-window width (tokens) and multiplier. */
+  val FpWindow = 8
+  val FpMult = 131L
+
+  /** "BPE-ish" token pattern: letter runs, digit runs, single punctuation. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Stopword profiles for the language-ID heuristic (priority order). */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我")
+  )
+
+  // ------------------------------------------------------------ primitives
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** SQL twin of [[tokens]] over an expression. */
+  def sqlTokens(e: String): String =
+    s"string_split_regex(trim(lower($e)), '\\s+')"
+
+  /** 32-bit token hash: first 8 hex digits of md5, parsed. md5 is
+    * byte-identical across engines, unlike murmur-style `hash()`.
+    */
+  def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** SQL twin of [[tokenHash]] (DuckDB has no hex→int conv; fold digits). */
+  def sqlTokenHash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5($e),1,8),''), " +
+      s"c -> CASE WHEN unicode(c) >= 97 THEN unicode(c)-87 ELSE unicode(c)-48 END)), " +
+      s"(a,x) -> a*16+x)"
+
+  // ---------------------------------------------------------- token_count
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe_tokens")
+    )
+
+  def sqlTokenCount: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------- lang_id
+
+  private def stopScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Language ID: per-language stopword counts, argmax with fixed priority
+    * order on ties (en > es > de > fr > zh).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: StopwordProfiles.map { case (l, ws) =>
+        stopScore(toks, ws).as(s"s_$l")
+      }: _*
+    )
+    val langs = StopwordProfiles.map(_._1)
+    // first language whose score >= all later languages' scores wins
+    val detect = langs.init.zipWithIndex
+      .foldRight(lit(langs.last): Column) { case ((l, i), rest) =>
+        val ge = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+      }
+    scored.withColumn("detected_lang", detect)
+  }
+
+  def sqlLangId: String = {
+    val langs = StopwordProfiles.map(_._1)
+    val scoreCols = StopwordProfiles.map { case (l, ws) =>
+      val set = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(toks, t -> list_contains($set, t))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT *, CASE $cases ELSE '${langs.last}' END AS detected_lang
+       |FROM (
+       |  SELECT doc_id, $scoreCols
+       |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
+  }
+
+  // -------------------------------------------------------- quality_score
+
+  /** Quality scoring: length/stopword/alpha ratios blended into [0,1].
+    * score = 0.4·min(n_tokens/64, 1) + 0.3·min(4·stop_ratio, 1) + 0.3·alpha_ratio
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopWords = StopwordProfiles.head._2
+    val nStop = stopScore(toks, stopWords)
+    val sumLen = aggregate(
+      transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+    val nAlpha = regexp_count(col("text"), lit("[A-Za-z]")).cast("long")
+    docs.select(col("doc_id"), nTok.as("n_tokens"), nStop.as("n_stop"),
+        sumLen.as("sum_tok_len"), nAlpha.as("n_alpha"), length(col("text")).cast("long").as("n_chars_m"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+        (col("n_alpha").cast("double") / col("n_chars_m")).as("alpha_ratio")
+      )
+      .withColumn("quality",
+        lit(0.4) * least(col("n_tokens") / lit(64.0), lit(1.0)) +
+          lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)) +
+          lit(0.3) * col("alpha_ratio"))
+  }
+
+  def sqlQualityScore: String = {
+    val set = StopwordProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_token_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_alpha AS DOUBLE) / n_chars_m AS alpha_ratio,
+       |  0.4 * least(n_tokens / 64.0, 1.0) +
+       |  0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0) +
+       |  0.3 * (CAST(n_alpha AS DOUBLE) / n_chars_m) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> list_contains($set, t))) AS BIGINT) AS n_stop,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a,x) -> a+x) AS sum_tok_len,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m
+       |  FROM (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
+  }
+
+  // ------------------------------------------------------ doc_fingerprint
+
+  /** Document fingerprint: min over all [[FpWindow]]-token windows of the
+    * window's polynomial rolling hash (winnowing-style content signature —
+    * stable under small edits outside the minimal window).
+    */
+  def docFingerprint(docs: DataFrame): DataFrame = {
+    val ths = transform(tokens(col("text")), tokenHash(_))
+    val nWin = greatest(size(ths) - (FpWindow - 1), lit(1))
+    val winHashes = transform(
+      sequence(lit(1), nWin),
+      i => aggregate(slice(ths, i, lit(FpWindow)), lit(0L),
+        (a, x) => (a * FpMult + x) % P)
+    )
+    docs.select(
+      col("doc_id"),
+      size(ths).cast("long").as("n_tokens"),
+      array_min(winHashes).as("fingerprint")
+    )
+  }
+
+  def sqlDocFingerprint: String =
+    s"""SELECT doc_id, CAST(len(ths) AS BIGINT) AS n_tokens,
+       |  list_min(list_transform(range(1, greatest(len(ths) - ${FpWindow - 1}, 1) + 1),
+       |    i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(ths, i, i + ${FpWindow - 1})),
+       |           (a,x) -> (a * $FpMult + x) % $P))) AS fingerprint
+       |FROM (
+       |  SELECT doc_id, list_transform(${sqlTokens("text")}, t -> ${sqlTokenHash("t")}) AS ths
+       |  FROM documents)""".stripMargin
+}
