@@ -1,0 +1,140 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.CdcOps
+
+/** End-to-end streaming wiring — the Spark-native rendition of the
+  * reference's main loop (connector.go:129-171 → bulk.go:253-315):
+  *
+  *   - S1 CDC source: file replay of `events.parquet` as a Structured
+  *     Streaming file source (each arriving file ≙ a WAL segment; the file
+  *     source's offset log ≙ the replication slot position). A real
+  *     pgoutput DSv2 source is out of scope for the zero-egress harness —
+  *     SURVEY.md §7.3.
+  *   - transforms: the SAME batch operators from [[graft.ops.CdcOps]] —
+  *     typing → routing → handler → in-batch LWW dedup → NDJSON encode —
+  *     applied per micro-batch inside foreachBatch (the micro-batch IS the
+  *     reference's flush batch, bulk.go:164-173).
+  *   - S3 ES bulk sink: one NDJSON file per output partition per batch ≙
+  *     one concurrent `_bulk` request per goroutine-chunk (bulk.go:297-315);
+  *     `concurrentRequest` maps to repartition count.
+  *   - R1 response demux: actions failing sink validation are split to a
+  *     dead-letter directory (≙ ResponseHandler.OnError,
+  *     response_handler.go:8-23) instead of failing the batch.
+  *   - R2 ack: the checkpoint commit log advances only after foreachBatch
+  *     returns, i.e. after sink durability — the reference's
+  *     ack-after-flush at-least-once contract (bulk.go:271-276). Doc-id
+  *     keyed writes make replays idempotent at the index level.
+  *
+  * Scale: every stage is per-micro-batch and partition-parallel; the only
+  * shuffle is the LWW-dedup window keyed by (doc_id, index_name). State
+  * never accumulates across batches (matching the reference, whose dedup
+  * scope is the flush batch), so this runs unbounded.
+  */
+object Pipeline {
+
+  /** events.parquet physical schema (ts read as raw nanos — see
+    * SparkEntry.events).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** S1 — replayed change stream over a directory of event parquet files.
+    * `maxFilesPerTrigger` ≙ batchSizeLimit-style admission control.
+    */
+  def changeStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+  }
+
+  /** Event-time column + watermark bound for late data (the reference has
+    * no watermark concept — its batches are arrival-ordered; we bound state
+    * the Spark way).
+    */
+  def withEventTime(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", delay)
+
+  /** The full pipeline: stream → typed → routed → actions, then per
+    * micro-batch: LWW dedup → NDJSON → partitioned bulk write + dead-letter.
+    *
+    * @param concurrentRequest N-way partition split of each flush
+    *                          (≙ config.concurrentRequest, B5)
+    */
+  def run(
+      spark: SparkSession,
+      eventsDir: String,
+      bulkOutDir: String,
+      deadLetterDir: String,
+      checkpointDir: String,
+      concurrentRequest: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val actions = CdcOps.handlerActions(
+      CdcOps.typedMessages(changeStream(spark, eventsDir)))
+    actions.writeStream
+      .queryName("graft-cdc-pipeline")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EsBulkSink.writeBatch(batch, batchId, bulkOutDir, deadLetterDir,
+          concurrentRequest)
+        ()
+      }
+      .start()
+  }
+}
+
+/** S3/R1 — the bulk sink: NDJSON `_bulk` payload files + dead-letter split.
+  * File output stands in for the HTTP `_bulk` call (zero-egress harness);
+  * the payload bytes are exactly what the reference posts
+  * (bulk.go:176-245).
+  */
+object EsBulkSink {
+
+  /** A batch write ≙ one flush (bulk.go:253-278):
+    * 1. in-batch last-write-wins dedup (B1);
+    * 2. R1 demux: invalid actions (no doc id / no index) → dead-letter
+    *    parquet (OnError); valid → bulk payload (OnSuccess path);
+    * 3. B5: exactly `concurrentRequest` output partitions, each written as
+    *    one NDJSON file ≙ one concurrent `_bulk` request.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
+      deadLetterDir: String, concurrentRequest: Int): Unit = {
+    val cached = batch.cache()
+    try {
+      // demux BEFORE dedup: a null doc key is not a document identity, so
+      // key-less actions must not collapse into one null-keyed window row
+      val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
+      if (!bad.isEmpty) {
+        bad.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(deadLetterDir)
+      }
+      val deduped = CdcOps.dedupLastWriteWins(
+        cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
+      val payload = CdcOps.ndjsonEncode(deduped)
+        // concat_ws skips NULLs: deletes emit the meta line only
+        // (bulk.go:231-235 — delete actions carry no source line)
+        .select(concat_ws("\n", col("meta"), col("source")).as("value"))
+      payload
+        .repartition(concurrentRequest)
+        .write.mode("append")
+        .text(s"$bulkOutDir/batch_$batchId")
+    } finally cached.unpersist()
+  }
+}

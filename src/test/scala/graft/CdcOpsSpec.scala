@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.CdcOps
+
+/** Unit specs for the CDC operator family (SURVEY.md §2 T1-T8, B1-B7),
+  * mirroring the reference's unit-test surface plus the semantics its
+  * integration tests assert (connector_test.go, snapshot_test.go).
+  */
+class CdcOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def events = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf/events.parquet")
+  }
+  private lazy val typed = CdcOps.typedMessages(events).cache()
+
+  test("T1 typing drops unknown event types, keeps the four variants") {
+    val kinds = typed.select("msg_type").distinct().as[String].collect().toSet
+    assert(kinds == Set("INSERT", "UPDATE", "DELETE", "SNAPSHOT"))
+    val raw = events.count()
+    assert(typed.count() < raw) // 'click' events dropped
+  }
+
+  test("T2 exact routing skips unmapped tables (skip+ack, connector.go:146-152)") {
+    val routed = CdcOps.routeExact(typed)
+    assert(routed.filter($"table_name" === "audit_log").count() == 0)
+    val idx = routed.select("index_name").distinct().as[String].collect().toSet
+    assert(idx == Set("users_idx"))
+  }
+
+  test("T3 partition-parent resolution: shortest prefix first (connector.go:239-246)") {
+    val df = Seq(
+      ("public", "orders_2024_01"), // partitioned → orders
+      ("public", "orders"), // exact
+      ("public", "users"), // exact
+      ("public", "unknown_table") // unmapped → dropped
+    ).toDF("table_namespace", "table_name")
+    val got = CdcOps.resolveParentTable(df)
+      .select("table_name", "parent_table", "index_name")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("orders_2024_01", "orders", "orders_idx"),
+      ("orders", "orders", "orders_idx"),
+      ("users", "users", "users_idx")))
+  }
+
+  test("B1 LWW dedup keeps the LATEST action per (doc_id, index) preserving key set") {
+    val actions = Seq(
+      (1L, "index", "7", "users_idx", "v1"),
+      (5L, "index", "7", "users_idx", "v2"), // later wins
+      (3L, "delete", "8", "users_idx", null)
+    ).toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    val got = CdcOps.dedupLastWriteWins(actions)
+      .select("event_id", "doc_id", "source")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((5L, "7", Some("v2")), (3L, "8", None)))
+  }
+
+  test("B7 parseSize: units, case, long forms (bytes.go:57-82)") {
+    assert(CdcOps.parseSize("10mb") == 10L << 20)
+    assert(CdcOps.parseSize("1GB") == 1L << 30)
+    assert(CdcOps.parseSize("512 kb") == 512L << 10)
+    assert(CdcOps.parseSize("7b") == 7L)
+    assert(CdcOps.parseSize("2tb") == 2L << 40)
+    intercept[IllegalArgumentException](CdcOps.parseSize("10xb"))
+    intercept[IllegalArgumentException](CdcOps.parseSize("mb"))
+  }
+
+  test("B4 id escape backslash-escapes quotes (escape.go:10-21)") {
+    val got = Seq("""a"b""", "plain").toDF("s")
+      .select(CdcOps.escapeDocId($"s")).as[String].collect()
+    assert(got.toSeq == Seq("""a\"b""", "plain"))
+  }
+
+  test("B3 NDJSON meta line shape (bulk.go:176-245)") {
+    val actions = Seq((1L, "index", "k1", "idx_a", """{"x":1}"""))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    val meta = CdcOps.ndjsonEncode(actions).select("meta").as[String].head()
+    assert(meta == """{"index":{"_index":"idx_a","_id":"k1"}}""")
+  }
+
+  test("X2 _type gating: only ES major < 8 carries _type (bulk.go:194-206)") {
+    val actions = Seq(
+      (1L, "index", "a", "i1", "{}"),
+      (2L, "index", "b", "i1", "{}"))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    val metas = CdcOps.versionGatedMeta(actions, when($"doc_id" === "a", 7).otherwise(8))
+      .select("doc_id", "meta").as[(String, String)].collect().toMap
+    assert(metas("a").contains("\"_type\":\"_doc\""))
+    assert(!metas("b").contains("_type"))
+  }
+}

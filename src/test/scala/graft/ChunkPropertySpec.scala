@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.CdcOps
+
+/** Property-style tests for the reference's algebraic invariants
+  * (internal/slices/slices.go), swept over a deterministic parameter grid
+  * (the offline cache has no scalatest/scalacheck bridge artifact, so the
+  * sweep replaces Gen-driven cases).
+  */
+class ChunkPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def actionsOf(n: Int) =
+    (1 to n).map(i => (i.toLong, "index", s"d$i", "idx", s"s$i"))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+
+  test("T8 chunk_split: chunks ≤ size, all full except last, all rows kept (slices.go:3-16)") {
+    for ((n, size) <- Seq((1, 1), (7, 3), (100, 100), (101, 100), (200, 7))) {
+      val chunks = CdcOps.chunkSplit(actionsOf(n), size)
+        .select("chunk_id", "n_actions").as[(Long, Long)].collect().sortBy(_._1)
+      assert(chunks.map(_._2).sum == n, s"n=$n size=$size")
+      assert(chunks.forall(_._2 <= size), s"n=$n size=$size")
+      assert(chunks.dropRight(1).forall(_._2 == size), s"n=$n size=$size")
+    }
+  }
+
+  test("B5 concurrent_partition: exactly n chunks, sizes differ ≤ 1 (slices.go:18-39)") {
+    for ((n, parts) <- Seq((4, 4), (10, 3), (100, 8), (97, 4), (5, 2))) {
+      val sizes = CdcOps.concurrentPartition(actionsOf(n), parts)
+        .select("n_actions").as[Long].collect()
+      assert(sizes.length == parts, s"n=$n parts=$parts")
+      assert(sizes.sum == n, s"n=$n parts=$parts")
+      assert(sizes.max - sizes.min <= 1, s"n=$n parts=$parts")
+    }
+  }
+
+  test("B1 dedup property: output keys unique, each survivor is max event_id of its key") {
+    val seeds = Seq(1, 7, 42)
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val keys = List.fill(60)(rnd.nextInt(12) + 1)
+      val df = keys.zipWithIndex
+        .map { case (k, i) => ((i + 1).toLong, "index", s"k$k", "idx", s"v$i") }
+        .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+      val got = CdcOps.dedupLastWriteWins(df)
+        .select("doc_id", "event_id").as[(String, Long)].collect()
+      val expect = keys.zipWithIndex
+        .groupBy { case (k, _) => k }
+        .map { case (k, xs) => (s"k$k", xs.map(_._2 + 1L).max) }
+        .toSet
+      assert(got.toSet == expect, s"seed=$seed")
+      assert(got.map(_._1).distinct.length == got.length, s"seed=$seed")
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{BinaryOps, DedupOps, SimilarityOps, TextOps}
+
+/** Specs for the training-data pipeline operators (dedup / similarity /
+  * text / multimodal) on planted fixtures + the documents table.
+  */
+class TrainingOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("tokenHash: first 8 hex of md5, engine-independent definition") {
+    // md5("spark") = 98f11b7a7880169c3bd62a5a3f4b1327 → 0x98f11b7a
+    val got = Seq("spark").toDF("t").select(TextOps.tokenHash($"t")).as[Long].head()
+    assert(got == java.lang.Long.parseLong("98f11b7a", 16))
+  }
+
+  test("quality score stays in [0,1] and ratios are sane") {
+    val q = TextOps.qualityScore(docs)
+    assert(q.filter($"quality" < 0 || $"quality" > 1).count() == 0)
+    assert(q.filter($"alpha_ratio" < 0 || $"alpha_ratio" > 1).count() == 0)
+    assert(q.count() == docs.count())
+  }
+
+  test("lang_id emits only profiled languages") {
+    val langs = TextOps.langId(docs).select("detected_lang")
+      .distinct().as[String].collect().toSet
+    assert(langs.subsetOf(TextOps.StopwordProfiles.map(_._1).toSet))
+  }
+
+  test("doc_fingerprint is deterministic and content-derived") {
+    val a = TextOps.docFingerprint(docs).as[(Long, Long, Long)].collect().toMap2
+    val b = TextOps.docFingerprint(docs).as[(Long, Long, Long)].collect().toMap2
+    assert(a == b)
+  }
+
+  implicit private class Arr(xs: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, Long] = xs.map(t => t._1 -> t._3).toMap
+  }
+
+  test("dedup_exact groups identical normalized content") {
+    val planted = Seq(
+      (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text")
+    ).toDF("doc_id", "text")
+    val groups = DedupOps.dedupExact(planted)
+      .select("rep_doc_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(groups == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a planted near-duplicate, skips unrelated docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val other = (100 to 140).map(i => s"word$i").mkString(" ")
+    val planted = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = DedupOps.dedupMinhashLsh(planted)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical text → identical signature; hamming pairs found") {
+    val planted = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val sigs = DedupOps.simhashSignature(planted).as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = DedupOps.dedupSimhash(planted)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+  }
+
+  test("ngram jaccard: self-similar pair found within source block") {
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val planted = Seq(
+      (1L, t, "s1"), (2L, t + " tail", "s1"), (3L, "completely unrelated words here", "s1"),
+      (4L, t, "s2") // same text, different block → never paired with 1
+    ).toDF("doc_id", "text", "source")
+    val pairs = DedupOps.dedupNgramJaccard(planted)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 4L))
+  }
+
+  test("brute-force ANN: planted nearest vector ranks first") {
+    val q = Array.fill(8)(1.0f)
+    val near = q.map(x => x * 0.9f + 0.01f)
+    val far = Array.fill(8)(-1.0f)
+    val mid = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val planted = Seq((0L, q, 0), (10L, near, 0), (11L, far, 0), (12L, mid, 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = SimilarityOps.annTopkBruteForce(planted)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .select("neighbor_id").as[Long].head()
+    assert(top == 10L)
+  }
+
+  test("LSH bucket: identical vectors share a bucket; ANN neighbors come from own bucket") {
+    val e = SimilarityOps.withNorm(emb)
+      .withColumn("bucket", SimilarityOps.lshBucket($"emb_d"))
+    val nBuckets = e.select("bucket").distinct().count()
+    assert(nBuckets > 1 && nBuckets <= (1L << SimilarityOps.LshPlanes))
+    val res = SimilarityOps.annLshBucket(emb)
+    val qb = e.filter($"vec_id" < SimilarityOps.NQueries)
+      .select($"vec_id", $"bucket".as("qbucket"))
+    val joined = res.join(qb, res("query_id") === qb("vec_id"))
+    assert(joined.filter($"bucket" =!= $"qbucket").count() == 0)
+  }
+
+  test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
+    val out = BinaryOps.multimodalDecode(spark, docs)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "media_type", "width", "height", "n_frames", "payload_bytes"))
+    assert(out.count() == docs.count())
+    val img = out.filter($"media_type" === "image")
+    assert(img.filter($"n_frames" =!= 1).count() == 0)
+    assert(out.filter($"width" < 64 || $"width" > 512).count() == 0)
+    // payload_bytes == byte length of utf-8 text
+    val lens = docs.select($"doc_id", length($"text").cast("long").as("l"))
+    val j = out.join(lens, "doc_id").filter($"payload_bytes" =!= $"l")
+    assert(j.count() == 0)
+  }
+}
