@@ -70,24 +70,24 @@ object CdcOps {
   /** T2 routing_map — exact `namespace.table` lookup; unmapped ⇒ skip
     * (connector.go:174-199, skip+ack connector.go:146-152).
     *
-    * The mapping is a handful of entries, so it becomes a literal
-    * `map_from_arrays` expression evaluated inside the scan's projection —
-    * no join, no shuffle, survives any scale-up (≙ the reference's
-    * in-process map lookup).
+    * The mapping is a handful of entries, so it compiles into a `when`
+    * comparison chain inside the scan's projection — no join, no shuffle,
+    * no per-row map allocation (a `map_from_arrays` literal is rebuilt per
+    * evaluation), survives any scale-up (≙ the reference's in-process map
+    * lookup). A mapping with thousands of entries would switch to a
+    * broadcast join instead.
     */
-  private def mappingLit: Column = {
-    val (ks, vs) = tableIndexMapping.toSeq.sortBy(_._1).unzip
-    map_from_arrays(
-      array(ks.map(lit): _*),
-      array(vs.map(lit): _*)
-    )
-  }
+  private def lookupIndex(key: Column): Column =
+    tableIndexMapping.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (rest, (k, v)) =>
+        when(key === k, lit(v)).otherwise(rest)
+      }
 
   def routeExact(typed: DataFrame): DataFrame =
     typed
       .withColumn(
         "index_name",
-        element_at(mappingLit, concat(col("table_namespace"), lit("."), col("table_name")))
+        lookupIndex(concat(col("table_namespace"), lit("."), col("table_name")))
       )
       .filter(col("index_name").isNotNull)
 
@@ -96,28 +96,27 @@ object CdcOps {
     * longer prefixes (SHORTEST first — connector.go:239-246 returns the
     * first hit), map the winning parent through the index mapping.
     *
-    * Implemented as pure array expressions in one projection: build the
-    * cumulative-prefix array, keep the prefixes present in the mapping,
-    * take the first. No explode, no join, no shuffle — the reference's
-    * `sync.Map` memo cache is unnecessary because the lookup is a constant
-    * folded into codegen.
+    * Implemented as `substring_index` + `coalesce` over a bounded prefix
+    * depth: `substring_index(name, "_", k)` is the k-part prefix, and
+    * `coalesce(when(mapped(p1), p1), when(mapped(p2), p2), …)` is
+    * shortest-prefix-first-hit. Everything is codegen'd scalar work in one
+    * projection — no HOF lambdas (interpreted), no explode, no join, no
+    * shuffle; the reference's `sync.Map` memo cache is unnecessary because
+    * the mapping is a literal folded into codegen. Depth > [[MaxTableParts]]
+    * prefixes repeat the full name, which cannot change the first hit.
     */
+  val MaxTableParts = 4
+
   def resolveParentTable(typed: DataFrame): DataFrame = {
-    val parts = split(col("table_name"), "_")
-    val prefixes = transform(
-      sequence(lit(1), size(parts)),
-      i => array_join(slice(parts, lit(1), i), "_")
-    )
-    val hits = filter(
-      prefixes,
-      p => element_at(mappingLit, concat(col("table_namespace"), lit("."), p)).isNotNull
-    )
+    def mapped(p: Column): Column =
+      lookupIndex(concat(col("table_namespace"), lit("."), p))
+    val parent = coalesce((1 to MaxTableParts).map { k =>
+      val p = substring_index(col("table_name"), "_", k)
+      when(mapped(p).isNotNull, p)
+    }: _*)
     typed
-      .withColumn("parent_table", try_element_at(hits, lit(1)))
-      .withColumn(
-        "index_name",
-        element_at(mappingLit, concat(col("table_namespace"), lit("."), col("parent_table")))
-      )
+      .withColumn("parent_table", parent)
+      .withColumn("index_name", mapped(col("parent_table")))
       .filter(col("index_name").isNotNull)
   }
 

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftext.ArrayFunctions.dot_product
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -41,19 +42,28 @@ object SimilarityOps {
 
   // ------------------------------------------------------------ primitives
 
-  /** Left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Left-fold dot product of two array<double> columns. Custom codegen'd
+    * expression — the HOF form (`aggregate(zip_with(...))`) is interpreted
+    * per element and this runs once per candidate PAIR. Same index-order
+    * summation ⇒ bit-identical to the oracle's list_reduce.
+    */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
   /** SQL twin of [[dot]] — identical fold order. */
   def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])), (s,x) -> s + x)"
 
-  /** embeddings + emb_d (double) + norm, computed once per row. */
+  /** embeddings + emb_d (double) + norm, computed once per row.
+    * Repartitions first: the local embeddings table is one parquet file →
+    * one input split, which would serialize all per-vector work (no-op
+    * -sized shuffle at scale, where inputs have thousands of splits).
+    */
   def withNorm(emb: DataFrame): DataFrame = {
     val d = transform(col("embedding"), x => x.cast("double"))
-    emb.select(col("vec_id"), col("label"), d.as("emb_d"))
+    emb
+      .repartition(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .select(col("vec_id"), col("label"), d.as("emb_d"))
       .withColumn("norm", sqrt(dot(col("emb_d"), col("emb_d"))))
   }
 
