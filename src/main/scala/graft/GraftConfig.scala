@@ -1,0 +1,52 @@
+package graft
+
+import scala.concurrent.duration._
+
+/** Config parity with the reference (config/config.go, README.md:204-243):
+  * a user of the reference can port their YAML knob-for-knob. Connection
+  * and transport knobs (urls, auth, maxConnsPerHost, gzip, node discovery)
+  * are sink-implementation details of the HTTP client and have no analog
+  * in the zero-egress file sink; they are accepted but unused so configs
+  * still parse.
+  */
+object conf {
+
+  /** ≙ config.Elasticsearch (config/config.go:9-26) with SetDefault
+    * semantics (config/config.go:37-58): ticker 10s, batch 1000 actions,
+    * 10mb, 1 concurrent request.
+    */
+  case class EsSinkConfig(
+      tableIndexMapping: Map[String, String],
+      batchSizeLimit: Int = 1000,
+      batchTickerDuration: FiniteDuration = 10.seconds,
+      batchByteSizeLimit: String = "10mb",
+      concurrentRequest: Int = 1,
+      typeName: String = "", // ≙ TypeName; only emitted when esMajor < 8
+      version: String = "7.0.0" // ≙ detectElasticsearchVersion fallback (client.go:56)
+  ) {
+    /** Parsed byte limit (≙ bulk.go:81-84 ParseSize call). */
+    def batchByteSizeLimitBytes: Long = ops.CdcOps.parseSize(batchByteSizeLimit)
+    def esMajorVersion: Int = version.takeWhile(_ != '.').toInt
+  }
+
+  sealed trait SnapshotMode
+  /** Snapshot first, then CDC from the recorded position (README.md:32-38). */
+  case object InitialMode extends SnapshotMode
+  /** Snapshot only, no CDC (README.md:39-45). */
+  case object SnapshotOnlyMode extends SnapshotMode
+
+  /** ≙ SnapshotConfig (README.md:221-228). ChunkSize default 8000; the
+    * claim-timeout/heartbeat worker-pool knobs map onto Spark task
+    * scheduling + speculative retry and are accepted for parity.
+    */
+  case class SnapshotConfig(
+      enabled: Boolean = false,
+      mode: SnapshotMode = InitialMode,
+      chunkSize: Int = 8000
+  )
+
+  case class GraftConfig(
+      es: EsSinkConfig,
+      snapshot: SnapshotConfig = SnapshotConfig()
+  )
+}

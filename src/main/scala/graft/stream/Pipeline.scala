@@ -84,9 +84,44 @@ object Pipeline {
       checkpointDir: String,
       concurrentRequest: Int = 2,
       trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startQuery(spark,
+      CdcOps.handlerActions(CdcOps.typedMessages(changeStream(spark, eventsDir))),
+      bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
+
+  /** Config-driven run (≙ NewConnector(cfg, handler): config parity via
+    * [[graft.conf.GraftConfig]]; the batch ticker maps to the processing-
+    * time trigger, concurrentRequest to the flush partition split).
+    */
+  def run(spark: SparkSession, cfg: graft.conf.GraftConfig, eventsDir: String,
+      bulkOutDir: String, deadLetterDir: String, checkpointDir: String): StreamingQuery =
+    run(spark, eventsDir, bulkOutDir, deadLetterDir, checkpointDir,
+      cfg.es.concurrentRequest,
+      Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis))
+
+  /** Typed-Handler pipeline: the user's `CdcMessage => Seq[EsAction]`
+    * (handler.go:7) instead of the canonical column-expression handler.
+    */
+  def runTyped(
+      spark: SparkSession,
+      eventsDir: String,
+      handler: Handlers.Handler,
+      bulkOutDir: String,
+      deadLetterDir: String,
+      checkpointDir: String,
+      concurrentRequest: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
-    val actions = CdcOps.handlerActions(
-      CdcOps.typedMessages(changeStream(spark, eventsDir)))
+    implicit val s: SparkSession = spark
+    startQuery(spark,
+      Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)), handler),
+      bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
+  }
+
+  private def startQuery(spark: SparkSession, actions: DataFrame,
+      bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
+      concurrentRequest: Int, trigger: Trigger): StreamingQuery = {
+    registerMetrics(spark)
     actions.writeStream
       .queryName("graft-cdc-pipeline")
       .option("checkpointLocation", checkpointDir)
@@ -97,6 +132,64 @@ object Pipeline {
         ()
       }
       .start()
+  }
+
+  private val metricsRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def registerMetrics(spark: SparkSession): Unit =
+    if (metricsRegistered.compareAndSet(false, true))
+      spark.streams.addListener(new Metrics.Listener)
+
+  // ------------------------------------------------------ snapshot modes
+
+  /** S2 — snapshot actions for a whole table: every row becomes a SNAPSHOT
+    * index action (op annotated like the reference's snapshot handler,
+    * snapshot_test.go:313-315), routed through the same table→index
+    * mapping. The keyset-chunked, claim/heartbeat worker pool of the
+    * reference (README.md:26-45) maps onto Spark's partitioned scan +
+    * task retry; `chunkSize` bounds rows per task via repartitioning.
+    */
+  def snapshotActions(table: DataFrame, namespace: String, tableName: String,
+      pkCol: String, chunkSize: Int = 8000): DataFrame = {
+    val cols = table.columns.map(col).toSeq
+    val nChunks = math.max(1, (table.count() / math.max(1, chunkSize)).toInt)
+    table
+      .repartition(nChunks, col(pkCol)) // ≙ chunk workers
+      .select(
+        col(pkCol).cast("long").as("event_id"), // snapshot seq = key order
+        lit("index").as("action_type"),
+        col(pkCol).cast("string").as("doc_id"),
+        lit(graft.ops.CdcOps.tableIndexMapping.getOrElse(s"$namespace.$tableName", null))
+          .cast("string").as("index_name"),
+        to_json(struct(cols :+ lit("SNAPSHOT").as("operation"): _*)).as("source"))
+      .filter(col("index_name").isNotNull)
+  }
+
+  /** Mode `snapshot_only` (connector.go:84-96): process the snapshot
+    * through the SAME sink machinery, no CDC afterwards.
+    */
+  def runSnapshotOnly(spark: SparkSession, table: DataFrame, namespace: String,
+      tableName: String, pkCol: String, bulkOutDir: String,
+      deadLetterDir: String, concurrentRequest: Int = 2): Unit =
+    EsBulkSink.writeBatch(
+      snapshotActions(table, namespace, tableName, pkCol),
+      batchId = -1L, bulkOutDir, deadLetterDir, concurrentRequest)
+
+  /** Mode `initial` (README.md:32-38): snapshot first, then the CDC stream
+    * from the same sink/checkpoint — snapshot rows and subsequent change
+    * rows flow through identical batch/ack machinery, giving the
+    * reference's seamless-transition guarantee (no gaps: the stream's
+    * checkpoint starts at offset 0 of the replay dir; no duplicates: doc-id
+    * keyed writes are idempotent at the index).
+    */
+  def runInitial(spark: SparkSession, table: DataFrame, namespace: String,
+      tableName: String, pkCol: String, eventsDir: String, bulkOutDir: String,
+      deadLetterDir: String, checkpointDir: String,
+      concurrentRequest: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    runSnapshotOnly(spark, table, namespace, tableName, pkCol, bulkOutDir,
+      deadLetterDir, concurrentRequest)
+    run(spark, eventsDir, bulkOutDir, deadLetterDir, checkpointDir,
+      concurrentRequest, trigger)
   }
 }
 
@@ -135,6 +228,11 @@ object EsBulkSink {
         .repartition(concurrentRequest)
         .write.mode("append")
         .text(s"$bulkOutDir/batch_$batchId")
+      // R3 per-index action counters (metric.go:56-96): one tiny agg over
+      // the cached batch after the flush succeeds (counters = acked work)
+      deduped.groupBy("index_name", "action_type").count()
+        .collect()
+        .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))
     } finally cached.unpersist()
   }
 }
