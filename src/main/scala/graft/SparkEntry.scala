@@ -144,6 +144,7 @@ object SparkEntry {
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
+    "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents")))
   )
@@ -324,6 +325,7 @@ object SparkEntry {
 
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
+    "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode
   )

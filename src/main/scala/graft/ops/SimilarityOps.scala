@@ -143,6 +143,75 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "bucket", "rank", "cos_sim")
   }
 
+  // ------------------------------------------------------- ann_ivf_probe
+
+  /** IVF parameters: K coarse centroids, nProbe probed lists per query.
+    * Centroids here are fixed deterministic literals (shared with the
+    * oracle); at scale they come from a prior k-means pass over a sample —
+    * the operator shape (assign → invert → probe) is identical.
+    */
+  val IvfCentroids = 8
+  val IvfProbes = 2
+  def centroid(j: Int): IndexedSeq[Double] =
+    (0 until Dim).map(d => (((j * Dim + d + 1) * 48271L) % 199L - 99L) / 100.0)
+
+  private def centDots(embD: Column): Column =
+    array((0 until IvfCentroids).map(j =>
+      dot(array(centroid(j).map(lit): _*), embD)): _*)
+
+  private def sqlCentroidLit(j: Int): String =
+    centroid(j).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+
+  private def sqlCentDots(embD: String): String =
+    (0 until IvfCentroids).map(j => sqlDot(sqlCentroidLit(j), embD))
+      .mkString("[", ", ", "]")
+
+  /** IVF-bucketed ANN: every vector is assigned to its max-dot coarse
+    * centroid (the inverted list id — a narrow map, no shuffle); each
+    * query probes its [[IvfProbes]] best lists and ranks candidates by
+    * exact cosine. The probe join is an equi-join on the list id
+    * (candidates shuffle once by list), touching ~nProbe/K of the corpus
+    * — the IVF recall/cost trade at 100 TB.
+    */
+  def annIvfProbe(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+      .withColumn("dots", centDots(col("emb_d")))
+      .withColumn("centroid", array_position(col("dots"), array_max(col("dots"))) - 1)
+    val q = e.filter(col("vec_id") < NQueries)
+      .withColumn("second",
+        array_position(col("dots"),
+          array_max(array_remove(col("dots"), array_max(col("dots"))))) - 1)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("eq"), col("norm").as("nq"),
+        explode(array(col("centroid"), col("second"))).as("probe"))
+    val scored = e.join(broadcast(q),
+        col("centroid") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("centroid"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "centroid", "rank", "cos_sim")
+  }
+
+  def sqlAnnIvfProbe: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, emb_d, norm, dots,
+       |    list_position(dots, list_max(dots)) - 1 AS centroid
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb_d, norm, unnest([centroid,
+       |    list_position(dots, list_max(list_filter(dots, x -> x <> list_max(dots)))) - 1]) AS probe
+       |  FROM e WHERE vec_id < $NQueries)
+       |SELECT query_id, neighbor_id, centroid, rank, cos_sim FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.centroid,
+       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |  FROM e JOIN q ON e.centroid = q.probe AND e.vec_id <> q.query_id)
+       |WHERE rank <= $TopK""".stripMargin
+
   def sqlAnnLshBucket: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, emb_d, norm, ${sqlLshBucket("emb_d")} AS bucket

@@ -1,0 +1,96 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.ops.CdcOps
+
+/** X1 streaming form — the reference's server-side scripted upsert
+  * (example/script-update/main.go:132-182: version counter increment,
+  * conditional field set, merge of new fields) re-expressed as Spark
+  * custom state: `flatMapGroupsWithState` holds the per-document merge
+  * state the reference delegates to ES's Painless engine, and the sink
+  * emits the byte-identical scripted-upsert `_bulk` encoding
+  * (`{"update":{...}}` + `{"script":…,"scripted_upsert":true}`,
+  * bulk.go:237-241).
+  *
+  * State is keyed by document id, restored from the checkpoint on restart
+  * (the version counter survives failover exactly like ES-side state
+  * survives the reference's restarts). At scale the state store shuffles
+  * once on the key and holds O(live keys) — the watermark on event time
+  * bounds nothing here by design (document state is permanent), matching
+  * the reference's unbounded ES documents.
+  */
+object StateMerge {
+
+  case class Upd(userId: Long, eventId: Long, eventTimeUs: Long, value: Double)
+  case class DocState(version: Long, lastValue: Double, updatedAtUs: Long)
+  case class Upsert(docId: String, version: Long, lastValue: Double, updatedAtUs: Long)
+
+  /** Merge a micro-batch of updates for one key into its running state —
+    * the Painless script's semantics (script-update/main.go:134-143):
+    * `version += 1` per update, last-value-wins field set.
+    */
+  private def merge(key: Long, rows: Iterator[Upd],
+      state: GroupState[DocState]): Iterator[Upsert] = {
+    val batch = rows.toSeq.sortBy(_.eventId)
+    if (batch.isEmpty) Iterator.empty
+    else {
+      val prev = state.getOption.getOrElse(DocState(0L, 0.0, 0L))
+      val next = DocState(
+        version = prev.version + batch.size,
+        lastValue = batch.last.value,
+        updatedAtUs = math.max(prev.updatedAtUs, batch.map(_.eventTimeUs).max))
+      state.update(next)
+      Iterator(Upsert(key.toString, next.version, next.lastValue, next.updatedAtUs))
+    }
+  }
+
+  /** UPDATE-typed events → per-doc upsert stream with persistent state. */
+  def upsertStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import spark.implicits._
+    CdcOps.typedMessages(Pipeline.changeStream(spark, eventsDir))
+      .filter(col("msg_type") === "UPDATE")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("event_time_us").as("eventTimeUs"), col("val").as("value"))
+      .as[Upd]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(merge)
+      .toDF()
+  }
+
+  /** The scripted-upsert `_bulk` NDJSON encoding (bulk.go:237-241):
+    * meta `{"update":{"_index":…,"_id":…}}`, source
+    * `{"script":{"source":…,"params":{…}},"scripted_upsert":true}` —
+    * params carry the merged state like script-update/main.go:145-151.
+    */
+  def encodeUpsert(upserts: DataFrame, indexName: String): DataFrame =
+    upserts.select(concat_ws("\n",
+      concat(lit(s"""{"update":{"_index":"$indexName","_id":""""),
+        CdcOps.escapeDocId(col("docId")), lit("\"}}")),
+      concat(
+        lit("""{"script":{"source":"ctx._source.version = params.version; ctx._source.last_value = params.last_value; ctx._source.updated_at_us = params.updated_at_us","params":{"version":"""),
+        col("version"), lit(""","last_value":"""), col("lastValue"),
+        lit(""","updated_at_us":"""), col("updatedAtUs"),
+        lit("""}},"scripted_upsert":true}"""))
+    ).as("value"))
+
+  /** End-to-end: stateful merge → scripted-upsert bulk files, checkpointed
+    * (version counters resume across restarts).
+    */
+  def run(spark: SparkSession, eventsDir: String, bulkOutDir: String,
+      checkpointDir: String, indexName: String = "users_idx",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    upsertStream(spark, eventsDir).writeStream
+      .queryName("graft-script-update")
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        encodeUpsert(batch, indexName)
+          .coalesce(1).write.mode("append").text(s"$bulkOutDir/batch_$batchId")
+        ()
+      }
+      .start()
+}

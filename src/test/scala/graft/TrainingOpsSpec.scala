@@ -107,6 +107,17 @@ class TrainingOpsSpec extends SparkSuite {
     assert(joined.filter($"bucket" =!= $"qbucket").count() == 0)
   }
 
+  test("IVF probe: neighbors come only from the query's probed centroid lists") {
+    val res = SimilarityOps.annIvfProbe(emb).cache()
+    assert(res.count() > 0)
+    assert(res.select("query_id").distinct().count() <= SimilarityOps.NQueries)
+    // every returned neighbor's centroid must be one of its query's probes
+    val nCentsPerQuery = res.groupBy("query_id")
+      .agg(countDistinct("centroid").as("n")).select("n").as[Long].collect()
+    assert(nCentsPerQuery.forall(_ <= SimilarityOps.IvfProbes))
+    res.unpersist()
+  }
+
   test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
     val out = BinaryOps.multimodalDecode(spark, docs)
     assert(out.columns.toSeq ==
