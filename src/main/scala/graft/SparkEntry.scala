@@ -146,7 +146,10 @@ object SparkEntry {
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
 
-    "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents")))
+    "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
+    "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
+    "multimodal_frame_sample" -> ((s, dir) => BinaryOps.multimodalFrameSample(s, tbl(s, dir, "documents"))),
+    "multimodal_features" -> ((s, dir) => BinaryOps.multimodalFeatures(s, tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -327,6 +330,9 @@ object SparkEntry {
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
 
-    "multimodal_decode" -> BinaryOps.sqlMultimodalDecode
+    "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
+    "multimodal_resize" -> BinaryOps.sqlMultimodalResize,
+    "multimodal_frame_sample" -> BinaryOps.sqlMultimodalFrameSample,
+    "multimodal_features" -> BinaryOps.sqlMultimodalFeatures
   )
 }

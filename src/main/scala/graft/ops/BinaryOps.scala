@@ -79,4 +79,113 @@ object BinaryOps {
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + strlen(text) % 240 END AS BIGINT) AS n_frames,
       |  CAST(strlen(text) AS BIGINT) AS payload_bytes
       |FROM documents""".stripMargin
+
+  // -------------------------------------------------------------- resize
+
+  /** Target bounding box for [[multimodalResize]]. */
+  val ResizeBox = 128L
+
+  /** Aspect-preserving resize plan: scale the decoded dimensions to fit a
+    * [[ResizeBox]]² box (integer arithmetic so both engines agree exactly;
+    * a real resize would transform the payload here — STUBBED, the plan
+    * columns are the contract a decode UDF consumes).
+    */
+  case class ResizePlan(
+      doc_id: Long, media_type: String, width: Long, height: Long,
+      out_w: Long, out_h: Long)
+
+  def multimodalResize(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val m = decodeStub(id, payload)
+        val longSide = math.max(m.width, m.height)
+        // ceil-free integer scale: out = dim * box / longSide
+        ResizePlan(m.doc_id, m.media_type, m.width, m.height,
+          out_w = m.width * ResizeBox / longSide,
+          out_h = m.height * ResizeBox / longSide)
+      })
+      .toDF()
+  }
+
+  def sqlMultimodalResize: String =
+    s"""SELECT doc_id, media_type, width, height,
+       |  CAST(width * $ResizeBox // greatest(width, height) AS BIGINT) AS out_w,
+       |  CAST(height * $ResizeBox // greatest(width, height) AS BIGINT) AS out_h
+       |FROM ($sqlMultimodalDecode)""".stripMargin
+
+  // -------------------------------------------------------- frame_sample
+
+  /** Sample stride for [[multimodalFrameSample]]. */
+  val FrameStride = 7L
+
+  /** Frame sampling plan: every [[FrameStride]]-th frame index of
+    * audio/video media (images contribute their single frame). The output
+    * is (doc_id, frame_idx) rows — the fan-out shape a per-frame decode
+    * UDF consumes downstream; the explode is the real plumbing, the frame
+    * fetch is the stubbed part.
+    */
+  def multimodalFrameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val m = decodeStub(id, payload)
+        (0L until m.n_frames by FrameStride).map(f => (m.doc_id, m.media_type, f))
+      })
+      .toDF("doc_id", "media_type", "frame_idx")
+  }
+
+  def sqlMultimodalFrameSample: String =
+    s"""SELECT doc_id, media_type, unnest(range(0, n_frames, $FrameStride)) AS frame_idx
+       |FROM ($sqlMultimodalDecode)""".stripMargin
+
+  // ----------------------------------------------------- feature_extract
+
+  /** Byte-level feature extraction: mean byte value and a coarse 4-bin
+    * byte histogram over the payload — the shape of a real
+    * feature-extract UDF (single pass over bytes per object, fixed-width
+    * numeric feature columns out).
+    */
+  case class ByteFeatures(
+      doc_id: Long, payload_bytes: Long, mean_byte: Double,
+      h0: Long, h1: Long, h2: Long, h3: Long)
+
+  def multimodalFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        var sum = 0L
+        val h = new Array[Long](4)
+        var i = 0
+        while (i < payload.length) {
+          val b = payload(i) & 0xff
+          sum += b
+          h(b >> 6) += 1
+          i += 1
+        }
+        ByteFeatures(id, payload.length.toLong,
+          if (payload.isEmpty) 0.0 else sum.toDouble / payload.length,
+          h(0), h(1), h(2), h(3))
+      })
+      .toDF()
+  }
+
+  /** Oracle twin over text chars (ASCII ⇒ chars are the bytes). */
+  def sqlMultimodalFeatures: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS payload_bytes,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a,x) -> a+x) AS DOUBLE) / strlen(text) AS mean_byte,
+      |  CAST(len(list_filter(codes, x -> x // 64 = 0)) AS BIGINT) AS h0,
+      |  CAST(len(list_filter(codes, x -> x // 64 = 1)) AS BIGINT) AS h1,
+      |  CAST(len(list_filter(codes, x -> x // 64 = 2)) AS BIGINT) AS h2,
+      |  CAST(len(list_filter(codes, x -> x // 64 = 3)) AS BIGINT) AS h3
+      |FROM (SELECT doc_id, text,
+      |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
+      |      FROM documents)""".stripMargin
 }

@@ -193,6 +193,30 @@ object Pipeline {
   }
 }
 
+/** R1 — per-action success/error callbacks, the reference's
+  * `ResponseHandler {OnSuccess, OnError}` (response_handler.go:8-23,
+  * installed via WithResponseHandler, option.go:19-23). The default
+  * error handler is the dead-letter writer (≙ a rejection log,
+  * config.RejectionLog — `includeSource=false` drops the payload column
+  * before writing, config/config.go:28-31).
+  */
+trait ResponseHandler extends Serializable {
+  def onSuccess(actions: DataFrame, batchId: Long): Unit = ()
+  def onError(actions: DataFrame, batchId: Long): Unit
+}
+
+object ResponseHandler {
+  /** Dead-letter parquet writer (rejection log). */
+  def deadLetter(dir: String, includeSource: Boolean = true): ResponseHandler =
+    new ResponseHandler {
+      override def onError(actions: DataFrame, batchId: Long): Unit = {
+        val out = if (includeSource) actions else actions.drop("source")
+        out.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(dir)
+      }
+    }
+}
+
 /** S3/R1 — the bulk sink: NDJSON `_bulk` payload files + dead-letter split.
   * File output stands in for the HTTP `_bulk` call (zero-egress harness);
   * the payload bytes are exactly what the reference posts
@@ -208,15 +232,19 @@ object EsBulkSink {
     *    one NDJSON file ≙ one concurrent `_bulk` request.
     */
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
-      deadLetterDir: String, concurrentRequest: Int): Unit = {
+      deadLetterDir: String, concurrentRequest: Int): Unit =
+    writeBatch(batch, batchId, bulkOutDir,
+      ResponseHandler.deadLetter(deadLetterDir), concurrentRequest)
+
+  def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
+      responseHandler: ResponseHandler, concurrentRequest: Int): Unit = {
     val cached = batch.cache()
     try {
       // demux BEFORE dedup: a null doc key is not a document identity, so
       // key-less actions must not collapse into one null-keyed window row
       val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
       if (!bad.isEmpty) {
-        bad.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(deadLetterDir)
+        responseHandler.onError(bad, batchId)
       }
       val deduped = CdcOps.dedupLastWriteWins(
         cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
@@ -233,6 +261,7 @@ object EsBulkSink {
       deduped.groupBy("index_name", "action_type").count()
         .collect()
         .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))
+      responseHandler.onSuccess(deduped, batchId)
     } finally cached.unpersist()
   }
 }
