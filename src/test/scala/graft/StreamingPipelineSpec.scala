@@ -95,6 +95,26 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(parts.length == 3, s"expected 3 bulk request files, got ${parts.length}")
   }
 
+  test("R1 custom ResponseHandler: OnSuccess/OnError both invoked with the right actions") {
+    import graft.stream.{EsBulkSink, ResponseHandler}
+    val okIds = scala.collection.mutable.Set[Long]()
+    val errIds = scala.collection.mutable.Set[Long]()
+    val handler = new ResponseHandler {
+      override def onSuccess(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        okIds ++= actions.select("event_id").as[Long].collect()
+      override def onError(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        errIds ++= actions.select("event_id").as[Long].collect()
+    }
+    val actions = Seq(
+      (1L, "index", "a", "users_idx", "{}"),
+      (2L, "index", null.asInstanceOf[String], "users_idx", "{}"), // key-less → error
+      (3L, "delete", "c", "users_idx", null.asInstanceOf[String])
+    ).toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    EsBulkSink.writeBatch(actions, 0L, tmp("graft-rh-bulk"), handler, 1)
+    assert(okIds == Set(1L, 3L))
+    assert(errIds == Set(2L))
+  }
+
   test("R1 dead-letter: key-less actions split to the error sink, not the bulk payload") {
     val eventsDir = tmp("graft-events3")
     val bulkDir = tmp("graft-bulk3")
