@@ -62,8 +62,13 @@ def main():
         if mismatch:
             print(f"FAIL {name}: {mismatch}"); n_bad += 1
         else:
-            # exact-type note (driver may be stricter)
+            # dtype note: values match but physical types differ — the
+            # driver's schema compare may be stricter than ours
             tnote = ""
+            diffs = [f"{c}:{got[c].dtype}!={exp[c].dtype}"
+                     for c in got.columns if got[c].dtype != exp[c].dtype]
+            if diffs:
+                tnote = "  [dtype: " + ", ".join(diffs) + "]"
             print(f"OK   {name} ({len(got)} rows){tnote}"); n_ok += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     sys.exit(1 if n_bad else 0)

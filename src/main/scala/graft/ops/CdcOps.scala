@@ -268,7 +268,7 @@ object CdcOps {
     */
   def concurrentPartition(actions: DataFrame, n: Int): DataFrame =
     actions
-      .withColumn("bucket", ntile(n).over(Window.orderBy(col("event_id"))))
+      .withColumn("bucket", ntile(n).over(Window.orderBy(col("event_id"))).cast("long"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_actions"),

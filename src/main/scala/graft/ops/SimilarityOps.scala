@@ -119,9 +119,9 @@ object SimilarityOps {
     planeWeights(j).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
 
   def sqlLshBucket(embD: String): String =
-    (0 until LshPlanes).map { j =>
+    "CAST(" + (0 until LshPlanes).map { j =>
       s"CASE WHEN ${sqlDot(sqlPlaneLit(j), embD)} > 0 THEN ${1L << j} ELSE 0 END"
-    }.mkString(" + ")
+    }.mkString(" + ") + " AS BIGINT)"
 
   /** LSH-bucketed ANN: neighbors come only from the query's bucket, then
     * exact cosine ranks within it. Recall < 1 by construction (that's the
@@ -197,12 +197,12 @@ object SimilarityOps {
   def sqlAnnIvfProbe: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, emb_d, norm, dots,
-       |    list_position(dots, list_max(dots)) - 1 AS centroid
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
        |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
        |        FROM (${sqlWithNorm("embeddings")}))),
        |q AS (
        |  SELECT vec_id AS query_id, emb_d, norm, unnest([centroid,
-       |    list_position(dots, list_max(list_filter(dots, x -> x <> list_max(dots)))) - 1]) AS probe
+       |    CAST(list_position(dots, list_max(list_filter(dots, x -> x <> list_max(dots)))) - 1 AS BIGINT)]) AS probe
        |  FROM e WHERE vec_id < $NQueries)
        |SELECT query_id, neighbor_id, centroid, rank, cos_sim FROM (
        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.centroid,
