@@ -174,7 +174,8 @@ object TextOps {
     * stable under small edits outside the minimal window).
     */
   def docFingerprint(docs: DataFrame): DataFrame = {
-    val ths = transform(tokens(col("text")), tokenHash(_))
+    val ths = org.apache.spark.sql.graftext.ArrayFunctions
+      .md5_prefix_hashes(tokens(col("text")))
     val nWin = greatest(size(ths) - (FpWindow - 1), lit(1))
     val winHashes = transform(
       sequence(lit(1), nWin),

@@ -90,6 +90,18 @@ object ArrayFunctions {
   def simhash_bits(xs: Column, nbits: Int): Column =
     ExpressionUtils.column(SimHashBits(ExpressionUtils.expression(xs), nbits))
 
+  /** Column DSL entry for [[Md5PrefixHashes]]. */
+  def md5_prefix_hashes(xs: Column): Column =
+    ExpressionUtils.column(Md5PrefixHashes(ExpressionUtils.expression(xs)))
+
+  /** Column DSL entry for [[WordShingleHashes]]. */
+  def word_shingle_hashes(xs: Column, width: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(xs), width))
+
+  /** Column DSL entry for [[CharGramHashes]]. */
+  def char_gram_hashes(text: Column, width: Int): Column =
+    ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(text), width))
+
   /** Column DSL entry for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -226,4 +238,134 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise token hashing: for each UTF-8 string in the array, the
+  * first 32 bits of its md5 as a long — semantically identical to
+  * `transform(arr, x -> conv(substring(md5(x),1,8),16,10))` but in one
+  * tight loop with a reused MessageDigest instead of an interpreted HOF
+  * lambda allocating the digest + hex string + conv parse per element.
+  * This is the signature-build hot loop of the MinHash/ngram dedup ops.
+  */
+case class Md5PrefixHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_prefix_hashes"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(xs.getUTF8String(i).getBytes)
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5PrefixHashes =
+    copy(child = c)
+}
+
+/** Word-shingle hashing in one pass: for token array t and width w, the
+  * md5-prefix hash of each w-token shingle "t(i) t(i+1) … t(i+w-1)"
+  * (space-joined), i = 0 … max(n-w, 0). Short inputs (< w tokens) yield
+  * one shingle of all tokens — matching
+  * `transform(sequence(1, greatest(n-w+1, 1)), i -> concat_ws(' ',
+  * slice(t, i, w)))` exactly, but without materializing 1.5M interpreted
+  * shingle strings per partition: the digest is fed token bytes + a space
+  * directly.
+  */
+case class WordShingleHashes(child: Expression, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+  private val space = Array(' '.toByte)
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val tokenBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tokenBytes(i) = xs.getUTF8String(i).getBytes; i += 1 }
+    val nSh = math.max(n - width + 1, 1)
+    val out = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      md.reset()
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) {
+        if (j > i) md.update(space)
+        md.update(tokenBytes(j))
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingleHashes =
+    copy(child = c)
+}
+
+/** Character-gram hashing in one pass: md5-prefix hash of every w-char
+  * substring of the input (1 gram for inputs shorter than w) — matching
+  * `transform(sequence(1, greatest(len-w+1, 1)), i -> substr(text, i, w))`
+  * + element hashing, with codepoint-correct slicing via UTF8String.
+  */
+case class CharGramHashes(child: Expression, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val n = s.numChars()
+    val nG = math.max(n - width + 1, 1)
+    val out = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      md.reset()
+      val d = md.digest(s.substringSQL(i + 1, width).getBytes)
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
 }

@@ -95,6 +95,23 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(parts.length == 3, s"expected 3 bulk request files, got ${parts.length}")
   }
 
+  test("ticker trigger (B2): ProcessingTime query drains staged WAL segments") {
+    import org.apache.spark.sql.streaming.Trigger
+    val eventsDir = tmp("graft-tick-events")
+    val bulkDir = tmp("graft-tick-bulk")
+    stage(eventsDir, 1L to 4L)
+    val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-tick-dlq"),
+      tmp("graft-tick-ckpt"), concurrentRequest = 1,
+      trigger = Trigger.ProcessingTime(100)) // ≙ batchTickerDuration=100ms (examples)
+    try {
+      q.processAllAvailable()
+      assert(bulkDocIds(bulkDir).toSet == Set("1", "2", "3", "4"))
+      stage(eventsDir, 5L to 6L) // live segment while the ticker runs
+      q.processAllAvailable()
+      assert(bulkDocIds(bulkDir).toSet == (1L to 6L).map(_.toString).toSet)
+    } finally q.stop()
+  }
+
   test("R1 custom ResponseHandler: OnSuccess/OnError both invoked with the right actions") {
     import graft.stream.{EsBulkSink, ResponseHandler}
     val okIds = scala.collection.mutable.Set[Long]()
