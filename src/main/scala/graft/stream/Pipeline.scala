@@ -252,9 +252,13 @@ object EsBulkSink {
         // concat_ws skips NULLs: deletes emit the meta line only
         // (bulk.go:231-235 — delete actions carry no source line)
         .select(concat_ws("\n", col("meta"), col("source")).as("value"))
+      // overwrite INTO the per-batch directory: a replayed batch (failure
+      // after partial write, before checkpoint commit) clobbers its own
+      // partial output instead of duplicating it — effectively-once files
+      // on top of the at-least-once ack contract
       payload
         .repartition(concurrentRequest)
-        .write.mode("append")
+        .write.mode("overwrite")
         .text(s"$bulkOutDir/batch_$batchId")
       // R3 per-index action counters (metric.go:56-96): one tiny agg over
       // the cached batch after the flush succeeds (counters = acked work)

@@ -89,7 +89,7 @@ object StateMerge {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         encodeUpsert(batch, indexName)
-          .coalesce(1).write.mode("append").text(s"$bulkOutDir/batch_$batchId")
+          .coalesce(1).write.mode("overwrite").text(s"$bulkOutDir/batch_$batchId")
         ()
       }
       .start()
