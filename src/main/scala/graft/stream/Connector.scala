@@ -1,0 +1,110 @@
+package graft.stream
+
+import java.util.concurrent.TimeoutException
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.conf.{GraftConfig, InitialMode, SnapshotOnlyMode}
+
+/** Lifecycle parity with the reference connector (SURVEY.md §3.3):
+  *
+  * {{{
+  * val c = Connector.newConnector(spark, cfg, io)        // ≙ NewConnector(ctx, cfg, handler)  connector.go:43-80
+  * c.start()                                             // ≙ connector.Start(ctx)             connector.go:82-109
+  * c.waitUntilReady(30000)                               // ≙ WaitUntilReady                   connector.go:111-118
+  * …
+  * c.close()                                             // ≙ Close (final flush)              connector.go:120-127
+  * }}}
+  *
+  * `start` honors the snapshot config: `snapshot_only` runs the chunked
+  * table snapshot through the sink and returns (connector.go:84-96);
+  * `initial` snapshots then streams; disabled streams only. `close`
+  * stops the streaming query gracefully — Spark completes the in-flight
+  * micro-batch first, which is exactly the reference's final
+  * `bulk.Close()` flush (bulk.go:247-251).
+  */
+object Connector {
+
+  /** I/O locations (the zero-egress analogs of Postgres/ES endpoints). */
+  case class Io(
+      eventsDir: String,
+      bulkOutDir: String,
+      deadLetterDir: String,
+      checkpointDir: String,
+      snapshotTable: Option[(DataFrame, String, String, String)] = None // (df, ns, table, pk)
+  )
+
+  def newConnector(spark: SparkSession, cfg: GraftConfig, io: Io,
+      handler: Option[Handlers.Handler] = None,
+      trigger: Option[Trigger] = None): Connector =
+    new Connector(spark, cfg, io, handler, trigger)
+}
+
+final class Connector private[stream] (
+    spark: SparkSession,
+    cfg: GraftConfig,
+    io: Connector.Io,
+    handler: Option[Handlers.Handler],
+    triggerOverride: Option[Trigger]) {
+
+  @volatile private var query: Option[StreamingQuery] = None
+
+  private def trigger: Trigger = triggerOverride.getOrElse(
+    Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis))
+
+  private def snapshot(): Unit = io.snapshotTable.foreach {
+    case (df, ns, table, pk) =>
+      Pipeline.runSnapshotOnly(spark, df, ns, table, pk, io.bulkOutDir,
+        io.deadLetterDir, cfg.es.concurrentRequest)
+  }
+
+  /** ≙ connector.Start: snapshot per mode, then the CDC stream. */
+  def start(): Unit = {
+    if (cfg.snapshot.enabled) {
+      cfg.snapshot.mode match {
+        case SnapshotOnlyMode => snapshot(); return
+        case InitialMode => snapshot()
+      }
+    }
+    val q = handler match {
+      case Some(h) => Pipeline.runTyped(spark, io.eventsDir, h, io.bulkOutDir,
+        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger)
+      case None => Pipeline.run(spark, io.eventsDir, io.bulkOutDir,
+        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger)
+    }
+    query = Some(q)
+  }
+
+  /** ≙ WaitUntilReady: blocks until the stream is active (or snapshot-only
+    * work finished). Throws [[TimeoutException]] like the reference's
+    * ctx-deadline path.
+    */
+  def waitUntilReady(timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    query match {
+      case None => () // snapshot-only: start() returned ⇒ ready
+      case Some(q) =>
+        while (!q.isActive) {
+          if (System.currentTimeMillis() > deadline)
+            throw new TimeoutException("connector not ready")
+          Thread.sleep(10)
+        }
+    }
+  }
+
+  /** Drains everything currently available (test/AvailableNow helper). */
+  def processAllAvailable(): Unit = query.foreach(_.processAllAvailable())
+
+  def isActive: Boolean = query.exists(_.isActive)
+
+  def metrics: Map[String, Long] = Metrics.snapshot()
+
+  /** ≙ Close: graceful stop — the in-flight micro-batch completes (final
+    * flush), offsets commit, then the query terminates.
+    */
+  def close(): Unit = {
+    query.foreach(_.stop())
+    query = None
+  }
+}

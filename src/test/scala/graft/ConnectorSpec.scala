@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.conf._
+import graft.stream.{Connector, Handlers}
+
+/** Lifecycle parity spec: NewConnector → Start → WaitUntilReady → Close,
+  * across snapshot modes and both handler paths (§3.3).
+  */
+class ConnectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def cfg(snapshot: SnapshotConfig = SnapshotConfig()) = GraftConfig(
+    es = EsSinkConfig(tableIndexMapping = Map("public.users" -> "users_idx")),
+    snapshot = snapshot)
+
+  private def stageEvents(dir: String, ids: Seq[Long]): Unit =
+    ids.map(i => (i, 1706000000000000000L + i, Option(i), "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(dir)
+
+  private def bulkLines(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+      .flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+      .toSeq.flatMap(f => scala.io.Source.fromFile(f).getLines())
+  }
+
+  test("lifecycle: start → ready → drain → close; typed handler path") {
+    val eventsDir = tmp("conn-events")
+    val bulkDir = tmp("conn-bulk")
+    stageEvents(eventsDir, 1L to 3L)
+    val c = Connector.newConnector(spark, cfg(),
+      Connector.Io(eventsDir, bulkDir, tmp("conn-dlq"), tmp("conn-ckpt")),
+      handler = Some(Handlers.simpleHandler),
+      trigger = Some(Trigger.ProcessingTime(50)))
+    c.start()
+    c.waitUntilReady(30000)
+    assert(c.isActive)
+    c.processAllAvailable()
+    c.close()
+    assert(!c.isActive)
+    assert(bulkLines(bulkDir).count(_.contains("\"_id\"")) == 3)
+  }
+
+  test("snapshot_only mode: start returns after snapshot, no stream (connector.go:84-96)") {
+    val bulkDir = tmp("conn-snap-bulk")
+    val c = Connector.newConnector(spark,
+      cfg(SnapshotConfig(enabled = true, mode = SnapshotOnlyMode)),
+      Connector.Io(tmp("conn-noev"), bulkDir, tmp("conn-snap-dlq"), tmp("conn-snap-ckpt"),
+        snapshotTable = Some((
+          (1 to 6).map(i => (i.toLong, s"u$i")).toDF("id", "name"),
+          "public", "users", "id"))))
+    c.start()
+    c.waitUntilReady(1000) // immediate: no stream in snapshot-only mode
+    assert(!c.isActive)
+    assert(bulkLines(bulkDir).count(_.contains("SNAPSHOT")) == 6)
+    assert(c.metrics.getOrElse("index_total{index=users_idx}", 0L) >= 6L)
+  }
+}
