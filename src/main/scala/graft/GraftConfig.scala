@@ -3,11 +3,14 @@ package graft
 import scala.concurrent.duration._
 
 /** Config parity with the reference (config/config.go, README.md:204-243):
-  * a user of the reference can port their YAML knob-for-knob. Connection
-  * and transport knobs (urls, auth, maxConnsPerHost, gzip, node discovery)
-  * are sink-implementation details of the HTTP client and have no analog
-  * in the zero-egress file sink; they are accepted but unused so configs
-  * still parse.
+  * a user of the reference can port their YAML knob-for-knob.
+  * `tableIndexMapping` routes events, `batchTickerDuration` becomes the
+  * processing-time trigger, `concurrentRequest` the flush partition split,
+  * `version`/`typeName` gate `_type` in the bulk metadata, and
+  * `snapshot.chunkSize` bounds snapshot task chunks. Connection/transport
+  * knobs (urls, auth, maxConnsPerHost, gzip, node discovery) are
+  * sink-implementation details of the HTTP client with no analog in the
+  * zero-egress file sink.
   */
 object conf {
 

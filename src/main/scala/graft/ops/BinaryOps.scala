@@ -74,11 +74,13 @@ object BinaryOps {
   def sqlMultimodalDecode: String =
     """SELECT doc_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  CAST(64 * (1 + unicode(substr(text, 1, 1)) % 8) AS BIGINT) AS width,
-      |  CAST(64 * (1 + unicode(substr(text, 2, 1)) % 8) AS BIGINT) AS height,
+      |  CAST(64 * (1 + greatest(unicode(substr(text, 1, 1)), 0) % 8) AS BIGINT) AS width,
+      |  CAST(64 * (1 + greatest(unicode(substr(text, 2, 1)), 0) % 8) AS BIGINT) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + strlen(text) % 240 END AS BIGINT) AS n_frames,
       |  CAST(strlen(text) AS BIGINT) AS payload_bytes
       |FROM documents""".stripMargin
+  // NOTE: greatest(unicode(x), 0) — DuckDB's unicode('') is -1, the stub's
+  // missing-byte default is 0; aligns the empty/1-char document edge.
 
   // -------------------------------------------------------------- resize
 
@@ -180,7 +182,9 @@ object BinaryOps {
   def sqlMultimodalFeatures: String =
     """SELECT doc_id,
       |  CAST(strlen(text) AS BIGINT) AS payload_bytes,
-      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a,x) -> a+x) AS DOUBLE) / strlen(text) AS mean_byte,
+      |  CASE WHEN strlen(text) = 0 THEN 0.0 ELSE
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes), (a,x) -> a+x) AS DOUBLE) / strlen(text)
+      |  END AS mean_byte,
       |  CAST(len(list_filter(codes, x -> x // 64 = 0)) AS BIGINT) AS h0,
       |  CAST(len(list_filter(codes, x -> x // 64 = 1)) AS BIGINT) AS h1,
       |  CAST(len(list_filter(codes, x -> x // 64 = 2)) AS BIGINT) AS h2,

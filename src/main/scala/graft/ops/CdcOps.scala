@@ -45,6 +45,11 @@ object CdcOps {
   private val tsMicros = expr("ts div 1000")
 
   def typedMessages(events: DataFrame): DataFrame = {
+    // pin UTC rendering: the monthly partition-table name derives from
+    // date_format, which reads spark.sql.session.timeZone — without this
+    // a PST driver routes a 2024-02-01T03:00Z event to orders_2024_01
+    // while the (timezone-naive) oracle says orders_2024_02
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     val msgType = when(col("event_type") === "signup", "INSERT")
       .when(col("event_type") === "purchase", "UPDATE")
       .when(col("event_type") === "error", "DELETE")
@@ -77,17 +82,19 @@ object CdcOps {
     * lookup). A mapping with thousands of entries would switch to a
     * broadcast join instead.
     */
-  private def lookupIndex(key: Column): Column =
-    tableIndexMapping.toSeq.sortBy(_._1)
+  private def lookupIndex(key: Column,
+      mapping: Map[String, String]): Column =
+    mapping.toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("string")) { case (rest, (k, v)) =>
         when(key === k, lit(v)).otherwise(rest)
       }
 
-  def routeExact(typed: DataFrame): DataFrame =
+  def routeExact(typed: DataFrame,
+      mapping: Map[String, String] = tableIndexMapping): DataFrame =
     typed
       .withColumn(
         "index_name",
-        lookupIndex(concat(col("table_namespace"), lit("."), col("table_name")))
+        lookupIndex(concat(col("table_namespace"), lit("."), col("table_name")), mapping)
       )
       .filter(col("index_name").isNotNull)
 
@@ -107,9 +114,10 @@ object CdcOps {
     */
   val MaxTableParts = 4
 
-  def resolveParentTable(typed: DataFrame): DataFrame = {
+  def resolveParentTable(typed: DataFrame,
+      mapping: Map[String, String] = tableIndexMapping): DataFrame = {
     def mapped(p: Column): Column =
-      lookupIndex(concat(col("table_namespace"), lit("."), p))
+      lookupIndex(concat(col("table_namespace"), lit("."), p), mapping)
     val parent = coalesce((1 to MaxTableParts).map { k =>
       val p = substring_index(col("table_name"), "_", k)
       when(mapped(p).isNotNull, p)
@@ -158,8 +166,9 @@ object CdcOps {
     * inside whole-stage codegen); the typed flatMap rendition for arbitrary
     * user handlers lives in graft.stream.Handlers.
     */
-  def handlerActions(typed: DataFrame): DataFrame = {
-    val routed = extractKey(resolveParentTable(typed))
+  def handlerActions(typed: DataFrame,
+      mapping: Map[String, String] = tableIndexMapping): DataFrame = {
+    val routed = extractKey(resolveParentTable(typed, mapping))
     serializeDoc(routed).select(
       col("event_id"),
       when(col("msg_type") === "DELETE", "delete").otherwise("index").as("action_type"),
@@ -173,14 +182,22 @@ object CdcOps {
 
   /** B1 dedup_lww — in-batch last-write-wins keyed by `id:index[:routing]`
     * (bulk.go:141-157, key at bulk.go:413-418): a later action for the same
-    * key replaces the earlier. Window keyed exactly like the reference,
-    * ordered by arrival sequence desc — shuffle is by the dedup key, the
-    * minimal possible exchange; AQE handles skewed keys.
+    * key replaces the earlier. Window keyed exactly like the reference —
+    * including `routing` when the action layout carries it — ordered by
+    * arrival sequence desc; shuffle is by the dedup key, the minimal
+    * possible exchange; AQE handles skewed keys.
     */
   def dedupLastWriteWins(actions: DataFrame): DataFrame = {
+    val keyCols = Seq(col("doc_id"), col("index_name")) ++
+      (if (actions.columns.contains("routing")) Seq(col("routing")) else Nil)
+    // secondary order: a handler may emit several actions for one key from
+    // ONE event — its output order decides, like the reference's in-batch
+    // slice order (bulk.go:141-157)
+    val orderCols = Seq(col("event_id").desc) ++
+      (if (actions.columns.contains("action_ord")) Seq(col("action_ord").desc) else Nil)
     val w = Window
-      .partitionBy(col("doc_id"), col("index_name"))
-      .orderBy(col("event_id").desc)
+      .partitionBy(keyCols: _*)
+      .orderBy(orderCols: _*)
     actions
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -232,23 +249,34 @@ object CdcOps {
 
   /** B3 ndjson_encode — the ES `_bulk` NDJSON action line + source line
     * (getEsActionJSON, bulk.go:176-245):
-    * `{"index":{"_index":…,"_id":…}}\n<source>` / `{"delete":{…}}`.
+    * `{"index":{"_index":…,"_id":…}}\n<source>` / `{"delete":{…}}`;
+    * `"routing"` emitted when the layout carries a non-null routing
+    * (bulk.go:216-220).
     */
-  def ndjsonEncode(actions: DataFrame): DataFrame =
+  def ndjsonEncode(actions: DataFrame): DataFrame = {
+    val routingPart =
+      if (actions.columns.contains("routing"))
+        when(col("routing").isNotNull,
+          concat(lit(",\"routing\":\""), escapeDocId(col("routing")), lit("\"")))
+          .otherwise(lit(""))
+      else lit("")
     actions.withColumn(
       "meta",
       concat(
         lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
         col("index_name"), lit("\",\"_id\":\""),
-        escapeDocId(col("doc_id")), lit("\"}}")
+        escapeDocId(col("doc_id")), lit("\""),
+        routingPart, lit("}}")
       )
     )
+  }
 
   /** X2 type_version_gate — include `"_type"` in action metadata only when
     * the detected ES major version < 8 (bulk.go:194-206,227-230; version
     * detect client.go:51-74, fallback "7.0.0").
     */
-  def versionGatedMeta(actions: DataFrame, esMajor: Column): DataFrame =
+  def versionGatedMeta(actions: DataFrame, esMajor: Column,
+      typeName: String = "_doc"): DataFrame =
     actions
       .withColumn("es_major", esMajor)
       .withColumn(
@@ -256,7 +284,7 @@ object CdcOps {
         concat(
           lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
           col("index_name"), lit("\""),
-          when(col("es_major") < 8, lit(",\"_type\":\"_doc\"")).otherwise(lit("")),
+          when(col("es_major") < 8, lit(s""","_type":"$typeName"""")).otherwise(lit("")),
           lit(",\"_id\":\""), escapeDocId(col("doc_id")), lit("\"}}")
         )
       )
@@ -298,11 +326,16 @@ object CdcOps {
   def parseSizeCol(c: Column): Column = {
     val num = regexp_extract(c, "^([0-9]+)", 1).cast("long")
     val unit = lower(regexp_extract(c, "([a-zA-Z]+)$", 1))
+    // same grammar as parseSize below (bytes.go:57-82): long and short
+    // unit forms; unknown units yield NULL (the column-level analog of
+    // the config form's IllegalArgumentException)
     num * when(unit === "b", 1L)
-      .when(unit === "kb", 1L << 10)
-      .when(unit === "mb", 1L << 20)
-      .when(unit === "gb", 1L << 30)
-      .when(unit === "tb", 1L << 40)
+      .when(unit === "kb" || unit === "k", 1L << 10)
+      .when(unit === "mb" || unit === "m", 1L << 20)
+      .when(unit === "gb" || unit === "g", 1L << 30)
+      .when(unit === "tb" || unit === "t", 1L << 40)
+      .when(unit === "pb" || unit === "p", 1L << 50)
+      .when(unit === "eb" || unit === "e", 1L << 60)
   }
 
   /** B7 size_parse, config-time form (bytes.go:57-82). */

@@ -153,10 +153,12 @@ object TextOps {
     s"""SELECT doc_id, n_tokens,
        |  CAST(sum_tok_len AS DOUBLE) / n_tokens AS mean_token_len,
        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |  CAST(n_alpha AS DOUBLE) / n_chars_m AS alpha_ratio,
-       |  0.4 * least(n_tokens / 64.0, 1.0) +
-       |  0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0) +
-       |  0.3 * (CAST(n_alpha AS DOUBLE) / n_chars_m) AS quality
+       |  CASE WHEN n_chars_m = 0 THEN NULL ELSE CAST(n_alpha AS DOUBLE) / n_chars_m END AS alpha_ratio,
+       |  CASE WHEN n_chars_m = 0 THEN NULL ELSE
+       |    0.4 * least(n_tokens / 64.0, 1.0) +
+       |    0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0) +
+       |    0.3 * (CAST(n_alpha AS DOUBLE) / n_chars_m)
+       |  END AS quality
        |FROM (
        |  SELECT doc_id,
        |    CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -56,7 +56,8 @@ final class Connector private[stream] (
   private def snapshot(): Unit = io.snapshotTable.foreach {
     case (df, ns, table, pk) =>
       Pipeline.runSnapshotOnly(spark, df, ns, table, pk, io.bulkOutDir,
-        io.deadLetterDir, cfg.es.concurrentRequest)
+        io.deadLetterDir, cfg.es.concurrentRequest, cfg.snapshot.chunkSize,
+        cfg.es.tableIndexMapping)
   }
 
   /** ≙ connector.Start: snapshot per mode, then the CDC stream. */
@@ -69,9 +70,10 @@ final class Connector private[stream] (
     }
     val q = handler match {
       case Some(h) => Pipeline.runTyped(spark, io.eventsDir, h, io.bulkOutDir,
-        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger)
-      case None => Pipeline.run(spark, io.eventsDir, io.bulkOutDir,
-        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger)
+        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger,
+        cfg.es.tableIndexMapping)
+      case None => Pipeline.run(spark, cfg, io.eventsDir, io.bulkOutDir,
+        io.deadLetterDir, io.checkpointDir, trigger)
     }
     query = Some(q)
   }
@@ -100,8 +102,20 @@ final class Connector private[stream] (
 
   def metrics: Map[String, Long] = Metrics.snapshot()
 
-  /** ≙ Close: graceful stop — the in-flight micro-batch completes (final
-    * flush), offsets commit, then the query terminates.
+  /** Drain-then-stop: processes everything currently available (the
+    * reference's final flush of the accumulated batch, bulk.go:247-251)
+    * before terminating.
+    */
+  def drainAndClose(): Unit = {
+    query.foreach(_.processAllAvailable())
+    close()
+  }
+
+  /** ≙ Close: stop the query. An in-flight micro-batch is interrupted and
+    * its offsets do NOT commit — nothing is lost (at-least-once: those
+    * events replay on the next start from the same checkpoint), but unlike
+    * the reference's Close no final flush happens; call [[drainAndClose]]
+    * for flush-then-stop semantics.
     */
   def close(): Unit = {
     query.foreach(_.stop())

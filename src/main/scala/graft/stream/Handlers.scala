@@ -61,9 +61,11 @@ object Handlers {
     * unmapped tables, connector.go:146-152); the resolved index rides
     * along for post-handler stamping.
     */
-  def toMessages(typed: DataFrame)(implicit spark: SparkSession): Dataset[(CdcMessage, String)] = {
+  def toMessages(typed: DataFrame,
+      mapping: Map[String, String] = CdcOps.tableIndexMapping)(
+      implicit spark: SparkSession): Dataset[(CdcMessage, String)] = {
     import spark.implicits._
-    val routed = CdcOps.serializeDoc(CdcOps.extractKey(CdcOps.resolveParentTable(typed)))
+    val routed = CdcOps.serializeDoc(CdcOps.extractKey(CdcOps.resolveParentTable(typed, mapping)))
     routed.select(
       col("event_id"), timestamp_micros(col("event_time_us")).as("event_time"),
       col("table_namespace"), col("table_name"), col("msg_type"),
@@ -83,22 +85,29 @@ object Handlers {
 
   /** Run a typed Handler over routed events → action DataFrame in the
     * sink's column layout (event_id, action_type, doc_id, index_name,
-    * source). Index and sequence stamping ≙ connector.go:162-199.
+    * routing, action_ord, source). Index and sequence stamping ≙
+    * connector.go:162-199; `action_ord` preserves the handler's output
+    * order so LWW dedup keeps the LATER action when one event emits
+    * multiple actions for the same key (the reference preserves slice
+    * order inside the batch, bulk.go:141-157); `routing` joins the dedup
+    * key and the bulk meta like the reference's `id:index[:routing]`.
     */
-  def applyHandler(typed: DataFrame, handler: Handler)(
+  def applyHandler(typed: DataFrame, handler: Handler,
+      mapping: Map[String, String] = CdcOps.tableIndexMapping)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    toMessages(typed)
+    toMessages(typed, mapping)
       .flatMap { case (msg, resolvedIndex) =>
-        handler(msg).map { a =>
-          a.copy(
+        handler(msg).zipWithIndex.map { case (a, i) =>
+          (a.copy(
             seq = msg.eventId,
-            indexName = if (a.indexName.nonEmpty) a.indexName else resolvedIndex)
+            indexName = if (a.indexName.nonEmpty) a.indexName else resolvedIndex), i)
         }
       }
-      .toDF()
-      .select(col("seq").as("event_id"), col("actionType").as("action_type"),
-        col("docId").as("doc_id"), col("indexName").as("index_name"),
-        col("source"))
+      .map { case (a, i) =>
+        (a.seq, a.actionType, a.docId, a.indexName, a.routing, i, a.source)
+      }
+      .toDF("event_id", "action_type", "doc_id", "index_name", "routing",
+        "action_ord", "source")
   }
 }

@@ -90,14 +90,21 @@ object Pipeline {
       bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
 
   /** Config-driven run (≙ NewConnector(cfg, handler): config parity via
-    * [[graft.conf.GraftConfig]]; the batch ticker maps to the processing-
-    * time trigger, concurrentRequest to the flush partition split).
+    * [[graft.conf.GraftConfig]]): the table→index mapping routes events,
+    * the batch ticker maps to the processing-time trigger,
+    * concurrentRequest to the flush partition split.
     */
   def run(spark: SparkSession, cfg: graft.conf.GraftConfig, eventsDir: String,
-      bulkOutDir: String, deadLetterDir: String, checkpointDir: String): StreamingQuery =
-    run(spark, eventsDir, bulkOutDir, deadLetterDir, checkpointDir,
-      cfg.es.concurrentRequest,
-      Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis))
+      bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
+    startQuery(spark,
+      CdcOps.handlerActions(CdcOps.typedMessages(changeStream(spark, eventsDir)),
+        cfg.es.tableIndexMapping),
+      bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
+      Option(trigger).getOrElse(
+        Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
+      cfg.es.esMajorVersion,
+      if (cfg.es.typeName.nonEmpty) cfg.es.typeName else "_doc")
 
   /** Typed-Handler pipeline: the user's `CdcMessage => Seq[EsAction]`
     * (handler.go:7) instead of the canonical column-expression handler.
@@ -110,25 +117,29 @@ object Pipeline {
       deadLetterDir: String,
       checkpointDir: String,
       concurrentRequest: Int = 2,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      mapping: Map[String, String] = CdcOps.tableIndexMapping
   ): StreamingQuery = {
     implicit val s: SparkSession = spark
     startQuery(spark,
-      Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)), handler),
+      Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)),
+        handler, mapping),
       bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
   }
 
   private def startQuery(spark: SparkSession, actions: DataFrame,
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
-      concurrentRequest: Int, trigger: Trigger): StreamingQuery = {
+      concurrentRequest: Int, trigger: Trigger,
+      esMajor: Int = 8, typeName: String = "_doc"): StreamingQuery = {
     registerMetrics(spark)
     actions.writeStream
       .queryName("graft-cdc-pipeline")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        EsBulkSink.writeBatch(batch, batchId, bulkOutDir, deadLetterDir,
-          concurrentRequest)
+        EsBulkSink.writeBatch(batch, batchId, bulkOutDir,
+          ResponseHandler.deadLetter(deadLetterDir), concurrentRequest,
+          esMajor, typeName)
         ()
       }
       .start()
@@ -149,16 +160,19 @@ object Pipeline {
     * task retry; `chunkSize` bounds rows per task via repartitioning.
     */
   def snapshotActions(table: DataFrame, namespace: String, tableName: String,
-      pkCol: String, chunkSize: Int = 8000): DataFrame = {
+      pkCol: String, chunkSize: Int = 8000,
+      mapping: Map[String, String] = graft.ops.CdcOps.tableIndexMapping): DataFrame = {
     val cols = table.columns.map(col).toSeq
-    val nChunks = math.max(1, (table.count() / math.max(1, chunkSize)).toInt)
     table
-      .repartition(nChunks, col(pkCol)) // ≙ chunk workers
+      // keyset chunking in ONE pass (no count() pre-scan): hash-partition
+      // on floor(pk/chunkSize) so each chunk lands whole in one task — the
+      // resumability unit, like the reference's claimed chunks
+      .repartition(floor(col(pkCol).cast("long") / math.max(1, chunkSize)))
       .select(
         col(pkCol).cast("long").as("event_id"), // snapshot seq = key order
         lit("index").as("action_type"),
         col(pkCol).cast("string").as("doc_id"),
-        lit(graft.ops.CdcOps.tableIndexMapping.getOrElse(s"$namespace.$tableName", null))
+        lit(mapping.getOrElse(s"$namespace.$tableName", null))
           .cast("string").as("index_name"),
         to_json(struct(cols :+ lit("SNAPSHOT").as("operation"): _*)).as("source"))
       .filter(col("index_name").isNotNull)
@@ -169,9 +183,11 @@ object Pipeline {
     */
   def runSnapshotOnly(spark: SparkSession, table: DataFrame, namespace: String,
       tableName: String, pkCol: String, bulkOutDir: String,
-      deadLetterDir: String, concurrentRequest: Int = 2): Unit =
+      deadLetterDir: String, concurrentRequest: Int = 2,
+      chunkSize: Int = 8000,
+      mapping: Map[String, String] = graft.ops.CdcOps.tableIndexMapping): Unit =
     EsBulkSink.writeBatch(
-      snapshotActions(table, namespace, tableName, pkCol),
+      snapshotActions(table, namespace, tableName, pkCol, chunkSize, mapping),
       batchId = -1L, bulkOutDir, deadLetterDir, concurrentRequest)
 
   /** Mode `initial` (README.md:32-38): snapshot first, then the CDC stream
@@ -237,7 +253,8 @@ object EsBulkSink {
       ResponseHandler.deadLetter(deadLetterDir), concurrentRequest)
 
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
-      responseHandler: ResponseHandler, concurrentRequest: Int): Unit = {
+      responseHandler: ResponseHandler, concurrentRequest: Int,
+      esMajor: Int = 8, typeName: String = "_doc"): Unit = {
     val cached = batch.cache()
     try {
       // demux BEFORE dedup: a null doc key is not a document identity, so
@@ -248,7 +265,11 @@ object EsBulkSink {
       }
       val deduped = CdcOps.dedupLastWriteWins(
         cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
-      val payload = CdcOps.ndjsonEncode(deduped)
+      // X2: `_type` in the action metadata only for ES major < 8
+      // (bulk.go:194-206,227-230; version from config ≙ Info-API detect)
+      val payload =
+        (if (esMajor < 8) CdcOps.versionGatedMeta(deduped, lit(esMajor), typeName)
+         else CdcOps.ndjsonEncode(deduped))
         // concat_ws skips NULLs: deletes emit the meta line only
         // (bulk.go:231-235 — delete actions carry no source line)
         .select(concat_ws("\n", col("meta"), col("source")).as("value"))
@@ -261,7 +282,10 @@ object EsBulkSink {
         .write.mode("overwrite")
         .text(s"$bulkOutDir/batch_$batchId")
       // R3 per-index action counters (metric.go:56-96): one tiny agg over
-      // the cached batch after the flush succeeds (counters = acked work)
+      // the cached batch after the flush succeeds. At-least-once like the
+      // reference (its counters bump in handleResponse BEFORE the LSN ack,
+      // bulk.go:392-411 vs 271-276): a crash between flush and checkpoint
+      // commit replays the batch and re-counts it.
       deduped.groupBy("index_name", "action_type").count()
         .collect()
         .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))

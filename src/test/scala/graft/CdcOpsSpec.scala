@@ -58,6 +58,42 @@ class CdcOpsSpec extends SparkSuite {
     assert(got == Set((5L, "7", Some("v2")), (3L, "8", None)))
   }
 
+  test("B1 dedup key includes routing when present (key = id:index[:routing], bulk.go:413-418)") {
+    val actions = Seq(
+      (1L, "index", "7", "users_idx", "r1", "v1"),
+      (2L, "index", "7", "users_idx", "r2", "v2"), // different routing → different doc
+      (3L, "index", "7", "users_idx", "r1", "v3")  // replaces event 1
+    ).toDF("event_id", "action_type", "doc_id", "index_name", "routing", "source")
+    val got = CdcOps.dedupLastWriteWins(actions)
+      .select("event_id", "routing").as[(Long, String)].collect().toSet
+    assert(got == Set((3L, "r1"), (2L, "r2")))
+  }
+
+  test("B3 NDJSON meta carries routing inside the action object (bulk.go:216-220)") {
+    val actions = Seq(
+      (1L, "index", "k", "idx", "shard-7", "{}"),
+      (2L, "index", "k2", "idx", null.asInstanceOf[String], "{}"))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "routing", "source")
+    val metas = CdcOps.ndjsonEncode(actions)
+      .select("doc_id", "meta").as[(String, String)].collect().toMap
+    assert(metas("k") == """{"index":{"_index":"idx","_id":"k","routing":"shard-7"}}""")
+    assert(metas("k2") == """{"index":{"_index":"idx","_id":"k2"}}""")
+  }
+
+  test("T2/T3 routing honors a custom table→index mapping (config wiring)") {
+    val df = Seq(("public", "products_2024_03"), ("public", "users"))
+      .toDF("table_namespace", "table_name")
+    val got = CdcOps.resolveParentTable(df, Map("public.products" -> "products_idx"))
+      .select("table_name", "index_name").as[(String, String)].collect().toSet
+    assert(got == Set(("products_2024_03", "products_idx")))
+  }
+
+  test("B7 parseSizeCol matches parseSize grammar (short forms, unknown → NULL)") {
+    val got = Seq("10k", "3m", "1gb", "5xb").toDF("s")
+      .select(CdcOps.parseSizeCol($"s")).as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(10L << 10), Some(3L << 20), Some(1L << 30), None))
+  }
+
   test("B7 parseSize: units, case, long forms (bytes.go:57-82)") {
     assert(CdcOps.parseSize("10mb") == 10L << 20)
     assert(CdcOps.parseSize("1GB") == 1L << 30)

@@ -23,6 +23,7 @@ class HandlersSpec extends SparkSuite {
       .select("event_id", "action_type", "doc_id", "index_name", "source")
       .as[(Long, String, String, String, Option[String])].collect().toSet
     val viaTyped = Handlers.applyHandler(typed, Handlers.simpleHandler)
+      .select("event_id", "action_type", "doc_id", "index_name", "source")
       .as[(Long, String, String, String, Option[String])].collect().toSet
     assert(viaTyped == viaColumns)
     assert(viaTyped.nonEmpty)
@@ -31,6 +32,20 @@ class HandlersSpec extends SparkSuite {
   test("handler returning empty drops the event (connector.go:155-160)") {
     val dropAll: Handlers.Handler = _ => Seq.empty
     assert(Handlers.applyHandler(typed, dropAll).count() == 0)
+  }
+
+  test("intra-event ordering: two same-key actions from one event → the later one survives dedup") {
+    val twice: Handlers.Handler = msg => msg.msgType match {
+      case MsgType.Insert =>
+        val id = msg.newDocId.get
+        Seq(Handlers.indexAction(id, """{"v":"first"}"""),
+          Handlers.indexAction(id, """{"v":"second"}"""))
+      case _ => Seq.empty
+    }
+    val out = CdcOps.dedupLastWriteWins(Handlers.applyHandler(typed, twice))
+    assert(out.filter($"source".contains("first")).count() == 0)
+    assert(out.count() == out.select("doc_id", "index_name").distinct().count())
+    assert(out.count() > 0)
   }
 
   test("custom handler: 1→N fan-out and old/new enrichment land in the sink layout") {
