@@ -10,13 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // noop write forces FULL column evaluation — count() would let
+    // Catalyst prune projection-only columns (an encode query would
+    // benchmark the parquet scan, not the encoding)
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     // warm-up: JVM/codegen/parquet-footer costs land here, not on the
     // first measured query
-    try SparkEntry.queries("message_typing")(spark, sfDir).count()
+    try exec(SparkEntry.queries("message_typing")(spark, sfDir))
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

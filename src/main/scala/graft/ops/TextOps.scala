@@ -176,18 +176,15 @@ object TextOps {
     * stable under small edits outside the minimal window).
     */
   def docFingerprint(docs: DataFrame): DataFrame = {
-    val ths = org.apache.spark.sql.graftext.ArrayFunctions
-      .md5_prefix_hashes(tokens(col("text")))
-    val nWin = greatest(size(ths) - (FpWindow - 1), lit(1))
-    val winHashes = transform(
-      sequence(lit(1), nWin),
-      i => aggregate(slice(ths, i, lit(FpWindow)), lit(0L),
-        (a, x) => (a * FpMult + x) % P)
-    )
-    docs.select(
+    import org.apache.spark.sql.graftext.ArrayFunctions.{md5_prefix_hashes, rolling_fingerprint}
+    val ths = md5_prefix_hashes(tokens(col("text")))
+    // one-pass sketch expression: n_windows interpreted
+    // aggregate(slice(...)) folds otherwise dominate (and the un-fanned
+    // single-file local input would run them in ONE task)
+    DedupOps.fanout(docs).select(
       col("doc_id"),
       size(ths).cast("long").as("n_tokens"),
-      array_min(winHashes).as("fingerprint")
+      rolling_fingerprint(ths, FpWindow, FpMult, P).as("fingerprint")
     )
   }
 

@@ -102,6 +102,10 @@ object ArrayFunctions {
   def char_gram_hashes(text: Column, width: Int): Column =
     ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(text), width))
 
+  /** Column DSL entry for [[RollingFingerprint]]. */
+  def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
+
   /** Column DSL entry for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -367,5 +371,42 @@ case class CharGramHashes(child: Expression, width: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+/** Winnowing fingerprint: min over all `width`-element windows of the
+  * window's polynomial hash fold h = (h·mult + x) mod m — one pass instead
+  * of n_windows interpreted aggregate(slice(...)) HOF folds. Inputs
+  * shorter than `width` get a single window over all elements; empty
+  * input → null (matching array_min over an empty transform).
+  */
+case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0) return null
+    val nWin = math.max(n - width + 1, 1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < nWin) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
+      if (h < min) min = h
+      i += 1
+    }
+    java.lang.Long.valueOf(min)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
 }
