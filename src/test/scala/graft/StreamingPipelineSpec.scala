@@ -95,6 +95,34 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(parts.length == 3, s"expected 3 bulk request files, got ${parts.length}")
   }
 
+  test("e2e insert/update/delete trio through the stream (connector_test.go:25-426)") {
+    val eventsDir = tmp("graft-trio-events")
+    val bulkDir = tmp("graft-trio-bulk")
+    // signup=INSERT users_idx, purchase=UPDATE orders_idx, error=DELETE users_idx
+    Seq(
+      (1L, 1706000000000000000L, Option(1L), "signup", 1.0, "{}"),
+      (2L, 1706000001000000000L, Option(2L), "purchase", 2.5, "{}"),
+      (3L, 1706000002000000000L, Option(3L), "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(eventsDir)
+    val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-trio-dlq"),
+      tmp("graft-trio-ckpt"), concurrentRequest = 1, trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    val lines = {
+      val d = new java.io.File(bulkDir)
+      d.listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".txt"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    }
+    assert(lines.exists(l => l.contains("\"index\"") && l.contains("users_idx") && l.contains("\"_id\":\"1\"")))
+    assert(lines.exists(l => l.contains("\"op\":\"INSERT\"")))
+    assert(lines.exists(l => l.contains("\"index\"") && l.contains("orders_idx") && l.contains("\"_id\":\"2\"")))
+    assert(lines.exists(l => l.contains("\"op\":\"UPDATE\"")))
+    assert(lines.exists(l => l.contains("\"delete\"") && l.contains("\"_id\":\"3\"")))
+    // delete is meta-only: no source line carries id 3's doc
+    assert(!lines.exists(_.contains("\"op\":\"DELETE\"")))
+  }
+
   test("ticker trigger (B2): ProcessingTime query drains staged WAL segments") {
     import org.apache.spark.sql.streaming.Trigger
     val eventsDir = tmp("graft-tick-events")
