@@ -25,11 +25,15 @@ object conf {
       batchByteSizeLimit: String = "10mb",
       concurrentRequest: Int = 1,
       typeName: String = "", // ≙ TypeName; only emitted when esMajor < 8
-      version: String = "7.0.0" // ≙ detectElasticsearchVersion fallback (client.go:56)
+      version: String = "8.0.0" // ≙ detected ES version. The reference
+      // auto-detects via the Info API with "7.0.0" as a DETECTION-FAILURE
+      // fallback (client.go:51-74); with no cluster to probe this is an
+      // explicit knob, defaulting to modern ES (no `_type` emitted).
   ) {
     /** Parsed byte limit (≙ bulk.go:81-84 ParseSize call). */
     def batchByteSizeLimitBytes: Long = ops.CdcOps.parseSize(batchByteSizeLimit)
     def esMajorVersion: Int = version.takeWhile(_ != '.').toInt
+    def typeNameOrDefault: String = if (typeName.nonEmpty) typeName else "_doc"
   }
 
   sealed trait SnapshotMode

@@ -45,17 +45,19 @@ object CdcOps {
   private val tsMicros = expr("ts div 1000")
 
   def typedMessages(events: DataFrame): DataFrame = {
-    // pin UTC rendering: the monthly partition-table name derives from
-    // date_format, which reads spark.sql.session.timeZone — without this
-    // a PST driver routes a 2024-02-01T03:00Z event to orders_2024_01
-    // while the (timezone-naive) oracle says orders_2024_02
-    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     val msgType = when(col("event_type") === "signup", "INSERT")
       .when(col("event_type") === "purchase", "UPDATE")
       .when(col("event_type") === "error", "DELETE")
       .when(col("event_type") === "view", "SNAPSHOT")
+    // timezone-independent UTC month: epoch-days → DATE → year/month
+    // fields. date_format(timestamp_micros(...)) would render in
+    // spark.sql.session.timeZone — a PST driver would route a
+    // 2024-02-01T03:00Z event to orders_2024_01 while the tz-naive
+    // oracle says orders_2024_02.
+    val utcDate = date_from_unix_date(expr("((ts div 1000) div 86400000000)").cast("int"))
+    val utcMonth = concat(year(utcDate), lit("_"), lpad(month(utcDate), 2, "0"))
     val tableName = when(col("event_type") === "purchase",
-        concat(lit("orders_"), date_format(timestamp_micros(tsMicros), "yyyy_MM")))
+        concat(lit("orders_"), utcMonth))
       .when(col("event_type") === "view", lit("audit_log"))
       .otherwise(lit("users"))
     events
@@ -253,7 +255,15 @@ object CdcOps {
     * `"routing"` emitted when the layout carries a non-null routing
     * (bulk.go:216-220).
     */
-  def ndjsonEncode(actions: DataFrame): DataFrame = {
+  def ndjsonEncode(actions: DataFrame): DataFrame =
+    encodeMeta(actions, typePart = lit(""))
+
+  /** Single meta-line builder shared by the plain and version-gated
+    * encoders (one copy of the concat ⇒ routing/type clauses cannot
+    * drift apart): `{"<action>":{"_index":…[,"_type":…],"_id":…
+    * [,"routing":…]}}`.
+    */
+  private def encodeMeta(actions: DataFrame, typePart: Column): DataFrame = {
     val routingPart =
       if (actions.columns.contains("routing"))
         when(col("routing").isNotNull,
@@ -264,8 +274,9 @@ object CdcOps {
       "meta",
       concat(
         lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
-        col("index_name"), lit("\",\"_id\":\""),
-        escapeDocId(col("doc_id")), lit("\""),
+        col("index_name"), lit("\""),
+        typePart,
+        lit(",\"_id\":\""), escapeDocId(col("doc_id")), lit("\""),
         routingPart, lit("}}")
       )
     )
@@ -277,17 +288,10 @@ object CdcOps {
     */
   def versionGatedMeta(actions: DataFrame, esMajor: Column,
       typeName: String = "_doc"): DataFrame =
-    actions
-      .withColumn("es_major", esMajor)
-      .withColumn(
-        "meta",
-        concat(
-          lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
-          col("index_name"), lit("\""),
-          when(col("es_major") < 8, lit(s""","_type":"$typeName"""")).otherwise(lit("")),
-          lit(",\"_id\":\""), escapeDocId(col("doc_id")), lit("\"}}")
-        )
-      )
+    encodeMeta(
+      actions.withColumn("es_major", esMajor),
+      typePart = when(col("es_major") < 8, lit(s""","_type":"$typeName""""))
+        .otherwise(lit("")))
 
   /** B5 concurrent_partition — split the flush batch into exactly N
     * near-equal chunks, sizes differing by ≤1 (internal/slices/slices.go:

@@ -50,14 +50,11 @@ final class Connector private[stream] (
 
   @volatile private var query: Option[StreamingQuery] = None
 
-  private def trigger: Trigger = triggerOverride.getOrElse(
-    Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis))
-
   private def snapshot(): Unit = io.snapshotTable.foreach {
     case (df, ns, table, pk) =>
       Pipeline.runSnapshotOnly(spark, df, ns, table, pk, io.bulkOutDir,
         io.deadLetterDir, cfg.es.concurrentRequest, cfg.snapshot.chunkSize,
-        cfg.es.tableIndexMapping)
+        cfg.es.tableIndexMapping, cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
   }
 
   /** ≙ connector.Start: snapshot per mode, then the CDC stream. */
@@ -69,11 +66,10 @@ final class Connector private[stream] (
       }
     }
     val q = handler match {
-      case Some(h) => Pipeline.runTyped(spark, io.eventsDir, h, io.bulkOutDir,
-        io.deadLetterDir, io.checkpointDir, cfg.es.concurrentRequest, trigger,
-        cfg.es.tableIndexMapping)
+      case Some(h) => Pipeline.runTyped(spark, cfg, io.eventsDir, h,
+        io.bulkOutDir, io.deadLetterDir, io.checkpointDir, triggerOverride)
       case None => Pipeline.run(spark, cfg, io.eventsDir, io.bulkOutDir,
-        io.deadLetterDir, io.checkpointDir, trigger)
+        io.deadLetterDir, io.checkpointDir, triggerOverride)
     }
     query = Some(q)
   }
@@ -102,9 +98,10 @@ final class Connector private[stream] (
 
   def metrics: Map[String, Long] = Metrics.snapshot()
 
-  /** Drain-then-stop: processes everything currently available (the
-    * reference's final flush of the accumulated batch, bulk.go:247-251)
-    * before terminating.
+  /** Drain-then-stop: processes everything currently available before
+    * terminating. Suitable for quiescent shutdown (tests, end-of-backfill);
+    * under a CONTINUOUS producer `processAllAvailable` may never return —
+    * use [[close]] there (its unflushed tail replays on restart).
     */
   def drainAndClose(): Unit = {
     query.foreach(_.processAllAvailable())

