@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOps, CdcOps, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, SimilarityOps, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -149,7 +149,11 @@ object SparkEntry {
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
     "multimodal_frame_sample" -> ((s, dir) => BinaryOps.multimodalFrameSample(s, tbl(s, dir, "documents"))),
-    "multimodal_features" -> ((s, dir) => BinaryOps.multimodalFeatures(s, tbl(s, dir, "documents")))
+    "multimodal_features" -> ((s, dir) => BinaryOps.multimodalFeatures(s, tbl(s, dir, "documents"))),
+
+    // the end-to-end corpus-cleaning composition (quality gate → lang gate
+    // → exact dedup → MinHash near-dup removal)
+    "corpus_clean" -> ((s, dir) => CorpusOps.cleanCorpus(tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -333,6 +337,8 @@ object SparkEntry {
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,
     "multimodal_frame_sample" -> BinaryOps.sqlMultimodalFrameSample,
-    "multimodal_features" -> BinaryOps.sqlMultimodalFeatures
+    "multimodal_features" -> BinaryOps.sqlMultimodalFeatures,
+
+    "corpus_clean" -> CorpusOps.sqlCleanCorpus
   )
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The canonical training-data cleaning pipeline — the composition the
+  * individual operators exist for, as one declarative flow:
+  *
+  *   1. quality gate: heuristic score ≥ threshold ([[TextOps.qualityScore]])
+  *   2. language gate: detected language ∈ accepted set ([[TextOps.langId]])
+  *   3. exact dedup: keep the smallest doc_id per normalized content hash
+  *      ([[DedupOps.dedupExact]])
+  *   4. near-dup removal: drop the higher doc_id of every MinHash/LSH pair
+  *      with verified Jaccard ≥ threshold ([[DedupOps.dedupMinhashLsh]])
+  *
+  * Shuffle inventory at 100 TB: one hash shuffle (content hash), one band
+  * shuffle + candidate-bounded verify join (LSH), two joins on doc_id —
+  * everything else is narrow. The cheap quality/language gates run FIRST
+  * so the dedup stages only see surviving documents.
+  */
+object CorpusOps {
+
+  val QualityThreshold = 0.5
+  val AcceptedLangs: Seq[String] = Seq("en")
+
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    val quality = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val lang = TextOps.langId(docs).select(col("doc_id"), col("detected_lang"))
+    val gated = docs.join(quality, "doc_id").join(lang, "doc_id")
+      .filter(col("quality") >= QualityThreshold &&
+        col("detected_lang").isin(AcceptedLangs: _*))
+    // exact dedup: survivors are each hash group's min doc_id
+    val reps = DedupOps.dedupExact(gated)
+      .select(col("rep_doc_id").as("doc_id"))
+    val exactDeduped = gated.join(reps, "doc_id")
+    // near-dup removal: the LSH pair list is computed over the deduped
+    // set; every pair's higher id is dropped (left_anti on doc_b)
+    val nearDupLosers = DedupOps.dedupMinhashLsh(exactDeduped)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"), col("detected_lang"))
+  }
+
+  /** Oracle twin: the per-operator oracle SQL composed as CTEs over the
+    * same gated set (full sub-pipelines embedded as parenthesized
+    * WITH-subqueries, rebased from `documents` onto the gated CTE).
+    */
+  def sqlCleanCorpus: String = {
+    val pairsOverDeduped = DedupOps.sqlDedupMinhashLsh
+      .replace("FROM documents", "FROM exact_deduped")
+    s"""WITH q AS (SELECT doc_id, n_tokens, quality FROM (${TextOps.sqlQualityScore})),
+       |l AS (SELECT doc_id, detected_lang FROM (${TextOps.sqlLangId})),
+       |gated_docs AS (
+       |  SELECT d.*, q.n_tokens, q.quality, l.detected_lang
+       |  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
+       |  WHERE q.quality >= $QualityThreshold
+       |    AND l.detected_lang IN (${AcceptedLangs.map(x => s"'$x'").mkString(", ")})),
+       |reps AS (
+       |  SELECT min(doc_id) AS doc_id FROM (
+       |    SELECT doc_id,
+       |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS content_hash
+       |    FROM gated_docs)
+       |  GROUP BY content_hash),
+       |exact_deduped AS (SELECT g.* FROM gated_docs g JOIN reps USING (doc_id)),
+       |losers AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |$pairsOverDeduped
+       |  ))
+       |SELECT doc_id, n_tokens, quality, detected_lang
+       |FROM exact_deduped
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+  }
+}

@@ -118,6 +118,16 @@ class TrainingOpsSpec extends SparkSuite {
     res.unpersist()
   }
 
+  test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
+    import graft.ops.CorpusOps
+    val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
+    val nearDup = base.replace("token30", "CHANGED")
+    val lowQ = "x" * 50 // one 50-char token → low quality score
+    val planted = Seq((1L, base), (2L, nearDup), (3L, lowQ)).toDF("doc_id", "text")
+    val out = CorpusOps.cleanCorpus(planted).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L)) // 2 = near-dup loser, 3 = quality-gated
+  }
+
   test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
     val out = BinaryOps.multimodalDecode(spark, docs)
     assert(out.columns.toSeq ==
