@@ -145,6 +145,8 @@ object SparkEntry {
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
+    "ivf_train_step" -> ((s, dir) => SimilarityOps.ivfTrainStep(tbl(s, dir, "embeddings"))),
+    "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
@@ -333,6 +335,8 @@ object SparkEntry {
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
+    "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,
+    "tfidf_topk" -> TextOps.sqlTfidfTopK,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,

@@ -194,6 +194,36 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "centroid", "rank", "cos_sim")
   }
 
+  /** One Lloyd iteration of the IVF coarse quantizer: assign every vector
+    * to its max-dot centroid, then emit the new centroid means per
+    * dimension (+ cluster sizes). This is the training step that produces
+    * the [[annIvfProbe]] centroids at scale: assignment is a narrow map,
+    * the update is one (centroid, dim)-keyed agg with map-side partial
+    * means — iterate by feeding the output back as the next centroid set.
+    */
+  def ivfTrainStep(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+      .withColumn("dots", centDots(col("emb_d")))
+      .withColumn("centroid", array_position(col("dots"), array_max(col("dots"))) - 1)
+    e.select(col("centroid"), posexplode(col("emb_d")))
+      .toDF("centroid", "dim_idx", "v")
+      .groupBy("centroid", "dim_idx")
+      .agg(avg(col("v")).as("mean_val"), count(lit(1)).as("n_vecs"))
+      .select(col("centroid"), col("dim_idx").cast("long").as("dim_idx"),
+        col("mean_val"), col("n_vecs"))
+  }
+
+  def sqlIvfTrainStep: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, emb_d,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+       |  FROM (SELECT vec_id, emb_d, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")})))
+       |SELECT centroid, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |  avg(emb_d[i]) AS mean_val, count(*) AS n_vecs
+       |FROM e CROSS JOIN (SELECT unnest(range(1, $Dim + 1)) AS i) r
+       |GROUP BY 1, 2""".stripMargin
+
   def sqlAnnIvfProbe: String =
     s"""WITH e AS (
        |  SELECT vec_id, label, emb_d, norm, dots,

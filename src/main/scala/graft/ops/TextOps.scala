@@ -169,6 +169,47 @@ object TextOps {
        |  FROM (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // ----------------------------------------------------------- tfidf_topk
+
+  /** Top terms per document by tf·idf. idf is the BM25-style rational
+    * `(N - df + 0.5)/(df + 0.5)` — exact arithmetic (a log-based idf would
+    * hang result parity on libm rounding). The exploded (doc, token)
+    * relation is the inverted-index shuffle: tf groups by (doc, token),
+    * df by token; at 100 TB both are classic map-side-combined aggs and
+    * the per-doc top-k runs as WindowGroupLimit.
+    */
+  val TfidfTopK = 5
+
+  def tfidfTopK(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "token")
+      .withColumn("score",
+        col("tf") * (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "token", "tf", "df", "rank", "score")
+  }
+
+  def sqlTfidfTopK: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+       |SELECT doc_id, token, tf, df, rank, score FROM (
+       |  SELECT doc_id, token, tf, df,
+       |    tf * (n.n - df + 0.5) / (df + 0.5) AS score,
+       |    CAST(row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY tf * (n.n - df + 0.5) / (df + 0.5) DESC, token) AS BIGINT) AS rank
+       |  FROM tf JOIN df USING (token) CROSS JOIN n)
+       |WHERE rank <= $TfidfTopK""".stripMargin
+
   // ------------------------------------------------------ doc_fingerprint
 
   /** Document fingerprint: min over all [[FpWindow]]-token windows of the

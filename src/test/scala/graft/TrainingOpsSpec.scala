@@ -118,6 +118,27 @@ class TrainingOpsSpec extends SparkSuite {
     res.unpersist()
   }
 
+  test("tfidf: rare planted token outranks ubiquitous stopword") {
+    import graft.ops.TextOps
+    val planted = (1L to 9L).map(i => (i, "the common words here again"))
+      .toDF("doc_id", "text")
+      .union(Seq((10L, "the common words here zyzzyva")).toDF("doc_id", "text"))
+    val top = TextOps.tfidfTopK(planted)
+      .filter($"doc_id" === 10L && $"rank" === 1)
+      .select("token").as[String].head()
+    assert(top == "zyzzyva") // df=1 beats df=10 terms
+  }
+
+  test("ivf_train_step: means stay inside the data envelope, sizes sum to N") {
+    import graft.ops.SimilarityOps
+    val out = SimilarityOps.ivfTrainStep(emb).cache()
+    assert(out.select("centroid").distinct().count() <= SimilarityOps.IvfCentroids)
+    val sizes = out.filter($"dim_idx" === 0).select("n_vecs").as[Long].collect()
+    assert(sizes.sum == emb.count())
+    assert(out.filter($"mean_val" < -1.0 || $"mean_val" > 1.0).count() == 0)
+    out.unpersist()
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
