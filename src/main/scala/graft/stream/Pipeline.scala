@@ -49,16 +49,23 @@ object Pipeline {
     StructField("props", StringType)
   ))
 
-  /** S1 — replayed change stream over a directory of event parquet files.
+  /** S1 — replayed change stream over a directory of event files.
     * `maxFilesPerTrigger` ≙ batchSizeLimit-style admission control.
+    * Formats: parquet (default), json, csv — a WAL segment is whatever
+    * file shape the capture side wrote; the schema contract is fixed.
     */
   def changeStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+      maxFilesPerTrigger: Int = 1, format: String = "parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
+    format match {
+      case "parquet" => reader.parquet(dir)
+      case "json" => reader.json(dir)
+      case "csv" => reader.option("header", "true").csv(dir)
+      case other => throw new IllegalArgumentException(s"unsupported replay format: $other")
+    }
   }
 
   /** Event-time column + watermark bound for late data (the reference has
@@ -83,10 +90,12 @@ object Pipeline {
       deadLetterDir: String,
       checkpointDir: String,
       concurrentRequest: Int = 2,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      format: String = "parquet"
   ): StreamingQuery =
     startQuery(spark,
-      CdcOps.handlerActions(CdcOps.typedMessages(changeStream(spark, eventsDir))),
+      CdcOps.handlerActions(CdcOps.typedMessages(
+        changeStream(spark, eventsDir, format = format))),
       bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
 
   /** Config-driven run (≙ NewConnector(cfg, handler): config parity via
@@ -103,7 +112,8 @@ object Pipeline {
       bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
-      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
+      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
+      cfg.es.batchByteSizeLimitBytes)
 
   /** Typed-handler variant of the config-driven run (same knob wiring). */
   def runTyped(spark: SparkSession, cfg: graft.conf.GraftConfig,
@@ -117,7 +127,8 @@ object Pipeline {
       bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
-      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
+      cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
+      cfg.es.batchByteSizeLimitBytes)
   }
 
   /** Typed-Handler pipeline: the user's `CdcMessage => Seq[EsAction]`
@@ -144,7 +155,8 @@ object Pipeline {
   private def startQuery(spark: SparkSession, actions: DataFrame,
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
       concurrentRequest: Int, trigger: Trigger,
-      esMajor: Int = 8, typeName: String = "_doc"): StreamingQuery = {
+      esMajor: Int = 8, typeName: String = "_doc",
+      batchByteSizeLimit: Long = 0L): StreamingQuery = {
     registerMetrics(spark)
     actions.writeStream
       .queryName("graft-cdc-pipeline")
@@ -153,7 +165,7 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EsBulkSink.writeBatch(batch, batchId, bulkOutDir,
           ResponseHandler.deadLetter(deadLetterDir), concurrentRequest,
-          esMajor, typeName)
+          esMajor, typeName, batchByteSizeLimit)
         ()
       }
       .start()
@@ -272,7 +284,8 @@ object EsBulkSink {
 
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
       responseHandler: ResponseHandler, concurrentRequest: Int,
-      esMajor: Int = 8, typeName: String = "_doc"): Unit = {
+      esMajor: Int = 8, typeName: String = "_doc",
+      batchByteSizeLimit: Long = 0L): Unit = {
     val cached = batch.cache()
     try {
       // demux BEFORE dedup: a null doc key is not a document identity, so
@@ -291,12 +304,26 @@ object EsBulkSink {
         // concat_ws skips NULLs: deletes emit the meta line only
         // (bulk.go:231-235 — delete actions carry no source line)
         .select(concat_ws("\n", col("meta"), col("source")).as("value"))
+      // B2 byte trigger (bulk.go:164-173): when a byte limit is set, size
+      // the bulk-request split so no single `_bulk` file exceeds it —
+      // the payload bytes are measured, not guessed
+      val nRequests =
+        if (batchByteSizeLimit <= 0L) concurrentRequest
+        else {
+          val totalBytes = payload
+            .agg(sum(length(col("value")))).collect()(0) match {
+              case row if row.isNullAt(0) => 0L
+              case row => row.getLong(0)
+            }
+          math.max(concurrentRequest,
+            math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt)
+        }
       // overwrite INTO the per-batch directory: a replayed batch (failure
       // after partial write, before checkpoint commit) clobbers its own
       // partial output instead of duplicating it — effectively-once files
       // on top of the at-least-once ack contract
       payload
-        .repartition(concurrentRequest)
+        .repartition(nRequests)
         .write.mode("overwrite")
         .text(s"$bulkOutDir/batch_$batchId")
       // R3 per-index action counters (metric.go:56-96): one tiny agg over

@@ -123,6 +123,37 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(!lines.exists(_.contains("\"op\":\"DELETE\"")))
   }
 
+  test("S1 json replay: the change stream reads JSON WAL segments") {
+    val eventsDir = tmp("graft-json-events")
+    val bulkDir = tmp("graft-json-bulk")
+    val rows = (1L to 4L).map(i =>
+      s"""{"event_id":$i,"ts":${1706000000000000000L + i},"user_id":$i,"event_type":"signup","value":1.0,"props":"{}"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(eventsDir, "seg1.json"),
+      rows.mkString("\n").getBytes)
+    val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-json-dlq"),
+      tmp("graft-json-ckpt"), concurrentRequest = 1,
+      trigger = Trigger.AvailableNow(), format = "json")
+    q.awaitTermination(60000)
+    assert(bulkDocIds(bulkDir).toSet == (1L to 4L).map(_.toString).toSet)
+  }
+
+  test("B2 byte trigger: no single _bulk file exceeds batchByteSizeLimit") {
+    import graft.stream.{EsBulkSink, ResponseHandler}
+    val bulkDir = tmp("graft-bytes-bulk")
+    val actions = (1 to 50).map(i =>
+      (i.toLong, "index", s"d$i", "users_idx", "x" * 200))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    EsBulkSink.writeBatch(actions, 0L, bulkDir,
+      ResponseHandler.deadLetter(tmp("graft-bytes-dlq")), 1,
+      batchByteSizeLimit = 2048)
+    val parts = new java.io.File(s"$bulkDir/batch_0").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(parts.length >= 5, s"expected >=5 bulk files, got ${parts.length}")
+    // round-robin split: every file stays within ~2x the limit
+    assert(parts.forall(_.length <= 4096), parts.map(_.length).mkString(","))
+  }
+
   test("ticker trigger (B2): ProcessingTime query drains staged WAL segments") {
     import org.apache.spark.sql.streaming.Trigger
     val eventsDir = tmp("graft-tick-events")
