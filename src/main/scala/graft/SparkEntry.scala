@@ -147,6 +147,7 @@ object SparkEntry {
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
     "ivf_train_step" -> ((s, dir) => SimilarityOps.ivfTrainStep(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
+    "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
@@ -337,6 +338,7 @@ object SparkEntry {
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
     "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
+    "text_scrub" -> TextOps.sqlTextScrub,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,

@@ -169,6 +169,45 @@ object TextOps {
        |  FROM (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // ----------------------------------------------------------- text_scrub
+
+  /** PII/URL scrubbing — the standard pre-training redaction pass:
+    * URLs → `<URL>`, emails → `<EMAIL>`, long digit runs → `<NUM>`,
+    * whitespace collapsed. Pure regexp_replace chain (codegen'd, one
+    * pass); patterns are RE2/Java-compatible subsets so the oracle runs
+    * them verbatim.
+    */
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val NumPattern = "[0-9]{6,}"
+
+  def textScrub(docs: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), UrlPattern, "<URL>"),
+            EmailPattern, "<EMAIL>"),
+          NumPattern, "<NUM>"),
+        "\\s+", " ")
+    docs.select(
+      col("doc_id"),
+      trim(scrubbed).as("scrubbed"),
+      (length(col("text")) - length(trim(scrubbed))).cast("long").as("n_removed_chars"))
+  }
+
+  def sqlTextScrub: String =
+    s"""SELECT doc_id, trim(scrubbed) AS scrubbed,
+       |  CAST(length(text) - length(trim(scrubbed)) AS BIGINT) AS n_removed_chars
+       |FROM (
+       |  SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$UrlPattern', '<URL>', 'g'),
+       |      '$EmailPattern', '<EMAIL>', 'g'),
+       |      '$NumPattern', '<NUM>', 'g'),
+       |      '\\s+', ' ', 'g') AS scrubbed
+       |  FROM documents)""".stripMargin
+
   // ----------------------------------------------------------- tfidf_topk
 
   /** Top terms per document by tf·idf. idf is the BM25-style rational

@@ -53,6 +53,16 @@ class MultimodalSpec extends SparkSuite {
     assert(fps(1L) >= 0 && fps(1L) < TextOps.P)
   }
 
+  test("text_scrub: URLs, emails, digit runs redacted; whitespace collapsed") {
+    val planted = Seq(
+      (1L, "see https://example.com/x?y=1 or mail bob@example.co.uk  now"),
+      (2L, "account 1234567890 balance")).toDF("doc_id", "text")
+    val got = TextOps.textScrub(planted)
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toMap
+    assert(got(1L) == "see <URL> or mail <EMAIL> now")
+    assert(got(2L) == "account <NUM> balance")
+  }
+
   test("lang_id priority: tie on all-zero scores resolves to en (fixed order)") {
     val planted = Seq((1L, "xyzzy quux blorp")).toDF("doc_id", "text")
     val got = TextOps.langId(planted).select("detected_lang").as[String].head()
