@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.graftext.GraftExtensions
+
+/** The sketch expressions are usable from SQL after registration, and
+  * agree with the Column DSL results.
+  */
+class SqlFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("SQL registration: sketch functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  sorted_intersect_size(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS inter,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  simhash_bits(array(7L), 4) AS sim,
+        |  rolling_fingerprint(array(1L, 2L, 3L), 2, 131L, 1000000007L) AS fp
+        |""".stripMargin).head()
+    assert(row.getInt(0) == 2)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) == 7L) // single element: its low 4 bits win the vote
+    // windows: [1,2] -> 1*131+2=133; [2,3] -> 2*131+3=265; min = 133
+    assert(row.getLong(3) == 133L)
+  }
+
+  test("SQL md5_prefix_hashes agrees with the DSL tokenHash") {
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT md5_prefix_hashes(array('spark'))")
+      .as[Seq[Long]].head().head
+    val viaDsl = Seq("spark").toDF("t")
+      .select(graft.ops.TextOps.tokenHash($"t")).as[Long].head()
+    assert(viaSql == viaDsl)
+  }
+}
