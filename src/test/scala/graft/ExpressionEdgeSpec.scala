@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.ArrayFunctions._
+
+/** Edge-case contracts of the custom expressions (null propagation,
+  * empty inputs, unequal lengths) — pinned so refactors keep them.
+  */
+class ExpressionEdgeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sorted_intersect_size: empty and disjoint inputs, null propagation") {
+    val df = Seq(
+      (1L, Seq(1L, 2L), Seq(2L, 3L)),
+      (2L, Seq.empty[Long], Seq(1L)),
+      (3L, Seq(1L), Seq(9L))
+    ).toDF("id", "a", "b")
+    val got = df.select($"id", sorted_intersect_size($"a", $"b")).as[(Long, Int)]
+      .collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 0, 3L -> 0))
+    val withNull = df.select(sorted_intersect_size(lit(null).cast("array<long>"), $"b"))
+    assert(withNull.collect().forall(_.isNullAt(0)))
+  }
+
+  test("dot_product: unequal lengths use the common prefix; empty → 0.0") {
+    val got = Seq((Seq(1.0, 2.0, 99.0), Seq(3.0, 4.0)))
+      .toDF("a", "b").select(dot_product($"a", $"b")).as[Double].head()
+    assert(got == 11.0)
+    val empty = Seq((Seq.empty[Double], Seq.empty[Double]))
+      .toDF("a", "b").select(dot_product($"a", $"b")).as[Double].head()
+    assert(empty == 0.0)
+  }
+
+  test("md5_prefix_hashes: empty array → empty array; stable values") {
+    val got = Seq((Seq.empty[String], Seq("a", "a")))
+      .toDF("e", "x")
+      .select(md5_prefix_hashes($"e"), md5_prefix_hashes($"x"))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(got._1.isEmpty)
+    assert(got._2(0) == got._2(1)) // same input, same hash
+  }
+
+  test("rolling_fingerprint: empty → null; single element → element mod P") {
+    val got = Seq((Seq.empty[Long], Seq(42L)))
+      .toDF("e", "x")
+      .select(
+        rolling_fingerprint($"e", 8, 131L, 1000000007L),
+        rolling_fingerprint($"x", 8, 131L, 1000000007L))
+      .collect()(0)
+    assert(got.isNullAt(0))
+    assert(got.getLong(1) == 42L)
+  }
+
+  test("word_shingle_hashes: short input yields one whole-input shingle") {
+    val got = Seq((Seq("a", "b"), Seq("a", "b", "c", "d")))
+      .toDF("short", "long")
+      .select(word_shingle_hashes($"short", 3), word_shingle_hashes($"long", 3))
+      .as[(Seq[Long], Seq[Long])].head()
+    assert(got._1.length == 1)
+    assert(got._2.length == 2) // "a b c", "b c d"
+    // shingle of ["a","b"] == hash of "a b"
+    val abHash = Seq("a b").toDF("t")
+      .select(graft.ops.TextOps.tokenHash($"t")).as[Long].head()
+    assert(got._1.head == abHash)
+  }
+}
