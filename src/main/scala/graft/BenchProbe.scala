@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev-loop timing probe: run named SparkEntry queries (or all, given no
+  * args) at a chosen SF with the same noop-write + best-of-2 method as
+  * graft.Bench. Usage: runMain graft.BenchProbe [query ...]
+  * (SPARK_GRAFT_SF_DIR overrides the default sf0.1).
+  */
+object BenchProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    exec(SparkEntry.queries("message_typing")(spark, sfDir)) // warm
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (q <- names) {
+      val t = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        exec(SparkEntry.queries(q)(spark, sfDir))
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"PROBE $q%-24s $t%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -259,7 +259,7 @@ object SparkEntry {
 
     "batch_accumulate" -> withActions(
       """SELECT batch_id, count(*) AS n_actions,
-        |  CAST(sum(coalesce(length(source), 0)) AS BIGINT) AS n_source_bytes,
+        |  CAST(sum(coalesce(strlen(source), 0)) AS BIGINT) AS n_source_bytes,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM (
         |  SELECT event_id, source,

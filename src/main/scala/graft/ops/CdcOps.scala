@@ -206,16 +206,89 @@ object CdcOps {
       .drop("rn")
   }
 
+  /** Two-pass global ordinal assignment — the scale-safe replacement for
+    * an unpartitioned `row_number` window (which moves the WHOLE input
+    * through one task):
+    *
+    *  1. min/max of the order key → fixed-width value blocks. The block id
+    *     is a PURE FUNCTION of the row (`floor((key - lo) / width)`), so
+    *     every job evaluates it identically with nothing materialized —
+    *     unlike `repartitionByRange`, whose sampled boundaries are not
+    *     stable across re-executions;
+    *  2. per-(block, group) counts — a map-side-combined agg shipping
+    *     O(blocks × groups) rows to the driver (a few KB) — prefix-summed
+    *     into per-block ordinal offsets and broadcast-joined back;
+    *  3. `ordinal = offset(block, group) + row_number() - 1` over a window
+    *     PARTITIONED by (block, group) — parallel across blocks, each task
+    *     sorts only its own block, never the whole input.
+    *
+    * Ordinal semantics are identical to `row_number() - 1` over the same
+    * global ordering (slices.go:3-39 arrival order preserved). Requires
+    * `orderCol` unique per group (true here: one event_id per action) —
+    * the same requirement the window form had for determinism. Block
+    * balance tracks the key distribution (event ids are dense sequences;
+    * a skewed key domain would plug quantile boundaries into the same
+    * shape).
+    *
+    * Returns the ordinal-stamped frame (`_ord`, 0-based per group) plus
+    * per-group totals (for exact ntile-style bucketing without another
+    * pass).
+    */
+  private[graft] def globalOrdinals(df: DataFrame, groupCols: Seq[String],
+      orderCol: String): (DataFrame, Map[Seq[Any], Long]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val key = col(orderCol).cast("long")
+    val bounds = df.agg(min(key).as("lo"), max(key).as("hi")).head()
+    if (bounds.isNullAt(0))
+      return (df.withColumn("_ord", lit(0L)).limit(0), Map.empty)
+    val lo = bounds.getLong(0)
+    val width = math.max(1L, (bounds.getLong(1) - lo) / parts + 1)
+    val withPid = df.withColumn("_pid",
+      floor((key - lit(lo)) / lit(width)).cast("long"))
+    val stats = withPid
+      .groupBy((col("_pid") +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+    val byGroup = stats.groupBy(r => groupCols.map(r.getAs[Any](_)).toList)
+    val totals: Map[Seq[Any], Long] =
+      byGroup.map { case (g, rs) => (g: Seq[Any]) -> rs.map(_.getAs[Long]("_n")).sum }
+    val offsetRows = byGroup.toSeq.flatMap { case (g, rs) =>
+      var acc = 0L
+      rs.sortBy(_.getAs[Long]("_pid")).map { r =>
+        val row = Row.fromSeq(r.getAs[Long]("_pid") +: g :+ acc)
+        acc += r.getAs[Long]("_n")
+        row
+      }
+    }
+    val schema = StructType(
+      StructField("_pid", LongType, nullable = false) +:
+        groupCols.map(c => df.schema(c)) :+
+        StructField("_offset", LongType, nullable = false))
+    val offsets = spark.createDataFrame(offsetRows.asJava, schema)
+    val w = Window
+      .partitionBy((col("_pid") +: groupCols.map(col)): _*)
+      .orderBy(col(orderCol))
+    val out = withPid
+      .join(broadcast(offsets), "_pid" +: groupCols)
+      .withColumn("_ord", col("_offset") + row_number().over(w) - 1)
+      .drop("_pid", "_offset")
+    (out, totals)
+  }
+
   /** T8 chunk_split — split one flush batch into fixed-size chunks
-    * (internal/slices/slices.go:3-16, size = BatchSizeLimit). Expressed as
-    * per-index arrival-order bucketing. NOTE: a global row_number is
-    * inherently sequential; the streaming path gets this for free from
-    * micro-batch bounds — this batch rendition exists for the oracle.
+    * (internal/slices/slices.go:3-16, size = BatchSizeLimit), as per-index
+    * arrival-order bucketing via the two-pass [[globalOrdinals]] (the
+    * streaming path gets chunking free from micro-batch bounds; this batch
+    * rendition exists for the oracle and for batch backfills).
     */
   def chunkSplit(actions: DataFrame, chunkSize: Int): DataFrame = {
-    val w = Window.partitionBy(col("index_name")).orderBy(col("event_id"))
-    actions
-      .withColumn("chunk_id", floor((row_number().over(w) - 1) / chunkSize))
+    val (ord, _) = globalOrdinals(actions, Seq("index_name"), "event_id")
+    ord
+      .withColumn("chunk_id", floor(col("_ord") / chunkSize))
       .groupBy(col("index_name"), col("chunk_id"))
       .agg(
         count(lit(1)).as("n_actions"),
@@ -227,17 +300,19 @@ object CdcOps {
   /** B2 batch_accumulate — count/byte flush-trigger accounting
     * (bulk.go:164-173, defaults config.go:37-58): actions accumulate into
     * batches of `batchSizeLimit`; per batch we expose the byte size the
-    * reference tracks (NDJSON source bytes). Streaming analog:
-    * micro-batch + Trigger.ProcessingTime ≙ the ticker.
+    * reference tracks (NDJSON source bytes — octet_length, the reference
+    * counts bytes not chars). Streaming analog: micro-batch +
+    * Trigger.ProcessingTime ≙ the ticker. Ordinals via the two-pass
+    * [[globalOrdinals]] — no single-partition window.
     */
   def batchAccumulate(actions: DataFrame, batchSizeLimit: Int): DataFrame = {
-    val w = Window.orderBy(col("event_id"))
-    actions
-      .withColumn("batch_id", floor((row_number().over(w) - 1) / batchSizeLimit))
+    val (ord, _) = globalOrdinals(actions, Nil, "event_id")
+    ord
+      .withColumn("batch_id", floor(col("_ord") / batchSizeLimit))
       .groupBy(col("batch_id"))
       .agg(
         count(lit(1)).as("n_actions"),
-        sum(coalesce(length(col("source")), lit(0))).as("n_source_bytes"),
+        sum(coalesce(octet_length(col("source")), lit(0))).as("n_source_bytes"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id")
       )
@@ -295,18 +370,30 @@ object CdcOps {
 
   /** B5 concurrent_partition — split the flush batch into exactly N
     * near-equal chunks, sizes differing by ≤1 (internal/slices/slices.go:
-    * 18-39), each sent as its own `_bulk`. `ntile` reproduces the exact
-    * size invariant; at execution time this is Spark's task-per-partition.
+    * 18-39), each sent as its own `_bulk`. Exact `ntile(n)` semantics
+    * (first N%n buckets get one extra row) computed from the two-pass
+    * [[globalOrdinals]] — the pass-1 totals give the bucket boundaries as
+    * literals, so no single-partition window; at execution time this is
+    * Spark's task-per-partition.
     */
-  def concurrentPartition(actions: DataFrame, n: Int): DataFrame =
-    actions
-      .withColumn("bucket", ntile(n).over(Window.orderBy(col("event_id"))).cast("long"))
+  def concurrentPartition(actions: DataFrame, n: Int): DataFrame = {
+    val (ord, totals) = globalOrdinals(actions, Nil, "event_id")
+    val total = totals.getOrElse(Seq.empty, 0L)
+    val q = total / n
+    val r = total % n
+    val bucket =
+      if (q == 0L) col("_ord") + 1L // fewer rows than buckets: one row each
+      else when(col("_ord") < r * (q + 1), floor(col("_ord") / (q + 1)) + 1L)
+        .otherwise(lit(r) + floor((col("_ord") - r * (q + 1)) / q) + 1L)
+    ord
+      .withColumn("bucket", bucket.cast("long"))
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_actions"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id")
       )
+  }
 
   /** X1 script_update — server-side scripted-upsert *semantics*
     * (example/script-update/main.go:132-182): per-key merge of successive

@@ -221,13 +221,18 @@ object TextOps {
 
   def tfidfTopK(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // N as a 1-row broadcast cross join (the oracle's `n` CTE) — keeps the
+    // whole operator ONE lazy plan: no eager driver-side count() job at
+    // build time, and N is evaluated against the same input snapshot as
+    // the rest of the query
+    val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "token")
+      .crossJoin(broadcast(nDf))
       .withColumn("score",
-        col("tf") * (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        col("tf") * (col("_n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -38,12 +38,50 @@ class PlanSpec extends SparkSuite {
 
   test("single-key agg/window ops: exactly one shuffle") {
     for (name <- Seq("dedup_exact", "dedup_lww", "script_update",
-        "snapshot_scan", "chunk_split", "batch_accumulate",
-        "doc_fingerprint")) {
+        "snapshot_scan", "doc_fingerprint")) {
       assert(exchanges(q(name)) == 1, s"$name should shuffle exactly once")
     }
     // fanout insurance repartition + the (centroid, dim) agg
     assert(exchanges(q("ivf_train_step")) == 2)
+  }
+
+  test("ordinal ops: two PARTITIONED shuffles, never a single-partition one") {
+    // two-pass globalOrdinals: hash exchange for the per-block window +
+    // the final agg exchange — and, the point of the design, NO exchange
+    // that funnels the whole input into one partition (the round-1
+    // WindowExec-warning plans did exactly that)
+    for (name <- Seq("chunk_split", "batch_accumulate", "concurrent_partition")) {
+      val ex = nodes(q(name)).collect { case e: ShuffleExchangeExec => e }
+      assert(ex.size == 2, s"$name should shuffle exactly twice, got ${ex.size}")
+      assert(!ex.exists(_.outputPartitioning.numPartitions == 1),
+        s"$name regressed to a single-partition exchange")
+    }
+  }
+
+  test("tfidf_topk builds lazily: no job at DataFrame-construction time") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // read the table FIRST: spark.read.parquet runs its own footer/
+      // schema-inference job, which is not what this guards against
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      // drain queued events from earlier tests (the async bus delivers
+      // already-queued events to listeners added later)
+      Thread.sleep(1000)
+      counter.set(0)
+      val df = graft.ops.TextOps.tfidfTopK(docs)
+      // a build-time job would have BLOCKED inside the builder (count/
+      // collect are synchronous); the sleep only lets the async listener
+      // bus drain before we read the counter
+      Thread.sleep(1000)
+      assert(counter.get() == 0, "building tfidf_topk launched a Spark job")
+      assert(df.columns.contains("score"))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("ANN ops broadcast the query side, never cartesian") {
