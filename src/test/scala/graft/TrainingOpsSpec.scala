@@ -70,6 +70,25 @@ class TrainingOpsSpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
   }
 
+  test("band-bucket cap bounds pair count on an adversarial clustered corpus") {
+    // 200 identical docs: every doc shares EVERY band bucket → uncapped
+    // candidate space is C(200,2) = 19,900 pairs. The cap must bound it to
+    // pairs among the first `cap` doc_ids only: C(cap,2).
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val planted = (1L to 200L).map(i => (i, text)).toDF("doc_id", "text")
+    val cap = 8
+    val expected = cap * (cap - 1) / 2
+    val lsh = DedupOps.dedupMinhashLsh(planted, bucketCap = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(lsh.length == expected, s"lsh pairs ${lsh.length} != $expected")
+    assert(lsh.forall(p => p._1 <= cap && p._2 <= cap),
+      "capped bucket must keep the first doc_ids (deterministic order)")
+    val sim = DedupOps.dedupSimhash(planted, bucketCap = cap)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(sim.length == expected, s"simhash pairs ${sim.length} != $expected")
+    assert(sim.forall(p => p._1 <= cap && p._2 <= cap))
+  }
+
   test("ngram jaccard: self-similar pair found within source block") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     val planted = Seq(
