@@ -30,6 +30,12 @@ object SparkEntry {
   private def actions(s: SparkSession, dir: String): DataFrame =
     CdcOps.handlerActions(typed(s, dir))
 
+  /** Painless merge script for the script_update_encode rendition (no `"`
+    * by contract — see CdcOps.scriptJson).
+    */
+  private val ScriptUpdateSrc =
+    "ctx._source.putAll(params.doc); ctx._source.version = (ctx._source.version ?: 0) + 1"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full CDC pipeline — typing → routing → handler → LWW dedup →
     * NDJSON encode (the reference's main loop, connector.go:129-171).
@@ -113,6 +119,25 @@ object SparkEntry {
 
     // X1 — scripted-upsert merge semantics (example/script-update/main.go:132-182)
     "script_update" -> ((s, dir) => CdcOps.scriptUpdateState(typed(s, dir))),
+
+    // X1b — ScriptUpdate actions through the canonical encoder
+    // (action.go:43-51, bulk.go:237-241): UPDATE events become `update`
+    // actions whose body is {"script":{"params":{"doc":<new image>},
+    // "source":<painless>},"scripted_upsert":true}, like the
+    // example/script-update handler (main.go:132-182).
+    "script_update_encode" -> ((s, dir) => {
+      val routed = CdcOps.serializeDoc(CdcOps.extractKey(
+          CdcOps.resolveParentTable(typed(s, dir))))
+        .filter(col("msg_type") === "UPDATE")
+      val acts = routed.select(
+        col("event_id"),
+        lit("update").as("action_type"),
+        col("doc_id"),
+        col("index_name"),
+        CdcOps.scriptJson(ScriptUpdateSrc,
+          concat(lit("""{"doc":"""), col("source"), lit("}"))).as("source"))
+      CdcOps.ndjsonEncode(acts).select("event_id", "meta", "source")
+    }),
 
     // X2 — ES-version-gated `_type` metadata (bulk.go:194-206,227-230)
     "type_version_gate" -> ((s, dir) =>
@@ -305,12 +330,24 @@ object SparkEntry {
          |FROM typed WHERE msg_type = 'UPDATE'
          |GROUP BY user_id""".stripMargin,
 
+    "script_update_encode" ->
+      s"""WITH $typedCte,
+         |$resolvedCte
+         |SELECT event_id,
+         |  '{"update":{"_index":"' || index_name || '","_id":"' ||
+         |    replace(CAST(user_id AS VARCHAR), '"', '\\"') || '"}}' AS meta,
+         |  '{"script":{"params":{"doc":{"id":' || user_id || ',"op":"' || msg_type ||
+         |    '","event_time_us":' || event_time_us ||
+         |    '}},"source":"$ScriptUpdateSrc"},"scripted_upsert":true}' AS source
+         |FROM resolved WHERE index_name IS NOT NULL AND msg_type = 'UPDATE'""".stripMargin,
+
     "type_version_gate" -> withActions(
       """SELECT event_id,
         |  CAST(7 + CAST(doc_id AS BIGINT) % 2 AS INTEGER) AS es_major,
-        |  '{"' || action_type || '":{"_index":"' || index_name || '"' ||
+        |  '{"' || action_type || '":{"_index":"' || index_name ||
+        |  '","_id":"' || replace(doc_id, '"', '\"') || '"' ||
         |  (CASE WHEN (7 + CAST(doc_id AS BIGINT) % 2) < 8 THEN ',"_type":"_doc"' ELSE '' END) ||
-        |  ',"_id":"' || replace(doc_id, '"', '\"') || '"}}' AS meta
+        |  '}}' AS meta
         |FROM actions""".stripMargin),
 
     "snapshot_scan" ->

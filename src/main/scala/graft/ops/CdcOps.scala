@@ -324,9 +324,20 @@ object CdcOps {
   def escapeDocId(c: Column): Column =
     regexp_replace(c, "\"", "\\\\\"")
 
+  /** X1 — the marshaled `Script` JSON column (action.go:21-24):
+    * `{"params":<params>,"source":"<script>"}` — Go's json.Marshal emits
+    * struct fields in declaration order, Params first (omitted when the
+    * caller passes none). `params` is a raw-JSON column; `scriptSource`
+    * must not itself contain `"` (Painless scripts here don't).
+    */
+  def scriptJson(scriptSource: String, params: Column): Column =
+    concat(lit("{\"params\":"), params,
+      lit(",\"source\":\"" + scriptSource + "\"}"))
+
   /** B3 ndjson_encode — the ES `_bulk` NDJSON action line + source line
     * (getEsActionJSON, bulk.go:176-245):
-    * `{"index":{"_index":…,"_id":…}}\n<source>` / `{"delete":{…}}`;
+    * `{"index":{"_index":…,"_id":…}}\n<source>` / `{"delete":{…}}` /
+    * `{"update":{…}}\n{"script":<source>,"scripted_upsert":true}`;
     * `"routing"` emitted when the layout carries a non-null routing
     * (bulk.go:216-220).
     */
@@ -335,25 +346,39 @@ object CdcOps {
 
   /** Single meta-line builder shared by the plain and version-gated
     * encoders (one copy of the concat ⇒ routing/type clauses cannot
-    * drift apart): `{"<action>":{"_index":…[,"_type":…],"_id":…
-    * [,"routing":…]}}`.
+    * drift apart). Byte-parity with getEsActionJSON (bulk.go:176-245):
+    * field order `_index`, `_id`, [`routing`], [`_type`]; only the doc id
+    * is escaped (EscapePredefinedBytes runs on docID alone — routing is
+    * appended raw, bulk.go:216-220). ScriptUpdate actions additionally get
+    * the reference's body wrap `{"script":<source>,"scripted_upsert":true}`
+    * (bulk.go:237-241), so the third action kind flows through the same
+    * canonical path as index/delete.
     */
   private def encodeMeta(actions: DataFrame, typePart: Column): DataFrame = {
     val routingPart =
       if (actions.columns.contains("routing"))
         when(col("routing").isNotNull,
-          concat(lit(",\"routing\":\""), escapeDocId(col("routing")), lit("\"")))
+          concat(lit(",\"routing\":\""), col("routing"), lit("\"")))
           .otherwise(lit(""))
       else lit("")
-    actions.withColumn(
+    val withMeta = actions.withColumn(
       "meta",
       concat(
         lit("{\""), col("action_type"), lit("\":{\"_index\":\""),
         col("index_name"), lit("\""),
-        typePart,
         lit(",\"_id\":\""), escapeDocId(col("doc_id")), lit("\""),
-        routingPart, lit("}}")
+        routingPart,
+        typePart, lit("}}")
       )
+    )
+    if (!actions.columns.contains("source")) withMeta
+    else withMeta.withColumn(
+      "source",
+      when(col("action_type") === graft.model.ActionType.ScriptUpdate &&
+          col("source").isNotNull,
+        concat(lit("{\"script\":"), col("source"),
+          lit(",\"scripted_upsert\":true}")))
+        .otherwise(col("source"))
     )
   }
 

@@ -41,6 +41,28 @@ object Handlers {
   def deleteAction(docId: String, routing: Option[String] = None): EsAction =
     EsAction(0L, graft.model.ActionType.Delete, docId, "", routing, None)
 
+  /** ScriptUpdate constructor (action.go:43-51): the action's source is
+    * the marshaled Script. Mirrors Go json.Marshal: fields in struct
+    * declaration order (`params` first, omitted when empty — omitempty),
+    * map keys sorted. Param values are raw JSON fragments (the Go analog
+    * is `map[string]interface{}`), so numbers pass unquoted. The canonical
+    * encoder then wraps the body as
+    * `{"script":<source>,"scripted_upsert":true}` (bulk.go:237-241).
+    */
+  def scriptUpdateAction(docId: String, script: graft.model.Script,
+      routing: Option[String] = None): EsAction =
+    EsAction(0L, graft.model.ActionType.ScriptUpdate, docId, "", routing,
+      Some(marshalScript(script)))
+
+  private[graft] def marshalScript(s: graft.model.Script): String = {
+    val params =
+      if (s.params.isEmpty) ""
+      else s.params.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }
+        .mkString("\"params\":{", ",", "},")
+    s"""{$params"source":"${s.source}"}"""
+  }
+
   /** The reference's simple-example handler (example/simple/main.go:109-130):
     * INSERT/SNAPSHOT → index new image keyed by id; DELETE → delete keyed
     * by old id; UPDATE → index new image; unknown → drop.

@@ -60,21 +60,33 @@ object StateMerge {
       .toDF()
   }
 
-  /** The scripted-upsert `_bulk` NDJSON encoding (bulk.go:237-241):
-    * meta `{"update":{"_index":…,"_id":…}}`, source
-    * `{"script":{"source":…,"params":{…}},"scripted_upsert":true}` —
-    * params carry the merged state like script-update/main.go:145-151.
+  /** The merge script the sink ships (≙ the Painless script of
+    * script-update/main.go:134-143); params carry the merged state.
     */
-  def encodeUpsert(upserts: DataFrame, indexName: String): DataFrame =
-    upserts.select(concat_ws("\n",
-      concat(lit(s"""{"update":{"_index":"$indexName","_id":""""),
-        CdcOps.escapeDocId(col("docId")), lit("\"}}")),
-      concat(
-        lit("""{"script":{"source":"ctx._source.version = params.version; ctx._source.last_value = params.last_value; ctx._source.updated_at_us = params.updated_at_us","params":{"version":"""),
-        col("version"), lit(""","last_value":"""), col("lastValue"),
-        lit(""","updated_at_us":"""), col("updatedAtUs"),
-        lit("""}},"scripted_upsert":true}"""))
-    ).as("value"))
+  val UpsertScript: String =
+    "ctx._source.version = params.version; " +
+      "ctx._source.last_value = params.last_value; " +
+      "ctx._source.updated_at_us = params.updated_at_us"
+
+  /** The scripted-upsert `_bulk` NDJSON encoding, THROUGH the canonical
+    * encoder (CdcOps.ndjsonEncode handles the `update` action kind and the
+    * `{"script":…,"scripted_upsert":true}` body wrap, bulk.go:237-241):
+    * meta `{"update":{"_index":…,"_id":…}}`, script JSON in Go marshal
+    * order (params, then source — action.go:21-24).
+    */
+  def encodeUpsert(upserts: DataFrame, indexName: String): DataFrame = {
+    val params = concat(
+      lit("""{"version":"""), col("version"),
+      lit(""","last_value":"""), col("lastValue"),
+      lit(""","updated_at_us":"""), col("updatedAtUs"), lit("}"))
+    val actions = upserts.select(
+      lit(graft.model.ActionType.ScriptUpdate).as("action_type"),
+      col("docId").as("doc_id"),
+      lit(indexName).as("index_name"),
+      CdcOps.scriptJson(UpsertScript, params).as("source"))
+    CdcOps.ndjsonEncode(actions)
+      .select(concat_ws("\n", col("meta"), col("source")).as("value"))
+  }
 
   /** End-to-end: stateful merge → scripted-upsert bulk files, checkpointed
     * (version counters resume across restarts).

@@ -48,6 +48,33 @@ class HandlersSpec extends SparkSuite {
     assert(out.count() > 0)
   }
 
+  test("ScriptUpdate handler end-to-end: update action reaches the bulk file with the reference byte shape") {
+    // a script-update handler port (example/script-update/main.go:132-182):
+    // UPDATE → scripted upsert carrying params; everything else dropped
+    val scripted: Handlers.Handler = msg => msg.msgType match {
+      case MsgType.Update =>
+        Seq(Handlers.scriptUpdateAction(msg.newDocId.get,
+          graft.model.Script("ctx._source.v = params.v",
+            Map("v" -> msg.eventId.toString))))
+      case _ => Seq.empty
+    }
+    val actions = Handlers.applyHandler(typed, scripted)
+    assert(actions.count() == typed.filter($"msg_type" === "UPDATE").count())
+    // drive the real sink: meta + wrapped script body land in the bulk file
+    val dir = java.nio.file.Files.createTempDirectory("graft-su").toString
+    graft.stream.EsBulkSink.writeBatch(actions, 0L, s"$dir/bulk",
+      graft.stream.ResponseHandler.deadLetter(s"$dir/dlq"), 1)
+    val lines = spark.read.text(s"$dir/bulk/batch_0").as[String].collect()
+    val metas = lines.filter(_.startsWith("{\"update\":"))
+    assert(metas.nonEmpty)
+    assert(metas.forall(_.matches("""\{"update":\{"_index":"\w+","_id":"\d+"\}\}""")))
+    val bodies = lines.filter(_.startsWith("{\"script\":"))
+    assert(bodies.nonEmpty)
+    // Go marshal order: params, then source; wrap per bulk.go:237-241
+    assert(bodies.forall(_.matches(
+      """\{"script":\{"params":\{"v":\d+\},"source":"ctx\._source\.v = params\.v"\},"scripted_upsert":true\}""")))
+  }
+
   test("custom handler: 1→N fan-out and old/new enrichment land in the sink layout") {
     val audit: Handlers.Handler = msg => msg.msgType match {
       case MsgType.Update =>
