@@ -56,10 +56,25 @@ object SparkEntry {
       CdcOps.routeExact(typed(s, dir))
         .select("event_id", "table_name", "index_name")),
 
-    // T3 — partition-parent resolution (connector.go:201-249)
-    "routing_partition" -> ((s, dir) =>
-      CdcOps.resolveParentTable(typed(s, dir))
-        .select("event_id", "table_name", "parent_table", "index_name")),
+    // T3 — table→index resolution, all three priority tiers
+    // (connector.go:174-199): exact full-name hit (orders_2024_01 mapped
+    // directly), TimescaleDB hypertable chunk → parent (every 5th user's
+    // `users` events arrive under a `_hyper_1_2_chunk` name), and
+    // shortest-first partition-prefix fallback (remaining orders_YYYY_MM).
+    "routing_partition" -> ((s, dir) => {
+      val t = typed(s, dir).withColumn("table_name",
+        when(col("table_name") === "users" && pmod(col("user_id"), lit(5)) === 0,
+          lit("_hyper_1_2_chunk"))
+        .when(col("table_name").startsWith("orders_") &&
+            pmod(col("user_id"), lit(3)) === 0,
+          concat(col("table_name"), lit("_p0")))
+        .otherwise(col("table_name")))
+      CdcOps.resolveParentTable(t,
+          mapping = CdcOps.tableIndexMapping +
+            ("public.orders_2024_01" -> "orders_jan_idx"),
+          hyperTables = Map("public._hyper_1_2_chunk" -> "public.users"))
+        .select("event_id", "table_name", "parent_table", "index_name")
+    }),
 
     // T4 — canonical Handler flatMap (handler.go:7; example/simple/main.go:109-130)
     "handler_flatmap" -> ((s, dir) => actions(s, dir)),
@@ -250,9 +265,38 @@ object SparkEntry {
 
     "routing_partition" ->
       s"""WITH $typedCte,
-         |$resolvedCte
+         |remapped AS (
+         |  SELECT event_id,
+         |    CASE WHEN table_name = 'users' AND user_id % 5 = 0 THEN '_hyper_1_2_chunk'
+         |         WHEN starts_with(table_name, 'orders_') AND user_id % 3 = 0 THEN table_name || '_p0'
+         |         ELSE table_name END AS table_name
+         |  FROM typed),
+         |scored AS (
+         |  SELECT event_id, table_name,
+         |    CASE ('public.' || table_name)
+         |      WHEN 'public.users' THEN 'users_idx'
+         |      WHEN 'public.orders' THEN 'orders_idx'
+         |      WHEN 'public.orders_2024_01' THEN 'orders_jan_idx' END AS exact_idx,
+         |    CASE ('public.' || table_name)
+         |      WHEN 'public._hyper_1_2_chunk' THEN 'public.users' END AS hyper_parent,
+         |    (list_filter(
+         |       list_transform(range(1, len(string_split(table_name,'_'))),
+         |         i -> array_to_string((string_split(table_name,'_'))[1:i], '_')),
+         |       p -> list_contains(['users','orders','orders_2024_01'], p)))[1] AS prefix_parent
+         |  FROM remapped),
+         |resolved2 AS (
+         |  SELECT event_id, table_name,
+         |    CASE WHEN exact_idx IS NOT NULL THEN table_name
+         |         WHEN hyper_parent = 'public.users' THEN 'users'
+         |         ELSE prefix_parent END AS parent_table,
+         |    coalesce(exact_idx,
+         |      CASE hyper_parent WHEN 'public.users' THEN 'users_idx' END,
+         |      CASE prefix_parent WHEN 'users' THEN 'users_idx'
+         |           WHEN 'orders' THEN 'orders_idx'
+         |           WHEN 'orders_2024_01' THEN 'orders_jan_idx' END) AS index_name
+         |  FROM scored)
          |SELECT event_id, table_name, parent_table, index_name
-         |FROM resolved WHERE index_name IS NOT NULL""".stripMargin,
+         |FROM resolved2 WHERE index_name IS NOT NULL""".stripMargin,
 
     "handler_flatmap" -> withActions("SELECT * FROM actions"),
 

@@ -100,33 +100,55 @@ object CdcOps {
       )
       .filter(col("index_name").isNotNull)
 
-  /** T3 routing_partition — partition-parent resolution
-    * (connector.go:201-249): split the table name on `_`, try progressively
-    * longer prefixes (SHORTEST first — connector.go:239-246 returns the
-    * first hit), map the winning parent through the index mapping.
+  /** T3 routing_partition — table→index resolution with the reference's
+    * exact priority order (resolveTableToIndexName, connector.go:174-199):
     *
-    * Implemented as `substring_index` + `coalesce` over a bounded prefix
-    * depth: `substring_index(name, "_", k)` is the k-part prefix, and
-    * `coalesce(when(mapped(p1), p1), when(mapped(p2), p2), …)` is
-    * shortest-prefix-first-hit. Everything is codegen'd scalar work in one
-    * projection — no HOF lambdas (interpreted), no explode, no join, no
-    * shuffle; the reference's `sync.Map` memo cache is unnecessary because
-    * the mapping is a literal folded into codegen. Depth > [[MaxTableParts]]
-    * prefixes repeat the full name, which cannot change the first hit.
+    *   1. exact full `namespace.table` lookup (connector.go:180-182);
+    *   2. TimescaleDB hypertable registry: chunk full name → parent full
+    *      name, parent looked up in the mapping (connector.go:184-189,
+    *      `timescaledb.HyperTables` — populated upstream by the CDC layer
+    *      from `_timescaledb_catalog`; here a caller-supplied map);
+    *   3. partition-parent prefixes: split the table name on `_`, try
+    *      prefixes of 1..len-1 parts SHORTEST first — never the full name,
+    *      already tried in (1) (findParentTable, connector.go:239-246).
+    *
+    * Implemented as codegen'd scalar work in one projection — no HOF
+    * lambdas, no explode, no join, no shuffle. The prefix depth is derived
+    * from the mapping itself (a k-part prefix can only match a mapped key
+    * with exactly k parts, so depth beyond the longest mapped key is
+    * unreachable) — no arbitrary cap. The reference's `sync.Map` memo
+    * cache is unnecessary because both mappings are literals folded into
+    * codegen; registries with thousands of entries would switch to a
+    * broadcast join in the same coalesce shape.
     */
-  val MaxTableParts = 4
-
   def resolveParentTable(typed: DataFrame,
-      mapping: Map[String, String] = tableIndexMapping): DataFrame = {
-    def mapped(p: Column): Column =
-      lookupIndex(concat(col("table_namespace"), lit("."), p), mapping)
-    val parent = coalesce((1 to MaxTableParts).map { k =>
+      mapping: Map[String, String] = tableIndexMapping,
+      hyperTables: Map[String, String] = Map.empty): DataFrame = {
+    val full = concat(col("table_namespace"), lit("."), col("table_name"))
+    def idxOf(key: Column): Column = lookupIndex(key, mapping)
+    // chunk → parent full name, exact lookup like HyperTables.Load
+    val hyperParent = hyperTables.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (rest, (chunk, parent)) =>
+        when(full === chunk, lit(parent)).otherwise(rest)
+      }
+    val maxPrefixParts = math.max(1,
+      mapping.keys.map(k => k.substring(k.indexOf('.') + 1).count(_ == '_') + 1).max)
+    val nParts = size(split(col("table_name"), "_"))
+    val prefix = coalesce((1 to maxPrefixParts).map { k =>
       val p = substring_index(col("table_name"), "_", k)
-      when(mapped(p).isNotNull, p)
-    }: _*)
+      when(lit(k) < nParts &&
+        idxOf(concat(col("table_namespace"), lit("."), p)).isNotNull, p)
+    } :+ lit(null).cast("string"): _*)
+    val parentTable = when(idxOf(full).isNotNull, col("table_name"))
+      .when(idxOf(hyperParent).isNotNull, substring_index(hyperParent, ".", -1))
+      .otherwise(prefix)
+    val indexName = coalesce(
+      idxOf(full),
+      idxOf(hyperParent),
+      idxOf(concat(col("table_namespace"), lit("."), prefix)))
     typed
-      .withColumn("parent_table", parent)
-      .withColumn("index_name", mapped(col("parent_table")))
+      .withColumn("parent_table", parentTable)
+      .withColumn("index_name", indexName)
       .filter(col("index_name").isNotNull)
   }
 

@@ -46,6 +46,28 @@ class CdcOpsSpec extends SparkSuite {
       ("users", "users", "users_idx")))
   }
 
+  test("T3 priority: exact full name beats prefix; hypertable chunk routes via registry; deep prefixes resolve (connector.go:174-199)") {
+    val mapping = Map(
+      "public.orders" -> "orders_idx",
+      "public.orders_2024_02" -> "orders_feb_idx", // exact partition mapping
+      "public.a_b_c_d_e" -> "deep_idx") // 5-part parent (old cap was 4)
+    val hyper = Map("public._hyper_1_2_chunk" -> "public.orders")
+    val df = Seq(
+      ("public", "orders_2024_02"), // exact hit must WIN over prefix 'orders'
+      ("public", "orders_2024_03"), // prefix tier → orders
+      ("public", "_hyper_1_2_chunk"), // hypertable tier → orders
+      ("public", "a_b_c_d_e_f") // 6-part partition of a 5-part parent
+    ).toDF("table_namespace", "table_name")
+    val got = CdcOps.resolveParentTable(df, mapping, hyper)
+      .select("table_name", "parent_table", "index_name")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("orders_2024_02", "orders_2024_02", "orders_feb_idx"),
+      ("orders_2024_03", "orders", "orders_idx"),
+      ("_hyper_1_2_chunk", "orders", "orders_idx"),
+      ("a_b_c_d_e_f", "a_b_c_d_e", "deep_idx")))
+  }
+
   test("B1 LWW dedup keeps the LATEST action per (doc_id, index) preserving key set") {
     val actions = Seq(
       (1L, "index", "7", "users_idx", "v1"),
