@@ -89,6 +89,25 @@ class TrainingOpsSpec extends SparkSuite {
     assert(sim.forall(p => p._1 <= cap && p._2 <= cap))
   }
 
+  test("signature-table checkpoint path: parquet materialization matches the cached path") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
+    val planted = Seq((1L, base, "s1"), (2L, nearDup, "s1"),
+      (3L, "totally different words", "s1")).toDF("doc_id", "text", "source")
+    def run() = (
+      DedupOps.dedupMinhashLsh(planted).collect().toSet,
+      DedupOps.dedupNgramJaccard(planted).collect().toSet)
+    val cached = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(DedupOps.CheckpointDirConf, dir)
+    try {
+      val ckpt = run()
+      assert(ckpt == cached)
+      assert(new java.io.File(s"$dir/minhash_signatures").exists(),
+        "checkpoint parquet not written")
+    } finally spark.conf.unset(DedupOps.CheckpointDirConf)
+  }
+
   test("ngram jaccard: self-similar pair found within source block") {
     val t = "the quick brown fox jumps over the lazy dog again and again"
     val planted = Seq(
