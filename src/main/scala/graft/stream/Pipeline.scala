@@ -50,16 +50,24 @@ object Pipeline {
   ))
 
   /** S1 — replayed change stream over a directory of event files.
-    * `maxFilesPerTrigger` ≙ batchSizeLimit-style admission control.
-    * Formats: parquet (default), json, csv — a WAL segment is whatever
-    * file shape the capture side wrote; the schema contract is fixed.
+    * `maxFilesPerTrigger` ≙ batchSizeLimit-style admission control;
+    * `maxBytesPerTrigger` (bytes) bounds each
+    * micro-batch's admitted input by BYTES — the admission-side analog of
+    * the reference's batchByteSizeLimit flush trigger (bulk.go:164-173).
+    * The two are mutually exclusive in Spark's file source; the byte bound
+    * wins when both are given. Formats: parquet (default), json, csv — a
+    * WAL segment is whatever file shape the capture side wrote; the schema
+    * contract is fixed.
     */
   def changeStream(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1, format: String = "parquet"): DataFrame = {
+      maxFilesPerTrigger: Int = 1, format: String = "parquet",
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val base = spark.readStream.schema(eventSchema)
+    val reader = maxBytesPerTrigger match {
+      case Some(bytes) => base.option("maxBytesPerTrigger", bytes.toString)
+      case None => base.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    }
     format match {
       case "parquet" => reader.parquet(dir)
       case "json" => reader.json(dir)
@@ -107,13 +115,15 @@ object Pipeline {
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
       trigger: Option[Trigger]): StreamingQuery =
     startQuery(spark,
-      CdcOps.handlerActions(CdcOps.typedMessages(changeStream(spark, eventsDir)),
+      CdcOps.handlerActions(CdcOps.typedMessages(
+          changeStream(spark, eventsDir,
+            maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
         cfg.es.tableIndexMapping),
       bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
       cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
-      cfg.es.batchByteSizeLimitBytes)
+      cfg.es.batchByteSizeLimitBytes, cfg.es.batchSizeLimit)
 
   /** Typed-handler variant of the config-driven run (same knob wiring). */
   def runTyped(spark: SparkSession, cfg: graft.conf.GraftConfig,
@@ -122,13 +132,15 @@ object Pipeline {
       trigger: Option[Trigger]): StreamingQuery = {
     implicit val s: SparkSession = spark
     startQuery(spark,
-      Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)),
+      Handlers.applyHandler(CdcOps.typedMessages(
+          changeStream(spark, eventsDir,
+            maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
         handler, cfg.es.tableIndexMapping),
       bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
       cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
-      cfg.es.batchByteSizeLimitBytes)
+      cfg.es.batchByteSizeLimitBytes, cfg.es.batchSizeLimit)
   }
 
   /** Typed-Handler pipeline: the user's `CdcMessage => Seq[EsAction]`
@@ -156,7 +168,7 @@ object Pipeline {
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
       concurrentRequest: Int, trigger: Trigger,
       esMajor: Int = 8, typeName: String = "_doc",
-      batchByteSizeLimit: Long = 0L): StreamingQuery = {
+      batchByteSizeLimit: Long = 0L, batchSizeLimit: Int = 0): StreamingQuery = {
     registerMetrics(spark)
     actions.writeStream
       .queryName("graft-cdc-pipeline")
@@ -165,7 +177,7 @@ object Pipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EsBulkSink.writeBatch(batch, batchId, bulkOutDir,
           ResponseHandler.deadLetter(deadLetterDir), concurrentRequest,
-          esMajor, typeName, batchByteSizeLimit)
+          esMajor, typeName, batchByteSizeLimit, batchSizeLimit)
         ()
       }
       .start()
@@ -285,7 +297,7 @@ object EsBulkSink {
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
       responseHandler: ResponseHandler, concurrentRequest: Int,
       esMajor: Int = 8, typeName: String = "_doc",
-      batchByteSizeLimit: Long = 0L): Unit = {
+      batchByteSizeLimit: Long = 0L, batchSizeLimit: Int = 0): Unit = {
     val cached = batch.cache()
     try {
       // demux BEFORE dedup: a null doc key is not a document identity, so
@@ -304,19 +316,27 @@ object EsBulkSink {
         // concat_ws skips NULLs: deletes emit the meta line only
         // (bulk.go:231-235 — delete actions carry no source line)
         .select(concat_ws("\n", col("meta"), col("source")).as("value"))
-      // B2 byte trigger (bulk.go:164-173): when a byte limit is set, size
-      // the bulk-request split so no single `_bulk` file exceeds it —
-      // the payload bytes are measured, not guessed
+      // B2 flush triggers (bulk.go:164-173): when a byte and/or action-
+      // count limit is set, size the bulk-request split so no single
+      // `_bulk` file exceeds either — payload sized in UTF-8 BYTES
+      // (octet_length; the reference counts bytes, not chars). One tiny
+      // post-agg collect computes both measures. The per-file bound is
+      // approximate under row-size skew (round-robin balances rows).
       val nRequests =
-        if (batchByteSizeLimit <= 0L) concurrentRequest
+        if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0)
+          concurrentRequest
         else {
-          val totalBytes = payload
-            .agg(sum(length(col("value")))).collect()(0) match {
-              case row if row.isNullAt(0) => 0L
-              case row => row.getLong(0)
-            }
-          math.max(concurrentRequest,
-            math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt)
+          val m = payload
+            .agg(sum(octet_length(col("value"))), count(lit(1))).collect()(0)
+          val totalBytes = if (m.isNullAt(0)) 0L else m.getLong(0)
+          val nActions = m.getLong(1)
+          val byBytes =
+            if (batchByteSizeLimit <= 0L) 1
+            else math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt
+          val byCount =
+            if (batchSizeLimit <= 0) 1
+            else math.ceil(nActions.toDouble / batchSizeLimit).toInt
+          math.max(concurrentRequest, math.max(byBytes, byCount))
         }
       // overwrite INTO the per-batch directory: a replayed batch (failure
       // after partial write, before checkpoint commit) clobbers its own

@@ -154,6 +154,42 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(parts.forall(_.length <= 4096), parts.map(_.length).mkString(","))
   }
 
+  test("B2 byte-bounded admission: maxBytesPerTrigger splits staged segments across micro-batches") {
+    import graft.conf.{EsSinkConfig, GraftConfig}
+    import graft.ops.CdcOps
+    val eventsDir = tmp("graft-adm-events")
+    val bulkDir = tmp("graft-adm-bulk")
+    // three separate WAL segment files; a 1-byte admission budget admits
+    // exactly one file per trigger (the source always takes >=1 file)
+    stage(eventsDir, Seq(1L))
+    stage(eventsDir, Seq(2L))
+    stage(eventsDir, Seq(3L))
+    val cfg = GraftConfig(EsSinkConfig(
+      tableIndexMapping = CdcOps.tableIndexMapping,
+      batchByteSizeLimit = "1b", concurrentRequest = 1))
+    val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-adm-dlq"),
+      tmp("graft-adm-ckpt"), Some(Trigger.AvailableNow()))
+    q.awaitTermination(60000)
+    val batchDirs = new java.io.File(bulkDir).listFiles().filter(_.isDirectory)
+    assert(batchDirs.length >= 3,
+      s"expected >=3 byte-bounded micro-batches, got ${batchDirs.length}")
+    assert(bulkDocIds(bulkDir).toSet == Set("1", "2", "3"))
+  }
+
+  test("B2 action-count flush: batchSizeLimit splits the flush into ceil(n/limit) requests") {
+    import graft.stream.{EsBulkSink, ResponseHandler}
+    val bulkDir = tmp("graft-count-bulk")
+    val actions = (1 to 50).map(i =>
+      (i.toLong, "index", s"d$i", "users_idx", "{}"))
+      .toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    EsBulkSink.writeBatch(actions, 0L, bulkDir,
+      ResponseHandler.deadLetter(tmp("graft-count-dlq")), 1,
+      batchSizeLimit = 10)
+    val parts = new java.io.File(s"$bulkDir/batch_0").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    assert(parts.length == 5, s"expected 5 bulk request files, got ${parts.length}")
+  }
+
   test("ticker trigger (B2): ProcessingTime query drains staged WAL segments") {
     import org.apache.spark.sql.streaming.Trigger
     val eventsDir = tmp("graft-tick-events")
