@@ -213,6 +213,77 @@ object SimilarityOps {
         col("mean_val"), col("n_vecs"))
   }
 
+  /** Iterative IVF training driver: spherical k-means to convergence,
+    * feeding the renormalized means back as the next centroid set — the
+    * pass that produces [[annIvfProbe]]'s coarse quantizer at scale.
+    *
+    * Per iteration: unit-normalized vectors are assigned to their
+    * max-cosine centroid (a narrow map — centroids ride along as plan
+    * literals), then ONE (centroid, dim)-keyed map-side-combined agg
+    * yields the new per-dimension sums, cluster sizes, and the objective;
+    * only the k×Dim centroid matrix (a few KB) ever reaches the driver —
+    * the legitimate k-means driver loop, not a collect() anti-pattern.
+    * Empty clusters keep their previous centroid.
+    *
+    * Spherical k-means ascends the mean-cosine objective monotonically
+    * (assignment maximizes each row's cosine; the normalized mean
+    * maximizes within-cluster cosine sum), so `objectives` is
+    * non-decreasing; the loop stops at `maxIter` or when the improvement
+    * drops below `tol`.
+    *
+    * @return (final unit-norm centroids, per-iteration mean-cosine objective)
+    */
+  def ivfTrain(emb: DataFrame, k: Int = IvfCentroids, maxIter: Int = 5,
+      tol: Double = 1e-9): (IndexedSeq[IndexedSeq[Double]], Seq[Double]) = {
+    def normalize(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    val e = withNorm(emb)
+      .filter(col("norm") > 0)
+      .withColumn("unit", transform(col("emb_d"), _ / col("norm")))
+      .select("unit")
+      .cache()
+    try {
+      var cents: IndexedSeq[IndexedSeq[Double]] =
+        (0 until k).map(j => normalize(centroid(j)))
+      val objectives = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var iter = 0
+      var improving = true
+      while (iter < maxIter && improving) {
+        val dots = array(cents.map(c =>
+          dot(array(c.map(lit): _*), col("unit"))): _*)
+        val assigned = e
+          .withColumn("dots", dots)
+          .withColumn("centroid", array_position(col("dots"), array_max(col("dots"))) - 1)
+          .withColumn("best", array_max(col("dots")))
+        val stats = assigned
+          .select(col("centroid"), col("best"), posexplode(col("unit")))
+          .toDF("centroid", "best", "dim_idx", "v")
+          .withColumn("dim_idx", col("dim_idx").cast("long"))
+          .groupBy("centroid", "dim_idx")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+            // each ROW's cosine counted once, not once per dimension
+            sum(when(col("dim_idx") === 0, col("best"))).as("obj"))
+          .collect()
+        val n = stats.filter(_.getAs[Long]("dim_idx") == 0L)
+          .map(_.getAs[Long]("n")).sum
+        val obj = stats.flatMap(r => Option(r.getAs[java.lang.Double]("obj")))
+          .map(_.doubleValue).sum / n
+        val sums = stats.groupBy(_.getAs[Long]("centroid")).map { case (c, rs) =>
+          c.toInt -> rs.sortBy(_.getAs[Long]("dim_idx"))
+            .map(_.getAs[Double]("s")).toIndexedSeq
+        }
+        cents = (0 until k).map(j => sums.get(j).map(normalize).getOrElse(cents(j)))
+        improving = objectives.lastOption.forall(prev => obj - prev > tol) ||
+          objectives.isEmpty
+        objectives += obj
+        iter += 1
+      }
+      (cents, objectives.toSeq)
+    } finally { e.unpersist(); () }
+  }
+
   def sqlIvfTrainStep: String =
     s"""WITH e AS (
        |  SELECT vec_id, emb_d,

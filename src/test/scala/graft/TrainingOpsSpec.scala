@@ -177,6 +177,23 @@ class TrainingOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("ivf_train: iterative driver ascends the mean-cosine objective monotonically") {
+    val (cents, objs) = SimilarityOps.ivfTrain(emb, maxIter = 4)
+    assert(objs.size >= 3, s"expected >=3 iterations, got ${objs.size}: $objs")
+    // spherical k-means: within-cluster cosine distance (1 - cos) never
+    // increases step to step
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"objective regressed: $objs")
+    }
+    assert(objs.last > objs.head, s"no improvement at all: $objs")
+    assert(cents.size == SimilarityOps.IvfCentroids)
+    cents.foreach { c =>
+      assert(c.size == SimilarityOps.Dim)
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9,
+        "centroids must stay unit-norm")
+    }
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
