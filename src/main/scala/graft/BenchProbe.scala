@@ -19,6 +19,7 @@ object BenchProbe {
     exec(SparkEntry.queries("message_typing")(spark, sfDir)) // warm
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
+      spark.catalog.clearCache() // same per-query hygiene as graft.Bench
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         exec(SparkEntry.queries(q)(spark, sfDir))

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: derive an N×-scaled benchmark corpus from an existing SF dir
+  * by unioning id-shifted copies — used for the scaling-curve evidence in
+  * SCALING.md (correctness stays pinned to the driver's own SFs; this data
+  * is for THROUGHPUT measurement only).
+  *
+  * Copy construction keeps per-operator work "in matched pairs":
+  *   - ids (event/user/doc/vec/custkey) shift by copy × (max+1) — no key
+  *     collisions, per-key group sizes unchanged;
+  *   - document text goes through a per-copy rotation of the letter set
+  *     `aeiounrst` (a bijection, identity for copy 0): within-copy
+  *     duplicate/near-dup structure is preserved exactly, while cross-copy
+  *     texts differ in most tokens, so pairwise dedup output scales
+  *     linearly with copies instead of quadratically;
+  *   - `source` blocks and embedding `label` blocks get per-copy suffixes/
+  *     offsets — block COUNT scales, block SIZE doesn't, keeping the
+  *     blocked self-joins in matched pairs.
+  *
+  * Usage: runMain graft.ScaleData <srcSfDir> <outDir> <copies>
+  */
+object ScaleData {
+
+  private val Letters = "aeiounrst"
+
+  private def rotation(i: Int): String = {
+    val k = i % Letters.length
+    Letters.drop(k) + Letters.take(k)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, copiesS) = args
+    val copies = copiesS.toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def shift(df: DataFrame, idCol: String): Long =
+      df.agg(max(col(idCol))).head().getLong(0) + 1
+
+    def unioned(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until copies).map(i => build(df, i)).reduce(_ union _)
+
+    val ev = tbl("events")
+    val evShift = shift(ev, "event_id")
+    val userShift = shift(ev, "user_id")
+    unioned(ev, (d, i) => d.select(
+      (col("event_id") + i * evShift).as("event_id"), col("ts"),
+      (col("user_id") + i * userShift).as("user_id"),
+      col("event_type"), col("value"), col("props")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val docs = tbl("documents")
+    val docShift = shift(docs, "doc_id")
+    unioned(docs, (d, i) => d.select(
+      (col("doc_id") + i * docShift).as("doc_id"),
+      translate(col("text"), Letters, rotation(i)).as("text"),
+      col("lang"),
+      concat(col("source"), lit(s"_c$i")).as("source"),
+      col("n_chars")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = tbl("embeddings")
+    val vecShift = shift(emb, "vec_id")
+    unioned(emb, (d, i) => d.select(
+      (col("vec_id") + i * vecShift).as("vec_id"),
+      col("embedding"),
+      (col("label") + i * 1000).cast("int").as("label")))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val cust = tbl("customer")
+    val custShift = shift(cust, "c_custkey")
+    unioned(cust, (d, i) => d.select(
+      (col("c_custkey") + i * custShift).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+      .repartition(8).write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // remaining TPC-H-ish tables: pass through unchanged (no scaled query
+    // reads them; present so the dir is a complete SF layout)
+    for (t <- Seq("region", "nation", "supplier", "part", "orders", "lineitem"))
+      tbl(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    println(s"SCALED x$copies -> $out")
+    spark.stop()
+  }
+}
