@@ -25,10 +25,11 @@ object conf {
       batchByteSizeLimit: String = "10mb",
       concurrentRequest: Int = 1,
       typeName: String = "", // ≙ TypeName; only emitted when esMajor < 8
-      version: String = "8.0.0" // ≙ detected ES version. The reference
-      // auto-detects via the Info API with "7.0.0" as a DETECTION-FAILURE
-      // fallback (client.go:51-74); with no cluster to probe this is an
-      // explicit knob, defaulting to modern ES (no `_type` emitted).
+      version: String = "8.0.0" // ≙ ES version. "" requests auto-detect
+      // at connector construction (see [[detectVersion]] — Info-API probe
+      // with the reference's "7.0.0" detection-failure fallback,
+      // client.go:37-74). The zero-egress default is modern ES (no
+      // `_type` emitted).
   ) {
     /** Parsed byte limit (≙ bulk.go:81-84 ParseSize call). */
     def batchByteSizeLimitBytes: Long = ops.CdcOps.parseSize(batchByteSizeLimit)
@@ -56,4 +57,43 @@ object conf {
       es: EsSinkConfig,
       snapshot: SnapshotConfig = SnapshotConfig()
   )
+
+  /** ES version auto-detect with the reference's exact failure semantics
+    * (client.go:37-74): an explicitly configured version skips detection
+    * entirely; otherwise the Info-API probe runs and ANY failure —
+    * transport error, unparsable body, missing `version.number` — falls
+    * back to "7.0.0" (the conservative choice: `_type` is emitted again).
+    * The probe is abstract (≙ `client.Info()` returning the response
+    * body): a real deployment wires an HTTP GET; the zero-egress harness
+    * supplies a literal/file-backed JSON.
+    */
+  val FallbackVersion = "7.0.0"
+
+  /** Parse `version.number` out of an Info-API response body
+    * (detectElasticsearchVersion, client.go:52-74). Jackson ships with
+    * Spark, so no extra dependency.
+    */
+  def parseInfoVersion(infoJson: String): String = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(infoJson).path("version").path("number")
+    if (!node.isTextual)
+      throw new IllegalArgumentException(
+        "version number not found in Elasticsearch response")
+    node.asText()
+  }
+
+  /** Resolve the config's ES version (NewConnector-time, client.go:37-46):
+    * explicit version wins; empty version runs the probe with the
+    * "7.0.0" fallback on any failure (including no probe to run).
+    */
+  def resolveVersion(cfg: GraftConfig,
+      infoProbe: Option[() => String]): GraftConfig =
+    if (cfg.es.version.nonEmpty) cfg
+    else {
+      val v =
+        try infoProbe.map(p => parseInfoVersion(p()))
+          .getOrElse(FallbackVersion)
+        catch { case scala.util.control.NonFatal(_) => FallbackVersion }
+      cfg.copy(es = cfg.es.copy(version = v))
+    }
 }

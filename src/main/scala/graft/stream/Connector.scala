@@ -35,10 +35,17 @@ object Connector {
       snapshotTable: Option[(DataFrame, String, String, String)] = None // (df, ns, table, pk)
   )
 
+  /** ≙ NewConnector (connector.go:43-80). `infoProbe` is the Info-API
+    * call for ES version auto-detect when `cfg.es.version` is empty —
+    * detection failure falls back to "7.0.0" exactly like client.go:37-46
+    * (see [[graft.conf.resolveVersion]]).
+    */
   def newConnector(spark: SparkSession, cfg: GraftConfig, io: Io,
       handler: Option[Handlers.Handler] = None,
-      trigger: Option[Trigger] = None): Connector =
-    new Connector(spark, cfg, io, handler, trigger)
+      trigger: Option[Trigger] = None,
+      infoProbe: Option[() => String] = None): Connector =
+    new Connector(spark, graft.conf.resolveVersion(cfg, infoProbe), io,
+      handler, trigger)
 }
 
 final class Connector private[stream] (

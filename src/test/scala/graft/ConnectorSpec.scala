@@ -49,6 +49,43 @@ class ConnectorSpec extends SparkSuite {
     assert(bulkLines(bulkDir).count(_.contains("\"_id\"")) == 3)
   }
 
+  test("version auto-detect (client.go:37-74): explicit skips probe; probe parses; failure falls back to 7.0.0") {
+    // explicit version: probe must never run
+    var probed = 0
+    val explicitCfg = cfg()
+    assert(resolveVersion(explicitCfg, Some(() => { probed += 1; "{}" }))
+      .es.version == "8.0.0")
+    assert(probed == 0)
+    // empty version + healthy Info response → detected number
+    val auto = explicitCfg.copy(es = explicitCfg.es.copy(version = ""))
+    val info = """{"name":"node-1","version":{"number":"7.17.9","build_flavor":"default"}}"""
+    assert(resolveVersion(auto, Some(() => info)).es.version == "7.17.9")
+    // failures: transport error, junk body, missing version.number
+    assert(resolveVersion(auto, Some(() => throw new RuntimeException("boom")))
+      .es.version == FallbackVersion)
+    assert(resolveVersion(auto, Some(() => "not json")).es.version == FallbackVersion)
+    assert(resolveVersion(auto, Some(() => """{"version":{}}""")).es.version == FallbackVersion)
+    assert(resolveVersion(auto, None).es.version == FallbackVersion)
+  }
+
+  test("detection-failure fallback drives the encoder: fallback 7.0.0 emits _type end-to-end") {
+    val eventsDir = tmp("conn-v7-events")
+    val bulkDir = tmp("conn-v7-bulk")
+    stageEvents(eventsDir, 1L to 2L)
+    val auto = cfg().copy(es = cfg().es.copy(version = "")) // request detect
+    val c = Connector.newConnector(spark, auto,
+      Connector.Io(eventsDir, bulkDir, tmp("conn-v7-dlq"), tmp("conn-v7-ckpt")),
+      trigger = Some(Trigger.AvailableNow()),
+      infoProbe = Some(() => throw new RuntimeException("no cluster")))
+    c.start()
+    c.waitUntilReady(30000)
+    c.drainAndClose()
+    val metas = bulkLines(bulkDir).filter(_.contains("\"_id\""))
+    assert(metas.nonEmpty)
+    assert(metas.forall(_.contains("\"_type\":\"_doc\"")),
+      s"fallback 7.0.0 must re-enable _type: $metas")
+  }
+
   test("snapshot_only mode: start returns after snapshot, no stream (connector.go:84-96)") {
     val bulkDir = tmp("conn-snap-bulk")
     val c = Connector.newConnector(spark,
