@@ -180,6 +180,7 @@ object SparkEntry {
     "simhash_signature" -> ((s, dir) => DedupOps.simhashSignature(tbl(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.dedupNgramJaccard(tbl(s, dir, "documents"))),
+    "dedup_components" -> ((s, dir) => DedupOps.dedupComponents(tbl(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) => DedupOps.dedupEmbeddingCosine(tbl(s, dir, "embeddings"))),
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
@@ -412,6 +413,7 @@ object SparkEntry {
     "simhash_signature" -> DedupOps.sqlSimhashSignature,
     "dedup_simhash" -> DedupOps.sqlDedupSimhash,
     "dedup_ngram_jaccard" -> DedupOps.sqlDedupNgramJaccard,
+    "dedup_components" -> DedupOps.sqlDedupComponents,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
 
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,

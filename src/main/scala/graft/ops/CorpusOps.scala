@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   *   3. exact dedup: keep the smallest doc_id per normalized content hash
   *      ([[DedupOps.dedupExact]])
   *   4. near-dup removal: drop the higher doc_id of every MinHash/LSH pair
-  *      with verified Jaccard ≥ threshold ([[DedupOps.dedupMinhashLsh]])
+  *      with verified Jaccard ≥ threshold ([[DedupOps.dedupMinhashLsh]]).
+  *      This is the conservative PAIRWISE policy (only docs directly
+  *      similar to a surviving lower id are dropped); for transitive
+  *      cluster collapse — one survivor per connected component of the
+  *      pair graph — compose with [[DedupOps.connectedComponents]] and
+  *      keep `is_rep` rows instead
   *
   * Shuffle inventory at 100 TB: one hash shuffle (content hash), one band
   * shuffle + candidate-bounded verify join (LSH), two joins on doc_id —

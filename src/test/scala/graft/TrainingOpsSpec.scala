@@ -89,6 +89,24 @@ class TrainingOpsSpec extends SparkSuite {
     assert(sim.forall(p => p._1 <= cap && p._2 <= cap))
   }
 
+  test("connected components: transitive chains collapse to min-label clusters") {
+    // chain 1-2-3 (no 1-3 edge) + isolated pair 7-9: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(pairs)
+      .select("component_id", "doc_id", "is_rep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, true), (1L, 2L, false), (1L, 3L, false),
+      (7L, 7L, true), (7L, 9L, false)))
+  }
+
+  test("connected components: a long chain converges (diameter rounds)") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comps = DedupOps.connectedComponents(chain)
+      .select("component_id").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(1L), "all chain members must join component 1")
+  }
+
   test("signature-table checkpoint path: parquet materialization matches the cached path") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
