@@ -298,16 +298,22 @@ object EsBulkSink {
       responseHandler: ResponseHandler, concurrentRequest: Int,
       esMajor: Int = 8, typeName: String = "_doc",
       batchByteSizeLimit: Long = 0L, batchSizeLimit: Int = 0): Unit = {
+    // Two-level cache, both measured on the 1M-event load test: the raw
+    // batch feeds the bad-split probe AND the dedup window (recomputing
+    // the upstream chain twice loses to one materialization), and the
+    // post-dedup frame feeds three consumers (payload write, metrics,
+    // OnSuccess) — caching it runs the dedup window once per flush.
     val cached = batch.cache()
+    // demux BEFORE dedup: a null doc key is not a document identity, so
+    // key-less actions must not collapse into one null-keyed window row
+    val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
+    if (!bad.isEmpty) {
+      responseHandler.onError(bad, batchId)
+    }
+    val deduped = CdcOps.dedupLastWriteWins(
+      cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
+      .cache()
     try {
-      // demux BEFORE dedup: a null doc key is not a document identity, so
-      // key-less actions must not collapse into one null-keyed window row
-      val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
-      if (!bad.isEmpty) {
-        responseHandler.onError(bad, batchId)
-      }
-      val deduped = CdcOps.dedupLastWriteWins(
-        cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
       // X2: `_type` in the action metadata only for ES major < 8
       // (bulk.go:194-206,227-230; version from config ≙ Info-API detect)
       val payload =
@@ -355,6 +361,6 @@ object EsBulkSink {
         .collect()
         .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))
       responseHandler.onSuccess(deduped, batchId)
-    } finally cached.unpersist()
+    } finally { deduped.unpersist(); cached.unpersist(); () }
   }
 }
