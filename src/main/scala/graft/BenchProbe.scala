@@ -20,12 +20,17 @@ object BenchProbe {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       spark.catalog.clearCache() // same per-query hygiene as graft.Bench
-      val t = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        exec(SparkEntry.queries(q)(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"PROBE $q%-24s $t%.2f s")
+      try {
+        val t = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          exec(SparkEntry.queries(q)(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"PROBE $q%-24s $t%.2f s")
+      } catch {
+        // one broken query must not kill the sweep (Bench does the same)
+        case e: Throwable => println(s"PROBE $q FAILED: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

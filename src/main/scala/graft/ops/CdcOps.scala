@@ -124,6 +124,13 @@ object CdcOps {
   def resolveParentTable(typed: DataFrame,
       mapping: Map[String, String] = tableIndexMapping,
       hyperTables: Map[String, String] = Map.empty): DataFrame = {
+    // empty mapping ⇒ nothing routes (connector.go:176-178 returns "" for
+    // every table) — and the prefix-depth derivation below has no max
+    if (mapping.isEmpty)
+      return typed
+        .withColumn("parent_table", lit(null).cast("string"))
+        .withColumn("index_name", lit(null).cast("string"))
+        .filter(col("index_name").isNotNull)
     val full = concat(col("table_namespace"), lit("."), col("table_name"))
     def idxOf(key: Column): Column = lookupIndex(key, mapping)
     // chunk → parent full name, exact lookup like HyperTables.Load
@@ -269,8 +276,11 @@ object CdcOps {
       return (df.withColumn("_ord", lit(0L)).limit(0), Map.empty)
     val lo = bounds.getLong(0)
     val width = math.max(1L, (bounds.getLong(1) - lo) / parts + 1)
+    // null order keys land in block -1 (sorted before every real block,
+    // matching the window form's nulls-first order); without the coalesce
+    // they'd unbox to block 0 on the driver and duplicate block-0 offsets
     val withPid = df.withColumn("_pid",
-      floor((key - lit(lo)) / lit(width)).cast("long"))
+      coalesce(floor((key - lit(lo)) / lit(width)), lit(-1L)).cast("long"))
     val stats = withPid
       .groupBy((col("_pid") +: groupCols.map(col)): _*)
       .agg(count(lit(1)).as("_n"))
@@ -294,8 +304,14 @@ object CdcOps {
     val w = Window
       .partitionBy((col("_pid") +: groupCols.map(col)): _*)
       .orderBy(col(orderCol))
-    val out = withPid
-      .join(broadcast(offsets), "_pid" +: groupCols)
+    // null-safe equality on the group columns: a plain equi-join would
+    // silently DROP rows whose group value is null instead of giving
+    // them ordinals (the window form kept them as an ordinary partition)
+    val joinCond = ((withPid("_pid") === offsets("_pid")) +:
+      groupCols.map(c => withPid(c) <=> offsets(c))).reduce(_ && _)
+    val out = groupCols
+      .foldLeft(withPid.join(broadcast(offsets), joinCond)
+        .drop(offsets("_pid"))) { (d, c) => d.drop(offsets(c)) }
       .withColumn("_ord", col("_offset") + row_number().over(w) - 1)
       .drop("_pid", "_offset")
     (out, totals)

@@ -268,6 +268,11 @@ object SimilarityOps {
           .collect()
         val n = stats.filter(_.getAs[Long]("dim_idx") == 0L)
           .map(_.getAs[Long]("n")).sum
+        if (n == 0)
+          // empty input (or all zero-norm): nothing to train on — return
+          // the seed centroids with an empty objective history rather
+          // than a NaN objective and a silent one-iteration exit
+          return (cents, objectives.toSeq)
         val obj = stats.flatMap(r => Option(r.getAs[java.lang.Double]("obj")))
           .map(_.doubleValue).sum / n
         val sums = stats.groupBy(_.getAs[Long]("centroid")).map { case (c, rs) =>
@@ -275,8 +280,9 @@ object SimilarityOps {
             .map(_.getAs[Double]("s")).toIndexedSeq
         }
         cents = (0 until k).map(j => sums.get(j).map(normalize).getOrElse(cents(j)))
-        improving = objectives.lastOption.forall(prev => obj - prev > tol) ||
-          objectives.isEmpty
+        // (Option.forall on None is true, so the first iteration always
+        // continues)
+        improving = objectives.lastOption.forall(prev => obj - prev > tol)
         objectives += obj
         iter += 1
       }

@@ -111,9 +111,13 @@ object Pipeline {
     * the batch ticker maps to the processing-time trigger,
     * concurrentRequest to the flush partition split.
     */
-  def run(spark: SparkSession, cfg: graft.conf.GraftConfig, eventsDir: String,
+  def run(spark: SparkSession, cfg0: graft.conf.GraftConfig, eventsDir: String,
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
-      trigger: Option[Trigger]): StreamingQuery =
+      trigger: Option[Trigger]): StreamingQuery = {
+    // version="" ≙ auto-detect requested; with no probe wired at this
+    // entry the reference's detection-failure fallback (7.0.0) applies —
+    // Connector.newConnector is the probe-carrying entry (client.go:37-46)
+    val cfg = graft.conf.resolveVersion(cfg0, None)
     startQuery(spark,
       CdcOps.handlerActions(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
@@ -124,13 +128,15 @@ object Pipeline {
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
       cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
       cfg.es.batchByteSizeLimitBytes, cfg.es.batchSizeLimit)
+  }
 
   /** Typed-handler variant of the config-driven run (same knob wiring). */
-  def runTyped(spark: SparkSession, cfg: graft.conf.GraftConfig,
+  def runTyped(spark: SparkSession, cfg0: graft.conf.GraftConfig,
       eventsDir: String, handler: Handlers.Handler, bulkOutDir: String,
       deadLetterDir: String, checkpointDir: String,
       trigger: Option[Trigger]): StreamingQuery = {
     implicit val s: SparkSession = spark
+    val cfg = graft.conf.resolveVersion(cfg0, None)
     startQuery(spark,
       Handlers.applyHandler(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
@@ -303,17 +309,22 @@ object EsBulkSink {
     // the upstream chain twice loses to one materialization), and the
     // post-dedup frame feeds three consumers (payload write, metrics,
     // OnSuccess) — caching it runs the dedup window once per flush.
+    // Both registrations happen INSIDE the try so a failure anywhere
+    // (incl. the dead-letter write) still unpersists in finally — a
+    // streaming engine retries failed batches, and a leak per retry
+    // accumulates for the life of the query.
     val cached = batch.cache()
-    // demux BEFORE dedup: a null doc key is not a document identity, so
-    // key-less actions must not collapse into one null-keyed window row
-    val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
-    if (!bad.isEmpty) {
-      responseHandler.onError(bad, batchId)
-    }
-    val deduped = CdcOps.dedupLastWriteWins(
-      cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
-      .cache()
+    var deduped: DataFrame = null
     try {
+      // demux BEFORE dedup: a null doc key is not a document identity, so
+      // key-less actions must not collapse into one null-keyed window row
+      val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
+      if (!bad.isEmpty) {
+        responseHandler.onError(bad, batchId)
+      }
+      deduped = CdcOps.dedupLastWriteWins(
+        cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
+        .cache()
       // X2: `_type` in the action metadata only for ES major < 8
       // (bulk.go:194-206,227-230; version from config ≙ Info-API detect)
       val payload =
@@ -361,6 +372,10 @@ object EsBulkSink {
         .collect()
         .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))
       responseHandler.onSuccess(deduped, batchId)
-    } finally { deduped.unpersist(); cached.unpersist(); () }
+    } finally {
+      if (deduped != null) deduped.unpersist()
+      cached.unpersist()
+      ()
+    }
   }
 }

@@ -68,6 +68,26 @@ class CdcOpsSpec extends SparkSuite {
       ("a_b_c_d_e_f", "a_b_c_d_e", "deep_idx")))
   }
 
+  test("T3 empty mapping routes nothing (connector.go:176-178), no crash") {
+    val df = Seq(("public", "users"), ("public", "orders_2024_01"))
+      .toDF("table_namespace", "table_name")
+    assert(CdcOps.resolveParentTable(df, Map.empty).count() == 0)
+  }
+
+  test("T8 ordinals keep null-group rows as their own group (no silent drop)") {
+    val actions = Seq(
+      (1L, "index", "a", "users_idx", "{}"),
+      (2L, "index", "b", null.asInstanceOf[String], "{}"), // null index_name
+      (3L, "index", "c", "users_idx", "{}"),
+      (4L, "index", "d", null.asInstanceOf[String], "{}")
+    ).toDF("event_id", "action_type", "doc_id", "index_name", "source")
+    val chunks = CdcOps.chunkSplit(actions, 100)
+    // all 4 rows accounted for: 2 in users_idx, 2 in the null group
+    assert(chunks.agg(sum("n_actions")).as[Long].head() == 4L)
+    assert(chunks.filter($"index_name".isNull)
+      .agg(sum("n_actions")).as[Long].head() == 2L)
+  }
+
   test("B1 LWW dedup keeps the LATEST action per (doc_id, index) preserving key set") {
     val actions = Seq(
       (1L, "index", "7", "users_idx", "v1"),

@@ -107,6 +107,14 @@ class TrainingOpsSpec extends SparkSuite {
     assert(comps == Seq(1L), "all chain members must join component 1")
   }
 
+  test("connected components: exceeding maxIter throws instead of returning split clusters") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("signature-table checkpoint path: parquet materialization matches the cached path") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
@@ -121,8 +129,9 @@ class TrainingOpsSpec extends SparkSuite {
     try {
       val ckpt = run()
       assert(ckpt == cached)
-      assert(new java.io.File(s"$dir/minhash_signatures").exists(),
-        "checkpoint parquet not written")
+      val written = new java.io.File(dir).list()
+      assert(written != null && written.exists(_.startsWith("minhash_signatures")),
+        s"checkpoint parquet not written: ${Option(written).map(_.toSeq)}")
     } finally spark.conf.unset(DedupOps.CheckpointDirConf)
   }
 
