@@ -77,19 +77,20 @@ object CdcOps {
   /** T2 routing_map — exact `namespace.table` lookup; unmapped ⇒ skip
     * (connector.go:174-199, skip+ack connector.go:146-152).
     *
-    * The mapping is a handful of entries, so it compiles into a `when`
-    * comparison chain inside the scan's projection — no join, no shuffle,
-    * no per-row map allocation (a `map_from_arrays` literal is rebuilt per
-    * evaluation), survives any scale-up (≙ the reference's in-process map
-    * lookup). A mapping with thousands of entries would switch to a
-    * broadcast join instead.
+    * The mapping becomes a `typedlit` map LITERAL probed with
+    * `element_at` — a constant MapData materialized once (never per row)
+    * with a few bytes of generated code per lookup. This matters because
+    * the three-tier resolution in [[resolveParentTable]] inlines several
+    * lookups into one projection: the earlier `when`-chain fold made that
+    * projection's generated method grow past Janino's 64 KB limit,
+    * silently disabling whole-stage codegen for the entire stage
+    * (≙ the reference's in-process map lookup either way). A mapping with
+    * ~10⁵+ entries would switch to a broadcast join instead.
     */
   private def lookupIndex(key: Column,
       mapping: Map[String, String]): Column =
-    mapping.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("string")) { case (rest, (k, v)) =>
-        when(key === k, lit(v)).otherwise(rest)
-      }
+    if (mapping.isEmpty) lit(null).cast("string")
+    else element_at(typedlit(mapping), key)
 
   def routeExact(typed: DataFrame,
       mapping: Map[String, String] = tableIndexMapping): DataFrame =
@@ -133,11 +134,11 @@ object CdcOps {
         .filter(col("index_name").isNotNull)
     val full = concat(col("table_namespace"), lit("."), col("table_name"))
     def idxOf(key: Column): Column = lookupIndex(key, mapping)
-    // chunk → parent full name, exact lookup like HyperTables.Load
-    val hyperParent = hyperTables.toSeq.sortBy(_._1)
-      .foldLeft(lit(null).cast("string")) { case (rest, (chunk, parent)) =>
-        when(full === chunk, lit(parent)).otherwise(rest)
-      }
+    // chunk → parent full name, exact lookup like HyperTables.Load (same
+    // literal-map shape as lookupIndex, for the same codegen-size reason)
+    val hyperParent =
+      if (hyperTables.isEmpty) lit(null).cast("string")
+      else element_at(typedlit(hyperTables), full)
     val maxPrefixParts = math.max(1,
       mapping.keys.map(k => k.substring(k.indexOf('.') + 1).count(_ == '_') + 1).max)
     val nParts = size(split(col("table_name"), "_"))
