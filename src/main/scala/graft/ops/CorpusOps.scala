@@ -29,10 +29,14 @@ object CorpusOps {
   val AcceptedLangs: Seq[String] = Seq("en")
 
   def cleanCorpus(docs: DataFrame): DataFrame = {
-    val quality = TextOps.qualityScore(docs)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val lang = TextOps.langId(docs).select(col("doc_id"), col("detected_lang"))
-    val gated = docs.join(quality, "doc_id").join(lang, "doc_id")
+    // both gates are pure projections over `docs`, so their columns ride
+    // ONE narrow select — no doc_id joins (which at corpus scale would be
+    // two full shuffles); expressions identical to qualityScore/langId
+    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val gated = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality", quality)
+      .withColumn("detected_lang", TextOps.detectLang(col("text")))
       .filter(col("quality") >= QualityThreshold &&
         col("detected_lang").isin(AcceptedLangs: _*))
     // exact dedup: survivors are each hash group's min doc_id

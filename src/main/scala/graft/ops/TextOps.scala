@@ -81,7 +81,7 @@ object TextOps {
 
   // -------------------------------------------------------------- lang_id
 
-  private def stopScore(toks: Column, words: Seq[String]): Column =
+  private[ops] def stopScore(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
   /** Language ID: per-language stopword counts, argmax with fixed priority
@@ -122,6 +122,39 @@ object TextOps {
   }
 
   // -------------------------------------------------------- quality_score
+
+  /** (n_tokens, quality) as bare Columns over a text column — the same
+    * expressions [[qualityScore]] materializes, exposed so a composite
+    * pipeline (CorpusOps.cleanCorpus) can ride them in ONE projection
+    * instead of joining the gate frame back on doc_id.
+    */
+  private[ops] def qualityCols(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    val nStop = stopScore(toks, StopwordProfiles.head._2)
+    val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("long")
+    val nChars = length(text).cast("long")
+    val quality =
+      lit(0.4) * least(nTok / lit(64.0), lit(1.0)) +
+        lit(0.3) * least((nStop.cast("double") / nTok) * lit(4.0), lit(1.0)) +
+        lit(0.3) * (nAlpha.cast("double") / nChars)
+    (nTok, quality)
+  }
+
+  /** The argmax-with-priority language pick of [[langId]] as one Column
+    * (per-language stopword scores inlined; Catalyst's collapsed langId
+    * projection evaluates the same shape).
+    */
+  private[ops] def detectLang(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = StopwordProfiles.map { case (l, ws) => l -> stopScore(toks, ws) }.toMap
+    val langs = StopwordProfiles.map(_._1)
+    langs.init.zipWithIndex
+      .foldRight(lit(langs.last): Column) { case ((l, i), rest) =>
+        val ge = langs.drop(i + 1).map(o => scores(l) >= scores(o)).reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+      }
+  }
 
   /** Quality scoring: length/stopword/alpha ratios blended into [0,1].
     * score = 0.4·min(n_tokens/64, 1) + 0.3·min(4·stop_ratio, 1) + 0.3·alpha_ratio
