@@ -176,6 +176,29 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(bulkDocIds(bulkDir).toSet == Set("1", "2", "3"))
   }
 
+  test("config-driven run resolves version='' through the 7.0.0 fallback (emits _type)") {
+    import graft.conf.{EsSinkConfig, GraftConfig}
+    import graft.ops.CdcOps
+    val eventsDir = tmp("graft-v-events")
+    val bulkDir = tmp("graft-v-bulk")
+    stage(eventsDir, Seq(1L, 2L))
+    val cfg = GraftConfig(EsSinkConfig(
+      tableIndexMapping = CdcOps.tableIndexMapping, version = ""))
+    val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-v-dlq"),
+      tmp("graft-v-ckpt"), Some(Trigger.AvailableNow()))
+    q.awaitTermination(60000)
+    val metas = {
+      val d = new java.io.File(bulkDir)
+      d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".txt"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines())
+        .filter(_.contains("\"_id\"")).toSeq
+    }
+    assert(metas.nonEmpty)
+    assert(metas.forall(_.contains("\"_type\":\"_doc\"")),
+      s"version='' must fall back to 7.0.0 and emit _type: $metas")
+  }
+
   test("B2 action-count flush: batchSizeLimit splits the flush into ceil(n/limit) requests") {
     import graft.stream.{EsBulkSink, ResponseHandler}
     val bulkDir = tmp("graft-count-bulk")
