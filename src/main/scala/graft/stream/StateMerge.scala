@@ -88,12 +88,25 @@ object StateMerge {
       .select(concat_ws("\n", col("meta"), col("source")).as("value"))
   }
 
+  /** RocksDB state-store provider (ships with Spark 4): the scale path
+    * for the per-document merge state — heap state is O(live keys) in
+    * executor memory, RocksDB spills to local disk with changelog
+    * checkpointing, which is what an unbounded document population needs.
+    * Session-wide conf, so set it BEFORE the first stateful query starts.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
   /** End-to-end: stateful merge → scripted-upsert bulk files, checkpointed
-    * (version counters resume across restarts).
+    * (version counters resume across restarts). `rocksDb = true` switches
+    * the state store to the RocksDB provider (see [[useRocksDbStateStore]]).
     */
   def run(spark: SparkSession, eventsDir: String, bulkOutDir: String,
       checkpointDir: String, indexName: String = "users_idx",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      rocksDb: Boolean = false): StreamingQuery = {
+    if (rocksDb) useRocksDbStateStore(spark)
     upsertStream(spark, eventsDir).writeStream
       .queryName("graft-script-update")
       .outputMode("append")
@@ -105,4 +118,5 @@ object StateMerge {
         ()
       }
       .start()
+  }
 }

@@ -55,4 +55,27 @@ class StateMergeSpec extends SparkSuite {
     assert(meta.contains("""{"update":{"_index":"users_idx","_id":""""))
     assert(out2.exists(_.contains(""""scripted_upsert":true""")))
   }
+
+  test("RocksDB state store: versions accumulate across restart on the scale-path provider") {
+    val eventsDir = tmp("smr-events")
+    val bulkDir = tmp("smr-bulk")
+    val ckpt = tmp("smr-ckpt")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      stage(eventsDir, Seq((1L, 7L, 1.5), (2L, 7L, 2.5)))
+      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = true)
+        .awaitTermination(60000)
+      assert(lines(bulkDir).exists(_.contains("\"version\":2")))
+      // restart against the same checkpoint: RocksDB state must restore
+      stage(eventsDir, Seq((3L, 7L, 4.0)))
+      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = true)
+        .awaitTermination(60000)
+      assert(lines(bulkDir).exists(l =>
+        l.contains("\"version\":3") && l.contains("\"last_value\":4.0")),
+        s"RocksDB state did not survive restart: ${lines(bulkDir)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
