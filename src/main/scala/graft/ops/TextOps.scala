@@ -134,10 +134,13 @@ object TextOps {
     val nStop = stopScore(toks, StopwordProfiles.head._2)
     val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("long")
     val nChars = length(text).cast("long")
-    val quality =
+    // empty text ⇒ NULL, not NaN: 0.0/0.0 is NaN, and Spark orders NaN
+    // ABOVE every number, so `NaN >= threshold` would PASS the quality
+    // gate while the oracle's CASE WHEN n_chars = 0 THEN NULL drops it
+    val quality = when(nChars === 0, lit(null).cast("double")).otherwise(
       lit(0.4) * least(nTok / lit(64.0), lit(1.0)) +
         lit(0.3) * least((nStop.cast("double") / nTok) * lit(4.0), lit(1.0)) +
-        lit(0.3) * (nAlpha.cast("double") / nChars)
+        lit(0.3) * (nAlpha.cast("double") / nChars))
     (nTok, quality)
   }
 
@@ -173,12 +176,17 @@ object TextOps {
         col("doc_id"), col("n_tokens"),
         (col("sum_tok_len").cast("double") / col("n_tokens")).as("mean_token_len"),
         (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
-        (col("n_alpha").cast("double") / col("n_chars_m")).as("alpha_ratio")
+        // empty text ⇒ NULL like the oracle's CASE, not NaN (NaN orders
+        // ABOVE every number in Spark, so it would pass >= gates)
+        when(col("n_chars_m") === 0, lit(null).cast("double"))
+          .otherwise(col("n_alpha").cast("double") / col("n_chars_m"))
+          .as("alpha_ratio")
       )
       .withColumn("quality",
-        lit(0.4) * least(col("n_tokens") / lit(64.0), lit(1.0)) +
-          lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)) +
-          lit(0.3) * col("alpha_ratio"))
+        when(col("alpha_ratio").isNull, lit(null).cast("double")).otherwise(
+          lit(0.4) * least(col("n_tokens") / lit(64.0), lit(1.0)) +
+            lit(0.3) * least(col("stop_ratio") * lit(4.0), lit(1.0)) +
+            lit(0.3) * col("alpha_ratio")))
   }
 
   def sqlQualityScore: String = {

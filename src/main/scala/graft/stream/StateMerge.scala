@@ -90,23 +90,43 @@ object StateMerge {
 
   /** RocksDB state-store provider (ships with Spark 4): the scale path
     * for the per-document merge state — heap state is O(live keys) in
-    * executor memory, RocksDB spills to local disk with changelog
-    * checkpointing, which is what an unbounded document population needs.
-    * Session-wide conf, so set it BEFORE the first stateful query starts.
+    * executor memory, RocksDB spills to local disk, and changelog
+    * checkpointing (enabled here — it is OFF by Spark default) uploads
+    * per-commit deltas instead of full snapshots, which is what an
+    * unbounded document population needs. Session-wide conf, read when a
+    * stateful query STARTS — set it before the first one.
     */
-  def useRocksDbStateStore(spark: SparkSession): Unit =
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+
+  /** The heap default (HDFS-backed snapshot files), for explicitly
+    * switching a session back from [[useRocksDbStateStore]].
+    */
+  def useDefaultStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.unset(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+  }
 
   /** End-to-end: stateful merge → scripted-upsert bulk files, checkpointed
-    * (version counters resume across restarts). `rocksDb = true` switches
-    * the state store to the RocksDB provider (see [[useRocksDbStateStore]]).
+    * (version counters resume across restarts). `rocksDb`: `Some(true)`
+    * selects the RocksDB provider, `Some(false)` the heap default, `None`
+    * (default) leaves the session's provider conf untouched — the conf is
+    * session-wide, so a boolean toggle would ratchet one way and
+    * silently move OTHER stateful queries in the session.
     */
   def run(spark: SparkSession, eventsDir: String, bulkOutDir: String,
       checkpointDir: String, indexName: String = "users_idx",
       trigger: Trigger = Trigger.AvailableNow(),
-      rocksDb: Boolean = false): StreamingQuery = {
-    if (rocksDb) useRocksDbStateStore(spark)
+      rocksDb: Option[Boolean] = None): StreamingQuery = {
+    rocksDb.foreach(on =>
+      if (on) useRocksDbStateStore(spark) else useDefaultStateStore(spark))
     upsertStream(spark, eventsDir).writeStream
       .queryName("graft-script-update")
       .outputMode("append")

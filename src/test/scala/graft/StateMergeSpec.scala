@@ -60,22 +60,18 @@ class StateMergeSpec extends SparkSuite {
     val eventsDir = tmp("smr-events")
     val bulkDir = tmp("smr-bulk")
     val ckpt = tmp("smr-ckpt")
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     try {
       stage(eventsDir, Seq((1L, 7L, 1.5), (2L, 7L, 2.5)))
-      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = true)
+      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true))
         .awaitTermination(60000)
       assert(lines(bulkDir).exists(_.contains("\"version\":2")))
       // restart against the same checkpoint: RocksDB state must restore
       stage(eventsDir, Seq((3L, 7L, 4.0)))
-      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = true)
+      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true))
         .awaitTermination(60000)
       assert(lines(bulkDir).exists(l =>
         l.contains("\"version\":3") && l.contains("\"last_value\":4.0")),
         s"RocksDB state did not survive restart: ${lines(bulkDir)}")
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-    }
+    } finally StateMerge.useDefaultStateStore(spark)
   }
 }

@@ -32,20 +32,22 @@ class StreamingPipelineSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(eventsDir)
   }
 
-  private def bulkDocIds(bulkDir: String): Seq[String] = {
+  /** All NDJSON lines across every batch dir's part files (closes files). */
+  private def bulkLines(bulkDir: String): Seq[String] = {
     val d = new java.io.File(bulkDir)
     if (!d.exists()) Seq.empty
-    else {
-      val files = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(_.isDirectory).flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
-      files.toSeq.flatMap { f =>
-        scala.io.Source.fromFile(f).getLines()
-          .filter(_.contains("\"_id\""))
-          .map(l => l.split("\"_id\":\"")(1).split("\"")(0))
+    else Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).flatMap(b => Option(b.listFiles()).getOrElse(Array.empty))
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+      .toSeq.flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
       }
-    }
   }
+
+  private def bulkDocIds(bulkDir: String): Seq[String] =
+    bulkLines(bulkDir).filter(_.contains("\"_id\""))
+      .map(l => l.split("\"_id\":\"")(1).split("\"")(0))
 
   test("ack/resume: restart from checkpoint delivers batch 2 without re-delivering batch 1") {
     val eventsDir = tmp("graft-events")
@@ -108,12 +110,7 @@ class StreamingPipelineSpec extends SparkSuite {
     val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-trio-dlq"),
       tmp("graft-trio-ckpt"), concurrentRequest = 1, trigger = Trigger.AvailableNow())
     q.awaitTermination(60000)
-    val lines = {
-      val d = new java.io.File(bulkDir)
-      d.listFiles().filter(_.isDirectory)
-        .flatMap(_.listFiles()).filter(_.getName.endsWith(".txt"))
-        .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
-    }
+    val lines = bulkLines(bulkDir)
     assert(lines.exists(l => l.contains("\"index\"") && l.contains("users_idx") && l.contains("\"_id\":\"1\"")))
     assert(lines.exists(l => l.contains("\"op\":\"INSERT\"")))
     assert(lines.exists(l => l.contains("\"index\"") && l.contains("orders_idx") && l.contains("\"_id\":\"2\"")))
@@ -187,13 +184,7 @@ class StreamingPipelineSpec extends SparkSuite {
     val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-v-dlq"),
       tmp("graft-v-ckpt"), Some(Trigger.AvailableNow()))
     q.awaitTermination(60000)
-    val metas = {
-      val d = new java.io.File(bulkDir)
-      d.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
-        .filter(_.getName.endsWith(".txt"))
-        .flatMap(f => scala.io.Source.fromFile(f).getLines())
-        .filter(_.contains("\"_id\"")).toSeq
-    }
+    val metas = bulkLines(bulkDir).filter(_.contains("\"_id\""))
     assert(metas.nonEmpty)
     assert(metas.forall(_.contains("\"_type\":\"_doc\"")),
       s"version='' must fall back to 7.0.0 and emit _type: $metas")

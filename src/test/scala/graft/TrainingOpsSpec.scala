@@ -25,6 +25,17 @@ class TrainingOpsSpec extends SparkSuite {
     assert(q.count() == docs.count())
   }
 
+  test("empty text: quality is NULL (not NaN) and the corpus gate drops it") {
+    import graft.ops.CorpusOps
+    val good = "the of and to " + (1 to 60).map(i => s"token$i").mkString(" ")
+    val planted = Seq((1L, good), (2L, "")).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(planted)
+    assert(q.filter($"doc_id" === 2 && $"quality".isNull).count() == 1,
+      "empty doc must score NULL, not NaN (NaN would pass >= gates)")
+    val out = CorpusOps.cleanCorpus(planted).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L), s"empty doc must be gated out, got $out")
+  }
+
   test("lang_id emits only profiled languages") {
     val langs = TextOps.langId(docs).select("detected_lang")
       .distinct().as[String].collect().toSet
