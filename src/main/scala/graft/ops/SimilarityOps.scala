@@ -155,9 +155,15 @@ object SimilarityOps {
   def centroid(j: Int): IndexedSeq[Double] =
     (0 until Dim).map(d => (((j * Dim + d + 1) * 48271L) % 199L - 99L) / 100.0)
 
+  /** Default (deterministic, oracle-shared) coarse centroid set. */
+  def defaultCentroids: IndexedSeq[IndexedSeq[Double]] =
+    (0 until IvfCentroids).map(centroid)
+
+  private def centDotsOf(cents: Seq[IndexedSeq[Double]], embD: Column): Column =
+    array(cents.map(c => dot(array(c.map(lit): _*), embD)): _*)
+
   private def centDots(embD: Column): Column =
-    array((0 until IvfCentroids).map(j =>
-      dot(array(centroid(j).map(lit): _*), embD)): _*)
+    centDotsOf(defaultCentroids, embD)
 
   private def sqlCentroidLit(j: Int): String =
     centroid(j).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
@@ -172,10 +178,15 @@ object SimilarityOps {
     * exact cosine. The probe join is an equi-join on the list id
     * (candidates shuffle once by list), touching ~nProbe/K of the corpus
     * — the IVF recall/cost trade at 100 TB.
+    *
+    * `centroids` defaults to the fixed oracle-shared set; pass
+    * [[ivfTrain]]'s output to search against a LEARNED quantizer (the
+    * trained centroids are unit-norm, so max-dot ≡ max-cosine assignment).
     */
-  def annIvfProbe(emb: DataFrame): DataFrame = {
+  def annIvfProbe(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
     val e = withNorm(emb)
-      .withColumn("dots", centDots(col("emb_d")))
+      .withColumn("dots", centDotsOf(centroids, col("emb_d")))
       .withColumn("centroid", array_position(col("dots"), array_max(col("dots"))) - 1)
     val q = e.filter(col("vec_id") < NQueries)
       .withColumn("second",

@@ -232,6 +232,26 @@ class TrainingOpsSpec extends SparkSuite {
     }
   }
 
+  test("trained IVF centroids drive the probe search end-to-end") {
+    val (cents, objs) = SimilarityOps.ivfTrain(emb, maxIter = 3)
+    assert(objs.nonEmpty)
+    val res = SimilarityOps.annIvfProbe(emb, cents).cache()
+    try {
+      assert(res.count() > 0)
+      // the probe invariant holds under learned centroids too: each
+      // query's neighbors come from at most IvfProbes lists
+      val nCents = res.groupBy("query_id")
+        .agg(countDistinct("centroid").as("n")).select("n").as[Long].collect()
+      assert(nCents.forall(_ <= SimilarityOps.IvfProbes))
+      // learned quantizer finds real neighbors: results overlap the exact
+      // brute-force top-k for at least one query
+      val bf = SimilarityOps.annTopkBruteForce(emb)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val ivf = res.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      assert((bf & ivf).nonEmpty, "no overlap with exact top-k at all")
+    } finally { res.unpersist(); () }
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
