@@ -45,6 +45,35 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(q("ivf_train_step")) == 2)
   }
 
+  test("whole-stage codegen actually COMPILES for the big projection chains") {
+    // Janino's 64 KB method limit fails at RUNTIME, not planning: the plan
+    // still shows WholeStageCodegen, Spark logs a warning, and silently
+    // falls back to interpreted evaluation (this cost routing_partition
+    // 2-3x until round 2's literal-map fix). Compile the generated code
+    // here and assert every method stays under the huge-method limit.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    for (name <- Seq("routing_partition", "ndjson_encode",
+        "type_version_gate", "script_update_encode")) {
+      val spans = nodes(q(name)).collect { case w: WholeStageCodegenExec => w }
+      assert(spans.nonEmpty, s"$name lost its codegen span")
+      for (w <- spans) {
+        val (_, code) = w.doCodeGen()
+        val (_, stats) = CodeGenerator.compile(code)
+        assert(stats.maxMethodCodeSize < 65535,
+          s"$name generated a ${stats.maxMethodCodeSize}-byte method — runtime would fall back to interpreted")
+      }
+    }
+  }
+
+  test("corpus_clean: fused gates keep the exchange count bounded") {
+    // round 1 joined the quality/lang gate frames back on doc_id (13
+    // exchanges with the band cap); the fused single-projection gates
+    // bring it to 10 — a regression here means someone reintroduced a
+    // gate join
+    assert(exchanges(q("corpus_clean")) <= 10,
+      s"corpus_clean grew to ${exchanges(q("corpus_clean"))} exchanges")
+  }
+
   test("ordinal ops: two PARTITIONED shuffles, never a single-partition one") {
     // two-pass globalOrdinals: hash exchange for the per-block window +
     // the final agg exchange — and, the point of the design, NO exchange
