@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, SimilarityOps, TextOps}
+import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, TextOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -197,7 +197,19 @@ object SparkEntry {
 
     // the end-to-end corpus-cleaning composition (quality gate → lang gate
     // → exact dedup → MinHash near-dup removal)
-    "corpus_clean" -> ((s, dir) => CorpusOps.cleanCorpus(tbl(s, dir, "documents")))
+    "corpus_clean" -> ((s, dir) => CorpusOps.cleanCorpus(tbl(s, dir, "documents"))),
+
+    // pre-training corpus ops (round 3): decontamination, substring-level
+    // dedup, PII audit, repetition quality, stratified sampling, per-domain
+    // stats, embedding normalize/quantize
+    "decontaminate" -> ((s, dir) => PretrainOps.decontaminate(tbl(s, dir, "documents"))),
+    "dedup_substring" -> ((s, dir) => PretrainOps.dedupSubstring(tbl(s, dir, "documents"))),
+    "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
+    "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
+    "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
+    "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
+    "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
+    "embed_quantize" -> ((s, dir) => PretrainOps.embedQuantize(tbl(s, dir, "embeddings")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -428,6 +440,15 @@ object SparkEntry {
     "multimodal_frame_sample" -> BinaryOps.sqlMultimodalFrameSample,
     "multimodal_features" -> BinaryOps.sqlMultimodalFeatures,
 
-    "corpus_clean" -> CorpusOps.sqlCleanCorpus
+    "corpus_clean" -> CorpusOps.sqlCleanCorpus,
+
+    "decontaminate" -> PretrainOps.sqlDecontaminate,
+    "dedup_substring" -> PretrainOps.sqlDedupSubstring,
+    "pii_count" -> PretrainOps.sqlPiiCount,
+    "quality_repetition" -> PretrainOps.sqlQualityRepetition,
+    "sample_stratified" -> PretrainOps.sqlSampleStratified,
+    "domain_stats" -> PretrainOps.sqlDomainStats,
+    "embed_normalize" -> PretrainOps.sqlEmbedNormalize,
+    "embed_quantize" -> PretrainOps.sqlEmbedQuantize
   )
 }

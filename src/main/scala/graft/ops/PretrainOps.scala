@@ -1,0 +1,368 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.ArrayFunctions.word_shingle_hashes
+
+/** Pre-training corpus operators beyond the dedup/ANN/text families:
+  * benchmark decontamination, repeated-span (substring) detection, PII
+  * counting, repetition-based quality signals, deterministic stratified
+  * sampling, per-source corpus stats, and embedding normalize/quantize.
+  *
+  * Scale shapes (the 100 TB design, per operator):
+  *   - decontaminate: the benchmark n-gram set is tiny (benchmark suites
+  *     are MBs against a 100 TB corpus) → broadcast hash join at the scan,
+  *     then one map-side-combined groupBy(doc). The corpus side never
+  *     shuffles its text — only (doc_id, gram_hash) pairs that HIT.
+  *   - dedup_substring: one hash shuffle on the span hash with map-side
+  *     combine — the same minimal shape as exact dedup.
+  *   - pii_count / sample_stratified / embed_*: narrow codegen'd
+  *     projections, zero shuffle; sampling filters at the scan.
+  *   - quality_repetition: distinct-n-gram ratios ride narrow array ops;
+  *     only the top-token mode pays a (doc_id, token) groupBy — both aggs
+  *     are map-side combined and AQE coalesces the tail.
+  *   - domain_stats: one groupBy on the block key (source/domain).
+  *
+  * Oracle parity follows the house rules (see TextOps): md5-derived
+  * hashes, LEFT folds, exact integer arithmetic wherever a double sum
+  * would depend on partition order — notably domain_stats sums QUANTIZED
+  * quality micros (exact longs) instead of averaging doubles, because a
+  * parallel double sum is order-dependent and would hash-mismatch DuckDB.
+  */
+object PretrainOps {
+  import TextOps.{sqlTokenHash, sqlTokens, tokenHash, tokens}
+  import DedupOps.fanout
+
+  /** Decontamination n-gram width (words). Real pipelines use 8-13-gram
+    * exact overlap (GPT-3 appendix C / Gopher A.2 style); the synthetic
+    * docs are ~60 tokens so 5 keeps the oracle populated at sf0.001.
+    */
+  val DecontamGram = 5
+
+  /** The `source` value treated as the held-out benchmark corpus. */
+  val BenchmarkSource = "src0"
+
+  /** Repeated-span width (words) for substring-level dedup. */
+  val SpanWords = 8
+
+  /** Stratified sampling: per-language keep-rate (percent of the hash
+    * space). Shaped like a low-resource-upweighting schedule: the
+    * high-resource language is downsampled hardest.
+    */
+  val StratRates: Seq[(String, Int)] =
+    Seq("en" -> 20, "es" -> 40, "de" -> 60, "fr" -> 80, "zh" -> 100)
+
+  /** Repetition-gate thresholds (Gopher-style repetition signals). */
+  val TopTokenMax = 0.20
+  val Dup2GramMax = 0.30
+
+  /** Quality quantization step for exact-arithmetic aggregation:
+    * micro-units (1e-6). */
+  val QualityMicro = 1000000.0
+
+  // -------------------------------------------------------- decontaminate
+
+  /** Distinct [[DecontamGram]]-word shingle hashes of a text column. */
+  private def decontamGrams: Column =
+    array_distinct(word_shingle_hashes(tokens(col("text")), DecontamGram))
+
+  private def sqlGramHashes(width: Int): String = {
+    val toks = sqlTokens("text")
+    s"list_distinct(list_transform(range(1, greatest(len($toks) - ${width - 1}, 1) + 1), " +
+      s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${width - 1}), ' ')")}))"
+  }
+
+  /** Benchmark decontamination: flag training docs sharing ≥ 1 exact
+    * [[DecontamGram]]-gram with the held-out benchmark split
+    * (`source = src0`). Output per contaminated doc: distinct-gram hit
+    * count and contamination ratio.
+    *
+    * The benchmark gram set is broadcast (it is small by construction —
+    * eval suites don't grow with the corpus), so the training side is one
+    * scan + broadcast semi-ish join + map-side-combined groupBy: no
+    * shuffle of corpus text, ever.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val g = fanout(docs).select(col("doc_id"), col("source"), decontamGrams.as("gs"))
+    val bench = g.filter(col("source") === BenchmarkSource)
+      .select(explode(col("gs")).as("g")).distinct()
+    val train = g.filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+    train.join(broadcast(bench), "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+  }
+
+  def sqlDecontaminate: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ${sqlGramHashes(DecontamGram)} AS gs FROM documents),
+       |bench AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(gs) AS g FROM g WHERE source = '$BenchmarkSource')),
+       |train AS (
+       |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+       |  FROM g WHERE source <> '$BenchmarkSource')
+       |SELECT doc_id, n_grams, count(*) AS n_hits,
+       |  CAST(count(*) AS DOUBLE) / n_grams AS contamination
+       |FROM train JOIN bench USING (g)
+       |GROUP BY doc_id, n_grams""".stripMargin
+
+  // ------------------------------------------------------ dedup_substring
+
+  /** Repeated-span detection — the shuffle-native stand-in for
+    * suffix-array exact-substring dedup: any [[SpanWords]]-word span
+    * appearing in ≥ 2 distinct documents, with its occurrence count and
+    * smallest containing doc. One hash shuffle on the span hash (map-side
+    * combined); the verbatim span text never leaves the mapper.
+    */
+  def dedupSubstring(docs: DataFrame): DataFrame =
+    fanout(docs)
+      .select(col("doc_id"),
+        explode(array_distinct(word_shingle_hashes(tokens(col("text")), SpanWords)))
+          .as("span_hash"))
+      .groupBy("span_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc_id"))
+      .filter(col("n_docs") >= 2)
+
+  def sqlDedupSubstring: String =
+    s"""SELECT span_hash, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+       |FROM (
+       |  SELECT doc_id, unnest(${sqlGramHashes(SpanWords)}) AS span_hash
+       |  FROM documents)
+       |GROUP BY span_hash HAVING count(*) >= 2""".stripMargin
+
+  // ------------------------------------------------------------ pii_count
+
+  /** Phone / IPv4 literals (RE2- and Java-compatible; anchored loosely —
+    * the scrub pass in TextOps owns redaction, this op owns auditing).
+    */
+  val PhonePattern = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Per-document PII audit: counts per category (email / URL / phone /
+    * IPv4 / long digit run) + a has_pii flag. Narrow codegen'd projection;
+    * pairs with [[TextOps.textScrub]] (which redacts) as the measure
+    * side of a scrub-then-verify pipeline.
+    */
+  def piiCount(docs: DataFrame): DataFrame = {
+    val nEmail = regexp_count(col("text"), lit(TextOps.EmailPattern)).cast("long")
+    val nUrl = regexp_count(col("text"), lit(TextOps.UrlPattern)).cast("long")
+    val nPhone = regexp_count(col("text"), lit(PhonePattern)).cast("long")
+    val nIp = regexp_count(col("text"), lit(Ipv4Pattern)).cast("long")
+    val nNum = regexp_count(col("text"), lit(TextOps.NumPattern)).cast("long")
+    docs.select(col("doc_id"),
+      nEmail.as("n_emails"), nUrl.as("n_urls"), nPhone.as("n_phones"),
+      nIp.as("n_ips"), nNum.as("n_longnums"),
+      (nEmail + nUrl + nPhone + nIp + nNum > 0).as("has_pii"))
+  }
+
+  def sqlPiiCount: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.UrlPattern}')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$PhonePattern')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Pattern')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(text, '${TextOps.NumPattern}')) AS BIGINT) AS n_longnums,
+       |  len(regexp_extract_all(text, '${TextOps.EmailPattern}')) +
+       |    len(regexp_extract_all(text, '${TextOps.UrlPattern}')) +
+       |    len(regexp_extract_all(text, '$PhonePattern')) +
+       |    len(regexp_extract_all(text, '$Ipv4Pattern')) +
+       |    len(regexp_extract_all(text, '${TextOps.NumPattern}')) > 0 AS has_pii
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------- quality_repetition
+
+  /** Gopher-style repetition signals: duplicate-2/3-gram ratios (narrow
+    * distinct-array arithmetic) + top-token mode share (the one shuffle:
+    * (doc_id, token) count, then per-doc max/sum — both map-side
+    * combined). `is_repetitive` gates on [[TopTokenMax]]/[[Dup2GramMax]].
+    */
+  def qualityRepetition(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val g2 = word_shingle_hashes(toks, 2)
+    val g3 = word_shingle_hashes(toks, 3)
+    val narrow = fanout(docs).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      (lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)).as("dup_2gram_ratio"),
+      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3)).as("dup_3gram_ratio"),
+      explode(toks).as("tok"))
+    val top = narrow
+      .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_ratio"))
+    top.select(col("doc_id"), col("n_tokens"), col("top_token_ratio"),
+      col("dup_2gram_ratio"), col("dup_3gram_ratio"),
+      (col("top_token_ratio") > TopTokenMax || col("dup_2gram_ratio") > Dup2GramMax)
+        .as("is_repetitive"))
+  }
+
+  def sqlQualityRepetition: String = {
+    def dupRatio(w: Int): String = {
+      val toks = sqlTokens("text")
+      val grams = s"list_transform(range(1, greatest(len($toks) - ${w - 1}, 1) + 1), " +
+        s"i -> array_to_string(list_slice($toks, i, i + ${w - 1}), ' '))"
+      s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / len($grams)"
+    }
+    s"""WITH narrow AS (
+       |  SELECT doc_id,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+       |    ${dupRatio(2)} AS dup_2gram_ratio,
+       |    ${dupRatio(3)} AS dup_3gram_ratio,
+       |    unnest(${sqlTokens("text")}) AS tok
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, tok, count(*) AS c
+       |  FROM narrow GROUP BY ALL),
+       |top AS (
+       |  SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio,
+       |    CAST(max(c) AS DOUBLE) / sum(c) AS top_token_ratio
+       |  FROM tf GROUP BY ALL)
+       |SELECT doc_id, n_tokens, top_token_ratio, dup_2gram_ratio, dup_3gram_ratio,
+       |  top_token_ratio > $TopTokenMax OR dup_2gram_ratio > $Dup2GramMax AS is_repetitive
+       |FROM top""".stripMargin
+  }
+
+  // ---------------------------------------------------- sample_stratified
+
+  /** Deterministic stratified sampling: an md5-derived hash of the doc id
+    * lands each doc in a [0,100) bucket; a doc survives iff its bucket is
+    * under its language's [[StratRates]] keep-rate. `weight` is the
+    * inverse keep-probability (the loss/count reweighting factor).
+    * Narrow projection + filter — the sample decision runs at the scan,
+    * no shuffle, reproducible across runs and engines (no RNG).
+    */
+  def sampleStratified(docs: DataFrame): DataFrame = {
+    val bucket = pmod(tokenHash(concat(lit("strat:"), col("doc_id").cast("string"))), lit(100L))
+    val rate = StratRates.tail.foldLeft(
+      when(col("lang") === StratRates.head._1, lit(StratRates.head._2))) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, lit(r))
+    }.otherwise(lit(100))
+    docs.select(col("doc_id"), col("lang"), col("source"),
+        bucket.as("bucket"), rate.cast("long").as("keep_rate"))
+      .filter(col("bucket") < col("keep_rate"))
+      .withColumn("weight", lit(100.0) / col("keep_rate"))
+  }
+
+  def sqlSampleStratified: String = {
+    val cases = StratRates.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT *, 100.0 / keep_rate AS weight FROM (
+       |  SELECT doc_id, lang, source,
+       |    ${sqlTokenHash("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+       |    CAST(CASE lang $cases ELSE 100 END AS BIGINT) AS keep_rate
+       |  FROM documents)
+       |WHERE bucket < keep_rate""".stripMargin
+  }
+
+  // --------------------------------------------------------- domain_stats
+
+  /** Per-source (≙ per-domain) corpus stats: doc/language counts, total
+    * tokens, and mean quality. One groupBy on the block key, map-side
+    * combined. Quality is quantized to exact micro-units BEFORE the sum:
+    * a double sum's value depends on partition order (fp addition is not
+    * associative), so summing longs is the only way the distributed
+    * aggregate stays bit-identical to the single-threaded oracle.
+    */
+  def domainStats(docs: DataFrame): DataFrame = {
+    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val qMicro = when(quality.isNull, lit(null).cast("long"))
+      .otherwise(floor(quality * lit(QualityMicro) + lit(0.5)).cast("long"))
+    docs
+      .select(col("source"), col("lang"), nTok.as("n_tok"), qMicro.as("q_micro"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("sum_tokens"),
+        count(col("q_micro")).as("n_scored"),
+        sum(col("q_micro")).as("sum_quality_micro"))
+      .withColumn("mean_quality",
+        col("sum_quality_micro") / lit(QualityMicro) / col("n_scored"))
+  }
+
+  def sqlDomainStats: String = {
+    val set = TextOps.StopwordProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT source, lang, n_tokens,
+       |    CASE WHEN n_chars_m = 0 THEN NULL ELSE CAST(floor((
+       |      0.4 * least(n_tokens / 64.0, 1.0) +
+       |      0.3 * least((CAST(n_stop AS DOUBLE) / n_tokens) * 4.0, 1.0) +
+       |      0.3 * (CAST(n_alpha AS DOUBLE) / n_chars_m)) * $QualityMicro + 0.5) AS BIGINT)
+       |    END AS q_micro
+       |  FROM (
+       |    SELECT source, lang,
+       |      CAST(len(toks) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(toks, t -> list_contains($set, t))) AS BIGINT) AS n_stop,
+       |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
+       |      CAST(length(text) AS BIGINT) AS n_chars_m
+       |    FROM (SELECT source, lang, text, ${sqlTokens("text")} AS toks FROM documents)))
+       |SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  count(q_micro) AS n_scored,
+       |  CAST(sum(q_micro) AS BIGINT) AS sum_quality_micro,
+       |  CAST(sum(q_micro) AS BIGINT) / $QualityMicro / count(q_micro) AS mean_quality
+       |FROM q GROUP BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------ embed_normalize
+
+  /** L2 normalization, emitted one row per dimension (vec_id, norm,
+    * dim_idx, u) — the exploded layout keeps the oracle hash-comparable
+    * (array cells aren't) and is what a columnar ANN index ingests anyway.
+    * Narrow per-row map + generate; zero vectors are filtered (an Inf/NaN
+    * unit vector is not a unit vector).
+    */
+  def embedNormalize(emb: DataFrame): DataFrame =
+    SimilarityOps.withNorm(emb)
+      .filter(col("norm") =!= 0)
+      .select(col("vec_id"), col("norm"),
+        posexplode(transform(col("emb_d"), x => x / col("norm"))))
+      .select(col("vec_id"), col("norm"),
+        col("pos").cast("long").as("dim_idx"), col("col").as("u"))
+
+  def sqlEmbedNormalize: String =
+    s"""WITH e AS (${SimilarityOps.sqlWithNorm("embeddings")})
+       |SELECT vec_id, norm, CAST(i - 1 AS BIGINT) AS dim_idx, emb_d[i] / norm AS u
+       |FROM (
+       |  SELECT vec_id, norm, emb_d, unnest(range(1, len(emb_d) + 1)) AS i
+       |  FROM e WHERE norm <> 0)""".stripMargin
+
+  // ------------------------------------------------------- embed_quantize
+
+  /** Symmetric int8 quantization: scale = 127/max|x|, q_i = ⌊x_i·scale +
+    * 0.5⌋ (explicit floor(+0.5), not round() — engines disagree on
+    * rounding mode, floor does not). Output keeps the scale for exact
+    * dequantization. Narrow map, no shuffle; the int8 vectors are the
+    * memory-bound ANN path's storage format at scale (4× smaller than
+    * float32, 8× smaller than the double working form).
+    */
+  def embedQuantize(emb: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    fanout(emb).select(col("vec_id"), d.as("emb_d"))
+      .withColumn("amax", array_max(transform(col("emb_d"), x => abs(x))))
+      .filter(col("amax") =!= 0)
+      .withColumn("scale", lit(127.0) / col("amax"))
+      .select(col("vec_id"), col("amax"), col("scale"),
+        posexplode(transform(col("emb_d"),
+          x => floor(x * col("scale") + lit(0.5)).cast("long"))))
+      .select(col("vec_id"), col("amax"), col("scale"),
+        col("pos").cast("long").as("dim_idx"), col("col").as("qv"))
+  }
+
+  def sqlEmbedQuantize: String =
+    s"""SELECT vec_id, amax, 127.0 / amax AS scale, CAST(i - 1 AS BIGINT) AS dim_idx,
+       |  CAST(floor(emb_d[i] * (127.0 / amax) + 0.5) AS BIGINT) AS qv
+       |FROM (
+       |  SELECT vec_id, emb_d, amax, unnest(range(1, len(emb_d) + 1)) AS i
+       |  FROM (
+       |    SELECT vec_id, emb_d,
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(emb_d, x -> abs(x))), (a,x) -> greatest(a,x)) AS amax
+       |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings))
+       |  WHERE amax <> 0)""".stripMargin
+}

@@ -121,6 +121,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("pretrain ops: narrow stay narrow, aggregations stay minimal") {
+    // pure projections/filters — a shuffle here is always a regression
+    for (name <- Seq("pii_count", "sample_stratified")) {
+      assert(exchanges(q(name)) == 0, s"$name grew a shuffle")
+    }
+    // fanout insurance repartition + one map-side-combined agg
+    assert(exchanges(q("dedup_substring")) == 2,
+      "dedup_substring is fanout + one hash agg")
+    // decontaminate: corpus side must reach the hit-join via BROADCAST —
+    // the whole scale story is that corpus text never shuffles; the only
+    // shuffles are the fanout + the tiny benchmark distinct + final agg
+    val dec = nodes(q("decontaminate"))
+    assert(dec.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "decontaminate lost the benchmark-side broadcast")
+    assert(!dec.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
   test("pairwise dedup ops never plan a cartesian product") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean")) {

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.PretrainOps
+
+/** Specs for the round-3 pre-training corpus operators: planted fixtures
+  * with hand-checkable outcomes, plus determinism/invariant checks on the
+  * real documents/embeddings tables.
+  */
+class PretrainOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // -------------------------------------------------------- decontaminate
+
+  test("decontaminate flags the doc sharing a benchmark 5-gram, not others") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta"
+    val leaked = "intro words then alpha beta gamma delta epsilon closing"
+    val clean = "totally unrelated content with no overlap whatsoever here"
+    val planted = Seq(
+      (1L, benchText, PretrainOps.BenchmarkSource),
+      (2L, leaked, "src1"),
+      (3L, clean, "src2")
+    ).toDF("doc_id", "text", "source")
+    val out = PretrainOps.decontaminate(planted)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    // leaked shares exactly the 5-grams "alpha beta gamma delta epsilon"
+    assert(out.keySet == Set(2L), s"only the leaked doc is contaminated: $out")
+    assert(out(2L) == 1L)
+  }
+
+  test("decontaminate: benchmark docs never appear in the output") {
+    val out = PretrainOps.decontaminate(docs)
+    val benchIds = docs.filter($"source" === PretrainOps.BenchmarkSource)
+      .select("doc_id").as[Long].collect().toSet
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    assert(outIds.intersect(benchIds).isEmpty)
+    val bad = out.filter($"contamination" < 0 || $"contamination" > 1).count()
+    assert(bad == 0)
+  }
+
+  // ------------------------------------------------------ dedup_substring
+
+  test("dedup_substring finds the span shared by two docs") {
+    val span = (1 to PretrainOps.SpanWords).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (10L, s"prefix one two three $span"),
+      (20L, s"$span suffix tokens here"),
+      (30L, "nothing shared with anyone in this document at all ok")
+    ).toDF("doc_id", "text")
+    val out = PretrainOps.dedupSubstring(planted)
+      .select("n_docs", "rep_doc_id").as[(Long, Long)].collect()
+    assert(out.nonEmpty, "the shared 8-word span must surface")
+    assert(out.forall { case (n, rep) => n == 2L && rep == 10L })
+  }
+
+  test("dedup_substring: unique corpus → empty; duplicated corpus → hits") {
+    val unique = (1 to 3).map(i =>
+      (i.toLong, (0 until 20).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(PretrainOps.dedupSubstring(unique).count() == 0)
+  }
+
+  // ------------------------------------------------------------ pii_count
+
+  test("pii_count counts each category and flags has_pii") {
+    val planted = Seq(
+      (1L, "contact me at alice@example.com or https://ex.com/x and +1 555-123-4567"),
+      (2L, "server at 10.0.0.1 with id 1234567890"),
+      (3L, "perfectly clean text with no sensitive payloads at all")
+    ).toDF("doc_id", "text")
+    val out = PretrainOps.piiCount(planted)
+      .select("doc_id", "n_emails", "n_urls", "n_phones", "n_ips", "n_longnums", "has_pii")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 1L, 1L, 0L, 0L, true)))
+    assert(out(2L) == ((2L, 0L, 0L, 0L, 1L, 1L, true)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, false)))
+  }
+
+  // --------------------------------------------------- quality_repetition
+
+  test("quality_repetition: spam doc gates out, diverse doc passes") {
+    val spam = (1 to 30).map(_ => "buy").mkString(" ")
+    val diverse = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val planted = Seq((1L, spam), (2L, diverse)).toDF("doc_id", "text")
+    val out = PretrainOps.qualityRepetition(planted)
+      .select("doc_id", "top_token_ratio", "dup_2gram_ratio", "is_repetitive")
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1.0 && out(1L)._4, "all-same-token doc is repetitive")
+    assert(out(1L)._3 > 0.9, "spam 2-grams are all duplicates")
+    assert(out(2L)._2 < 0.1 && !out(2L)._4, "all-distinct doc is not repetitive")
+    assert(out(2L)._3 == 0.0)
+  }
+
+  // ---------------------------------------------------- sample_stratified
+
+  test("sample_stratified is deterministic, respects per-lang rates") {
+    val a = PretrainOps.sampleStratified(docs).select("doc_id").as[Long].collect().toSet
+    val b = PretrainOps.sampleStratified(docs).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "no RNG: the sample is a pure function of doc_id")
+    val out = PretrainOps.sampleStratified(docs)
+    assert(out.filter($"bucket" >= $"keep_rate").count() == 0)
+    // rate-100 stratum is kept in full
+    val zhAll = docs.filter($"lang" === "zh").count()
+    val zhKept = out.filter($"lang" === "zh").count()
+    assert(zhKept == zhAll, s"zh keep-rate is 100%: $zhKept of $zhAll")
+    // weights invert the keep rate
+    assert(out.filter($"weight" =!= lit(100.0) / $"keep_rate").count() == 0)
+    // the en stratum is actually downsampled on the real table
+    val enAll = docs.filter($"lang" === "en").count()
+    val enKept = out.filter($"lang" === "en").count()
+    assert(enKept < enAll, s"en keep-rate 20% must drop docs: $enKept of $enAll")
+  }
+
+  // --------------------------------------------------------- domain_stats
+
+  test("domain_stats aggregates per source with exact token totals") {
+    val planted = Seq(
+      (1L, "the of and to one two", "en", "sA"),
+      (2L, "three four", "en", "sA"),
+      (3L, "cinco seis siete", "es", "sA"),
+      (4L, "eight nine ten", "en", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = PretrainOps.domainStats(planted)
+      .select("source", "n_docs", "n_langs", "sum_tokens", "n_scored")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("sA") == (("sA", 3L, 2L, 11L, 3L)))
+    assert(out("sB") == (("sB", 1L, 1L, 3L, 1L)))
+    val mq = PretrainOps.domainStats(planted)
+      .filter($"mean_quality" < 0 || $"mean_quality" > 1).count()
+    assert(mq == 0)
+  }
+
+  test("domain_stats covers every source once on the real table") {
+    val out = PretrainOps.domainStats(docs)
+    assert(out.count() == docs.select("source").distinct().count())
+    assert(out.agg(sum("n_docs")).as[Long].head() == docs.count())
+  }
+
+  // ------------------------------------------------------ embed_normalize
+
+  test("embed_normalize yields unit vectors; zero vector → no rows") {
+    val out = PretrainOps.embedNormalize(emb)
+    val norms = out.groupBy("vec_id").agg(sqrt(sum($"u" * $"u")).as("unit_norm"))
+    assert(norms.filter(abs($"unit_norm" - 1.0) > 1e-9).count() == 0,
+      "every normalized vector has L2 norm 1")
+    assert(out.groupBy("vec_id").count().filter($"count" =!= 64).count() == 0,
+      "one row per dimension")
+    val zeroVec = Seq((99L, Array.fill(4)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(PretrainOps.embedNormalize(zeroVec).count() == 0,
+      "zero vector is filtered, never an Inf/NaN unit vector")
+  }
+
+  // ------------------------------------------------------- embed_quantize
+
+  test("embed_quantize: |qv| ≤ 127, max hits 127, dequant error ≤ half step") {
+    val out = PretrainOps.embedQuantize(emb).cache()
+    try {
+      assert(out.filter(abs($"qv") > 127).count() == 0)
+      // the max-|x| element of every vector maps to ±127 exactly
+      val tops = out.groupBy("vec_id").agg(max(abs($"qv")).as("m"))
+      assert(tops.filter($"m" =!= 127).count() == 0)
+      val orig = emb.select($"vec_id", posexplode(
+          transform($"embedding", x => x.cast("double"))))
+        .select($"vec_id", $"pos".cast("long").as("dim_idx"), $"col".as("x"))
+      val err = out.join(orig, Seq("vec_id", "dim_idx"))
+        .filter(abs($"x" * $"scale" - $"qv") > 0.5 + 1e-9)
+      assert(err.count() == 0, "every element quantizes within half a step")
+    } finally { out.unpersist(); () }
+  }
+
+  test("embed_quantize: zero vector → no rows") {
+    val zeroVec = Seq((7L, Array.fill(4)(0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(PretrainOps.embedQuantize(zeroVec).count() == 0)
+  }
+}
