@@ -74,17 +74,62 @@ class PlanSpec extends SparkSuite {
       s"corpus_clean grew to ${exchanges(q("corpus_clean"))} exchanges")
   }
 
-  test("ordinal ops: two PARTITIONED shuffles, never a single-partition one") {
-    // two-pass globalOrdinals: hash exchange for the per-block window +
-    // the final agg exchange — and, the point of the design, NO exchange
-    // that funnels the whole input into one partition (the round-1
-    // WindowExec-warning plans did exactly that)
+  test("ordinal ops: the input never funnels through one partition") {
+    // lazy two-pass globalOrdinals: the plan may shuffle several times
+    // (bounds agg, counts agg, offsets prefix window, the _ord window,
+    // the final agg) but — the point of the design — every exchange that
+    // collapses to ONE partition sits above an aggregation (a 1-row
+    // bounds frame or the O(blocks) counts frame), never above the raw
+    // input (the round-1 WindowExec-warning plans did exactly that)
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def hasAggBelow(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => true
+      case a: AdaptiveSparkPlanExec => hasAggBelow(a.executedPlan)
+      case other => other.children.exists(hasAggBelow)
+    }
     for (name <- Seq("chunk_split", "batch_accumulate", "concurrent_partition")) {
       val ex = nodes(q(name)).collect { case e: ShuffleExchangeExec => e }
-      assert(ex.size == 2, s"$name should shuffle exactly twice, got ${ex.size}")
-      assert(!ex.exists(_.outputPartitioning.numPartitions == 1),
-        s"$name regressed to a single-partition exchange")
+      val funnels = ex.filter(e =>
+        e.outputPartitioning.numPartitions == 1 && !hasAggBelow(e.child))
+      assert(funnels.isEmpty,
+        s"$name funnels un-aggregated data into a single partition")
+      // and the window that stamps _ord over the full input is partitioned
+      val windows = nodes(q(name)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$name has a window with no partition spec")
     }
+  }
+
+  test("ordinal ops build lazily: no job at DataFrame-construction time") {
+    // round 2's globalOrdinals ran head() + collect() at BUILD time (two
+    // eager evaluations of the whole upstream pipeline per invocation) —
+    // the same anti-pattern the round-1 verdict flagged for tfidf
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // pre-read the table: spark.read.parquet may run its own footer job,
+      // which is not what this guards against
+      import graft.ops.CdcOps
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val acts = CdcOps.handlerActions(CdcOps.typedMessages(events))
+      Thread.sleep(1000)
+      counter.set(0)
+      val dfs = Seq(
+        CdcOps.chunkSplit(acts, 100),
+        CdcOps.batchAccumulate(acts, 1000),
+        CdcOps.concurrentPartition(acts, 4))
+      Thread.sleep(1000)
+      assert(counter.get() == 0,
+        "building an ordinal op launched a Spark job (eager bounds/offsets)")
+      assert(dfs.forall(_.columns.nonEmpty))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("tfidf_topk builds lazily: no job at DataFrame-construction time") {
