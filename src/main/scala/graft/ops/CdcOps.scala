@@ -325,9 +325,11 @@ object CdcOps {
         .drop("_pid_o")) { (d, c) => d.drop(s"${c}__o") }
       .withColumn("_ord", col("_offset") + row_number().over(w) - 1)
       .drop("_pid", "_offset")
+    // totals fold the already-grouped counts frame — NOT another scan of
+    // the raw input (callers broadcast-join this 1-row/`groups`-row frame)
     val totals =
-      if (groupCols.isEmpty) df.agg(count(lit(1)).as("_total"))
-      else df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("_total"))
+      if (groupCols.isEmpty) counts.agg(sum(col("_n")).as("_total"))
+      else counts.groupBy(groupCols.map(col): _*).agg(sum(col("_n")).as("_total"))
     (out, totals)
   }
 

@@ -202,10 +202,14 @@ object PretrainOps {
   }
 
   def sqlQualityRepetition: String = {
+    // the ratio distinct-counts HASHED grams in both engines (same md5
+    // derivation), so a 32-bit collision collapses the same two grams on
+    // both sides — distinct-counting raw strings here against hashes in
+    // Spark would diverge on the first collision
     def dupRatio(w: Int): String = {
       val toks = sqlTokens("text")
       val grams = s"list_transform(range(1, greatest(len($toks) - ${w - 1}, 1) + 1), " +
-        s"i -> array_to_string(list_slice($toks, i, i + ${w - 1}), ' '))"
+        s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${w - 1}), ' ')")})"
       s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / len($grams)"
     }
     s"""WITH narrow AS (

@@ -49,4 +49,57 @@ object DedupStream {
       .trigger(trigger)
       .format("parquet")
       .start()
+
+  /** Streaming decontamination: continuously-arriving documents are
+    * checked against a STATIC benchmark corpus via a stream-static
+    * broadcast join on [[graft.ops.PretrainOps.DecontamGram]]-word gram
+    * hashes. The static side is the tiny benchmark gram set (eval suites
+    * don't grow with the corpus), so each micro-batch is one narrow
+    * gram-explode + broadcast hash join + per-doc agg — stateless, which
+    * is the point: contamination is a property of the doc against a fixed
+    * set, so no state store is involved and throughput is scan-bound.
+    *
+    * Emits one row per CONTAMINATED incoming doc (doc_id, n_grams,
+    * n_hits, contamination); clean docs pass the filter silently (the
+    * caller keeps them — this stream is the audit side).
+    */
+  def runDecontaminate(spark: SparkSession, docsDir: String,
+      benchmarkDocs: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.PretrainOps
+    import org.apache.spark.sql.graftext.ArrayFunctions.word_shingle_hashes
+    import graft.ops.TextOps.tokens
+    val benchGrams = broadcast(
+      benchmarkDocs
+        .select(explode(array_distinct(
+          word_shingle_hashes(tokens(col("text")), PretrainOps.DecontamGram))).as("g"))
+        .distinct())
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .select(col("doc_id"),
+        array_distinct(word_shingle_hashes(tokens(col("text")),
+          PretrainOps.DecontamGram)).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode(col("gs")).as("g"))
+      .writeStream
+      .queryName("graft-decontaminate-stream")
+      .option("checkpointLocation", checkpointDir)
+      // join + per-doc agg run INSIDE the micro-batch: a doc's grams all
+      // arrive in one batch (file granularity), so a streaming groupBy
+      // would only add a state store keyed by every doc ever seen —
+      // stateless foreachBatch keeps the query scan-bound
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.join(benchGrams, "g")
+          .groupBy("doc_id", "n_grams")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(col("doc_id"), col("n_grams"), col("n_hits"),
+            (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }

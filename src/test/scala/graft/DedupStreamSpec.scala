@@ -32,4 +32,35 @@ class DedupStreamSpec extends SparkSuite {
     val after = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
     assert(after == Set(1L, 2L, 4L), s"got $after") // 3 deduped against state
   }
+
+  test("streaming decontamination: stream-static broadcast join flags leaked docs") {
+    val docsDir = tmp("dc-docs")
+    val outDir = tmp("dc-out")
+    val ckpt = tmp("dc-ckpt")
+
+    val benchText = "alpha beta gamma delta epsilon zeta eta"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    // batch 1: one leaked doc (shares the 5-gram window), one clean doc
+    Seq((1L, s"intro words then alpha beta gamma delta epsilon closing"),
+        (2L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q1 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
+    q1.awaitTermination(60000)
+    val got1 = spark.read.parquet(outDir)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(got1 == Map(1L -> 1L), s"only the leaked doc is flagged: $got1")
+
+    // batch 2 after restart: stateless — a new leak is still caught, the
+    // old one is not re-emitted
+    Seq((3L, s"another leak $benchText end"), (4L, "still clean text here ok"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q2 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
+    q2.awaitTermination(60000)
+    val got2 = spark.read.parquet(outDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got2 == Set(1L, 3L), s"got $got2")
+  }
 }
