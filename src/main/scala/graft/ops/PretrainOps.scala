@@ -177,21 +177,34 @@ object PretrainOps {
 
   /** Gopher-style repetition signals: duplicate-2/3-gram ratios (narrow
     * distinct-array arithmetic) + top-token mode share (the one shuffle:
-    * (doc_id, token) count, then per-doc max/sum — both map-side
+    * (doc_id, token-hash) count, then per-doc max/sum — both map-side
     * combined). `is_repetitive` gates on [[TopTokenMax]]/[[Dup2GramMax]].
+    *
+    * One md5 per TOKEN total: tokens are hashed once
+    * (md5_prefix_hashes), n-gram hashes derive from the token-hash array
+    * by the [[TextOps.FpMult]]/[[TextOps.P]] polynomial fold (the
+    * doc_fingerprint scheme), and the mode share groups on the token
+    * HASH — long shuffle keys instead of strings. The oracle mirrors
+    * every step, so a hash collision collapses identically in both
+    * engines.
     */
   def qualityRepetition(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val g2 = word_shingle_hashes(toks, 2)
-    val g3 = word_shingle_hashes(toks, 3)
-    val narrow = fanout(docs).select(
-      col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
-      (lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2)).as("dup_2gram_ratio"),
-      (lit(1.0) - size(array_distinct(g3)).cast("double") / size(g3)).as("dup_3gram_ratio"),
-      explode(toks).as("tok"))
+    import org.apache.spark.sql.graftext.ArrayFunctions.{md5_prefix_hashes, rolling_window_hashes}
+    val ths = md5_prefix_hashes(tokens(col("text")))
+    def dupRatio(g: Column): Column =
+      lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
+    val narrow = fanout(docs)
+      .select(col("doc_id"), ths.as("ths"))
+      .select(
+        col("doc_id"),
+        size(col("ths")).cast("long").as("n_tokens"),
+        dupRatio(rolling_window_hashes(col("ths"), 2, TextOps.FpMult, TextOps.P))
+          .as("dup_2gram_ratio"),
+        dupRatio(rolling_window_hashes(col("ths"), 3, TextOps.FpMult, TextOps.P))
+          .as("dup_3gram_ratio"),
+        explode(col("ths")).as("th"))
     val top = narrow
-      .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio", "tok")
+      .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio", "th")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio")
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_ratio"))
@@ -202,25 +215,27 @@ object PretrainOps {
   }
 
   def sqlQualityRepetition: String = {
-    // the ratio distinct-counts HASHED grams in both engines (same md5
-    // derivation), so a 32-bit collision collapses the same two grams on
-    // both sides — distinct-counting raw strings here against hashes in
-    // Spark would diverge on the first collision
+    // same derivation as the Spark side: per-token md5 hashes, n-gram
+    // hashes from the polynomial fold over hash windows — a collision
+    // collapses the same two grams in both engines
     def dupRatio(w: Int): String = {
-      val toks = sqlTokens("text")
-      val grams = s"list_transform(range(1, greatest(len($toks) - ${w - 1}, 1) + 1), " +
-        s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${w - 1}), ' ')")})"
+      val grams = s"list_transform(range(1, greatest(len(ths) - ${w - 1}, 1) + 1), " +
+        s"i -> list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(ths, i, i + ${w - 1})), " +
+        s"(a,x) -> (a * ${TextOps.FpMult} + x) % ${TextOps.P}))"
       s"1.0 - CAST(len(list_distinct($grams)) AS DOUBLE) / len($grams)"
     }
-    s"""WITH narrow AS (
+    s"""WITH hashed AS (
+       |  SELECT doc_id, list_transform(${sqlTokens("text")}, t -> ${sqlTokenHash("t")}) AS ths
+       |  FROM documents),
+       |narrow AS (
        |  SELECT doc_id,
-       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(len(ths) AS BIGINT) AS n_tokens,
        |    ${dupRatio(2)} AS dup_2gram_ratio,
        |    ${dupRatio(3)} AS dup_3gram_ratio,
-       |    unnest(${sqlTokens("text")}) AS tok
-       |  FROM documents),
+       |    unnest(ths) AS th
+       |  FROM hashed),
        |tf AS (
-       |  SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, tok, count(*) AS c
+       |  SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio, th, count(*) AS c
        |  FROM narrow GROUP BY ALL),
        |top AS (
        |  SELECT doc_id, n_tokens, dup_2gram_ratio, dup_3gram_ratio,

@@ -106,6 +106,10 @@ object ArrayFunctions {
   def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
 
+  /** Column DSL entry for [[RollingWindowHashes]]. */
+  def rolling_window_hashes(xs: Column, width: Int, mult: Long, mod: Long): Column =
+    ExpressionUtils.column(RollingWindowHashes(ExpressionUtils.expression(xs), width, mult, mod))
+
   /** Column DSL entry for [[DotProduct]]. */
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
@@ -408,5 +412,45 @@ case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Lo
   }
 
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+/** All `width`-element rolling window hashes of a long-array (the array
+  * form of [[RollingFingerprint]]: same window/fold definition, every
+  * window's hash instead of the min). Lets n-gram-level sketches reuse
+  * the per-token md5 hashes — one md5 per TOKEN total, window hashes are
+  * integer arithmetic — instead of an md5 per (token × gram-width).
+  * Inputs shorter than `width` get a single window over all elements;
+  * empty input → empty array.
+  */
+case class RollingWindowHashes(child: Expression, width: Int, mult: Long, mod: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n == 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    val nWin = math.max(n - width + 1, 1)
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingWindowHashes =
     copy(child = c)
 }
