@@ -207,6 +207,9 @@ object SparkEntry {
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
+    "sample_mixture" -> ((s, dir) => PretrainOps.sampleMixture(tbl(s, dir, "documents"))),
+    "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
+    "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
     "embed_quantize" -> ((s, dir) => PretrainOps.embedQuantize(tbl(s, dir, "embeddings")))
@@ -447,6 +450,9 @@ object SparkEntry {
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
+    "sample_mixture" -> PretrainOps.sqlSampleMixture,
+    "pack_sequences" -> PretrainOps.sqlPackSequences,
+    "dedup_survivors" -> DedupOps.sqlDedupSurvivors,
     "domain_stats" -> PretrainOps.sqlDomainStats,
     "embed_normalize" -> PretrainOps.sqlEmbedNormalize,
     "embed_quantize" -> PretrainOps.sqlEmbedQuantize

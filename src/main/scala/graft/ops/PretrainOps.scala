@@ -328,6 +328,122 @@ object PretrainOps {
        |FROM q GROUP BY source""".stripMargin
   }
 
+  // ------------------------------------------------------- pack_sequences
+
+  /** Training-sequence length (tokens) for [[packSequences]]. */
+  val SeqLen = 256L
+
+  /** GPT-style contiguous sequence packing: per source (≙ shard), docs
+    * concatenate in doc_id order into one token stream that is cut every
+    * [[SeqLen]] tokens; each doc reports the sequences it spans
+    * (`seq_start`..`seq_end`) and its offset inside its first sequence —
+    * exactly the index a packed-dataset loader needs, with zero padding
+    * waste (docs straddle sequence boundaries).
+    *
+    * Scale shape: one window partitioned by the shard key (`source`) —
+    * the same per-shard cumulative sum every packed-dataset writer runs;
+    * shards are bounded (a pathological single-shard corpus would fall
+    * back to the two-pass partition-offset ordinals of
+    * [[CdcOps.globalOrdinals]]). All arithmetic is exact long division —
+    * no fp in sight.
+    */
+  def packSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = fanout(docs).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div $SeqLen").as("seq_start"),
+        expr(s"(tok_start + n_tokens - 1) div $SeqLen").as("seq_end"),
+        pmod(col("tok_start"), lit(SeqLen)).as("seq_offset"))
+  }
+
+  def sqlPackSequences: String =
+    s"""SELECT doc_id, source, n_tokens, tok_start,
+       |  tok_start // $SeqLen AS seq_start,
+       |  (tok_start + n_tokens - 1) // $SeqLen AS seq_end,
+       |  tok_start % $SeqLen AS seq_offset
+       |FROM (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM (
+       |    SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |    FROM documents))""".stripMargin
+
+  // ------------------------------------------------------- sample_mixture
+
+  /** Domain-mixture targets: relative sampling weight per source (unnamed
+    * sources weigh 1.0). The realized mixture is ∝ these weights, scaled
+    * to the largest total budget no source can exceed (keep-rate ≤ 1).
+    */
+  val MixTargets: Seq[(String, Double)] = Seq("src1" -> 3.0, "src2" -> 2.0, "src3" -> 0.5)
+
+  /** Hash-space resolution for the deterministic keep decision. */
+  val MixBuckets = 1000000L
+
+  /** Domain-mixture sampling: re-weight the corpus so sampled token
+    * counts are ∝ [[MixTargets]], at the largest budget where every
+    * source's keep-rate stays ≤ 1 — i.e. `rate_s = (t_s / T_s) ·
+    * min_u(T_u / t_u)` (the budget term cancels, so no normalization
+    * pass is needed). The keep decision is the same deterministic
+    * md5-bucket scheme as [[sampleStratified]]; `weight` is the
+    * inverse-probability correction.
+    *
+    * Scale shape: per-source token totals are one map-side-combined agg
+    * into a sources-sized frame; the global min is a 1-row broadcast off
+    * that frame (lazy — building this launches zero jobs); the corpus
+    * side is a narrow scan + broadcast rate join + filter. The corpus
+    * never shuffles.
+    */
+  def sampleMixture(docs: DataFrame): DataFrame = {
+    val t = MixTargets.tail.foldLeft(
+      when(col("source") === MixTargets.head._1, lit(MixTargets.head._2))) {
+      case (acc, (s2, tw)) => acc.when(col("source") === s2, lit(tw))
+    }.otherwise(lit(1.0))
+    val stats = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("src_tokens"))
+      .withColumn("target_w", t)
+    val rmin = stats.agg(min(col("src_tokens") / col("target_w")).as("rmin"))
+    val rates = stats.crossJoin(broadcast(rmin))
+      .select(col("source"),
+        least(lit(1.0), col("target_w") * col("rmin") / col("src_tokens"))
+          .as("keep_rate"))
+    val bucket = pmod(
+      tokenHash(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
+    fanout(docs).select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("keep_rate") * lit(1000000.0))
+      .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
+        (lit(1.0) / col("keep_rate")).as("weight"))
+  }
+
+  def sqlSampleMixture: String = {
+    val cases = MixTargets.map { case (s, tw) => s"WHEN '$s' THEN $tw" }.mkString(" ")
+    s"""WITH st AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens,
+       |    CASE source $cases ELSE 1.0 END AS target_w
+       |  FROM (
+       |    SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+       |    FROM documents)
+       |  GROUP BY source),
+       |rmin AS (SELECT min(src_tokens / target_w) AS rmin FROM st),
+       |rates AS (
+       |  SELECT source, least(1.0, target_w * rmin / src_tokens) AS keep_rate
+       |  FROM st CROSS JOIN rmin)
+       |SELECT d.doc_id, d.source, d.bucket, r.keep_rate, 1.0 / r.keep_rate AS weight
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${sqlTokenHash("'mix:' || CAST(doc_id AS VARCHAR)")} % $MixBuckets AS bucket
+       |  FROM documents) d
+       |JOIN rates r USING (source)
+       |WHERE d.bucket < r.keep_rate * 1000000.0""".stripMargin
+  }
+
   // ------------------------------------------------------ embed_normalize
 
   /** L2 normalization, emitted one row per dimension (vec_id, norm,

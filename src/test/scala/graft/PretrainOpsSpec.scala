@@ -115,6 +115,65 @@ class PretrainOpsSpec extends SparkSuite {
     assert(enKept < enAll, s"en keep-rate 20% must drop docs: $enKept of $enAll")
   }
 
+  // ------------------------------------------------------- pack_sequences
+
+  test("pack_sequences: boundary-straddling doc spans two sequences") {
+    val L = PretrainOps.SeqLen
+    val planted = Seq(
+      (1L, (1 to 300).map(i => s"t$i").mkString(" "), "sA"),
+      (2L, (1 to 10).map(i => s"u$i").mkString(" "), "sA"),
+      (3L, "five tokens in this doc", "sB")
+    ).toDF("doc_id", "text", "source")
+    val out = PretrainOps.packSequences(planted)
+      .select("doc_id", "tok_start", "seq_start", "seq_end", "seq_offset")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 0L, 0L, (300 - 1) / L, 0L)))
+    assert(out(2L) == ((2L, 300L, 300 / L, (309) / L, 300 % L)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("pack_sequences invariants on the real table") {
+    val out = PretrainOps.packSequences(docs)
+    assert(out.count() == docs.count(), "every doc is packed")
+    assert(out.filter($"seq_offset" =!= pmod($"tok_start", lit(PretrainOps.SeqLen)))
+      .count() == 0)
+    assert(out.filter($"seq_end" < $"seq_start").count() == 0)
+    // per source the token stream is gapless: sum of lengths = max end
+    val bySrc = out.groupBy("source")
+      .agg(sum("n_tokens").as("total"), max($"tok_start" + $"n_tokens").as("hi"))
+    assert(bySrc.filter($"total" =!= $"hi").count() == 0)
+  }
+
+  // ------------------------------------------------------- sample_mixture
+
+  test("sample_mixture realizes the target token mixture") {
+    // src1 targets 3× the weight of an unnamed source; planted totals make
+    // src1 the binding constraint (rate exactly 1) and sX rate = 1/9
+    val planted = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" "), "src1"),
+      (2L, (1 to 30).map(i => s"b$i").mkString(" "), "sX")
+    ).toDF("doc_id", "text", "source")
+    val rates = PretrainOps.sampleMixture(planted)
+      .select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rates("src1") - 1.0) < 1e-9, s"binding source keeps all: $rates")
+    // rate_sX = t_sX · min(T_u/t_u) / T_sX = 1 · (10/3) / 30 = 1/9
+    assert(!rates.contains("sX") || math.abs(rates("sX") - 1.0 / 9) < 1e-9)
+  }
+
+  test("sample_mixture is deterministic and rate-consistent on the real table") {
+    val a = PretrainOps.sampleMixture(docs).select("doc_id").as[Long].collect().toSet
+    val b = PretrainOps.sampleMixture(docs).select("doc_id").as[Long].collect().toSet
+    assert(a == b, "no RNG: the sample is a pure function of doc_id")
+    val out = PretrainOps.sampleMixture(docs)
+    assert(out.filter($"bucket" >= $"keep_rate" * 1000000.0).count() == 0)
+    assert(out.filter($"keep_rate" > 1.0 || $"keep_rate" <= 0.0).count() == 0)
+    assert(out.filter($"weight" =!= lit(1.0) / $"keep_rate").count() == 0)
+    // at least one source is the binding constraint (keep-rate ~ 1)
+    val maxRate = out.agg(max("keep_rate")).as[Double].head()
+    assert(maxRate > 1.0 - 1e-9, s"binding source keeps (almost) all: $maxRate")
+  }
+
   // --------------------------------------------------------- domain_stats
 
   test("domain_stats aggregates per source with exact token totals") {

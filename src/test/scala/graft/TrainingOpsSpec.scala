@@ -126,6 +126,45 @@ class TrainingOpsSpec extends SparkSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("dedup_survivors: quality beats the id tie-break; singletons keep themselves") {
+    // docs 1 and 2 carry the SAME token sequence (identical shingles →
+    // jaccard 1.0 → one cluster), but doc 1 is double-spaced: more chars,
+    // same letters → lower alpha ratio → lower quality. The survivor must
+    // be the HIGHER-quality doc 2 even though the component id (min
+    // doc_id) is 1.
+    val toks = (1 to 40).map(i => s"token$i")
+    val planted = Seq(
+      (1L, toks.mkString("  ")),
+      (2L, toks.mkString(" ")),
+      (3L, (100 to 140).map(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupSurvivors(planted)
+      .select("doc_id", "component_id", "survivor_doc_id", "n_members", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 1L, 2L, 2L, false)))
+    assert(out(2L) == ((2L, 1L, 2L, 2L, true)))
+    assert(out(3L) == ((3L, 3L, 3L, 1L, true)))
+  }
+
+  test("dedup_survivors covers the corpus with one survivor per cluster") {
+    val out = DedupOps.dedupSurvivors(docs).cache()
+    try {
+      assert(out.count() == docs.count(), "one decision row per corpus doc")
+      val comps = DedupOps.dedupComponents(docs)
+      val nClusters = comps.select("component_id").distinct().count()
+      val clustered = comps.count()
+      val kept = out.filter($"keep").count()
+      assert(kept == docs.count() - clustered + nClusters,
+        "keep = everything minus (cluster members - one survivor each)")
+      // the survivor of every cluster is a member of that cluster
+      val badSurv = out.filter($"n_members" > 1)
+        .select($"component_id", $"survivor_doc_id".as("doc_id"))
+        .distinct()
+        .join(comps, Seq("component_id", "doc_id"), "left_anti")
+      assert(badSurv.count() == 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("signature-table checkpoint path: parquet materialization matches the cached path") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"token$i").mkString(" ")
