@@ -1,0 +1,168 @@
+package org.apache.spark.sql.graftext
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-row kernels behind the custom hash/sketch expressions.
+  *
+  * Each kernel is a static method (Scala top-level object ⇒ Java static
+  * forwarder), so whole-stage codegen can emit a direct
+  * `HashKernels.xxx(arr)` call instead of falling back to the boxed
+  * `Expression.eval(InternalRow)` path — the projection stays one fused
+  * codegen stage, and interpreted mode calls the very same kernel, so
+  * both paths are bit-identical by construction.
+  *
+  * The MD5 instance is per-thread (kernels are static; Spark evaluates
+  * expressions on many task threads concurrently) and reused across rows
+  * — digest allocation is the dominant constant factor at one hash per
+  * token × 10¹¹ tokens.
+  */
+object HashKernels {
+
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  @inline private def prefix32(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+
+  /** Per-element md5-prefix hashes of a string array. */
+  def md5Prefix(xs: ArrayData): ArrayData = {
+    val md = digest.get()
+    val n = xs.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      out(i) = prefix32(md.digest(xs.getUTF8String(i).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val Space = Array(' '.toByte)
+
+  /** md5-prefix hash of every `width`-token space-joined shingle. */
+  def wordShingle(xs: ArrayData, width: Int): ArrayData = {
+    val md = digest.get()
+    val n = xs.numElements()
+    val tokenBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tokenBytes(i) = xs.getUTF8String(i).getBytes; i += 1 }
+    val nSh = math.max(n - width + 1, 1)
+    val out = new Array[Long](nSh)
+    i = 0
+    while (i < nSh) {
+      md.reset()
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) {
+        if (j > i) md.update(Space)
+        md.update(tokenBytes(j))
+        j += 1
+      }
+      out(i) = prefix32(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** md5-prefix hash of every `width`-char substring (codepoint-sliced). */
+  def charGram(s: UTF8String, width: Int): ArrayData = {
+    val md = digest.get()
+    val n = s.numChars()
+    val nG = math.max(n - width + 1, 1)
+    val out = new Array[Long](nG)
+    var i = 0
+    while (i < nG) {
+      md.reset()
+      out(i) = prefix32(md.digest(s.substringSQL(i + 1, width).getBytes))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Min over all `width`-windows of the polynomial fold (caller handles
+    * the empty-input → null case).
+    */
+  def rollingFingerprint(xs: ArrayData, width: Int, mult: Long, mod: Long): Long = {
+    val n = xs.numElements()
+    val nWin = math.max(n - width + 1, 1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < nWin) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /** Every `width`-window polynomial fold hash; empty input → empty. */
+  def rollingWindowHashes(xs: ArrayData, width: Int, mult: Long, mod: Long): ArrayData = {
+    val n = xs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val nWin = math.max(n - width + 1, 1)
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** K minima of (a(j)·x + b(j)) mod m over the element hashes (caller
+    * handles empty-input → null).
+    */
+  def minhash(xs: ArrayData, a: Array[Long], b: Array[Long], mod: Long): ArrayData = {
+    val n = xs.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (a(j) * x + b(j)) % mod
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Per-bit majority vote signature; empty input → 0. */
+  def simhash(xs: ArrayData, nbits: Int): Long = {
+    val n = xs.numElements()
+    val counts = new Array[Int](nbits)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var b = 0
+      while (b < nbits) {
+        counts(b) += (((x >> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < nbits) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+}
