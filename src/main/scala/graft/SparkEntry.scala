@@ -135,6 +135,11 @@ object SparkEntry {
     // X1 — scripted-upsert merge semantics (example/script-update/main.go:132-182)
     "script_update" -> ((s, dir) => CdcOps.scriptUpdateState(typed(s, dir))),
 
+    // X1c — conditional-field-set script semantics: write only on change
+    // (example/script-update/main.go:150-166)
+    "script_update_conditional" -> ((s, dir) =>
+      CdcOps.scriptUpdateConditional(typed(s, dir))),
+
     // X1b — ScriptUpdate actions through the canonical encoder
     // (action.go:43-51, bulk.go:237-241): UPDATE events become `update`
     // actions whose body is {"script":{"params":{"doc":<new image>},
@@ -199,10 +204,17 @@ object SparkEntry {
     // → exact dedup → MinHash near-dup removal)
     "corpus_clean" -> ((s, dir) => CorpusOps.cleanCorpus(tbl(s, dir, "documents"))),
 
+    // the full published composition: gates → dedup → decontaminate
+    // (removal, not just audit — GPT-3 App. C / Gopher A.2 style)
+    "corpus_clean_decontam" -> ((s, dir) => CorpusOps.cleanCorpusDecontam(tbl(s, dir, "documents"))),
+
     // pre-training corpus ops (round 3): decontamination, substring-level
     // dedup, PII audit, repetition quality, stratified sampling, per-domain
     // stats, embedding normalize/quantize
     "decontaminate" -> ((s, dir) => PretrainOps.decontaminate(tbl(s, dir, "documents"))),
+    // production gram width (8): the published exact-overlap setting
+    "decontaminate_8gram" -> ((s, dir) =>
+      PretrainOps.decontaminate(tbl(s, dir, "documents"), PretrainOps.DecontamGramProd)),
     "dedup_substring" -> ((s, dir) => PretrainOps.dedupSubstring(tbl(s, dir, "documents"))),
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
@@ -390,6 +402,19 @@ object SparkEntry {
          |FROM typed WHERE msg_type = 'UPDATE'
          |GROUP BY user_id""".stripMargin,
 
+    "script_update_conditional" ->
+      s"""WITH $typedCte,
+         |upd AS (
+         |  SELECT user_id, event_id, val, event_time_us,
+         |    lag(val) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+         |  FROM typed WHERE msg_type = 'UPDATE')
+         |SELECT user_id, count(*) AS version,
+         |  CAST(sum(CAST((prev IS NULL OR prev <> val) AS BIGINT)) AS BIGINT) AS n_sets,
+         |  CAST(count(*) - sum(CAST((prev IS NULL OR prev <> val) AS BIGINT)) AS BIGINT) AS n_noop_updates,
+         |  arg_max(val, event_id) AS last_value,
+         |  max(event_time_us) AS updated_at_us
+         |FROM upd GROUP BY user_id""".stripMargin,
+
     "script_update_encode" ->
       s"""WITH $typedCte,
          |$resolvedCte
@@ -444,8 +469,10 @@ object SparkEntry {
     "multimodal_features" -> BinaryOps.sqlMultimodalFeatures,
 
     "corpus_clean" -> CorpusOps.sqlCleanCorpus,
+    "corpus_clean_decontam" -> CorpusOps.sqlCleanCorpusDecontam,
 
     "decontaminate" -> PretrainOps.sqlDecontaminate,
+    "decontaminate_8gram" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd),
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,

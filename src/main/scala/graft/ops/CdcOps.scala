@@ -492,6 +492,38 @@ object CdcOps {
         max(col("event_time_us")).as("updated_at_us")
       )
 
+  /** X1c script_update_conditional — the conditional-field-set script of
+    * example/script-update/main.go:150-166:
+    * `if (ctx._source.price != params.new_price) { ctx._source.price =
+    * params.new_price; }` — the version counter bumps on EVERY update,
+    * the field WRITES only on change. Replayed per key in event order:
+    * `version` counts all updates, `n_sets` counts the value transitions
+    * the conditional actually applies (the first set always fires — the
+    * initial `ctx._source.price` is null, unequal to any param), and
+    * `n_noop_updates` the suppressed writes.
+    *
+    * One shuffle: the lag window and the final agg share the user_id
+    * partitioning, so the exchange is reused across both.
+    */
+  def scriptUpdateConditional(typed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    typed.filter(col("msg_type") === "UPDATE")
+      .withColumn("prev", lag(col("val"), 1).over(w))
+      // boolean→long cast, NOT a when/otherwise: both engines must agree
+      // on the null case (val null & prev set → null, skipped by sum)
+      .withColumn("is_set",
+        (col("prev").isNull || col("prev") =!= col("val")).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("version"),
+        sum(col("is_set")).as("n_sets"),
+        (count(lit(1)) - sum(col("is_set"))).as("n_noop_updates"),
+        max_by(col("val"), col("event_id")).as("last_value"),
+        max(col("event_time_us")).as("updated_at_us")
+      )
+  }
+
   /** B7 size_parse — human-readable byte sizes, "10mb" → 10·2²⁰
     * (internal/bytes/bytes.go:57-82). Exposed both as a Scala config util
     * and as a column expression.

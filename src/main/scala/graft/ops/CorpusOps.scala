@@ -51,6 +51,37 @@ object CorpusOps {
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("detected_lang"))
   }
 
+  /** [[cleanCorpus]] with the benchmark-decontamination gate appended —
+    * the full published composition (gates → exact dedup → near-dup →
+    * decontaminate): any surviving doc sharing ≥ 1 exact
+    * [[PretrainOps.DecontamGramProd]]-word gram with the held-out
+    * benchmark split is REMOVED, not just audited.
+    *
+    * Scale shape: the contamination side re-uses [[PretrainOps
+    * .decontaminate]]'s asymmetry (benchmark gram set broadcast, corpus
+    * text never shuffles), and the removal is one anti-join on doc_id
+    * against the O(contaminated docs) hit list — contamination rates are
+    * per-mille in practice, so AQE broadcasts the hit list at runtime.
+    */
+  def cleanCorpusDecontam(
+      docs: DataFrame,
+      gramWidth: Int = PretrainOps.DecontamGramProd): DataFrame = {
+    val contaminated = PretrainOps.decontaminate(docs, gramWidth)
+      .select(col("doc_id"))
+    cleanCorpus(docs).join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Oracle twin: [[sqlCleanCorpus]] with the contamination hit list
+    * (the full decontaminate oracle at production gram width) appended as
+    * one more NOT IN gate — a nested-WITH subquery, scoped like the LSH
+    * pair subquery inside `losers`.
+    */
+  def sqlCleanCorpusDecontam: String =
+    s"""${sqlCleanCorpus}
+       |  AND doc_id NOT IN (SELECT doc_id FROM (
+       |${PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd)}
+       |  ))""".stripMargin
+
   /** Oracle twin: the per-operator oracle SQL composed as CTEs over the
     * same gated set (full sub-pipelines embedded as parenthesized
     * WITH-subqueries, rebased from `documents` onto the gated CTE).

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftext.ArrayFunctions.word_shingle_hashes
+import org.apache.spark.sql.graftext.ArrayFunctions.{sorted_distinct, word_shingle_hashes}
 
 /** Pre-training corpus operators beyond the dedup/ANN/text families:
   * benchmark decontamination, repeated-span (substring) detection, PII
@@ -39,6 +39,11 @@ object PretrainOps {
     */
   val DecontamGram = 5
 
+  /** Production decontamination width: 8-gram exact overlap, the low end
+    * of the published 8-13-gram range (GPT-3 Appendix C, Gopher A.2).
+    */
+  val DecontamGramProd = 8
+
   /** The `source` value treated as the held-out benchmark corpus. */
   val BenchmarkSource = "src0"
 
@@ -62,9 +67,11 @@ object PretrainOps {
 
   // -------------------------------------------------------- decontaminate
 
-  /** Distinct [[DecontamGram]]-word shingle hashes of a text column. */
-  private def decontamGrams: Column =
-    array_distinct(word_shingle_hashes(tokens(col("text")), DecontamGram))
+  /** Distinct [[DecontamGram]]-word shingle hashes of a text column
+    * (one-pass sorted_distinct; consumers are order-insensitive).
+    */
+  private def decontamGrams(width: Int = DecontamGram): Column =
+    sorted_distinct(word_shingle_hashes(tokens(col("text")), width))
 
   private def sqlGramHashes(width: Int): String = {
     val toks = sqlTokens("text")
@@ -73,22 +80,31 @@ object PretrainOps {
   }
 
   /** Benchmark decontamination: flag training docs sharing ≥ 1 exact
-    * [[DecontamGram]]-gram with the held-out benchmark split
+    * `gramWidth`-word gram with the held-out benchmark split
     * (`source = src0`). Output per contaminated doc: distinct-gram hit
-    * count and contamination ratio.
+    * count and contamination ratio. Default width [[DecontamGram]] keeps
+    * the synthetic ~60-token docs populated; [[DecontamGramProd]] is the
+    * production 8-gram setting (GPT-3 Appendix C / Gopher A.2 style
+    * 8-13-gram exact overlap).
     *
     * The benchmark gram set is broadcast (it is small by construction —
     * eval suites don't grow with the corpus), so the training side is one
     * scan + broadcast semi-ish join + map-side-combined groupBy: no
-    * shuffle of corpus text, ever.
+    * shuffle of corpus text, ever. Both explodes are OUTER + null-filter:
+    * inner generates would make the optimizer infer `size(gs) > 0` filters
+    * and push the full gram computation below the fanout exchange (a
+    * duplicated, pre-shuffle sketch build — see DedupOps.minhashSignature).
     */
-  def decontaminate(docs: DataFrame): DataFrame = {
-    val g = fanout(docs).select(col("doc_id"), col("source"), decontamGrams.as("gs"))
+  def decontaminate(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
+    val g = fanout(docs).select(col("doc_id"), col("source"),
+      decontamGrams(gramWidth).as("gs"))
     val bench = g.filter(col("source") === BenchmarkSource)
-      .select(explode(col("gs")).as("g")).distinct()
+      .select(explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull).distinct()
     val train = g.filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
-        explode(col("gs")).as("g"))
+        explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
     train.join(broadcast(bench), "g")
       .groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).as("n_hits"))
@@ -96,9 +112,11 @@ object PretrainOps {
         (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
   }
 
-  def sqlDecontaminate: String =
+  def sqlDecontaminate: String = sqlDecontaminateAt(DecontamGram)
+
+  def sqlDecontaminateAt(gramWidth: Int): String =
     s"""WITH g AS (
-       |  SELECT doc_id, source, ${sqlGramHashes(DecontamGram)} AS gs FROM documents),
+       |  SELECT doc_id, source, ${sqlGramHashes(gramWidth)} AS gs FROM documents),
        |bench AS (
        |  SELECT DISTINCT g FROM (
        |    SELECT unnest(gs) AS g FROM g WHERE source = '$BenchmarkSource')),
@@ -121,8 +139,9 @@ object PretrainOps {
   def dedupSubstring(docs: DataFrame): DataFrame =
     fanout(docs)
       .select(col("doc_id"),
-        explode(array_distinct(word_shingle_hashes(tokens(col("text")), SpanWords)))
+        explode_outer(sorted_distinct(word_shingle_hashes(tokens(col("text")), SpanWords)))
           .as("span_hash"))
+      .filter(col("span_hash").isNotNull)
       .groupBy("span_hash")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("rep_doc_id"))
       .filter(col("n_docs") >= 2)
@@ -202,7 +221,8 @@ object PretrainOps {
           .as("dup_2gram_ratio"),
         dupRatio(rolling_window_hashes(col("ths"), 3, TextOps.FpMult, TextOps.P))
           .as("dup_3gram_ratio"),
-        explode(col("ths")).as("th"))
+        explode_outer(col("ths")).as("th"))
+      .filter(col("th").isNotNull)
     val top = narrow
       .groupBy("doc_id", "n_tokens", "dup_2gram_ratio", "dup_3gram_ratio", "th")
       .agg(count(lit(1)).as("c"))
@@ -456,7 +476,8 @@ object PretrainOps {
     SimilarityOps.withNorm(emb)
       .filter(col("norm") =!= 0)
       .select(col("vec_id"), col("norm"),
-        posexplode(transform(col("emb_d"), x => x / col("norm"))))
+        posexplode_outer(transform(col("emb_d"), x => x / col("norm"))))
+      .filter(col("col").isNotNull)
       .select(col("vec_id"), col("norm"),
         col("pos").cast("long").as("dim_idx"), col("col").as("u"))
 
@@ -483,8 +504,9 @@ object PretrainOps {
       .filter(col("amax") =!= 0)
       .withColumn("scale", lit(127.0) / col("amax"))
       .select(col("vec_id"), col("amax"), col("scale"),
-        posexplode(transform(col("emb_d"),
+        posexplode_outer(transform(col("emb_d"),
           x => floor(x * col("scale") + lit(0.5)).cast("long"))))
+      .filter(col("col").isNotNull)
       .select(col("vec_id"), col("amax"), col("scale"),
         col("pos").cast("long").as("dim_idx"), col("col").as("qv"))
   }

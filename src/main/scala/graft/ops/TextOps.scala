@@ -267,7 +267,10 @@ object TextOps {
     // build time, and N is evaluated against the same input snapshot as
     // the rest of the query
     val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // outer + null filter: an inner explode would infer a size(tokens)>0
+    // filter and push the tokenization below the scan a second time
+    val toks = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, "token")

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -114,26 +114,36 @@ object ArrayFunctions {
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column DSL entry for [[SortedDistinct]]. */
+  def sorted_distinct(xs: Column): Column =
+    ExpressionUtils.column(SortedDistinct(ExpressionUtils.expression(xs)))
+
+  /** Fully-qualified static-call prefix emitted into generated code: the
+    * sketch expressions' `doGenCode` all compile to one
+    * `HashKernels.<kernel>(...)` call, so the projection stays one fused
+    * whole-stage-codegen span and the interpreted path (same kernel) is
+    * bit-identical by construction.
+    */
+  private[graftext] val Kernels = "org.apache.spark.sql.graftext.HashKernels"
 }
 
 /** One-pass MinHash signature: for a long-array of element hashes, returns
   * the K minima of (a(j)·x + b(j)) mod m — replacing K separate
   * `array_min(transform(...))` higher-order calls, which Spark evaluates
   * interpreted (HOF lambdas are CodegenFallback) at O(K·n) boxed steps per
-  * row. Here the K·n loop runs once in tight JVM code.
-  *
-  * CodegenFallback is deliberate: per-row cost is the interior K·n loop,
-  * so the one boxed call per ROW is noise (unlike sorted_intersect_size,
-  * which runs per PAIR and therefore keeps full codegen).
+  * row. Both evaluation paths call [[HashKernels.minhash]]: interpreted
+  * eval directly, codegen via a static call emitted into the fused stage —
+  * so the stage keeps whole-stage codegen AND the two paths cannot diverge.
   */
 case class MinHashSignature(
     child: Expression, a: Seq[Long], b: Seq[Long], mod: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // empty input → null even when the child is non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
   private val aArr = a.toArray
@@ -141,22 +151,21 @@ case class MinHashSignature(
 
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    if (n == 0) return null
-    val k = aArr.length
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val x = xs.getLong(i)
-      var j = 0
-      while (j < k) {
-        val h = (aArr(j) * x + bArr(j)) % mod
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    if (xs.numElements() == 0) null
+    else HashKernels.minhash(xs, aArr, bArr, mod)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"""
+         |if ($xs.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ArrayFunctions.Kernels}.minhash($xs, $aRef, $bRef, ${mod}L);
+         |}
+       """.stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature =
@@ -166,38 +175,20 @@ case class MinHashSignature(
 /** One-pass SimHash: majority vote per bit over the element hashes —
   * replacing `nbits` interpreted aggregate() folds with a single loop.
   * Empty input → 0 (every bit-sum is 0, not > 0), matching the SQL twin.
+  * Codegen'd via [[HashKernels.simhash]] (shared with interpreted eval).
   */
 case class SimHashBits(child: Expression, nbits: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    val counts = new Array[Int](nbits)
-    var i = 0
-    while (i < n) {
-      val x = xs.getLong(i)
-      var b = 0
-      while (b < nbits) {
-        counts(b) += (((x >> b) & 1L).toInt * 2) - 1
-        b += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < nbits) {
-      if (counts(b) > 0) sig |= 1L << b
-      b += 1
-    }
-    java.lang.Long.valueOf(sig)
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashKernels.simhash(v.asInstanceOf[ArrayData], nbits))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.simhash($xs, $nbits)")
 
   override protected def withNewChildInternal(c: Expression): SimHashBits =
     copy(child = c)
@@ -253,35 +244,22 @@ case class DotProduct(left: Expression, right: Expression)
   * `transform(arr, x -> conv(substring(md5(x),1,8),16,10))` but in one
   * tight loop with a reused MessageDigest instead of an interpreted HOF
   * lambda allocating the digest + hex string + conv parse per element.
-  * This is the signature-build hot loop of the MinHash/ngram dedup ops.
+  * This is the signature-build hot loop of the MinHash/ngram dedup ops;
+  * both paths run [[HashKernels.md5Prefix]].
   */
 case class Md5PrefixHashes(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "md5_prefix_hashes"
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.md5Prefix(v.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      md.reset()
-      val d = md.digest(xs.getUTF8String(i).getBytes)
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.md5Prefix($xs)")
 
   override protected def withNewChildInternal(c: Expression): Md5PrefixHashes =
     copy(child = c)
@@ -293,48 +271,22 @@ case class Md5PrefixHashes(child: Expression)
   * one shingle of all tokens — matching
   * `transform(sequence(1, greatest(n-w+1, 1)), i -> concat_ws(' ',
   * slice(t, i, w)))` exactly, but without materializing 1.5M interpreted
-  * shingle strings per partition: the digest is fed token bytes + a space
-  * directly.
+  * shingle strings per partition: [[HashKernels.wordShingle]] feeds the
+  * digest token bytes + a space directly, on both evaluation paths.
   */
 case class WordShingleHashes(child: Expression, width: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_shingle_hashes"
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
-  private val space = Array(' '.toByte)
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.wordShingle(v.asInstanceOf[ArrayData], width)
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    val tokenBytes = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) { tokenBytes(i) = xs.getUTF8String(i).getBytes; i += 1 }
-    val nSh = math.max(n - width + 1, 1)
-    val out = new Array[Long](nSh)
-    i = 0
-    while (i < nSh) {
-      md.reset()
-      var j = i
-      val end = math.min(i + width, n)
-      while (j < end) {
-        if (j > i) md.update(space)
-        md.update(tokenBytes(j))
-        j += 1
-      }
-      val d = md.digest()
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.wordShingle($xs, $width)")
 
   override protected def withNewChildInternal(c: Expression): WordShingleHashes =
     copy(child = c)
@@ -343,38 +295,48 @@ case class WordShingleHashes(child: Expression, width: Int)
 /** Character-gram hashing in one pass: md5-prefix hash of every w-char
   * substring of the input (1 gram for inputs shorter than w) — matching
   * `transform(sequence(1, greatest(len-w+1, 1)), i -> substr(text, i, w))`
-  * + element hashing, with codepoint-correct slicing via UTF8String.
+  * + element hashing, with codepoint-correct slicing via UTF8String
+  * ([[HashKernels.charGram]] on both paths).
   */
 case class CharGramHashes(child: Expression, width: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_gram_hashes"
 
-  @transient private lazy val md =
-    java.security.MessageDigest.getInstance("MD5")
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.charGram(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-    val n = s.numChars()
-    val nG = math.max(n - width + 1, 1)
-    val out = new Array[Long](nG)
-    var i = 0
-    while (i < nG) {
-      md.reset()
-      val d = md.digest(s.substringSQL(i + 1, width).getBytes)
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"${ArrayFunctions.Kernels}.charGram($s, $width)")
 
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+/** Sorted distinct long array in one pass ([[HashKernels.sortedDistinct]]
+  * on both paths) — replaces `array_sort(array_distinct(xs))`, whose
+  * ArraySort comparator lambda is CodegenFallback and breaks the fused
+  * sketch projection's whole-stage codegen (besides costing an extra
+  * array pass). Order-insensitive consumers only: the output is the same
+  * SET, ascending instead of first-occurrence order.
+  */
+case class SortedDistinct(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_distinct"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.sortedDistinct(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.sortedDistinct($xs)")
+
+  override protected def withNewChildInternal(c: Expression): SortedDistinct =
     copy(child = c)
 }
 
@@ -382,34 +344,33 @@ case class CharGramHashes(child: Expression, width: Int)
   * window's polynomial hash fold h = (h·mult + x) mod m — one pass instead
   * of n_windows interpreted aggregate(slice(...)) HOF folds. Inputs
   * shorter than `width` get a single window over all elements; empty
-  * input → null (matching array_min over an empty transform).
+  * input → null (matching array_min over an empty transform). Kernel:
+  * [[HashKernels.rollingFingerprint]] on both paths.
   */
 case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
+  // empty input → null even when the child is non-null
+  override def nullable: Boolean = true
   override def prettyName: String = "rolling_fingerprint"
 
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    if (n == 0) return null
-    val nWin = math.max(n - width + 1, 1)
-    var min = Long.MaxValue
-    var i = 0
-    while (i < nWin) {
-      var h = 0L
-      var j = i
-      val end = math.min(i + width, n)
-      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
-      if (h < min) min = h
-      i += 1
-    }
-    java.lang.Long.valueOf(min)
+    if (xs.numElements() == 0) null
+    else java.lang.Long.valueOf(HashKernels.rollingFingerprint(xs, width, mult, mod))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"""
+         |if ($xs.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ArrayFunctions.Kernels}.rollingFingerprint($xs, $width, ${mult}L, ${mod}L);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
@@ -421,35 +382,21 @@ case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Lo
   * the per-token md5 hashes — one md5 per TOKEN total, window hashes are
   * integer arithmetic — instead of an md5 per (token × gram-width).
   * Inputs shorter than `width` get a single window over all elements;
-  * empty input → empty array.
+  * empty input → empty array. Kernel: [[HashKernels.rollingWindowHashes]].
   */
 case class RollingWindowHashes(child: Expression, width: Int, mult: Long, mod: Long)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-    with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "rolling_window_hashes"
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    val n = xs.numElements()
-    if (n == 0)
-      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
-    val nWin = math.max(n - width + 1, 1)
-    val out = new Array[Long](nWin)
-    var i = 0
-    while (i < nWin) {
-      var h = 0L
-      var j = i
-      val end = math.min(i + width, n)
-      while (j < end) { h = (h * mult + xs.getLong(j)) % mod; j += 1 }
-      out(i) = h
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
-  }
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.rollingWindowHashes(v.asInstanceOf[ArrayData], width, mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      xs => s"${ArrayFunctions.Kernels}.rollingWindowHashes($xs, $width, ${mult}L, ${mod}L)")
 
   override protected def withNewChildInternal(c: Expression): RollingWindowHashes =
     copy(child = c)

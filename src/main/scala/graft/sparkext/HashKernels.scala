@@ -143,6 +143,31 @@ object HashKernels {
     new GenericArrayData(mins)
   }
 
+  /** Sort-ascending + dedup of a long array in one pass — the kernel
+    * behind `sorted_distinct`, which replaces
+    * `array_sort(array_distinct(...))`: the built-in pair costs two array
+    * passes plus a lambda comparator that is CodegenFallback (ArraySort
+    * lowers to a HOF), knocking the whole sketch projection out of
+    * whole-stage codegen. Output order differs from array_distinct's
+    * first-occurrence order, but every consumer (set sizes, merge
+    * intersections, minima) is order-insensitive — and the sorted order
+    * is exactly what the merge-scan intersection requires.
+    */
+  def sortedDistinct(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = xs.getLong(i); i += 1 }
+    java.util.Arrays.sort(arr)
+    var w = 0
+    i = 0
+    while (i < n) {
+      if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == n) arr else java.util.Arrays.copyOf(arr, w))
+  }
+
   /** Per-bit majority vote signature; empty input → 0. */
   def simhash(xs: ArrayData, nbits: Int): Long = {
     val n = xs.numElements()

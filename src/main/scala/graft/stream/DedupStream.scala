@@ -67,22 +67,26 @@ object DedupStream {
       benchmarkDocs: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.PretrainOps
-    import org.apache.spark.sql.graftext.ArrayFunctions.word_shingle_hashes
+    import org.apache.spark.sql.graftext.ArrayFunctions.{sorted_distinct, word_shingle_hashes}
     import graft.ops.TextOps.tokens
     val benchGrams = broadcast(
       benchmarkDocs
-        .select(explode(array_distinct(
+        .select(explode_outer(sorted_distinct(
           word_shingle_hashes(tokens(col("text")), PretrainOps.DecontamGram))).as("g"))
+        .filter(col("g").isNotNull)
         .distinct())
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
       .select(col("doc_id"),
-        array_distinct(word_shingle_hashes(tokens(col("text")),
+        sorted_distinct(word_shingle_hashes(tokens(col("text")),
           PretrainOps.DecontamGram)).as("gs"))
+      // outer + null filter (vs inferred size(gs)>0 pushdown re-computing
+      // the gram sketch at the scan — see DedupOps.minhashSignature)
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
-        explode(col("gs")).as("g"))
+        explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
       .writeStream
       .queryName("graft-decontaminate-stream")
       .option("checkpointLocation", checkpointDir)

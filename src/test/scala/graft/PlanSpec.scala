@@ -17,6 +17,8 @@ class PlanSpec extends SparkSuite {
     def all(p: SparkPlan): Seq[SparkPlan] =
       (p +: p.children.flatMap(all)) ++ (p match {
         case a: AdaptiveSparkPlanExec => all(a.executedPlan)
+        // materialized AQE stages hold their subtree as a member, not a child
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(qs.plan)
         case _ => Seq.empty
       })
     all(df.queryExecution.executedPlan)
@@ -52,9 +54,20 @@ class PlanSpec extends SparkSuite {
     // 2-3x until round 2's literal-map fix). Compile the generated code
     // here and assert every method stays under the huge-method limit.
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    // the sketch queries are here because their custom expressions
+    // (minhash/simhash/md5-prefix/rolling-window) emit HashKernels static
+    // calls from doGenCode — a regression back to CodegenFallback would
+    // drop their codegen spans to zero and fail the nonEmpty assert
     for (name <- Seq("routing_partition", "ndjson_encode",
-        "type_version_gate", "script_update_encode")) {
-      val spans = nodes(q(name)).collect { case w: WholeStageCodegenExec => w }
+        "type_version_gate", "script_update_encode",
+        "minhash_signature", "simhash_signature", "quality_repetition",
+        "doc_fingerprint")) {
+      val df = q(name)
+      // materialize THIS queryExecution first (toRdd, not foreach/count —
+      // those build a fresh QueryExecution): AQE inserts WholeStageCodegen
+      // per query stage at execution, the pre-execution plan shows none
+      df.queryExecution.toRdd.foreach(_ => ())
+      val spans = nodes(df).collect { case w: WholeStageCodegenExec => w }
       assert(spans.nonEmpty, s"$name lost its codegen span")
       for (w <- spans) {
         val (_, code) = w.doCodeGen()
@@ -181,6 +194,42 @@ class PlanSpec extends SparkSuite {
     assert(dec.exists(_.isInstanceOf[BroadcastExchangeExec]),
       "decontaminate lost the benchmark-side broadcast")
     assert(!dec.exists(_.isInstanceOf[CartesianProductExec]))
+  }
+
+  test("sketch expressions: codegen and interpreted paths agree bit-for-bit") {
+    // both paths call the same HashKernels static kernel, so divergence is
+    // impossible by construction — this guards the construction (a future
+    // doGenCode edit that stops delegating would show up here)
+    def collectSorted(name: String): Seq[String] =
+      q(name).collect().map(_.toString).sorted.toSeq
+    val generated = Seq("minhash_signature", "simhash_signature",
+      "doc_fingerprint").map(n => n -> collectSorted(n))
+    val saved = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      for ((name, gen) <- generated)
+        assert(collectSorted(name) == gen, s"$name diverges between paths")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("dedup_survivors: membership joins carry no forced broadcast hint") {
+    // an unconditional broadcast() hint bypasses autoBroadcastJoinThreshold
+    // — at 100 TB the O(clustered docs) membership frame would OOM the
+    // driver. The decision belongs to AQE's measured sizes; assert no join
+    // in the plan carries a user-forced hint on either side.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = q("dedup_survivors").queryExecution.optimizedPlan.collect {
+      case j: Join => j
+    }
+    assert(joins.nonEmpty, "survivors lost its joins?")
+    for (j <- joins)
+      assert(j.hint.leftHint.isEmpty && j.hint.rightHint.isEmpty,
+        s"forced join hint found: ${j.hint}")
   }
 
   test("pairwise dedup ops never plan a cartesian product") {
