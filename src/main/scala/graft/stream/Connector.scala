@@ -38,14 +38,22 @@ object Connector {
   /** ≙ NewConnector (connector.go:43-80). `infoProbe` is the Info-API
     * call for ES version auto-detect when `cfg.es.version` is empty —
     * detection failure falls back to "7.0.0" exactly like client.go:37-46
-    * (see [[graft.conf.resolveVersion]]).
+    * (see [[graft.conf.resolveVersion]]). `responseHandler` ≙
+    * WithResponseHandler (option.go:19-23); its `onInit` fires HERE, at
+    * construction with the resolved config — the reference invokes OnInit
+    * when the option is installed (bulk/option.go:19-27), before Start.
     */
   def newConnector(spark: SparkSession, cfg: GraftConfig, io: Io,
       handler: Option[Handlers.Handler] = None,
       trigger: Option[Trigger] = None,
-      infoProbe: Option[() => String] = None): Connector =
-    new Connector(spark, graft.conf.resolveVersion(cfg, infoProbe), io,
-      handler, trigger)
+      infoProbe: Option[() => String] = None,
+      responseHandler: Option[ResponseHandler] = None): Connector = {
+    val resolved = graft.conf.resolveVersion(cfg, infoProbe)
+    val rh = responseHandler.getOrElse(
+      ResponseHandler.deadLetter(io.deadLetterDir))
+    rh.onInit(spark, resolved)
+    new Connector(spark, resolved, io, handler, trigger, rh)
+  }
 }
 
 final class Connector private[stream] (
@@ -53,7 +61,8 @@ final class Connector private[stream] (
     cfg: GraftConfig,
     io: Connector.Io,
     handler: Option[Handlers.Handler],
-    triggerOverride: Option[Trigger]) {
+    triggerOverride: Option[Trigger],
+    responseHandler: ResponseHandler) {
 
   @volatile private var query: Option[StreamingQuery] = None
 
@@ -72,11 +81,13 @@ final class Connector private[stream] (
         case InitialMode => snapshot()
       }
     }
+    // the *Resolved entries: version already resolved and onInit already
+    // fired at construction — the public run/runTyped would re-init
     val q = handler match {
-      case Some(h) => Pipeline.runTyped(spark, cfg, io.eventsDir, h,
-        io.bulkOutDir, io.deadLetterDir, io.checkpointDir, triggerOverride)
-      case None => Pipeline.run(spark, cfg, io.eventsDir, io.bulkOutDir,
-        io.deadLetterDir, io.checkpointDir, triggerOverride)
+      case Some(h) => Pipeline.runTypedResolved(spark, cfg, io.eventsDir, h,
+        io.bulkOutDir, io.checkpointDir, triggerOverride, responseHandler)
+      case None => Pipeline.runResolved(spark, cfg, io.eventsDir,
+        io.bulkOutDir, io.checkpointDir, triggerOverride, responseHandler)
     }
     query = Some(q)
   }

@@ -104,7 +104,8 @@ object Pipeline {
     startQuery(spark,
       CdcOps.handlerActions(CdcOps.typedMessages(
         changeStream(spark, eventsDir, format = format))),
-      bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
+      bulkOutDir, checkpointDir, concurrentRequest, trigger,
+      ResponseHandler.deadLetter(deadLetterDir))
 
   /** Config-driven run (≙ NewConnector(cfg, handler): config parity via
     * [[graft.conf.GraftConfig]]): the table→index mapping routes events,
@@ -113,38 +114,85 @@ object Pipeline {
     */
   def run(spark: SparkSession, cfg0: graft.conf.GraftConfig, eventsDir: String,
       bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
-      trigger: Option[Trigger]): StreamingQuery = {
+      trigger: Option[Trigger],
+      responseHandler: Option[ResponseHandler]): StreamingQuery = {
     // version="" ≙ auto-detect requested; with no probe wired at this
     // entry the reference's detection-failure fallback (7.0.0) applies —
     // Connector.newConnector is the probe-carrying entry (client.go:37-46)
     val cfg = graft.conf.resolveVersion(cfg0, None)
+    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    // ≙ ResponseHandler.OnInit (response_handler.go:9-12, invoked when the
+    // handler is installed, bulk/option.go:19-27): users bootstrap
+    // indices/templates here, before any batch flows
+    rh.onInit(spark, cfg)
+    runResolved(spark, cfg, eventsDir, bulkOutDir, checkpointDir, trigger, rh)
+  }
+
+  /** Config-driven run with the default dead-letter handler (overloads
+    * cannot share default arguments).
+    */
+  def run(spark: SparkSession, cfg0: graft.conf.GraftConfig, eventsDir: String,
+      bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
+      trigger: Option[Trigger]): StreamingQuery =
+    run(spark, cfg0, eventsDir, bulkOutDir, deadLetterDir, checkpointDir,
+      trigger, None)
+
+  /** Config-resolved, init-already-fired entry (Connector calls this after
+    * invoking onInit at construction — the bulk/option.go timing).
+    */
+  private[stream] def runResolved(spark: SparkSession,
+      cfg: graft.conf.GraftConfig, eventsDir: String, bulkOutDir: String,
+      checkpointDir: String, trigger: Option[Trigger],
+      rh: ResponseHandler): StreamingQuery =
     startQuery(spark,
       CdcOps.handlerActions(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
             maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
         cfg.es.tableIndexMapping),
-      bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
+      bulkOutDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
+      rh,
       cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
       cfg.es.batchByteSizeLimitBytes, cfg.es.batchSizeLimit)
-  }
 
   /** Typed-handler variant of the config-driven run (same knob wiring). */
   def runTyped(spark: SparkSession, cfg0: graft.conf.GraftConfig,
       eventsDir: String, handler: Handlers.Handler, bulkOutDir: String,
       deadLetterDir: String, checkpointDir: String,
-      trigger: Option[Trigger]): StreamingQuery = {
-    implicit val s: SparkSession = spark
+      trigger: Option[Trigger],
+      responseHandler: Option[ResponseHandler]): StreamingQuery = {
     val cfg = graft.conf.resolveVersion(cfg0, None)
+    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    rh.onInit(spark, cfg)
+    runTypedResolved(spark, cfg, eventsDir, handler, bulkOutDir,
+      checkpointDir, trigger, rh)
+  }
+
+  /** Config-driven runTyped with the default dead-letter handler
+    * (overloads cannot share default arguments).
+    */
+  def runTyped(spark: SparkSession, cfg0: graft.conf.GraftConfig,
+      eventsDir: String, handler: Handlers.Handler, bulkOutDir: String,
+      deadLetterDir: String, checkpointDir: String,
+      trigger: Option[Trigger]): StreamingQuery =
+    runTyped(spark, cfg0, eventsDir, handler, bulkOutDir, deadLetterDir,
+      checkpointDir, trigger, None)
+
+  private[stream] def runTypedResolved(spark: SparkSession,
+      cfg: graft.conf.GraftConfig, eventsDir: String,
+      handler: Handlers.Handler, bulkOutDir: String, checkpointDir: String,
+      trigger: Option[Trigger], rh: ResponseHandler): StreamingQuery = {
+    implicit val s: SparkSession = spark
     startQuery(spark,
       Handlers.applyHandler(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
             maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
         handler, cfg.es.tableIndexMapping),
-      bulkOutDir, deadLetterDir, checkpointDir, cfg.es.concurrentRequest,
+      bulkOutDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)),
+      rh,
       cfg.es.esMajorVersion, cfg.es.typeNameOrDefault,
       cfg.es.batchByteSizeLimitBytes, cfg.es.batchSizeLimit)
   }
@@ -167,12 +215,14 @@ object Pipeline {
     startQuery(spark,
       Handlers.applyHandler(CdcOps.typedMessages(changeStream(spark, eventsDir)),
         handler, mapping),
-      bulkOutDir, deadLetterDir, checkpointDir, concurrentRequest, trigger)
+      bulkOutDir, checkpointDir, concurrentRequest, trigger,
+      ResponseHandler.deadLetter(deadLetterDir))
   }
 
   private def startQuery(spark: SparkSession, actions: DataFrame,
-      bulkOutDir: String, deadLetterDir: String, checkpointDir: String,
+      bulkOutDir: String, checkpointDir: String,
       concurrentRequest: Int, trigger: Trigger,
+      responseHandler: ResponseHandler,
       esMajor: Int = 8, typeName: String = "_doc",
       batchByteSizeLimit: Long = 0L, batchSizeLimit: Int = 0): StreamingQuery = {
     registerMetrics(spark)
@@ -182,7 +232,7 @@ object Pipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         EsBulkSink.writeBatch(batch, batchId, bulkOutDir,
-          ResponseHandler.deadLetter(deadLetterDir), concurrentRequest,
+          responseHandler, concurrentRequest,
           esMajor, typeName, batchByteSizeLimit, batchSizeLimit)
         ()
       }
@@ -265,6 +315,15 @@ object Pipeline {
   * before writing, config/config.go:28-31).
   */
 trait ResponseHandler extends Serializable {
+  /** ≙ OnInit (response_handler.go:9-12): invoked exactly once, before the
+    * stream starts, with the session and the RESOLVED config (version
+    * auto-detect already applied) — the analog of the reference's init
+    * context carrying the ES client, where users bootstrap indices and
+    * templates. Invoked by the config-driven `Pipeline.run`/`runTyped`
+    * entries, or at `Connector.newConnector` construction (the
+    * bulk/option.go:19-27 timing).
+    */
+  def onInit(spark: SparkSession, cfg: graft.conf.GraftConfig): Unit = ()
   def onSuccess(actions: DataFrame, batchId: Long): Unit = ()
   def onError(actions: DataFrame, batchId: Long): Unit
 }
@@ -299,6 +358,49 @@ object EsBulkSink {
       deadLetterDir: String, concurrentRequest: Int): Unit =
     writeBatch(batch, batchId, bulkOutDir,
       ResponseHandler.deadLetter(deadLetterDir), concurrentRequest)
+
+  /** R1 per-action response demux — the reference's handleResponse
+    * (bulk.go:392-411) over the item-level error map that joinErrors
+    * extracts from a `_bulk` response body (bulk.go:321-378): actions are
+    * keyed `_id:_index` (`_id:_index:_routing` when the action carries
+    * routing, getActionKey bulk.go:413-419); keys present in `errors`
+    * route to OnError with the error text attached as `_bulk_error`, the
+    * rest to OnSuccess — a mid-bulk item failure fails ONLY its item.
+    *
+    * The zero-egress file sink cannot produce item-level failures (a file
+    * write is all-or-nothing), so `writeBatch` does not call this on its
+    * own: a real HTTP sink parses the response body into `errors`; tests
+    * exercise the demux by fault-injecting synthetic error maps. The
+    * error map is driver-side and small (only failed items), so it joins
+    * as a broadcast.
+    */
+  def handleResponse(actions: DataFrame, errors: Map[String, String],
+      responseHandler: ResponseHandler, batchId: Long): Unit = {
+    if (errors.isEmpty) {
+      responseHandler.onSuccess(actions, batchId)
+      return
+    }
+    val spark = actions.sparkSession
+    import spark.implicits._
+    val idIdx = concat_ws(":", col("doc_id"), col("index_name"))
+    val key =
+      if (actions.columns.contains("routing"))
+        when(col("routing").isNotNull,
+          concat_ws(":", col("doc_id"), col("index_name"), col("routing")))
+          .otherwise(idIdx)
+      else idIdx
+    val errDf = broadcast(errors.toSeq.toDF("_action_key", "_bulk_error"))
+    // cache: both demux branches scan the keyed frame once
+    val keyed = actions.withColumn("_action_key", key).cache()
+    try {
+      val bad = keyed.join(errDf, "_action_key").drop("_action_key")
+      val good = keyed.filter(!col("_action_key")
+          .isin(errors.keys.toSeq.map(x => x: Any): _*))
+        .drop("_action_key")
+      responseHandler.onError(bad, batchId)
+      responseHandler.onSuccess(good, batchId)
+    } finally { keyed.unpersist(); () }
+  }
 
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
       responseHandler: ResponseHandler, concurrentRequest: Int,

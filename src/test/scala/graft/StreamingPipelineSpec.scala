@@ -241,6 +241,94 @@ class StreamingPipelineSpec extends SparkSuite {
     assert(errIds == Set(2L))
   }
 
+  test("R1 OnInit: fires once, before the stream starts, with the resolved config") {
+    // ≙ response_handler.go:9-12 + bulk/option.go:19-27: the init context
+    // is where users bootstrap indices/templates; here the handler
+    // bootstraps the output "index template" marker from the hook
+    import graft.stream.{Pipeline, ResponseHandler}
+    val eventsDir = tmp("graft-events-init")
+    val bulkDir = tmp("graft-bulk-init")
+    stage(eventsDir, 1L to 3L)
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    @volatile var initVersion: String = null
+    val templateDir = new java.io.File(tmp("graft-init-scratch"), "users_idx_template")
+    val handler = new ResponseHandler {
+      override def onInit(s: org.apache.spark.sql.SparkSession,
+          cfg: graft.conf.GraftConfig): Unit = {
+        calls += "init"
+        initVersion = cfg.es.version
+        templateDir.mkdirs() // the bootstrap-an-index use case
+        ()
+      }
+      override def onSuccess(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        calls += "success"
+      override def onError(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        calls += "error"
+    }
+    val cfg = graft.conf.GraftConfig(graft.conf.EsSinkConfig(
+      tableIndexMapping = Map("public.users" -> "users_idx"),
+      version = "")) // auto-detect requested → resolved BEFORE onInit
+    val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-dlq-init"),
+      tmp("graft-ckpt-init"), Some(Trigger.AvailableNow()), Some(handler))
+    q.awaitTermination(60000)
+    assert(calls.headOption.contains("init"), s"init not first: $calls")
+    assert(calls.count(_ == "init") == 1, s"init fired more than once: $calls")
+    assert(calls.contains("success"))
+    assert(initVersion == "7.0.0", "onInit saw the unresolved config")
+    assert(templateDir.isDirectory, "init-hook bootstrap did not run")
+  }
+
+  test("R1 OnInit: Connector construction fires it before start (option.go timing)") {
+    import graft.stream.{Connector, ResponseHandler}
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    val handler = new ResponseHandler {
+      override def onInit(s: org.apache.spark.sql.SparkSession,
+          cfg: graft.conf.GraftConfig): Unit = { calls += "init"; () }
+      override def onError(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit = ()
+    }
+    val cfg = graft.conf.GraftConfig(graft.conf.EsSinkConfig(
+      tableIndexMapping = Map("public.users" -> "users_idx")))
+    Connector.newConnector(spark, cfg,
+      Connector.Io(tmp("graft-ev-c"), tmp("graft-bulk-c"), tmp("graft-dlq-c"),
+        tmp("graft-ckpt-c")),
+      responseHandler = Some(handler))
+    // no start() yet — construction alone must have fired init, like the
+    // reference installing the option at NewConnector time
+    assert(calls.toList == List("init"))
+  }
+
+  test("R1 per-item failure demux: item errors route to OnError, the rest succeed (bulk.go:392-411)") {
+    import graft.stream.{EsBulkSink, ResponseHandler}
+    val ok = scala.collection.mutable.Set[Long]()
+    val err = scala.collection.mutable.Map[Long, String]()
+    val handler = new ResponseHandler {
+      override def onSuccess(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        ok ++= actions.select("event_id").as[Long].collect()
+      override def onError(actions: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+        err ++= actions.select("event_id", "_bulk_error").as[(Long, String)].collect()
+    }
+    val actions = Seq(
+      (1L, "index", "a", "users_idx", "{}", null.asInstanceOf[String]),
+      (2L, "index", "b", "users_idx", "{}", null.asInstanceOf[String]),
+      (3L, "index", "b", "orders_idx", "{}", null.asInstanceOf[String]), // same _id, other index: must NOT match
+      (4L, "index", "r", "users_idx", "{}", "shard7") // routed action: key carries routing
+    ).toDF("event_id", "action_type", "doc_id", "index_name", "source", "routing")
+    // fault injection: the joinErrors map a real `_bulk` response would
+    // yield (keys per getActionKey: _id:_index[:_routing])
+    EsBulkSink.handleResponse(actions,
+      Map("b:users_idx" -> "mapper_parsing_exception",
+          "r:users_idx:shard7" -> "version_conflict_engine_exception"),
+      handler, 7L)
+    assert(ok == Set(1L, 3L))
+    assert(err.toMap == Map(
+      2L -> "mapper_parsing_exception",
+      4L -> "version_conflict_engine_exception"))
+    // empty error map: everything succeeds, nothing routed to OnError
+    ok.clear(); err.clear()
+    EsBulkSink.handleResponse(actions, Map.empty, handler, 8L)
+    assert(ok == Set(1L, 2L, 3L, 4L) && err.isEmpty)
+  }
+
   test("R1 dead-letter: key-less actions split to the error sink, not the bulk payload") {
     val eventsDir = tmp("graft-events3")
     val bulkDir = tmp("graft-bulk3")
