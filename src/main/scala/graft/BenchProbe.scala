@@ -20,6 +20,8 @@ object BenchProbe {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       spark.catalog.clearCache() // same per-query hygiene as graft.Bench
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try {
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
