@@ -12,6 +12,41 @@ class TrainingOpsSpec extends SparkSuite {
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  private def ccResult(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Boolean)] =
+    df.select("component_id", "doc_id", "is_rep")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+  test("connectedComponentsStar ≡ min-label propagation on a deep chain (log-d rounds)") {
+    // a 60-hop path: min-label needs 60 rounds (diameter), star contraction
+    // a handful — the default maxRounds=30 would FAIL if rounds were O(d)
+    val chain = (0L until 60L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val star = ccResult(DedupOps.connectedComponentsStar(chain))
+    val iter = ccResult(DedupOps.connectedComponents(chain, maxIter = 100))
+    assert(star == iter)
+    assert(star.forall(_._1 == 0L), "one chain ⇒ one component rooted at 0")
+  }
+
+  test("connectedComponentsStar ≡ min-label propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("doc_a", "doc_b")
+      val star = ccResult(DedupOps.connectedComponentsStar(edges))
+      val iter = ccResult(DedupOps.connectedComponents(edges, maxIter = 100))
+      assert(star == iter, s"trial $trial diverged")
+    }
+  }
+
+  test("connectedComponentsStar ≡ min-label propagation on the real LSH pair graph") {
+    val pairs = DedupOps.dedupMinhashLsh(docs).select("doc_a", "doc_b")
+    val star = ccResult(DedupOps.connectedComponentsStar(pairs))
+    val iter = ccResult(DedupOps.dedupComponents(docs))
+    assert(star == iter)
+  }
+
   test("tokenHash: first 8 hex of md5, engine-independent definition") {
     // md5("spark") = 98f11b7a7880169c3bd62a5a3f4b1327 → 0x98f11b7a
     val got = Seq("spark").toDF("t").select(TextOps.tokenHash($"t")).as[Long].head()
