@@ -186,6 +186,9 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.dedupNgramJaccard(tbl(s, dir, "documents"))),
     "dedup_components" -> ((s, dir) => DedupOps.dedupComponents(tbl(s, dir, "documents"))),
+    // incremental dedup: today's batch (doc_id % 5 = 0) against the
+    // historical corpus index — exact-hash membership + cross-set LSH
+    "dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(tbl(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) => DedupOps.dedupEmbeddingCosine(tbl(s, dir, "embeddings"))),
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
@@ -454,6 +457,7 @@ object SparkEntry {
     "dedup_simhash" -> DedupOps.sqlDedupSimhash,
     "dedup_ngram_jaccard" -> DedupOps.sqlDedupNgramJaccard,
     "dedup_components" -> DedupOps.sqlDedupComponents,
+    "dedup_incremental" -> DedupOps.sqlDedupIncremental,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
 
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,

@@ -51,6 +51,19 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(got.getLong(1) == 42L)
   }
 
+  test("sorted_distinct ≡ array_sort(array_distinct(_)) as a set, sorted; null propagates") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Seq.fill(rnd.nextInt(20))(rnd.nextInt(10).toLong)) :+
+      Seq.empty[Long]
+    val df = rows.toDF("xs")
+    val got = df.select(sorted_distinct(col("xs"))).as[Seq[Long]].collect()
+    val want = df.select(array_sort(array_distinct(col("xs")))).as[Seq[Long]].collect()
+    assert(got.toSeq == want.toSeq)
+    val n = Seq(Option.empty[Seq[Long]]).toDF("xs")
+      .select(sorted_distinct(col("xs"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("word_shingle_hashes: short input yields one whole-input shingle") {
     val got = Seq((Seq("a", "b"), Seq("a", "b", "c", "d")))
       .toDF("short", "long")

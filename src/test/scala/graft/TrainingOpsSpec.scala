@@ -47,6 +47,34 @@ class TrainingOpsSpec extends SparkSuite {
     assert(star == iter)
   }
 
+  test("dedupAgainstIndex: exact hit, near hit, and novel doc classified correctly") {
+    // long unique-token text: a one-word edit leaves Jaccard ≈ 0.85, high
+    // enough that at least one of the 4 LSH bands collides (deterministic
+    // given the fixed md5 hash family — verified, not probabilistic)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve"
+    val history = Seq(
+      (10L, base),
+      (11L, "completely different text about database engines and query planners " * 3)
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (100L, base),                                  // exact duplicate of 10
+      (101L, base.replace("oscar", "oskar")),        // near-dup of 10
+      (102L, "entirely novel content never seen before in any corpus at all " * 3)
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupAgainstIndex(incoming, history)
+      .select("doc_id", "is_exact_dup", "near_dup_of", "keep")
+      .as[(Long, Boolean, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L)._1, "exact dup not flagged")
+    assert(!out(100L)._3, "exact dup kept")
+    assert(out(101L)._2.contains(10L), "near dup not linked to history doc")
+    assert(!out(101L)._3, "near dup kept")
+    assert(out(102L) == ((false, None, true)), "novel doc not kept")
+  }
+
   test("tokenHash: first 8 hex of md5, engine-independent definition") {
     // md5("spark") = 98f11b7a7880169c3bd62a5a3f4b1327 → 0x98f11b7a
     val got = Seq("spark").toDF("t").select(TextOps.tokenHash($"t")).as[Long].head()
