@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed table layout — the pre-partitioning that makes repeated
+  * joins/aggregations on a stable key (doc_id, vec_id, span_hash) plan
+  * WITHOUT an exchange: both sides of an equi-join on the bucket key are
+  * already hash-partitioned identically on disk, so Catalyst drops the
+  * shuffle; a groupBy on the key aggregates partition-local.
+  *
+  * This is the storage-level answer to "minimize shuffles" for a corpus
+  * that is read many times: pay one bucketed write when the corpus lands,
+  * then every downstream dedup/join/agg keyed by the bucket column skips
+  * its exchange. At 100 TB with ~10¹⁰ docs, a bucket count in the low
+  * thousands keeps buckets at a few GB — one task each, no shuffle, no
+  * skew sensitivity beyond the key's own distribution.
+  *
+  * Spark requires bucketed data to live in a catalog table (the bucket
+  * spec travels in table metadata, not the files), hence `saveAsTable`
+  * with an explicit external path rather than a bare parquet write.
+  */
+object BucketedLayout {
+
+  /** Write `df` as an external bucketed+sorted parquet table. One
+    * sorted file per bucket per writing task; `sortBy` additionally lets
+    * sort-merge consumers skip their per-partition sort.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
+
+  /** Read a bucketed table back (bucket metadata intact). */
+  def table(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+}

@@ -232,6 +232,31 @@ class PlanSpec extends SparkSuite {
         s"forced join hint found: ${j.hint}")
   }
 
+  test("bucketed layout: co-located join and agg on the bucket key plan ZERO exchanges") {
+    // the storage-level shuffle elimination SCALE.md promises: both join
+    // sides pre-hash-partitioned on disk ⇒ no exchange at query time
+    import graft.ops.BucketedLayout
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    BucketedLayout.writeBucketed(
+      docs.select("doc_id", "lang", "source"), "b_meta", "doc_id", 8, s"$wh/b_meta")
+    BucketedLayout.writeBucketed(
+      docs.select("doc_id", "n_chars"), "b_chars", "doc_id", 8, s"$wh/b_chars")
+    try {
+      val joined = BucketedLayout.table(spark, "b_meta")
+        .join(BucketedLayout.table(spark, "b_chars"), "doc_id")
+      assert(exchanges(joined) == 0,
+        "bucketed equi-join on the bucket key grew an exchange")
+      val agged = BucketedLayout.table(spark, "b_chars")
+        .groupBy("doc_id").count()
+      assert(exchanges(agged) == 0,
+        "bucketed groupBy on the bucket key grew an exchange")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+      spark.sql("DROP TABLE IF EXISTS b_chars")
+    }
+  }
+
   test("pairwise dedup ops never plan a cartesian product") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean")) {
