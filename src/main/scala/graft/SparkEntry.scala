@@ -195,6 +195,8 @@ object SparkEntry {
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
     "ivf_train_step" -> ((s, dir) => SimilarityOps.ivfTrainStep(tbl(s, dir, "embeddings"))),
+    // recall@K of the approximate ANN paths vs the exact baseline
+    "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
     "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
 
@@ -464,6 +466,7 @@ object SparkEntry {
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
     "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,
+    "ann_recall" -> SimilarityOps.sqlAnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
 

@@ -301,6 +301,55 @@ object SimilarityOps {
     } finally { e.unpersist(); () }
   }
 
+  /** Recall@[[TopK]] of the approximate ANN paths against the exact
+    * brute-force baseline, per query — the measurement that makes the
+    * LSH/IVF recall/cost trade a NUMBER instead of a hope. Output one row
+    * per (method, query): |approx ∩ exact| / K.
+    *
+    * Scale shape: the expensive inputs are the three ANN queries
+    * themselves (each already scale-shaped); the recall join runs on
+    * their outputs — |Q|·K rows per side, driver-trivial but computed
+    * distributed like everything else. In production this runs on a
+    * SAMPLE of queries as the recall monitor for tuning H / nProbe.
+    */
+  def annRecall(emb: DataFrame): DataFrame = {
+    val bf = annTopkBruteForce(emb).select("query_id", "neighbor_id")
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      bf.join(
+          approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1))).as("recall"))
+        .withColumn("method", lit(name))
+    recallOf("lsh_bucket", annLshBucket(emb))
+      .unionByName(recallOf("ivf_probe", annIvfProbe(emb)))
+      .select("method", "query_id", "recall")
+  }
+
+  def sqlAnnRecall: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnTopkBruteForce}
+       |) t),
+       |lsh AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnLshBucket}
+       |) t),
+       |ivf AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnIvfProbe}
+       |) t)
+       |SELECT 'lsh_bucket' AS method, bf.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN lsh a
+       |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+       |GROUP BY bf.query_id
+       |UNION ALL
+       |SELECT 'ivf_probe' AS method, bf.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN ivf a
+       |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+       |GROUP BY bf.query_id""".stripMargin
+
   def sqlIvfTrainStep: String =
     s"""WITH e AS (
        |  SELECT vec_id, emb_d,

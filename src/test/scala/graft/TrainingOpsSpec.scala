@@ -47,6 +47,22 @@ class TrainingOpsSpec extends SparkSuite {
     assert(star == iter)
   }
 
+  test("annRecall: one row per (method, query), recall bounded, exact self-recall is 1") {
+    val r = SimilarityOps.annRecall(emb)
+      .select("method", "query_id", "recall")
+      .as[(String, Long, Double)].collect()
+    assert(r.length == 2 * SimilarityOps.NQueries)
+    assert(r.forall { case (_, _, rec) => rec >= 0.0 && rec <= 1.0 })
+    // sanity: brute force against itself would be 1.0 — the measurement
+    // machinery must report perfect recall for a perfect method
+    val bf = SimilarityOps.annTopkBruteForce(emb).select("query_id", "neighbor_id")
+    val self = bf.join(bf.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / count(lit(1))).as("recall"))
+      .as[(Long, Double)].collect()
+    assert(self.forall(_._2 == 1.0))
+  }
+
   test("dedupAgainstIndex: exact hit, near hit, and novel doc classified correctly") {
     // long unique-token text: a one-word edit leaves Jaccard ≈ 0.85, high
     // enough that at least one of the 4 LSH bands collides (deterministic
