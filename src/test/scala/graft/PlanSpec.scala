@@ -259,7 +259,8 @@ class PlanSpec extends SparkSuite {
 
   test("pairwise dedup ops never plan a cartesian product") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
-        "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean")) {
+        "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean",
+        "dedup_incremental", "corpus_clean_decontam")) {
       assert(!nodes(q(name)).exists(_.isInstanceOf[CartesianProductExec]),
         s"$name planned a cartesian product")
     }
