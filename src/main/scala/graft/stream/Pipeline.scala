@@ -394,8 +394,7 @@ object EsBulkSink {
     val keyed = actions.withColumn("_action_key", key).cache()
     try {
       val bad = keyed.join(errDf, "_action_key").drop("_action_key")
-      val good = keyed.filter(!col("_action_key")
-          .isin(errors.keys.toSeq.map(x => x: Any): _*))
+      val good = keyed.join(errDf, Seq("_action_key"), "left_anti")
         .drop("_action_key")
       responseHandler.onError(bad, batchId)
       responseHandler.onSuccess(good, batchId)
