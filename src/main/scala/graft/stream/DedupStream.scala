@@ -50,6 +50,34 @@ object DedupStream {
       .format("parquet")
       .start()
 
+  /** Streaming incremental dedup: each arriving micro-batch of documents
+    * is deduped against a STATIC historical corpus via
+    * [[graft.ops.DedupOps.dedupAgainstIndex]] (exact-hash membership +
+    * cross-set MinHash/LSH) inside foreachBatch — the streaming face of
+    * the daily-crawl-vs-index shape. Stateless by design: the "state" is
+    * the historical index itself (at scale, the persisted signature
+    * table), not a state store; batches never dedupe against each other
+    * here (compose with [[run]]'s cross-batch exact dedup upstream for
+    * that). Emits one classified row per incoming doc.
+    */
+  def runIncrementalDedup(spark: SparkSession, docsDir: String,
+      historyDocs: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .queryName("graft-incremental-dedup-stream")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.DedupOps.dedupAgainstIndex(batch, historyDocs)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(trigger)
+      .start()
+
   /** Streaming decontamination: continuously-arriving documents are
     * checked against a STATIC benchmark corpus via a stream-static
     * broadcast join on [[graft.ops.PretrainOps.DecontamGram]]-word gram

@@ -33,6 +33,43 @@ class DedupStreamSpec extends SparkSuite {
     assert(after == Set(1L, 2L, 4L), s"got $after") // 3 deduped against state
   }
 
+  test("streaming incremental dedup: batches classified against the static history index") {
+    val docsDir = tmp("inc-docs")
+    val outDir = tmp("inc-out")
+    val ckpt = tmp("inc-ckpt")
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve"
+    val history = Seq((10L, base)).toDF("doc_id", "text")
+
+    // batch 1: exact dup of history + novel doc
+    Seq((100L, base), (101L, "novel content not seen in history before now " * 4))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q1 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
+    q1.awaitTermination(60000)
+    val got1 = spark.read.parquet(outDir)
+      .select("doc_id", "is_exact_dup", "keep")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got1(100L) == ((true, false)))
+    assert(got1(101L) == ((false, true)))
+
+    // batch 2 after restart: a near-dup of history is linked, not kept
+    Seq((102L, base.replace("oscar", "oskar")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q2 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
+    q2.awaitTermination(60000)
+    val got2 = spark.read.parquet(outDir)
+      .select("doc_id", "near_dup_of", "keep")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got2(102L) == ((Some(10L), false)), s"got $got2")
+    assert(got2.keySet == Set(100L, 101L, 102L), "batch 1 rows not re-emitted")
+  }
+
   test("streaming decontamination: stream-static broadcast join flags leaked docs") {
     val docsDir = tmp("dc-docs")
     val outDir = tmp("dc-out")
