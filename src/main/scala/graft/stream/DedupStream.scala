@@ -71,7 +71,11 @@ object DedupStream {
       .queryName("graft-incremental-dedup-stream")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.DedupOps.dedupAgainstIndex(batch, historyDocs)
+        // cacheIncoming=false: a per-batch cache entry would accumulate
+        // for the life of the query (each batch is a fresh plan); the
+        // history side still caches once (same plan every batch)
+        graft.ops.DedupOps.dedupAgainstIndex(batch, historyDocs,
+            cacheIncoming = false)
           .write.mode("append").parquet(outDir)
         ()
       }
