@@ -72,6 +72,16 @@ object Pipeline {
       case "parquet" => reader.parquet(dir)
       case "json" => reader.json(dir)
       case "csv" => reader.option("header", "true").csv(dir)
+      // the custom DSv2 source: LSN-like segment offsets + per-batch
+      // segment admission (graft.sources.WalReplaySource)
+      case "wal" =>
+        val r = spark.readStream
+          .format(classOf[graft.sources.WalReplayProvider].getName)
+          .option("path", dir)
+        maxBytesPerTrigger match {
+          case Some(_) => r.load() // byte admission not supported; segment count only
+          case None => r.option("maxSegmentsPerTrigger", maxFilesPerTrigger).load()
+        }
       case other => throw new IllegalArgumentException(s"unsupported replay format: $other")
     }
   }

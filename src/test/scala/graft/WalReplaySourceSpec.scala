@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.stream.Pipeline
+
+/** The custom DSv2 WAL-replay source (S1 as a real MicroBatchStream):
+  * segment-count offsets ≙ replication-slot LSN, per-batch segment
+  * admission, checkpoint resume without re-delivery, and the full CDC
+  * chain running on top of it.
+  */
+class WalReplaySourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeSegment(dir: String, name: String, ids: Seq[Long]): Unit = {
+    val lines = ids.map(i =>
+      s"""{"event_id":$i,"ts":${1706000000000000000L + i},"user_id":$i,"event_type":"signup","value":1.0,"props":"{}"}""")
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+    ()
+  }
+
+  test("segment offsets: admission 1/trigger, in order, no re-delivery across restart") {
+    val dir = tmp("wal-seg")
+    val out = tmp("wal-out")
+    val ckpt = tmp("wal-ckpt")
+    writeSegment(dir, "seg-000", Seq(1L, 2L))
+    writeSegment(dir, "seg-001", Seq(3L))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WalReplayProvider].getName)
+        .option("path", dir)
+        .option("maxSegmentsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      ()
+    }
+    runOnce()
+    val got1 = spark.read.parquet(out).select("event_id").as[Long].collect().toSet
+    assert(got1 == Set(1L, 2L, 3L))
+
+    // a third segment lands while "down"; restart resumes from the
+    // committed segment offset — nothing re-delivered
+    writeSegment(dir, "seg-002", Seq(4L, 5L))
+    runOnce()
+    val got2 = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(got2.length == 5, s"re-delivery or loss: ${got2.sorted.toSeq}")
+    assert(got2.toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("full CDC chain over the custom source (format=wal in changeStream)") {
+    val dir = tmp("wal-cdc")
+    val bulk = tmp("wal-bulk")
+    val dlq = tmp("wal-dlq")
+    writeSegment(dir, "seg-000", Seq(7L, 8L))
+    val q = Pipeline.run(spark, dir, bulk, dlq, tmp("wal-cdc-ckpt"),
+      concurrentRequest = 1, trigger = Trigger.AvailableNow(), format = "wal")
+    q.awaitTermination(60000)
+    val lines = new java.io.File(bulk).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".txt"))
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines().toList finally src.close()
+      }
+    assert(lines.count(_.contains("\"_index\":\"users_idx\"")) == 2,
+      s"expected 2 bulk actions, got:\n${lines.mkString("\n")}")
+  }
+}
