@@ -51,7 +51,12 @@ object GraftExtensions {
     "rolling_fingerprint" -> (args => RollingFingerprint(args(0),
       intArg(args(1), "rolling_fingerprint"),
       longArg(args(2), "rolling_fingerprint"),
-      longArg(args(3), "rolling_fingerprint")))
+      longArg(args(3), "rolling_fingerprint"))),
+    "rolling_window_hashes" -> (args => RollingWindowHashes(args(0),
+      intArg(args(1), "rolling_window_hashes"),
+      longArg(args(2), "rolling_window_hashes"),
+      longArg(args(3), "rolling_window_hashes"))),
+    "sorted_distinct" -> (args => SortedDistinct(args(0)))
   )
 
   /** Post-hoc registration on a live session (guide-style temp functions). */

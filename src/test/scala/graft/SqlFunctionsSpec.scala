@@ -15,13 +15,17 @@ class SqlFunctionsSpec extends SparkSuite {
         |  sorted_intersect_size(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS inter,
         |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
         |  simhash_bits(array(7L), 4) AS sim,
-        |  rolling_fingerprint(array(1L, 2L, 3L), 2, 131L, 1000000007L) AS fp
+        |  rolling_fingerprint(array(1L, 2L, 3L), 2, 131L, 1000000007L) AS fp,
+        |  rolling_window_hashes(array(1L, 2L, 3L), 2, 131L, 1000000007L) AS rwh,
+        |  sorted_distinct(array(5L, 1L, 5L, 2L)) AS sd
         |""".stripMargin).head()
     assert(row.getInt(0) == 2)
     assert(row.getDouble(1) == 11.0)
     assert(row.getLong(2) == 7L) // single element: its low 4 bits win the vote
     // windows: [1,2] -> 1*131+2=133; [2,3] -> 2*131+3=265; min = 133
     assert(row.getLong(3) == 133L)
+    assert(row.getSeq[Long](4) == Seq(133L, 265L))
+    assert(row.getSeq[Long](5) == Seq(1L, 2L, 5L))
   }
 
   test("SQL md5_prefix_hashes agrees with the DSL tokenHash") {
