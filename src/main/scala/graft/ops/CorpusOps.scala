@@ -99,7 +99,7 @@ object CorpusOps {
        |reps AS (
        |  SELECT min(doc_id) AS doc_id FROM (
        |    SELECT doc_id,
-       |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g'))) AS content_hash
+       |      ${DedupOps.SqlNormalizedContentHash} AS content_hash
        |    FROM gated_docs)
        |  GROUP BY content_hash),
        |exact_deduped AS (SELECT g.* FROM gated_docs g JOIN reps USING (doc_id)),

@@ -477,7 +477,10 @@ object PretrainOps {
       .filter(col("norm") =!= 0)
       .select(col("vec_id"), col("norm"),
         posexplode_outer(transform(col("emb_d"), x => x / col("norm"))))
-      .filter(col("col").isNotNull)
+      // drop only the OUTER-added row (null pos) — filtering on `col`
+      // would also delete rows for legitimately-null array ELEMENTS,
+      // which an inner explode (and the oracle) keeps
+      .filter(col("pos").isNotNull)
       .select(col("vec_id"), col("norm"),
         col("pos").cast("long").as("dim_idx"), col("col").as("u"))
 
@@ -506,7 +509,9 @@ object PretrainOps {
       .select(col("vec_id"), col("amax"), col("scale"),
         posexplode_outer(transform(col("emb_d"),
           x => floor(x * col("scale") + lit(0.5)).cast("long"))))
-      .filter(col("col").isNotNull)
+      // null-pos filter, not null-col: keep null ELEMENT rows like an
+      // inner explode would (see embedNormalize)
+      .filter(col("pos").isNotNull)
       .select(col("vec_id"), col("amax"), col("scale"),
         col("pos").cast("long").as("dim_idx"), col("col").as("qv"))
   }

@@ -122,8 +122,17 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
     (from until to).map(i => WalSegmentPartition(segs(i)): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new WalReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the SESSION's Hadoop conf to executors (as a serializable map —
+    // Configuration itself isn't Serializable): a bare `new Configuration()`
+    // on the reader side would drop spark.hadoop.* settings (s3a
+    // credentials, custom filesystems) and only ever work on file:// paths
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val confMap = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    new WalReaderFactory(confMap)
+  }
 
   override def commit(end: Offset): Unit = () // segments are retained (replayable slot)
   override def stop(): Unit = ()
@@ -131,19 +140,23 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
 
 private[sources] case class WalSegmentPartition(path: String) extends InputPartition
 
-private[sources] class WalReaderFactory extends PartitionReaderFactory {
+private[sources] class WalReaderFactory(hadoopConf: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WalSegmentReader(partition.asInstanceOf[WalSegmentPartition].path)
+    new WalSegmentReader(partition.asInstanceOf[WalSegmentPartition].path, hadoopConf)
 }
 
 /** JSONL → InternalRow, one segment per reader (executor-side). */
-private[sources] class WalSegmentReader(path: String)
+private[sources] class WalSegmentReader(path: String, hadoopConf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val p = new Path(path)
-  private val in = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    .open(p)
+  private val in = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    hadoopConf.foreach { case (k, v) => conf.set(k, v) }
+    p.getFileSystem(conf).open(p)
+  }
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
   private var current: InternalRow = _
 

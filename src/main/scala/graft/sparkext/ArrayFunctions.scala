@@ -327,7 +327,12 @@ case class SortedDistinct(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements are kept (deduped, sorted last) like
+  // array_sort(array_distinct(...)), so containsNull mirrors the child
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _ => ArrayType(LongType, containsNull = true)
+  }
   override def prettyName: String = "sorted_distinct"
 
   override def nullSafeEval(v: Any): Any =

@@ -156,16 +156,34 @@ object HashKernels {
   def sortedDistinct(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     val arr = new Array[Long](n)
+    var m = 0
+    var hasNull = false
     var i = 0
-    while (i < n) { arr(i) = xs.getLong(i); i += 1 }
-    java.util.Arrays.sort(arr)
+    // null elements: deduped and sorted LAST, exactly like
+    // array_sort(array_distinct(...)) — reading them as getLong would
+    // silently invent 0s (the internal hash arrays are containsNull=false
+    // and never hit this branch; SQL users can pass anything)
+    while (i < n) {
+      if (xs.isNullAt(i)) hasNull = true
+      else { arr(m) = xs.getLong(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, 0, m)
     var w = 0
     i = 0
-    while (i < n) {
+    while (i < m) {
       if (w == 0 || arr(i) != arr(w - 1)) { arr(w) = arr(i); w += 1 }
       i += 1
     }
-    new GenericArrayData(if (w == n) arr else java.util.Arrays.copyOf(arr, w))
+    if (!hasNull)
+      new GenericArrayData(if (w == n) arr else java.util.Arrays.copyOf(arr, w))
+    else {
+      val out = new Array[Any](w + 1)
+      i = 0
+      while (i < w) { out(i) = arr(i); i += 1 }
+      out(w) = null
+      new GenericArrayData(out)
+    }
   }
 
   /** Per-bit majority vote signature; empty input → 0. */

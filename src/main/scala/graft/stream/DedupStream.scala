@@ -59,6 +59,14 @@ object DedupStream {
     * table), not a state store; batches never dedupe against each other
     * here (compose with [[run]]'s cross-batch exact dedup upstream for
     * that). Emits one classified row per incoming doc.
+    *
+    * Run this with the history-side CACHE (the default — one cache entry,
+    * reused every batch), not `spark.graft.dedup.checkpointDir`: the
+    * parquet-checkpoint mode writes a fresh UUID-suffixed copy of the
+    * history signature table per invocation (a per-batch disk write in a
+    * stream). At scale the right shape is pre-computing the history
+    * signature table ONCE (e.g. bucketed via [[graft.ops.BucketedLayout]])
+    * and passing a frame that reads it.
     */
   def runIncrementalDedup(spark: SparkSession, docsDir: String,
       historyDocs: DataFrame, outDir: String, checkpointDir: String,

@@ -73,15 +73,16 @@ object Pipeline {
       case "json" => reader.json(dir)
       case "csv" => reader.option("header", "true").csv(dir)
       // the custom DSv2 source: LSN-like segment offsets + per-batch
-      // segment admission (graft.sources.WalReplaySource)
+      // segment admission (graft.sources.WalReplaySource). Byte admission
+      // is a file-source feature; here a byte request FALLS BACK to
+      // segment-count admission — silently removing the bound entirely
+      // would be the opposite of what the caller asked for
       case "wal" =>
-        val r = spark.readStream
+        spark.readStream
           .format(classOf[graft.sources.WalReplayProvider].getName)
           .option("path", dir)
-        maxBytesPerTrigger match {
-          case Some(_) => r.load() // byte admission not supported; segment count only
-          case None => r.option("maxSegmentsPerTrigger", maxFilesPerTrigger).load()
-        }
+          .option("maxSegmentsPerTrigger", maxFilesPerTrigger)
+          .load()
       case other => throw new IllegalArgumentException(s"unsupported replay format: $other")
     }
   }

@@ -62,6 +62,16 @@ class ExpressionEdgeSpec extends SparkSuite {
     val n = Seq(Option.empty[Seq[Long]]).toDF("xs")
       .select(sorted_distinct(col("xs"))).collect()
     assert(n.head.isNullAt(0))
+    // null ELEMENTS: deduped and sorted last like array_sort(array_distinct),
+    // never silently coerced to 0 (the SQL registry exposes this to users)
+    val withNulls = Seq(Seq(Option(5L), Option.empty[Long], Option(2L),
+        Option.empty[Long], Option(5L))).toDF("xs")
+    val gotN = withNulls.select(sorted_distinct(col("xs"))).collect()
+      .head.getSeq[Any](0)
+    val wantN = withNulls.select(array_sort(array_distinct(col("xs")))).collect()
+      .head.getSeq[Any](0)
+    assert(gotN == Seq(2L, 5L, null))
+    assert(gotN == wantN)
   }
 
   test("word_shingle_hashes: short input yields one whole-input shingle") {
