@@ -190,6 +190,12 @@ object SparkEntry {
     // historical corpus index — exact-hash membership + cross-set LSH
     "dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(tbl(s, dir, "documents"))),
     "dedup_embedding_cosine" -> ((s, dir) => DedupOps.dedupEmbeddingCosine(tbl(s, dir, "embeddings"))),
+    // SemDeDup: k-means-cluster-blocked cosine dedup — no label column,
+    // the learned clustering bounds the pair space
+    "dedup_semantic" -> ((s, dir) => DedupOps.dedupSemantic(tbl(s, dir, "embeddings"))),
+    // measured banding loss: LSH pairs vs exact ground truth from the
+    // gram inverted index (the recall monitor for Bands × RowsPerBand)
+    "dedup_lsh_recall" -> ((s, dir) => DedupOps.dedupLshRecall(tbl(s, dir, "documents"))),
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
@@ -199,6 +205,8 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
     "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
+    // sliding-window token chunking (RAG/embedding context windows)
+    "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(tbl(s, dir, "documents"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
@@ -220,6 +228,10 @@ object SparkEntry {
     // production gram width (8): the published exact-overlap setting
     "decontaminate_8gram" -> ((s, dir) =>
       PretrainOps.decontaminate(tbl(s, dir, "documents"), PretrainOps.DecontamGramProd)),
+    // bloom-prune + exact-confirm: same output, benchmark side never
+    // broadcast as a set (for held-out corpora too big to hash-broadcast)
+    "decontaminate_bloom" -> ((s, dir) =>
+      PretrainOps.decontaminateBloom(tbl(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) => PretrainOps.dedupSubstring(tbl(s, dir, "documents"))),
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
@@ -461,6 +473,8 @@ object SparkEntry {
     "dedup_components" -> DedupOps.sqlDedupComponents,
     "dedup_incremental" -> DedupOps.sqlDedupIncremental,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
+    "dedup_semantic" -> DedupOps.sqlDedupSemantic,
+    "dedup_lsh_recall" -> DedupOps.sqlDedupLshRecall,
 
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
@@ -469,6 +483,7 @@ object SparkEntry {
     "ann_recall" -> SimilarityOps.sqlAnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
+    "chunk_tokens" -> TextOps.sqlChunkTokens,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,
@@ -480,6 +495,9 @@ object SparkEntry {
 
     "decontaminate" -> PretrainOps.sqlDecontaminate,
     "decontaminate_8gram" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd),
+    // bloom prune + exact confirm is output-identical to the exact path —
+    // the oracle IS the exact decontaminate SQL
+    "decontaminate_bloom" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGram),
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,

@@ -128,6 +128,70 @@ object PretrainOps {
        |FROM train JOIN bench USING (g)
        |GROUP BY doc_id, n_grams""".stripMargin
 
+  // ------------------------------------------- decontaminate (bloom prune)
+
+  /** Bloom sizing: m bits / k hash probes. At m=2^16, k=3 and the few
+    * thousand grams of a benchmark suite, the false-positive rate is
+    * ~(1-e^(-kn/m))^k ≲ 0.2% — tune m up with the benchmark, it only
+    * costs m/8 bytes of broadcast.
+    */
+  val BloomBits = 1 << 16
+  val BloomHashes = 3
+  val BloomWords: Int = BloomBits / 64
+
+  /** Decontamination for benchmarks too big to broadcast as a hash set:
+    * identical OUTPUT to [[decontaminate]] (the oracle is the same SQL),
+    * different 100 TB plan. The exact path broadcasts the bench gram SET —
+    * O(|bench|) executor memory, fine for eval suites, fatal when the
+    * "benchmark" is itself web-scale (dedup against a held-out index). This
+    * path broadcasts a BLOOM of the bench grams instead — O(m) = [[BloomBits]]
+    * bits by construction, independent of |bench| — prunes training grams
+    * with three codegen'd bit tests, then confirms the survivors with a
+    * plain shuffled equi-join against the bench grams. Blooms have no false
+    * negatives, so prune→confirm is exact; false positives only cost
+    * shuffled rows (~0.2% at the default sizing).
+    *
+    * The bloom itself is a ≤[[BloomWords]]-row (word_idx, bits) table built
+    * by one map-side-combined bit_or agg over the bench grams — never more
+    * than m/64 rows reach any single place, and the build stays lazy (no
+    * driver-side collect; the `broadcast` hint is principled because the
+    * table is ≤ m/8 bytes BY CONSTRUCTION, not by estimate).
+    */
+  def decontaminateBloom(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
+    val g = fanout(docs).select(col("doc_id"), col("source"),
+      decontamGrams(gramWidth).as("gs"))
+    val bench = g.filter(col("source") === BenchmarkSource)
+      .select(explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    def pos(i: Int): Column = pmod(hash(col("g"), lit(i)), lit(BloomBits))
+    // materialized: three probe joins would otherwise each rebuild the agg
+    // (three more scans of the bench side)
+    val bloom = DedupOps.materialize(
+      bench
+        .select(explode(array((0 until BloomHashes).map(pos): _*)).as("p"))
+        .groupBy(expr("p DIV 64").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), p % 64))").as("bits")),
+      "decontam_bloom")
+    val train = g.filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    // three bit tests = three broadcast joins against the ≤1024-row bloom
+    // table; a gram whose word index is absent has bit 0 → inner join prunes
+    val candidates = (0 until BloomHashes).foldLeft(train) { (df, i) =>
+      df.withColumn("p", pos(i))
+        .withColumn("w", expr("p DIV 64"))
+        .join(broadcast(bloom), "w")
+        .filter(expr("(bits & shiftleft(CAST(1 AS BIGINT), p % 64)) != 0"))
+        .drop("p", "w", "bits")
+    }
+    candidates.join(bench, "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("contamination"))
+  }
+
   // ------------------------------------------------------ dedup_substring
 
   /** Repeated-span detection — the shuffle-native stand-in for

@@ -162,13 +162,13 @@ object SimilarityOps {
   private def centDotsOf(cents: Seq[IndexedSeq[Double]], embD: Column): Column =
     array(cents.map(c => dot(array(c.map(lit): _*), embD)): _*)
 
-  private def centDots(embD: Column): Column =
+  private[ops] def centDots(embD: Column): Column =
     centDotsOf(defaultCentroids, embD)
 
   private def sqlCentroidLit(j: Int): String =
     centroid(j).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
 
-  private def sqlCentDots(embD: String): String =
+  private[ops] def sqlCentDots(embD: String): String =
     (0 until IvfCentroids).map(j => sqlDot(sqlCentroidLit(j), embD))
       .mkString("[", ", ", "]")
 

@@ -325,4 +325,59 @@ object TextOps {
        |FROM (
        |  SELECT doc_id, list_transform(${sqlTokens("text")}, t -> ${sqlTokenHash("t")}) AS ths
        |  FROM documents)""".stripMargin
+
+  // --------------------------------------------------------- chunk_tokens
+
+  /** Training-sequence windowing: [[ChunkWindow]] tokens per chunk,
+    * [[ChunkStride]]-token stride (25% overlap). Window starts run
+    * 0, S, 2S, …; the LAST window may be short — every token is covered,
+    * interior tokens appear in ≤ ⌈W/S⌉ chunks.
+    */
+  val ChunkWindow = 32
+  val ChunkStride = 24
+
+  /** Sliding-window token chunking — the context-window preparation step
+    * for embedding/RAG indexing (vs [[graft.ops.PretrainOps.packSequences]],
+    * which concatenates docs INTO fixed windows; this SPLITS docs into
+    * overlapping ones). One row per (doc, window): start offset, width,
+    * and the window's text.
+    *
+    * Scale shape: a narrow generate — tokenize once, per-row arithmetic
+    * for the window count, explode, slice. Zero shuffle, no state; the
+    * fan-out factor is bounded by ~n/S windows per doc. Parallelism rides
+    * the scan (the fanout repartition is the usual one-local-file
+    * insurance, a no-op on real multi-split inputs).
+    */
+  def chunkTokens(docs: DataFrame,
+      window: Int = ChunkWindow, stride: Int = ChunkStride): DataFrame =
+    DedupOps.fanout(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // n ≥ 1 always (tokens('') = ['']), so nwin ≥ 1 and the sequence is
+      // never descending-by-accident
+      .withColumn("nwin",
+        expr(s"CAST((greatest(n - $window, 0) + ${stride - 1}) DIV $stride AS BIGINT) + 1"))
+      .select(col("doc_id"), col("n"), col("toks"),
+        posexplode(sequence(lit(0L), col("nwin") - 1)))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        (col("pos") * stride).cast("long").as("start_tok"),
+        least(lit(window.toLong), col("n") - col("pos") * stride).as("n_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("pos") * stride + 1).cast("int"), lit(window)))
+          .as("chunk_text"))
+
+  def sqlChunkTokens: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)),
+       |w AS (
+       |  SELECT doc_id, n, toks,
+       |    unnest(range(0, (greatest(n - $ChunkWindow, 0) + ${ChunkStride - 1}) // $ChunkStride + 1)) AS chunk_id
+       |  FROM s)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $ChunkStride AS BIGINT) AS start_tok,
+       |  CAST(least($ChunkWindow, n - chunk_id * $ChunkStride) AS BIGINT) AS n_tokens,
+       |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
+       |    chunk_id * $ChunkStride + $ChunkWindow), ' ') AS chunk_text
+       |FROM w""".stripMargin
 }

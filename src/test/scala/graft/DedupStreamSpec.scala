@@ -20,7 +20,7 @@ class DedupStreamSpec extends SparkSuite {
     Seq((1L, "Hello, World!"), (2L, "unique one")).toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q1 = DedupStream.run(spark, docsDir, outDir, ckpt)
-    q1.awaitTermination(60000)
+    awaitDone(q1)
     assert(spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L))
 
@@ -28,7 +28,7 @@ class DedupStreamSpec extends SparkSuite {
     Seq((3L, "hello   world"), (4L, "another unique")).toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q2 = DedupStream.run(spark, docsDir, outDir, ckpt)
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     val after = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
     assert(after == Set(1L, 2L, 4L), s"got $after") // 3 deduped against state
   }
@@ -48,7 +48,7 @@ class DedupStreamSpec extends SparkSuite {
       .toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q1 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
-    q1.awaitTermination(60000)
+    awaitDone(q1)
     val got1 = spark.read.parquet(outDir)
       .select("doc_id", "is_exact_dup", "keep")
       .as[(Long, Boolean, Boolean)].collect()
@@ -61,7 +61,7 @@ class DedupStreamSpec extends SparkSuite {
       .toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q2 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     val got2 = spark.read.parquet(outDir)
       .select("doc_id", "near_dup_of", "keep")
       .as[(Long, Option[Long], Boolean)].collect()
@@ -84,7 +84,7 @@ class DedupStreamSpec extends SparkSuite {
       .toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q1 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
-    q1.awaitTermination(60000)
+    awaitDone(q1)
     val got1 = spark.read.parquet(outDir)
       .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
     assert(got1 == Map(1L -> 1L), s"only the leaked doc is flagged: $got1")
@@ -95,7 +95,7 @@ class DedupStreamSpec extends SparkSuite {
       .toDF("doc_id", "text")
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q2 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     val got2 = spark.read.parquet(outDir)
       .select("doc_id").as[Long].collect().toSet
     assert(got2 == Set(1L, 3L), s"got $got2")

@@ -260,9 +260,32 @@ class PlanSpec extends SparkSuite {
   test("pairwise dedup ops never plan a cartesian product") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean",
-        "dedup_incremental", "corpus_clean_decontam")) {
+        "dedup_incremental", "corpus_clean_decontam", "dedup_semantic")) {
       assert(!nodes(q(name)).exists(_.isInstanceOf[CartesianProductExec]),
         s"$name planned a cartesian product")
     }
+  }
+
+  test("chunk_tokens: narrow generate — only the fanout insurance shuffle") {
+    assert(exchanges(q("chunk_tokens")) == 1,
+      "chunk_tokens should be fanout + a zero-shuffle explode/slice chain")
+  }
+
+  test("decontaminate_bloom: bounded-size bloom broadcasts, no forced hint on the confirm join") {
+    val df = q("decontaminate_bloom")
+    val ns = nodes(df)
+    // the three bit-test probes ride broadcast joins of the ≤1024-row bloom
+    assert(ns.count(_.isInstanceOf[BroadcastExchangeExec]) >= 1,
+      "bloom probe joins lost their broadcast")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    // the exact-confirm join against the bench grams must stay AQE-decided:
+    // the bench side is O(|benchmark|), NOT bounded by construction — only
+    // the bloom table (join key "w") may carry the forced hint
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val forced = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(forced.forall(_.condition.exists(_.references.exists(_.name == "w"))),
+      "a forced broadcast hint escaped beyond the size-bounded bloom table")
   }
 }

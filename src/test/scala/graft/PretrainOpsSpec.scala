@@ -41,6 +41,24 @@ class PretrainOpsSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("decontaminate_bloom ≡ decontaminate: the bloom prune is lossless") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta"
+    val leaked = "intro words then alpha beta gamma delta epsilon closing"
+    val clean = "totally unrelated content with no overlap whatsoever here"
+    val planted = Seq(
+      (1L, benchText, PretrainOps.BenchmarkSource),
+      (2L, leaked, "src1"),
+      (3L, clean, "src2")
+    ).toDF("doc_id", "text", "source")
+    val viaBloom = PretrainOps.decontaminateBloom(planted)
+      .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
+    assert(viaBloom == Map(2L -> 1L))
+    // and on the real table: row-for-row identical to the exact path
+    val exact = PretrainOps.decontaminate(docs).collect().map(_.toSeq).toSet
+    val bloom = PretrainOps.decontaminateBloom(docs).collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+  }
+
   // ------------------------------------------------------ dedup_substring
 
   test("dedup_substring finds the span shared by two docs") {

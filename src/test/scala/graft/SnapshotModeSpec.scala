@@ -47,7 +47,7 @@ class SnapshotModeSpec extends SparkSuite {
     val q = Pipeline.runInitial(spark, users(10), "public", "users", "id",
       eventsDir, bulkDir, tmp("init-dlq"), tmp("init-ckpt"),
       trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDone(q)
     val lines = readBulk(bulkDir)
     assert(lines.count(_.contains("\"operation\":\"SNAPSHOT\"")) == 10)
     assert(lines.count(_.contains("\"op\":\"INSERT\"")) == 5)

@@ -24,4 +24,18 @@ object SparkSuite {
 abstract class SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.spark
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Await a bounded (AvailableNow) query's termination LOUDLY, stopping
+    * it on timeout: `awaitTermination(ms)` returns false with the query
+    * still ACTIVE — in the shared test JVM a leftover query poisons every
+    * later test that reuses its query name ("query with that name is
+    * already active"), turning one slow run under full-suite load into a
+    * multi-test cascade. Fail at the slow test, not three tests later.
+    */
+  def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery,
+      ms: Long = 180000): Unit =
+    try {
+      val done = q.awaitTermination(ms)
+      assert(done, s"stream did not terminate within ${ms}ms")
+    } finally { if (q.isActive) q.stop() }
 }

@@ -36,7 +36,7 @@ class StateMergeSpec extends SparkSuite {
     // batch 1: user 7 updated twice, user 8 once
     stage(eventsDir, Seq((1L, 7L, 1.5), (2L, 7L, 2.5), (3L, 8L, 9.0)))
     val q1 = StateMerge.run(spark, eventsDir, bulkDir, ckpt)
-    q1.awaitTermination(60000)
+    awaitDone(q1)
     val out1 = lines(bulkDir)
     assert(out1.exists(l => l.contains("\"_id\":\"7\"")))
     val v7 = out1.find(_.contains("\"version\":2")).getOrElse("")
@@ -45,7 +45,7 @@ class StateMergeSpec extends SparkSuite {
     // batch 2 after restart: one more update for user 7 → version 3
     stage(eventsDir, Seq((4L, 7L, 4.0)))
     val q2 = StateMerge.run(spark, eventsDir, bulkDir, ckpt)
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     val out2 = lines(bulkDir)
     assert(out2.exists(l => l.contains("\"version\":3") && l.contains("\"last_value\":4.0")),
       s"state did not survive restart: $out2")
@@ -62,13 +62,11 @@ class StateMergeSpec extends SparkSuite {
     val ckpt = tmp("smr-ckpt")
     try {
       stage(eventsDir, Seq((1L, 7L, 1.5), (2L, 7L, 2.5)))
-      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true))
-        .awaitTermination(60000)
+      awaitDone(StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true)))
       assert(lines(bulkDir).exists(_.contains("\"version\":2")))
       // restart against the same checkpoint: RocksDB state must restore
       stage(eventsDir, Seq((3L, 7L, 4.0)))
-      StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true))
-        .awaitTermination(60000)
+      awaitDone(StateMerge.run(spark, eventsDir, bulkDir, ckpt, rocksDb = Some(true)))
       assert(lines(bulkDir).exists(l =>
         l.contains("\"version\":3") && l.contains("\"last_value\":4.0")),
         s"RocksDB state did not survive restart: ${lines(bulkDir)}")

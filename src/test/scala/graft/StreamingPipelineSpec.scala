@@ -59,7 +59,7 @@ class StreamingPipelineSpec extends SparkSuite {
     stage(eventsDir, 1L to 5L)
     val q1 = Pipeline.run(spark, eventsDir, bulkDir, dlqDir, ckpt,
       concurrentRequest = 2, trigger = Trigger.AvailableNow())
-    q1.awaitTermination(60000)
+    awaitDone(q1)
     val after1 = bulkDocIds(bulkDir)
     assert(after1.toSet == (1L to 5L).map(_.toString).toSet, s"got $after1")
 
@@ -69,7 +69,7 @@ class StreamingPipelineSpec extends SparkSuite {
     // phase 3: restart with the same checkpoint (≙ same replication slot)
     val q2 = Pipeline.run(spark, eventsDir, bulkDir, dlqDir, ckpt,
       concurrentRequest = 2, trigger = Trigger.AvailableNow())
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     val after2 = bulkDocIds(bulkDir)
     assert(after2.toSet == (1L to 9L).map(_.toString).toSet, s"got $after2")
     // no re-delivery: each id appears exactly once across all bulk files
@@ -79,7 +79,7 @@ class StreamingPipelineSpec extends SparkSuite {
     stage(eventsDir, 10L to 12L)
     val q3 = Pipeline.run(spark, eventsDir, bulkDir, dlqDir, ckpt,
       concurrentRequest = 2, trigger = Trigger.AvailableNow())
-    q3.awaitTermination(60000)
+    awaitDone(q3)
     assert(bulkDocIds(bulkDir).toSet == (1L to 12L).map(_.toString).toSet)
   }
 
@@ -89,7 +89,7 @@ class StreamingPipelineSpec extends SparkSuite {
     stage(eventsDir, 1L to 30L)
     val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-dlq2"), tmp("graft-ckpt2"),
       concurrentRequest = 3, trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDone(q)
     val batchDirs = new java.io.File(bulkDir).listFiles().filter(_.isDirectory)
     assert(batchDirs.nonEmpty)
     val parts = batchDirs.head.listFiles()
@@ -109,7 +109,7 @@ class StreamingPipelineSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(eventsDir)
     val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-trio-dlq"),
       tmp("graft-trio-ckpt"), concurrentRequest = 1, trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDone(q)
     val lines = bulkLines(bulkDir)
     assert(lines.exists(l => l.contains("\"index\"") && l.contains("users_idx") && l.contains("\"_id\":\"1\"")))
     assert(lines.exists(l => l.contains("\"op\":\"INSERT\"")))
@@ -131,7 +131,7 @@ class StreamingPipelineSpec extends SparkSuite {
     val q = Pipeline.run(spark, eventsDir, bulkDir, tmp("graft-json-dlq"),
       tmp("graft-json-ckpt"), concurrentRequest = 1,
       trigger = Trigger.AvailableNow(), format = "json")
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(bulkDocIds(bulkDir).toSet == (1L to 4L).map(_.toString).toSet)
   }
 
@@ -166,7 +166,7 @@ class StreamingPipelineSpec extends SparkSuite {
       batchByteSizeLimit = "1b", concurrentRequest = 1))
     val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-adm-dlq"),
       tmp("graft-adm-ckpt"), Some(Trigger.AvailableNow()))
-    q.awaitTermination(60000)
+    awaitDone(q)
     val batchDirs = new java.io.File(bulkDir).listFiles().filter(_.isDirectory)
     assert(batchDirs.length >= 3,
       s"expected >=3 byte-bounded micro-batches, got ${batchDirs.length}")
@@ -183,7 +183,7 @@ class StreamingPipelineSpec extends SparkSuite {
       tableIndexMapping = CdcOps.tableIndexMapping, version = ""))
     val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-v-dlq"),
       tmp("graft-v-ckpt"), Some(Trigger.AvailableNow()))
-    q.awaitTermination(60000)
+    awaitDone(q)
     val metas = bulkLines(bulkDir).filter(_.contains("\"_id\""))
     assert(metas.nonEmpty)
     assert(metas.forall(_.contains("\"_type\":\"_doc\"")),
@@ -270,7 +270,7 @@ class StreamingPipelineSpec extends SparkSuite {
       version = "")) // auto-detect requested → resolved BEFORE onInit
     val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-dlq-init"),
       tmp("graft-ckpt-init"), Some(Trigger.AvailableNow()), Some(handler))
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(calls.headOption.contains("init"), s"init not first: $calls")
     assert(calls.count(_ == "init") == 1, s"init fired more than once: $calls")
     assert(calls.contains("success"))
@@ -336,7 +336,7 @@ class StreamingPipelineSpec extends SparkSuite {
     stage(eventsDir, 1L to 3L, nullUserIds = Seq(100L, 101L))
     val q = Pipeline.run(spark, eventsDir, bulkDir, dlqDir, tmp("graft-ckpt3"),
       concurrentRequest = 1, trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(bulkDocIds(bulkDir).toSet == Set("1", "2", "3"))
     val dead = spark.read.parquet(dlqDir)
     assert(dead.select("event_id").as[Long].collect().toSet == Set(100L, 101L))

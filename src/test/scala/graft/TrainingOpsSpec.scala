@@ -312,6 +312,76 @@ class TrainingOpsSpec extends SparkSuite {
     res.unpersist()
   }
 
+  test("dedup_lsh_recall: found ⊆ truth; planted exact dup is always recalled") {
+    val t = "one two three four five six seven eight nine ten eleven twelve"
+    val planted = Seq(
+      (1L, t), (2L, t), // identical → J=1, identical signatures → found
+      (3L, "completely different words in this unrelated document body here")
+    ).toDF("doc_id", "text")
+    val row = DedupOps.dedupLshRecall(planted).collect()(0)
+    assert(row.getAs[Long]("n_true") == 1L)
+    assert(row.getAs[Long]("n_found") == 1L)
+    assert(row.getAs[Double]("recall") == 1.0)
+    // on the real corpus: found never exceeds truth, recall ∈ [0,1]
+    val real = DedupOps.dedupLshRecall(docs).collect()(0)
+    assert(real.getAs[Long]("n_found") <= real.getAs[Long]("n_true"))
+    val r = real.getAs[Double]("recall")
+    assert(real.getAs[Long]("n_true") == 0 || (r >= 0.0 && r <= 1.0))
+  }
+
+  test("dedup_semantic: identical vectors collapse to the lower id, distinct ones survive") {
+    val v = Seq.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
+    val w = Seq.tabulate(64)(i => (math.cos(i + 1) * 10).toFloat)
+    val planted = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val out = DedupOps.dedupSemantic(planted)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(1L), "lower id of an identical pair is the survivor")
+    assert(!out(2L), "higher id of an identical pair is dropped")
+    // cos(v,w) ≈ 0 ≪ threshold — w survives whether or not it shares a cluster
+    assert(out(3L))
+  }
+
+  test("dedup_semantic covers every vector once; clusters are in-range; no label needed") {
+    val out = DedupOps.dedupSemantic(emb.drop("label")).cache()
+    try {
+      assert(out.count() == emb.count())
+      assert(out.select("vec_id").distinct().count() == emb.count())
+      val bad = out.filter($"cluster_id" < 0 ||
+        $"cluster_id" >= SimilarityOps.IvfCentroids).count()
+      assert(bad == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("dedup_semantic runs against LEARNED ivfTrain centroids (train→dedup loop closed)") {
+    val (cents, _) = SimilarityOps.ivfTrain(emb, maxIter = 3)
+    val out = DedupOps.dedupSemantic(emb.drop("label"), cents).cache()
+    try {
+      assert(out.count() == emb.count())
+      val bad = out.filter($"cluster_id" < 0 || $"cluster_id" >= cents.length).count()
+      assert(bad == 0)
+    } finally { out.unpersist(); () }
+  }
+
+  test("chunk_tokens: stride windows tile the doc; short tail window keeps the remainder") {
+    val text = (1 to 60).map(i => s"t$i").mkString(" ")
+    val out = TextOps.chunkTokens(Seq((7L, text)).toDF("doc_id", "text"))
+      .orderBy("chunk_id").collect()
+    assert(out.length == 3)
+    assert(out.map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("n_tokens"))).toSeq ==
+      Seq((0L, 32L), (24L, 32L), (48L, 12L)))
+    assert(out.last.getAs[String]("chunk_text") ==
+      (49 to 60).map(i => s"t$i").mkString(" "))
+    // interior overlap: window 1 re-covers tokens 24..31 of window 0
+    assert(out(1).getAs[String]("chunk_text").startsWith("t25 t26"))
+  }
+
+  test("chunk_tokens: doc shorter than one window → a single full-text chunk") {
+    val out = TextOps.chunkTokens(Seq((1L, "a b c")).toDF("doc_id", "text")).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(0).getAs[String]("chunk_text") == "a b c")
+  }
+
   test("tfidf: rare planted token outranks ubiquitous stopword") {
     import graft.ops.TextOps
     val planted = (1L to 9L).map(i => (i, "the common words here again"))

@@ -43,7 +43,7 @@ class WalReplaySourceSpec extends SparkSuite {
         .option("path", out)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
+      awaitDone(q)
       ()
     }
     runOnce()
@@ -66,7 +66,7 @@ class WalReplaySourceSpec extends SparkSuite {
     writeSegment(dir, "seg-000", Seq(7L, 8L))
     val q = Pipeline.run(spark, dir, bulk, dlq, tmp("wal-cdc-ckpt"),
       concurrentRequest = 1, trigger = Trigger.AvailableNow(), format = "wal")
-    q.awaitTermination(60000)
+    awaitDone(q)
     val lines = new java.io.File(bulk).listFiles.filter(_.isDirectory)
       .flatMap(_.listFiles).filter(_.getName.endsWith(".txt"))
       .flatMap { f =>
