@@ -17,7 +17,7 @@ object Probe {
 
     // dump selected queries + their oracle SQL for scripts/check.py
     val names = if (args.nonEmpty) args.toSeq else Seq("dedup_lsh_recall")
-    val sfDir = "/root/testdata/sf0.01"
+    val sfDir = sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.01")
     val outDir = "/tmp/probe_check"
     new java.io.File(outDir).mkdirs()
     for (n <- names)

@@ -327,6 +327,9 @@ class TrainingOpsSpec extends SparkSuite {
     assert(real.getAs[Long]("n_found") <= real.getAs[Long]("n_true"))
     val r = real.getAs[Double]("recall")
     assert(real.getAs[Long]("n_true") == 0 || (r >= 0.0 && r <= 1.0))
+    // deterministic sampling: the monitor's scale knob only shrinks truth
+    val sampledRow = DedupOps.dedupLshRecall(docs, sampleMod = 2).collect()(0)
+    assert(sampledRow.getAs[Long]("n_true") <= real.getAs[Long]("n_true"))
   }
 
   test("dedup_semantic: identical vectors collapse to the lower id, distinct ones survive") {
