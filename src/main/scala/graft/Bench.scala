@@ -33,16 +33,11 @@ object Bench {
     // queries' caches never pile up into storage-eviction noise that
     // inflates later queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      spark.catalog.clearCache()
-      // clearCache only empties the SQL cache — localCheckpoint blocks
-      // (connected components' per-round lineage truncation) pin RDDs in
-      // the block manager until explicitly unpersisted. The CC loop frees
-      // its superseded rounds itself; the FINAL round's blocks back the
-      // returned frame and outlive the query, so drop them here or ~7 s
-      // of storage pressure lands on whichever queries run after the CC
-      // family (BENCH_r03's dedup_ngram_jaccard 5.79 s vs 1.49 s isolated)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // shared hygiene (see CheckpointBlocks.resetForMeasurement): without
+      // the pinned-RDD drop, the CC family's final-round localCheckpoint
+      // blocks land ~7 s of storage pressure on later queries
+      // (BENCH_r03's dedup_ngram_jaccard: 5.79 s in-sweep, 1.49 s isolated)
+      org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(spark)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }

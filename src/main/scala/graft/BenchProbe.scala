@@ -19,9 +19,8 @@ object BenchProbe {
     exec(SparkEntry.queries("message_typing")(spark, sfDir)) // warm
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
-      spark.catalog.clearCache() // same per-query hygiene as graft.Bench
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // same per-query hygiene as graft.Bench
+      org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(spark)
       try {
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

@@ -160,9 +160,15 @@ object PretrainOps {
   def decontaminateBloom(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), col("source"),
       decontamGrams(gramWidth).as("gs"))
-    val bench = g.filter(col("source") === BenchmarkSource)
-      .select(explode_outer(col("gs")).as("g"))
-      .filter(col("g").isNotNull).distinct()
+    // materialized: the bench gram set feeds TWO branches (bloom build +
+    // exact-confirm join) — without it the full benchmark-side scan +
+    // gram sketch + distinct runs twice, and the benchmark side being
+    // huge is this operator's entire reason to exist
+    val bench = DedupOps.materialize(
+      g.filter(col("source") === BenchmarkSource)
+        .select(explode_outer(col("gs")).as("g"))
+        .filter(col("g").isNotNull).distinct(),
+      "decontam_bench_grams")
     def pos(i: Int): Column = pmod(hash(col("g"), lit(i)), lit(BloomBits))
     // materialized: three probe joins would otherwise each rebuild the agg
     // (three more scans of the bench side)

@@ -357,8 +357,13 @@ object TextOps {
       // never descending-by-accident
       .withColumn("nwin",
         expr(s"CAST((greatest(n - $window, 0) + ${stride - 1}) DIV $stride AS BIGINT) + 1"))
+      // OUTER generate + null filter, not plain posexplode: an inner
+      // generate lets the optimizer infer size()>0 filters and push the
+      // whole tokenization below the fanout exchange (duplicated
+      // pre-shuffle evaluation — see minhashSignature)
       .select(col("doc_id"), col("n"), col("toks"),
-        posexplode(sequence(lit(0L), col("nwin") - 1)))
+        posexplode_outer(sequence(lit(0L), col("nwin") - 1)))
+      .filter(col("pos").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
         (col("pos") * stride).cast("long").as("start_tok"),
         least(lit(window.toLong), col("n") - col("pos") * stride).as("n_tokens"),

@@ -29,7 +29,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - segment admission per micro-batch (`maxSegmentsPerTrigger` ≙
   *     batch-size-bounded WAL reads) via `SupportsAdmissionControl`.
   *   - segments are JSON-lines event files, name-ordered (names must be
-  *     monotone like LSNs — the capture side writes them that way).
+  *     monotone like LSNs — the capture side writes them that way, and
+  *     the offset records the last consumed NAME so a violation fails
+  *     loudly instead of silently skipping/re-delivering).
   *
   * Usage:
   * {{{
@@ -75,9 +77,26 @@ private[sources] class WalTable(schema: StructType, props: Map[String, String])
     }
 }
 
-/** Offset = number of consumed segments (the "LSN"). */
-private[sources] case class WalOffset(seg: Long) extends Offset {
-  override def json(): String = s"""{"seg":$seg}"""
+/** Offset = number of consumed segments (the "LSN") + the NAME of the
+  * last consumed segment. The name is what makes the monotone-naming
+  * contract ENFORCEABLE instead of a scaladoc hope: a count alone is an
+  * index into a re-sorted listing, so a capture side that writes
+  * non-monotone names (unpadded `seg-10` sorting before `seg-2`) or
+  * deletes consumed segments would silently shift the committed prefix —
+  * skipping some segments and re-delivering others. With the name stored,
+  * any such shift is detected on the next batch and fails loudly.
+  * (`last` is absent at offset 0 and when resuming from a pre-name
+  * checkpoint — validation simply skips then.)
+  */
+private[sources] case class WalOffset(seg: Long, last: Option[String] = None)
+    extends Offset {
+  override def json(): String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    node.put("seg", seg)
+    last.foreach(node.put("last", _))
+    m.writeValueAsString(node)
+  }
 }
 
 private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int])
@@ -96,8 +115,29 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
 
   override def initialOffset(): Offset = WalOffset(0L)
 
-  override def deserializeOffset(json: String): Offset =
-    WalOffset(new ObjectMapper().readTree(json).get("seg").asLong())
+  override def deserializeOffset(json: String): Offset = {
+    val n = new ObjectMapper().readTree(json)
+    WalOffset(n.get("seg").asLong(),
+      if (n.hasNonNull("last")) Some(n.get("last").asText()) else None)
+  }
+
+  /** Fail loudly if the committed prefix no longer ends at the recorded
+    * segment — a violated monotone-name contract (or a deleted segment)
+    * would otherwise silently skip and re-deliver.
+    */
+  private def validate(segs: Array[String], o: WalOffset): Unit =
+    o.last.foreach { l =>
+      val i = o.seg.toInt
+      val atI = if (i > 0 && segs.length >= i) segs(i - 1) else "<missing>"
+      if (atI != l)
+        throw new IllegalStateException(
+          s"WAL segment naming contract violated: the committed offset covers " +
+            s"$i segments ending at '$l', but the listing's segment #$i is " +
+            s"'$atI'. Segment names must be monotone (zero-padded / LSN-like) " +
+            "and consumed segments must not be removed — a non-monotone name " +
+            "(e.g. unpadded 'seg-10' sorting before 'seg-2') silently skips " +
+            "some segments and re-delivers others.")
+    }
 
   override def getDefaultReadLimit: ReadLimit =
     maxSegments.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
@@ -107,17 +147,22 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
       "latestOffset(Offset, ReadLimit) is the admission-control entry")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = segments().length.toLong
-    val from = start.asInstanceOf[WalOffset].seg
-    limit match {
-      case mf: ReadMaxFiles => WalOffset(math.min(from + mf.maxFiles(), total))
-      case _ => WalOffset(total)
+    val segs = segments()
+    val s = start.asInstanceOf[WalOffset]
+    validate(segs, s)
+    val total = segs.length.toLong
+    val to = limit match {
+      case mf: ReadMaxFiles => math.min(s.seg + mf.maxFiles(), total)
+      case _ => total
     }
+    WalOffset(to, if (to > 0) Some(segs((to - 1).toInt)) else None)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val segs = segments()
-    val from = start.asInstanceOf[WalOffset].seg.toInt
+    val s = start.asInstanceOf[WalOffset]
+    validate(segs, s)
+    val from = s.seg.toInt
     val to = math.min(end.asInstanceOf[WalOffset].seg, segs.length.toLong).toInt
     (from until to).map(i => WalSegmentPartition(segs(i)): InputPartition).toArray
   }

@@ -30,4 +30,18 @@ object CheckpointBlocks {
     */
   def unpersist(df: DataFrame): Unit =
     pinnedRdd(df).foreach { r => r.unpersist(blocking = false); () }
+
+  /** Per-query measurement hygiene, shared by Bench / BenchProbe /
+    * PlanInventory so the three harnesses always measure the same thing:
+    * clear the SQL cache AND drop every pinned RDD — `clearCache` only
+    * empties the SQL cache; localCheckpoint blocks (the CC loops' final
+    * rounds, whose blocks back the returned frame and are the CALLER's to
+    * release) stay pinned until explicitly unpersisted, and in a shared
+    * JVM they pressure every later query.
+    */
+  def resetForMeasurement(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -59,6 +59,42 @@ class WalReplaySourceSpec extends SparkSuite {
     assert(got2.toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("non-monotone segment names fail loudly instead of silently skipping/re-delivering") {
+    val dir = tmp("wal-bad")
+    val out = tmp("wal-bad-out")
+    val ckpt = tmp("wal-bad-ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WalReplayProvider].getName)
+        .option("path", dir)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDone(q)
+      ()
+    }
+    // consume seg-2, seg-3 (committed offset: 2 segments ending at seg-3)
+    writeSegment(dir, "seg-2", Seq(1L))
+    writeSegment(dir, "seg-3", Seq(2L))
+    runOnce()
+    assert(spark.read.parquet(out).count() == 2)
+    // an UNPADDED name lands: 'seg-10' sorts BEFORE 'seg-2', shifting the
+    // committed prefix — a count-only offset would treat seg-10 as already
+    // consumed (lost) and re-deliver seg-3; the stored last-segment name
+    // must turn that into a loud failure instead
+    writeSegment(dir, "seg-10", Seq(3L))
+    val ex = intercept[Exception] { runOnce() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("naming contract")),
+      s"expected the naming-contract failure, got: ${messages(ex)}")
+  }
+
   test("full CDC chain over the custom source (format=wal in changeStream)") {
     val dir = tmp("wal-cdc")
     val bulk = tmp("wal-bulk")
