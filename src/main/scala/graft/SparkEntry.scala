@@ -233,6 +233,9 @@ object SparkEntry {
     "decontaminate_bloom" -> ((s, dir) =>
       PretrainOps.decontaminateBloom(tbl(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) => PretrainOps.dedupSubstring(tbl(s, dir, "documents"))),
+    // per-doc repeated-span coverage — the drop/trim signal on top of
+    // dedup_substring's span inventory
+    "substring_coverage" -> ((s, dir) => PretrainOps.substringCoverage(tbl(s, dir, "documents"))),
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
@@ -499,6 +502,7 @@ object SparkEntry {
     // the oracle IS the exact decontaminate SQL
     "decontaminate_bloom" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGram),
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
+    "substring_coverage" -> PretrainOps.sqlSubstringCoverage,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

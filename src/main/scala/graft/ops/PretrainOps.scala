@@ -223,6 +223,86 @@ object PretrainOps {
        |  FROM documents)
        |GROUP BY span_hash HAVING count(*) >= 2""".stripMargin
 
+  // --------------------------------------------------- substring_coverage
+
+  /** Per-document repeated-span coverage: the fraction of a doc's tokens
+    * lying inside at least one [[SpanWords]]-word span that also appears
+    * in ANOTHER document — the per-doc dedup SIGNAL that
+    * [[dedupSubstring]]'s span inventory doesn't give you (a doc 90%
+    * assembled from boilerplate scores 0.9 here; the published
+    * exact-substring dedup pipelines drop or trim on exactly this
+    * number). Output: (doc_id, n_tokens, covered_tokens, coverage).
+    *
+    * Scale shape: the span table keeps POSITIONS (one row per span
+    * occurrence, the positional twin of dedup_substring's distinct
+    * spans), is materialized once, and feeds (a) the span-hash agg that
+    * finds cross-doc repeats and (b) the coverage join. Only spans that
+    * ARE repeated explode into token positions (fan-out w× repeated
+    * spans, not w× corpus), then one distinct + per-doc count. Three
+    * map-side-combined aggs, shuffles keyed on span_hash / (doc, tok) /
+    * doc — never corpus text.
+    */
+  def substringCoverage(docs: DataFrame): DataFrame = {
+    val w = SpanWords
+    val toksC = tokens(col("text"))
+    val sp = DedupOps.materialize(
+      fanout(docs).select(col("doc_id"),
+          size(toksC).cast("long").as("n"),
+          word_shingle_hashes(toksC, w).as("hs"))
+        .select(col("doc_id"), col("n"), posexplode_outer(col("hs")))
+        .filter(col("col").isNotNull)
+        .select(col("doc_id"), col("n"),
+          (col("pos") + 1).cast("long").as("pos"), col("col").as("span_hash")),
+      "substring_spans")
+    val rep = sp.groupBy("span_hash")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("span_hash")
+    val cov = sp.join(rep, "span_hash")
+      .select(col("doc_id"),
+        explode_outer(sequence(col("pos"), least(col("pos") + lit(w - 1), col("n"))))
+          .as("tok"))
+      .filter(col("tok").isNotNull)
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+    sp.select("doc_id", "n").distinct()
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered"), lit(0L)).cast("double") / col("n")).as("coverage"))
+  }
+
+  def sqlSubstringCoverage: String = {
+    val w = SpanWords
+    val toks = sqlTokens("text")
+    val spanHash =
+      sqlTokenHash(s"array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')")
+    s"""WITH s AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |sp AS (
+       |  SELECT doc_id, n,
+       |    unnest(range(1, greatest(n - ${w - 1}, 1) + 1)) AS pos,
+       |    unnest(list_transform(range(1, greatest(n - ${w - 1}, 1) + 1),
+       |      i -> $spanHash)) AS span_hash
+       |  FROM s),
+       |rep AS (
+       |  SELECT span_hash FROM (
+       |    SELECT span_hash, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+       |  WHERE nd >= 2),
+       |cov AS (
+       |  SELECT doc_id, count(*) AS covered FROM (
+       |    SELECT DISTINCT doc_id, tok FROM (
+       |      SELECT sp.doc_id,
+       |        unnest(range(sp.pos, least(sp.pos + ${w - 1}, sp.n) + 1)) AS tok
+       |      FROM sp JOIN rep USING (span_hash)))
+       |  GROUP BY doc_id)
+       |SELECT b.doc_id, b.n AS n_tokens,
+       |  CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n AS coverage
+       |FROM (SELECT DISTINCT doc_id, n FROM sp) b
+       |LEFT JOIN cov c USING (doc_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------ pii_count
 
   /** Phone / IPv4 literals (RE2- and Java-compatible; anchored loosely —

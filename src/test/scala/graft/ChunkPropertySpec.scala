@@ -34,6 +34,27 @@ class ChunkPropertySpec extends SparkSuite {
     }
   }
 
+  test("chunk_tokens tiling: windows cover every token exactly, count matches the formula") {
+    import graft.ops.TextOps
+    val W = TextOps.ChunkWindow.toLong
+    val S = TextOps.ChunkStride.toLong
+    val lens = Seq(1L, 3L, 24L, 25L, 31L, 32L, 33L, 48L, 56L, 57L, 60L, 100L, 200L)
+    val docs = lens.map(n => (n, (1L to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextOps.chunkTokens(docs)
+      .select("doc_id", "chunk_id", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    for (n <- lens) {
+      val ws = rows.filter(_._1 == n).sortBy(_._2)
+      val expect = (math.max(n - W, 0L) + S - 1) / S + 1
+      assert(ws.length == expect, s"n=$n: ${ws.length} windows, expected $expect")
+      assert(ws.forall { case (_, id, st, w) => st == id * S && w == math.min(W, n - st) },
+        s"n=$n window geometry")
+      val covered = ws.flatMap { case (_, _, st, w) => (st + 1) to (st + w) }.toSet
+      assert(covered == (1L to n).toSet, s"n=$n: windows must tile the doc")
+    }
+  }
+
   test("B1 dedup property: output keys unique, each survivor is max event_id of its key") {
     val seeds = Seq(1, 7, 42)
     for (seed <- seeds) {

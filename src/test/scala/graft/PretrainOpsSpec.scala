@@ -59,6 +59,37 @@ class PretrainOpsSpec extends SparkSuite {
     assert(bloom == exact)
   }
 
+  test("substring_coverage: shared span tokens counted once, unique docs score 0") {
+    val span = (1 to PretrainOps.SpanWords).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (10L, s"a b c $span"),            // 11 tokens, span covers 4..11
+      (20L, s"$span x y"),              // 10 tokens, span covers 1..8
+      (30L, "no repeats in this entirely unique document text at all ok")
+    ).toDF("doc_id", "text")
+    val out = PretrainOps.substringCoverage(planted)
+      .select("doc_id", "n_tokens", "covered_tokens", "coverage")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((11L, 8L, 8.0 / 11)))
+    assert(out(20L) == ((10L, 8L, 0.8)))
+    assert(out(30L) == ((11L, 0L, 0.0)))
+  }
+
+  test("substring_coverage: one row per doc, coverage within [0,1] on the real table") {
+    val out = PretrainOps.substringCoverage(docs).cache()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.filter($"coverage" < 0 || $"coverage" > 1).count() == 0)
+      // duplicated corpus: a full copy pushes every copied doc to coverage 1
+      val doubled = docs.select($"doc_id", $"text")
+        .unionByName(docs.select(($"doc_id" + 100000L).as("doc_id"), $"text"))
+      val full = PretrainOps.substringCoverage(doubled)
+        .filter($"n_tokens" >= PretrainOps.SpanWords)
+      assert(full.filter($"coverage" < 1.0).count() == 0,
+        "an exact corpus copy must drive every long-enough doc to full coverage")
+    } finally { out.unpersist(); () }
+  }
+
   // ------------------------------------------------------ dedup_substring
 
   test("dedup_substring finds the span shared by two docs") {
