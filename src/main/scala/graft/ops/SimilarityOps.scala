@@ -71,9 +71,16 @@ object SimilarityOps {
     s"""SELECT vec_id, label, emb_d, sqrt(${sqlDot("emb_d", "emb_d")}) AS norm
        |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d FROM $table)""".stripMargin
 
-  /** Cosine similarity given precomputed norms. */
+  /** Cosine similarity given precomputed norms — NULL when either norm
+    * is zero. The guard is not cosmetic: Spark 4 runs ANSI mode by
+    * default, where the bare division throws DIVIDE_BY_ZERO — one
+    * degenerate all-zeros embedding in a 100 TB corpus would kill the
+    * whole job. NULL compares false against any threshold, which is
+    * also DuckDB's behavior for its 0/0 = NaN — zero vectors are
+    * degenerate, near-dups of nothing.
+    */
   def cosine(ea: Column, na: Column, eb: Column, nb: Column): Column =
-    dot(ea, eb) / (na * nb)
+    when(na * nb > 0, dot(ea, eb) / (na * nb))
 
   // ---------------------------------------------------- ann_topk_bruteforce
 

@@ -90,6 +90,15 @@ class PretrainOpsSpec extends SparkSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("decontaminate_bloom: empty benchmark split → empty output, no failure") {
+    val planted = Seq(
+      (1L, "some ordinary training document with enough words here", "src1"),
+      (2L, "another one with different content entirely for this", "src2")
+    ).toDF("doc_id", "text", "source")
+    assert(PretrainOps.decontaminateBloom(planted).count() == 0)
+    assert(PretrainOps.decontaminate(planted).count() == 0)
+  }
+
   // ------------------------------------------------------ dedup_substring
 
   test("dedup_substring finds the span shared by two docs") {

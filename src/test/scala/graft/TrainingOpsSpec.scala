@@ -344,6 +344,18 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out(3L))
   }
 
+  test("dedup_semantic: a zero-norm vector is kept (null cosine never marks a dup)") {
+    val v = Seq.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
+    val zero = Seq.fill(64)(0.0f)
+    val planted = Seq((1L, v), (2L, zero), (3L, zero)).toDF("vec_id", "embedding")
+    val out = DedupOps.dedupSemantic(planted)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    // 0/0 cosine is NULL, and NULL >= t is never true — both zero vectors
+    // survive (they are degenerate, not duplicates of anything)
+    assert(out(2L) && out(3L))
+    assert(out.size == 3)
+  }
+
   test("dedup_semantic covers every vector once; clusters are in-range; no label needed") {
     val out = DedupOps.dedupSemantic(emb.drop("label")).cache()
     try {
