@@ -58,11 +58,15 @@ object BinaryOps {
   /** documents → binary payload → per-partition decode → typed metadata.
     * `mapPartitions` (not `map`) is the real batch shape: a production
     * decoder amortizes codec init across the partition's iterator.
+    * NULL text ≡ empty payload (the coalesce): `encode(NULL)` is a null
+    * Array[Byte] that would NPE the decode pass — one null payload in a
+    * 100 TB corpus must not kill the job, and the oracle twins coalesce
+    * the same way.
     */
   def multimodalDecode(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
-      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id").cast("long"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, payload) => decodeStub(id, payload) } }
       .toDF()
@@ -78,7 +82,7 @@ object BinaryOps {
       |  CAST(64 * (1 + greatest(unicode(substr(text, 2, 1)), 0) % 8) AS BIGINT) AS height,
       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + strlen(text) % 240 END AS BIGINT) AS n_frames,
       |  CAST(strlen(text) AS BIGINT) AS payload_bytes
-      |FROM documents""".stripMargin
+      |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)""".stripMargin
   // NOTE: greatest(unicode(x), 0) — DuckDB's unicode('') is -1, the stub's
   // missing-byte default is 0; aligns the empty/1-char document edge.
 
@@ -99,7 +103,7 @@ object BinaryOps {
   def multimodalResize(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
-      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id").cast("long"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         val m = decodeStub(id, payload)
@@ -132,7 +136,7 @@ object BinaryOps {
   def multimodalFrameSample(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
-      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id").cast("long"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
         val m = decodeStub(id, payload)
@@ -159,7 +163,7 @@ object BinaryOps {
   def multimodalFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs
-      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id").cast("long"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
         var sum = 0L
@@ -190,6 +194,9 @@ object BinaryOps {
       |  CAST(len(list_filter(codes, x -> x // 64 = 2)) AS BIGINT) AS h2,
       |  CAST(len(list_filter(codes, x -> x // 64 = 3)) AS BIGINT) AS h3
       |FROM (SELECT doc_id, text,
-      |        list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) AS codes
-      |      FROM documents)""".stripMargin
+      |        -- empty-payload guard: DuckDB string_split('','') is ['']
+      |        -- (code -1), not [] — Spark's empty byte array has no bytes
+      |        CASE WHEN strlen(text) = 0 THEN CAST([] AS BIGINT[])
+      |             ELSE list_transform(string_split(text, ''), c -> CAST(unicode(c) AS BIGINT)) END AS codes
+      |      FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))""".stripMargin
 }

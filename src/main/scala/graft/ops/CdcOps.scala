@@ -529,7 +529,13 @@ object CdcOps {
     * and as a column expression.
     */
   def parseSizeCol(c: Column): Column = {
-    val num = regexp_extract(c, "^([0-9]+)", 1).cast("long")
+    // guarded cast: regexp_extract yields '' (not NULL) on no-match, and
+    // ''.cast(long) THROWS under ANSI mode (Spark 4 default) — one
+    // malformed size string would kill the job instead of yielding the
+    // documented NULL. The ≤18-digit bound keeps the cast off the ANSI
+    // overflow path too (18 nines < Long.MaxValue).
+    val digits = regexp_extract(c, "^([0-9]+)", 1)
+    val num = when(digits =!= "" && length(digits) <= 18, digits.cast("long"))
     val unit = lower(regexp_extract(c, "([a-zA-Z]+)$", 1))
     // same grammar as parseSize below (bytes.go:57-82): long and short
     // unit forms; unknown units yield NULL (the column-level analog of

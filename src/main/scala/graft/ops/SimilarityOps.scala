@@ -75,12 +75,22 @@ object SimilarityOps {
     * is zero. The guard is not cosmetic: Spark 4 runs ANSI mode by
     * default, where the bare division throws DIVIDE_BY_ZERO — one
     * degenerate all-zeros embedding in a 100 TB corpus would kill the
-    * whole job. NULL compares false against any threshold, which is
-    * also DuckDB's behavior for its 0/0 = NaN — zero vectors are
-    * degenerate, near-dups of nothing.
+    * whole job. NULL compares false against any threshold: zero vectors
+    * are degenerate, near-dups of nothing.
     */
   def cosine(ea: Column, na: Column, eb: Column, nb: Column): Column =
     when(na * nb > 0, dot(ea, eb) / (na * nb))
+
+  /** SQL twin of [[cosine]] — the CASE guard is required for parity, not
+    * style: an unguarded `x / 0.0` happens to be NULL on some DuckDB
+    * versions but NaN under IEEE float division on others, and DuckDB
+    * orders NaN ABOVE every value, so a NaN cosine would pass every
+    * `>= threshold` filter and rank FIRST in the ANN DESC windows —
+    * the oracle would emit zero-norm neighbors the guarded Spark side
+    * never produces.
+    */
+  def sqlCosine(ea: String, na: String, eb: String, nb: String): String =
+    s"CASE WHEN $na * $nb > 0 THEN ${sqlDot(ea, eb)} / ($na * $nb) END"
 
   // ---------------------------------------------------- ann_topk_bruteforce
 
@@ -106,9 +116,9 @@ object SimilarityOps {
     s"""WITH e AS (${sqlWithNorm("embeddings")})
        |SELECT query_id, neighbor_id, rank, cos_sim FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} AS cos_sim,
        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |      ORDER BY ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} DESC, e.vec_id) AS BIGINT) AS rank
        |  FROM e q JOIN e ON e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $TopK""".stripMargin
@@ -380,9 +390,9 @@ object SimilarityOps {
        |  FROM e WHERE vec_id < $NQueries)
        |SELECT query_id, neighbor_id, centroid, rank, cos_sim FROM (
        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.centroid,
-       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} AS cos_sim,
        |    CAST(row_number() OVER (PARTITION BY q.query_id
-       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |      ORDER BY ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} DESC, e.vec_id) AS BIGINT) AS rank
        |  FROM e JOIN q ON e.centroid = q.probe AND e.vec_id <> q.query_id)
        |WHERE rank <= $TopK""".stripMargin
 
@@ -392,9 +402,9 @@ object SimilarityOps {
        |  FROM (${sqlWithNorm("embeddings")}))
        |SELECT query_id, neighbor_id, bucket, rank, cos_sim FROM (
        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.bucket,
-       |    ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) AS cos_sim,
+       |    ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} AS cos_sim,
        |    CAST(row_number() OVER (PARTITION BY q.vec_id
-       |      ORDER BY ${sqlDot("q.emb_d", "e.emb_d")} / (q.norm * e.norm) DESC, e.vec_id) AS BIGINT) AS rank
+       |      ORDER BY ${sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")} DESC, e.vec_id) AS BIGINT) AS rank
        |  FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $TopK""".stripMargin

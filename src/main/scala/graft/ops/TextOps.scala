@@ -43,12 +43,22 @@ object TextOps {
 
   // ------------------------------------------------------------ primitives
 
-  /** Lower-cased whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Lower-cased whitespace tokens. NULL text ≡ '' (one empty token):
+    * without the coalesce, a null-text doc null-propagates through the
+    * Spark sketch expressions but DuckDB's fold idiom
+    * (`list_reduce(list_prepend(0, NULL), …) = 0`) turns the SAME doc
+    * into a real zero-valued hash — the two engines then disagree on
+    * every token-derived operator (signatures, fingerprints, spans,
+    * chunks) exactly when the corpus contains a null document. One
+    * definition point, one rule, both engines: null text behaves like
+    * empty text.
+    */
+  def tokens(text: Column): Column =
+    split(trim(lower(coalesce(text, lit("")))), "\\s+")
 
   /** SQL twin of [[tokens]] over an expression. */
   def sqlTokens(e: String): String =
-    s"string_split_regex(trim(lower($e)), '\\s+')"
+    s"string_split_regex(trim(lower(coalesce($e, ''))), '\\s+')"
 
   /** 32-bit token hash: first 8 hex digits of md5, parsed. md5 is
     * byte-identical across engines, unlike murmur-style `hash()`.
@@ -65,18 +75,23 @@ object TextOps {
 
   // ---------------------------------------------------------- token_count
 
-  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. The BPE
+    * count coalesces like [[tokens]] does — a null-text doc counts as
+    * empty (0 regex tokens), not NULL, so the two columns carry the same
+    * null rule.
+    */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
-      regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe_tokens")
+      regexp_count(coalesce(col("text"), lit("")), lit(BpePattern))
+        .cast("long").as("n_bpe_tokens")
     )
 
   def sqlTokenCount: String =
     s"""SELECT doc_id,
        |  CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_ws_tokens,
-       |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe_tokens
+       |  CAST(len(regexp_extract_all(coalesce(text, ''), '$BpePattern')) AS BIGINT) AS n_bpe_tokens
        |FROM documents""".stripMargin
 
   // -------------------------------------------------------------- lang_id

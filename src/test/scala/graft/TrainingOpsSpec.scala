@@ -344,6 +344,25 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out(3L))
   }
 
+  test("null text ≡ empty text across token-derived ops (one rule, both engines)") {
+    // tokens() coalesces NULL to '' at the single definition point — a
+    // null-text doc must behave exactly like an empty-text doc in every
+    // token-derived operator (the DuckDB fold idiom would otherwise turn
+    // NULL into a real 0-hash while Spark null-propagates: engine drift)
+    val both = Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text")
+    def valuesOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.drop("doc_id").collect().toSeq.map(_.toSeq)
+    val tc = valuesOf(TextOps.tokenCount(both))
+    assert(tc.head == tc(1), s"token_count drifts on null text: $tc")
+    val sh = valuesOf(DedupOps.simhashSignature(both))
+    assert(sh.head == sh(1), s"simhash drifts on null text: $sh")
+    val fp = valuesOf(TextOps.docFingerprint(both))
+    assert(fp.head == fp(1), s"fingerprint drifts on null text: $fp")
+    val ck = valuesOf(TextOps.chunkTokens(both))
+    assert(ck.head == ck(1) && ck.size == 2, s"chunk_tokens drifts on null text: $ck")
+    assert(ck.head.last == "", "a null doc's single chunk is the empty string")
+  }
+
   test("dedup_semantic: a zero-norm vector is kept (null cosine never marks a dup)") {
     val v = Seq.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     val zero = Seq.fill(64)(0.0f)
