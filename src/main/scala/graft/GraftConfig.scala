@@ -25,15 +25,30 @@ object conf {
       batchByteSizeLimit: String = "10mb",
       concurrentRequest: Int = 1,
       typeName: String = "", // ≙ TypeName; only emitted when esMajor < 8
-      version: String = "8.0.0" // ≙ ES version. "" requests auto-detect
+      version: String = "8.0.0", // ≙ ES version. "" requests auto-detect
       // at connector construction (see [[detectVersion]] — Info-API probe
       // with the reference's "7.0.0" detection-failure fallback,
       // client.go:37-74). The zero-egress default is modern ES (no
       // `_type` emitted).
+      maxBytesPerTrigger: Option[String] = None
+      // Spark-side ADMISSION knob (no reference analog): bounds the bytes
+      // a micro-batch ingests, for executor-memory control. Deliberately
+      // separate from batchByteSizeLimit, which is a FLUSH knob (the
+      // reference flushes EARLIER when the accumulated batch exceeds it —
+      // bulk.go:164-173; here the per-request byte SPLIT in
+      // EsBulkSink.writeBatch carries that semantic). Deriving admission
+      // from the flush limit would cap throughput at limit/tickerDuration
+      // — ~1 MB/s at the 10mb/10s defaults — and grow backlog without
+      // bound on any faster producer.
   ) {
     /** Parsed byte limit (≙ bulk.go:81-84 ParseSize call). */
     def batchByteSizeLimitBytes: Long = ops.CdcOps.parseSize(batchByteSizeLimit)
-    def esMajorVersion: Int = version.takeWhile(_ != '.').toInt
+    def maxBytesPerTriggerBytes: Option[Long] =
+      maxBytesPerTrigger.map(ops.CdcOps.parseSize)
+    def esMajorVersion: Int = version.takeWhile(_ != '.').toIntOption.getOrElse(
+      throw new IllegalStateException(
+        s"es.version '$version' has no numeric major — run conf.resolveVersion " +
+          "first (\"\" requests auto-detect with the 7.0.0 fallback)"))
     def typeNameOrDefault: String = if (typeName.nonEmpty) typeName else "_doc"
   }
 
@@ -79,7 +94,13 @@ object conf {
     if (!node.isTextual)
       throw new IllegalArgumentException(
         "version number not found in Elasticsearch response")
-    node.asText()
+    val v = node.asText()
+    // a textual-but-unparsable number ("8.x-snapshot") must count as a
+    // detection FAILURE (→ 7.0.0 fallback in resolveVersion), not escape
+    // here and blow up later in esMajorVersion mid-stream
+    if (v.takeWhile(_ != '.').toIntOption.isEmpty)
+      throw new IllegalArgumentException(s"unparsable version number: '$v'")
+    v
   }
 
   /** Resolve the config's ES version (NewConnector-time, client.go:37-46):

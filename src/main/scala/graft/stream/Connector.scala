@@ -73,12 +73,33 @@ final class Connector private[stream] (
         cfg.es.tableIndexMapping, cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
   }
 
+  /** Snapshot-completion marker inside the checkpoint dir: InitialMode
+    * must snapshot ONCE per checkpoint lineage (≙ the reference records
+    * snapshot completion and resumes CDC directly) — without it every
+    * crash-restart re-scans and re-writes the whole table through the
+    * sink before CDC resumes, duplicating snapshot output and delaying
+    * resume by the full table scan. The marker lives WITH the checkpoint
+    * because that is the unit of restart identity: a fresh checkpoint
+    * (new slot) legitimately snapshots again.
+    */
+  private def snapshotMarker = new org.apache.hadoop.fs.Path(
+    io.checkpointDir, "graft-snapshot-complete")
+
+  private def snapshotOnce(): Unit = {
+    val fs = snapshotMarker.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!fs.exists(snapshotMarker)) {
+      snapshot()
+      fs.create(snapshotMarker, true).close()
+    }
+  }
+
   /** ≙ connector.Start: snapshot per mode, then the CDC stream. */
   def start(): Unit = {
     if (cfg.snapshot.enabled) {
       cfg.snapshot.mode match {
         case SnapshotOnlyMode => snapshot(); return
-        case InitialMode => snapshot()
+        case InitialMode => snapshotOnce()
       }
     }
     // the *Resolved entries: version already resolved and onInit already
@@ -94,17 +115,27 @@ final class Connector private[stream] (
 
   /** ≙ WaitUntilReady: blocks until the stream is active (or snapshot-only
     * work finished). Throws [[TimeoutException]] like the reference's
-    * ctx-deadline path.
+    * ctx-deadline path — but a TERMINATED query is not "not yet ready":
+    * a failed start surfaces its actual exception immediately (not a
+    * generic timeout 30 s later), and a bounded query (AvailableNow) that
+    * already drained and stopped cleanly counts as ready.
     */
   def waitUntilReady(timeoutMs: Long): Unit = {
     val deadline = System.currentTimeMillis() + timeoutMs
     query match {
       case None => () // snapshot-only: start() returned ⇒ ready
       case Some(q) =>
-        while (!q.isActive) {
-          if (System.currentTimeMillis() > deadline)
+        var done = false
+        while (!done) {
+          q.exception.foreach(e => throw e)
+          if (q.isActive) done = true
+          else if (!spark.streams.active.exists(_.id == q.id)) {
+            // terminated without exception: a bounded run already
+            // completed — that IS ready (it was active and finished)
+            done = true
+          } else if (System.currentTimeMillis() > deadline)
             throw new TimeoutException("connector not ready")
-          Thread.sleep(10)
+          else Thread.sleep(10)
         }
     }
   }

@@ -49,16 +49,24 @@ object Metrics {
     bulkRequestLatencyMs = 0L
   }
 
-  /** Streaming listener feeding the latency gauges from query progress. */
+  /** Streaming listener feeding the latency gauges from query progress.
+    * Filtered to the CDC pipeline's queries by name prefix: the listener
+    * is session-wide, so without the filter ANY other streaming query in
+    * the session (a DedupStream, a user's own query) would overwrite the
+    * CDC gauges with its own trigger durations — the reference defines
+    * these metrics per-connector (metric.go:35-54).
+    */
   final class Listener extends StreamingQueryListener {
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
-      Option(p.durationMs.get("triggerExecution"))
-        .foreach(d => processLatencyMs = d)
-      Option(p.durationMs.get("addBatch"))
-        .foreach(d => bulkRequestLatencyMs = d)
+      if (p.name != null && p.name.startsWith("graft-cdc-pipeline")) {
+        Option(p.durationMs.get("triggerExecution"))
+          .foreach(d => processLatencyMs = d)
+        Option(p.durationMs.get("addBatch"))
+          .foreach(d => bulkRequestLatencyMs = d)
+      }
     }
   }
 }

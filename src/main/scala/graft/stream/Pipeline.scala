@@ -155,10 +155,15 @@ object Pipeline {
       cfg: graft.conf.GraftConfig, eventsDir: String, bulkOutDir: String,
       checkpointDir: String, trigger: Option[Trigger],
       rh: ResponseHandler): StreamingQuery =
+    // admission (maxBytesPerTrigger) is its OWN knob, not derived from
+    // batchByteSizeLimit: the flush byte limit means "flush EARLIER when
+    // exceeded" (bulk.go:164-173 — carried by the per-request split in
+    // EsBulkSink.writeBatch); using it as a per-tick ingest cap would
+    // bound throughput at limit/tickerDuration and grow backlog forever
     startQuery(spark,
       CdcOps.handlerActions(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
-            maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
+            maxBytesPerTrigger = cfg.es.maxBytesPerTriggerBytes)),
         cfg.es.tableIndexMapping),
       bulkOutDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
@@ -198,7 +203,7 @@ object Pipeline {
     startQuery(spark,
       Handlers.applyHandler(CdcOps.typedMessages(
           changeStream(spark, eventsDir,
-            maxBytesPerTrigger = Some(cfg.es.batchByteSizeLimitBytes))),
+            maxBytesPerTrigger = cfg.es.maxBytesPerTriggerBytes)),
         handler, cfg.es.tableIndexMapping),
       bulkOutDir, checkpointDir, cfg.es.concurrentRequest,
       trigger.getOrElse(
@@ -238,7 +243,9 @@ object Pipeline {
       batchByteSizeLimit: Long = 0L, batchSizeLimit: Int = 0): StreamingQuery = {
     registerMetrics(spark)
     actions.writeStream
-      .queryName("graft-cdc-pipeline")
+      // checkpoint-derived suffix: two connectors in one session never
+      // collide; a restart of the same instance reuses the same name
+      .queryName(QueryNames.cdcPipeline(checkpointDir))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -250,10 +257,15 @@ object Pipeline {
       .start()
   }
 
-  private val metricsRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // per-SESSION registration (weak: sessions must stay collectable), not a
+  // JVM-global one-shot — with the global flag only the FIRST session ever
+  // got a listener, and after it stopped every later session's gauges froze
+  private val metricsSessions = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private def registerMetrics(spark: SparkSession): Unit =
-    if (metricsRegistered.compareAndSet(false, true))
-      spark.streams.addListener(new Metrics.Listener)
+    metricsSessions.synchronized {
+      if (metricsSessions.add(spark)) spark.streams.addListener(new Metrics.Listener)
+    }
 
   // ------------------------------------------------------ snapshot modes
 
@@ -262,7 +274,10 @@ object Pipeline {
     * snapshot_test.go:313-315), routed through the same table→index
     * mapping. The keyset-chunked, claim/heartbeat worker pool of the
     * reference (README.md:26-45) maps onto Spark's partitioned scan +
-    * task retry; `chunkSize` bounds rows per task via repartitioning.
+    * task retry; `chunkSize` is accepted for config parity but is
+    * deliberately INERT here (task granularity = input splits; the sink
+    * re-partitions the flush anyway) — the oracle-checked keyset-chunk
+    * rendition is `CdcOps.snapshotChunks`.
     */
   def snapshotActions(table: DataFrame, namespace: String, tableName: String,
       pkCol: String, chunkSize: Int = 8000,
@@ -451,6 +466,12 @@ object EsBulkSink {
       // (octet_length; the reference counts bytes, not chars). One tiny
       // post-agg collect computes both measures. The per-file bound is
       // approximate under row-size skew (round-robin balances rows).
+      // When the limits bind, nRequests EXCEEDS concurrentRequest: the
+      // file sink writes all splits in parallel tasks, where the
+      // reference issues them sequentially through concurrentRequest
+      // goroutine slots — a real HTTP sink built on this split must pool
+      // its connections at concurrentRequest; for files the split is
+      // about per-request byte/count bounds, not in-flight concurrency.
       val nRequests =
         if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0)
           concurrentRequest

@@ -128,7 +128,7 @@ object StateMerge {
     rocksDb.foreach(on =>
       if (on) useRocksDbStateStore(spark) else useDefaultStateStore(spark))
     upsertStream(spark, eventsDir).writeStream
-      .queryName("graft-script-update")
+      .queryName(s"graft-script-update-${QueryNames.suffix(checkpointDir)}")
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -66,6 +66,41 @@ class ConnectorSpec extends SparkSuite {
     assert(resolveVersion(auto, Some(() => "not json")).es.version == FallbackVersion)
     assert(resolveVersion(auto, Some(() => """{"version":{}}""")).es.version == FallbackVersion)
     assert(resolveVersion(auto, None).es.version == FallbackVersion)
+    // textual-but-unparsable number (no numeric major) is a detection
+    // FAILURE, not a version that crashes esMajorVersion mid-stream later;
+    // a parsable major with a loose tail ("8.x-snapshot") is accepted
+    assert(resolveVersion(auto,
+      Some(() => """{"version":{"number":"snapshot-build"}}""")).es.version == FallbackVersion)
+    assert(resolveVersion(auto,
+      Some(() => """{"version":{"number":"8.x-snapshot"}}""")).es.esMajorVersion == 8)
+  }
+
+  test("initial mode snapshots ONCE per checkpoint lineage: restart resumes CDC without re-scanning") {
+    val eventsDir = tmp("conn-init-events")
+    val bulkDir = tmp("conn-init-bulk")
+    val ckpt = tmp("conn-init-ckpt")
+    val dlq = tmp("conn-init-dlq")
+    val users = (1 to 4).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+    def connector() = Connector.newConnector(spark,
+      cfg(SnapshotConfig(enabled = true, mode = InitialMode)),
+      Connector.Io(eventsDir, bulkDir, dlq, ckpt, snapshotTable = Some((
+        users, "public", "users", "id"))),
+      trigger = Some(Trigger.AvailableNow()))
+    stageEvents(eventsDir, 1L to 2L)
+    val c1 = connector()
+    c1.start()
+    c1.drainAndClose()
+    assert(bulkLines(bulkDir).count(_.contains("SNAPSHOT")) == 4)
+    // restart with the SAME checkpoint (≙ same replication slot): the
+    // completion marker must suppress a second full table scan
+    stageEvents(eventsDir, 3L to 4L)
+    val c2 = connector()
+    c2.start()
+    c2.drainAndClose()
+    assert(bulkLines(bulkDir).count(_.contains("SNAPSHOT")) == 4,
+      "restart re-ran the snapshot — the whole table re-scanned and re-written")
+    assert(bulkLines(bulkDir).count(_.contains("\"op\":\"INSERT\"")) == 4,
+      "CDC events from both runs must still flow")
   }
 
   test("detection-failure fallback drives the encoder: fallback 7.0.0 emits _type end-to-end") {

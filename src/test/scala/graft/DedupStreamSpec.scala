@@ -49,7 +49,7 @@ class DedupStreamSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q1 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
     awaitDone(q1)
-    val got1 = spark.read.parquet(outDir)
+    val got1 = spark.read.parquet(s"$outDir/*")
       .select("doc_id", "is_exact_dup", "keep")
       .as[(Long, Boolean, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -62,7 +62,7 @@ class DedupStreamSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q2 = DedupStream.runIncrementalDedup(spark, docsDir, history, outDir, ckpt)
     awaitDone(q2)
-    val got2 = spark.read.parquet(outDir)
+    val got2 = spark.read.parquet(s"$outDir/*")
       .select("doc_id", "near_dup_of", "keep")
       .as[(Long, Option[Long], Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -85,7 +85,7 @@ class DedupStreamSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q1 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
     awaitDone(q1)
-    val got1 = spark.read.parquet(outDir)
+    val got1 = spark.read.parquet(s"$outDir/*")
       .select("doc_id", "n_hits").as[(Long, Long)].collect().toMap
     assert(got1 == Map(1L -> 1L), s"only the leaked doc is flagged: $got1")
 
@@ -96,7 +96,7 @@ class DedupStreamSpec extends SparkSuite {
       .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     val q2 = DedupStream.runDecontaminate(spark, docsDir, bench, outDir, ckpt)
     awaitDone(q2)
-    val got2 = spark.read.parquet(outDir)
+    val got2 = spark.read.parquet(s"$outDir/*")
       .select("doc_id").as[Long].collect().toSet
     assert(got2 == Set(1L, 3L), s"got $got2")
   }

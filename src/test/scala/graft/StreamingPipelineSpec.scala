@@ -161,9 +161,12 @@ class StreamingPipelineSpec extends SparkSuite {
     stage(eventsDir, Seq(1L))
     stage(eventsDir, Seq(2L))
     stage(eventsDir, Seq(3L))
+    // admission is its OWN knob: batchByteSizeLimit is the FLUSH limit
+    // (per-request split), deriving admission from it would cap
+    // throughput at limit/tick — see EsSinkConfig.maxBytesPerTrigger
     val cfg = GraftConfig(EsSinkConfig(
       tableIndexMapping = CdcOps.tableIndexMapping,
-      batchByteSizeLimit = "1b", concurrentRequest = 1))
+      maxBytesPerTrigger = Some("1b"), concurrentRequest = 1))
     val q = Pipeline.run(spark, cfg, eventsDir, bulkDir, tmp("graft-adm-dlq"),
       tmp("graft-adm-ckpt"), Some(Trigger.AvailableNow()))
     awaitDone(q)
