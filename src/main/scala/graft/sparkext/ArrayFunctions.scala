@@ -179,6 +179,10 @@ case class MinHashSignature(
   */
 case class SimHashBits(child: Expression, nbits: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  // > 64 silently corrupts the signature via Java shift-count wraparound
+  // (x >> 64 == x >> 0); <= 0 crashes per row — catch at plan time
+  require(nbits > 0 && nbits <= 64,
+    s"simhash_bits: nbits must be in [1, 64], got $nbits")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
@@ -211,10 +215,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_product"
 
+  // a length mismatch is a corrupted embedding, not data: fail LOUD
+  // (silently truncating to min(len) would emit plausible-looking cosine
+  // scores; the HOF twin's NULL would at least poison them — a clear
+  // error beats both at 100 TB)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot_product: dimension mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -226,7 +237,11 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |${ev.value} = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
@@ -276,6 +291,7 @@ case class Md5PrefixHashes(child: Expression)
   */
 case class WordShingleHashes(child: Expression, width: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"word_shingle_hashes: width must be positive, got $width")
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(org.apache.spark.sql.types.StringType))
@@ -300,6 +316,7 @@ case class WordShingleHashes(child: Expression, width: Int)
   */
 case class CharGramHashes(child: Expression, width: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"char_gram_hashes: width must be positive, got $width")
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
@@ -349,33 +366,27 @@ case class SortedDistinct(child: Expression)
   * window's polynomial hash fold h = (h·mult + x) mod m — one pass instead
   * of n_windows interpreted aggregate(slice(...)) HOF folds. Inputs
   * shorter than `width` get a single window over all elements; empty
-  * input → null (matching array_min over an empty transform). Kernel:
+  * input → 0, matching the SQL twins' `greatest(n-w+1, 1)` idiom (one
+  * window folding nothing from seed 0 — latent internally, tokens()
+  * never yields an empty array). Kernel:
   * [[HashKernels.rollingFingerprint]] on both paths.
   */
 case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Long)
     extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"rolling_fingerprint: width must be positive, got $width")
+  require(mod > 0, s"rolling_fingerprint: mod must be positive, got $mod")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
-  // empty input → null even when the child is non-null
-  override def nullable: Boolean = true
   override def prettyName: String = "rolling_fingerprint"
 
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData]
-    if (xs.numElements() == 0) null
-    else java.lang.Long.valueOf(HashKernels.rollingFingerprint(xs, width, mult, mod))
-  }
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashKernels.rollingFingerprint(
+      v.asInstanceOf[ArrayData], width, mult, mod))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, xs =>
-      s"""
-         |if ($xs.numElements() == 0) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = ${ArrayFunctions.Kernels}.rollingFingerprint($xs, $width, ${mult}L, ${mod}L);
-         |}
-       """.stripMargin)
+    defineCodeGen(ctx, ev,
+      xs => s"${ArrayFunctions.Kernels}.rollingFingerprint($xs, $width, ${mult}L, ${mod}L)")
 
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
     copy(child = c)
@@ -391,6 +402,8 @@ case class RollingFingerprint(child: Expression, width: Int, mult: Long, mod: Lo
   */
 case class RollingWindowHashes(child: Expression, width: Int, mult: Long, mod: Long)
     extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"rolling_window_hashes: width must be positive, got $width")
+  require(mod > 0, s"rolling_window_hashes: mod must be positive, got $mod")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -41,7 +41,11 @@ object CheckpointBlocks {
     */
   def resetForMeasurement(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
+    // blocking: this is a measurement BARRIER — a fire-and-forget
+    // unpersist races the next timed query, leaving the prior query's
+    // blocks in executor memory while it starts (exactly the
+    // misattribution this helper exists to prevent)
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 }

@@ -24,9 +24,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity check at resolution time: without it a missing argument dies
+    * as a raw IndexOutOfBoundsException and an EXTRA argument is silently
+    * discarded — a user passing a threshold they assume exists gets
+    * silently wrong results.
+    */
+  private def arity(args: Seq[Expression], n: Int, fn: String,
+      sig: String): Seq[Expression] = {
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n arguments ($fn($sig)), got ${args.length}")
+    args
+  }
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+    case Literal(v: Long, _) => throw new IllegalArgumentException(
+      s"$fn: literal $v does not fit in an int")
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal integer argument, got $other")
   }
@@ -39,24 +54,47 @@ object GraftExtensions {
   }
 
   private[graftext] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "sorted_intersect_size" -> (args => SortedIntersectSize(args(0), args(1))),
-    "dot_product" -> (args => DotProduct(args(0), args(1))),
-    "md5_prefix_hashes" -> (args => Md5PrefixHashes(args(0))),
-    "simhash_bits" -> (args =>
-      SimHashBits(args(0), intArg(args(1), "simhash_bits"))),
-    "word_shingle_hashes" -> (args =>
-      WordShingleHashes(args(0), intArg(args(1), "word_shingle_hashes"))),
-    "char_gram_hashes" -> (args =>
-      CharGramHashes(args(0), intArg(args(1), "char_gram_hashes"))),
-    "rolling_fingerprint" -> (args => RollingFingerprint(args(0),
-      intArg(args(1), "rolling_fingerprint"),
-      longArg(args(2), "rolling_fingerprint"),
-      longArg(args(3), "rolling_fingerprint"))),
-    "rolling_window_hashes" -> (args => RollingWindowHashes(args(0),
-      intArg(args(1), "rolling_window_hashes"),
-      longArg(args(2), "rolling_window_hashes"),
-      longArg(args(3), "rolling_window_hashes"))),
-    "sorted_distinct" -> (args => SortedDistinct(args(0)))
+    // NOTE: sorted_intersect_size requires both inputs SORTED + distinct
+    // (build with sorted_distinct) — the merge scan silently undercounts
+    // on unsorted input
+    "sorted_intersect_size" -> (args => {
+      val a = arity(args, 2, "sorted_intersect_size", "sortedArr, sortedArr")
+      SortedIntersectSize(a(0), a(1))
+    }),
+    "dot_product" -> (args => {
+      val a = arity(args, 2, "dot_product", "arr, arr")
+      DotProduct(a(0), a(1))
+    }),
+    "md5_prefix_hashes" -> (args =>
+      Md5PrefixHashes(arity(args, 1, "md5_prefix_hashes", "strArr")(0))),
+    "simhash_bits" -> (args => {
+      val a = arity(args, 2, "simhash_bits", "longArr, nbits")
+      SimHashBits(a(0), intArg(a(1), "simhash_bits"))
+    }),
+    "word_shingle_hashes" -> (args => {
+      val a = arity(args, 2, "word_shingle_hashes", "strArr, width")
+      WordShingleHashes(a(0), intArg(a(1), "word_shingle_hashes"))
+    }),
+    "char_gram_hashes" -> (args => {
+      val a = arity(args, 2, "char_gram_hashes", "text, width")
+      CharGramHashes(a(0), intArg(a(1), "char_gram_hashes"))
+    }),
+    "rolling_fingerprint" -> (args => {
+      val a = arity(args, 4, "rolling_fingerprint", "longArr, width, mult, mod")
+      RollingFingerprint(a(0),
+        intArg(a(1), "rolling_fingerprint"),
+        longArg(a(2), "rolling_fingerprint"),
+        longArg(a(3), "rolling_fingerprint"))
+    }),
+    "rolling_window_hashes" -> (args => {
+      val a = arity(args, 4, "rolling_window_hashes", "longArr, width, mult, mod")
+      RollingWindowHashes(a(0),
+        intArg(a(1), "rolling_window_hashes"),
+        longArg(a(2), "rolling_window_hashes"),
+        longArg(a(3), "rolling_window_hashes"))
+    }),
+    "sorted_distinct" -> (args =>
+      SortedDistinct(arity(args, 1, "sorted_distinct", "longArr")(0)))
   )
 
   /** Post-hoc registration on a live session (guide-style temp functions). */

@@ -29,7 +29,12 @@ object HashKernels {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
 
-  /** Per-element md5-prefix hashes of a string array. */
+  /** Per-element md5-prefix hashes of a string array. Null elements hash
+    * as the empty string (the house null ≡ empty rule; getUTF8String
+    * returns null for a null slot and would otherwise NPE — internal
+    * token arrays are containsNull=false, but the SQL registry accepts
+    * anything).
+    */
   def md5Prefix(xs: ArrayData): ArrayData = {
     val md = digest.get()
     val n = xs.numElements()
@@ -37,7 +42,9 @@ object HashKernels {
     var i = 0
     while (i < n) {
       md.reset()
-      out(i) = prefix32(md.digest(xs.getUTF8String(i).getBytes))
+      val s = xs.getUTF8String(i)
+      out(i) = prefix32(md.digest(
+        if (s == null) Array.emptyByteArray else s.getBytes))
       i += 1
     }
     new GenericArrayData(out)
@@ -45,13 +52,19 @@ object HashKernels {
 
   private val Space = Array(' '.toByte)
 
-  /** md5-prefix hash of every `width`-token space-joined shingle. */
+  /** md5-prefix hash of every `width`-token space-joined shingle. Null
+    * tokens join as empty strings (null ≡ empty; see [[md5Prefix]]).
+    */
   def wordShingle(xs: ArrayData, width: Int): ArrayData = {
     val md = digest.get()
     val n = xs.numElements()
     val tokenBytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { tokenBytes(i) = xs.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      val s = xs.getUTF8String(i)
+      tokenBytes(i) = if (s == null) Array.emptyByteArray else s.getBytes
+      i += 1
+    }
     val nSh = math.max(n - width + 1, 1)
     val out = new Array[Long](nSh)
     i = 0
@@ -70,23 +83,44 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
-  /** md5-prefix hash of every `width`-char substring (codepoint-sliced). */
+  /** md5-prefix hash of every `width`-char substring (codepoint-sliced).
+    * One forward pass records each codepoint's byte offset, then every
+    * gram digests its byte range directly — `substringSQL(i+1, width)`
+    * per gram re-scans the string from byte 0 to find codepoint i, which
+    * is O(n²) on long documents (the dedup hot loop this kernel exists
+    * to accelerate). Byte-identical: same codepoint slicing, same UTF-8
+    * bytes into the digest.
+    */
   def charGram(s: UTF8String, width: Int): ArrayData = {
     val md = digest.get()
-    val n = s.numChars()
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val starts = new Array[Int](s.numChars() + 1)
+    var n = 0
+    var off = 0
+    while (off < nBytes) {
+      starts(n) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      n += 1
+    }
+    starts(n) = nBytes
     val nG = math.max(n - width + 1, 1)
     val out = new Array[Long](nG)
     var i = 0
     while (i < nG) {
       md.reset()
-      out(i) = prefix32(md.digest(s.substringSQL(i + 1, width).getBytes))
+      val s0 = starts(i)
+      val e0 = starts(math.min(i + width, n))
+      md.update(bytes, s0, e0 - s0)
+      out(i) = prefix32(md.digest())
       i += 1
     }
     new GenericArrayData(out)
   }
 
-  /** Min over all `width`-windows of the polynomial fold (caller handles
-    * the empty-input → null case).
+  /** Min over all `width`-windows of the polynomial fold. Empty input →
+    * 0 (one window folding nothing — the `greatest(n-w+1, 1)` twin
+    * idiom; see [[rollingWindowHashes]]).
     */
   def rollingFingerprint(xs: ArrayData, width: Int, mult: Long, mod: Long): Long = {
     val n = xs.numElements()
@@ -104,10 +138,14 @@ object HashKernels {
     min
   }
 
-  /** Every `width`-window polynomial fold hash; empty input → empty. */
+  /** Every `width`-window polynomial fold hash. Empty input → [0]: the
+    * SQL twins use the `range(1, greatest(n-w+1, 1) + 1)` idiom, whose
+    * empty-input case is ONE window folding nothing (fold seed 0) — an
+    * empty result here would diverge from every oracle built on that
+    * idiom (latent internally: tokens() never yields an empty array).
+    */
   def rollingWindowHashes(xs: ArrayData, width: Int, mult: Long, mod: Long): ArrayData = {
     val n = xs.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Long])
     val nWin = math.max(n - width + 1, 1)
     val out = new Array[Long](nWin)
     var i = 0

@@ -22,10 +22,17 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
 
-  test("dot_product: unequal lengths use the common prefix; empty → 0.0") {
-    val got = Seq((Seq(1.0, 2.0, 99.0), Seq(3.0, 4.0)))
-      .toDF("a", "b").select(dot_product($"a", $"b")).as[Double].head()
-    assert(got == 11.0)
+  test("dot_product: dimension mismatch fails LOUD; empty·empty → 0.0") {
+    // silently truncating to the common prefix would emit
+    // plausible-looking cosine scores for corrupted embeddings
+    val ex = intercept[Exception] {
+      Seq((Seq(1.0, 2.0, 99.0), Seq(3.0, 4.0)))
+        .toDF("a", "b").select(dot_product($"a", $"b")).as[Double].head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("dimension mismatch")), s"got: $ex")
     val empty = Seq((Seq.empty[Double], Seq.empty[Double]))
       .toDF("a", "b").select(dot_product($"a", $"b")).as[Double].head()
     assert(empty == 0.0)
@@ -40,15 +47,22 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(got._2(0) == got._2(1)) // same input, same hash
   }
 
-  test("rolling_fingerprint: empty → null; single element → element mod P") {
+  test("rolling_fingerprint: empty → 0 (the greatest(n-w+1,1) twin idiom); single element → element mod P") {
+    // the SQL twins fold ONE window from seed 0 on empty input — a null
+    // here would diverge from every oracle built on that idiom
     val got = Seq((Seq.empty[Long], Seq(42L)))
       .toDF("e", "x")
       .select(
         rolling_fingerprint($"e", 8, 131L, 1000000007L),
         rolling_fingerprint($"x", 8, 131L, 1000000007L))
       .collect()(0)
-    assert(got.isNullAt(0))
+    assert(got.getLong(0) == 0L)
     assert(got.getLong(1) == 42L)
+    // and the array form: empty → [0], same idiom
+    val win = Seq(Seq.empty[Long]).toDF("e")
+      .select(rolling_window_hashes($"e", 8, 131L, 1000000007L))
+      .as[Seq[Long]].head()
+    assert(win == Seq(0L))
   }
 
   test("sorted_distinct ≡ array_sort(array_distinct(_)) as a set, sorted; null propagates") {
