@@ -533,20 +533,22 @@ object CdcOps {
     // ''.cast(long) THROWS under ANSI mode (Spark 4 default) — one
     // malformed size string would kill the job instead of yielding the
     // documented NULL. The ≤18-digit bound keeps the cast off the ANSI
-    // overflow path too (18 nines < Long.MaxValue).
+    // overflow path too (18 nines < Long.MaxValue), and try_multiply
+    // below keeps the num × multiplier product off it ('1e18kb' passes
+    // the digit guard but overflows the product).
     val digits = regexp_extract(c, "^([0-9]+)", 1)
     val num = when(digits =!= "" && length(digits) <= 18, digits.cast("long"))
     val unit = lower(regexp_extract(c, "([a-zA-Z]+)$", 1))
     // same grammar as parseSize below (bytes.go:57-82): long and short
     // unit forms; unknown units yield NULL (the column-level analog of
     // the config form's IllegalArgumentException)
-    num * when(unit === "b", 1L)
+    try_multiply(num, when(unit === "b", 1L)
       .when(unit === "kb" || unit === "k", 1L << 10)
       .when(unit === "mb" || unit === "m", 1L << 20)
       .when(unit === "gb" || unit === "g", 1L << 30)
       .when(unit === "tb" || unit === "t", 1L << 40)
       .when(unit === "pb" || unit === "p", 1L << 50)
-      .when(unit === "eb" || unit === "e", 1L << 60)
+      .when(unit === "eb" || unit === "e", 1L << 60))
   }
 
   /** B7 size_parse, config-time form (bytes.go:57-82). */

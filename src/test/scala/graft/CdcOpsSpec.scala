@@ -136,6 +136,15 @@ class CdcOpsSpec extends SparkSuite {
     assert(got == Seq(Some(10L << 10), Some(3L << 20), Some(1L << 30), None))
   }
 
+  test("B7 parseSizeCol: malformed/overflow inputs yield NULL, never an ANSI exception") {
+    // '' cast, >18-digit cast, and num×multiplier overflow all throw under
+    // Spark 4's default ANSI mode without their guards — one bad string
+    // must not kill the job
+    val got = Seq("", "abc", "9999999999999999999b", "999999999999999999kb")
+      .toDF("s").select(CdcOps.parseSizeCol($"s")).as[Option[Long]].collect().toSeq
+    assert(got == Seq(None, None, None, None), s"got $got")
+  }
+
   test("B7 parseSize: units, case, long forms (bytes.go:57-82)") {
     assert(CdcOps.parseSize("10mb") == 10L << 20)
     assert(CdcOps.parseSize("1GB") == 1L << 30)
