@@ -161,9 +161,17 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val segs = segments()
     val s = start.asInstanceOf[WalOffset]
+    val e = end.asInstanceOf[WalOffset]
+    // validate BOTH ends: on crash-restart the uncommitted batch (start, end)
+    // is replayed from the offsets log against a FRESH listing — a
+    // non-monotone segment that landed during downtime (e.g. 'seg-25'
+    // sorting INSIDE the committed range) leaves the start name intact but
+    // shifts indices within (start, end), so only the end name catches the
+    // shift BEFORE the wrong segment files are read and written to the sink
     validate(segs, s)
+    validate(segs, e)
     val from = s.seg.toInt
-    val to = math.min(end.asInstanceOf[WalOffset].seg, segs.length.toLong).toInt
+    val to = math.min(e.seg, segs.length.toLong).toInt
     (from until to).map(i => WalSegmentPartition(segs(i)): InputPartition).toArray
   }
 
