@@ -70,7 +70,12 @@ object conf {
 
   case class GraftConfig(
       es: EsSinkConfig,
-      snapshot: SnapshotConfig = SnapshotConfig()
+      snapshot: SnapshotConfig = SnapshotConfig(),
+      metricsPort: Option[Int] = None
+      // ≙ the reference's HTTP API listener (README.md:247-274: GET
+      // /metrics Prometheus endpoint, GET /status). None = no server
+      // (metrics stay programmatic via Connector.metrics); Some(0)
+      // binds an ephemeral port. Served by [[graft.stream.MetricsEndpoint]].
   )
 
   /** ES version auto-detect with the reference's exact failure semantics

@@ -65,6 +65,10 @@ final class Connector private[stream] (
     responseHandler: ResponseHandler) {
 
   @volatile private var query: Option[StreamingQuery] = None
+  @volatile private var metricsEndpoint: Option[MetricsEndpoint] = None
+
+  /** This connector's streaming query name (also its metrics identity). */
+  val queryName: String = QueryNames.cdcPipeline(io.checkpointDir)
 
   private def snapshot(): Unit = io.snapshotTable.foreach {
     case (df, ns, table, pk) =>
@@ -85,6 +89,14 @@ final class Connector private[stream] (
   private def snapshotMarker = new org.apache.hadoop.fs.Path(
     io.checkpointDir, "graft-snapshot-complete")
 
+  /** Snapshot-then-marker is NOT atomic: a crash after the snapshot's
+    * bulk output but before marker creation re-runs the snapshot on the
+    * next start. That stays within at-least-once — and the re-run
+    * CLOBBERS rather than appends: the snapshot flows through
+    * `EsBulkSink.writeBatch(batchId = -1)`, whose fixed overwrite dir
+    * (`batch_-1`) makes the replay idempotent like any CDC batch, so
+    * the only cost is the repeated scan, not duplicate rows.
+    */
   private def snapshotOnce(): Unit = {
     val fs = snapshotMarker.getFileSystem(
       spark.sessionState.newHadoopConf())
@@ -94,8 +106,15 @@ final class Connector private[stream] (
     }
   }
 
-  /** ≙ connector.Start: snapshot per mode, then the CDC stream. */
+  /** ≙ connector.Start: API listener, snapshot per mode, then the CDC
+    * stream. The metrics endpoint (when configured) starts FIRST and
+    * stays up for the connector's lifetime, like the reference's API
+    * server — a scraper sees the snapshot phase too.
+    */
   def start(): Unit = {
+    cfg.metricsPort.foreach { p =>
+      if (metricsEndpoint.isEmpty) metricsEndpoint = Some(MetricsEndpoint.start(p))
+    }
     if (cfg.snapshot.enabled) {
       cfg.snapshot.mode match {
         case SnapshotOnlyMode => snapshot(); return
@@ -145,7 +164,15 @@ final class Connector private[stream] (
 
   def isActive: Boolean = query.exists(_.isActive)
 
-  def metrics: Map[String, Long] = Metrics.snapshot()
+  /** This connector's metrics view: shared per-index counters plus ITS
+    * latency gauges (keyed internally by [[queryName]] so two connectors
+    * in one session never overwrite each other — metric.go defines the
+    * gauges per-connector).
+    */
+  def metrics: Map[String, Long] = Metrics.snapshotFor(queryName)
+
+  /** Bound metrics port when the endpoint is running (ephemeral-port aware). */
+  def metricsPort: Option[Int] = metricsEndpoint.map(_.port)
 
   /** Drain-then-stop: processes everything currently available before
     * terminating. Suitable for quiescent shutdown (tests, end-of-backfill);
@@ -166,5 +193,7 @@ final class Connector private[stream] (
   def close(): Unit = {
     query.foreach(_.stop())
     query = None
+    metricsEndpoint.foreach(_.stop())
+    metricsEndpoint = None
   }
 }

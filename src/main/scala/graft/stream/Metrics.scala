@@ -18,43 +18,84 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   *     Structured Streaming's own query progress (triggerExecution /
   *     addBatch durations), via a [[StreamingQueryListener]].
   *
-  * A Prometheus endpoint is transport detail; the counters are exposed
-  * programmatically (`snapshot()`) the way the reference exposes its
-  * `Metric` interface for collectors.
+  * The gauges are keyed by STREAMING QUERY NAME: the reference defines
+  * them per-connector (metric.go), and two connectors in one session
+  * (distinct [[QueryNames]] suffixes) must not overwrite each other's
+  * latencies. [[Connector.metrics]] reads its own query's gauges;
+  * [[snapshot]] exposes all of them with a `{query=…}` label. The
+  * counters stay keyed by index name — that IS the reference's label
+  * (each connector writes its configured indexes).
+  *
+  * Scrape transport: [[MetricsEndpoint]] serves [[snapshot]] in
+  * Prometheus text format when a port is configured (≙ the reference's
+  * `/metrics` listener, README.md:247-274).
   */
 object Metrics {
 
   private val counters = new ConcurrentHashMap[(String, String), LongAdder]()
-  @volatile var processLatencyMs: Long = 0L
-  @volatile var bulkRequestLatencyMs: Long = 0L
+  private val processLatency = new ConcurrentHashMap[String, java.lang.Long]()
+  private val bulkLatency = new ConcurrentHashMap[String, java.lang.Long]()
 
   private[stream] def record(indexName: String, actionType: String, n: Long): Unit =
     counters.computeIfAbsent((indexName, actionType), _ => new LongAdder).add(n)
 
-  /** ≙ scraping /metrics: counter name → value. */
+  /** Listener entry, factored out for unit tests. */
+  private[graft] def recordProgress(queryName: String,
+      triggerMs: Option[Long], addBatchMs: Option[Long]): Unit = {
+    triggerMs.foreach(d => processLatency.put(queryName, d))
+    addBatchMs.foreach(d => bulkLatency.put(queryName, d))
+  }
+
+  def processLatencyMs(queryName: String): Long =
+    Option(processLatency.get(queryName)).map(_.longValue).getOrElse(0L)
+  def bulkRequestLatencyMs(queryName: String): Long =
+    Option(bulkLatency.get(queryName)).map(_.longValue).getOrElse(0L)
+
+  /** ≙ scraping /metrics: counter/gauge name → value, gauges labeled by
+    * connector query name.
+    */
   def snapshot(): Map[String, Long] = {
     val m = scala.collection.mutable.Map[String, Long]()
     counters.forEach { (k, v) =>
       val metric = if (k._2 == "delete") "delete_total" else "index_total"
       m(s"$metric{index=${k._1}}") = v.sum()
     }
-    m("process_latency_current_ms") = processLatencyMs
-    m("bulk_request_process_latency_current_ms") = bulkRequestLatencyMs
+    processLatency.forEach { (q, v) =>
+      m(s"process_latency_current_ms{query=$q}") = v.longValue
+    }
+    bulkLatency.forEach { (q, v) =>
+      m(s"bulk_request_process_latency_current_ms{query=$q}") = v.longValue
+    }
+    m.toMap
+  }
+
+  /** One connector's view: the shared counters plus ITS gauges under the
+    * stable unlabeled names (what a per-connector dashboard reads).
+    */
+  def snapshotFor(queryName: String): Map[String, Long] = {
+    val m = scala.collection.mutable.Map[String, Long]()
+    counters.forEach { (k, v) =>
+      val metric = if (k._2 == "delete") "delete_total" else "index_total"
+      m(s"$metric{index=${k._1}}") = v.sum()
+    }
+    m("process_latency_current_ms") = processLatencyMs(queryName)
+    m("bulk_request_process_latency_current_ms") = bulkRequestLatencyMs(queryName)
     m.toMap
   }
 
   def reset(): Unit = {
     counters.clear()
-    processLatencyMs = 0L
-    bulkRequestLatencyMs = 0L
+    processLatency.clear()
+    bulkLatency.clear()
   }
 
   /** Streaming listener feeding the latency gauges from query progress.
     * Filtered to the CDC pipeline's queries by name prefix: the listener
     * is session-wide, so without the filter ANY other streaming query in
-    * the session (a DedupStream, a user's own query) would overwrite the
-    * CDC gauges with its own trigger durations — the reference defines
-    * these metrics per-connector (metric.go:35-54).
+    * the session (a DedupStream, a user's own query) would pollute the
+    * gauge map with non-CDC trigger durations. Within the prefix each
+    * query keeps its OWN gauge (keyed by full name) — two live connectors
+    * never overwrite each other.
     */
   final class Listener extends StreamingQueryListener {
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
@@ -62,10 +103,9 @@ object Metrics {
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
       if (p.name != null && p.name.startsWith("graft-cdc-pipeline")) {
-        Option(p.durationMs.get("triggerExecution"))
-          .foreach(d => processLatencyMs = d)
-        Option(p.durationMs.get("addBatch"))
-          .foreach(d => bulkRequestLatencyMs = d)
+        recordProgress(p.name,
+          Option(p.durationMs.get("triggerExecution")).map(_.longValue),
+          Option(p.durationMs.get("addBatch")).map(_.longValue))
       }
     }
   }
