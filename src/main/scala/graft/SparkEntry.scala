@@ -236,6 +236,9 @@ object SparkEntry {
     // per-doc repeated-span coverage — the drop/trim signal on top of
     // dedup_substring's span inventory
     "substring_coverage" -> ((s, dir) => PretrainOps.substringCoverage(tbl(s, dir, "documents"))),
+    // the ACTION on that signal: merged per-doc trim ranges + surviving
+    // length (Lee et al. 2021 drop the repeated spans, not just score them)
+    "dedup_substring_trim" -> ((s, dir) => PretrainOps.dedupSubstringTrim(tbl(s, dir, "documents"))),
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
@@ -503,6 +506,7 @@ object SparkEntry {
     "decontaminate_bloom" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGram),
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
     "substring_coverage" -> PretrainOps.sqlSubstringCoverage,
+    "dedup_substring_trim" -> PretrainOps.sqlDedupSubstringTrim,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

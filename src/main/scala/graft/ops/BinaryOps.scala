@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * Spark-side shape a real decoder plugs into: one iterator per partition,
   * no per-row task overhead, codec state reusable across a partition).
   *
-  * The container has no image/audio libraries, so the decode step is a
-  * clearly-marked DETERMINISTIC STUB ([[decodeStub]]) that reads fake header
-  * fields from the first payload bytes; the Spark-side plumbing — binary
-  * column, typed result schema, partition-iterator batch shape — is real
-  * and oracle-tested (the stub's arithmetic is mirrored in SQL over the
-  * UTF-8 bytes of `text`).
+  * Two decode paths:
+  *   - [[decodeStub]]: a clearly-marked DETERMINISTIC STUB reading fake
+  *     header fields from the first payload bytes — it exists because the
+  *     driver's synthetic `documents` parquet has no real media payloads,
+  *     and its arithmetic is mirrored in SQL so the plumbing is
+  *     oracle-tested end to end (audio/video codecs genuinely aren't in
+  *     the container).
+  *   - [[decodeImage]]: a REAL image decode via JDK `javax.imageio`
+  *     (PNG/JPEG/GIF/BMP readers ship WITH the JDK — no external codec
+  *     needed) — the production path for actual image bytes, spec-proven
+  *     on in-test-generated PNGs.
   *
   * At 100 TB: payloads live in parquet binary columns, each partition
   * decodes independently (narrow, no shuffle); metadata-only queries
@@ -85,6 +90,50 @@ object BinaryOps {
       |FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents)""".stripMargin
   // NOTE: greatest(unicode(x), 0) — DuckDB's unicode('') is -1, the stub's
   // missing-byte default is 0; aligns the empty/1-char document edge.
+
+  // ---------------------------------------------------- real image decode
+
+  /** Decoded image metadata; `decoded = false` rows carry zeros (an
+    * undecodable payload in a 100 TB corpus must not kill the job — it
+    * must be countable downstream and routed to a quarantine).
+    */
+  case class ImageMeta(
+      doc_id: Long, width: Long, height: Long, channels: Long,
+      payload_bytes: Long, decoded: Boolean)
+
+  /** REAL image header+pixel decode via `javax.imageio.ImageIO` — the
+    * JDK's built-in PNG/JPEG/GIF/BMP readers, available even in this
+    * zero-extra-dependency container. Null/empty/corrupt payloads yield
+    * `decoded = false` instead of throwing.
+    */
+  def decodeImage(docId: Long, payload: Array[Byte]): ImageMeta = {
+    val n = if (payload == null) 0L else payload.length.toLong
+    val img =
+      try {
+        if (n == 0L) null
+        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) ImageMeta(docId, 0L, 0L, 0L, n, decoded = false)
+    else ImageMeta(docId, img.getWidth.toLong, img.getHeight.toLong,
+      img.getColorModel.getNumComponents.toLong, n, decoded = true)
+  }
+
+  /** (doc_id, payload: binary) → typed image metadata, decoded
+    * per-partition — the SAME batch shape as the stub path, with the
+    * stub swapped for the JDK decoder. Input is any frame with a long
+    * `doc_id` and a binary `payload` column (e.g. a parquet table of
+    * stored images). No oracle twin: DuckDB has no image codec — the
+    * contract is spec-proven on generated PNG bytes instead
+    * (MultimodalSpec).
+    */
+  def imageDecode(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => decodeImage(id, p) })
+      .toDF()
+  }
 
   // -------------------------------------------------------------- resize
 

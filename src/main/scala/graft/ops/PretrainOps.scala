@@ -242,21 +242,34 @@ object PretrainOps {
     * map-side-combined aggs, shuffles keyed on span_hash / (doc, tok) /
     * doc — never corpus text.
     */
-  def substringCoverage(docs: DataFrame): DataFrame = {
-    val w = SpanWords
+  /** Positional span table shared by [[substringCoverage]] and
+    * [[dedupSubstringTrim]]: one row per span OCCURRENCE
+    * (doc_id, n_tokens, 1-based start pos, span hash), materialized once
+    * per query (identical plans share the cache entry in-session).
+    */
+  private def spanTable(docs: DataFrame): DataFrame = {
     val toksC = tokens(col("text"))
-    val sp = DedupOps.materialize(
+    DedupOps.materialize(
       fanout(docs).select(col("doc_id"),
           size(toksC).cast("long").as("n"),
-          word_shingle_hashes(toksC, w).as("hs"))
+          word_shingle_hashes(toksC, SpanWords).as("hs"))
         .select(col("doc_id"), col("n"), posexplode_outer(col("hs")))
         .filter(col("col").isNotNull)
         .select(col("doc_id"), col("n"),
           (col("pos") + 1).cast("long").as("pos"), col("col").as("span_hash")),
       "substring_spans")
-    val rep = sp.groupBy("span_hash")
+  }
+
+  /** Span hashes appearing in ≥ 2 distinct docs (the cross-doc repeats). */
+  private def repeatedSpans(sp: DataFrame): DataFrame =
+    sp.groupBy("span_hash")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("span_hash")
+
+  def substringCoverage(docs: DataFrame): DataFrame = {
+    val w = SpanWords
+    val sp = spanTable(docs)
+    val rep = repeatedSpans(sp)
     val cov = sp.join(rep, "span_hash")
       .select(col("doc_id"),
         explode_outer(sequence(col("pos"), least(col("pos") + lit(w - 1), col("n"))))
@@ -301,6 +314,113 @@ object PretrainOps {
        |  CAST(coalesce(c.covered, 0) AS DOUBLE) / b.n AS coverage
        |FROM (SELECT DISTINCT doc_id, n FROM sp) b
        |LEFT JOIN cov c USING (doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------- dedup_substring_trim
+
+  /** Exact-substring dedup with ACTIONABLE trim output — the step the
+    * published pipelines take after scoring (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": repeated
+    * spans are DROPPED from the corpus, not just counted). Per doc: the
+    * MERGED 1-based token ranges covered by cross-doc repeated
+    * [[SpanWords]]-word spans (adjacent/overlapping occurrences coalesce
+    * into one trim instruction, serialized "s-e,s-e,…" in start order),
+    * how many tokens those ranges remove, and the surviving token count.
+    * A doc with no repeated spans survives whole (empty `ranges`).
+    *
+    * Scale shape: the positional span table is shared with
+    * [[substringCoverage]] (materialized once); only repeated-span
+    * OCCURRENCES — not w× fan-out token positions — reach the merge. The
+    * merge itself is the classic linear interval sweep expressed as two
+    * doc-partitioned window functions (running-max end → new-range flag →
+    * running-sum range id), so it distributes by doc and never collects:
+    * per-doc span counts are bounded by doc length, not corpus size.
+    */
+  def dedupSubstringTrim(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = SpanWords
+    val sp = spanTable(docs)
+    val iv = sp.join(repeatedSpans(sp), "span_hash")
+      .select(col("doc_id"), col("n"), col("pos").as("s"),
+        least(col("pos") + lit(w - 1), col("n")).as("e"))
+      .distinct()
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max(col("e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    // a range starts where coverage breaks: start beyond running-max end + 1
+    // (adjacent token ranges [1,8][9,16] coalesce — contiguous coverage)
+    val ranges = iv
+      .withColumn("new_grp",
+        when(col("s") > coalesce(prevMax, lit(0L)) + 1, 1L).otherwise(0L))
+      .withColumn("grp",
+        sum(col("new_grp")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n"), col("grp"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    val perDoc = ranges.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_ranges"),
+        sum(col("re") - col("rs") + 1).as("trimmed"),
+        // collect_list order is nondeterministic → sort the (rs, re)
+        // structs (field order makes that start-ordered) before rendering
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("rs"), col("re")))),
+          x => concat(x.getField("rs").cast("string"), lit("-"),
+            x.getField("re").cast("string")))).as("ranges"))
+    sp.select("doc_id", "n").distinct()
+      .join(perDoc, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),
+        coalesce(col("trimmed"), lit(0L)).as("trimmed_tokens"),
+        (col("n") - coalesce(col("trimmed"), lit(0L))).as("surviving_tokens"),
+        coalesce(col("ranges"), lit("")).as("ranges"))
+  }
+
+  def sqlDedupSubstringTrim: String = {
+    val w = SpanWords
+    val toks = sqlTokens("text")
+    val spanHash =
+      sqlTokenHash(s"array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')")
+    s"""WITH s AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |sp AS (
+       |  SELECT doc_id, n,
+       |    unnest(range(1, greatest(n - ${w - 1}, 1) + 1)) AS pos,
+       |    unnest(list_transform(range(1, greatest(n - ${w - 1}, 1) + 1),
+       |      i -> $spanHash)) AS span_hash
+       |  FROM s),
+       |rep AS (
+       |  SELECT span_hash FROM (
+       |    SELECT span_hash, count(DISTINCT doc_id) AS nd FROM sp GROUP BY 1)
+       |  WHERE nd >= 2),
+       |iv AS (
+       |  SELECT DISTINCT doc_id, n, pos AS s, least(pos + ${w - 1}, n) AS e
+       |  FROM sp JOIN rep USING (span_hash)),
+       |flagged AS (
+       |  SELECT doc_id, n, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0) + 1 THEN 1 ELSE 0 END AS new_grp
+       |  FROM iv),
+       |grp AS (
+       |  SELECT doc_id, n, s, e,
+       |    sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |  FROM flagged),
+       |r AS (
+       |  SELECT doc_id, n, grp, min(s) AS rs, max(e) AS re
+       |  FROM grp GROUP BY doc_id, n, grp),
+       |per AS (
+       |  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_ranges,
+       |    CAST(sum(re - rs + 1) AS BIGINT) AS trimmed,
+       |    string_agg(rs || '-' || re, ',' ORDER BY rs) AS ranges
+       |  FROM r GROUP BY doc_id, n)
+       |SELECT b.doc_id, b.n AS n_tokens,
+       |  coalesce(p.n_ranges, 0) AS n_ranges,
+       |  coalesce(p.trimmed, 0) AS trimmed_tokens,
+       |  b.n - coalesce(p.trimmed, 0) AS surviving_tokens,
+       |  coalesce(p.ranges, '') AS ranges
+       |FROM (SELECT DISTINCT doc_id, n FROM sp) b
+       |LEFT JOIN per p USING (doc_id, n)""".stripMargin
   }
 
   // ------------------------------------------------------------ pii_count

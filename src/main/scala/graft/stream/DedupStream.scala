@@ -119,14 +119,14 @@ object DedupStream {
     // distinct shuffle for a STATIC side (runIncrementalDedup's history
     // cache is the same pattern); the broadcast build itself is per-batch
     // (Spark broadcasts are per-plan), but it reads the cached rows
-    val benchGrams = broadcast(
-      benchmarkDocs
-        .select(explode_outer(sorted_distinct(
-          word_shingle_hashes(tokens(col("text")), PretrainOps.DecontamGram))).as("g"))
-        .filter(col("g").isNotNull)
-        .distinct()
-        .cache())
-    spark.readStream
+    val benchGramsCached = benchmarkDocs
+      .select(explode_outer(sorted_distinct(
+        word_shingle_hashes(tokens(col("text")), PretrainOps.DecontamGram))).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+      .cache()
+    val benchGrams = broadcast(benchGramsCached)
+    val query = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
@@ -158,5 +158,31 @@ object DedupStream {
       }
       .trigger(trigger)
       .start()
+    // free the static-side cache when THIS query terminates: without it
+    // the cached gram table outlives the stopped query for the life of
+    // the SparkSession, accumulating executor memory across repeated
+    // stream runs (tests start the query twice per case)
+    unpersistOnTermination(spark, query, benchGramsCached)
+    query
+  }
+
+  /** Self-removing listener that unpersists `cached` once query `q`
+    * terminates — the streaming analog of a try/finally around a batch
+    * job's cache.
+    */
+  private def unpersistOnTermination(spark: SparkSession,
+      q: StreamingQuery, cached: DataFrame): Unit = {
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          cached.unpersist()
+          spark.streams.removeListener(this)
+          ()
+        }
+    }
+    spark.streams.addListener(listener)
   }
 }

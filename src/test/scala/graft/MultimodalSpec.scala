@@ -33,6 +33,37 @@ class MultimodalSpec extends SparkSuite {
     assert(out.filter($"mean_byte" < 0 || $"mean_byte" > 255).count() == 0)
   }
 
+  test("real image decode (ImageIO): generated PNGs round-trip width/height/channels; junk survives as decoded=false") {
+    // REAL bytes, generated in-test: JDK ImageIO writes the PNGs the JDK
+    // decoder then reads back inside Spark — no external codec involved
+    def png(w: Int, h: Int, imgType: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, imgType)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos), "JDK PNG writer missing?")
+      bos.toByteArray
+    }
+    import java.awt.image.BufferedImage._
+    val rows = Seq(
+      (1L, png(17, 9, TYPE_INT_RGB)),            // 3 channels
+      (2L, png(64, 128, TYPE_INT_ARGB)),         // 4 channels (alpha)
+      (3L, png(5, 5, TYPE_BYTE_GRAY)),           // 1 channel
+      (4L, "not an image at all".getBytes("UTF-8")), // junk payload
+      (5L, Array.empty[Byte])                    // empty payload
+    ).toDF("doc_id", "payload")
+    val got = BinaryOps.imageDecode(spark, rows)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 17L, 9L, 3L, got(1L)._5, true)))
+    assert(got(2L) == ((2L, 64L, 128L, 4L, got(2L)._5, true)))
+    assert(got(3L) == ((3L, 5L, 5L, 1L, got(3L)._5, true)))
+    assert(got(1L)._5 > 0L) // payload_bytes carried through
+    // decode failure is DATA, not an exception: zeros + decoded=false
+    assert(got(4L) == ((4L, 0L, 0L, 0L, 19L, false)))
+    assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, false)))
+  }
+
   test("token_count: ws tokens match a hand count; bpe >= ws on punctuated text") {
     val planted = Seq((1L, "hello world, how are you?"), (2L, "  a  b  ")).toDF("doc_id", "text")
     val got = TextOps.tokenCount(planted).as[(Long, Long, Long)].collect().toMap2
