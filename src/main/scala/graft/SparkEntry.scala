@@ -220,6 +220,9 @@ object SparkEntry {
     // the full published composition: gates → dedup → decontaminate
     // (removal, not just audit — GPT-3 App. C / Gopher A.2 style)
     "corpus_clean_decontam" -> ((s, dir) => CorpusOps.cleanCorpusDecontam(tbl(s, dir, "documents"))),
+    // the WHOLE pipeline, raw docs → packed training-sequence index:
+    // gates → dedup → decontam → substring trim → contiguous packing
+    "corpus_to_sequences" -> ((s, dir) => CorpusOps.corpusToSequences(tbl(s, dir, "documents"))),
 
     // pre-training corpus ops (round 3): decontamination, substring-level
     // dedup, PII audit, repetition quality, stratified sampling, per-domain
@@ -239,11 +242,20 @@ object SparkEntry {
     // the ACTION on that signal: merged per-doc trim ranges + surviving
     // length (Lee et al. 2021 drop the repeated spans, not just score them)
     "dedup_substring_trim" -> ((s, dir) => PretrainOps.dedupSubstringTrim(tbl(s, dir, "documents"))),
+    // the trim APPLIED: surviving text reconstructed with repeated spans
+    // removed — the corpus that actually ships to training
+    "dedup_substring_apply" -> ((s, dir) => PretrainOps.dedupSubstringApply(tbl(s, dir, "documents"))),
     "pii_count" -> ((s, dir) => PretrainOps.piiCount(tbl(s, dir, "documents"))),
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
     "sample_mixture" -> ((s, dir) => PretrainOps.sampleMixture(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
+    // loader-side inverse of pack_sequences: sequence → contributing docs
+    "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
+    // deterministic global shuffle → (shard, pos) training order
+    "shuffle_shards" -> ((s, dir) => PretrainOps.shuffleShards(tbl(s, dir, "documents"))),
+    // exact-arithmetic KenLM-style stand-in: mean corpus token frequency
+    "unigram_commonness" -> ((s, dir) => PretrainOps.unigramCommonness(tbl(s, dir, "documents"))),
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
@@ -498,6 +510,7 @@ object SparkEntry {
 
     "corpus_clean" -> CorpusOps.sqlCleanCorpus,
     "corpus_clean_decontam" -> CorpusOps.sqlCleanCorpusDecontam,
+    "corpus_to_sequences" -> CorpusOps.sqlCorpusToSequences,
 
     "decontaminate" -> PretrainOps.sqlDecontaminate,
     "decontaminate_8gram" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd),
@@ -507,6 +520,10 @@ object SparkEntry {
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
     "substring_coverage" -> PretrainOps.sqlSubstringCoverage,
     "dedup_substring_trim" -> PretrainOps.sqlDedupSubstringTrim,
+    "dedup_substring_apply" -> PretrainOps.sqlDedupSubstringApply,
+    "sequence_manifest" -> PretrainOps.sqlSequenceManifest,
+    "shuffle_shards" -> PretrainOps.sqlShuffleShards,
+    "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

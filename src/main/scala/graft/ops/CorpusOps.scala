@@ -71,6 +71,75 @@ object CorpusOps {
     cleanCorpus(docs).join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** The WHOLE published pipeline, raw docs → training-sequence index:
+    * [[cleanCorpusDecontam]] (quality gate → language gate → exact dedup
+    * → MinHash near-dup removal → benchmark decontamination removal),
+    * then exact-substring trim over the SURVIVORS ([[PretrainOps
+    * .dedupSubstringTrim]] — repeated spans are counted among surviving
+    * docs only, matching Lee et al. 2021's order: substring dedup runs on
+    * the already-deduplicated corpus), then GPT-style contiguous packing
+    * of the surviving token counts ([[PretrainOps.packSequences]]
+    * semantics: per-source shard, doc_id order, [[PretrainOps.SeqLen]]
+    * cut). Docs trimmed to zero tokens leave the corpus. Output per
+    * surviving doc: its shard, surviving token count, stream offset and
+    * sequence span — the index a packed-dataset loader consumes.
+    *
+    * Scale shape: the union of its stages' shapes — cheap gates first,
+    * hash/band shuffles on hashes only, broadcast decontamination,
+    * doc-partitioned interval merge — plus ONE per-shard window for the
+    * packing (the same cumulative sum every packed-dataset writer runs)
+    * and doc_id-keyed joins AQE sizes. Nothing new materializes beyond
+    * the shared span table; corpus text never shuffles.
+    */
+  def corpusToSequences(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id")
+    val trimmed = PretrainOps.dedupSubstringTrim(survivors)
+      .filter(col("surviving_tokens") >= 1)
+      .select(col("doc_id"), col("surviving_tokens").as("n_tokens"))
+    val base = trimmed.join(survivors.select("doc_id", "source"), "doc_id")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        expr(s"tok_start div ${PretrainOps.SeqLen}").as("seq_start"),
+        expr(s"(tok_start + n_tokens - 1) div ${PretrainOps.SeqLen}").as("seq_end"),
+        pmod(col("tok_start"), lit(PretrainOps.SeqLen)).as("seq_offset"))
+  }
+
+  /** Oracle twin: [[sqlCleanCorpusDecontam]] nested as the survivor set,
+    * the shared merged-range CTE chain rebased onto it, the trim tail
+    * reduced to surviving counts, and [[PretrainOps.sqlPackSequences]]'s
+    * window/arithmetic over those counts.
+    */
+  def sqlCorpusToSequences: String = {
+    val spans = PretrainOps.sqlMergedRangeCtes("survivors").stripPrefix("WITH ")
+    s"""WITH cleaned AS (SELECT doc_id FROM (
+       |$sqlCleanCorpusDecontam
+       |)),
+       |survivors AS (SELECT d.* FROM documents d JOIN cleaned USING (doc_id)),
+       |$spans,
+       |trimmed AS (
+       |  SELECT b.doc_id, b.n - coalesce(p.trimmed, 0) AS n_tokens
+       |  FROM (SELECT DISTINCT doc_id, n FROM sp) b
+       |  LEFT JOIN (
+       |    SELECT doc_id, n, CAST(sum(re - rs + 1) AS BIGINT) AS trimmed
+       |    FROM r GROUP BY doc_id, n) p USING (doc_id, n)
+       |  WHERE b.n - coalesce(p.trimmed, 0) >= 1)
+       |SELECT doc_id, source, n_tokens, tok_start,
+       |  tok_start // ${PretrainOps.SeqLen} AS seq_start,
+       |  (tok_start + n_tokens - 1) // ${PretrainOps.SeqLen} AS seq_end,
+       |  tok_start % ${PretrainOps.SeqLen} AS seq_offset
+       |FROM (
+       |  SELECT t.doc_id, sv.source, t.n_tokens,
+       |    CAST(coalesce(sum(t.n_tokens) OVER (PARTITION BY sv.source
+       |      ORDER BY t.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS tok_start
+       |  FROM trimmed t JOIN survivors sv USING (doc_id))""".stripMargin
+  }
+
   /** Oracle twin: [[sqlCleanCorpus]] with the contamination hit list
     * (the full decontaminate oracle at production gram width) appended as
     * one more NOT IN gate — a nested-WITH subquery, scoped like the LSH

@@ -336,10 +336,20 @@ object PretrainOps {
     * running-sum range id), so it distributes by doc and never collects:
     * per-doc span counts are bounded by doc length, not corpus size.
     */
-  def dedupSubstringTrim(docs: DataFrame): DataFrame = {
+  /** Merged (coalesced) repeated-span token ranges per doc — one row per
+    * maximal covered interval (doc_id, n, grp, rs, re). The classic
+    * linear interval sweep expressed as two doc-partitioned window
+    * functions (running-max end → new-range flag → running-sum range id):
+    * a range starts where coverage breaks, i.e. start beyond running-max
+    * end + 1 (adjacent token ranges [1,8][9,16] coalesce — contiguous
+    * coverage). Distributes by doc, never collects; per-doc span counts
+    * are bounded by doc length, not corpus size. Shared by
+    * [[dedupSubstringTrim]] (reports the ranges) and
+    * [[dedupSubstringApply]] (applies them to the text).
+    */
+  private def mergedRanges(sp: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = SpanWords
-    val sp = spanTable(docs)
     val iv = sp.join(repeatedSpans(sp), "span_hash")
       .select(col("doc_id"), col("n"), col("pos").as("s"),
         least(col("pos") + lit(w - 1), col("n")).as("e"))
@@ -347,16 +357,17 @@ object PretrainOps {
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max(col("e"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
-    // a range starts where coverage breaks: start beyond running-max end + 1
-    // (adjacent token ranges [1,8][9,16] coalesce — contiguous coverage)
-    val ranges = iv
-      .withColumn("new_grp",
+    iv.withColumn("new_grp",
         when(col("s") > coalesce(prevMax, lit(0L)) + 1, 1L).otherwise(0L))
       .withColumn("grp",
         sum(col("new_grp")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("n"), col("grp"))
       .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
-    val perDoc = ranges.groupBy(col("doc_id"), col("n"))
+  }
+
+  def dedupSubstringTrim(docs: DataFrame): DataFrame = {
+    val sp = spanTable(docs)
+    val perDoc = mergedRanges(sp).groupBy(col("doc_id"), col("n"))
       .agg(count(lit(1)).as("n_ranges"),
         sum(col("re") - col("rs") + 1).as("trimmed"),
         // collect_list order is nondeterministic → sort the (rs, re)
@@ -374,14 +385,21 @@ object PretrainOps {
         coalesce(col("ranges"), lit("")).as("ranges"))
   }
 
-  def sqlDedupSubstringTrim: String = {
+  /** Shared CTE chain for the oracle twins of [[dedupSubstringTrim]],
+    * [[dedupSubstringApply]] and [[CorpusOps.corpusToSequences]]:
+    * tokenized docs → positional span table → cross-doc repeats →
+    * interval sweep → merged ranges `r(doc_id, n, grp, rs, re)`. Mirrors
+    * [[spanTable]] + [[mergedRanges]] exactly; `table` rebases the chain
+    * onto a CTE (the survivors set) instead of the raw `documents`.
+    */
+  private[ops] def sqlMergedRangeCtes(table: String = "documents"): String = {
     val w = SpanWords
     val toks = sqlTokens("text")
     val spanHash =
       sqlTokenHash(s"array_to_string(list_slice(toks, i, i + ${w - 1}), ' ')")
     s"""WITH s AS (
        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
-       |  FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       |  FROM (SELECT doc_id, $toks AS toks FROM $table)),
        |sp AS (
        |  SELECT doc_id, n,
        |    unnest(range(1, greatest(n - ${w - 1}, 1) + 1)) AS pos,
@@ -408,7 +426,11 @@ object PretrainOps {
        |  FROM flagged),
        |r AS (
        |  SELECT doc_id, n, grp, min(s) AS rs, max(e) AS re
-       |  FROM grp GROUP BY doc_id, n, grp),
+       |  FROM grp GROUP BY doc_id, n, grp)""".stripMargin
+  }
+
+  def sqlDedupSubstringTrim: String =
+    s"""${sqlMergedRangeCtes()},
        |per AS (
        |  SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_ranges,
        |    CAST(sum(re - rs + 1) AS BIGINT) AS trimmed,
@@ -421,7 +443,63 @@ object PretrainOps {
        |  coalesce(p.ranges, '') AS ranges
        |FROM (SELECT DISTINCT doc_id, n FROM sp) b
        |LEFT JOIN per p USING (doc_id, n)""".stripMargin
+
+  // ------------------------------------------------ dedup_substring_apply
+
+  /** Exact-substring dedup APPLIED — the final step of the Lee et al.
+    * 2021 pipeline: reconstruct each document's surviving text with the
+    * cross-doc repeated spans removed. Tokens whose 1-based position
+    * falls inside any merged trim range ([[mergedRanges]], the same
+    * ranges [[dedupSubstringTrim]] reports) are dropped; survivors are
+    * re-joined with single spaces. A doc with no repeated spans passes
+    * through whole; a doc fully covered by repeats survives as ''.
+    *
+    * Scale shape: the heavy work (span table + interval merge) is shared
+    * with the trim/coverage family; the apply step itself is ONE
+    * doc_id-keyed equi-join of the per-doc range arrays back to the
+    * corpus (range arrays are bounded by doc length — at 100 TB the
+    * ranges side is a small fraction of corpus bytes since only docs
+    * with cross-doc repeats carry rows), then a narrow per-row
+    * higher-order filter over the token array — no token-level fan-out,
+    * no window over corpus text, nothing collects.
+    */
+  def dedupSubstringApply(docs: DataFrame): DataFrame = {
+    val sp = spanTable(docs)
+    val rngs = mergedRanges(sp).groupBy(col("doc_id"))
+      // collect_list order is nondeterministic → array_sort the (rs, re)
+      // structs (field order makes that start-ordered)
+      .agg(array_sort(collect_list(struct(col("rs"), col("re")))).as("rngs"))
+    val toksC = tokens(col("text"))
+    docs.select(col("doc_id"), col("text"))
+      .join(rngs, Seq("doc_id"), "left")
+      .withColumn("toks", toksC)
+      .withColumn("surv",
+        when(col("rngs").isNull, col("toks")).otherwise(
+          filter(col("toks"), (_, i) => !exists(col("rngs"), r =>
+            (i + 1) >= r.getField("rs") && (i + 1) <= r.getField("re")))))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        size(col("surv")).cast("long").as("surviving_tokens"),
+        concat_ws(" ", col("surv")).as("surviving_text"))
   }
+
+  def sqlDedupSubstringApply: String =
+    s"""${sqlMergedRangeCtes()},
+       |per AS (
+       |  SELECT doc_id, list_sort(list(struct_pack(rs := rs, re := re))) AS rngs
+       |  FROM r GROUP BY doc_id),
+       |surv AS (
+       |  SELECT s.doc_id, s.n,
+       |    CASE WHEN p.rngs IS NULL THEN s.toks
+       |         ELSE list_filter(s.toks, (x, i) ->
+       |           len(list_filter(p.rngs, r -> i >= r.rs AND i <= r.re)) = 0)
+       |    END AS sv
+       |  FROM s LEFT JOIN per p USING (doc_id))
+       |SELECT doc_id, n AS n_tokens,
+       |  CAST(len(sv) AS BIGINT) AS surviving_tokens,
+       |  -- array_to_string([]) is NULL in DuckDB; concat_ws([]) is '' in
+       |  -- Spark — coalesce aligns the fully-trimmed-doc case
+       |  coalesce(array_to_string(sv, ' '), '') AS surviving_text
+       |FROM surv""".stripMargin
 
   // ------------------------------------------------------------ pii_count
 
@@ -663,6 +741,140 @@ object PretrainOps {
        |  FROM (
        |    SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
        |    FROM documents))""".stripMargin
+
+  // --------------------------------------------------- sequence_manifest
+
+  /** The loader-side INVERSE of [[packSequences]]: one row per packed
+    * training sequence, listing the documents that fill it — the
+    * manifest a packed-dataset reader uses to map a sequence back to its
+    * provenance (and the attention-mask boundaries for
+    * no-cross-document-attention training). Per (source, seq_id):
+    * contributing doc count, exact filled token count (the last sequence
+    * of each shard is the only one that may be short), and the doc ids
+    * in stream order.
+    *
+    * Scale shape: each doc explodes into only the sequences it SPANS
+    * (fan-out = ceil(doc_len / [[SeqLen]]), bounded by doc length), then
+    * one map-side-combined agg on (source, seq_id). All arithmetic is
+    * exact long overlap of [tok_start, tok_start+n) with the sequence
+    * window — no fp anywhere.
+    */
+  def sequenceManifest(docs: DataFrame): DataFrame = {
+    val L = SeqLen
+    packSequences(docs)
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        explode_outer(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      .filter(col("seq_id").isNotNull)
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("tok_start") + col("n_tokens"), (col("seq_id") + 1) * L)
+          - greatest(col("tok_start"), col("seq_id") * L)).as("filled_tokens"),
+        // stream order = tok_start order (collect_list order is
+        // nondeterministic → sort the structs before rendering)
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("tok_start"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string"))).as("doc_ids"))
+  }
+
+  def sqlSequenceManifest: String =
+    s"""WITH packed AS (
+       |${sqlPackSequences}
+       |),
+       |x AS (
+       |  SELECT doc_id, source, n_tokens, tok_start,
+       |    unnest(range(seq_start, seq_end + 1)) AS seq_id
+       |  FROM packed WHERE n_tokens >= 1)
+       |SELECT source, seq_id, count(*) AS n_docs,
+       |  CAST(sum(least(tok_start + n_tokens, (seq_id + 1) * $SeqLen)
+       |    - greatest(tok_start, seq_id * $SeqLen)) AS BIGINT) AS filled_tokens,
+       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tok_start, doc_id) AS doc_ids
+       |FROM x GROUP BY source, seq_id""".stripMargin
+
+  // ----------------------------------------------------- shuffle_shards
+
+  /** Shard count for the deterministic global training-order shuffle. */
+  val ShuffleShards = 64L
+
+  /** Deterministic global shuffle for training order: every doc gets a
+    * (shard, position) from a salted md5 of its id — reproducible across
+    * runs (no RNG state), resumable (positions are stable), and uniform
+    * (md5 hash space). The standard "global shuffle then shard" step
+    * every pretraining pipeline runs before packing; compose with
+    * [[packSequences]] by substituting shard for source.
+    *
+    * Scale shape: a narrow codegen'd hash projection, then ONE window
+    * per shard for the position — shards are fixed-count ([[
+    * ShuffleShards]]); at 100 TB raise the constant so per-shard row
+    * counts fit a task (the window is the same per-shard sort a shard
+    * writer would do anyway).
+    */
+  def shuffleShards(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = fanout(docs).select(col("doc_id"),
+      tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))).as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(ShuffleShards)))
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    base.withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def sqlShuffleShards: String = {
+    val h = sqlTokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+       |    AS BIGINT) - 1 AS pos
+       |FROM (SELECT doc_id, $h AS skey, $h % $ShuffleShards AS shard
+       |      FROM documents)""".stripMargin
+  }
+
+  // ------------------------------------------------- unigram_commonness
+
+  /** Corpus-unigram commonness score — the exact-arithmetic stand-in for
+    * KenLM-style LM quality filtering (CCNet trains an LM and keeps
+    * docs by perplexity band; a log-prob sum cannot hash-match across
+    * engines — see tfidf's rational idf — so this scores each doc by the
+    * MEAN CORPUS FREQUENCY of its tokens instead): sum over token
+    * occurrences of that token's corpus count, divided by n_tokens ·
+    * n_total in ONE final double division. Gibberish / rare-token docs
+    * score low; stopword soup scores high — band-filter on both tails
+    * like CCNet does with perplexity.
+    *
+    * Scale shape: the vocab is one map-side-combined count agg (Zipf
+    * bounds distinct tokens far below corpus size); the occurrence⋈vocab
+    * join is skewed at the Zipf head ('' / stopwords) — AQE skew-join
+    * splits those partitions; per-doc re-agg is map-side combined. All
+    * integer until the final division.
+    */
+  def unigramCommonness(docs: DataFrame): DataFrame = {
+    val tok = fanout(docs).select(col("doc_id"),
+      explode_outer(tokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+    tok.join(vocab, "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_counts"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_tokens"), col("sum_counts"), col("n_total"),
+        (col("sum_counts").cast("double") /
+          (col("n_tokens").cast("double") * col("n_total").cast("double")))
+          .as("commonness"))
+  }
+
+  def sqlUnigramCommonness: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS t FROM documents),
+       |vocab AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab),
+       |per AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(cnt) AS BIGINT) AS sum_counts
+       |  FROM tok JOIN vocab USING (t) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, sum_counts, n_total,
+       |  CAST(sum_counts AS DOUBLE) /
+       |    (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE)) AS commonness
+       |FROM per, tot""".stripMargin
 
   // ------------------------------------------------------- sample_mixture
 

@@ -90,6 +90,95 @@ class PretrainOpsSpec extends SparkSuite {
     } finally { out.unpersist(); () }
   }
 
+  test("dedup_substring_trim + apply: merged ranges, coalesced overlaps, surviving text") {
+    val span = (1 to PretrainOps.SpanWords).map(i => s"w$i").mkString(" ")
+    val span9 = (1 to PretrainOps.SpanWords + 1).map(i => s"v$i").mkString(" ")
+    val planted = Seq(
+      (10L, s"a b c $span"),   // span covers 4..11 of 11
+      (20L, s"$span x y"),     // span covers 1..8 of 10
+      (30L, "no repeats in this entirely unique document text at all ok"),
+      (40L, s"$span9 tail qq"), // two overlapping 8-spans (pos 1, 2) → 1..9
+      (50L, s"pre $span9")      // pos 2, 3 → 2..10
+    ).toDF("doc_id", "text")
+    val trim = PretrainOps.dedupSubstringTrim(planted)
+      .select("doc_id", "n_tokens", "n_ranges", "trimmed_tokens",
+        "surviving_tokens", "ranges")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(trim(10L) == ((11L, 1L, 8L, 3L, "4-11")))
+    assert(trim(20L) == ((10L, 1L, 8L, 2L, "1-8")))
+    assert(trim(30L) == ((11L, 0L, 0L, 11L, "")))
+    // the two overlapping span occurrences coalesce into ONE range
+    assert(trim(40L) == ((11L, 1L, 9L, 2L, "1-9")))
+    assert(trim(50L) == ((10L, 1L, 9L, 1L, "2-10")))
+    val applied = PretrainOps.dedupSubstringApply(planted)
+      .select("doc_id", "n_tokens", "surviving_tokens", "surviving_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(applied(10L) == ((11L, 3L, "a b c")))
+    assert(applied(20L) == ((10L, 2L, "x y")))
+    assert(applied(30L) == ((11L, 11L,
+      "no repeats in this entirely unique document text at all ok")))
+    assert(applied(40L) == ((11L, 2L, "tail qq")))
+    assert(applied(50L) == ((10L, 1L, "pre")))
+  }
+
+  test("dedup_substring_apply: surviving token count is consistent with trim on the real table") {
+    val trim = PretrainOps.dedupSubstringTrim(docs)
+      .select("doc_id", "surviving_tokens")
+    val app = PretrainOps.dedupSubstringApply(docs)
+      .select($"doc_id", $"surviving_tokens".as("app_surviving"))
+    val joined = trim.join(app, "doc_id").cache()
+    try {
+      assert(joined.count() == docs.count())
+      assert(joined.filter($"surviving_tokens" =!= $"app_surviving").count() == 0,
+        "apply must drop exactly the tokens trim says it trims")
+    } finally { joined.unpersist(); () }
+  }
+
+  test("sequence_manifest: exact fill accounting across sequence boundaries") {
+    def doc(n: Int) = Array.fill(n)("w").mkString(" ")
+    // stream per source "s": doc1 [0,300) doc2 [300,400) doc3 [400,600)
+    val planted = Seq(
+      (1L, doc(300), "s"), (2L, doc(100), "s"), (3L, doc(200), "s")
+    ).toDF("doc_id", "text", "source")
+    val out = PretrainOps.sequenceManifest(planted)
+      .select("seq_id", "n_docs", "filled_tokens", "doc_ids")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((1L, 256L, "1")))
+    assert(out(1L) == ((3L, 256L, "1,2,3"))) // 44 + 100 + 112
+    assert(out(2L) == ((1L, 88L, "3")))      // the short tail sequence
+    // conservation: filled tokens across sequences == stream tokens
+    assert(out.values.map(_._2).sum == 600L)
+  }
+
+  test("shuffle_shards: deterministic, uniform-ranged, contiguous positions") {
+    val a = PretrainOps.shuffleShards(docs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val b = PretrainOps.shuffleShards(docs)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "shuffle must be reproducible across runs")
+    assert(a.length == docs.count())
+    assert(a.forall(r => r._2 >= 0 && r._2 < PretrainOps.ShuffleShards))
+    // positions within each shard are exactly 0..count-1
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(rows.indices.map(_.toLong)),
+        s"shard $shard positions not contiguous")
+    }
+  }
+
+  test("unigram_commonness: hand-checkable rational score") {
+    val planted = Seq((1L, "aa aa aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    // vocab: aa→4, bb→1, N=5
+    val out = PretrainOps.unigramCommonness(planted)
+      .select("doc_id", "n_tokens", "sum_counts", "n_total", "commonness")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((3L, 12L, 5L, 12.0 / 15)))
+    assert(out(2L) == ((2L, 5L, 5L, 5.0 / 10)))
+  }
+
   test("decontaminate_bloom: empty benchmark split → empty output, no failure") {
     val planted = Seq(
       (1L, "some ordinary training document with enough words here", "src1"),

@@ -484,6 +484,34 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out == Set(1L)) // 2 = near-dup loser, 3 = quality-gated
   }
 
+  test("corpus_to_sequences: gates, dedup, decontam, trim and packing compose") {
+    import graft.ops.CorpusOps
+    def uniq(tag: String) = (1 to 12).map(i => s"the of and to $tag$i").mkString(" ")
+    val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ") // 300 toks
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench8 = "zulu yankee xray whiskey victor uniform tango sierra"
+    val planted = Seq(
+      (1L, base, "src1"),                          // survives whole
+      (2L, base.replace("token30", "CHANGED"), "src1"), // near-dup loser
+      (3L, s"${uniq("c")} $span8", "src1"),        // shares span8 with 4 → trimmed
+      (4L, s"$span8 ${uniq("d")}", "src2"),        // shares span8 with 3 → trimmed
+      (5L, s"${uniq("e")} $bench8", "src1"),       // contaminated → removed
+      (90L, bench8, "src0")                        // the benchmark split
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.corpusToSequences(planted)
+      .select("doc_id", "source", "n_tokens", "tok_start", "seq_start", "seq_end", "seq_offset")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    // near-dup loser and contaminated doc are gone; bench split fails gates
+    assert(out.keySet == Set(1L, 3L, 4L), s"unexpected survivor set: $out")
+    // doc 1: 300 surviving tokens (its near-dup was REMOVED first, so its
+    // spans are not cross-doc repeats — order of stages matters)
+    assert(out(1L) == (("src1", 300L, 0L, 0L, 1L, 0L)))
+    // docs 3/4: the shared 8-token span trims from 68 → 60 in BOTH
+    assert(out(3L) == (("src1", 60L, 300L, 1L, 1L, 44L)))
+    assert(out(4L) == (("src2", 60L, 0L, 0L, 0L, 0L)))
+  }
+
   test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
     val out = BinaryOps.multimodalDecode(spark, docs)
     assert(out.columns.toSeq ==
