@@ -259,7 +259,9 @@ object SparkEntry {
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
-    "embed_quantize" -> ((s, dir) => PretrainOps.embedQuantize(tbl(s, dir, "embeddings")))
+    "embed_quantize" -> ((s, dir) => PretrainOps.embedQuantize(tbl(s, dir, "embeddings"))),
+    // D×D exact second moments + covariance — the PCA/whitening input
+    "embed_covariance" -> ((s, dir) => PretrainOps.embedCovariance(tbl(s, dir, "embeddings")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -532,6 +534,7 @@ object SparkEntry {
     "dedup_survivors" -> DedupOps.sqlDedupSurvivors,
     "domain_stats" -> PretrainOps.sqlDomainStats,
     "embed_normalize" -> PretrainOps.sqlEmbedNormalize,
-    "embed_quantize" -> PretrainOps.sqlEmbedQuantize
+    "embed_quantize" -> PretrainOps.sqlEmbedQuantize,
+    "embed_covariance" -> PretrainOps.sqlEmbedCovariance
   )
 }

@@ -93,7 +93,14 @@ object CorpusOps {
     */
   def corpusToSequences(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val survivors = docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id")
+    // the cleaned corpus is consumed twice (trim input + shard/source
+    // join) and its subtree is the whole multi-stage clean pipeline —
+    // materialize it once (exactly what a production pipeline does:
+    // write the cleaned corpus, THEN pack), instead of re-running
+    // gates+LSH+decontam per consumer
+    val survivors = DedupOps.materialize(
+      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
+      "clean_survivors")
     val trimmed = PretrainOps.dedupSubstringTrim(survivors)
       .filter(col("surviving_tokens") >= 1)
       .select(col("doc_id"), col("surviving_tokens").as("n_tokens"))

@@ -876,6 +876,89 @@ object PretrainOps {
        |    (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE)) AS commonness
        |FROM per, tot""".stripMargin
 
+  // ------------------------------------------------- embed_covariance
+
+  /** Corpus embedding covariance — the D×D input every PCA / whitening /
+    * dimension-reduction step needs before touching 100 TB of vectors
+    * (upper triangle; dims 0-based). Per (dim_i ≤ dim_j): count, the
+    * exact micro-quantized second-moment sum, and the covariance
+    * `E[xy] − E[x]E[y]` assembled from exact longs in one deterministic
+    * double expression. Element products are quantized
+    * `floor(x·y·1e6 + 0.5)` BEFORE summing (the [[QualityMicro]] /
+    * rational-idf house rule: a parallel double sum is partition-order
+    * dependent and would hash-mismatch the oracle; floor(+0.5) because
+    * engines disagree on round()'s mode). Vectors with null elements are
+    * excluded; dims are assumed uniform (the embeddings table is).
+    *
+    * Scale shape: the D²/2 pair expansion happens IN-ROW (narrow
+    * higher-order transform, no self-join, no corpus shuffle); the only
+    * exchanges carry D² and D keyed partial sums — output size is D²
+    * regardless of corpus size, and the final assembly joins three
+    * D²-bounded frames. This is the op whose 100 TB cost is exactly one
+    * corpus scan.
+    */
+  def embedCovariance(emb: DataFrame): DataFrame = {
+    val base = fanout(emb).filter(col("embedding").isNotNull)
+      .select(transform(col("embedding"), x => x.cast("double")).as("emb_d"))
+      .filter(!exists(col("emb_d"), x => x.isNull))
+    val pairs = base.select(explode_outer(flatten(
+        transform(col("emb_d"), (x, i) =>
+          transform(col("emb_d"), (y, j) =>
+            struct(i.cast("long").as("di"), j.cast("long").as("dj"),
+              floor(x * y * lit(QualityMicro) + lit(0.5)).cast("long")
+                .as("xy_micro")))))).as("p"))
+      .filter(col("p").isNotNull && col("p.dj") >= col("p.di"))
+    val moments = pairs
+      .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"), col("p.xy_micro").as("xy_micro"))
+      .groupBy("dim_i", "dim_j")
+      .agg(count(col("xy_micro")).as("n"), sum(col("xy_micro")).as("sum_xy_micro"))
+    val dims = base.select(posexplode_outer(col("emb_d")))
+      .filter(col("pos").isNotNull)
+      .select(col("pos").cast("long").as("dim"),
+        floor(col("col") * lit(QualityMicro) + lit(0.5)).cast("long").as("x_micro"))
+      .groupBy("dim").agg(sum(col("x_micro")).as("sum_micro"))
+    moments
+      .join(dims.select(col("dim").as("dim_i"), col("sum_micro").as("si")), "dim_i")
+      .join(dims.select(col("dim").as("dim_j"), col("sum_micro").as("sj")), "dim_j")
+      .select(col("dim_i"), col("dim_j"), col("n"), col("sum_xy_micro"),
+        ((col("sum_xy_micro").cast("double") / lit(QualityMicro)
+          - (col("si").cast("double") / lit(QualityMicro))
+            * (col("sj").cast("double") / lit(QualityMicro))
+            / col("n").cast("double"))
+          / col("n").cast("double")).as("cov"))
+  }
+
+  def sqlEmbedCovariance: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+       |  FROM embeddings WHERE embedding IS NOT NULL
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+       |a AS (SELECT emb_d, unnest(range(1, len(emb_d) + 1)) AS i FROM e),
+       |p AS (SELECT emb_d, i, unnest(range(i, len(emb_d) + 1)) AS j FROM a),
+       |pairs AS (
+       |  SELECT i - 1 AS dim_i, j - 1 AS dim_j,
+       |    CAST(floor(emb_d[i] * emb_d[j] * $QualityMicro + 0.5) AS BIGINT) AS xy_micro
+       |  FROM p),
+       |moments AS (
+       |  SELECT dim_i, dim_j, count(xy_micro) AS n,
+       |    CAST(sum(xy_micro) AS BIGINT) AS sum_xy_micro
+       |  FROM pairs GROUP BY dim_i, dim_j),
+       |b AS (SELECT emb_d, unnest(range(1, len(emb_d) + 1)) AS i FROM e),
+       |dims AS (
+       |  SELECT i - 1 AS dim,
+       |    CAST(sum(CAST(floor(emb_d[i] * $QualityMicro + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS sum_micro
+       |  FROM b GROUP BY dim)
+       |SELECT m.dim_i, m.dim_j, m.n, m.sum_xy_micro,
+       |  (CAST(m.sum_xy_micro AS DOUBLE) / $QualityMicro
+       |   - (CAST(x.sum_micro AS DOUBLE) / $QualityMicro)
+       |     * (CAST(y.sum_micro AS DOUBLE) / $QualityMicro)
+       |     / CAST(m.n AS DOUBLE))
+       |  / CAST(m.n AS DOUBLE) AS cov
+       |FROM moments m
+       |JOIN dims x ON x.dim = m.dim_i
+       |JOIN dims y ON y.dim = m.dim_j""".stripMargin
+
   // ------------------------------------------------------- sample_mixture
 
   /** Domain-mixture targets: relative sampling weight per source (unnamed

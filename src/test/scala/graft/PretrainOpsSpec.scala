@@ -179,6 +179,29 @@ class PretrainOpsSpec extends SparkSuite {
     assert(out(2L) == ((2L, 5L, 5L, 5.0 / 10)))
   }
 
+  test("embed_covariance: hand-checkable moments, upper triangle only") {
+    val planted = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val out = PretrainOps.embedCovariance(planted)
+      .select("dim_i", "dim_j", "n", "sum_xy_micro", "cov")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // dims (1,2),(3,4): E[xy] moments 10/2, 14/2, 20/2; all covs = 1
+    assert(out.keySet == Set((0L, 0L), (0L, 1L), (1L, 1L)))
+    assert(out((0L, 0L)) == ((2L, 10000000L, 1.0)))
+    assert(out((0L, 1L)) == ((2L, 14000000L, 1.0)))
+    assert(out((1L, 1L)) == ((2L, 20000000L, 1.0)))
+    // real table: exactly D(D+1)/2 rows, diagonal variance non-negative
+    val real = PretrainOps.embedCovariance(emb).cache()
+    try {
+      val d = emb.select(size(col("embedding"))).as[Int].head().toLong
+      assert(real.count() == d * (d + 1) / 2)
+      assert(real.filter($"dim_i" === $"dim_j" && $"cov" < 0).count() == 0,
+        "diagonal of a covariance matrix must be non-negative")
+    } finally { real.unpersist(); () }
+  }
+
   test("decontaminate_bloom: empty benchmark split → empty output, no failure") {
     val planted = Seq(
       (1L, "some ordinary training document with enough words here", "src1"),
