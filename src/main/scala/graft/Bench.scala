@@ -83,7 +83,9 @@ object Bench {
       name -> Timing(best._1, best._2, osBean.getSystemLoadAverage,
         failed = good.isEmpty)
     }
-    def f(d: Double): String = "%.4f".format(d)
+    // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would
+    // render 1,2345 and corrupt the one-line JSON artifact
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // "queries" stays name->wall-seconds for driver compatibility;
     // "queries_detail" carries {wall,cpu,load} per query
     val qs = results.map { case (k, t) => s"\"$k\":${f(t.wall)}" }

@@ -101,21 +101,53 @@ object BinaryOps {
       doc_id: Long, width: Long, height: Long, channels: Long,
       payload_bytes: Long, decoded: Boolean)
 
-  /** REAL image header+pixel decode via `javax.imageio.ImageIO` — the
-    * JDK's built-in PNG/JPEG/GIF/BMP readers, available even in this
-    * zero-extra-dependency container. Null/empty/corrupt payloads yield
-    * `decoded = false` instead of throwing.
+  /** One-time JVM switch: ImageIO's default stream cache spills every
+    * payload to a temp FILE — pure overhead for in-memory byte arrays.
+    */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image HEADER decode via `javax.imageio` — the JDK's built-in
+    * PNG/JPEG/GIF/BMP readers, available even in this
+    * zero-extra-dependency container. Header-only on purpose: the op
+    * reports width/height/channels, so `ImageIO.read`'s full
+    * w·h·4-byte pixel materialization would be pure waste — and a
+    * decompression-bomb payload (a corrupt header declaring 60000²)
+    * would OOM an executor, which no catch can save. `ImageReader
+    * .getWidth/getHeight/getImageTypes` read only the header bytes.
+    * Null/empty/corrupt payloads yield `decoded = false` instead of
+    * throwing.
     */
   def decodeImage(docId: Long, payload: Array[Byte]): ImageMeta = {
+    imageIoNoDiskCache
     val n = if (payload == null) 0L else payload.length.toLong
-    val img =
-      try {
-        if (n == 0L) null
-        else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      } catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) ImageMeta(docId, 0L, 0L, 0L, n, decoded = false)
-    else ImageMeta(docId, img.getWidth.toLong, img.getHeight.toLong,
-      img.getColorModel.getNumComponents.toLong, n, decoded = true)
+    val header =
+      if (n == 0L) None
+      else {
+        var iis: javax.imageio.stream.ImageInputStream = null
+        try {
+          iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              val types = r.getImageTypes(0)
+              val ch =
+                if (types.hasNext) types.next().getColorModel.getNumComponents.toLong
+                else 0L
+              Some((r.getWidth(0).toLong, r.getHeight(0).toLong, ch))
+            } finally r.dispose()
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+        finally { if (iis != null) iis.close() }
+      }
+    header match {
+      case Some((w, h, c)) => ImageMeta(docId, w, h, c, n, decoded = true)
+      case None => ImageMeta(docId, 0L, 0L, 0L, n, decoded = false)
+    }
   }
 
   /** (doc_id, payload: binary) → typed image metadata, decoded

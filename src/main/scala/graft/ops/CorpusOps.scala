@@ -104,15 +104,8 @@ object CorpusOps {
     val trimmed = PretrainOps.dedupSubstringTrim(survivors)
       .filter(col("surviving_tokens") >= 1)
       .select(col("doc_id"), col("surviving_tokens").as("n_tokens"))
-    val base = trimmed.join(survivors.select("doc_id", "source"), "doc_id")
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    base
-      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
-        expr(s"tok_start div ${PretrainOps.SeqLen}").as("seq_start"),
-        expr(s"(tok_start + n_tokens - 1) div ${PretrainOps.SeqLen}").as("seq_end"),
-        pmod(col("tok_start"), lit(PretrainOps.SeqLen)).as("seq_offset"))
+    PretrainOps.packTokenCounts(
+      trimmed.join(survivors.select("doc_id", "source"), "doc_id"))
   }
 
   /** Oracle twin: [[sqlCleanCorpusDecontam]] nested as the survivor set,
@@ -134,17 +127,9 @@ object CorpusOps {
        |    SELECT doc_id, n, CAST(sum(re - rs + 1) AS BIGINT) AS trimmed
        |    FROM r GROUP BY doc_id, n) p USING (doc_id, n)
        |  WHERE b.n - coalesce(p.trimmed, 0) >= 1)
-       |SELECT doc_id, source, n_tokens, tok_start,
-       |  tok_start // ${PretrainOps.SeqLen} AS seq_start,
-       |  (tok_start + n_tokens - 1) // ${PretrainOps.SeqLen} AS seq_end,
-       |  tok_start % ${PretrainOps.SeqLen} AS seq_offset
-       |FROM (
-       |  SELECT t.doc_id, sv.source, t.n_tokens,
-       |    CAST(coalesce(sum(t.n_tokens) OVER (PARTITION BY sv.source
-       |      ORDER BY t.doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |      AS tok_start
-       |  FROM trimmed t JOIN survivors sv USING (doc_id))""".stripMargin
+       |${PretrainOps.sqlPackOver(
+           """    SELECT t.doc_id, sv.source, t.n_tokens
+             |    FROM trimmed t JOIN survivors sv USING (doc_id)""".stripMargin)}""".stripMargin
   }
 
   /** Oracle twin: [[sqlCleanCorpus]] with the contamination hit list

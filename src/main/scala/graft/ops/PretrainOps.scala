@@ -715,10 +715,14 @@ object PretrainOps {
     * [[CdcOps.globalOrdinals]]). All arithmetic is exact long division —
     * no fp in sight.
     */
-  def packSequences(docs: DataFrame): DataFrame = {
+  /** The packing arithmetic itself, over any (doc_id, source, n_tokens)
+    * frame — ONE definition shared by [[packSequences]] (counts from raw
+    * text) and [[CorpusOps.corpusToSequences]] (surviving counts after
+    * the clean+trim pipeline), so the two can never desynchronize on
+    * SeqLen handling, ordering key or offset arithmetic.
+    */
+  private[ops] def packTokenCounts(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = fanout(docs).select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     base
@@ -729,7 +733,14 @@ object PretrainOps {
         pmod(col("tok_start"), lit(SeqLen)).as("seq_offset"))
   }
 
-  def sqlPackSequences: String =
+  def packSequences(docs: DataFrame): DataFrame =
+    packTokenCounts(fanout(docs).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tokens")))
+
+  /** SQL twin of [[packTokenCounts]] over an inner relation producing
+    * (doc_id, source, n_tokens).
+    */
+  private[ops] def sqlPackOver(inner: String): String =
     s"""SELECT doc_id, source, n_tokens, tok_start,
        |  tok_start // $SeqLen AS seq_start,
        |  (tok_start + n_tokens - 1) // $SeqLen AS seq_end,
@@ -739,8 +750,11 @@ object PretrainOps {
        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
        |  FROM (
-       |    SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
-       |    FROM documents))""".stripMargin
+       |$inner))""".stripMargin
+
+  def sqlPackSequences: String = sqlPackOver(
+    s"""    SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tokens
+       |    FROM documents""".stripMargin)
 
   // --------------------------------------------------- sequence_manifest
 
@@ -850,7 +864,13 @@ object PretrainOps {
     val tok = fanout(docs).select(col("doc_id"),
       explode_outer(tokens(col("text"))).as("t"))
       .filter(col("t").isNotNull)
-    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    // vocab feeds BOTH the totals agg and the occurrence join —
+    // materialize it (Zipf keeps it far smaller than the corpus) so the
+    // corpus is tokenized exactly twice (vocab build + join side), not
+    // three times; the exploded `tok` itself is corpus-sized and NOT
+    // worth caching
+    val vocab = DedupOps.materialize(
+      tok.groupBy("t").agg(count(lit(1)).as("cnt")), "unigram_vocab")
     val totals = vocab.agg(sum(col("cnt")).as("n_total"))
     tok.join(vocab, "t")
       .groupBy("doc_id")
@@ -901,13 +921,17 @@ object PretrainOps {
     val base = fanout(emb).filter(col("embedding").isNotNull)
       .select(transform(col("embedding"), x => x.cast("double")).as("emb_d"))
       .filter(!exists(col("emb_d"), x => x.isNull))
+    // only the upper triangle is ever BUILT (slice from i onward; the
+    // inner 0-based index j is relative to the slice, so dj = i + j) —
+    // generating the full D² and filtering after the explode would
+    // double the exploded row volume for nothing
     val pairs = base.select(explode_outer(flatten(
         transform(col("emb_d"), (x, i) =>
-          transform(col("emb_d"), (y, j) =>
-            struct(i.cast("long").as("di"), j.cast("long").as("dj"),
+          transform(slice(col("emb_d"), i + 1, size(col("emb_d")) - i), (y, j) =>
+            struct(i.cast("long").as("di"), (i + j).cast("long").as("dj"),
               floor(x * y * lit(QualityMicro) + lit(0.5)).cast("long")
                 .as("xy_micro")))))).as("p"))
-      .filter(col("p").isNotNull && col("p.dj") >= col("p.di"))
+      .filter(col("p").isNotNull)
     val moments = pairs
       .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"), col("p.xy_micro").as("xy_micro"))
       .groupBy("dim_i", "dim_j")

@@ -126,7 +126,7 @@ object DedupStream {
       .distinct()
       .cache()
     val benchGrams = broadcast(benchGramsCached)
-    val query = spark.readStream
+    val query = try spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(docsDir)
@@ -158,6 +158,11 @@ object DedupStream {
       }
       .trigger(trigger)
       .start()
+    catch {
+      // a failed start() (bad checkpoint dir, schema error) would leak
+      // the cache the termination listener exists to free
+      case t: Throwable => benchGramsCached.unpersist(); throw t
+    }
     // free the static-side cache when THIS query terminates: without it
     // the cached gram table outlives the stopped query for the life of
     // the SparkSession, accumulating executor memory across repeated
@@ -184,5 +189,15 @@ object DedupStream {
         }
     }
     spark.streams.addListener(listener)
+    // the terminated event can be dispatched BEFORE addListener completes
+    // (an AvailableNow query over an empty dir finishes in milliseconds)
+    // — if the query is already inactive the listener will never fire, so
+    // clean up here; a double fire is harmless (unpersist is idempotent,
+    // removeListener on a removed listener is a no-op)
+    if (!q.isActive) {
+      cached.unpersist()
+      spark.streams.removeListener(listener)
+      ()
+    }
   }
 }

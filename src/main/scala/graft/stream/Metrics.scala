@@ -35,6 +35,9 @@ object Metrics {
   private val counters = new ConcurrentHashMap[(String, String), LongAdder]()
   private val processLatency = new ConcurrentHashMap[String, java.lang.Long]()
   private val bulkLatency = new ConcurrentHashMap[String, java.lang.Long]()
+  // live query id → name, so termination (whose event carries no name)
+  // can prune that query's gauges
+  private val queryIds = new ConcurrentHashMap[java.util.UUID, String]()
 
   private[stream] def record(indexName: String, actionType: String, n: Long): Unit =
     counters.computeIfAbsent((indexName, actionType), _ => new LongAdder).add(n)
@@ -44,6 +47,18 @@ object Metrics {
       triggerMs: Option[Long], addBatchMs: Option[Long]): Unit = {
     triggerMs.foreach(d => processLatency.put(queryName, d))
     addBatchMs.foreach(d => bulkLatency.put(queryName, d))
+  }
+
+  /** Drop a terminated query's gauges: a scrape must not keep reporting
+    * a dead connector's last latency forever, and a session that cycles
+    * connectors (fresh checkpoint dir each run — the test-suite pattern)
+    * must not grow the gauge maps without bound. Counters stay: totals
+    * are cumulative by definition.
+    */
+  private[graft] def removeQuery(queryName: String): Unit = {
+    processLatency.remove(queryName)
+    bulkLatency.remove(queryName)
+    ()
   }
 
   def processLatencyMs(queryName: String): Long =
@@ -87,6 +102,7 @@ object Metrics {
     counters.clear()
     processLatency.clear()
     bulkLatency.clear()
+    queryIds.clear()
   }
 
   /** Streaming listener feeding the latency gauges from query progress.
@@ -98,8 +114,15 @@ object Metrics {
     * never overwrite each other.
     */
   final class Listener extends StreamingQueryListener {
-    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryStarted(event: QueryStartedEvent): Unit =
+      if (event.name != null && event.name.startsWith("graft-cdc-pipeline")) {
+        queryIds.put(event.id, event.name)
+        ()
+      }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+      val name = queryIds.remove(event.id)
+      if (name != null) removeQuery(name)
+    }
     override def onQueryProgress(event: QueryProgressEvent): Unit = {
       val p = event.progress
       if (p.name != null && p.name.startsWith("graft-cdc-pipeline")) {

@@ -17,14 +17,20 @@ object QueryNames {
     * relative vs absolute local paths) must map to ONE suffix — the name
     * is the restart-stable identity. Scheme-less relative paths resolve
     * against the process cwd (matching what the checkpoint writer itself
-    * does); URIs (hdfs://, s3a://) normalize via Hadoop `Path` without
-    * touching the filesystem.
+    * does) via PURE path arithmetic — deliberately NOT
+    * `getCanonicalPath`: symlink resolution would make relative and
+    * absolute spellings of the same dir diverge whenever cwd sits behind
+    * a symlink (only one branch would resolve it), can throw IOException
+    * at Connector construction, and ties the "restart-stable" name to
+    * live filesystem state. URIs (hdfs://, s3a://) normalize via Hadoop
+    * `Path` without touching the filesystem.
     */
   private def canonical(checkpointDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpointDir)
     if (p.toUri.getScheme == null && !p.isAbsolute)
       new org.apache.hadoop.fs.Path(
-        new java.io.File(checkpointDir).getCanonicalPath).toString
+        java.nio.file.Paths.get(checkpointDir)
+          .toAbsolutePath.normalize.toString).toString
     else p.toString
   }
 

@@ -23,11 +23,25 @@ class MetricsEndpointSpec extends SparkSuite {
     assert(QueryNames.suffix("/ckpt//pipeline") == a, "doubled slash")
     assert(QueryNames.suffix("/ckpt/other") != a)
     // relative spelling resolves against the cwd — agrees with absolute
-    val cwd = new java.io.File(".").getCanonicalPath
+    // (pure path arithmetic, NO symlink resolution: the name must not
+    // depend on live filesystem state)
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath.toString
     assert(QueryNames.suffix("some-ckpt") == QueryNames.suffix(s"$cwd/some-ckpt"))
     // URI checkpoints normalize without touching any filesystem
     assert(QueryNames.suffix("hdfs://nn:8020/ckpt/")
       == QueryNames.suffix("hdfs://nn:8020/ckpt"))
+  }
+
+  test("terminated query's gauges are pruned; counters survive") {
+    Metrics.reset()
+    Metrics.recordProgress("graft-cdc-pipeline-dead", Some(42L), Some(7L))
+    assert(Metrics.snapshot().contains("process_latency_current_ms{query=graft-cdc-pipeline-dead}"))
+    Metrics.removeQuery("graft-cdc-pipeline-dead")
+    val snap = Metrics.snapshot()
+    assert(!snap.exists(_._1.contains("graft-cdc-pipeline-dead")),
+      "a dead connector must not be scraped at its last latency forever")
+    // unlabeled per-connector view degrades to 0, not a stale value
+    assert(Metrics.processLatencyMs("graft-cdc-pipeline-dead") == 0L)
   }
 
   test("latency gauges are per-connector: two pipelines never overwrite each other") {
