@@ -185,6 +185,9 @@ object SparkEntry {
     "simhash_signature" -> ((s, dir) => DedupOps.simhashSignature(tbl(s, dir, "documents"))),
     "dedup_simhash" -> ((s, dir) => DedupOps.dedupSimhash(tbl(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) => DedupOps.dedupNgramJaccard(tbl(s, dir, "documents"))),
+    // asymmetric doc-inside-doc duplication — the pairs LSH/Jaccard are
+    // structurally blind to (small A in large B has low Jaccard)
+    "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(tbl(s, dir, "documents"))),
     "dedup_components" -> ((s, dir) => DedupOps.dedupComponents(tbl(s, dir, "documents"))),
     // incremental dedup: today's batch (doc_id % 5 = 0) against the
     // historical corpus index — exact-hash membership + cross-set LSH
@@ -490,6 +493,7 @@ object SparkEntry {
     "simhash_signature" -> DedupOps.sqlSimhashSignature,
     "dedup_simhash" -> DedupOps.sqlDedupSimhash,
     "dedup_ngram_jaccard" -> DedupOps.sqlDedupNgramJaccard,
+    "dedup_containment" -> DedupOps.sqlDedupContainment,
     "dedup_components" -> DedupOps.sqlDedupComponents,
     "dedup_incremental" -> DedupOps.sqlDedupIncremental,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,

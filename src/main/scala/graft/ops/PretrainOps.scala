@@ -73,7 +73,7 @@ object PretrainOps {
   private def decontamGrams(width: Int = DecontamGram): Column =
     sorted_distinct(word_shingle_hashes(tokens(col("text")), width))
 
-  private def sqlGramHashes(width: Int): String = {
+  private[ops] def sqlGramHashes(width: Int): String = {
     val toks = sqlTokens("text")
     s"list_distinct(list_transform(range(1, greatest(len($toks) - ${width - 1}, 1) + 1), " +
       s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${width - 1}), ' ')")}))"

@@ -131,6 +131,26 @@ class TrainingOpsSpec extends SparkSuite {
     def toMap2: Map[Long, Long] = xs.map(t => t._1 -> t._3).toMap
   }
 
+  test("dedup_containment: one-directional for small-in-large, both ways for exact dups") {
+    val wA = (1 to 20).map(i => s"c$i").mkString(" ") // 13 8-grams
+    val wB = (1 to 40).map(i => s"c$i").mkString(" ") // 33 8-grams ⊇ A's 13
+    val planted = Seq(
+      (1L, wA), (2L, wB), (4L, wA),
+      (3L, "completely different content with nothing shared at all here ok")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.dedupContainment(planted)
+      .select("doc_a", "doc_b", "n_a", "shared", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // A ⊂ B reports A→B only (B→A = 13/33 < 0.5: Jaccard-style symmetry
+    // would call this pair weak; containment is the point of the op);
+    // the exact dup pair (1,4) reports both directions at 1.0
+    assert(out.keySet == Set((1L, 2L), (4L, 2L), (1L, 4L), (4L, 1L)), s"got $out")
+    assert(out((1L, 2L)) == ((13L, 13L, 1.0)))
+    assert(out((4L, 2L)) == ((13L, 13L, 1.0)))
+    assert(out((1L, 4L)) == ((13L, 13L, 1.0)))
+  }
+
   test("dedup_exact groups identical normalized content") {
     val planted = Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text")
