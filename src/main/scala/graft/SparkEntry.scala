@@ -177,6 +177,8 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCount(tbl(s, dir, "documents"))),
     "lang_id" -> ((s, dir) => TextOps.langId(tbl(s, dir, "documents"))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(tbl(s, dir, "documents"))),
+    // the published HARD gate set (Gopher A.1.1) as all-integer rules
+    "quality_gopher_gates" -> ((s, dir) => TextOps.qualityGopherGates(tbl(s, dir, "documents"))),
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(tbl(s, dir, "documents"))),
 
     "dedup_exact" -> ((s, dir) => DedupOps.dedupExact(tbl(s, dir, "documents"))),
@@ -485,6 +487,7 @@ object SparkEntry {
     "token_count" -> TextOps.sqlTokenCount,
     "lang_id" -> TextOps.sqlLangId,
     "quality_score" -> TextOps.sqlQualityScore,
+    "quality_gopher_gates" -> TextOps.sqlQualityGopherGates,
     "doc_fingerprint" -> TextOps.sqlDocFingerprint,
 
     "dedup_exact" -> DedupOps.sqlDedupExact,

@@ -131,6 +131,32 @@ class TrainingOpsSpec extends SparkSuite {
     def toMap2: Map[Long, Long] = xs.map(t => t._1 -> t._3).toMap
   }
 
+  test("quality_gopher_gates: each published rule trips on its planted violator") {
+    val good = "the of and to be that have with " +
+      (1 to 50).map(i => s"word$i").mkString(" ") // 58 words, all sane
+    val tooShort = "the of and to be small"       // < 50 words
+    val symbols = "the of and to " + (1 to 50).map(_ => "x#").mkString(" ") +
+      " ..." // 55 words but 50 '#' + 1 '...' → ratio > 0.1
+    val digits = (1 to 60).map(i => s"$i$i$i").mkString(" ") // no letters, no stopwords
+    val planted = Seq(
+      (1L, good), (2L, tooShort), (3L, symbols), (4L, digits)
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityGopherGates(planted)
+      .select("doc_id", "g_count", "g_symbol", "g_alpha", "g_stop", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out(1L) == ((true, true, true, true, true)), s"good doc: ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._5, "short doc must fail g_count")
+    assert(!out(3L)._2 && !out(3L)._5, "symbol soup must fail g_symbol")
+    assert(!out(4L)._3 && !out(4L)._4 && !out(4L)._5,
+      "digit soup must fail g_alpha and g_stop")
+    // null ≡ empty text: one '' token, fails count, never NULL-passes
+    val nulls = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val n9 = TextOps.qualityGopherGates(nulls)
+      .select("pass").as[Boolean].head()
+    assert(!n9)
+  }
+
   test("dedup_containment: one-directional for small-in-large, both ways for exact dups") {
     val wA = (1 to 20).map(i => s"c$i").mkString(" ") // 13 8-grams
     val wB = (1 to 40).map(i => s"c$i").mkString(" ") // 33 8-grams ⊇ A's 13
