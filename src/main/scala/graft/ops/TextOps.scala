@@ -236,16 +236,19 @@ object TextOps {
   /** The Gopher quality rule set (Rae et al. 2021, appendix A.1.1),
     * doc-level subset, as ALL-INTEGER gates: every published threshold
     * is rational, so each rule compares exact longs (mean word length ∈
-    * [3, 10] ⟺ 3n ≤ Σlen ≤ 10n; symbol ratio ≤ 0.1 ⟺ 10·symbols ≤
+    * [3, 10] ⟺ 3n ≤ Σlen ≤ 10n; EACH symbol's ratio ≤ 0.1 ⟺ 10·count ≤
     * words; ≥ 80% alpha words ⟺ 5·alpha ≥ 4·words) — no fp anywhere,
     * engine hash parity for free. Rules: word count ∈
     * [[[GopherMinWords]], [[GopherMaxWords]]]; mean word length ∈
-    * [3, 10] chars; '#'/'…'-to-word ratio ≤ 0.1; ≥ 80% of words contain
-    * a letter; ≥ 2 distinct [[GopherStopwords]] present. (The
-    * line-based bullet/ellipsis-ending rules need document structure
-    * the single-line synthetic corpus doesn't carry — scoped out by
-    * name.) One narrow projection, zero shuffle; pairs with
-    * [[qualityScore]] (a blended score) as the published HARD gate set.
+    * [3, 10] chars; hash-to-word ratio ≤ 0.1 AND ellipsis-to-word ratio
+    * ≤ 0.1 — gated PER SYMBOL as published (a doc at 0.06 on each must
+    * pass), ellipsis matching both ASCII '...' and Unicode '…'; ≥ 80%
+    * of words contain a letter; ≥ 2 distinct [[GopherStopwords]]
+    * present. (The line-based bullet/ellipsis-ending rules need
+    * document structure the single-line synthetic corpus doesn't carry
+    * — scoped out by name.) One narrow projection, zero shuffle; pairs
+    * with [[qualityScore]] (a blended score) as the published HARD gate
+    * set.
     */
   def qualityGopherGates(docs: DataFrame): DataFrame = {
     val txt = coalesce(col("text"), lit(""))
@@ -253,20 +256,22 @@ object TextOps {
     val nW = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
     val nAlphaW = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
-    val nSym = (regexp_count(txt, lit("#")) +
-      regexp_count(txt, lit("\\.\\.\\."))).cast("long")
+    val nHash = regexp_count(txt, lit("#")).cast("long")
+    val nEllipsis = regexp_count(txt, lit("\\.\\.\\.|…")).cast("long")
     val stopHits = GopherStopwords.map(w =>
       when(array_contains(toks, w), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
     docs
       .select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_word_chars"),
-        nAlphaW.as("n_alpha_words"), nSym.as("n_symbols"),
-        stopHits.as("stop_hits"))
+        nAlphaW.as("n_alpha_words"), nHash.as("n_hash"),
+        nEllipsis.as("n_ellipsis"), stopHits.as("stop_hits"))
       .withColumn("g_count",
         col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
       .withColumn("g_wordlen",
         lit(3L) * col("n_words") <= col("sum_word_chars") &&
           col("sum_word_chars") <= lit(10L) * col("n_words"))
-      .withColumn("g_symbol", lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("g_symbol",
+        lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words"))
       .withColumn("g_alpha",
         lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
       .withColumn("g_stop", col("stop_hits") >= 2L)
@@ -277,15 +282,15 @@ object TextOps {
   def sqlQualityGopherGates: String = {
     val stopCases = GopherStopwords.map(w =>
       s"(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_symbols, stop_hits,
+    s"""SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_hash, n_ellipsis, stop_hits,
        |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords AS g_count,
        |  3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words AS g_wordlen,
-       |  10 * n_symbols <= n_words AS g_symbol,
+       |  10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words AS g_symbol,
        |  5 * n_alpha_words >= 4 * n_words AS g_alpha,
        |  stop_hits >= 2 AS g_stop,
        |  n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
        |    AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
-       |    AND 10 * n_symbols <= n_words
+       |    AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
        |    AND 5 * n_alpha_words >= 4 * n_words
        |    AND stop_hits >= 2 AS pass
        |FROM (
@@ -296,8 +301,8 @@ object TextOps {
        |      AS sum_word_chars,
        |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT)
        |      AS n_alpha_words,
-       |    CAST(len(regexp_extract_all(text, '#'))
-       |      + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS n_ellipsis,
        |    CAST($stopCases AS BIGINT) AS stop_hits
        |  FROM (SELECT doc_id, coalesce(text, '') AS text,
        |        ${sqlTokens("text")} AS toks FROM documents))""".stripMargin

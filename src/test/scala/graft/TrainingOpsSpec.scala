@@ -136,20 +136,37 @@ class TrainingOpsSpec extends SparkSuite {
       (1 to 50).map(i => s"word$i").mkString(" ") // 58 words, all sane
     val tooShort = "the of and to be small"       // < 50 words
     val symbols = "the of and to " + (1 to 50).map(_ => "x#").mkString(" ") +
-      " ..." // 55 words but 50 '#' + 1 '...' → ratio > 0.1
+      " ..." // 55 words, 50 '#' → hash ratio > 0.1
     val digits = (1 to 60).map(i => s"$i$i$i").mkString(" ") // no letters, no stopwords
+    val shortWords = "the of and to " +
+      (1 to 60).map(i => ('a' + i % 26).toChar.toString).mkString(" ") // mean len < 3
+    // per-symbol semantics: 100 words with 6 '#' AND 6 '…' — each ratio
+    // 0.06 ≤ 0.1, so the PUBLISHED per-symbol gate passes (a combined
+    // 12/100 > 0.1 gate would wrongly fail it); Unicode ellipsis counts
+    val perSym = "the of and to be that have with " +
+      (1 to 86).map(i => s"word$i").mkString(" ") +
+      " #a #b #c #d #e #f w… x… y… z… u… v…"
     val planted = Seq(
-      (1L, good), (2L, tooShort), (3L, symbols), (4L, digits)
+      (1L, good), (2L, tooShort), (3L, symbols), (4L, digits),
+      (5L, shortWords), (6L, perSym)
     ).toDF("doc_id", "text")
     val out = TextOps.qualityGopherGates(planted)
-      .select("doc_id", "g_count", "g_symbol", "g_alpha", "g_stop", "pass")
-      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
-    assert(out(1L) == ((true, true, true, true, true)), s"good doc: ${out(1L)}")
-    assert(!out(2L)._1 && !out(2L)._5, "short doc must fail g_count")
-    assert(!out(3L)._2 && !out(3L)._5, "symbol soup must fail g_symbol")
-    assert(!out(4L)._3 && !out(4L)._4 && !out(4L)._5,
+      .select("doc_id", "g_count", "g_wordlen", "g_symbol", "g_alpha", "g_stop", "pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out(1L) == ((true, true, true, true, true, true)), s"good doc: ${out(1L)}")
+    assert(!out(2L)._1 && !out(2L)._6, "short doc must fail g_count")
+    assert(!out(3L)._3 && !out(3L)._6, "hash soup must fail g_symbol")
+    assert(!out(4L)._4 && !out(4L)._5 && !out(4L)._6,
       "digit soup must fail g_alpha and g_stop")
+    assert(!out(5L)._2 && !out(5L)._6, "one-char words must fail g_wordlen")
+    assert(out(6L)._3, "0.06 per-symbol ratios must PASS the per-symbol gate")
+    // Unicode ellipsis IS counted: 11 '…' in 104 words fails
+    val uniSpam = "the of and to " + (1 to 89).map(i => s"w$i").mkString(" ") +
+      " " + (1 to 11).map(_ => "e…").mkString(" ")
+    val u = TextOps.qualityGopherGates(Seq((7L, uniSpam)).toDF("doc_id", "text"))
+      .select("g_symbol").as[Boolean].head()
+    assert(!u, "Unicode … above 0.1 must fail g_symbol")
     // null ≡ empty text: one '' token, fails count, never NULL-passes
     val nulls = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val n9 = TextOps.qualityGopherGates(nulls)
@@ -165,16 +182,16 @@ class TrainingOpsSpec extends SparkSuite {
       (3L, "completely different content with nothing shared at all here ok")
     ).toDF("doc_id", "text")
     val out = DedupOps.dedupContainment(planted)
-      .select("doc_a", "doc_b", "n_a", "shared", "containment")
-      .as[(Long, Long, Long, Long, Double)].collect()
-      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
-    // A ⊂ B reports A→B only (B→A = 13/33 < 0.5: Jaccard-style symmetry
-    // would call this pair weak; containment is the point of the op);
+      .select("doc_a", "doc_b", "n_a", "n_eligible", "n_capped", "shared", "containment")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // A ⊂ B reports A→B only (B→A = 13/33 < 0.5: B's unique df=1 grams
+    // are evidence AGAINST containment and stay in the denominator);
     // the exact dup pair (1,4) reports both directions at 1.0
     assert(out.keySet == Set((1L, 2L), (4L, 2L), (1L, 4L), (4L, 1L)), s"got $out")
-    assert(out((1L, 2L)) == ((13L, 13L, 1.0)))
-    assert(out((4L, 2L)) == ((13L, 13L, 1.0)))
-    assert(out((1L, 4L)) == ((13L, 13L, 1.0)))
+    assert(out((1L, 2L)) == ((13L, 13L, 0L, 13L, 1.0)))
+    assert(out((4L, 2L)) == ((13L, 13L, 0L, 13L, 1.0)))
+    assert(out((1L, 4L)) == ((13L, 13L, 0L, 13L, 1.0)))
   }
 
   test("dedup_exact groups identical normalized content") {
