@@ -261,6 +261,8 @@ object SparkEntry {
     "shuffle_shards" -> ((s, dir) => PretrainOps.shuffleShards(tbl(s, dir, "documents"))),
     // exact-arithmetic KenLM-style stand-in: mean corpus token frequency
     "unigram_commonness" -> ((s, dir) => PretrainOps.unigramCommonness(tbl(s, dir, "documents"))),
+    // the 2-gram rung of the LM ladder: mean conditional P(w2|w1)
+    "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(tbl(s, dir, "documents"))),
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
@@ -533,6 +535,7 @@ object SparkEntry {
     "sequence_manifest" -> PretrainOps.sqlSequenceManifest,
     "shuffle_shards" -> PretrainOps.sqlShuffleShards,
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
+    "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

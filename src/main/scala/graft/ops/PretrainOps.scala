@@ -983,6 +983,66 @@ object PretrainOps {
        |JOIN dims x ON x.dim = m.dim_i
        |JOIN dims y ON y.dim = m.dim_j""".stripMargin
 
+  // --------------------------------------------- quality_bigram_fluency
+
+  /** Mean conditional bigram probability — the 2-gram LM analog of
+    * [[unigramCommonness]] (the next step up the n-gram LM ladder CCNet
+    * walks with KenLM): for each in-document bigram (w1, w2), the
+    * corpus-level P(w2 | w1) = count(w1 w2) / count(w1 ·), averaged per
+    * doc. Word-salad scores low (its transitions never recur in the
+    * corpus); natural phrasing scores high. Exactness: each occurrence's
+    * probability is micro-quantized with INTEGER division
+    * (cnt2·1e6 div cnt1 — exact in both engines, no fp), summed as
+    * longs, one final double division. (cnt2 ≤ total corpus bigrams, so
+    * cnt2·1e6 needs cnt2 < 9.2e12 — holds until ~10¹³ bigrams; shrink
+    * the quantum at larger corpora.) Docs with < 2 tokens have no
+    * bigrams and are absent (both engines).
+    *
+    * Scale shape: bigrams zip IN-ROW (two slices, zip_with — no
+    * positional self-join); the (w1,w2) and w1-prefix count tables are
+    * map-side-combined aggs; the occurrence joins are Zipf-skewed on
+    * the head like every vocab join — AQE skew handling applies. The
+    * corpus tokenizes twice (count build + score side), same deliberate
+    * trade as [[unigramCommonness]].
+    */
+  def qualityBigramFluency(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val bi = fanout(docs).select(col("doc_id"),
+        explode_outer(zip_with(
+          slice(toksC, lit(1), size(toksC) - 1),
+          slice(toksC, lit(2), size(toksC) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt2 = DedupOps.materialize(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")), "bigram_counts")
+    val cnt1 = cnt2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    bi.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
+      .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        (col("sum_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(QualityMicro))).as("fluency"))
+  }
+
+  def sqlQualityBigramFluency: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+       |    unnest(list_slice(toks, 2, len(toks))) AS w2
+       |  FROM t WHERE len(toks) >= 2),
+       |cnt2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+       |cnt1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cnt2 GROUP BY w1)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum((c2 * 1000000) // c1) AS BIGINT) AS sum_micro,
+       |  CAST(sum((c2 * 1000000) // c1) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * $QualityMicro) AS fluency
+       |FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
+       |GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------- sample_mixture
 
   /** Domain-mixture targets: relative sampling weight per source (unnamed

@@ -179,6 +179,23 @@ class PretrainOpsSpec extends SparkSuite {
     assert(out(2L) == ((2L, 5L, 5L, 5.0 / 10)))
   }
 
+  test("quality_bigram_fluency: exact conditional-probability micros") {
+    // corpus: doc1 = x y x y x (transitions deterministic given doc2's
+    // additions: x→{y:2, q:1}, y→{x:2, r:1}); doc2 = x q y r
+    val planted = Seq((1L, "x y x y x"), (2L, "x q y r")).toDF("doc_id", "text")
+    val out = PretrainOps.qualityBigramFluency(planted)
+      .select("doc_id", "n_bigrams", "sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc1: 4 bigrams, each P = 2/3 → 666666 micro (integer div)
+    assert(out(1L) == ((4L, 4 * 666666L)))
+    // doc2: x→q 1/3, q→y 1/1, y→r 1/3 → 333333 + 1000000 + 333333
+    assert(out(2L) == ((3L, 1666666L)))
+    // single-token and empty docs have no bigrams and are absent
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(PretrainOps.qualityBigramFluency(tiny).count() == 0)
+  }
+
   test("embed_covariance: hand-checkable moments, upper triangle only") {
     val planted = Seq(
       (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))
