@@ -70,7 +70,7 @@ object PretrainOps {
   /** Distinct [[DecontamGram]]-word shingle hashes of a text column
     * (one-pass sorted_distinct; consumers are order-insensitive).
     */
-  private[ops] def decontamGrams(width: Int = DecontamGram): Column =
+  private[graft] def decontamGrams(width: Int = DecontamGram): Column =
     sorted_distinct(word_shingle_hashes(tokens(col("text")), width))
 
   private[ops] def sqlGramHashes(width: Int): String = {

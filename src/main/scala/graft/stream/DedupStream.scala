@@ -171,6 +171,83 @@ object DedupStream {
     query
   }
 
+  /** Streaming incremental CONTAINMENT: each arriving micro-batch is
+    * checked for doc-inside-doc duplication against a STATIC history
+    * corpus — the streaming face of
+    * [[graft.ops.DedupOps.dedupContainment]] and the third leg of the
+    * daily-crawl-vs-index family (exact/MinHash membership:
+    * [[runIncrementalDedup]]; benchmark overlap: [[runDecontaminate]];
+    * this: "is today's doc mostly a quote of something we already
+    * have?"). Incoming×history only, never history×history.
+    *
+    * The history gram inverted index is built ONCE (cached for the
+    * query's lifetime, freed on termination): grams with history-df ≤
+    * [[graft.ops.DedupOps.ContainFreqCap]] keyed to their history docs,
+    * plus the small over-cap stop-gram set. Per batch: one narrow gram
+    * explode on the incoming side, one equi-join against the capped
+    * index (fan-out ≤ cap per gram BY CONSTRUCTION — the incoming side
+    * contributes one row per (doc, gram)), a stop-gram join for
+    * `n_capped` visibility, one (doc_a, doc_b) agg. Emits rows where ≥
+    * [[graft.ops.DedupOps.ContainThreshold]] of the incoming doc's
+    * eligible grams occur in that history doc. Stateless; per-batch
+    * overwrite dirs keep replays idempotent.
+    */
+  def runIncrementalContainment(spark: SparkSession, docsDir: String,
+      historyDocs: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.{DedupOps, PretrainOps}
+    val histG = historyDocs
+      .select(col("doc_id").as("doc_b"),
+        PretrainOps.decontamGrams(DedupOps.ContainGramWords).as("gs"))
+      .select(col("doc_b"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val hdf = histG.groupBy("g").agg(count(lit(1)).as("df"))
+    // two cached statics, reused every batch: the capped inverted index
+    // and the over-cap stop-gram set (tiny — boilerplate grams only)
+    val histIdx = histG.join(
+      hdf.filter(col("df") <= DedupOps.ContainFreqCap).select("g"), "g").cache()
+    val stopGrams = hdf.filter(col("df") > DedupOps.ContainFreqCap)
+      .select("g").cache()
+    def freeCaches(): Unit = { histIdx.unpersist(); stopGrams.unpersist(); () }
+    val query = try spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .select(col("doc_id").as("doc_a"),
+        PretrainOps.decontamGrams(DedupOps.ContainGramWords).as("gs"))
+      .select(col("doc_a"), size(col("gs")).cast("long").as("n_a"),
+        explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+      .writeStream
+      .queryName(s"graft-containment-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val capped = batch.join(stopGrams, "g")
+          .groupBy("doc_a").agg(count(lit(1)).as("n_capped"))
+        val out = batch.join(histIdx, "g")
+          .groupBy("doc_a", "n_a", "doc_b")
+          .agg(count(lit(1)).as("shared"))
+          .join(capped, Seq("doc_a"), "left")
+          .withColumn("n_capped", coalesce(col("n_capped"), lit(0L)))
+          .withColumn("n_eligible", col("n_a") - col("n_capped"))
+          .filter(col("shared").cast("double") / col("n_eligible")
+            >= DedupOps.ContainThreshold)
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_eligible"),
+            col("n_capped"), col("shared"),
+            (col("shared").cast("double") / col("n_eligible")).as("containment"))
+        // per-batch dir + overwrite: replay-idempotent (see
+        // runIncrementalDedup)
+        out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    catch { case t: Throwable => freeCaches(); throw t }
+    unpersistOnTermination(spark, query, histIdx)
+    unpersistOnTermination(spark, query, stopGrams)
+    query
+  }
+
   /** Self-removing listener that unpersists `cached` once query `q`
     * terminates — the streaming analog of a try/finally around a batch
     * job's cache.

@@ -70,6 +70,41 @@ class DedupStreamSpec extends SparkSuite {
     assert(got2.keySet == Set(100L, 101L, 102L), "batch 1 rows not re-emitted")
   }
 
+  test("streaming incremental containment: incoming quote of a history doc is flagged") {
+    val docsDir = tmp("ct-docs")
+    val outDir = tmp("ct-out")
+    val ckpt = tmp("ct-ckpt")
+    val wA = (1 to 20).map(i => s"h$i").mkString(" ")  // 13 8-grams
+    val wB = (1 to 40).map(i => s"h$i").mkString(" ")  // history superset of A
+    val history = Seq((500L, wB)).toDF("doc_id", "text")
+
+    // batch 1: doc 1 is wA (fully contained in history 500), doc 2 novel
+    Seq((1L, wA), (2L, "entirely novel words qq ww ee rr tt yy uu ii oo pp aa ss"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q1 = DedupStream.runIncrementalContainment(spark, docsDir, history, outDir, ckpt)
+    awaitDone(q1)
+    val got1 = spark.read.parquet(s"$outDir/*")
+      .select("doc_a", "doc_b", "n_a", "n_eligible", "n_capped", "shared", "containment")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got1.keySet == Set((1L, 500L)), s"got $got1")
+    assert(got1((1L, 500L)) == ((13L, 13L, 0L, 13L, 1.0)))
+
+    // batch 2 after restart: a partial quote (half A's grams) stays below
+    // threshold; replays of batch 1 are not duplicated
+    Seq((3L, (1 to 12).map(i => s"h$i").mkString(" ") + " zz xx cc vv bb nn mm"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q2 = DedupStream.runIncrementalContainment(spark, docsDir, history, outDir, ckpt)
+    awaitDone(q2)
+    val got2 = spark.read.parquet(s"$outDir/*")
+      .select("doc_a").as[Long].collect()
+    assert(got2.count(_ == 1L) == 1, "batch-1 pair must not re-emit on restart")
+    // doc 3: 19 tokens → 12 grams, 5 match history (h1..h12 window) → 0.42 < 0.5
+    assert(!got2.contains(3L), s"partial quote below threshold must not flag: ${got2.toSeq}")
+  }
+
   test("streaming decontamination: stream-static broadcast join flags leaked docs") {
     val docsDir = tmp("dc-docs")
     val outDir = tmp("dc-out")
