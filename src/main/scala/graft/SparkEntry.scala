@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, TextOps}
+import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, TextOps, TokenizerOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -263,6 +263,9 @@ object SparkEntry {
     "unigram_commonness" -> ((s, dir) => PretrainOps.unigramCommonness(tbl(s, dir, "documents"))),
     // the 2-gram rung of the LM ladder: mean conditional P(w2|w1)
     "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(tbl(s, dir, "documents"))),
+    // BPE iteration #1 pair statistics — argmax = the first learned merge;
+    // TokenizerOps.bpeTrain loops this to a full merge table
+    "bpe_pair_counts" -> ((s, dir) => TokenizerOps.bpePairCounts(tbl(s, dir, "documents"))),
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
@@ -536,6 +539,7 @@ object SparkEntry {
     "shuffle_shards" -> PretrainOps.sqlShuffleShards,
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
+    "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

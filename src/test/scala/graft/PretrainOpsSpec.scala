@@ -179,6 +179,35 @@ class PretrainOpsSpec extends SparkSuite {
     assert(out(2L) == ((2L, 5L, 5L, 5.0 / 10)))
   }
 
+  test("bpe_train: learns the canonical low/lower/newest/widest merges") {
+    import graft.ops.TokenizerOps
+    // Sennrich et al.'s worked example: vocab {low:5, lower:2, newest:6,
+    // widest:3} → merges (e,s):9, (es,t):9, (l,o):7
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TokenizerOps.bpeTrain(docs, 3)
+    assert(merges == Seq(
+      TokenizerOps.BpeMerge("e", "s", 9L),
+      TokenizerOps.BpeMerge("es", "t", 9L),
+      TokenizerOps.BpeMerge("l", "o", 7L)), s"got $merges")
+    // pair_counts is iteration #1's table: its argmax is the first merge
+    val first = TokenizerOps.bpePairCounts(docs)
+      .orderBy(col("cnt").desc, col("p1"), col("p2")).limit(1)
+      .as[(String, String, Long)].head()
+    assert(first == (("e", "s", 9L)))
+    // pair counts are per POSITION ("aaa" → (a,a) at two positions), but
+    // the merge applies greedily left-to-right: "aaa" + (a,a) → [aa, a],
+    // so the next round learns (aa,a) — never (a,aa)
+    val aaa = Seq((1L, "aaa")).toDF("doc_id", "text")
+    assert(TokenizerOps.bpeTrain(aaa, 2) == Seq(
+      TokenizerOps.BpeMerge("a", "a", 2L),
+      TokenizerOps.BpeMerge("aa", "a", 1L)))
+    // exhaustion: training stops when no pairs remain
+    assert(TokenizerOps.bpeTrain(Seq((1L, "ab")).toDF("doc_id", "text"), 5)
+      .length == 1)
+  }
+
   test("quality_bigram_fluency: exact conditional-probability micros") {
     // corpus: doc1 = x y x y x (transitions deterministic given doc2's
     // additions: x→{y:2, q:1}, y→{x:2, r:1}); doc2 = x q y r
