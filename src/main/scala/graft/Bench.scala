@@ -13,6 +13,16 @@ import java.lang.management.ManagementFactory
   * 0-exchange query means the box was contended — rerun before believing a
   * regression. Failures are NOT swallowed into flattering ~0.1 s entries:
   * failed queries are listed in `"failed"` and the process exits nonzero.
+  *
+  * Truncation defense (BENCH_r05 lesson: the harness keeps only the last
+  * 2000 chars of stdout, and the full JSON line grew past it — the artifact
+  * lost its per-query map entirely, `"parsed": null`): a SECOND, compact
+  * summary line is printed AFTER the full line, so the tail of stdout alone
+  * always tells a reader the total, the failure count, the contention
+  * verdict, and the slowest five queries. The wall>>cpu heuristic is also
+  * made mechanical here (`contended`), and the 1-minute load average is
+  * checked BEFORE the sweep (`contended_at_start`) so a run that began on a
+  * busy box says so up front.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +35,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val osBean = ManagementFactory.getOperatingSystemMXBean
+    // Pre-sweep contention stamp: on this 32-core box a 1-minute load
+    // average above ~4 before we have started ANY work means someone else
+    // is burning cores — the artifact should carry that verdict itself
+    // rather than leave a reviewer to infer it from inflated timings.
+    val loadThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "4.0").toDouble
+    val loadAtStart = osBean.getSystemLoadAverage
+    val contendedAtStart = loadAtStart > loadThreshold
+    if (contendedAtStart)
+      System.err.println(
+        s"[bench] WARNING: 1-min load average $loadAtStart > $loadThreshold " +
+          "before sweep start — timings below are suspect (contended_at_start)")
     // process-CPU time: the com.sun interface is present on every JVM we
     // target (HotSpot/OpenJDK 17); -1 sentinel keeps the artifact honest if
     // an exotic JVM ever lacks it
@@ -101,7 +123,27 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_detail":$detail,"failed":$failed,""" +
         s""""cpu_total_sec":${f(cpuTotal)},"load_avg":${f(osBean.getSystemLoadAverage)},""" +
+        s""""contended_at_start":$contendedAtStart,"load_at_start":${f(loadAtStart)},""" +
         s""""sf":"$sfDir"}""")
+    // Compact trailing summary — must survive a 2000-char (even 500-char)
+    // tail capture on its own. `contended` mechanizes the wall>>cpu read:
+    // a query whose process-CPU seconds are well under its wall seconds
+    // spent that wall waiting for cores (after table warm-up there is no
+    // I/O wait to confuse it); a handful of such starved queries, or a hot
+    // load average at start, adjudicates the run as contention-poisoned.
+    val nFailed = results.values.count(_.failed)
+    val starved = results.collect {
+      case (k, t) if !t.failed && t.wall > 0.5 && t.cpu >= 0 &&
+        t.cpu < 0.6 * t.wall => k
+    }
+    val contended = contendedAtStart || starved.size >= 3
+    val top5 = results.toSeq.sortBy(-_._2.wall).take(5)
+      .map { case (k, t) => s"\"$k\":${f(t.wall)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","summary":true,""" +
+        s""""failed":$nFailed,"contended":$contended,""" +
+        s""""contended_at_start":$contendedAtStart,"starved":${starved.size},""" +
+        s""""top5":$top5}""")
     val anyFailed = results.values.exists(_.failed)
     spark.stop()
     if (anyFailed) sys.exit(1)

@@ -71,11 +71,15 @@ object conf {
   case class GraftConfig(
       es: EsSinkConfig,
       snapshot: SnapshotConfig = SnapshotConfig(),
-      metricsPort: Option[Int] = None
+      metricsPort: Option[Int] = None,
       // ≙ the reference's HTTP API listener (README.md:247-274: GET
       // /metrics Prometheus endpoint, GET /status). None = no server
       // (metrics stay programmatic via Connector.metrics); Some(0)
       // binds an ephemeral port. Served by [[graft.stream.MetricsEndpoint]].
+      metricsHost: String = "0.0.0.0"
+      // Bind address for the metrics listener. The wildcard default matches
+      // the reference's api server; set "127.0.0.1" to keep the unauthd
+      // scrape endpoint off external interfaces.
   )
 
   /** ES version auto-detect with the reference's exact failure semantics

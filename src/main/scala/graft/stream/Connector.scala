@@ -113,7 +113,8 @@ final class Connector private[stream] (
     */
   def start(): Unit = {
     cfg.metricsPort.foreach { p =>
-      if (metricsEndpoint.isEmpty) metricsEndpoint = Some(MetricsEndpoint.start(p))
+      if (metricsEndpoint.isEmpty)
+        metricsEndpoint = Some(MetricsEndpoint.start(p, cfg.metricsHost))
     }
     if (cfg.snapshot.enabled) {
       cfg.snapshot.mode match {

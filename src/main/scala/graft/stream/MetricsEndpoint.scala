@@ -46,8 +46,20 @@ object MetricsEndpoint {
     sb.toString
   }
 
-  def start(port: Int): MetricsEndpoint = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  def start(port: Int, host: String = "0.0.0.0"): MetricsEndpoint = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    // A dedicated small pool instead of HttpServer's default null executor
+    // (which serializes ALL requests on the single dispatch thread): one
+    // stalled scraper connection must not block /status — the liveness
+    // probe — for everyone else. Daemon threads so a forgotten stop()
+    // never pins JVM shutdown.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+      2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-metrics-http")
+        t.setDaemon(true)
+        t
+      }))
     def respond(ex: HttpExchange, body: String, ctype: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", ctype)

@@ -96,6 +96,33 @@ class MetricsEndpointSpec extends SparkSuite {
     } finally ep.stop()
   }
 
+  test("loopback bind + concurrent scrapes: pooled executor serves /status alongside /metrics") {
+    Metrics.reset()
+    Metrics.recordProgress("graft-cdc-pipeline-conc", Some(3L), None)
+    // explicit loopback bind (the configurable-host path Connector uses
+    // via GraftConfig.metricsHost); the 2-thread daemon pool replaces the
+    // JDK default null executor, so a busy /metrics scrape no longer
+    // serializes /status (the liveness probe) behind it
+    val ep = MetricsEndpoint.start(0, "127.0.0.1")
+    try {
+      import java.util.concurrent.{CountDownLatch, TimeUnit}
+      val done = new CountDownLatch(8)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 8).map { i =>
+        val t = new Thread(() =>
+          try {
+            val (code, _) = httpGet(ep.port, if (i % 2 == 0) "/metrics" else "/status")
+            if (code != 200) failures.add(new AssertionError(s"code $code"))
+          } catch { case e: Throwable => failures.add(e) }
+          finally done.countDown())
+        t.start(); t
+      }
+      assert(done.await(20, TimeUnit.SECONDS), "concurrent scrapes timed out")
+      threads.foreach(_.join(1000))
+      assert(failures.isEmpty, failures.toString)
+    } finally ep.stop()
+  }
+
   test("connector lifecycle owns the endpoint: up after start (snapshot scrapeable), down after close") {
     Metrics.reset()
     val bulkDir = tmp("mep-bulk")
