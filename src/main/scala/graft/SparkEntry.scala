@@ -266,6 +266,17 @@ object SparkEntry {
     // BPE iteration #1 pair statistics — argmax = the first learned merge;
     // TokenizerOps.bpeTrain loops this to a full merge table
     "bpe_pair_counts" -> ((s, dir) => TokenizerOps.bpePairCounts(tbl(s, dir, "documents"))),
+    // the learned merges APPLIED: per-doc real-tokenizer counts (train
+    // runs first — a driver argmax loop over the Zipf-small vocab table)
+    "tokenize_bpe" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TokenizerOps.tokenizeBpe(d, TokenizerOps.bpeTrain(d, TokenizerOps.NumMerges))
+    }),
+    // sequence packing by BPE counts — packTokenCounts reused unchanged
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TokenizerOps.packSequencesBpe(d, TokenizerOps.bpeTrain(d, TokenizerOps.NumMerges))
+    }),
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(tbl(s, dir, "documents"))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
@@ -540,6 +551,8 @@ object SparkEntry {
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
+    "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,
+    "pack_sequences_bpe" -> TokenizerOps.sqlPackSequencesBpe,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

@@ -90,6 +90,124 @@ object TokenizerOps {
     * is Zipf-small — this is metadata-scale, not corpus-scale, work).
     * Stops early when no adjacent pair remains.
     */
+  /** Merge count for the oracle-keyed [[tokenizeBpe]] /
+    * [[packSequencesBpe]] queries: small enough that the DuckDB twin can
+    * UNROLL the training loop (8 chained argmax+apply CTEs), large
+    * enough that the learned merges visibly change token counts vs
+    * char-splitting.
+    */
+  val NumMerges = 8
+
+  /** Apply a learned merge list to one word's characters, in training
+    * order — Sennrich's sequential application semantics: merge #1
+    * rewrites the whole symbol array (greedy left-to-right), then merge
+    * #2 runs over the result, and so on. Earlier merges can never
+    * depend on later ones (their operand symbols did not exist yet at
+    * training time), so sequential order IS the canonical priority
+    * order. The merges arrive as expression literals: a merge table is
+    * tokenizer-vocab-sized (tens of k), broadcast-scale data — at the 8
+    * used here it inlines straight into the expression tree; a
+    * production 50k-merge table would move to one generated expression
+    * per merge the same way, chunked, or a custom Expression holding
+    * the table — never a join against the corpus.
+    */
+  private def applyMerges(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) { case (syms, (a, b)) => mergePair(syms, a, b) }
+
+  /** Tokenize the corpus WITH the learned merges — the step that makes
+    * every downstream token count a real tokenizer count instead of a
+    * whitespace proxy. Pure narrow map: per doc, per word, an in-row
+    * fold chain applies the merges and only the per-doc totals survive
+    * — zero shuffles, embarrassingly parallel at 100 TB (per-occurrence
+    * recompute trades CPU for never joining the corpus against a vocab
+    * table). Output (doc_id, source, n_words, n_tokens): `n_tokens` is
+    * the BPE token count, named to drop straight into
+    * [[PretrainOps.packTokenCounts]].
+    */
+  def tokenizeBpe(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val ms = merges.map(m => (m.p1, m.p2))
+    val toks = filter(tokens(col("text")), w => w =!= "")
+    fanout(docs).select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L),
+          (acc, w) => acc + size(applyMerges(w, ms)).cast("long")).as("n_tokens"))
+  }
+
+  /** GPT-style sequence packing driven by REAL tokenizer counts:
+    * [[PretrainOps.packTokenCounts]] reused unchanged over
+    * [[tokenizeBpe]]'s per-doc BPE counts — the packing arithmetic
+    * (SeqLen, ordering key, offset math) stays defined at one point.
+    */
+  def packSequencesBpe(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    PretrainOps.packTokenCounts(
+      tokenizeBpe(docs, merges).select("doc_id", "source", "n_tokens"))
+
+  /** CTE chain LEARNING `k` merges in SQL — the training loop unrolled:
+    * `w` (word, cnt), `v0` (char-split), then per step `m{i}` (the
+    * argmax pair of `v{i-1}`, ties broken (cnt DESC, p1, p2) exactly
+    * like [[bpeTrain]]) and `v{i}` (the fold applying it). LEFT JOIN ON
+    * true keeps `v{i}` = `v{i-1}` when no pair remains (early-stop
+    * parity with [[bpeTrain]]). DuckDB's `list_reduce` has no initial
+    * accumulator, so symbols lift to single-element lists first — the
+    * first element becomes the accumulator, which matches the Spark
+    * fold (a first symbol can never merge into an empty accumulator).
+    */
+  private def sqlLearnCtes(k: Int): String = {
+    val base =
+      s"""w AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(${sqlTokens("text")}) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |v0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM w)""".stripMargin
+    val steps = (1 to k).map { i =>
+      val p = i - 1
+      s"""m$i AS (
+         |  SELECT p1, p2 FROM (
+         |    SELECT cnt,
+         |      unnest(list_slice(syms, 1, len(syms) - 1)) AS p1,
+         |      unnest(list_slice(syms, 2, len(syms))) AS p2
+         |    FROM v$p WHERE len(syms) >= 2)
+         |  GROUP BY p1, p2 ORDER BY sum(cnt) DESC, p1, p2 LIMIT 1),
+         |v$i AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN m.p1 IS NULL THEN syms ELSE
+         |      list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
+         |        CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.p1 AND x[1] = m.p2
+         |          THEN list_append(list_slice(acc, 1, len(acc) - 1), m.p1 || m.p2)
+         |          ELSE list_concat(acc, x) END)
+         |    END AS syms
+         |  FROM v$p LEFT JOIN m$i m ON true)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** Per-doc word stream joined back to the learned vocab's final symbol
+    * counts. Every doc keeps ≥1 row ('' for empty/null text, which the
+    * vocab never contains → LEFT JOIN null → coalesce 0), so empty docs
+    * survive with (n_words 0, n_tokens 0) like the Spark side.
+    */
+  private def sqlDocCounts(k: Int): String =
+    s"""    SELECT doc_id, source,
+       |      CAST(count(*) FILTER (WHERE word <> '') AS BIGINT) AS n_words,
+       |      CAST(coalesce(sum(len(v.syms)), 0) AS BIGINT) AS n_tokens
+       |    FROM (
+       |      SELECT doc_id, source, unnest(${sqlTokens("text")}) AS word
+       |      FROM documents) d
+       |    LEFT JOIN v$k v USING (word)
+       |    GROUP BY doc_id, source""".stripMargin
+
+  def sqlTokenizeBpe: String =
+    s"""WITH ${sqlLearnCtes(NumMerges)}
+       |SELECT doc_id, source, n_words, n_tokens FROM (
+       |${sqlDocCounts(NumMerges)})""".stripMargin
+
+  def sqlPackSequencesBpe: String =
+    s"WITH ${sqlLearnCtes(NumMerges)}\n" +
+      PretrainOps.sqlPackOver(
+        s"""    SELECT doc_id, source, n_tokens FROM (
+           |${sqlDocCounts(NumMerges)})""".stripMargin)
+
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     var vocab = DedupOps.materialize(
       wordFreq(docs).withColumn("syms", split(col("word"), "")), "bpe_vocab")

@@ -208,6 +208,35 @@ class PretrainOpsSpec extends SparkSuite {
       .length == 1)
   }
 
+  test("tokenize_bpe: learned merges applied per word, counts feed packing") {
+    import graft.ops.TokenizerOps
+    // Sennrich worked example, applied: after (e,s),(es,t),(l,o) the
+    // vocab tokenizes low→[lo,w], lower→[lo,w,e,r], newest→[n,e,w,est],
+    // widest→[w,i,d,est]
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, "web", text), (2L, "web", ""), (3L, "web", null))
+      .toDF("doc_id", "source", "text")
+    val merges = TokenizerOps.bpeTrain(docs, 3)
+    val out = TokenizerOps.tokenizeBpe(docs, merges)
+      .select("doc_id", "n_words", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((16L, 5 * 2 + 2 * 4 + 6 * 4 + 3 * 4L)), s"got $out")
+    // empty and null docs survive as zero-token rows (loader manifests
+    // must see every doc), not vanish
+    assert(out(2L) == ((0L, 0L)) && out(3L) == ((0L, 0L)))
+    // no merges learned (degenerate corpus) → char tokenization
+    val solo = Seq((1L, "s", "ab cd")).toDF("doc_id", "source", "text")
+    assert(TokenizerOps.tokenizeBpe(solo, Nil)
+      .select("n_tokens").as[Long].head() == 4L)
+    // packing by BPE counts goes through packTokenCounts unchanged:
+    // doc1's 54 tokens then doc2/doc3's empties → tok_start carries over
+    val packed = TokenizerOps.packSequencesBpe(docs, merges)
+      .select("doc_id", "tok_start", "n_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(packed(1L) == ((0L, 54L)) && packed(2L) == ((54L, 0L)))
+  }
+
   test("quality_bigram_fluency: exact conditional-probability micros") {
     // corpus: doc1 = x y x y x (transitions deterministic given doc2's
     // additions: x→{y:2, q:1}, y→{x:2, r:1}); doc2 = x q y r
