@@ -254,6 +254,9 @@ object SparkEntry {
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(tbl(s, dir, "documents"))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
     "sample_mixture" -> ((s, dir) => PretrainOps.sampleMixture(tbl(s, dir, "documents"))),
+    // exact per-stratum COUNT (deterministic reservoir) — the manifest
+    // counterpart of sample_stratified's keep-RATE
+    "sample_reservoir" -> ((s, dir) => PretrainOps.sampleReservoir(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
@@ -557,6 +560,7 @@ object SparkEntry {
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
+    "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
     "pack_sequences" -> PretrainOps.sqlPackSequences,
     "dedup_survivors" -> DedupOps.sqlDedupSurvivors,
     "domain_stats" -> PretrainOps.sqlDomainStats,

@@ -645,6 +645,43 @@ object PretrainOps {
        |WHERE bucket < keep_rate""".stripMargin
   }
 
+  // ----------------------------------------------------- sample_reservoir
+
+  /** Fixed-size cap per stratum for [[sampleReservoir]]. */
+  val ReservoirN = 50L
+
+  /** Deterministic reservoir sampling: exactly min(N, |stratum|) docs
+    * per language — the loader-manifest counterpart of
+    * [[sampleStratified]]'s keep-RATE (an eval/holdout manifest wants
+    * an exact per-stratum COUNT, not a rate). Every doc's "random" key
+    * is an md5-derived hash of its id, so the reservoir is a true
+    * uniform-without-replacement sample yet stable across runs, engines
+    * and cluster layouts — no RNG, no seed plumbing.
+    *
+    * Scale shape: one window keyed by the stratum; the `rank <= N`
+    * filter is the form Spark's WindowGroupLimit rewrites into
+    * per-partition top-N before the shuffle, so a billion-doc stratum
+    * ships N rows per input partition, never sorts fully.
+    */
+  def sampleReservoir(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = tokenHash(concat(lit("resv:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("source"), h.as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ReservoirN)
+  }
+
+  def sqlSampleReservoir: String =
+    s"""SELECT doc_id, lang, source, h, rk FROM (
+       |  SELECT doc_id, lang, source, h,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      ${sqlTokenHash("'resv:' || CAST(doc_id AS VARCHAR)")} AS h
+       |    FROM documents))
+       |WHERE rk <= $ReservoirN""".stripMargin
+
   // --------------------------------------------------------- domain_stats
 
   /** Per-source (≙ per-domain) corpus stats: doc/language counts, total

@@ -237,6 +237,25 @@ class PretrainOpsSpec extends SparkSuite {
     assert(packed(1L) == ((0L, 54L)) && packed(2L) == ((54L, 0L)))
   }
 
+  test("sample_reservoir: exact per-stratum count, deterministic, group-limited plan") {
+    val planted = ((1 to 60).map(i => (i.toLong, "en", "web")) ++
+      (61 to 70).map(i => (i.toLong, "fr", "web")))
+      .toDF("doc_id", "lang", "source")
+    val out = PretrainOps.sampleReservoir(planted)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // a stratum larger than N caps at N; a smaller one survives whole
+    assert(counts == Map("en" -> PretrainOps.ReservoirN, "fr" -> 10L))
+    // deterministic: the sampled ID set is a pure function of the data
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = PretrainOps.sampleReservoir(planted)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+    // rank<=N over the keyed window must plan as WindowGroupLimit
+    // (per-partition top-N before the shuffle — the 100 TB shape)
+    assert(out.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      out.queryExecution.optimizedPlan.toString)
+  }
+
   test("quality_bigram_fluency: exact conditional-probability micros") {
     // corpus: doc1 = x y x y x (transitions deterministic given doc2's
     // additions: x→{y:2, q:1}, y→{x:2, r:1}); doc2 = x q y r
