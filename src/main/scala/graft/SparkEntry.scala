@@ -266,6 +266,8 @@ object SparkEntry {
     "unigram_commonness" -> ((s, dir) => PretrainOps.unigramCommonness(tbl(s, dir, "documents"))),
     // the 2-gram rung of the LM ladder: mean conditional P(w2|w1)
     "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(tbl(s, dir, "documents"))),
+    // top rung: Jelinek-Mercer interpolated trigram, all-integer micros
+    "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluency(tbl(s, dir, "documents"))),
     // BPE iteration #1 pair statistics — argmax = the first learned merge;
     // TokenizerOps.bpeTrain loops this to a full merge table
     "bpe_pair_counts" -> ((s, dir) => TokenizerOps.bpePairCounts(tbl(s, dir, "documents"))),
@@ -553,6 +555,7 @@ object SparkEntry {
     "shuffle_shards" -> PretrainOps.sqlShuffleShards,
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
+    "quality_trigram_fluency" -> PretrainOps.sqlQualityTrigramFluency,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,
     "pack_sequences_bpe" -> TokenizerOps.sqlPackSequencesBpe,

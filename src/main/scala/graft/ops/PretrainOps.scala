@@ -1080,6 +1080,122 @@ object PretrainOps {
        |FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
        |GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------- quality_trigram_fluency
+
+  /** Mean INTERPOLATED trigram probability — the top rung of the n-gram
+    * LM-quality ladder ([[unigramCommonness]] → [[qualityBigramFluency]]
+    * → this): per in-document trigram (w1,w2,w3), Jelinek–Mercer
+    * interpolation of the maximum-likelihood orders
+    * `P = 0.6·P(w3|w1w2) + 0.3·P(w3|w2) + 0.1·P(w3)` — the fixed-λ
+    * form of the published interpolated LMs (raw trigram ML alone is
+    * near-degenerate on a corpus that contains the scored doc: most
+    * trigrams are singletons, so c3/d3 ≈ 1/1 for junk and prose alike;
+    * the lower orders are what separate them). λ is rational on
+    * purpose: each ML term micro-quantizes by INTEGER division
+    * (cnt·1e6 div denom), the three terms combine as
+    * `(6·t3 + 3·t2 + 1·t1) div 10` — still exact integers in both
+    * engines — and only the final per-doc mean divides as a double.
+    * Docs with < 3 tokens have no trigrams and are absent.
+    *
+    * Denominators are continuation counts from the n-gram tables
+    * themselves (d3 = Σ_w c3(w1,w2,w), d2 = Σ_w c2(w2,w), d1 = N), so
+    * every term is a true conditional ML estimate. Scale shape: all
+    * three gram streams zip IN-ROW (slices + zip_with, no positional
+    * self-join); count tables are map-side-combined vocab-sized aggs
+    * (trigram table ≤ corpus positions, Zipf-truncated in practice);
+    * the occurrence joins skew at the Zipf head — AQE skew-join
+    * territory, like every vocab join in this file. N is a 1-row
+    * broadcast. Lazy: building this launches zero jobs.
+    */
+  def qualityTrigramFluency(docs: DataFrame): DataFrame = {
+    val toksC = tokens(col("text"))
+    val len3 = greatest(size(toksC) - 2, lit(0))
+    val tri = fanout(docs).select(col("doc_id"),
+        explode_outer(zip_with(
+          zip_with(
+            slice(toksC, lit(1), len3),
+            slice(toksC, lit(2), len3),
+            (a, b) => struct(a.as("w1"), b.as("w2"))),
+          slice(toksC, lit(3), len3),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val len2 = greatest(size(toksC) - 1, lit(0))
+    val bi = fanout(docs).select(
+        explode_outer(zip_with(
+          slice(toksC, lit(1), len2),
+          slice(toksC, lit(2), len2),
+          (a, b) => struct(a.as("v1"), b.as("v2")))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
+    val uni = fanout(docs).select(explode_outer(toksC).as("u"))
+      .filter(col("u").isNotNull)
+    val cnt3 = DedupOps.materialize(
+      tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")), "trigram_counts")
+    val ctx3 = cnt3.groupBy("w1", "w2").agg(sum(col("c3")).as("d3"))
+    val cnt2 = DedupOps.materialize(
+      bi.groupBy("v1", "v2").agg(count(lit(1)).as("c2")), "trigram_bigram_counts")
+    val ctx2 = cnt2.groupBy("v1").agg(sum(col("c2")).as("d2"))
+    val cnt1 = uni.groupBy("u").agg(count(lit(1)).as("c1"))
+    val n = cnt1.agg(sum(col("c1")).as("n_total"))
+    tri
+      .join(cnt3, Seq("w1", "w2", "w3"))
+      .join(ctx3, Seq("w1", "w2"))
+      .join(cnt2.withColumnRenamed("v1", "w2").withColumnRenamed("v2", "w3"),
+        Seq("w2", "w3"))
+      .join(ctx2.withColumnRenamed("v1", "w2"), Seq("w2"))
+      .join(cnt1.withColumnRenamed("u", "w3"), Seq("w3"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        expr("(6 * ((c3 * 1000000) div d3) + 3 * ((c2 * 1000000) div d2)" +
+          " + ((c1 * 1000000) div n_total)) div 10").as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("p_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_trigrams"), col("sum_micro"),
+        (col("sum_micro").cast("double") /
+          (col("n_trigrams").cast("double") * lit(QualityMicro))).as("fluency"))
+  }
+
+  def sqlQualityTrigramFluency: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(toks, 1, len(toks) - 2)) AS w1,
+       |    unnest(list_slice(toks, 2, len(toks) - 1)) AS w2,
+       |    unnest(list_slice(toks, 3, len(toks))) AS w3
+       |  FROM t WHERE len(toks) >= 3),
+       |bi AS (
+       |  SELECT
+       |    unnest(list_slice(toks, 1, len(toks) - 1)) AS v1,
+       |    unnest(list_slice(toks, 2, len(toks))) AS v2
+       |  FROM t WHERE len(toks) >= 2),
+       |uni AS (SELECT unnest(toks) AS u FROM t),
+       |cnt3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+       |ctx3 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS d3 FROM cnt3 GROUP BY w1, w2),
+       |cnt2 AS (SELECT v1, v2, count(*) AS c2 FROM bi GROUP BY v1, v2),
+       |ctx2 AS (SELECT v1, CAST(sum(c2) AS BIGINT) AS d2 FROM cnt2 GROUP BY v1),
+       |cnt1 AS (SELECT u, count(*) AS c1 FROM uni GROUP BY u),
+       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM cnt1)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  CAST(sum(p_micro) AS BIGINT) AS sum_micro,
+       |  CAST(sum(p_micro) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * $QualityMicro) AS fluency
+       |FROM (
+       |  SELECT doc_id,
+       |    (6 * ((c3 * 1000000) // d3) + 3 * ((c2 * 1000000) // d2)
+       |     + ((c1 * 1000000) // n_total)) // 10 AS p_micro
+       |  FROM tri
+       |  JOIN cnt3 USING (w1, w2, w3)
+       |  JOIN ctx3 USING (w1, w2)
+       |  JOIN cnt2 ON cnt2.v1 = tri.w2 AND cnt2.v2 = tri.w3
+       |  JOIN ctx2 ON ctx2.v1 = tri.w2
+       |  JOIN cnt1 ON cnt1.u = tri.w3
+       |  CROSS JOIN n)
+       |GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------- sample_mixture
 
   /** Domain-mixture targets: relative sampling weight per source (unnamed

@@ -237,6 +237,20 @@ class PretrainOpsSpec extends SparkSuite {
     assert(packed(1L) == ((0L, 54L)) && packed(2L) == ((54L, 0L)))
   }
 
+  test("quality_trigram_fluency: interpolated micros, hand-computed") {
+    // corpus: doc1 = x y x y x, doc2 = a b (no trigrams → absent).
+    // counts: c3(x,y,x)=2 d3(x,y)=2, c3(y,x,y)=1 d3(y,x)=1;
+    // c2(x,y)=2 d2(x)=2, c2(y,x)=2 d2(y)=2, c2(a,b)=1; c1: x=3,y=2,a=1,b=1, N=7.
+    // (x,y,x): (6*1000000 + 3*1000000 + 3000000//7) // 10 = 942857  (×2)
+    // (y,x,y): (6*1000000 + 3*1000000 + 2000000//7) // 10 = 928571
+    val planted = Seq((1L, "x y x y x"), (2L, "a b")).toDF("doc_id", "text")
+    val out = PretrainOps.qualityTrigramFluency(planted)
+      .select("doc_id", "n_trigrams", "sum_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((3L, 942857L * 2 + 928571L))), s"got $out")
+  }
+
   test("sample_reservoir: exact per-stratum count, deterministic, group-limited plan") {
     val planted = ((1 to 60).map(i => (i.toLong, "en", "web")) ++
       (61 to 70).map(i => (i.toLong, "fr", "web")))
