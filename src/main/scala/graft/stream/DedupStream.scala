@@ -248,6 +248,87 @@ object DedupStream {
     query
   }
 
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))
+  ))
+
+  /** Streaming incremental SEMANTIC dedup — the embedding leg of the
+    * daily-crawl-vs-index family (exact/MinHash membership:
+    * [[runIncrementalDedup]]; benchmark grams: [[runDecontaminate]];
+    * containment: [[runIncrementalContainment]]; this: "does today's
+    * crawl EMBED like something we already have?"). Each arriving
+    * micro-batch of (vec_id, embedding) rows is classified against a
+    * STATIC history corpus with
+    * [[graft.ops.DedupOps.dedupSemantic]]'s assignment semantics: the
+    * learned clustering is the blocking key, and an incoming vector is
+    * a near-dup iff some HISTORY vector in its assigned cluster reaches
+    * cosine ≥ [[graft.ops.DedupOps.SemanticDupThreshold]].
+    *
+    * Stream-static shape: the history side — cluster-assigned, normed —
+    * is computed ONCE, cached for the query's lifetime, and freed on
+    * termination (no per-batch cache accumulation: per-batch plans are
+    * fresh, so anything cached inside foreachBatch would leak one entry
+    * per tick — the r4 lesson). Per batch: a narrow in-row centroid
+    * argmax on the incoming side (centroid literals inline into the
+    * expression — k×D doubles, broadcast-scale), one equi-join on
+    * `cluster_id` against the cached history (incoming×history only,
+    * never history×history), a cosine filter, one per-vector agg.
+    * Stateless; per-batch overwrite dirs keep replays idempotent.
+    * Emits one row per incoming vector:
+    * (vec_id, cluster_id, keep, n_dups, max_sim).
+    */
+  def runIncrementalSemanticDedup(spark: SparkSession, embDir: String,
+      historyEmb: DataFrame, outDir: String, checkpointDir: String,
+      centroids: Seq[IndexedSeq[Double]] = graft.ops.SimilarityOps.defaultCentroids,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.{DedupOps, SimilarityOps}
+    def assigned(df: DataFrame): DataFrame = {
+      val embD = transform(col("embedding"), x => x.cast("double"))
+      val dots = array(centroids.map(c =>
+        SimilarityOps.dot(array(c.map(lit): _*), col("emb_d"))): _*)
+      df.select(col("vec_id"), embD.as("emb_d"))
+        .withColumn("norm", sqrt(SimilarityOps.dot(col("emb_d"), col("emb_d"))))
+        .withColumn("cluster_id",
+          (array_position(dots, array_max(dots)) - 1).cast("long"))
+    }
+    val hist = assigned(historyEmb)
+      .select(col("cluster_id"), col("vec_id").as("vec_b"),
+        col("emb_d").as("eb"), col("norm").as("nb"))
+      .cache()
+    val query = try spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(embDir)
+      .writeStream
+      .queryName(s"graft-semantic-dedup-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val in = assigned(batch)
+        val sims = in.join(hist, Seq("cluster_id"))
+          .select(col("vec_id"), col("cluster_id"),
+            SimilarityOps.cosine(col("emb_d"), col("norm"),
+              col("eb"), col("nb")).as("sim"))
+          .filter(col("sim") >= DedupOps.SemanticDupThreshold)
+          .groupBy("vec_id")
+          .agg(count(lit(1)).as("n_dups"), max(col("sim")).as("max_sim"))
+        val out = in.select(col("vec_id"), col("cluster_id"))
+          .join(sims, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cluster_id"),
+            col("n_dups").isNull.as("keep"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("max_sim"))
+        // per-batch dir + overwrite: replay-idempotent (see
+        // runIncrementalDedup)
+        out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    catch { case t: Throwable => hist.unpersist(); throw t }
+    unpersistOnTermination(spark, query, hist)
+    query
+  }
+
   /** Self-removing listener that unpersists `cached` once query `q`
     * terminates — the streaming analog of a try/finally around a batch
     * job's cache.

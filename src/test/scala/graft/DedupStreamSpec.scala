@@ -105,6 +105,56 @@ class DedupStreamSpec extends SparkSuite {
     assert(!got2.contains(3L), s"partial quote below threshold must not flag: ${got2.toSeq}")
   }
 
+  test("streaming incremental semantic dedup: per-batch classification, no cache accumulation") {
+    val embDir = tmp("sem-emb")
+    val outDir = tmp("sem-out")
+    val ckpt = tmp("sem-ckpt")
+    // 2-dim plant with 2 centroids: cluster assignment and cosine are
+    // hand-checkable. History covers both clusters.
+    val cents = Seq(IndexedSeq(1.0, 0.0), IndexedSeq(0.0, 1.0))
+    val history = Seq((10L, Array(1.0f, 0.05f)), (11L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+
+    // two files → two micro-batches in ONE query run:
+    // 100 ≈ history 10 (cluster 0, cos ≈ 1 → dup);
+    // 102 lands in cluster 0 but cos vs 10 ≈ 0.25 < 0.4 → keep
+    Seq((100L, Array(0.95f, 0.0f)), (102L, Array(0.3f, -0.95f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    // 101 ≈ history 11 (cluster 1 → dup)
+    Seq((101L, Array(0.05f, 1.0f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    val q1 = DedupStream.runIncrementalSemanticDedup(
+      spark, embDir, history, outDir, ckpt, cents)
+    awaitDone(q1)
+    val got = spark.read.parquet(s"$outDir/*")
+      .select("vec_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      100L -> ((0L, false)), 102L -> ((0L, true)), 101L -> ((1L, false))),
+      s"got $got")
+
+    // the history cache is ONE entry for the whole query (not one per
+    // micro-batch — the r4 leak pattern) and is freed on termination
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > baseline &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "history cache must be freed on query termination, with no per-batch entries left behind")
+
+    // restart: stateless classification still works off the checkpoint
+    Seq((103L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    val q2 = DedupStream.runIncrementalSemanticDedup(
+      spark, embDir, history, outDir, ckpt, cents)
+    awaitDone(q2)
+    val after = spark.read.parquet(s"$outDir/*")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == Set(100L, 101L, 102L, 103L), s"got $after")
+  }
+
   test("streaming decontamination: stream-static broadcast join flags leaked docs") {
     val docsDir = tmp("dc-docs")
     val outDir = tmp("dc-out")
