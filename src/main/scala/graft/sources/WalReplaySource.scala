@@ -123,20 +123,50 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
 
   /** Fail loudly if the committed prefix no longer ends at the recorded
     * segment — a violated monotone-name contract (or a deleted segment)
-    * would otherwise silently skip and re-deliver.
+    * would otherwise silently skip and re-deliver. Two distinct loud
+    * failures:
+    *
+    *   - RETENTION: fewer segments on disk than the committed count —
+    *     consumed segments were deleted while the query was down. This
+    *     is the reference's slot-dropped-while-down analog
+    *     (a dropped replication slot also makes the committed position
+    *     unreplayable); resuming against a truncated listing would
+    *     renumber every remaining segment, silently skipping some and
+    *     re-delivering others.
+    *   - NAMING: the listing's segment #i is not the recorded name — a
+    *     non-monotone name landed inside the committed range (or the
+    *     tail segment was replaced).
     */
   private def validate(segs: Array[String], o: WalOffset): Unit =
     o.last.foreach { l =>
       val i = o.seg.toInt
-      val atI = if (i > 0 && segs.length >= i) segs(i - 1) else "<missing>"
-      if (atI != l)
+      // names, not counts: "one deleted + one new arrival" keeps the
+      // listing length at i, so only the name structure distinguishes
+      // retention (segments REMOVED from the committed range) from a
+      // naming violation (names INSERTED into it). j = how many names
+      // sort at-or-before the recorded tail in the (sorted) listing.
+      val j = segs.count(_ <= l)
+      val present = j > 0 && segs(j - 1) == l
+      if (!present || j < i)
+        throw new IllegalStateException(
+          s"WAL retention violated: the committed offset covers $i segments " +
+            s"ending at '$l', but " +
+            (if (!present) "that segment is no longer in the listing"
+             else s"only $j of them remain") +
+            " — consumed segments were deleted while the query was down " +
+            "(the dropped-replication-slot analog). Restart is refused: " +
+            "resuming against a truncated WAL would renumber the remaining " +
+            "segments, silently skipping some and re-delivering others. " +
+            "Restore the missing segments, or start over with a fresh " +
+            "checkpoint.")
+      if (j > i)
         throw new IllegalStateException(
           s"WAL segment naming contract violated: the committed offset covers " +
-            s"$i segments ending at '$l', but the listing's segment #$i is " +
-            s"'$atI'. Segment names must be monotone (zero-padded / LSN-like) " +
-            "and consumed segments must not be removed — a non-monotone name " +
-            "(e.g. unpadded 'seg-10' sorting before 'seg-2') silently skips " +
-            "some segments and re-delivers others.")
+            s"$i segments ending at '$l', but the listing has $j names " +
+            s"sorting at or before it. Segment names must be monotone " +
+            "(zero-padded / LSN-like) — a non-monotone name (e.g. unpadded " +
+            "'seg-10' sorting before 'seg-2') lands INSIDE the committed " +
+            "range and silently skips some segments and re-delivers others.")
     }
 
   override def getDefaultReadLimit: ReadLimit =

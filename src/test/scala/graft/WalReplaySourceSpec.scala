@@ -59,6 +59,47 @@ class WalReplaySourceSpec extends SparkSuite {
     assert(got2.toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("restart past retention: deleted committed segment fails loudly, named, no hang") {
+    val dir = tmp("wal-ret")
+    val out = tmp("wal-ret-out")
+    val ckpt = tmp("wal-ret-ckpt")
+    writeSegment(dir, "seg-000", Seq(1L))
+    writeSegment(dir, "seg-001", Seq(2L))
+    writeSegment(dir, "seg-002", Seq(3L))
+    def start() = spark.readStream
+      .format(classOf[graft.sources.WalReplayProvider].getName)
+      .option("path", dir)
+      .load()
+      .writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    awaitDone(start())
+    assert(spark.read.parquet(out).count() == 3)
+
+    // retention kicks in while the query is down: the OLDEST consumed
+    // segment is deleted (the reference's slot-dropped-while-down
+    // analog). Restart must fail with the NAMED retention error — not
+    // hang, not silently renumber the remaining segments (which would
+    // re-deliver seg-001/seg-002 and skip nothing visibly).
+    Files.delete(Paths.get(dir, "seg-000"))
+    writeSegment(dir, "seg-003", Seq(4L)) // new data pending behind the gap
+    val q = start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        val done = q.awaitTermination(180000)
+        assert(done, "query hung instead of failing")
+      } finally { if (q.isActive) q.stop() }
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("WAL retention violated"), msgs)
+    // and nothing was re-delivered before the failure surfaced
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
   test("non-monotone segment names fail loudly instead of silently skipping/re-delivering") {
     val dir = tmp("wal-bad")
     val out = tmp("wal-bad-out")
