@@ -257,6 +257,54 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed history index: dedupAgainstSignatures drops the history-side exchanges") {
+    // the consumer BucketedLayout was built for: the standing corpus's
+    // signature + content-hash tables live bucketed on their join keys,
+    // so the incremental dedup's verify join (the one moving signature
+    // ARRAYS) and exact-hash join read the disk layout as the join
+    // partitioning — only the day-sized incoming side shuffles
+    import graft.ops.{BucketedLayout, DedupOps}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val incoming = docs.limit(50)
+    val wh = java.nio.file.Files.createTempDirectory("graft-histidx").toString
+    BucketedLayout.writeBucketed(DedupOps.historySignatureTable(docs),
+      "b_hist_sigs", "doc_id", 8, s"$wh/b_hist_sigs")
+    BucketedLayout.writeBucketed(DedupOps.historyContentHashes(docs),
+      "b_hist_hashes", "content_hash", 8, s"$wh/b_hist_hashes")
+    // force the 100 TB join regime: a real history index is far past any
+    // broadcast threshold, so the claim under test is "SMJ reads the
+    // bucket layout as its partitioning". At sf0.001 AQE would broadcast
+    // both tiny sides and hide the difference entirely.
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val bucketed = DedupOps.dedupAgainstSignatures(incoming,
+        BucketedLayout.table(spark, "b_hist_sigs"),
+        BucketedLayout.table(spark, "b_hist_hashes"))
+      bucketed.write.format("noop").mode("overwrite").save()
+      // both history tables are consumed via bucketed scans…
+      val scans = nodes(bucketed).collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(scans.size >= 2,
+        s"expected both history tables to read as bucketed scans, got ${scans.size}")
+      // …and the whole plan needs strictly fewer exchanges than the
+      // recompute-the-index form of the same query
+      val unbucketed = DedupOps.dedupAgainstIndex(incoming, docs)
+      unbucketed.write.format("noop").mode("overwrite").save()
+      assert(exchanges(bucketed) < exchanges(unbucketed),
+        s"bucketed=${exchanges(bucketed)} vs unbucketed=${exchanges(unbucketed)}")
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      spark.sql("DROP TABLE IF EXISTS b_hist_sigs")
+      spark.sql("DROP TABLE IF EXISTS b_hist_hashes")
+    }
+  }
+
   test("pairwise dedup ops never plan a cartesian product") {
     for (name <- Seq("dedup_minhash_lsh", "dedup_simhash",
         "dedup_ngram_jaccard", "dedup_embedding_cosine", "corpus_clean",
