@@ -201,6 +201,12 @@ object SparkEntry {
     // measured banding loss: LSH pairs vs exact ground truth from the
     // gram inverted index (the recall monitor for Bands × RowsPerBand)
     "dedup_lsh_recall" -> ((s, dir) => DedupOps.dedupLshRecall(tbl(s, dir, "documents"))),
+    // winnowing (MOSS): every w-window's min gram hash — position-local
+    // fingerprints; the table + the capped-index pairwise detector
+    "winnow_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprint(tbl(s, dir, "documents"))),
+    "dedup_winnow" -> ((s, dir) => DedupOps.dedupWinnow(tbl(s, dir, "documents"))),
+    // top-K-vocabulary coverage: the closed-vocab QC gate
+    "vocab_coverage" -> ((s, dir) => PretrainOps.vocabCoverage(tbl(s, dir, "documents"))),
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
@@ -564,6 +570,9 @@ object SparkEntry {
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
+    "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
+    "dedup_winnow" -> DedupOps.sqlDedupWinnow,
+    "vocab_coverage" -> PretrainOps.sqlVocabCoverage,
     "pack_sequences" -> PretrainOps.sqlPackSequences,
     "dedup_survivors" -> DedupOps.sqlDedupSurvivors,
     "domain_stats" -> PretrainOps.sqlDomainStats,

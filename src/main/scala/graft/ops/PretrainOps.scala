@@ -73,11 +73,18 @@ object PretrainOps {
   private[graft] def decontamGrams(width: Int = DecontamGram): Column =
     sorted_distinct(word_shingle_hashes(tokens(col("text")), width))
 
-  private[ops] def sqlGramHashes(width: Int): String = {
+  /** Positional (in-order, duplicates kept) gram hash stream — the raw
+    * form winnowing windows over; [[sqlGramHashes]] is its
+    * distinct-set face. Twin of the `word_shingle_hashes` kernel.
+    */
+  private[ops] def sqlGramHashesPositional(width: Int): String = {
     val toks = sqlTokens("text")
-    s"list_distinct(list_transform(range(1, greatest(len($toks) - ${width - 1}, 1) + 1), " +
-      s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${width - 1}), ' ')")}))"
+    s"list_transform(range(1, greatest(len($toks) - ${width - 1}, 1) + 1), " +
+      s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${width - 1}), ' ')")})"
   }
+
+  private[ops] def sqlGramHashes(width: Int): String =
+    s"list_distinct(${sqlGramHashesPositional(width)})"
 
   /** Benchmark decontamination: flag training docs sharing ≥ 1 exact
     * `gramWidth`-word gram with the held-out benchmark split
@@ -1079,6 +1086,74 @@ object PretrainOps {
        |    (CAST(count(*) AS DOUBLE) * $QualityMicro) AS fluency
        |FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1)
        |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ vocab_coverage
+
+  /** Vocabulary size for [[vocabCoverage]] — small enough to be a real
+    * filter on the synthetic 31-word corpus; production uses the
+    * tokenizer's vocab size.
+    */
+  val VocabTopK = 16L
+
+  /** Top-K-vocabulary coverage — the closed-vocab QC gate: what fraction
+    * of a doc's tokens fall inside the corpus's [[VocabTopK]] most
+    * frequent words? Low coverage ⇒ the doc is written in tokens the
+    * tokenizer/vocab will fragment (gibberish, foreign-script,
+    * boilerplate IDs) — the cheap proxy for fertility-based filtering.
+    * Deterministic ranking: (count DESC, word) — no RNG, no fp.
+    *
+    * Scale shape: the vocab is one Zipf-bounded map-side-combined agg +
+    * a TakeOrderedAndProject top-K (per-partition top-K, driver merges
+    * K×P rows — no global sort, no unpartitioned window); the doc side
+    * LEFT-joins the K-row broadcast and re-aggregates per doc. One final double division for the
+    * ratio; empty docs keep a NULL coverage (0/0) in both engines.
+    */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val tok = fanout(docs).select(col("doc_id"),
+        explode_outer(tokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+      .filter(col("t") =!= "")
+    // orderBy+limit, NOT a global row_number window: this plans as
+    // TakeOrderedAndProject (per-partition top-K, driver merge of K×P
+    // rows) — no unpartitioned window, no global sort
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t")).limit(VocabTopK.toInt)
+      .select(col("t"), lit(true).as("in_vocab"))
+    docs.select(col("doc_id")).distinct()
+      .join(
+        tok.join(broadcast(vocab), Seq("t"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            count(col("in_vocab")).as("n_in_vocab")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_in_vocab"), lit(0L)).as("n_in_vocab"),
+        when(col("n_tokens") > 0,
+          col("n_in_vocab").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+  }
+
+  def sqlVocabCoverage: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS word FROM documents)
+       |  WHERE word <> ''),
+       |vocab AS (
+       |  SELECT word FROM tok GROUP BY word
+       |  ORDER BY count(*) DESC, word LIMIT $VocabTopK),
+       |per_doc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    count(v.word) AS n_in_vocab
+       |  FROM tok LEFT JOIN vocab v USING (word)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(p.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+       |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+       |    THEN CAST(p.n_in_vocab AS DOUBLE) / p.n_tokens END AS coverage
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN per_doc p USING (doc_id)""".stripMargin
 
   // -------------------------------------------- quality_trigram_fluency
 

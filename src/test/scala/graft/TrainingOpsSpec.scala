@@ -194,6 +194,57 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out((1L, 4L)) == ((13L, 13L, 0L, 13L, 1.0)))
   }
 
+  test("winnowing: shared-run guarantee, density bound, pair detection") {
+    import graft.ops.DedupOps
+    // guarantee: a shared run of >= WinnowWindow + ShingleWords - 1 (= 6)
+    // tokens produces at least one shared fingerprint, regardless of the
+    // differing context around it
+    val run = "alpha bravo charlie delta echo foxtrot"
+    val docs = Seq(
+      (1L, s"one two three $run seven eight nine ten eleven twelve"),
+      (2L, s"uno dos tres $run cuatro cinco seis siete ocho nueve"),
+      (3L, "completely different words with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprint(docs).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty,
+      "shared 6-token run must yield a shared winnow fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty)
+    // density: distinct fingerprints never exceed gram positions
+    for ((d, s) <- fps) {
+      val nTokens = docs.filter(col("doc_id") === d)
+        .select(size(split(col("text"), "\\s+"))).as[Int].head()
+      assert(s.size <= math.max(nTokens - 2, 1), s"doc $d over-dense")
+    }
+    // pairwise: identical docs reach jaccard 1.0; the unrelated doc pairs
+    // with nobody
+    val twins = Seq((1L, run + " " + run), (2L, run + " " + run),
+      (3L, "nothing in common with the twins at all in any way truly"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.dedupWinnow(twins)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), s"got ${pairs.toSeq}")
+  }
+
+  test("vocab_coverage: top-K membership ratio, empty doc NULL") {
+    import graft.ops.PretrainOps
+    // 16 common words (2 occurrences each) fill the top-16; 4 rare words
+    // (1 each) rank below it
+    val common = (1 to 16).map(i => f"w$i%02d")
+    val docA = (common ++ common).mkString(" ")
+    val docs = Seq((1L, docA), (2L, "r1 r2 r3 r4"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = PretrainOps.vocabCoverage(docs)
+      .select("doc_id", "n_tokens", "n_in_vocab")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((32L, 32L)), 2L -> ((4L, 0L)), 3L -> ((0L, 0L))),
+      s"got $out")
+    val cov = PretrainOps.vocabCoverage(docs)
+      .select("doc_id", "coverage").as[(Long, Option[Double])].collect().toMap
+    assert(cov(1L).contains(1.0) && cov(2L).contains(0.0) && cov(3L).isEmpty)
+  }
+
   test("dedup_exact groups identical normalized content") {
     val planted = Seq(
       (1L, "Hello,   World!"), (2L, "hello world"), (3L, "different text")
