@@ -248,6 +248,91 @@ object DedupStream {
     query
   }
 
+  /** Streaming incremental WINNOW dedup — the position-local overlap leg
+    * of the daily-crawl-vs-history family: is today's doc a partial
+    * copy/quotation of something in the standing corpus, at
+    * sub-document granularity? Incoming micro-batches are fingerprinted
+    * in-row ([[graft.ops.DedupOps.winnowFingerprints]] — narrow map)
+    * and joined against the history's df-capped fingerprint inverted
+    * index, built ONCE and cached for the query lifetime (freed on
+    * termination). Same accounting as the batch
+    * [[graft.ops.DedupOps.dedupWinnow]]: over-cap boilerplate
+    * fingerprints are CUT but counted per incoming doc (`n_capped`),
+    * and the pair score divides by eligible counts on both sides.
+    * Incoming×history only; emits pairs at ≥
+    * [[graft.ops.DedupOps.WinnowThreshold]]; per-batch overwrite dirs
+    * keep replays idempotent.
+    */
+  def runIncrementalWinnow(spark: SparkSession, docsDir: String,
+      historyDocs: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.DedupOps
+    val histF = historyDocs
+      .select(col("doc_id").as("doc_b"),
+        DedupOps.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_b"), size(col("fps")).cast("long").as("n_b"),
+        explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val hdf = histF.groupBy("fp").agg(count(lit(1)).as("df"))
+    // two cached statics, reused every batch (the containment pattern):
+    // the capped inverted index — fingerprints with history-df ≤ cap,
+    // each row carrying its history doc's ELIGIBLE count (n_b minus its
+    // own over-cap fingerprints, mirroring batch dedupWinnow's
+    // denominators) — and the over-cap stop set for incoming-side
+    // n_capped accounting
+    val histElig = histF.join(hdf, "fp")
+      .groupBy("doc_b", "n_b")
+      .agg(sum(when(col("df") > DedupOps.WinnowFreqCap, lit(1L))
+        .otherwise(lit(0L))).as("capped_b"))
+      .select(col("doc_b"), (col("n_b") - col("capped_b")).as("elig_b"))
+    val histIdx = histF
+      .join(hdf.filter(col("df") <= DedupOps.WinnowFreqCap).select("fp"), "fp")
+      .join(histElig, "doc_b")
+      .select("fp", "doc_b", "elig_b")
+      .cache()
+    val stopFps = hdf.filter(col("df") > DedupOps.WinnowFreqCap)
+      .select("fp").cache()
+    val query = try spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .select(col("doc_id").as("doc_a"),
+        DedupOps.winnowFingerprints(col("text")).as("fps"))
+      .select(col("doc_a"), size(col("fps")).cast("long").as("n_a"),
+        explode_outer(col("fps")).as("fp"))
+      .filter(col("fp").isNotNull)
+      .writeStream
+      .queryName(s"graft-winnow-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val capped = batch.join(stopFps, "fp")
+          .groupBy("doc_a").agg(count(lit(1)).as("n_capped"))
+        val out = batch.join(histIdx, "fp")
+          .groupBy("doc_a", "n_a", "doc_b", "elig_b")
+          .agg(count(lit(1)).as("shared"))
+          .join(capped, Seq("doc_a"), "left")
+          .withColumn("n_capped", coalesce(col("n_capped"), lit(0L)))
+          .withColumn("elig_a", col("n_a") - col("n_capped"))
+          .withColumn("jaccard", col("shared").cast("double") /
+            (col("elig_a") + col("elig_b") - col("shared")))
+          .filter(col("jaccard") >= DedupOps.WinnowThreshold)
+          .select(col("doc_a"), col("doc_b"), col("elig_a"), col("elig_b"),
+            col("n_capped"), col("shared"), col("jaccard"))
+        // per-batch dir + overwrite: replay-idempotent (see
+        // runIncrementalDedup)
+        out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    catch {
+      case t: Throwable => histIdx.unpersist(); stopFps.unpersist(); throw t
+    }
+    unpersistOnTermination(spark, query, histIdx)
+    unpersistOnTermination(spark, query, stopFps)
+    query
+  }
+
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))

@@ -105,6 +105,34 @@ class DedupStreamSpec extends SparkSuite {
     assert(!got2.contains(3L), s"partial quote below threshold must not flag: ${got2.toSeq}")
   }
 
+  test("streaming incremental winnow: sub-document overlap vs history, cache freed") {
+    val docsDir = tmp("win-docs")
+    val outDir = tmp("win-out")
+    val ckpt = tmp("win-ckpt")
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val history = Seq((10L, run + " kilo lima mike november oscar papa"))
+      .toDF("doc_id", "text")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+
+    // batch 1: a heavy partial copy of history doc 10 (the first 10 of
+    // its 16 tokens) + an unrelated doc
+    Seq((100L, run + " one two three"), (101L, "zero overlap with anything in the standing corpus here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    val q1 = DedupStream.runIncrementalWinnow(spark, docsDir, history, outDir, ckpt)
+    awaitDone(q1)
+    val got = spark.read.parquet(s"$outDir/*")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 10L)), s"got $got")
+
+    // both static caches freed on termination, none accumulated per batch
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.size > baseline &&
+      System.nanoTime() < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "winnow history caches must be freed on query termination")
+  }
+
   test("streaming incremental semantic dedup: per-batch classification, no cache accumulation") {
     val embDir = tmp("sem-emb")
     val outDir = tmp("sem-out")
