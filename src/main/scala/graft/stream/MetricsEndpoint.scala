@@ -53,13 +53,14 @@ object MetricsEndpoint {
     // stalled scraper connection must not block /status — the liveness
     // probe — for everyone else. Daemon threads so a forgotten stop()
     // never pins JVM shutdown.
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
       2,
       (r: Runnable) => {
         val t = new Thread(r, "graft-metrics-http")
         t.setDaemon(true)
         t
-      }))
+      })
+    server.setExecutor(pool)
     def respond(ex: HttpExchange, body: String, ctype: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type", ctype)
@@ -77,12 +78,16 @@ object MetricsEndpoint {
         respond(ex, "OK\n", "text/plain")
     })
     server.start()
-    new MetricsEndpoint(server)
+    new MetricsEndpoint(server, pool)
   }
 }
 
-final class MetricsEndpoint private[stream] (server: HttpServer) {
+final class MetricsEndpoint private[stream] (server: HttpServer,
+    pool: java.util.concurrent.ExecutorService) {
   /** The bound port (meaningful with configured port 0 = ephemeral). */
   def port: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  // shut the pool down too: the threads are daemon (they can't pin JVM
+  // exit) but a long-lived session that starts/stops many endpoints
+  // must not accumulate two parked threads per stop
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }
