@@ -234,6 +234,9 @@ object SparkEntry {
     // the WHOLE pipeline, raw docs → packed training-sequence index:
     // gates → dedup → decontam → substring trim → contiguous packing
     "corpus_to_sequences" -> ((s, dir) => CorpusOps.corpusToSequences(tbl(s, dir, "documents"))),
+    // the same pipeline packed by REAL tokenizer counts: gates → dedup →
+    // decontam → BPE train on survivors → tokenize → contiguous packing
+    "corpus_to_sequences_bpe" -> ((s, dir) => CorpusOps.corpusToSequencesBpe(tbl(s, dir, "documents"))),
 
     // pre-training corpus ops (round 3): decontamination, substring-level
     // dedup, PII audit, repetition quality, stratified sampling, per-domain
@@ -547,6 +550,7 @@ object SparkEntry {
     "corpus_clean" -> CorpusOps.sqlCleanCorpus,
     "corpus_clean_decontam" -> CorpusOps.sqlCleanCorpusDecontam,
     "corpus_to_sequences" -> CorpusOps.sqlCorpusToSequences,
+    "corpus_to_sequences_bpe" -> CorpusOps.sqlCorpusToSequencesBpe,
 
     "decontaminate" -> PretrainOps.sqlDecontaminate,
     "decontaminate_8gram" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd),

@@ -108,6 +108,55 @@ object CorpusOps {
       trimmed.join(survivors.select("doc_id", "source"), "doc_id"))
   }
 
+  /** [[corpusToSequences]]'s sibling with a REAL tokenizer in the loop:
+    * clean the corpus ([[cleanCorpusDecontam]]: quality gate → language
+    * gate → exact dedup → MinHash near-dup removal → benchmark
+    * decontamination removal), TRAIN the BPE merge table on the
+    * survivors ([[TokenizerOps.bpeTrain]] — the tokenizer is learned on
+    * cleaned data, the order every published pipeline uses: a tokenizer
+    * trained before dedup memorizes boilerplate merges), then tokenize
+    * the survivors with the learned merges and pack the resulting BPE
+    * counts ([[TokenizerOps.packSequencesBpe]] ≡ [[PretrainOps
+    * .packTokenCounts]] over real token counts).
+    *
+    * The substring-trim stage of [[corpusToSequences]] is deliberately
+    * absent here: trim's surviving counts are defined over whitespace
+    * token spans, and mixing a whitespace-denominated trim with a
+    * BPE-denominated pack would make `seq_offset` arithmetic
+    * incoherent. A production pipeline that wants both applies trim to
+    * the TEXT first and re-tokenizes — a text-rewrite stage, not a
+    * count adjustment.
+    *
+    * Scale shape: the clean pipeline's bounded exchanges, then BPE
+    * training over the Zipf-small survivor vocab (driver sees one row
+    * per merge), then [[TokenizerOps.tokenizeBpe]]'s zero-shuffle
+    * narrow map and the one per-shard packing window. The survivor set
+    * is materialized ONCE and feeds both the trainer and the
+    * tokenizer.
+    */
+  def corpusToSequencesBpe(docs: DataFrame): DataFrame = {
+    val survivors = DedupOps.materialize(
+      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
+      "clean_survivors_bpe")
+    val merges = TokenizerOps.bpeTrain(survivors, TokenizerOps.NumMerges)
+    TokenizerOps.packSequencesBpe(survivors, merges)
+  }
+
+  /** Oracle twin: [[sqlCleanCorpusDecontam]] nested as the survivor set
+    * (exactly as in [[sqlCorpusToSequences]]), then [[TokenizerOps]]'
+    * unrolled 8-step learn chain and doc-count tail rebased from
+    * `documents` onto the survivors, under [[PretrainOps.sqlPackOver]].
+    */
+  def sqlCorpusToSequencesBpe: String =
+    s"""WITH cleaned AS (SELECT doc_id FROM (
+       |$sqlCleanCorpusDecontam
+       |)),
+       |survivors AS MATERIALIZED (SELECT d.* FROM documents d JOIN cleaned USING (doc_id)),
+       |${TokenizerOps.sqlLearnCtes(TokenizerOps.NumMerges, "survivors")}
+       |${PretrainOps.sqlPackOver(
+           s"""    SELECT doc_id, source, n_tokens FROM (
+              |${TokenizerOps.sqlDocCounts(TokenizerOps.NumMerges, "survivors")})""".stripMargin)}""".stripMargin
+
   /** Oracle twin: [[sqlCleanCorpusDecontam]] nested as the survivor set,
     * the shared merged-range CTE chain rebased onto it, the trim tail
     * reduced to surviving counts, and [[PretrainOps.sqlPackSequences]]'s

@@ -152,14 +152,22 @@ object TokenizerOps {
     * accumulator, so symbols lift to single-element lists first — the
     * first element becomes the accumulator, which matches the Spark
     * fold (a first symbol can never merge into an empty accumulator).
+    *
+    * Every `v{i}` is `AS MATERIALIZED`: each is referenced TWICE (by
+    * `m{i+1}` and `v{i+1}`), so an inlining planner doubles the chain
+    * per step — 2^k copies of the base relation. Harmless when `table`
+    * is a raw scan; fatal when it is [[CorpusOps
+    * .sqlCorpusToSequencesBpe]]'s survivor pipeline. Materialization
+    * makes the unrolled loop linear, like the Spark driver loop it
+    * mirrors.
     */
-  private def sqlLearnCtes(k: Int): String = {
+  private[ops] def sqlLearnCtes(k: Int, table: String = "documents"): String = {
     val base =
       s"""w AS (
          |  SELECT word, count(*) AS cnt FROM (
-         |    SELECT unnest(${sqlTokens("text")}) AS word FROM documents)
+         |    SELECT unnest(${sqlTokens("text")}) AS word FROM $table)
          |  WHERE word <> '' GROUP BY word),
-         |v0 AS (SELECT word, cnt, string_split(word, '') AS syms FROM w)""".stripMargin
+         |v0 AS MATERIALIZED (SELECT word, cnt, string_split(word, '') AS syms FROM w)""".stripMargin
     val steps = (1 to k).map { i =>
       val p = i - 1
       s"""m$i AS (
@@ -169,7 +177,7 @@ object TokenizerOps {
          |      unnest(list_slice(syms, 2, len(syms))) AS p2
          |    FROM v$p WHERE len(syms) >= 2)
          |  GROUP BY p1, p2 ORDER BY sum(cnt) DESC, p1, p2 LIMIT 1),
-         |v$i AS (
+         |v$i AS MATERIALIZED (
          |  SELECT word, cnt,
          |    CASE WHEN m.p1 IS NULL THEN syms ELSE
          |      list_reduce(list_transform(syms, s -> [s]), (acc, x) ->
@@ -187,13 +195,13 @@ object TokenizerOps {
     * vocab never contains → LEFT JOIN null → coalesce 0), so empty docs
     * survive with (n_words 0, n_tokens 0) like the Spark side.
     */
-  private def sqlDocCounts(k: Int): String =
+  private[ops] def sqlDocCounts(k: Int, table: String = "documents"): String =
     s"""    SELECT doc_id, source,
        |      CAST(count(*) FILTER (WHERE word <> '') AS BIGINT) AS n_words,
        |      CAST(coalesce(sum(len(v.syms)), 0) AS BIGINT) AS n_tokens
        |    FROM (
        |      SELECT doc_id, source, unnest(${sqlTokens("text")}) AS word
-       |      FROM documents) d
+       |      FROM $table) d
        |    LEFT JOIN v$k v USING (word)
        |    GROUP BY doc_id, source""".stripMargin
 

@@ -626,6 +626,43 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out(4L) == (("src2", 60L, 0L, 0L, 0L, 0L)))
   }
 
+  test("corpus_to_sequences_bpe: survivors packed by survivor-trained BPE counts, no trim") {
+    import graft.ops.{CorpusOps, TokenizerOps}
+    def uniq(tag: String) = (1 to 12).map(i => s"the of and to $tag$i").mkString(" ")
+    val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
+    val span8 = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench8 = "zulu yankee xray whiskey victor uniform tango sierra"
+    val planted = Seq(
+      (1L, base, "src1"),                               // survives whole
+      (2L, base.replace("token30", "CHANGED"), "src1"), // near-dup loser
+      (3L, s"${uniq("c")} $span8", "src1"),             // shares span8 with 4 — NOT trimmed here
+      (4L, s"$span8 ${uniq("d")}", "src2"),
+      (5L, s"${uniq("e")} $bench8", "src1"),            // contaminated → removed
+      (90L, bench8, "src0")                             // the benchmark split
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.corpusToSequencesBpe(planted)
+      .select("doc_id", "n_tokens", "tok_start")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // same survivor set as corpus_to_sequences: gates/dedup/decontam apply...
+    assert(out.keySet == Set(1L, 3L, 4L), s"unexpected survivor set: $out")
+    // ...but counts are BPE counts over the FULL surviving text — the
+    // whitespace-denominated substring trim is deliberately not composed
+    // (docs 3/4 would report 60 surviving whitespace tokens after trim)
+    val survivors = planted.filter($"doc_id".isin(1L, 3L, 4L))
+    val merges = TokenizerOps.bpeTrain(survivors, TokenizerOps.NumMerges)
+    val expected = TokenizerOps.tokenizeBpe(survivors, merges)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out.view.mapValues(_._1).toMap == expected,
+      "packed counts must equal survivor-trained BPE counts")
+    // 8 merges cannot collapse 68 words to their whitespace count: BPE
+    // counts are real (char-denominated), not the trim variant's 60/68
+    assert(out(3L)._1 > 68L)
+    // packing arithmetic: per-source cumulative offsets in doc_id order
+    assert(out(1L)._2 == 0L && out(4L)._2 == 0L)
+    assert(out(3L)._2 == out(1L)._1)
+  }
+
   test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
     val out = BinaryOps.multimodalDecode(spark, docs)
     assert(out.columns.toSeq ==
