@@ -1296,23 +1296,36 @@ object PretrainOps {
     * side is a narrow scan + broadcast rate join + filter. The corpus
     * never shuffles.
     */
-  def sampleMixture(docs: DataFrame): DataFrame = {
+  /** Per-source keep-rates from a (source, src_tokens) totals frame —
+    * the rate algebra of [[sampleMixture]] factored out so the
+    * streaming face ([[graft.stream.SampleStream.runMixture]]) derives
+    * rates from RUNNING totals with the same arithmetic.
+    */
+  private[graft] def mixtureRates(stats0: DataFrame): DataFrame = {
     val t = MixTargets.tail.foldLeft(
       when(col("source") === MixTargets.head._1, lit(MixTargets.head._2))) {
       case (acc, (s2, tw)) => acc.when(col("source") === s2, lit(tw))
     }.otherwise(lit(1.0))
-    val stats = docs
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy("source").agg(sum("n_tok").as("src_tokens"))
-      .withColumn("target_w", t)
+    val stats = stats0.withColumn("target_w", t)
     val rmin = stats.agg(min(col("src_tokens") / col("target_w")).as("rmin"))
-    val rates = stats.crossJoin(broadcast(rmin))
+    stats.crossJoin(broadcast(rmin))
       .select(col("source"),
         least(lit(1.0), col("target_w") * col("rmin") / col("src_tokens"))
           .as("keep_rate"))
-    val bucket = pmod(
-      tokenHash(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
-    fanout(docs).select(col("doc_id"), col("source"), bucket.as("bucket"))
+  }
+
+  /** Deterministic md5-bucket of a doc id in [0, [[MixBuckets]]). */
+  private[graft] def mixBucket: Column = pmod(
+    tokenHash(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
+
+  /** Per-source (source, src_tokens) whitespace-token totals. */
+  private[graft] def mixTokenTotals(docs: DataFrame): DataFrame = docs
+    .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    .groupBy("source").agg(sum("n_tok").as("src_tokens"))
+
+  def sampleMixture(docs: DataFrame): DataFrame = {
+    val rates = mixtureRates(mixTokenTotals(docs))
+    fanout(docs).select(col("doc_id"), col("source"), mixBucket.as("bucket"))
       .join(broadcast(rates), "source")
       .filter(col("bucket") < col("keep_rate") * lit(1000000.0))
       .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),

@@ -111,4 +111,85 @@ object SampleStream {
         ()
       }
       .start()
+
+  // ------------------------------------------------------ mixture stream
+
+  val mixSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType)
+  ))
+
+  /** Streaming domain-mixture admission — the continuous face of
+    * [[PretrainOps.sampleMixture]]: each micro-batch's docs are admitted
+    * at keep-rates derived from the RUNNING per-source token totals
+    * (including the batch itself), so the realized mixture tracks
+    * [[PretrainOps.MixTargets]] as the totals converge. Early batches
+    * decide under partial totals — inherent to streaming admission (the
+    * final rates are unknowable mid-stream); what converges exactly is
+    * the rate table: after the last batch it equals the batch
+    * operator's global rates, and that batch's decisions match the
+    * batch operator's for its docs (spec-asserted).
+    *
+    * State is NOT a state store: the running totals are a sources-sized
+    * parquet table versioned per batch under `outDir/_totals/b_<id>`
+    * (underscore-hidden from output globs). Each batch reads the
+    * newest version with id < its own, merges its counts, and writes
+    * its version — so a REPLAYED batch (crash between sink write and
+    * checkpoint commit) re-reads its predecessor's totals, recomputes
+    * identical rates, and overwrites its own partial output: the same
+    * at-least-once idempotence contract as the EsBulkSink. This is the
+    * 100 TB shape for cross-key derived state too small to shard: the
+    * rate table is O(sources), so one metadata-scale read-modify-write
+    * per batch beats holding it hostage to per-key state semantics.
+    *
+    * Emits EVERY incoming doc with its decision (keep, keep_rate,
+    * weight) — the audit-friendly superset of the batch operator's
+    * kept-only output.
+    */
+  def runMixture(spark: SparkSession, docsDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(mixSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .queryName(s"graft-mixture-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val totalsRoot = s"$outDir/_totals"
+        val fs = new org.apache.hadoop.fs.Path(totalsRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prior = {
+          val root = new org.apache.hadoop.fs.Path(totalsRoot)
+          if (!fs.exists(root)) None
+          else fs.listStatus(root).toSeq
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("b_") => n.drop(2).toLong }
+            .filter(_ < batchId) // a replayed batch must NOT see its own partial write
+            .sorted.lastOption.map(j => spark.read.parquet(s"$totalsRoot/b_$j"))
+        }
+        val batchStats = PretrainOps.mixTokenTotals(batch)
+        val merged = prior.fold(batchStats)(p =>
+          p.unionByName(batchStats).groupBy("source")
+            .agg(sum("src_tokens").as("src_tokens")))
+        merged.coalesce(1).write.mode("overwrite").parquet(s"$totalsRoot/b_$batchId")
+        // rates from the read-back snapshot (stable under re-planning),
+        // covering the batch's own tokens — the batch operator's algebra
+        val rates = PretrainOps.mixtureRates(
+          spark.read.parquet(s"$totalsRoot/b_$batchId"))
+        batch.select(col("doc_id"), col("source"),
+            PretrainOps.mixBucket.as("bucket"))
+          .join(broadcast(rates), "source")
+          .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
+            (col("bucket") < col("keep_rate") * lit(PretrainOps.MixBuckets.toDouble))
+              .as("keep"),
+            (lit(1.0) / col("keep_rate")).as("weight"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
 }
