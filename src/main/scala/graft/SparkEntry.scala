@@ -296,7 +296,10 @@ object SparkEntry {
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
     "embed_quantize" -> ((s, dir) => PretrainOps.embedQuantize(tbl(s, dir, "embeddings"))),
     // D×D exact second moments + covariance — the PCA/whitening input
-    "embed_covariance" -> ((s, dir) => PretrainOps.embedCovariance(tbl(s, dir, "embeddings")))
+    "embed_covariance" -> ((s, dir) => PretrainOps.embedCovariance(tbl(s, dir, "embeddings"))),
+    // one power-iteration step toward the top principal component —
+    // PretrainOps.pcaTrain loops this driver-side to a full top-k PCA
+    "embed_pca_power_iter" -> ((s, dir) => PretrainOps.embedPcaPowerIter(tbl(s, dir, "embeddings")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -582,6 +585,7 @@ object SparkEntry {
     "domain_stats" -> PretrainOps.sqlDomainStats,
     "embed_normalize" -> PretrainOps.sqlEmbedNormalize,
     "embed_quantize" -> PretrainOps.sqlEmbedQuantize,
-    "embed_covariance" -> PretrainOps.sqlEmbedCovariance
+    "embed_covariance" -> PretrainOps.sqlEmbedCovariance,
+    "embed_pca_power_iter" -> PretrainOps.sqlEmbedPcaPowerIter
   )
 }

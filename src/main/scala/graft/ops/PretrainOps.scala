@@ -1027,6 +1027,124 @@ object PretrainOps {
        |JOIN dims x ON x.dim = m.dim_i
        |JOIN dims y ON y.dim = m.dim_j""".stripMargin
 
+  // ----------------------------------------------- embed_pca_power_iter
+
+  /** One power-iteration step toward the corpus embeddings' top principal
+    * component, from the uniform start vector — the oracle-checkable face
+    * of [[pcaTrain]]'s driver loop (the [[graft.ops.SimilarityOps]]
+    * `ivf_train_step`/`ivfTrain` pattern). With v₀ = 1/√D·𝟙, the unnormalized
+    * step y = C·v₀ is (up to the constant, which normalization cancels)
+    * the covariance row sums; the emitted `component` is y/‖y‖.
+    *
+    * Parity rule: the covariance entries are micro-quantized to longs
+    * BEFORE the row sum, so the cross-dim sum is exact-integer
+    * (partition-order independent — a parallel double sum would
+    * hash-mismatch the oracle); `component` is then one deterministic
+    * double expression over exact longs. Scale shape: one corpus scan
+    * (inside [[embedCovariance]]), then everything downstream is
+    * D²-bounded metadata.
+    */
+  def embedPcaPowerIter(emb: DataFrame): DataFrame = {
+    val cm = embedCovariance(emb)
+      .select(col("dim_i"), col("dim_j"),
+        floor(col("cov") * lit(QualityMicro) + lit(0.5)).cast("long").as("cov_micro"))
+    // mirror the stored upper triangle to full C for the row sums
+    val full = cm.unionByName(cm.filter(col("dim_i") =!= col("dim_j"))
+      .select(col("dim_j").as("dim_i"), col("dim_i").as("dim_j"), col("cov_micro")))
+    val y = full.groupBy(col("dim_i").as("dim"))
+      .agg(sum("cov_micro").as("y_micro"))
+    val norm = y.agg(sum(col("y_micro") * col("y_micro")).as("nsq"))
+    y.crossJoin(broadcast(norm))
+      .select(col("dim"), col("y_micro"),
+        (col("y_micro").cast("double") / sqrt(col("nsq").cast("double")))
+          .as("component"))
+  }
+
+  /** Oracle twin of [[embedPcaPowerIter]]. `cm` is referenced by both
+    * branches of the mirror UNION — `AS MATERIALIZED` keeps an inlining
+    * planner from running the whole covariance pipeline twice.
+    */
+  def sqlEmbedPcaPowerIter: String =
+    s"""WITH cm AS MATERIALIZED (
+       |  SELECT dim_i, dim_j,
+       |    CAST(floor(cov * $QualityMicro + 0.5) AS BIGINT) AS cov_micro
+       |  FROM ($sqlEmbedCovariance)),
+       |full_m AS (
+       |  SELECT dim_i, dim_j, cov_micro FROM cm
+       |  UNION ALL
+       |  SELECT dim_j AS dim_i, dim_i AS dim_j, cov_micro FROM cm
+       |  WHERE dim_i <> dim_j),
+       |y AS (
+       |  SELECT dim_i AS dim, CAST(sum(cov_micro) AS BIGINT) AS y_micro
+       |  FROM full_m GROUP BY dim_i),
+       |n AS (SELECT CAST(sum(y_micro * y_micro) AS BIGINT) AS nsq FROM y)
+       |SELECT dim, y_micro, CAST(y_micro AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)) AS component
+       |FROM y, n""".stripMargin
+
+  /** One learned principal component: 0-based rank (0 = top), its
+    * eigenvalue (variance explained), and the unit eigenvector.
+    */
+  final case class PcaComponent(rank: Int, eigenvalue: Double, vector: Seq[Double])
+
+  /** Top-k PCA of the corpus embeddings, the 100 TB way: ONE distributed
+    * corpus scan builds the exact D×D covariance ([[embedCovariance]]),
+    * D² doubles come to the driver (D=64 ⇒ 32 KB — metadata scale, the
+    * ivfTrain k×D shape), and the eigensolve is plain driver-side power
+    * iteration with Hotelling deflation (C ← C − λvvᵀ after each
+    * component). Covariance matrices are PSD, so power iteration
+    * converges to the dominant eigenpair from any start not orthogonal
+    * to it; the deterministic uniform start keeps runs reproducible.
+    * Never a distributed iteration: iterating on the cluster would pay
+    * a job per matvec for a matrix that fits in a cache line budget.
+    */
+  def pcaTrain(emb: DataFrame, k: Int = 4, iters: Int = 100): Seq[PcaComponent] = {
+    val rows = embedCovariance(emb).select("dim_i", "dim_j", "cov").collect()
+    require(rows.nonEmpty, "empty covariance — no usable embeddings")
+    val d = rows.iterator.map(r => math.max(r.getLong(0), r.getLong(1))).max.toInt + 1
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    (0 until k).map { rank =>
+      var v = normalize(Array.fill(d)(1.0))
+      var it = 0
+      while (it < iters) { v = normalize(matvec(v)); it += 1 }
+      val cv = matvec(v)
+      val lambda = v.indices.foldLeft(0.0)((a, i) => a + v(i) * cv(i))
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) -= lambda * v(i) * v(j)
+      PcaComponent(rank, lambda, v.toSeq)
+    }
+  }
+
+  /** Project every embedding onto learned components — the
+    * dimension-reduction the trained PCA exists for (and the whitening /
+    * SemDeDup-style clustering input). Pure narrow map: the components
+    * arrive as expression literals (k×D doubles — broadcast-scale; the
+    * [[graft.ops.TokenizerOps.tokenizeBpe]] merge-literal argument), each
+    * score is an in-row LEFT-fold dot product, zero shuffles at any
+    * corpus size. Output (vec_id, label, scores[k]).
+    */
+  def embedPcaProject(emb: DataFrame, components: Seq[Seq[Double]]): DataFrame = {
+    require(components.nonEmpty, "no components to project onto")
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val scores = array(components.map { comp =>
+      aggregate(
+        zip_with(col("emb_d"), typedLit(comp), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
+    }: _*)
+    fanout(emb).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), embD.as("emb_d"))
+      .filter(!exists(col("emb_d"), x => x.isNull))
+      .select(col("vec_id"), col("label"), scores.as("scores"))
+  }
+
   // --------------------------------------------- quality_bigram_fluency
 
   /** Mean conditional bigram probability — the 2-gram LM analog of

@@ -663,6 +663,75 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out(3L)._2 == out(1L)._1)
   }
 
+  test("pcaTrain recovers a planted dominant direction; components orthonormal, eigenvalues descending") {
+    import graft.ops.PretrainOps
+    // planted: variance 9 along e0, 1 along e1, ~0 elsewhere (D=4).
+    // Deterministic +/- alternation, mean zero.
+    val d = 4
+    val vecs = (0 until 64).map { i =>
+      val s0 = if (i % 2 == 0) 3.0f else -3.0f
+      val s1 = if (i % 4 < 2) 1.0f else -1.0f
+      (i.toLong, Array(s0, s1, 0.0f, 0.0f), i % 3)
+    }
+    val embP = vecs.toDF("vec_id", "embedding", "label")
+    val comps = PretrainOps.pcaTrain(embP, k = 2)
+    assert(comps.map(_.rank) == Seq(0, 1))
+    assert(comps(0).eigenvalue > comps(1).eigenvalue)
+    assert(math.abs(comps(0).eigenvalue - 9.0) < 1e-6)
+    assert(math.abs(comps(1).eigenvalue - 1.0) < 1e-6)
+    // top component aligns with e0, second with e1 (sign-free)
+    assert(math.abs(math.abs(comps(0).vector(0)) - 1.0) < 1e-6)
+    assert(math.abs(math.abs(comps(1).vector(1)) - 1.0) < 1e-6)
+    for (c <- comps) {
+      val n = math.sqrt(c.vector.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, "components must be unit norm")
+      assert(c.vector.size == d)
+    }
+    val dot = comps(0).vector.zip(comps(1).vector).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-6, "components must be orthogonal")
+  }
+
+  test("embedPcaProject: literal-component in-row dot products, zero shuffles") {
+    import graft.ops.PretrainOps
+    val comps = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val embP = Seq(
+      (1L, Array(2.0f, -1.5f, 7.0f, 0.0f), 0),
+      (2L, Array(-4.0f, 0.5f, 0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = PretrainOps.embedPcaProject(embP, comps)
+      .select("vec_id", "scores").as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(2.0, -1.5))
+    assert(out(2L) == Seq(-4.0, 0.5))
+    // scale guard: no KEY-based shuffle — the only exchange allowed is
+    // fanout's round-robin parallelism repartition (keyless, skew-free)
+    val plan = PretrainOps.embedPcaProject(emb, comps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hashpartitioning"),
+      s"projection must not shuffle on a key:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"projection must not join:\n$plan")
+  }
+
+  test("pcaTrain components drive the projection end-to-end on the embeddings table") {
+    import graft.ops.PretrainOps
+    val comps = PretrainOps.pcaTrain(emb, k = 2)
+    val out = PretrainOps.embedPcaProject(emb, comps.map(_.vector))
+    val rows = out.select("scores").as[Seq[Double]].collect()
+    assert(rows.nonEmpty && rows.forall(_.size == 2))
+    // variance along the top component exceeds variance along the second
+    // (that is what "principal" means) — computed from the projections
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v0 = variance(rows.map(_.head).toSeq)
+    val v1 = variance(rows.map(_.last).toSeq)
+    assert(v0 >= v1, s"top component carries less variance: $v0 < $v1")
+    // and the realized projection variances match the eigenvalues the
+    // trainer reported (same covariance, exact-micro quantization noise)
+    assert(math.abs(v0 - comps(0).eigenvalue) / comps(0).eigenvalue < 0.05)
+  }
+
   test("multimodal decode: stub metadata matches payload arithmetic, schema typed") {
     val out = BinaryOps.multimodalDecode(spark, docs)
     assert(out.columns.toSeq ==
