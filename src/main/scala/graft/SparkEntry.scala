@@ -249,6 +249,9 @@ object SparkEntry {
     // broadcast as a set (for held-out corpora too big to hash-broadcast)
     "decontaminate_bloom" -> ((s, dir) =>
       PretrainOps.decontaminateBloom(tbl(s, dir, "documents"))),
+    // the benchmark-side inverse of decontaminate: per held-out item,
+    // how far it leaked into the corpus (the "is this eval burned" report)
+    "contamination_report" -> ((s, dir) => PretrainOps.contaminationReport(tbl(s, dir, "documents"))),
     "dedup_substring" -> ((s, dir) => PretrainOps.dedupSubstring(tbl(s, dir, "documents"))),
     // per-doc repeated-span coverage — the drop/trim signal on top of
     // dedup_substring's span inventory
@@ -266,6 +269,8 @@ object SparkEntry {
     // exact per-stratum COUNT (deterministic reservoir) — the manifest
     // counterpart of sample_stratified's keep-RATE
     "sample_reservoir" -> ((s, dir) => PretrainOps.sampleReservoir(tbl(s, dir, "documents"))),
+    // α=1/2 temperature-flattened source shares (mT5/XLM-R balancing)
+    "sample_temperature" -> ((s, dir) => PretrainOps.sampleTemperature(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
@@ -560,6 +565,7 @@ object SparkEntry {
     // bloom prune + exact confirm is output-identical to the exact path —
     // the oracle IS the exact decontaminate SQL
     "decontaminate_bloom" -> PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGram),
+    "contamination_report" -> PretrainOps.sqlContaminationReport,
     "dedup_substring" -> PretrainOps.sqlDedupSubstring,
     "substring_coverage" -> PretrainOps.sqlSubstringCoverage,
     "dedup_substring_trim" -> PretrainOps.sqlDedupSubstringTrim,
@@ -577,6 +583,7 @@ object SparkEntry {
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
+    "sample_temperature" -> PretrainOps.sqlSampleTemperature,
     "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
     "dedup_winnow" -> DedupOps.sqlDedupWinnow,
     "vocab_coverage" -> PretrainOps.sqlVocabCoverage,

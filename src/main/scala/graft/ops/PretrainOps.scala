@@ -940,6 +940,132 @@ object PretrainOps {
        |    (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE)) AS commonness
        |FROM per, tot""".stripMargin
 
+  // ---------------------------------------------------- contamination_report
+
+  /** The benchmark-side inverse of [[decontaminate]]: one row per
+    * HELD-OUT doc, reporting how far it has leaked into the training
+    * corpus — distinct leaked grams, distinct training docs reached, and
+    * the leakage ratio. [[decontaminate]] answers "which training docs
+    * must go"; this answers the eval owner's question, "which benchmark
+    * items are burned and how badly" (a fully-leaked item measures
+    * memorization, not capability). Zero-leak items are reported with
+    * zeros — the report's row count is the benchmark size, not the hit
+    * count.
+    *
+    * Scale shape: the same asymmetry as [[decontaminate]], exploited in
+    * the same direction — the benchmark gram set is broadcast-scale, the
+    * corpus is not, so the corpus gram stream joins the broadcast bench
+    * side and ONLY HIT ROWS ever shuffle (for the per-item distinct
+    * counts). The corpus text itself never shuffles at any scale.
+    */
+  def contaminationReport(docs: DataFrame,
+      gramWidth: Int = DecontamGramProd): DataFrame = {
+    val g = fanout(docs).select(col("doc_id"), col("source"),
+      decontamGrams(gramWidth).as("gs"))
+    // gs is sorted_distinct, so n_grams is the doc's DISTINCT gram count
+    // and leakage = n_leaked/n_grams is bounded in [0, 1]
+    val benchDocs = g.filter(col("source") === BenchmarkSource)
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"), col("gs"))
+    val bench = benchDocs
+      .select(col("doc_id"), col("n_grams"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val train = g.filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id").as("train_doc_id"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val hits = train.join(broadcast(bench), "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(countDistinct("g").as("n_leaked_grams"),
+        countDistinct("train_doc_id").as("n_train_docs"))
+    benchDocs.select("doc_id", "n_grams")
+      .join(hits.select("doc_id", "n_leaked_grams", "n_train_docs"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        (coalesce(col("n_leaked_grams"), lit(0L)).cast("double") / col("n_grams"))
+          .as("leakage"))
+  }
+
+  def sqlContaminationReport: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ${sqlGramHashes(DecontamGramProd)} AS gs FROM documents),
+       |bench AS (
+       |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+       |  FROM g WHERE source = '$BenchmarkSource'),
+       |train AS (
+       |  SELECT doc_id AS train_doc_id, unnest(gs) AS g
+       |  FROM g WHERE source <> '$BenchmarkSource'),
+       |hits AS (
+       |  SELECT b.doc_id, count(DISTINCT b.g) AS n_leaked_grams,
+       |    count(DISTINCT t.train_doc_id) AS n_train_docs
+       |  FROM bench b JOIN train t USING (g) GROUP BY b.doc_id)
+       |SELECT bd.doc_id, bd.n_grams,
+       |  coalesce(h.n_leaked_grams, 0) AS n_leaked_grams,
+       |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+       |  CAST(coalesce(h.n_leaked_grams, 0) AS DOUBLE) / bd.n_grams AS leakage
+       |FROM (
+       |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams
+       |  FROM g WHERE source = '$BenchmarkSource') bd
+       |LEFT JOIN hits h USING (doc_id)""".stripMargin
+
+  // ---------------------------------------------------- sample_temperature
+
+  /** Temperature-flattened source sampling — the multilingual-corpus
+    * balancing rule (mT5 / XLM-R style): sampled shares follow
+    * q_s ∝ p_s^α with α = 1/2, flattening the head so low-resource
+    * sources are not drowned. The per-source keep-rate is
+    * r_s ∝ p_s^(α−1) scaled to max 1, which for α = 1/2 collapses to
+    * `r_s = sqrt(t_min / t_s)` — the corpus total cancels, so the rate
+    * is a pure ratio of exact per-source token counts under one sqrt.
+    *
+    * α is FIXED at 1/2 on the oracle path deliberately: `pow(x, α)` for
+    * general α is libm-dependent (engines may round the last ulp
+    * differently) while sqrt is IEEE-754 correctly rounded everywhere —
+    * the same determinism rule as the micro-quantized sums. A general-α
+    * variant would collect the sources-sized totals and inject
+    * driver-computed rates as literals (the [[embedPcaProject]]
+    * component-literal shape).
+    *
+    * Scale shape: identical to [[sampleMixture]] — one map-side agg to a
+    * sources-sized frame, a 1-row broadcast min, then a narrow scan +
+    * broadcast rate join + deterministic-bucket filter. The corpus never
+    * shuffles on a key.
+    */
+  def sampleTemperature(docs: DataFrame): DataFrame = {
+    val stats = mixTokenTotals(docs)
+    val tmin = stats.agg(min("src_tokens").as("tmin"))
+    val rates = stats.crossJoin(broadcast(tmin))
+      .select(col("source"),
+        sqrt(col("tmin").cast("double") / col("src_tokens").cast("double"))
+          .as("keep_rate"))
+    val bucket = pmod(
+      tokenHash(concat(lit("temp:"), col("doc_id").cast("string"))), lit(MixBuckets))
+    fanout(docs).select(col("doc_id"), col("source"), bucket.as("bucket"))
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("keep_rate") * lit(MixBuckets.toDouble))
+      .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
+        (lit(1.0) / col("keep_rate")).as("weight"))
+  }
+
+  def sqlSampleTemperature: String =
+    s"""WITH st AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+       |  FROM (
+       |    SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+       |    FROM documents)
+       |  GROUP BY source),
+       |tmin AS (SELECT min(src_tokens) AS tmin FROM st),
+       |rates AS (
+       |  SELECT source,
+       |    sqrt(CAST(tmin AS DOUBLE) / CAST(src_tokens AS DOUBLE)) AS keep_rate
+       |  FROM st CROSS JOIN tmin)
+       |SELECT d.doc_id, d.source, d.bucket, r.keep_rate, 1.0 / r.keep_rate AS weight
+       |FROM (
+       |  SELECT doc_id, source,
+       |    ${sqlTokenHash("'temp:' || CAST(doc_id AS VARCHAR)")} % $MixBuckets AS bucket
+       |  FROM documents) d
+       |JOIN rates r USING (source)
+       |WHERE d.bucket < r.keep_rate * $MixBuckets.0""".stripMargin
+
   // ------------------------------------------------- embed_covariance
 
   /** Corpus embedding covariance — the D×D input every PCA / whitening /

@@ -452,6 +452,61 @@ class PretrainOpsSpec extends SparkSuite {
     assert(maxRate > 1.0 - 1e-9, s"binding source keeps (almost) all: $maxRate")
   }
 
+  test("contamination_report: per-benchmark-item leakage, zero-leak items present with zeros") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta" // 8 words = one 8-gram
+    val clean = "uno dos tres cuatro cinco seis siete ocho"
+    val planted = Seq(
+      (90L, leaked, PretrainOps.BenchmarkSource),  // burned: quoted by 2 train docs
+      (91L, clean, PretrainOps.BenchmarkSource),   // never leaked
+      (1L, s"intro words here then $leaked and a tail", "src1"),
+      (2L, s"$leaked completely different continuation", "src2"),
+      (3L, "unrelated training content entirely its own", "src1")
+    ).toDF("doc_id", "text", "source")
+    val out = PretrainOps.contaminationReport(planted)
+      .select("doc_id", "n_grams", "n_leaked_grams", "n_train_docs", "leakage")
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // one row per benchmark item, hit or not
+    assert(out.keySet == Set(90L, 91L), s"got $out")
+    // 90's single 8-gram appears in train docs 1 and 2 → fully burned
+    assert(out(90L) == ((1L, 1L, 2L, 1.0)), s"got ${out(90L)}")
+    // 91 is untouched but still reported
+    assert(out(91L) == ((1L, 0L, 0L, 0.0)), s"got ${out(91L)}")
+  }
+
+  test("sample_temperature flattens shares: rate = sqrt(t_min/t_s), smallest source keeps all") {
+    // planted totals 10 / 40 / 90 tokens → rates 1, 1/2, 1/3
+    val planted = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" "), "small"),
+      (2L, (1 to 40).map(i => s"b$i").mkString(" "), "mid"),
+      (3L, (1 to 90).map(i => s"c$i").mkString(" "), "big")
+    ).toDF("doc_id", "text", "source")
+    val rates = PretrainOps.sampleTemperature(planted)
+      .select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(rates("small") - 1.0) < 1e-12, s"smallest keeps all: $rates")
+    assert(!rates.contains("mid") || math.abs(rates("mid") - 0.5) < 1e-12)
+    assert(!rates.contains("big") || math.abs(rates("big") - 1.0 / 3) < 1e-12)
+    // rate law on the real table: keep_rate is EXACTLY sqrt(t_min/t_s)
+    // per source (the sf0.001 sources are near-uniform, so a realized-
+    // share assertion would drown in bucket-sampling noise — the law
+    // itself is the checkable thing; the planted case above covers the
+    // flattening direction)
+    val totals = PretrainOps.mixTokenTotals(docs).as[(String, Long)].collect().toMap
+    val tmin = totals.values.min
+    val realRates = PretrainOps.sampleTemperature(docs)
+      .select("source", "keep_rate").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(realRates.nonEmpty)
+    for ((s, r) <- realRates)
+      assert(r == math.sqrt(tmin.toDouble / totals(s).toDouble),
+        s"rate law broken for $s")
+    // determinism + bucket consistency (pure function of doc_id)
+    val out = PretrainOps.sampleTemperature(docs)
+    assert(out.filter($"bucket" >= $"keep_rate" * 1000000.0).count() == 0)
+    assert(out.filter($"weight" =!= lit(1.0) / $"keep_rate").count() == 0)
+  }
+
   // --------------------------------------------------------- domain_stats
 
   test("domain_stats aggregates per source with exact token totals") {
