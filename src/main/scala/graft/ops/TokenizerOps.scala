@@ -217,8 +217,21 @@ object TokenizerOps {
            |${sqlDocCounts(NumMerges)})""".stripMargin)
 
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
-    var vocab = DedupOps.materialize(
+    // Caching alone does NOT flatten the LOGICAL plan: an iteration built
+    // by withColumn on the previous cached frame chains its analysis
+    // lineage through every earlier step down to the corpus plan — fed a
+    // survivor pipeline ([[graft.ops.CorpusOps.corpusToSequencesBpe]]),
+    // each of the 8 iterations re-analyzed that whole tree (~2 s/step of
+    // pure driver time; 7× the query's executor work). The LogicalRDD
+    // rebuild truncates lineage at the cached data, so every iteration's
+    // plan is ONE mergePair over a leaf. (With [[DedupOps
+    // .CheckpointDirConf]] set, materialize's parquet round-trip already
+    // truncates and the rebuild is a harmless no-op wrapper.)
+    def truncated(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    var mat = DedupOps.materialize(
       wordFreq(docs).withColumn("syms", split(col("word"), "")), "bpe_vocab")
+    var vocab = truncated(mat)
     val merges = Seq.newBuilder[BpeMerge]
     var i = 0
     var done = false
@@ -229,16 +242,17 @@ object TokenizerOps {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += BpeMerge(a, b, c)
-        val prev = vocab
-        vocab = DedupOps.materialize(
+        val prevMat = mat
+        mat = DedupOps.materialize(
           vocab.withColumn("syms", mergePair(col("syms"), a, b)), s"bpe_vocab_$i")
+        vocab = truncated(mat)
         vocab.count() // force the new table before freeing its parent
-        prev.unpersist()
+        prevMat.unpersist()
         ()
       }
       i += 1
     }
-    vocab.unpersist()
+    mat.unpersist()
     merges.result()
   }
 }
