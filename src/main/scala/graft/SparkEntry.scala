@@ -231,6 +231,9 @@ object SparkEntry {
     // the full published composition: gates → dedup → decontaminate
     // (removal, not just audit — GPT-3 App. C / Gopher A.2 style)
     "corpus_clean_decontam" -> ((s, dir) => CorpusOps.cleanCorpusDecontam(tbl(s, dir, "documents"))),
+    // the audit face of that composition: one row per INPUT doc with a
+    // flag per removal reason — the rejection report beside the corpus
+    "filter_reasons" -> ((s, dir) => CorpusOps.filterReasons(tbl(s, dir, "documents"))),
     // the WHOLE pipeline, raw docs → packed training-sequence index:
     // gates → dedup → decontam → substring trim → contiguous packing
     "corpus_to_sequences" -> ((s, dir) => CorpusOps.corpusToSequences(tbl(s, dir, "documents"))),
@@ -557,6 +560,7 @@ object SparkEntry {
 
     "corpus_clean" -> CorpusOps.sqlCleanCorpus,
     "corpus_clean_decontam" -> CorpusOps.sqlCleanCorpusDecontam,
+    "filter_reasons" -> CorpusOps.sqlFilterReasons,
     "corpus_to_sequences" -> CorpusOps.sqlCorpusToSequences,
     "corpus_to_sequences_bpe" -> CorpusOps.sqlCorpusToSequencesBpe,
 

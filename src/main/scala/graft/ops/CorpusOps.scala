@@ -28,7 +28,12 @@ object CorpusOps {
   val QualityThreshold = 0.5
   val AcceptedLangs: Seq[String] = Seq("en")
 
-  def cleanCorpus(docs: DataFrame): DataFrame = {
+  /** The gated set + the two dedup-loser id lists the clean pipeline
+    * derives from it — shared by [[cleanCorpus]] (which drops) and
+    * [[filterReasons]] (which reports), so the two can never disagree on
+    * a stage's semantics.
+    */
+  private def cleanStages(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // both gates are pure projections over `docs`, so their columns ride
     // ONE narrow select — no doc_id joins (which at corpus scale would be
     // two full shuffles); expressions identical to qualityScore/langId
@@ -47,8 +52,53 @@ object CorpusOps {
     // set; every pair's higher id is dropped (left_anti on doc_b)
     val nearDupLosers = DedupOps.dedupMinhashLsh(exactDeduped)
       .select(col("doc_b").as("doc_id")).distinct()
-    exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    (gated, reps, nearDupLosers)
+  }
+
+  def cleanCorpus(docs: DataFrame): DataFrame = {
+    val (gated, reps, nearDupLosers) = cleanStages(docs)
+    gated.join(reps, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"), col("quality"), col("detected_lang"))
+  }
+
+  /** The AUDIT face of [[cleanCorpusDecontam]]: one row per INPUT doc
+    * with a flag per removal reason and the final keep verdict — the
+    * filter-reason report every production cleaning run emits beside the
+    * cleaned corpus (rejection-rate dashboards, gate tuning, "why did my
+    * doc disappear"). Flags are derived from the pipeline's OWN stage
+    * tables ([[cleanStages]]), so `keep` is definitionally the
+    * [[cleanCorpusDecontam]] survivor set: fail_quality/fail_lang from
+    * the doc's text, dup_exact = gated but not its hash group's rep,
+    * dup_near = LSH loser among exact survivors, contaminated =
+    * production-width benchmark overlap (flagged for every doc, gated or
+    * not — an eval leak is worth knowing about even in a rejected doc).
+    *
+    * Scale shape: the gates ride the corpus scan; the three flag lists
+    * are doc_id-only frames (losers/hits are per-mille in practice, AQE
+    * broadcasts them); the report row is doc_id + six booleans — text
+    * never joins, never shuffles.
+    */
+  def filterReasons(docs: DataFrame): DataFrame = {
+    val (gated, reps, nearDupLosers) = cleanStages(docs)
+    val contaminated = PretrainOps.decontaminate(docs, PretrainOps.DecontamGramProd)
+      .select("doc_id").distinct()
+    val (_, quality) = TextOps.qualityCols(col("text"))
+    val flagged = docs.select(col("doc_id"),
+      (quality < QualityThreshold).as("fail_quality"),
+      (!TextOps.detectLang(col("text")).isin(AcceptedLangs: _*)).as("fail_lang"))
+    flagged
+      .join(gated.select(col("doc_id"), lit(true).as("in_gated")), Seq("doc_id"), "left")
+      .join(reps.withColumn("is_rep", lit(true)), Seq("doc_id"), "left")
+      .join(nearDupLosers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(contaminated.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("fail_quality"), col("fail_lang"),
+        (coalesce(col("in_gated"), lit(false)) && !coalesce(col("is_rep"), lit(false)))
+          .as("dup_exact"),
+        coalesce(col("is_loser"), lit(false)).as("dup_near"),
+        coalesce(col("is_contam"), lit(false)).as("contaminated"))
+      .withColumn("keep", !(col("fail_quality") || col("fail_lang") ||
+        col("dup_exact") || col("dup_near") || col("contaminated")))
   }
 
   /** [[cleanCorpus]] with the benchmark-decontamination gate appended —
@@ -192,16 +242,19 @@ object CorpusOps {
        |${PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd)}
        |  ))""".stripMargin
 
-  /** Oracle twin: the per-operator oracle SQL composed as CTEs over the
-    * same gated set (full sub-pipelines embedded as parenthesized
-    * WITH-subqueries, rebased from `documents` onto the gated CTE).
+  /** The clean pipeline's shared CTE body (q, l, gated_docs, reps,
+    * exact_deduped, losers) — one definition under [[sqlCleanCorpus]] and
+    * [[sqlFilterReasons]], like [[cleanStages]] on the Spark side.
+    * `gated_docs` is `AS MATERIALIZED`: it is referenced by reps,
+    * exact_deduped and the reason report — an inlining planner would
+    * re-run both gate subqueries per reference.
     */
-  def sqlCleanCorpus: String = {
+  private def sqlCleanCtes: String = {
     val pairsOverDeduped = DedupOps.sqlDedupMinhashLsh
       .replace("FROM documents", "FROM exact_deduped")
-    s"""WITH q AS (SELECT doc_id, n_tokens, quality FROM (${TextOps.sqlQualityScore})),
+    s"""q AS (SELECT doc_id, n_tokens, quality FROM (${TextOps.sqlQualityScore})),
        |l AS (SELECT doc_id, detected_lang FROM (${TextOps.sqlLangId})),
-       |gated_docs AS (
+       |gated_docs AS MATERIALIZED (
        |  SELECT d.*, q.n_tokens, q.quality, l.detected_lang
        |  FROM documents d JOIN q USING (doc_id) JOIN l USING (doc_id)
        |  WHERE q.quality >= $QualityThreshold
@@ -216,9 +269,42 @@ object CorpusOps {
        |losers AS (
        |  SELECT DISTINCT doc_b AS doc_id FROM (
        |$pairsOverDeduped
-       |  ))
+       |  ))""".stripMargin
+  }
+
+  /** Oracle twin: the per-operator oracle SQL composed as CTEs over the
+    * same gated set (full sub-pipelines embedded as parenthesized
+    * WITH-subqueries, rebased from `documents` onto the gated CTE).
+    */
+  def sqlCleanCorpus: String =
+    s"""WITH $sqlCleanCtes
        |SELECT doc_id, n_tokens, quality, detected_lang
        |FROM exact_deduped
        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
-  }
+
+  /** Oracle twin of [[filterReasons]]: the shared clean CTEs plus the
+    * production-width contamination hit list, assembled into one flag
+    * row per input doc.
+    */
+  def sqlFilterReasons: String =
+    s"""WITH $sqlCleanCtes,
+       |contam AS (SELECT DISTINCT doc_id FROM (
+       |${PretrainOps.sqlDecontaminateAt(PretrainOps.DecontamGramProd)}
+       |))
+       |SELECT doc_id, fail_quality, fail_lang, dup_exact, dup_near, contaminated,
+       |  NOT (fail_quality OR fail_lang OR dup_exact OR dup_near OR contaminated) AS keep
+       |FROM (
+       |  SELECT q.doc_id,
+       |    q.quality < $QualityThreshold AS fail_quality,
+       |    l.detected_lang NOT IN (${AcceptedLangs.map(x => s"'$x'").mkString(", ")})
+       |      AS fail_lang,
+       |    (g.doc_id IS NOT NULL AND r.doc_id IS NULL) AS dup_exact,
+       |    lo.doc_id IS NOT NULL AS dup_near,
+       |    c.doc_id IS NOT NULL AS contaminated
+       |  FROM q
+       |  JOIN l ON l.doc_id = q.doc_id
+       |  LEFT JOIN (SELECT doc_id FROM gated_docs) g ON g.doc_id = q.doc_id
+       |  LEFT JOIN reps r ON r.doc_id = q.doc_id
+       |  LEFT JOIN losers lo ON lo.doc_id = q.doc_id
+       |  LEFT JOIN contam c ON c.doc_id = q.doc_id)""".stripMargin
 }

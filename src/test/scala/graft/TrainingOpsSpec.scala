@@ -626,6 +626,37 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out(4L) == (("src2", 60L, 0L, 0L, 0L, 0L)))
   }
 
+  test("filter_reasons: every input doc flagged with its removal reason; keep ≡ survivor set") {
+    import graft.ops.{CorpusOps, PretrainOps}
+    def uniq(tag: String) = (1 to 12).map(i => s"the of and to $tag$i").mkString(" ")
+    val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
+    val bench8 = "zulu yankee xray whiskey victor uniform tango sierra"
+    val planted = Seq(
+      (1L, base, "src1"),                               // keeps
+      (2L, base.replace("token30", "CHANGED"), "src1"), // near-dup loser
+      (3L, base, "src2"),                               // exact dup of 1
+      (4L, "x" * 50, "src1"),                           // quality-gated
+      (5L, s"${uniq("e")} $bench8", "src1"),            // contaminated
+      (90L, bench8, PretrainOps.BenchmarkSource)        // the benchmark split
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.filterReasons(planted)
+      .select("doc_id", "fail_quality", "fail_lang", "dup_exact", "dup_near",
+        "contaminated", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 90L), "one row per INPUT doc")
+    assert(out(1L) == ((false, false, false, false, false, true)))
+    assert(out(2L) == ((false, false, false, true, false, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((false, false, true, false, false, false)), s"got ${out(3L)}")
+    assert(out(4L)._1 && !out(4L)._6, s"got ${out(4L)}")
+    assert(out(5L)._5 && !out(5L)._6, s"got ${out(5L)}")
+    // keep column ≡ the clean pipeline's survivor set, by construction
+    val kept = out.collect { case (id, f) if f._6 => id }.toSet
+    val survivors = CorpusOps.cleanCorpusDecontam(planted)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == survivors)
+  }
+
   test("corpus_to_sequences_bpe: survivors packed by survivor-trained BPE counts, no trim") {
     import graft.ops.{CorpusOps, TokenizerOps}
     def uniq(tag: String) = (1 to 12).map(i => s"the of and to $tag$i").mkString(" ")
