@@ -218,6 +218,8 @@ object SparkEntry {
     "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(tbl(s, dir, "documents"))),
+    // per-source log2 doc-length histogram — exact bit-length buckets
+    "length_histogram" -> ((s, dir) => TextOps.lengthHistogram(tbl(s, dir, "documents"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
@@ -552,6 +554,7 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
+    "length_histogram" -> TextOps.sqlLengthHistogram,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,

@@ -1271,6 +1271,23 @@ object PretrainOps {
       .select(col("vec_id"), col("label"), scores.as("scores"))
   }
 
+  /** PCA WHITENING: [[embedPcaProject]] with each score divided by
+    * sqrt(eigenvalue), so every retained component carries unit variance
+    * — the preconditioning step before cosine/Euclidean methods
+    * (SemDeDup-style semantic clustering, Mahalanobis outlier scoring)
+    * so high-variance directions stop dominating the metric. Components
+    * with eigenvalue ≤ 0 (numerically dead directions) are rejected
+    * rather than silently dividing by ~0 into overflow. Same shape as
+    * the projection: literal weights, in-row folds, zero shuffles.
+    */
+  def embedPcaWhiten(emb: DataFrame, components: Seq[PcaComponent]): DataFrame = {
+    require(components.forall(_.eigenvalue > 0.0),
+      "whitening needs strictly positive eigenvalues — drop dead components first")
+    val scaled = components.map(c =>
+      c.vector.map(_ / math.sqrt(c.eigenvalue)))
+    embedPcaProject(emb, scaled)
+  }
+
   // --------------------------------------------- quality_bigram_fluency
 
   /** Mean conditional bigram probability — the 2-gram LM analog of

@@ -483,4 +483,41 @@ object TextOps {
        |  array_to_string(list_slice(toks, chunk_id * $ChunkStride + 1,
        |    chunk_id * $ChunkStride + $ChunkWindow), ' ') AS chunk_text
        |FROM w""".stripMargin
+
+  // ----------------------------------------------------- length_histogram
+
+  /** Per-source doc-length distribution as a log₂ histogram — the
+    * first-look QC chart of any corpus drop (truncation cliffs, boiler-
+    * plate spikes, a crawl source gone short). Bucket b holds docs with
+    * token count in [2^b − 1, 2^(b+1) − 1): `b = floor(log2(n+1))`,
+    * computed EXACTLY as the bit length of n+1 (`length(bin(n+1)) − 1`) —
+    * no floating log whose last-ulp rounding could flip a doc at a
+    * power-of-two boundary between engines. All-integer output: doc and
+    * token totals plus the exact min/max token counts in the bucket.
+    *
+    * Scale shape: one narrow scan projecting (source, n) and one
+    * map-side-combined agg on (source, bucket) — output is
+    * O(sources × 64) rows regardless of corpus size.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    graft.ops.DedupOps.fanout(docs)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("bucket", (length(bin(col("n") + 1)) - 1).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+
+  def sqlLengthHistogram: String =
+    s"""SELECT source, CAST(len(bin(n + 1)) - 1 AS BIGINT) AS bucket,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+       |  CAST(min(n) AS BIGINT) AS min_tokens,
+       |  CAST(max(n) AS BIGINT) AS max_tokens
+       |FROM (
+       |  SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+       |  FROM documents)
+       |GROUP BY source, bucket""".stripMargin
 }

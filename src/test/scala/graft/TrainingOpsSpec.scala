@@ -743,6 +743,46 @@ class TrainingOpsSpec extends SparkSuite {
       s"projection must not join:\n$plan")
   }
 
+  test("length_histogram: exact bit-length buckets, power-of-two boundaries land right") {
+    val planted = Seq(
+      (1L, "", "s1"),                                // tokens('') = [''] → n=1 → bucket 1
+      (2L, "a b c", "s1"),                           // n=3 → bin(4)=100 → bucket 2
+      (3L, (1 to 7).map("w" + _).mkString(" "), "s1"), // n=7 → bin(8) → bucket 3
+      (4L, (1 to 8).map("w" + _).mkString(" "), "s1"), // n=8 → bin(9)=1001 → bucket 3
+      (5L, (1 to 15).map("w" + _).mkString(" "), "s2") // n=15 → bucket 4
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.lengthHistogram(planted)
+      .select("source", "bucket", "n_docs", "sum_tokens", "min_tokens", "max_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(out(("s1", 1L)) == ((1L, 1L, 1L, 1L)))
+    assert(out(("s1", 2L)) == ((1L, 3L, 3L, 3L)))
+    assert(out(("s1", 3L)) == ((2L, 15L, 7L, 8L)), "7 and 8 share bucket [7,15)")
+    assert(out(("s2", 4L)) == ((1L, 15L, 15L, 15L)))
+    assert(out.keySet.map(_._2).max == 4L)
+  }
+
+  test("embedPcaWhiten: whitened projections have ~unit variance per retained component") {
+    import graft.ops.PretrainOps
+    val comps = PretrainOps.pcaTrain(emb, k = 2)
+    assert(comps.forall(_.eigenvalue > 0))
+    val rows = PretrainOps.embedPcaWhiten(emb, comps)
+      .select("scores").as[Seq[Double]].collect()
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    for (k <- 0 until 2) {
+      val v = variance(rows.map(_(k)).toSeq)
+      assert(math.abs(v - 1.0) < 0.05, s"component $k whitened variance $v")
+    }
+    // dead components are rejected, not divided by ~0
+    val dead = comps.head.copy(eigenvalue = 0.0)
+    intercept[IllegalArgumentException] {
+      PretrainOps.embedPcaWhiten(emb, Seq(dead))
+    }
+  }
+
   test("pcaTrain components drive the projection end-to-end on the embeddings table") {
     import graft.ops.PretrainOps
     val comps = PretrainOps.pcaTrain(emb, k = 2)
