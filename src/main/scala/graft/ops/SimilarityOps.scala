@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.graftext.ArrayFunctions.dot_product
@@ -200,20 +200,36 @@ object SimilarityOps {
     * [[ivfTrain]]'s output to search against a LEARNED quantizer (the
     * trained centroids are unit-norm, so max-dot ≡ max-cosine assignment).
     */
-  def annIvfProbe(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
-    val e = withNorm(emb)
+  /** Centroid assignment shared by the probe search and the index
+    * build: unit-norm vectors plus their per-centroid dots and argmax
+    * list id — a narrow map, centroids ride as plan literals.
+    */
+  private def assigned(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame =
+    withNorm(emb)
       .withColumn("dots", centDotsOf(centroids, col("emb_d")))
       .withColumn("centroid", array_position(col("dots"), array_max(col("dots"))) - 1)
-    val q = e.filter(col("vec_id") < NQueries)
+
+  /** The fixed query side: each query's best + second-best list, one
+    * probe row per list.
+    */
+  private def probeQueries(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NQueries)
       .withColumn("second",
         array_position(col("dots"),
           array_max(array_remove(col("dots"), array_max(col("dots"))))) - 1)
       .select(col("vec_id").as("query_id"), col("emb_d").as("eq"), col("norm").as("nq"),
         explode(array(col("centroid"), col("second"))).as("probe"))
-    val scored = e.join(broadcast(q),
+
+  /** Probe-join + exact-cosine rerank over any inverted-list frame
+    * carrying (vec_id, emb_d, norm, centroid) — shared by the in-memory
+    * and the disk-indexed search so the two can never diverge.
+    */
+  private def rankProbed(lists: DataFrame, q: DataFrame): DataFrame = {
+    val scored = lists.join(broadcast(q),
         col("centroid") === col("probe") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("centroid"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("centroid").cast("long").as("centroid"),
         cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -221,6 +237,41 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "centroid", "rank", "cos_sim")
   }
+
+  def annIvfProbe(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val e = assigned(emb, centroids)
+    rankProbed(e, probeQueries(e))
+  }
+
+  /** Persist the IVF inverted lists as a parquet dataset PARTITIONED BY
+    * list id — the serving layout the probe trade needs at 100 TB: a
+    * query touching nProbe of K lists should READ nProbe/K of the index,
+    * and with `centroid` as a physical partition column that selection
+    * happens at the file index (directories never opened), not as a
+    * filter over a full scan. Pay one assignment pass at index-build
+    * time; every subsequent probe query prunes.
+    */
+  def writeIvfIndex(emb: DataFrame, dir: String,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): Unit =
+    assigned(emb, centroids)
+      .select(col("vec_id"), col("emb_d"), col("norm"), col("centroid"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid").parquet(dir)
+
+  /** Search a persisted [[writeIvfIndex]] index. The probe join is on
+    * the PARTITION column, so Spark's dynamic partition pruning turns
+    * the broadcast query side into a partition filter: only the probed
+    * list directories are read (spec-asserted via the scan's
+    * `dynamicpruning` partition filter). Results are identical to the
+    * in-memory [[annIvfProbe]] over the same vectors+centroids — both
+    * run [[rankProbed]]; parquet round-trips doubles exactly.
+    */
+  def annIvfProbeIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    rankProbed(spark.read.parquet(indexDir),
+      probeQueries(assigned(queries, centroids)))
 
   /** One Lloyd iteration of the IVF coarse quantizer: assign every vector
     * to its max-dot centroid, then emit the new centroid means per

@@ -588,6 +588,29 @@ class TrainingOpsSpec extends SparkSuite {
     } finally { res.unpersist(); () }
   }
 
+  test("IVF index: partitioned inverted lists serve probes with dynamic partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    SimilarityOps.writeIvfIndex(emb, dir)
+    // layout: one directory per inverted list
+    val parts = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("centroid=")).toSet
+    assert(parts.nonEmpty && parts.size <= SimilarityOps.IvfCentroids)
+
+    val out = SimilarityOps.annIvfProbeIndexed(spark, dir, emb)
+    val got = out.select("query_id", "neighbor_id", "centroid", "rank", "cos_sim")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val base = SimilarityOps.annIvfProbe(emb)
+      .select("query_id", "neighbor_id", "centroid", "rank", "cos_sim")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == base, "indexed search must equal the in-memory search")
+
+    // the probe join is on the PARTITION column: the scan must carry a
+    // dynamic-pruning partition filter (only probed lists are read)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"index scan must prune partitions dynamically:\n$plan")
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
