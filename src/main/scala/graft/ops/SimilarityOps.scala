@@ -252,10 +252,18 @@ object SimilarityOps {
     * filter over a full scan. Pay one assignment pass at index-build
     * time; every subsequent probe query prunes.
     */
-  def writeIvfIndex(emb: DataFrame, dir: String,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): Unit =
+  /** The index row shape [[writeIvfIndex]] persists — public so the
+    * streaming appender ([[graft.stream.IndexStream]]) writes the SAME
+    * rows through the exactly-once file sink.
+    */
+  def ivfIndexRows(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
     assigned(emb, centroids)
       .select(col("vec_id"), col("emb_d"), col("norm"), col("centroid"))
+
+  def writeIvfIndex(emb: DataFrame, dir: String,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): Unit =
+    ivfIndexRows(emb, centroids)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("centroid").parquet(dir)
 

@@ -1,0 +1,57 @@
+package graft.stream
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.SimilarityOps
+
+/** Streaming IVF index maintenance: embedding batches arrive as files and
+  * are assigned + APPENDED to a [[SimilarityOps.writeIvfIndex]]-layout
+  * index — the ingestion half of an always-current ANN serving path
+  * (daily crawl embeds in, probe queries read the same directory).
+  *
+  * The sink is Spark's native file sink, deliberately: it commits each
+  * micro-batch through the `_spark_metadata` log, so a replayed batch
+  * (crash between write and commit) REPLACES its files instead of
+  * double-appending — exactly-once file output without any per-batch
+  * directory dance — and it supports `partitionBy`, so the appended
+  * files land under the same `centroid=<list>` directories the batch
+  * writer uses. A reader going through `spark.read.parquet(indexDir)`
+  * honors the metadata log, and [[SimilarityOps.annIvfProbeIndexed]]'s
+  * dynamic partition pruning works unchanged over the growing index.
+  *
+  * The centroids are FROZEN at stream start (plan literals, the
+  * [[SimilarityOps.ivfTrain]] output): an IVF index's lists are defined
+  * by its quantizer, so retraining means rebuilding the index — at scale
+  * that is a scheduled batch job producing a NEW index directory, never
+  * an in-place mutation under live readers.
+  */
+object IndexStream {
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  def run(spark: SparkSession, embDir: String, indexDir: String,
+      checkpointDir: String,
+      centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val batches = spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(embDir)
+    SimilarityOps.ivfIndexRows(batches, centroids)
+      .writeStream
+      .queryName(s"graft-ivf-index-stream-${QueryNames.suffix(checkpointDir)}")
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("centroid")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+import graft.stream.IndexStream
+
+/** Streaming IVF index maintenance: exactly-once appends into the
+  * partitioned serving layout, converging to the batch-built index.
+  */
+class IndexStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("streamed index equals batch index; probe search served from it, pruned") {
+    val embDir = Files.createTempDirectory("ix-emb").toString
+    val indexDir = Files.createTempDirectory("ix-idx").toString
+    val ckpt = Files.createTempDirectory("ix-ckpt").toString
+
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    half.coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    val q1 = IndexStream.run(spark, embDir, indexDir, ckpt)
+    awaitDone(q1)
+
+    // restart: the file-sink metadata log must carry over, no double-appends
+    rest.coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    val q2 = IndexStream.run(spark, embDir, indexDir, ckpt)
+    awaitDone(q2)
+
+    // the streamed index holds exactly the full vector set, once each
+    val ids = spark.read.parquet(indexDir).select("vec_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "replay must never double-append")
+    assert(ids.toSet == emb.select("vec_id").as[Long].collect().toSet)
+
+    // and serves the probe search identically to the batch-built index
+    val got = SimilarityOps.annIvfProbeIndexed(spark, indexDir, emb)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = SimilarityOps.annIvfProbe(emb)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == base)
+  }
+}
