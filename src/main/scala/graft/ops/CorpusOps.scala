@@ -80,21 +80,24 @@ object CorpusOps {
     * never joins, never shuffles.
     */
   def filterReasons(docs: DataFrame): DataFrame = {
-    val (gated, reps, nearDupLosers) = cleanStages(docs)
+    val (_, reps, nearDupLosers) = cleanStages(docs)
     val contaminated = PretrainOps.decontaminate(docs, PretrainOps.DecontamGramProd)
       .select("doc_id").distinct()
     val (_, quality) = TextOps.qualityCols(col("text"))
     val flagged = docs.select(col("doc_id"),
       (quality < QualityThreshold).as("fail_quality"),
       (!TextOps.detectLang(col("text")).isin(AcceptedLangs: _*)).as("fail_lang"))
+    // gated membership is definitionally !fail_quality && !fail_lang —
+    // already in hand, so no join against the gated frame (that would
+    // re-evaluate both gates over the corpus a second time and add a
+    // corpus-wide doc_id join for a fact this row states itself)
     flagged
-      .join(gated.select(col("doc_id"), lit(true).as("in_gated")), Seq("doc_id"), "left")
       .join(reps.withColumn("is_rep", lit(true)), Seq("doc_id"), "left")
       .join(nearDupLosers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(contaminated.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("fail_quality"), col("fail_lang"),
-        (coalesce(col("in_gated"), lit(false)) && !coalesce(col("is_rep"), lit(false)))
-          .as("dup_exact"),
+        (!col("fail_quality") && !col("fail_lang") &&
+          !coalesce(col("is_rep"), lit(false))).as("dup_exact"),
         coalesce(col("is_loser"), lit(false)).as("dup_near"),
         coalesce(col("is_contam"), lit(false)).as("contaminated"))
       .withColumn("keep", !(col("fail_quality") || col("fail_lang") ||
@@ -298,12 +301,13 @@ object CorpusOps {
        |    q.quality < $QualityThreshold AS fail_quality,
        |    l.detected_lang NOT IN (${AcceptedLangs.map(x => s"'$x'").mkString(", ")})
        |      AS fail_lang,
-       |    (g.doc_id IS NOT NULL AND r.doc_id IS NULL) AS dup_exact,
+       |    (q.quality >= $QualityThreshold
+       |      AND l.detected_lang IN (${AcceptedLangs.map(x => s"'$x'").mkString(", ")})
+       |      AND r.doc_id IS NULL) AS dup_exact,
        |    lo.doc_id IS NOT NULL AS dup_near,
        |    c.doc_id IS NOT NULL AS contaminated
        |  FROM q
        |  JOIN l ON l.doc_id = q.doc_id
-       |  LEFT JOIN (SELECT doc_id FROM gated_docs) g ON g.doc_id = q.doc_id
        |  LEFT JOIN reps r ON r.doc_id = q.doc_id
        |  LEFT JOIN losers lo ON lo.doc_id = q.doc_id
        |  LEFT JOIN contam c ON c.doc_id = q.doc_id)""".stripMargin

@@ -963,7 +963,10 @@ object PretrainOps {
     val g = fanout(docs).select(col("doc_id"), col("source"),
       decontamGrams(gramWidth).as("gs"))
     // gs is sorted_distinct, so n_grams is the doc's DISTINCT gram count
-    // and leakage = n_leaked/n_grams is bounded in [0, 1]
+    // and leakage = n_leaked/n_grams is bounded in [0, 1]. The division
+    // is safe under ANSI: the shingle kernel emits max(n-w+1, 1) grams
+    // (HashKernels.wordShingle) and tokens('') = [''], so n_grams >= 1
+    // for EVERY doc, benchmark items shorter than the gram width included
     val benchDocs = g.filter(col("source") === BenchmarkSource)
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"), col("gs"))
     val bench = benchDocs
@@ -1037,9 +1040,7 @@ object PretrainOps {
       .select(col("source"),
         sqrt(col("tmin").cast("double") / col("src_tokens").cast("double"))
           .as("keep_rate"))
-    val bucket = pmod(
-      tokenHash(concat(lit("temp:"), col("doc_id").cast("string"))), lit(MixBuckets))
-    fanout(docs).select(col("doc_id"), col("source"), bucket.as("bucket"))
+    fanout(docs).select(col("doc_id"), col("source"), mixBucket("temp:").as("bucket"))
       .join(broadcast(rates), "source")
       .filter(col("bucket") < col("keep_rate") * lit(MixBuckets.toDouble))
       .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
@@ -1180,10 +1181,14 @@ object PretrainOps {
     val y = full.groupBy(col("dim_i").as("dim"))
       .agg(sum("cov_micro").as("y_micro"))
     val norm = y.agg(sum(col("y_micro") * col("y_micro")).as("nsq"))
+    // nsq = 0 (every covariance entry micro-quantizes to zero — constant
+    // or all-zero embeddings) must yield a zero component, not an ANSI
+    // divide-by-zero job kill / engine-divergent NaN
     y.crossJoin(broadcast(norm))
       .select(col("dim"), col("y_micro"),
-        (col("y_micro").cast("double") / sqrt(col("nsq").cast("double")))
-          .as("component"))
+        when(col("nsq") > 0L,
+          col("y_micro").cast("double") / sqrt(col("nsq").cast("double")))
+          .otherwise(lit(0.0)).as("component"))
   }
 
   /** Oracle twin of [[embedPcaPowerIter]]. `cm` is referenced by both
@@ -1204,7 +1209,9 @@ object PretrainOps {
        |  SELECT dim_i AS dim, CAST(sum(cov_micro) AS BIGINT) AS y_micro
        |  FROM full_m GROUP BY dim_i),
        |n AS (SELECT CAST(sum(y_micro * y_micro) AS BIGINT) AS nsq FROM y)
-       |SELECT dim, y_micro, CAST(y_micro AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE)) AS component
+       |SELECT dim, y_micro,
+       |  CASE WHEN nsq > 0 THEN CAST(y_micro AS DOUBLE) / sqrt(CAST(nsq AS DOUBLE))
+       |    ELSE 0.0 END AS component
        |FROM y, n""".stripMargin
 
   /** One learned principal component: 0-based rank (0 = top), its
@@ -1575,9 +1582,12 @@ object PretrainOps {
           .as("keep_rate"))
   }
 
-  /** Deterministic md5-bucket of a doc id in [0, [[MixBuckets]]). */
-  private[graft] def mixBucket: Column = pmod(
-    tokenHash(concat(lit("mix:"), col("doc_id").cast("string"))), lit(MixBuckets))
+  /** Deterministic md5-bucket of a doc id in [0, [[MixBuckets]]) — the
+    * salt prefix decorrelates independent sampling decisions over the
+    * same ids ("mix:" for mixture, "temp:" for temperature).
+    */
+  private[graft] def mixBucket(prefix: String = "mix:"): Column = pmod(
+    tokenHash(concat(lit(prefix), col("doc_id").cast("string"))), lit(MixBuckets))
 
   /** Per-source (source, src_tokens) whitespace-token totals. */
   private[graft] def mixTokenTotals(docs: DataFrame): DataFrame = docs
@@ -1586,9 +1596,9 @@ object PretrainOps {
 
   def sampleMixture(docs: DataFrame): DataFrame = {
     val rates = mixtureRates(mixTokenTotals(docs))
-    fanout(docs).select(col("doc_id"), col("source"), mixBucket.as("bucket"))
+    fanout(docs).select(col("doc_id"), col("source"), mixBucket().as("bucket"))
       .join(broadcast(rates), "source")
-      .filter(col("bucket") < col("keep_rate") * lit(1000000.0))
+      .filter(col("bucket") < col("keep_rate") * lit(MixBuckets.toDouble))
       .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
         (lit(1.0) / col("keep_rate")).as("weight"))
   }
@@ -1612,7 +1622,7 @@ object PretrainOps {
        |    ${sqlTokenHash("'mix:' || CAST(doc_id AS VARCHAR)")} % $MixBuckets AS bucket
        |  FROM documents) d
        |JOIN rates r USING (source)
-       |WHERE d.bucket < r.keep_rate * 1000000.0""".stripMargin
+       |WHERE d.bucket < r.keep_rate * $MixBuckets.0""".stripMargin
   }
 
   // ------------------------------------------------------ embed_normalize

@@ -217,21 +217,24 @@ object TokenizerOps {
            |${sqlDocCounts(NumMerges)})""".stripMargin)
 
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
-    // Caching alone does NOT flatten the LOGICAL plan: an iteration built
-    // by withColumn on the previous cached frame chains its analysis
-    // lineage through every earlier step down to the corpus plan — fed a
-    // survivor pipeline ([[graft.ops.CorpusOps.corpusToSequencesBpe]]),
-    // each of the 8 iterations re-analyzed that whole tree (~2 s/step of
-    // pure driver time; 7× the query's executor work). The LogicalRDD
-    // rebuild truncates lineage at the cached data, so every iteration's
-    // plan is ONE mergePair over a leaf. (With [[DedupOps
-    // .CheckpointDirConf]] set, materialize's parquet round-trip already
-    // truncates and the rebuild is a harmless no-op wrapper.)
-    def truncated(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
-    var mat = DedupOps.materialize(
+    import org.apache.spark.sql.graftext.CheckpointBlocks
+    // Each step must TRUNCATE the logical plan, not merely cache:
+    // caching truncates execution but every action still re-ANALYZES the
+    // full lineage, and an iteration built by withColumn on the previous
+    // frame chains that lineage through all earlier steps down to the
+    // corpus plan — fed a survivor pipeline ([[graft.ops.CorpusOps
+    // .corpusToSequencesBpe]]), the 8 iterations each re-analyzed the
+    // whole clean/LSH/decontam tree (~2 s/step of pure driver time, 7×
+    // the query's executor work). `truncateIter` is the house mechanism
+    // (the connectedComponents loop): eager localCheckpoint locally, the
+    // durable parquet round-trip under [[DedupOps.CheckpointDirConf]];
+    // both reset analysis to a leaf. Eagerness also means each step is
+    // materialized before its parent's blocks are freed.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def step(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"bpe-$runId", name)
+    var vocab = step(
       wordFreq(docs).withColumn("syms", split(col("word"), "")), "bpe_vocab")
-    var vocab = truncated(mat)
     val merges = Seq.newBuilder[BpeMerge]
     var i = 0
     var done = false
@@ -242,17 +245,17 @@ object TokenizerOps {
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += BpeMerge(a, b, c)
-        val prevMat = mat
-        mat = DedupOps.materialize(
-          vocab.withColumn("syms", mergePair(col("syms"), a, b)), s"bpe_vocab_$i")
-        vocab = truncated(mat)
-        vocab.count() // force the new table before freeing its parent
-        prevMat.unpersist()
-        ()
+        val prev = vocab
+        // alternating names: this round's table is read lazily by the
+        // NEXT round's eager write, which must not clobber it first
+        vocab = step(
+          vocab.withColumn("syms", mergePair(col("syms"), a, b)),
+          s"bpe_vocab_${i % 2}")
+        CheckpointBlocks.unpersist(prev)
       }
       i += 1
     }
-    mat.unpersist()
+    CheckpointBlocks.unpersist(vocab)
     merges.result()
   }
 }

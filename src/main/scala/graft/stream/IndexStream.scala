@@ -39,6 +39,21 @@ object IndexStream {
       checkpointDir: String,
       centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // Refuse to append into a BATCH-written index: the file sink's
+    // _spark_metadata log, once created, becomes the exclusive file
+    // listing for readers — every vector the batch writer put there
+    // would silently vanish from probe results. Loud beats silently
+    // wrong; seed a streamed index through the stream itself (or keep
+    // batch and streamed indexes in separate directories).
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dirPath) && fs.listStatus(dirPath).nonEmpty &&
+        !fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_spark_metadata")))
+      throw new IllegalStateException(
+        s"$indexDir holds non-streamed files (no _spark_metadata): appending " +
+          "a streaming sink here would hide every batch-written vector from " +
+          "readers. Use a fresh directory for the streamed index, or rebuild " +
+          "it through the stream from the start.")
     val batches = spark.readStream
       .schema(embSchema)
       .option("maxFilesPerTrigger", 1)

@@ -181,7 +181,7 @@ object SampleStream {
         val rates = PretrainOps.mixtureRates(
           spark.read.parquet(s"$totalsRoot/b_$batchId"))
         batch.select(col("doc_id"), col("source"),
-            PretrainOps.mixBucket.as("bucket"))
+            PretrainOps.mixBucket().as("bucket"))
           .join(broadcast(rates), "source")
           .select(col("doc_id"), col("source"), col("bucket"), col("keep_rate"),
             (col("bucket") < col("keep_rate") * lit(PretrainOps.MixBuckets.toDouble))

@@ -44,4 +44,16 @@ class IndexStreamSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == base)
   }
+
+  test("appending into a batch-written index refuses loudly (metadata log would hide it)") {
+    val batchDir = Files.createTempDirectory("ix-batch").toString
+    val embDir = Files.createTempDirectory("ix-emb2").toString
+    val ckpt = Files.createTempDirectory("ix-ckpt2").toString
+    SimilarityOps.writeIvfIndex(emb, batchDir)
+    emb.limit(10).write.mode(SaveMode.Append).parquet(embDir)
+    val e = intercept[IllegalStateException] {
+      IndexStream.run(spark, embDir, batchDir, ckpt)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
 }
