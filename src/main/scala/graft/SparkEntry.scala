@@ -220,6 +220,11 @@ object SparkEntry {
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(tbl(s, dir, "documents"))),
     // per-source log2 doc-length histogram — exact bit-length buckets
     "length_histogram" -> ((s, dir) => TextOps.lengthHistogram(tbl(s, dir, "documents"))),
+    // BM25 retrieval of training docs per benchmark item (rational idf,
+    // micro-quantized term sums) — the ES-side ranking, corpus-side
+    "bm25_topk" -> ((s, dir) => TextOps.bm25TopK(tbl(s, dir, "documents"))),
+    // deterministic T5-style span-corruption masks (15% rate, span 3)
+    "span_corruption" -> ((s, dir) => PretrainOps.spanCorruption(tbl(s, dir, "documents"))),
 
     "multimodal_decode" -> ((s, dir) => BinaryOps.multimodalDecode(s, tbl(s, dir, "documents"))),
     "multimodal_resize" -> ((s, dir) => BinaryOps.multimodalResize(s, tbl(s, dir, "documents"))),
@@ -555,6 +560,8 @@ object SparkEntry {
     "text_scrub" -> TextOps.sqlTextScrub,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
+    "bm25_topk" -> TextOps.sqlBm25TopK,
+    "span_corruption" -> PretrainOps.sqlSpanCorruption,
 
     "multimodal_decode" -> BinaryOps.sqlMultimodalDecode,
     "multimodal_resize" -> BinaryOps.sqlMultimodalResize,

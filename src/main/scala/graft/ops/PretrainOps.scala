@@ -940,6 +940,61 @@ object PretrainOps {
        |    (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE)) AS commonness
        |FROM per, tot""".stripMargin
 
+  // ------------------------------------------------------ span_corruption
+
+  /** Denoising-mask window (tokens): one [[SpanLen]]-token span is masked
+    * per full window, realizing rate = SpanLen/SpanWindow = 15%.
+    */
+  val SpanWindow = 20L
+  /** Mean/fixed corrupted-span length (T5 §3.1.4 trains best near 3). */
+  val SpanLen = 3L
+
+  /** Deterministic span-corruption mask generation — the data-side half
+    * of a T5-style denoising objective: per document, the token spans to
+    * replace with sentinels. T5 samples spans i.i.d.; a DATA PIPELINE
+    * wants the same masks on every run, engine and worker (resumable
+    * preprocessing, reproducible ablations), so this uses the
+    * deterministic-hash scheme the sampling ops use: the token stream
+    * splits into fixed [[SpanWindow]]-token windows and each FULL window
+    * masks one [[SpanLen]]-token span at offset
+    * `md5("span:" || doc_id || ":" || window) mod (W − L + 1)` — exactly
+    * the published 15% rate with mean span 3, non-overlapping by
+    * construction, position-uniform within the window. A doc shorter
+    * than one window emits no spans (under-masking only the tail,
+    * bounded by W tokens per doc).
+    *
+    * Scale shape: a narrow generate — tokenize once, per-row window
+    * count, explode bounded by n/W rows per doc. Zero shuffles.
+    */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    val nwin = col("n").divide(lit(SpanWindow)).cast("long")
+    fanout(docs)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("w", explode_outer(when(nwin >= 1L,
+        sequence(lit(0L), nwin - 1)).otherwise(array().cast("array<long>"))))
+      .filter(col("w").isNotNull)
+      .select(col("doc_id"), col("w").as("span_id"),
+        (col("w") * SpanWindow + pmod(
+          tokenHash(concat(lit("span:"), col("doc_id").cast("string"),
+            lit(":"), col("w").cast("string"))),
+          lit(SpanWindow - SpanLen + 1))).as("span_start"),
+        lit(SpanLen).as("span_len"),
+        col("n").as("n_tokens"))
+  }
+
+  def sqlSpanCorruption: String = {
+    val offs = sqlTokenHash(
+      "'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(w AS VARCHAR)")
+    s"""SELECT doc_id, w AS span_id,
+       |  w * $SpanWindow + $offs % ${SpanWindow - SpanLen + 1} AS span_start,
+       |  CAST($SpanLen AS BIGINT) AS span_len, n AS n_tokens
+       |FROM (
+       |  SELECT doc_id, n, unnest(range(0, n // $SpanWindow)) AS w
+       |  FROM (
+       |    SELECT doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+       |    FROM documents))""".stripMargin
+  }
+
   // ---------------------------------------------------- contamination_report
 
   /** The benchmark-side inverse of [[decontaminate]]: one row per

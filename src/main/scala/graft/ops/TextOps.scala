@@ -484,6 +484,119 @@ object TextOps {
        |    chunk_id * $ChunkStride + $ChunkWindow), ' ') AS chunk_text
        |FROM w""".stripMargin
 
+  // ----------------------------------------------------------- bm25_topk
+
+  /** BM25 K (per-query results) and the standard k1/b parameters. */
+  val Bm25TopK = 5
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval of training docs for each held-out benchmark item —
+    * the ranking function the engine's Elasticsearch target runs,
+    * exercised corpus-side: retrieval-based contamination triage (the
+    * ranked sibling of [[graft.ops.PretrainOps.contaminationReport]]'s
+    * exact-overlap counts) and a self-serve relevance check before
+    * shipping an index. Query terms are each benchmark doc's distinct
+    * tokens; scores are Robertson/Spärck-Jones BM25 with the repo's
+    * rational idf `(N − df + 0.5)/(df + 0.5)` ([[tfidfTopK]]'s rule —
+    * log idf would hang parity on libm), and the per-term scores are
+    * micro-quantized to longs BEFORE the per-(query, doc) sum so the
+    * cross-term reduction is partition-order independent. df counts come
+    * from the matched subset, which is exact: every train doc containing
+    * a query term is in it.
+    *
+    * Scale shape: the [[graft.ops.PretrainOps.decontaminate]] asymmetry
+    * — the benchmark term set is broadcast-scale, so the corpus tf table
+    * joins it and ONLY matching rows shuffle (df agg + per-query-doc
+    * sum); the per-query top-K plans as WindowGroupLimit.
+    */
+  def bm25TopK(docs: DataFrame): DataFrame = {
+    import graft.ops.PretrainOps.BenchmarkSource
+    import org.apache.spark.sql.expressions.Window
+    val train = docs.filter(col("source") =!= BenchmarkSource)
+    val toks = graft.ops.DedupOps.fanout(train)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val qterms = docs.filter(col("source") === BenchmarkSource)
+      .select(col("doc_id").as("query_id"),
+        explode_outer(tokens(col("text"))).as("token"))
+      .filter(col("token").isNotNull).distinct()
+    val matched = tf.join(broadcast(qterms), "token")
+    val dfreq = matched.select("token", "doc_id").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(dl, "doc_id").join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+      .withColumn("rel_len",
+        (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double"))
+      .withColumn("term_score",
+        col("idf") * (col("tf").cast("double") * lit(Bm25K1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("rel_len"))))
+      .withColumn("micro",
+        floor(col("term_score") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("micro").as("score_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+  }
+
+  def sqlBm25TopK: String = {
+    import graft.ops.PretrainOps.BenchmarkSource
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS token
+       |  FROM documents WHERE source <> '$BenchmarkSource'),
+       |tf AS MATERIALIZED (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |qterms AS (
+       |  SELECT DISTINCT doc_id AS query_id, token FROM (
+       |    SELECT doc_id, unnest(${sqlTokens("text")}) AS token
+       |    FROM documents WHERE source = '$BenchmarkSource')),
+       |matched AS MATERIALIZED (
+       |  SELECT t.doc_id, t.token, t.tf, q.query_id
+       |  FROM tf t JOIN qterms q USING (token)),
+       |dfreq AS (
+       |  SELECT token, count(*) AS df FROM (
+       |    SELECT DISTINCT token, doc_id FROM matched) GROUP BY token),
+       |scored AS (
+       |  SELECT m.query_id, m.doc_id,
+       |    CAST(sum(CAST(floor(
+       |      ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
+       |        / (CAST(f.df AS DOUBLE) + 0.5))
+       |      * (CAST(m.tf AS DOUBLE) * ${Bm25K1 + 1.0})
+       |      / (CAST(m.tf AS DOUBLE)
+       |        + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B
+       |          * (CAST(d.dl * s.n_docs AS DOUBLE) / CAST(s.sum_dl AS DOUBLE))))
+       |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+       |  FROM matched m
+       |  JOIN dl d ON d.doc_id = m.doc_id
+       |  JOIN dfreq f ON f.token = m.token
+       |  CROSS JOIN stats s
+       |  GROUP BY m.query_id, m.doc_id)
+       |SELECT query_id, doc_id, rank, score_micro,
+       |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+       |FROM (
+       |  SELECT query_id, doc_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $Bm25TopK""".stripMargin
+  }
+
   // ----------------------------------------------------- length_histogram
 
   /** Per-source doc-length distribution as a log₂ histogram — the

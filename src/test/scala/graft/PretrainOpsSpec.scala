@@ -452,6 +452,34 @@ class PretrainOpsSpec extends SparkSuite {
     assert(maxRate > 1.0 - 1e-9, s"binding source keeps (almost) all: $maxRate")
   }
 
+  test("span_corruption: one span per full window, in-window, deterministic, 15% rate") {
+    val planted = Seq(
+      (1L, (1 to 45).map("w" + _).mkString(" ")), // 2 full windows + 5-token tail
+      (2L, (1 to 19).map("w" + _).mkString(" ")), // < one window → no spans
+      (3L, (1 to 40).map("w" + _).mkString(" "))  // exactly 2 windows
+    ).toDF("doc_id", "text")
+    val out = PretrainOps.spanCorruption(planted)
+      .select("doc_id", "span_id", "span_start", "span_len", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(!byDoc.contains(2L), "sub-window doc must emit no spans")
+    assert(byDoc(1L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+    assert(byDoc(3L).map(_._2).sorted.toSeq == Seq(0L, 1L))
+    for ((_, spans) <- byDoc; (_, w, start, len, _) <- spans) {
+      assert(len == PretrainOps.SpanLen)
+      // the span sits fully inside its window → spans never overlap
+      assert(start >= w * PretrainOps.SpanWindow)
+      assert(start + len <= (w + 1) * PretrainOps.SpanWindow)
+    }
+    // deterministic: a second run emits identical masks
+    val again = PretrainOps.spanCorruption(planted)
+      .select("doc_id", "span_id", "span_start", "span_len", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSet == again.toSet)
+    // realized rate on full windows = SpanLen/SpanWindow = 15%
+    assert(byDoc(3L).map(_._4).sum.toDouble / 40 == 0.15)
+  }
+
   test("contamination_report: per-benchmark-item leakage, zero-leak items present with zeros") {
     val leaked = "alpha beta gamma delta epsilon zeta eta theta" // 8 words = one 8-gram
     val clean = "uno dos tres cuatro cinco seis siete ocho"

@@ -766,6 +766,29 @@ class TrainingOpsSpec extends SparkSuite {
       s"projection must not join:\n$plan")
   }
 
+  test("bm25_topk: quoting doc outranks topical doc; common terms discounted; K bound holds") {
+    import graft.ops.PretrainOps
+    val rare = "zymurgy quetzal fjord syzygy"
+    val planted = Seq(
+      (90L, s"$rare benchmark question", PretrainOps.BenchmarkSource),
+      (1L, s"$rare appears verbatim in this training doc", "src1"), // quotes the rare terms
+      (2L, "benchmark benchmark benchmark question question filler", "src2"), // common-ish terms only
+      (3L, "entirely unrelated training content here", "src3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.bm25TopK(planted)
+      .select("query_id", "doc_id", "rank", "score_micro")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.forall(_._1 == 90L))
+    assert(out.length <= TextOps.Bm25TopK)
+    val byRank = out.sortBy(_._3)
+    // doc 1 matches 4 rare terms (df=1 each) → top; doc 3 matches nothing
+    assert(byRank.head._2 == 1L, s"got ${byRank.toSeq}")
+    assert(!out.exists(_._2 == 3L), "no shared term → not retrieved")
+    assert(out.exists(_._2 == 2L), "shared common terms still retrieved, below")
+    // scores strictly ordered with ranks
+    assert(byRank.map(_._4).toSeq == byRank.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("length_histogram: exact bit-length buckets, power-of-two boundaries land right") {
     val planted = Seq(
       (1L, "", "s1"),                                // tokens('') = [''] → n=1 → bucket 1
