@@ -633,4 +633,54 @@ object TextOps {
        |  SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
        |  FROM documents)
        |GROUP BY source, bucket""".stripMargin
+
+  // ------------------------------------------------- quality_linear_score
+
+  /** Hashed-feature dimensionality for the linear quality classifier. */
+  val LinearBuckets = 1024L
+  /** Weight range: micro-units in [−1000, 1000] per feature. */
+  val LinearWeightMod = 2001L
+
+  /** Classifier-based quality filtering — the model-scored rung above the
+    * heuristic ladder ([[qualityScore]] → gopher gates → n-gram fluency):
+    * a fastText-style linear model over hashed bag-of-words features,
+    * the shape of CCNet's / LLaMA's wikiref quality classifier. Each
+    * token hashes into one of [[LinearBuckets]] feature buckets; the
+    * document's logit is the integer-micro sum of its tokens' bucket
+    * weights, folded IN-ROW over the token array — so the whole operator
+    * is a zero-shuffle narrow projection that scales with input splits.
+    *
+    * Weights here are a deterministic arithmetic stand-in
+    * (`w(b) = ((b+1)·2654435761 mod 2001) − 1000` micros, shared with
+    * the oracle as pure arithmetic); a TRAINED model slots into the same
+    * plan as a broadcast bucket→weight lookup (vocab-sized, like
+    * [[graft.ops.TokenizerOps]]'s merge table) without changing the
+    * operator's shape. The logit is summed in exact integer micros —
+    * partition order can't perturb it — and `accept` is the logit-sign
+    * gate a filtering pipeline would apply.
+    */
+  def qualityLinearScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val weight = (c: Column) =>
+      ((tokenHash(c) % LinearBuckets + 1L) * 2654435761L) % LinearWeightMod - 1000L
+    docs.select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(transform(toks, weight), lit(0L), (a, x) => a + x)
+          .as("logit_micro"))
+      .withColumn("score", col("logit_micro").cast("double") / lit(1000000.0))
+      .withColumn("accept", col("logit_micro") > 0L)
+  }
+
+  def sqlQualityLinearScore: String = {
+    val w = s"((${sqlTokenHash("t")} % $LinearBuckets + 1) * 2654435761) % $LinearWeightMod - 1000"
+    s"""SELECT doc_id, n_tokens, logit_micro,
+       |  CAST(logit_micro AS DOUBLE) / 1000000.0 AS score,
+       |  logit_micro > 0 AS accept
+       |FROM (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, t -> $w)), (a,x) -> a + x) AS logit_micro
+       |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
+  }
 }

@@ -115,6 +115,34 @@ class TrainingOpsSpec extends SparkSuite {
     assert(out == Set(1L), s"empty doc must be gated out, got $out")
   }
 
+  test("quality_linear_score: hand-computed logit, additive over tokens, sign gate") {
+    // weight of one token, computed via the published formula from its hash
+    def w(tok: String): Long = {
+      val h = Seq(tok).toDF("t").select(TextOps.tokenHash($"t")).as[Long].head()
+      ((h % TextOps.LinearBuckets + 1L) * 2654435761L) % TextOps.LinearWeightMod - 1000L
+    }
+    val planted = Seq((1L, "spark"), (2L, "spark catalyst"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityLinearScore(planted)
+      .select("doc_id", "n_tokens", "logit_micro", "accept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L)._2 == w("spark"), "single-token logit must equal its bucket weight")
+    assert(out(2L)._2 == w("spark") + w("catalyst"), "logit must be additive over tokens")
+    // null text folds like empty text: tokens('') = [''] → one empty token
+    assert(out(3L)._1 == 1L && out(3L)._2 == w(""),
+      "null doc must score as the single-empty-token doc")
+    assert(out.values.forall(v => v._3 == (v._2 > 0L)), "accept must be the logit-sign gate")
+  }
+
+  test("quality_linear_score plans as a zero-shuffle narrow projection") {
+    val plan = TextOps.qualityLinearScore(docs).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("hashpartitioning"),
+      s"in-row logit fold must not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"weights are arithmetic, not a join:\n$plan")
+  }
+
   test("lang_id emits only profiled languages") {
     val langs = TextOps.langId(docs).select("detected_lang")
       .distinct().as[String].collect().toSet
