@@ -16,8 +16,10 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default; read `ts` as raw long nanos (runtime-settable legacy conf).
+  /** events.parquet has shipped as TIMESTAMP(NANOS) — which Spark 4
+    * rejects unless read as raw long nanos via the legacy conf set here —
+    * and as TIMESTAMP(MICROS)/NTZ; CdcOps.normalizeEvents (applied inside
+    * typedMessages) folds both layouts to the long-nanos `ts` contract.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

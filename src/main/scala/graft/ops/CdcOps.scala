@@ -44,7 +44,31 @@ object CdcOps {
     */
   private val tsMicros = expr("ts div 1000")
 
-  def typedMessages(events: DataFrame): DataFrame = {
+  /** `ts` normalization across the physical layouts the harness has
+    * shipped: TIMESTAMP(NANOS) (read as raw long nanos via
+    * spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Everything downstream
+    * keys on long NANOSECONDS; a wall-clock NTZ value is anchored at the
+    * UTC epoch via tz-free timestampdiff — exactly DuckDB's `epoch_us(ts)`
+    * reading of a naive timestamp — so `event_time_us` and the
+    * orders_YYYY_MM routing month stay engine-identical regardless of
+    * which layout (or driver session timezone) is in play. Integer
+    * micros→nanos multiply: exact, and ts stays an int64 epoch.
+    */
+  def normalizeEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    events.schema("ts").dataType match {
+      case LongType => events
+      case TimestampNTZType => events.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
+      case TimestampType => events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected long nanos or a timestamp, got $other")
+    }
+  }
+
+  def typedMessages(rawEvents: DataFrame): DataFrame = {
+    val events = normalizeEvents(rawEvents)
     val msgType = when(col("event_type") === "signup", "INSERT")
       .when(col("event_type") === "purchase", "UPDATE")
       .when(col("event_type") === "error", "DELETE")

@@ -23,6 +23,31 @@ class CdcOpsSpec extends SparkSuite {
     assert(typed.count() < raw) // 'click' events dropped
   }
 
+  test("ts schema drift: long-nanos, TIMESTAMP_NTZ and TIMESTAMP layouts type identically") {
+    // the harness's events table has shipped in different physical layouts
+    // across testdata generations (TIMESTAMP(NANOS)→long via legacy conf,
+    // then TIMESTAMP(MICROS)/NTZ); normalizeEvents must fold every layout
+    // to the same long-nanos contract so typing/routing are layout-blind
+    val base = Seq(
+      (1L, 1706745600000000L, 10L, "purchase", 1.0, "{}"), // 2024-02-01 UTC
+      (2L, 1704067199999999L, 11L, "signup", 2.0, "{}") // 2023-12-31 23:59:59.999999
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+    val asLong = base.withColumn("ts", $"ts_us" * 1000L).drop("ts_us")
+    val asNtz = base.withColumn("ts",
+      expr("timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      .drop("ts_us")
+    val asLtz = base.withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+    val outs = Seq(asLong, asNtz, asLtz).map { df =>
+      CdcOps.typedMessages(df)
+        .select("event_id", "event_time_us", "table_name")
+        .as[(Long, Long, String)].collect().toSet
+    }
+    assert(outs(0) == Set((1L, 1706745600000000L, "orders_2024_02"),
+      (2L, 1704067199999999L, "users")))
+    assert(outs(1) == outs(0), "TIMESTAMP_NTZ layout diverged from long nanos")
+    assert(outs(2) == outs(0), "TIMESTAMP layout diverged from long nanos")
+  }
+
   test("T2 exact routing skips unmapped tables (skip+ack, connector.go:146-152)") {
     val routed = CdcOps.routeExact(typed)
     assert(routed.filter($"table_name" === "audit_log").count() == 0)
