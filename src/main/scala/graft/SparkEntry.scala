@@ -214,6 +214,10 @@ object SparkEntry {
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
     "ivf_train_step" -> ((s, dir) => SimilarityOps.ivfTrainStep(tbl(s, dir, "embeddings"))),
+    // product quantization (Jégou et al. 2011): codes + IVFADC probe + train
+    "pq_encode" -> ((s, dir) => SimilarityOps.pqEncode(tbl(s, dir, "embeddings"))),
+    "ann_ivfpq_probe" -> ((s, dir) => SimilarityOps.annIvfPqProbe(tbl(s, dir, "embeddings"))),
+    "pq_train_step" -> ((s, dir) => SimilarityOps.pqTrainStep(tbl(s, dir, "embeddings"))),
     // recall@K of the approximate ANN paths vs the exact baseline
     "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
@@ -559,6 +563,9 @@ object SparkEntry {
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
     "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,
+    "pq_encode" -> SimilarityOps.sqlPqEncode,
+    "ann_ivfpq_probe" -> SimilarityOps.sqlAnnIvfPqProbe,
+    "pq_train_step" -> SimilarityOps.sqlPqTrainStep,
     "ann_recall" -> SimilarityOps.sqlAnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,

@@ -467,4 +467,205 @@ object SimilarityOps {
        |  FROM e q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $TopK""".stripMargin
+
+  // --------------------------------------------------- product quantization
+
+  /** PQ parameters: the [[Dim]]-dim space splits into [[PqSubspaces]]
+    * contiguous subspaces of [[PqSubDim]] dims, each with its own
+    * [[PqCodes]]-entry codebook. A vector compresses to M small codes
+    * (8 codes of 4 bits here vs 256 bytes of raw floats) and search scores
+    * candidates by per-subspace table LOOKUP (asymmetric distance
+    * computation) instead of a Dim-wide dot — the design of Jégou, Douze
+    * & Schmid 2011, "Product Quantization for Nearest Neighbor Search",
+    * and of FAISS's IndexIVFPQ.
+    *
+    * Codebooks here are fixed deterministic literals shared with the
+    * oracle (the [[centroid]] discipline); at scale they come from
+    * per-subspace k-means over a sample — [[pqTrainStep]] is that step,
+    * and no operator shape changes when the literals are replaced by
+    * trained values.
+    */
+  val PqSubspaces = 8
+  val PqSubDim: Int = Dim / PqSubspaces
+  val PqCodes = 16
+
+  def pqCentroid(m: Int, j: Int): IndexedSeq[Double] =
+    (0 until PqSubDim).map(d =>
+      ((((m * PqCodes + j) * PqSubDim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0)
+
+  /** Codebook flattened `[(m·PqCodes + j)·PqSubDim + d]` — the layout
+    * [[org.apache.spark.sql.graftext.HashKernels.pqDistTables]] reads.
+    */
+  private lazy val pqCodebookFlat: Array[Double] =
+    (0 until PqSubspaces).flatMap(m =>
+      (0 until PqCodes).flatMap(j => pqCentroid(m, j))).toArray
+
+  /** All M distance tables as one array-of-arrays column — a single
+    * codegen'd kernel call ([[org.apache.spark.sql.graftext.PqDistTables]])
+    * with the codebook as a reference object. The declarative expansion
+    * (M·K·subDim literal subtract-square terms) was measured 2-6× slower:
+    * large enough to drop the projection out of whole-stage codegen into
+    * per-node interpreted eval, and the argmin pattern re-evaluated it
+    * per reference. Evaluate this once per row (own projection) and
+    * derive codes via [[pqCodesOf]]. Sum order inside the kernel is
+    * ascending-dim left-assoc — bit-identical to the SQL twin.
+    */
+  private def pqDistsTab(embD: Column): Column =
+    org.apache.spark.sql.graftext.ArrayFunctions.pq_dist_tables(
+      embD, PqSubspaces, PqCodes, PqSubDim, pqCodebookFlat)
+
+  /** argmin codes from a precomputed distance-table column — first
+    * minimum wins ties in both engines (array_position/list_position
+    * return the first match). The lambda binds each subspace's table
+    * once, so the argmin scan costs M·K compares, not M·K distance
+    * recomputations.
+    */
+  private def pqCodesOf(dtab: Column): Column =
+    transform(dtab, d => array_position(d, array_min(d)) - 1)
+
+  private def sqlPqDists(m: Int, embD: String): String =
+    (0 until PqCodes).map { j =>
+      pqCentroid(m, j).zipWithIndex.map { case (c, d) =>
+        val e = s"($embD[${m * PqSubDim + d + 1}] - $c)"
+        s"$e * $e"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+
+  /** PQ code table: one single-pass narrow encode compressing every vector
+    * to its M subspace codes — the code side of an IVFADC index, 32×
+    * smaller than the raw vectors it stands in for. Output exploded
+    * (vec_id, subspace, code) for the oracle.
+    */
+  def pqEncode(emb: DataFrame): DataFrame =
+    withNorm(emb)
+      .select(col("vec_id"), pqDistsTab(col("emb_d")).as("dtab"))
+      .select(col("vec_id"), posexplode(pqCodesOf(col("dtab"))))
+      .toDF("vec_id", "subspace", "code")
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code"))
+
+  def sqlPqEncode: String = {
+    val dists = (0 until PqSubspaces)
+      .map(m => s"${sqlPqDists(m, "emb_d")} AS d$m").mkString(",\n    ")
+    val codes = (0 until PqSubspaces)
+      .map(m => s"CAST(list_position(d$m, list_min(d$m)) - 1 AS BIGINT)")
+      .mkString("[", ", ", "]")
+    s"""SELECT vec_id, CAST(s.i AS BIGINT) AS subspace, codes[s.i + 1] AS code
+       |FROM (
+       |  SELECT vec_id, $codes AS codes
+       |  FROM (SELECT vec_id, $dists
+       |        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d
+       |              FROM embeddings))),
+       |  (SELECT unnest(range($PqSubspaces)) AS i) s""".stripMargin
+  }
+
+  /** IVF+PQ (IVFADC) probe search: candidates live in their IVF list and
+    * carry only their M PQ codes; each query precomputes per-subspace
+    * distance tables to every codebook entry (M×K doubles, in-row BEFORE
+    * the join), probes its nProbe lists through the same centroid
+    * equi-join as [[annIvfProbe]], and scores each candidate as M table
+    * lookups. Two compounding scale wins over the exact probe: the
+    * candidate side shuffles/stores codes (8 longs) instead of 64-double
+    * vectors, and per-pair scoring drops from O(Dim) mults to O(M)
+    * lookups — the trade that makes billion-vector ANN affordable.
+    * Ranking is by approximate distance; the standard refine step (exact
+    * rerank of the few survivors) is [[annTopkBruteForce]]'s shape over
+    * TopK rows and is omitted here to keep the approximation observable.
+    */
+  def annIvfPqProbe(emb: DataFrame): DataFrame = {
+    val a = assigned(emb, defaultCentroids)
+    val cand = a.select(col("vec_id"), col("centroid"),
+        pqDistsTab(col("emb_d")).as("dtab"))
+      .select(col("vec_id"), col("centroid"), pqCodesOf(col("dtab")).as("codes"))
+    val q = probeQueries(a).select(col("query_id"),
+      pqDistsTab(col("eq")).as("qtab"),
+      col("probe"))
+    val adc = (0 until PqSubspaces).map { m =>
+      element_at(element_at(col("qtab"), m + 1),
+        (element_at(col("codes"), m + 1) + lit(1L)).cast("int"))
+    }.reduce(_ + _)
+    val scored = cand.join(broadcast(q),
+        col("centroid") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("centroid").cast("long").as("centroid"), adc.as("approx_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_d2").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "centroid", "rank", "approx_d2")
+  }
+
+  def sqlAnnIvfPqProbe: String = {
+    val qtab = (0 until PqSubspaces).map(m => sqlPqDists(m, "emb_d"))
+      .mkString("[", ", ", "]")
+    val codes = (0 until PqSubspaces).map { m =>
+      val d = sqlPqDists(m, "emb_d")
+      s"CAST(list_position($d, list_min($d)) - 1 AS BIGINT)"
+    }.mkString("[", ", ", "]")
+    val adc = (0 until PqSubspaces)
+      .map(m => s"q.qtab[${m + 1}][e.codes[${m + 1}] + 1]").mkString(" + ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, emb_d, dots,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |e AS (SELECT vec_id, centroid, $codes AS codes FROM e0),
+       |q AS (
+       |  SELECT vec_id AS query_id, $qtab AS qtab, unnest([centroid,
+       |    CAST(list_position(dots, list_max(list_filter(dots, x -> x <> list_max(dots)))) - 1 AS BIGINT)]) AS probe
+       |  FROM e0 WHERE vec_id < $NQueries)
+       |SELECT query_id, neighbor_id, centroid, rank, approx_d2 FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.centroid,
+       |    $adc AS approx_d2,
+       |    CAST(row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY $adc ASC, e.vec_id) AS BIGINT) AS rank
+       |  FROM e JOIN q ON e.centroid = q.probe AND e.vec_id <> q.query_id)
+       |WHERE rank <= $TopK""".stripMargin
+  }
+
+  /** One k-means step of ALL M PQ codebooks in a single pass: each
+    * subvector is assigned to its nearest codebook entry (in-row,
+    * codebooks as plan literals), then ONE (subspace, code, dim)-keyed
+    * map-side-combined agg emits the new per-dimension means + cluster
+    * sizes — [[Dim]] rows per vector, exactly [[ivfTrainStep]]'s shape
+    * generalized per-subspace. Feed the means back as codebooks to
+    * iterate; empty codes keep their seed (driver-side, as in
+    * [[ivfTrain]]).
+    */
+  def pqTrainStep(emb: DataFrame): DataFrame = {
+    val subs = array((0 until PqSubspaces).map(m =>
+      struct(lit(m.toLong).as("subspace"),
+        element_at(col("codes"), m + 1).as("code"),
+        slice(col("emb_d"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
+    withNorm(emb)
+      .select(col("emb_d"), pqDistsTab(col("emb_d")).as("dtab"))
+      .select(col("emb_d"), pqCodesOf(col("dtab")).as("codes"))
+      .select(explode(subs).as("s"))
+      .select(col("s.subspace").as("subspace"), col("s.code").as("code"),
+        posexplode(col("s.sub")))
+      .toDF("subspace", "code", "dim_idx", "v")
+      .groupBy("subspace", "code", "dim_idx")
+      .agg(avg(col("v")).as("mean_val"), count(lit(1)).as("n_vecs"))
+      .select(col("subspace"), col("code"),
+        col("dim_idx").cast("long").as("dim_idx"), col("mean_val"),
+        col("n_vecs"))
+  }
+
+  def sqlPqTrainStep: String = {
+    val dists = (0 until PqSubspaces)
+      .map(m => s"${sqlPqDists(m, "emb_d")} AS d$m").mkString(",\n    ")
+    val pieces = (0 until PqSubspaces).map { m =>
+      s"""SELECT CAST($m AS BIGINT) AS subspace,
+         |  CAST(list_position(d$m, list_min(d$m)) - 1 AS BIGINT) AS code,
+         |  CAST(t.i AS BIGINT) AS dim_idx, emb_d[${m * PqSubDim} + t.i + 1] AS v
+         |FROM b, (SELECT unnest(range($PqSubDim)) AS i) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT vec_id, emb_d, $dists
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d
+       |        FROM embeddings))
+       |SELECT subspace, code, dim_idx, avg(v) AS mean_val, count(*) AS n_vecs
+       |FROM ($pieces)
+       |GROUP BY subspace, code, dim_idx""".stripMargin
+  }
 }

@@ -491,6 +491,20 @@ object TextOps {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
 
+  /** Per-query term budget: each benchmark item queries with its
+    * [[Bm25QueryTerms]] RAREST distinct tokens (lowest df ⇒ highest idf;
+    * ties by token). Benchmark items are whole documents, and whole-doc
+    * queries against a corpus whose vocabulary is far smaller than its
+    * document count degenerate into a docs×queries cross join — every
+    * common term matches nearly every doc while contributing ~zero to the
+    * score (idf ≈ 0). Selecting the max-idf terms is the standard
+    * long-query pruning (the static sibling of WAND/max-score) and bounds
+    * the match fan-out at |queries|·T·df instead of |queries|·|doc terms|
+    * ·df. The truncation is declared semantics, not an approximation
+    * knob: scores are exact BM25 over the selected terms.
+    */
+  val Bm25QueryTerms = 8
+
   /** BM25 retrieval of training docs for each held-out benchmark item —
     * the ranking function the engine's Elasticsearch target runs,
     * exercised corpus-side: retrieval-based contamination triage (the
@@ -520,15 +534,24 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    // exact global df per token: tf rows are distinct (doc, token) pairs
+    // already, so this is one vocab-sized agg over the tf table
+    val dfAll = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val qterms = docs.filter(col("source") === BenchmarkSource)
       .select(col("doc_id").as("query_id"),
         explode_outer(tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull).distinct()
-    val matched = tf.join(broadcast(qterms), "token")
-    val dfreq = matched.select("token", "doc_id").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    // rarest-first term selection (see Bm25QueryTerms): vocab-sized
+    // broadcast + a |queries|·|vocab|-row window — never corpus-scale
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("df").asc, col("token"))
+    val qsel = qterms.join(broadcast(dfAll), "token")
+      .withColumn("trank", row_number().over(wq))
+      .filter(col("trank") <= Bm25QueryTerms)
+      .select("query_id", "token", "df")
+    val matched = tf.join(broadcast(qsel), "token")
     val scored = matched
-      .join(dl, "doc_id").join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
@@ -562,21 +585,27 @@ object TextOps {
        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
        |stats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |dfall AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token),
        |qterms AS (
        |  SELECT DISTINCT doc_id AS query_id, token FROM (
        |    SELECT doc_id, unnest(${sqlTokens("text")}) AS token
        |    FROM documents WHERE source = '$BenchmarkSource')),
+       |qsel AS (
+       |  SELECT query_id, token, df FROM (
+       |    SELECT q.query_id, q.token, f.df,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY f.df ASC, q.token) AS trank
+       |    FROM qterms q JOIN dfall f USING (token))
+       |  WHERE trank <= $Bm25QueryTerms),
        |matched AS MATERIALIZED (
-       |  SELECT t.doc_id, t.token, t.tf, q.query_id
-       |  FROM tf t JOIN qterms q USING (token)),
-       |dfreq AS (
-       |  SELECT token, count(*) AS df FROM (
-       |    SELECT DISTINCT token, doc_id FROM matched) GROUP BY token),
+       |  SELECT t.doc_id, t.token, t.tf, q.query_id, q.df
+       |  FROM tf t JOIN qsel q USING (token)),
        |scored AS (
        |  SELECT m.query_id, m.doc_id,
        |    CAST(sum(CAST(floor(
-       |      ((CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5)
-       |        / (CAST(f.df AS DOUBLE) + 0.5))
+       |      ((CAST(s.n_docs AS DOUBLE) - CAST(m.df AS DOUBLE) + 0.5)
+       |        / (CAST(m.df AS DOUBLE) + 0.5))
        |      * (CAST(m.tf AS DOUBLE) * ${Bm25K1 + 1.0})
        |      / (CAST(m.tf AS DOUBLE)
        |        + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B
@@ -584,7 +613,6 @@ object TextOps {
        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
        |  FROM matched m
        |  JOIN dl d ON d.doc_id = m.doc_id
-       |  JOIN dfreq f ON f.token = m.token
        |  CROSS JOIN stats s
        |  GROUP BY m.query_id, m.doc_id)
        |SELECT query_id, doc_id, rank, score_micro,

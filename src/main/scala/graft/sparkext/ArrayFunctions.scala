@@ -119,6 +119,12 @@ object ArrayFunctions {
   def sorted_distinct(xs: Column): Column =
     ExpressionUtils.column(SortedDistinct(ExpressionUtils.expression(xs)))
 
+  /** Column DSL entry for [[PqDistTables]]. */
+  def pq_dist_tables(emb: Column, subspaces: Int, codes: Int, subDim: Int,
+      codebook: Array[Double]): Column =
+    ExpressionUtils.column(PqDistTables(ExpressionUtils.expression(emb),
+      subspaces, codes, subDim, codebook))
+
   /** Fully-qualified static-call prefix emitted into generated code: the
     * sketch expressions' `doGenCode` all compile to one
     * `HashKernels.<kernel>(...)` call, so the projection stays one fused
@@ -417,5 +423,39 @@ case class RollingWindowHashes(child: Expression, width: Int, mult: Long, mod: L
       xs => s"${ArrayFunctions.Kernels}.rollingWindowHashes($xs, $width, ${mult}L, ${mod}L)")
 
   override protected def withNewChildInternal(c: Expression): RollingWindowHashes =
+    copy(child = c)
+}
+
+/** Native Catalyst expression: the PQ per-subspace distance tables of an
+  * embedding against a fixed codebook — the per-row kernel of the
+  * product-quantization family (encode argmin, query ADC tables). The
+  * declarative form expands to subspaces×codes×subDim literal
+  * subtract-square terms, a projection large enough to fall out of
+  * whole-stage codegen into per-node interpreted eval (measured ~2-6× on
+  * the PQ queries); here the codebook rides as ONE reference object and
+  * the whole table is one fused loop in both codegen and interpreted
+  * modes ([[HashKernels.pqDistTables]] serves both, so they are
+  * bit-identical by construction).
+  */
+case class PqDistTables(child: Expression, subspaces: Int, codes: Int,
+    subDim: Int, codebook: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+  override def prettyName: String = "pq_dist_tables"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.pqDistTables(v.asInstanceOf[ArrayData], codebook,
+      subspaces, codes, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"${ArrayFunctions.Kernels}.pqDistTables($x, $cb, $subspaces, $codes, $subDim)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqDistTables =
     copy(child = c)
 }

@@ -246,4 +246,38 @@ object HashKernels {
     }
     sig
   }
+
+  /** Product-quantization distance tables: for an embedding of
+    * `subspaces × subDim` doubles and a flattened codebook laid out
+    * `cb[(m·codes + j)·subDim + d]`, the M per-subspace arrays of squared
+    * L2 distances to each codebook entry. Per-entry sums accumulate in
+    * ascending-dim order — left-assoc, bit-identical to the SQL twin's
+    * `+` chain — so argmin codes and ADC scores agree with the oracle to
+    * the last ulp.
+    */
+  def pqDistTables(e: ArrayData, cb: Array[Double], subspaces: Int,
+      codes: Int, subDim: Int): ArrayData = {
+    val out = new Array[AnyRef](subspaces)
+    var m = 0
+    while (m < subspaces) {
+      val t = new Array[Double](codes)
+      val ebase = m * subDim
+      var j = 0
+      while (j < codes) {
+        val base = (m * codes + j) * subDim
+        var s = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = e.getDouble(ebase + d) - cb(base + d)
+          s += x * x
+          d += 1
+        }
+        t(j) = s
+        j += 1
+      }
+      out(m) = new GenericArrayData(t)
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
 }

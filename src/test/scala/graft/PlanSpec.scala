@@ -45,6 +45,10 @@ class PlanSpec extends SparkSuite {
     }
     // fanout insurance repartition + the (centroid, dim) agg
     assert(exchanges(q("ivf_train_step")) == 2)
+    // same shape, per-subspace: repartition + the (subspace, code, dim) agg
+    assert(exchanges(q("pq_train_step")) == 2)
+    // encode is the repartition alone — the codes projection is narrow
+    assert(exchanges(q("pq_encode")) == 1)
   }
 
   test("whole-stage codegen actually COMPILES for the big projection chains") {
@@ -172,7 +176,8 @@ class PlanSpec extends SparkSuite {
   }
 
   test("ANN ops broadcast the query side, never cartesian") {
-    for (name <- Seq("ann_topk_bruteforce", "ann_lsh_bucket", "ann_ivf_probe")) {
+    for (name <- Seq("ann_topk_bruteforce", "ann_lsh_bucket", "ann_ivf_probe",
+        "ann_ivfpq_probe")) {
       val ns = nodes(q(name))
       assert(ns.exists(_.isInstanceOf[BroadcastExchangeExec]), s"$name lost its broadcast")
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]), s"$name degraded to cartesian")

@@ -431,6 +431,53 @@ class TrainingOpsSpec extends SparkSuite {
     assert(top == 10L)
   }
 
+  test("PQ encode: one in-range code per (vector, subspace)") {
+    val codes = SimilarityOps.pqEncode(emb).cache()
+    try {
+      assert(codes.count() == emb.count() * SimilarityOps.PqSubspaces)
+      assert(codes.filter($"code" < 0 || $"code" >= SimilarityOps.PqCodes)
+        .count() == 0)
+      assert(codes.groupBy("vec_id", "subspace").count()
+        .filter($"count" =!= 1).count() == 0)
+    } finally { codes.unpersist(); () }
+  }
+
+  test("IVFADC probe: full rank lists ordered by ADC score; score algebra matches by-hand PQ") {
+    val res = SimilarityOps.annIvfPqProbe(emb).cache()
+    try {
+      val perQ = res.groupBy("query_id").agg(
+        count(lit(1)).as("n"), min("rank").as("lo"), max("rank").as("hi"))
+      assert(perQ.filter($"n" =!= SimilarityOps.TopK || $"lo" =!= 1 ||
+        $"hi" =!= SimilarityOps.TopK).count() == 0)
+      // rank order consistent with approximate distance (asc)
+      for ((_, rows) <- res.select("query_id", "rank", "approx_d2")
+          .as[(Long, Long, Double)].collect().groupBy(_._1)) {
+        val byRank = rows.sortBy(_._2).map(_._3)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      }
+      // ADC algebra: approx_d2(q, n) must equal the dist from q's subvector
+      // to the codebook entry n ENCODED to, summed over subspaces
+      val top = res.filter($"rank" === 1).orderBy("query_id").head()
+      val qid = top.getAs[Long]("query_id")
+      val nid = top.getAs[Long]("neighbor_id")
+      val got = top.getAs[Double]("approx_d2")
+      val vecs = emb.filter($"vec_id".isin(qid, nid))
+        .select($"vec_id", $"embedding".cast("array<double>"))
+        .as[(Long, Array[Double])].collect().toMap
+      def d2(v: Array[Double], off: Int, c: IndexedSeq[Double]): Double =
+        (0 until SimilarityOps.PqSubDim)
+          .map(d => { val x = v(off + d) - c(d); x * x }).sum
+      val expect = (0 until SimilarityOps.PqSubspaces).map { m =>
+        val off = m * SimilarityOps.PqSubDim
+        val dists = (0 until SimilarityOps.PqCodes)
+          .map(j => d2(vecs(nid), off, SimilarityOps.pqCentroid(m, j)))
+        val code = dists.indexOf(dists.min)
+        d2(vecs(qid), off, SimilarityOps.pqCentroid(m, code))
+      }.sum
+      assert(math.abs(expect - got) < 1e-9, s"ADC $got vs by-hand $expect")
+    } finally { res.unpersist(); () }
+  }
+
   test("LSH bucket: identical vectors share a bucket; ANN neighbors come from own bucket") {
     val e = SimilarityOps.withNorm(emb)
       .withColumn("bucket", SimilarityOps.lshBucket($"emb_d"))
