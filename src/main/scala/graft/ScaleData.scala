@@ -61,11 +61,17 @@ object ScaleData {
 
     val docs = tbl("documents")
     val docShift = shift(docs, "doc_id")
+    // copy 0 is the IDENTITY copy (unsuffixed sources, unrotated text):
+    // source-literal-keyed queries (BenchmarkSource for bm25/decontam/
+    // contamination) keep their fixed benchmark side while the train
+    // corpus scales — the production scaling shape for those ops. A
+    // suffix on copy 0 made them measure empty inputs at x2/x8.
     unioned(docs, (d, i) => d.select(
       (col("doc_id") + i * docShift).as("doc_id"),
       translate(col("text"), Letters, rotation(i)).as("text"),
       col("lang"),
-      concat(col("source"), lit(s"_c$i")).as("source"),
+      (if (i == 0) col("source")
+       else concat(col("source"), lit(s"_c$i"))).as("source"),
       col("n_chars")))
       .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -510,9 +510,10 @@ object SimilarityOps {
     * derive codes via [[pqCodesOf]]. Sum order inside the kernel is
     * ascending-dim left-assoc — bit-identical to the SQL twin.
     */
-  private def pqDistsTab(embD: Column): Column =
+  private def pqDistsTab(embD: Column,
+      cb: Array[Double] = pqCodebookFlat): Column =
     org.apache.spark.sql.graftext.ArrayFunctions.pq_dist_tables(
-      embD, PqSubspaces, PqCodes, PqSubDim, pqCodebookFlat)
+      embD, PqSubspaces, PqCodes, PqSubDim, cb)
 
   /** argmin codes from a precomputed distance-table column — first
     * minimum wins ties in both engines (array_position/list_position
@@ -572,14 +573,24 @@ object SimilarityOps {
     * rerank of the few survivors) is [[annTopkBruteForce]]'s shape over
     * TopK rows and is omitted here to keep the approximation observable.
     */
-  def annIvfPqProbe(emb: DataFrame): DataFrame = {
-    val a = assigned(emb, defaultCentroids)
-    val cand = a.select(col("vec_id"), col("centroid"),
-        pqDistsTab(col("emb_d")).as("dtab"))
+  /** The PQ-coded candidate rows of an assigned frame: (vec_id, centroid,
+    * codes) — 8 longs standing in for 64 doubles.
+    */
+  private def pqCands(a: DataFrame, cb: Array[Double]): DataFrame =
+    a.select(col("vec_id"), col("centroid"),
+        pqDistsTab(col("emb_d"), cb).as("dtab"))
       .select(col("vec_id"), col("centroid"), pqCodesOf(col("dtab")).as("codes"))
-    val q = probeQueries(a).select(col("query_id"),
-      pqDistsTab(col("eq")).as("qtab"),
-      col("probe"))
+
+  /** The fixed query side with per-subspace ADC tables + probe lists. */
+  private def pqProbeQueries(a: DataFrame, cb: Array[Double]): DataFrame =
+    probeQueries(a).select(col("query_id"),
+      pqDistsTab(col("eq"), cb).as("qtab"), col("probe"))
+
+  /** ADC probe-join + rank over any coded candidate frame carrying
+    * (vec_id, centroid, codes) — shared by the in-memory and the
+    * disk-indexed search so the two can never diverge.
+    */
+  private def rankAdc(cand: DataFrame, q: DataFrame): DataFrame = {
     val adc = (0 until PqSubspaces).map { m =>
       element_at(element_at(col("qtab"), m + 1),
         (element_at(col("codes"), m + 1) + lit(1L)).cast("int"))
@@ -594,6 +605,38 @@ object SimilarityOps {
       .filter(col("rank") <= TopK)
       .select("query_id", "neighbor_id", "centroid", "rank", "approx_d2")
   }
+
+  def annIvfPqProbe(emb: DataFrame): DataFrame = {
+    val a = assigned(emb, defaultCentroids)
+    rankAdc(pqCands(a, pqCodebookFlat), pqProbeQueries(a, pqCodebookFlat))
+  }
+
+  /** Persist the IVFADC serving index: inverted lists partitioned by
+    * centroid (the [[writeIvfIndex]] layout, so probes prune at the file
+    * index via dynamic partition pruning) whose rows carry ONLY the M PQ
+    * codes — the index is ~32× smaller than the exact-vector one, the
+    * compression that lets a billion-vector index live on a few machines.
+    */
+  def writeIvfPqIndex(emb: DataFrame, dir: String,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
+      codebook: Array[Double] = pqCodebookFlat): Unit =
+    pqCands(assigned(emb, centroids), codebook)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid").parquet(dir)
+
+  /** Search a persisted [[writeIvfPqIndex]] index — the probe join is on
+    * the partition column (only probed list directories are read), and
+    * scoring is ADC over the stored codes. Results are identical to the
+    * in-memory [[annIvfPqProbe]] over the same vectors/codebooks — both
+    * run [[rankAdc]], and codes are integers so the parquet round-trip
+    * is trivially exact.
+    */
+  def annIvfPqProbeIndexed(spark: SparkSession, indexDir: String,
+      queries: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
+      codebook: Array[Double] = pqCodebookFlat): DataFrame =
+    rankAdc(spark.read.parquet(indexDir),
+      pqProbeQueries(assigned(queries, centroids), codebook))
 
   def sqlAnnIvfPqProbe: String = {
     val qtab = (0 until PqSubspaces).map(m => sqlPqDists(m, "emb_d"))
@@ -649,6 +692,73 @@ object SimilarityOps {
       .select(col("subspace"), col("code"),
         col("dim_idx").cast("long").as("dim_idx"), col("mean_val"),
         col("n_vecs"))
+  }
+
+  /** Iterative PQ codebook training: Lloyd k-means per subspace, ALL M
+    * subspaces trained in one distributed pass per iteration (the
+    * [[pqTrainStep]] shape: kernel-computed tables → argmin codes → one
+    * (subspace, code, dim)-keyed map-side-combined agg), with only the
+    * M×K×subDim codebook (8 KB) ever reaching the driver — the [[ivfTrain]]
+    * discipline. Per-iteration objective is the mean total quantization
+    * distortion Σₘ min_j d²(x_m, c_mj), counted once per vector via the
+    * (subspace 0, dim 0) guard; Lloyd's alternation makes it
+    * non-increasing, which the spec asserts. Empty codes keep their
+    * previous entry.
+    *
+    * @return (trained flat codebook — [[pqDistsTab]]/[[writeIvfPqIndex]]
+    *         accept it directly, per-iteration mean distortion)
+    */
+  def pqTrain(emb: DataFrame, maxIter: Int = 5, tol: Double = 1e-9)
+      : (Array[Double], Seq[Double]) = {
+    val e = withNorm(emb).select("emb_d").cache()
+    try {
+      var cb = pqCodebookFlat.clone()
+      val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var iter = 0
+      var improving = true
+      while (iter < maxIter && improving) {
+        val subs = array((0 until PqSubspaces).map(m =>
+          struct(lit(m.toLong).as("subspace"),
+            element_at(col("codes"), m + 1).as("code"),
+            slice(col("emb_d"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
+        val stats = e
+          .select(col("emb_d"), pqDistsTab(col("emb_d"), cb).as("dtab"))
+          .select(col("emb_d"), pqCodesOf(col("dtab")).as("codes"),
+            aggregate(transform(col("dtab"), d => array_min(d)),
+              lit(0.0), (a, x) => a + x).as("dist"))
+          .select(col("dist"), explode(subs).as("s"))
+          .select(col("dist"), col("s.subspace").as("subspace"),
+            col("s.code").as("code"), posexplode(col("s.sub")))
+          .toDF("dist", "subspace", "code", "dim_idx", "v")
+          .withColumn("dim_idx", col("dim_idx").cast("long"))
+          .groupBy("subspace", "code", "dim_idx")
+          .agg(sum("v").as("s"), count(lit(1)).as("n"),
+            // each VECTOR's distortion counted once, not once per
+            // (subspace, dim) row
+            sum(when(col("subspace") === 0 && col("dim_idx") === 0,
+              col("dist"))).as("obj"))
+          .collect()
+        val n = stats
+          .filter(r => r.getAs[Long]("subspace") == 0L &&
+            r.getAs[Long]("dim_idx") == 0L)
+          .map(_.getAs[Long]("n")).sum
+        if (n == 0) return (cb, hist.toSeq) // empty input: keep the seed
+        val obj = stats.flatMap(r => Option(r.getAs[java.lang.Double]("obj")))
+          .map(_.doubleValue).sum / n
+        val next = cb.clone()
+        for (r <- stats) {
+          val base = (r.getAs[Long]("subspace").toInt * PqCodes +
+            r.getAs[Long]("code").toInt) * PqSubDim
+          next(base + r.getAs[Long]("dim_idx").toInt) =
+            r.getAs[Double]("s") / r.getAs[Long]("n")
+        }
+        cb = next
+        improving = hist.lastOption.forall(prev => prev - obj > tol)
+        hist += obj
+        iter += 1
+      }
+      (cb, hist.toSeq)
+    } finally { e.unpersist(); () }
   }
 
   def sqlPqTrainStep: String = {

@@ -686,6 +686,42 @@ class TrainingOpsSpec extends SparkSuite {
       s"index scan must prune partitions dynamically:\n$plan")
   }
 
+  test("IVFADC index: PQ-coded partitioned lists serve probes pruned + equal to in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    SimilarityOps.writeIvfPqIndex(emb, dir)
+    // the stored rows are codes, not vectors: no emb_d/norm in the schema
+    val stored = spark.read.parquet(dir)
+    assert(stored.columns.toSet == Set("vec_id", "codes", "centroid"))
+
+    val out = SimilarityOps.annIvfPqProbeIndexed(spark, dir, emb)
+    val got = out.select("query_id", "neighbor_id", "centroid", "rank", "approx_d2")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val base = SimilarityOps.annIvfPqProbe(emb)
+      .select("query_id", "neighbor_id", "centroid", "rank", "approx_d2")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == base, "indexed ADC search must equal the in-memory search")
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"IVFADC scan must prune partitions dynamically:\n$plan")
+  }
+
+  test("pqTrain: mean distortion non-increasing; trained codebook beats the seed") {
+    val (cb, hist) = SimilarityOps.pqTrain(emb, maxIter = 4)
+    assert(hist.nonEmpty)
+    assert(hist.zip(hist.tail).forall { case (a, b) => b <= a + 1e-9 },
+      s"distortion must be non-increasing: $hist")
+    assert(hist.last < hist.head, s"training never improved: $hist")
+    assert(cb.length == SimilarityOps.PqSubspaces * SimilarityOps.PqCodes *
+      SimilarityOps.PqSubDim)
+    // the trained codebook slots into the serving path unchanged
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-trained").toString
+    SimilarityOps.writeIvfPqIndex(emb, dir, codebook = cb)
+    val out = SimilarityOps.annIvfPqProbeIndexed(spark, dir, emb, codebook = cb)
+    assert(out.groupBy("query_id").count().filter($"count" =!= SimilarityOps.TopK)
+      .count() == 0)
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
