@@ -401,6 +401,10 @@ object SimilarityOps {
         .withColumn("method", lit(name))
     recallOf("lsh_bucket", annLshBucket(emb))
       .unionByName(recallOf("ivf_probe", annIvfProbe(emb)))
+      // the PQ leg measures BOTH losses at once: the IVF probe's list
+      // truncation and the ADC quantization error on top of it — the
+      // number that says whether the 32× index compression is safe
+      .unionByName(recallOf("ivfpq_probe", annIvfPqProbe(emb)))
       .select("method", "query_id", "recall")
   }
 
@@ -413,6 +417,9 @@ object SimilarityOps {
        |) t),
        |ivf AS (SELECT query_id, neighbor_id FROM (
        |${sqlAnnIvfProbe}
+       |) t),
+       |ivfpq AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnIvfPqProbe}
        |) t)
        |SELECT 'lsh_bucket' AS method, bf.query_id,
        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
@@ -423,6 +430,12 @@ object SimilarityOps {
        |SELECT 'ivf_probe' AS method, bf.query_id,
        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
        |FROM bf LEFT JOIN ivf a
+       |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+       |GROUP BY bf.query_id
+       |UNION ALL
+       |SELECT 'ivfpq_probe' AS method, bf.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN ivfpq a
        |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
        |GROUP BY bf.query_id""".stripMargin
 
@@ -496,7 +509,7 @@ object SimilarityOps {
   /** Codebook flattened `[(m·PqCodes + j)·PqSubDim + d]` — the layout
     * [[org.apache.spark.sql.graftext.HashKernels.pqDistTables]] reads.
     */
-  private lazy val pqCodebookFlat: Array[Double] =
+  lazy val defaultPqCodebook: Array[Double] =
     (0 until PqSubspaces).flatMap(m =>
       (0 until PqCodes).flatMap(j => pqCentroid(m, j))).toArray
 
@@ -511,7 +524,7 @@ object SimilarityOps {
     * ascending-dim left-assoc — bit-identical to the SQL twin.
     */
   private def pqDistsTab(embD: Column,
-      cb: Array[Double] = pqCodebookFlat): Column =
+      cb: Array[Double] = defaultPqCodebook): Column =
     org.apache.spark.sql.graftext.ArrayFunctions.pq_dist_tables(
       embD, PqSubspaces, PqCodes, PqSubDim, cb)
 
@@ -608,7 +621,7 @@ object SimilarityOps {
 
   def annIvfPqProbe(emb: DataFrame): DataFrame = {
     val a = assigned(emb, defaultCentroids)
-    rankAdc(pqCands(a, pqCodebookFlat), pqProbeQueries(a, pqCodebookFlat))
+    rankAdc(pqCands(a, defaultPqCodebook), pqProbeQueries(a, defaultPqCodebook))
   }
 
   /** Persist the IVFADC serving index: inverted lists partitioned by
@@ -617,10 +630,19 @@ object SimilarityOps {
     * codes — the index is ~32× smaller than the exact-vector one, the
     * compression that lets a billion-vector index live on a few machines.
     */
+  /** The IVFADC index row shape — public so the streaming appender
+    * ([[graft.stream.IndexStream.runPq]]) writes the SAME rows through
+    * the exactly-once file sink.
+    */
+  def ivfPqIndexRows(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
+      codebook: Array[Double] = defaultPqCodebook): DataFrame =
+    pqCands(assigned(emb, centroids), codebook)
+
   def writeIvfPqIndex(emb: DataFrame, dir: String,
       centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
-      codebook: Array[Double] = pqCodebookFlat): Unit =
-    pqCands(assigned(emb, centroids), codebook)
+      codebook: Array[Double] = defaultPqCodebook): Unit =
+    ivfPqIndexRows(emb, centroids, codebook)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("centroid").parquet(dir)
 
@@ -634,7 +656,7 @@ object SimilarityOps {
   def annIvfPqProbeIndexed(spark: SparkSession, indexDir: String,
       queries: DataFrame,
       centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
-      codebook: Array[Double] = pqCodebookFlat): DataFrame =
+      codebook: Array[Double] = defaultPqCodebook): DataFrame =
     rankAdc(spark.read.parquet(indexDir),
       pqProbeQueries(assigned(queries, centroids), codebook))
 
@@ -712,7 +734,7 @@ object SimilarityOps {
       : (Array[Double], Seq[Double]) = {
     val e = withNorm(emb).select("emb_d").cache()
     try {
-      var cb = pqCodebookFlat.clone()
+      var cb = defaultPqCodebook.clone()
       val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
       var iter = 0
       var improving = true

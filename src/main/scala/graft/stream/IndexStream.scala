@@ -35,16 +35,14 @@ object IndexStream {
     StructField("label", IntegerType)
   ))
 
-  def run(spark: SparkSession, embDir: String, indexDir: String,
-      checkpointDir: String,
-      centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    // Refuse to append into a BATCH-written index: the file sink's
-    // _spark_metadata log, once created, becomes the exclusive file
-    // listing for readers — every vector the batch writer put there
-    // would silently vanish from probe results. Loud beats silently
-    // wrong; seed a streamed index through the stream itself (or keep
-    // batch and streamed indexes in separate directories).
+  /** Refuse to append into a BATCH-written index: the file sink's
+    * _spark_metadata log, once created, becomes the exclusive file
+    * listing for readers — every vector the batch writer put there
+    * would silently vanish from probe results. Loud beats silently
+    * wrong; seed a streamed index through the stream itself (or keep
+    * batch and streamed indexes in separate directories).
+    */
+  private def guardStreamedDir(spark: SparkSession, indexDir: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dirPath) && fs.listStatus(dirPath).nonEmpty &&
@@ -54,13 +52,21 @@ object IndexStream {
           "a streaming sink here would hide every batch-written vector from " +
           "readers. Use a fresh directory for the streamed index, or rebuild " +
           "it through the stream from the start.")
+  }
+
+  private def startIndexStream(spark: SparkSession, embDir: String,
+      indexDir: String, checkpointDir: String, queryPrefix: String,
+      trigger: Trigger,
+      rows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : StreamingQuery = {
+    guardStreamedDir(spark, indexDir)
     val batches = spark.readStream
       .schema(embSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(embDir)
-    SimilarityOps.ivfIndexRows(batches, centroids)
+    rows(batches)
       .writeStream
-      .queryName(s"graft-ivf-index-stream-${QueryNames.suffix(checkpointDir)}")
+      .queryName(s"$queryPrefix-${QueryNames.suffix(checkpointDir)}")
       .outputMode("append")
       .format("parquet")
       .partitionBy("centroid")
@@ -69,4 +75,29 @@ object IndexStream {
       .trigger(trigger)
       .start()
   }
+
+  def run(spark: SparkSession, embDir: String, indexDir: String,
+      checkpointDir: String,
+      centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startIndexStream(spark, embDir, indexDir, checkpointDir,
+      "graft-ivf-index-stream", trigger,
+      SimilarityOps.ivfIndexRows(_, centroids))
+
+  /** The IVFADC (PQ-coded) appender: identical exactly-once layout to
+    * [[run]], but the appended rows carry only the M PQ codes — the
+    * streamed index stays ~32× smaller than the exact-vector one and is
+    * served by [[SimilarityOps.annIvfPqProbeIndexed]] unchanged. The
+    * codebook freezes with the centroids at stream start (same rationale:
+    * codes are defined by their codebook; retraining ⇒ a new index
+    * directory, never in-place mutation under live readers).
+    */
+  def runPq(spark: SparkSession, embDir: String, indexDir: String,
+      checkpointDir: String,
+      centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
+      codebook: Array[Double] = SimilarityOps.defaultPqCodebook,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    startIndexStream(spark, embDir, indexDir, checkpointDir,
+      "graft-ivfpq-index-stream", trigger,
+      SimilarityOps.ivfPqIndexRows(_, centroids, codebook))
 }

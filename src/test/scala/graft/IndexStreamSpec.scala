@@ -45,6 +45,34 @@ class IndexStreamSpec extends SparkSuite {
     assert(got == base)
   }
 
+  test("streamed IVFADC index: restart-safe PQ-coded appends, ADC search equals in-memory") {
+    val embDir = Files.createTempDirectory("ixpq-emb").toString
+    val indexDir = Files.createTempDirectory("ixpq-idx").toString
+    val ckpt = Files.createTempDirectory("ixpq-ckpt").toString
+
+    val half = emb.filter($"vec_id" % 2 === 0)
+    val rest = emb.filter($"vec_id" % 2 =!= 0)
+    half.coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(IndexStream.runPq(spark, embDir, indexDir, ckpt))
+    rest.coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(IndexStream.runPq(spark, embDir, indexDir, ckpt))
+
+    // codes only, every vector exactly once
+    val idx = spark.read.parquet(indexDir)
+    assert(idx.columns.toSet == Set("vec_id", "codes", "centroid"))
+    val ids = idx.select("vec_id").as[Long].collect()
+    assert(ids.length == ids.distinct.length, "replay must never double-append")
+    assert(ids.toSet == emb.select("vec_id").as[Long].collect().toSet)
+
+    val got = SimilarityOps.annIvfPqProbeIndexed(spark, indexDir, emb)
+      .select("query_id", "neighbor_id", "rank", "approx_d2")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = SimilarityOps.annIvfPqProbe(emb)
+      .select("query_id", "neighbor_id", "rank", "approx_d2")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == base)
+  }
+
   test("appending into a batch-written index refuses loudly (metadata log would hide it)") {
     val batchDir = Files.createTempDirectory("ix-batch").toString
     val embDir = Files.createTempDirectory("ix-emb2").toString
