@@ -287,6 +287,7 @@ object SparkEntry {
     "sample_reservoir" -> ((s, dir) => PretrainOps.sampleReservoir(tbl(s, dir, "documents"))),
     // α=1/2 temperature-flattened source shares (mT5/XLM-R balancing)
     "sample_temperature" -> ((s, dir) => PretrainOps.sampleTemperature(tbl(s, dir, "documents"))),
+    "epoch_schedule" -> ((s, dir) => PretrainOps.epochSchedule(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
@@ -610,6 +611,7 @@ object SparkEntry {
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
     "sample_temperature" -> PretrainOps.sqlSampleTemperature,
+    "epoch_schedule" -> PretrainOps.sqlEpochSchedule,
     "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
     "dedup_winnow" -> DedupOps.sqlDedupWinnow,
     "vocab_coverage" -> PretrainOps.sqlVocabCoverage,

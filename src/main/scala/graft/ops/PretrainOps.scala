@@ -1122,6 +1122,71 @@ object PretrainOps {
        |JOIN rates r USING (source)
        |WHERE d.bucket < r.keep_rate * $MixBuckets.0""".stripMargin
 
+  // ------------------------------------------------------ epoch_schedule
+
+  /** Training-token budget as a multiple of the corpus: >1 means some
+    * sources repeat (epochs > 1) — the regime of every published
+    * pretraining data card.
+    */
+  val EpochBudgetMultiple = 2L
+
+  /** The per-source EPOCHS column of a pretraining data card (GPT-3
+    * Table 2.2, LLaMA Table 1): given the α=1/2 temperature shares
+    * ([[sampleTemperature]]'s balancing rule, share_s ∝ √tokens_s) and a
+    * token budget of [[EpochBudgetMultiple]]× the corpus, how many passes
+    * over each source the loader makes — `epochs_s = share_s·B / tokens_s`.
+    * Rare sources get epochs > 1 (upweighted, repeated), huge sources < 1
+    * (subsampled); this is the number reviewers check for overfitting
+    * risk on small high-quality sources.
+    *
+    * Parity discipline: √tokens is micro-quantized per source BEFORE the
+    * cross-source denominator sum, so the share is a ratio of exact longs
+    * — the [[QualityMicro]] house rule; every double here derives from
+    * exact integers in one deterministic expression. Scale shape: one
+    * sources-sized agg + a broadcast of one row; nothing corpus-scale
+    * shuffles beyond [[mixTokenTotals]]'s map-side-combined token agg.
+    */
+  def epochSchedule(docs: DataFrame): DataFrame = {
+    val smicro = mixTokenTotals(docs).withColumn("sqrt_micro",
+      floor(sqrt(col("src_tokens").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val tot = smicro.agg(sum("sqrt_micro").as("denom_micro"),
+      sum("src_tokens").as("total_tokens"))
+    smicro.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("sqrt_micro").cast("double") / col("denom_micro").cast("double"))
+      .withColumn("tokens_wanted",
+        col("share") * col("total_tokens").cast("double") *
+          lit(EpochBudgetMultiple.toDouble))
+      .withColumn("epochs", col("tokens_wanted") / col("src_tokens").cast("double"))
+      .select("source", "src_tokens", "share", "tokens_wanted", "epochs")
+  }
+
+  def sqlEpochSchedule: String =
+    s"""WITH st AS (
+       |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS src_tokens
+       |  FROM (
+       |    SELECT source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+       |    FROM documents)
+       |  GROUP BY source),
+       |sm AS (
+       |  SELECT source, src_tokens,
+       |    CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS sqrt_micro
+       |  FROM st),
+       |tot AS (
+       |  SELECT CAST(sum(sqrt_micro) AS BIGINT) AS denom_micro,
+       |    CAST(sum(src_tokens) AS BIGINT) AS total_tokens
+       |  FROM sm)
+       |SELECT source, src_tokens,
+       |  CAST(sqrt_micro AS DOUBLE) / CAST(denom_micro AS DOUBLE) AS share,
+       |  (CAST(sqrt_micro AS DOUBLE) / CAST(denom_micro AS DOUBLE))
+       |    * CAST(total_tokens AS DOUBLE) * $EpochBudgetMultiple.0 AS tokens_wanted,
+       |  (CAST(sqrt_micro AS DOUBLE) / CAST(denom_micro AS DOUBLE))
+       |    * CAST(total_tokens AS DOUBLE) * $EpochBudgetMultiple.0
+       |    / CAST(src_tokens AS DOUBLE) AS epochs
+       |FROM sm CROSS JOIN tot""".stripMargin
+
   // ------------------------------------------------- embed_covariance
 
   /** Corpus embedding covariance — the D×D input every PCA / whitening /
