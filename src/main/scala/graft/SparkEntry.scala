@@ -217,6 +217,7 @@ object SparkEntry {
     // product quantization (Jégou et al. 2011): codes + IVFADC probe + train
     "pq_encode" -> ((s, dir) => SimilarityOps.pqEncode(tbl(s, dir, "embeddings"))),
     "ann_ivfpq_probe" -> ((s, dir) => SimilarityOps.annIvfPqProbe(tbl(s, dir, "embeddings"))),
+    "ann_ivfpq_refine" -> ((s, dir) => SimilarityOps.annIvfPqRefine(tbl(s, dir, "embeddings"))),
     "pq_train_step" -> ((s, dir) => SimilarityOps.pqTrainStep(tbl(s, dir, "embeddings"))),
     // recall@K of the approximate ANN paths vs the exact baseline
     "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(tbl(s, dir, "embeddings"))),
@@ -566,6 +567,7 @@ object SparkEntry {
     "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,
     "pq_encode" -> SimilarityOps.sqlPqEncode,
     "ann_ivfpq_probe" -> SimilarityOps.sqlAnnIvfPqProbe,
+    "ann_ivfpq_refine" -> SimilarityOps.sqlAnnIvfPqRefine,
     "pq_train_step" -> SimilarityOps.sqlPqTrainStep,
     "ann_recall" -> SimilarityOps.sqlAnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,

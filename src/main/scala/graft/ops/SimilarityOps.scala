@@ -688,6 +688,46 @@ object SimilarityOps {
        |WHERE rank <= $TopK""".stripMargin
   }
 
+  /** The refine step that completes the IVFADC pipeline: exact-cosine
+    * rerank of the ADC survivors. [[annIvfPqProbe]] ranks by approximate
+    * quantized distance; production IVFADC follows it with an exact
+    * rerank of the few survivors — fetch true vectors for |Q|·K ids (the
+    * survivor set broadcasts; the vector table is scanned once, never
+    * shuffled) and reorder by exact cosine. Output is the SAME K
+    * neighbors per query, re-ranked — making the ADC approximation's
+    * ordering error observable and correctable at the cost of K exact
+    * distance evaluations per query instead of a corpus-wide scan.
+    */
+  def annIvfPqRefine(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    val survivors = annIvfPqProbe(emb).select("query_id", "neighbor_id")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("eq"),
+        col("norm").as("nq"))
+    val exact = e.join(broadcast(survivors), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  def sqlAnnIvfPqRefine: String =
+    s"""WITH e AS (${sqlWithNorm("embeddings")}),
+       |adc AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnIvfPqProbe}
+       |) t)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT a.query_id, a.neighbor_id,
+       |    ${sqlCosine("q.emb_d", "q.norm", "n.emb_d", "n.norm")} AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY a.query_id
+       |      ORDER BY ${sqlCosine("q.emb_d", "q.norm", "n.emb_d", "n.norm")} DESC, a.neighbor_id) AS BIGINT) AS rank
+       |  FROM adc a
+       |  JOIN e n ON n.vec_id = a.neighbor_id
+       |  JOIN e q ON q.vec_id = a.query_id)""".stripMargin
+
   /** One k-means step of ALL M PQ codebooks in a single pass: each
     * subvector is assigned to its nearest codebook entry (in-row,
     * codebooks as plan literals), then ONE (subspace, code, dim)-keyed

@@ -706,6 +706,22 @@ class TrainingOpsSpec extends SparkSuite {
       s"IVFADC scan must prune partitions dynamically:\n$plan")
   }
 
+  test("IVFADC refine: same survivor set, reordered by exact cosine") {
+    val adc = SimilarityOps.annIvfPqProbe(emb)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ref = SimilarityOps.annIvfPqRefine(emb).cache()
+    try {
+      assert(ref.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().toSet == adc, "refine must keep exactly the ADC survivors")
+      // exact cosine is non-increasing down each refined rank list
+      for ((_, rows) <- ref.select("query_id", "rank", "cos_sim")
+          .as[(Long, Long, Double)].collect().groupBy(_._1)) {
+        val byRank = rows.sortBy(_._2).map(_._3)
+        assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      }
+    } finally { ref.unpersist(); () }
+  }
+
   test("pqTrain: mean distortion non-increasing; trained codebook beats the seed") {
     val (cb, hist) = SimilarityOps.pqTrain(emb, maxIter = 4)
     assert(hist.nonEmpty)
