@@ -94,7 +94,16 @@ object GraftExtensions {
         longArg(a(3), "rolling_window_hashes"))
     }),
     "sorted_distinct" -> (args =>
-      SortedDistinct(arity(args, 1, "sorted_distinct", "longArr")(0)))
+      SortedDistinct(arity(args, 1, "sorted_distinct", "longArr")(0))),
+    // the default (oracle-shared) codebook: an arbitrary codebook is a
+    // kilobyte of doubles — not a SQL-literal shape; spark.sql users who
+    // train their own go through the Column DSL
+    "pq_dist_tables" -> (args =>
+      PqDistTables(arity(args, 1, "pq_dist_tables", "doubleArr")(0),
+        graft.ops.SimilarityOps.PqSubspaces,
+        graft.ops.SimilarityOps.PqCodes,
+        graft.ops.SimilarityOps.PqSubDim,
+        graft.ops.SimilarityOps.defaultPqCodebook))
   )
 
   /** Post-hoc registration on a live session (guide-style temp functions). */

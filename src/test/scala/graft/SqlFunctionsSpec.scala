@@ -28,6 +28,23 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(row.getSeq[Long](5) == Seq(1L, 2L, 5L))
   }
 
+  test("SQL pq_dist_tables: default codebook, agrees with the kernel directly") {
+    GraftExtensions.register(spark)
+    val emb = (1 to graft.ops.SimilarityOps.Dim).map(i => i / 64.0)
+    val sqlArr = emb.map(d => s"${d}D").mkString("array(", ", ", ")")
+    val got = spark.sql(s"SELECT pq_dist_tables($sqlArr) AS t").head()
+      .getSeq[scala.collection.Seq[Double]](0)
+    assert(got.length == graft.ops.SimilarityOps.PqSubspaces)
+    assert(got.forall(_.length == graft.ops.SimilarityOps.PqCodes))
+    // spot-check subspace 0 against the codebook arithmetic
+    val expect0 = (0 until graft.ops.SimilarityOps.PqCodes).map { j =>
+      val c = graft.ops.SimilarityOps.pqCentroid(0, j)
+      (0 until graft.ops.SimilarityOps.PqSubDim)
+        .map(d => { val x = emb(d) - c(d); x * x }).sum
+    }
+    got.head.zip(expect0).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
   test("SQL md5_prefix_hashes agrees with the DSL tokenHash") {
     GraftExtensions.register(spark)
     val viaSql = spark.sql("SELECT md5_prefix_hashes(array('spark'))")
