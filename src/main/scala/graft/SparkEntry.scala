@@ -289,6 +289,8 @@ object SparkEntry {
     // α=1/2 temperature-flattened source shares (mT5/XLM-R balancing)
     "sample_temperature" -> ((s, dir) => PretrainOps.sampleTemperature(tbl(s, dir, "documents"))),
     "epoch_schedule" -> ((s, dir) => PretrainOps.epochSchedule(tbl(s, dir, "documents"))),
+    "shard_checksums" -> ((s, dir) => PretrainOps.shardChecksums(tbl(s, dir, "documents"))),
+    "lang_mix" -> ((s, dir) => TextOps.langMix(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
@@ -614,6 +616,8 @@ object SparkEntry {
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
     "sample_temperature" -> PretrainOps.sqlSampleTemperature,
     "epoch_schedule" -> PretrainOps.sqlEpochSchedule,
+    "shard_checksums" -> PretrainOps.sqlShardChecksums,
+    "lang_mix" -> TextOps.sqlLangMix,
     "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
     "dedup_winnow" -> DedupOps.sqlDedupWinnow,
     "vocab_coverage" -> PretrainOps.sqlVocabCoverage,

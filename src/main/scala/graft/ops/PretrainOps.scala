@@ -886,6 +886,40 @@ object PretrainOps {
        |      FROM documents)""".stripMargin
   }
 
+  // ------------------------------------------------------ shard_checksums
+
+  /** Per-shard integrity manifest for dataset PUBLISHING — what a data
+    * card ships beside the shard files so a consumer verifies
+    * completeness without re-downloading in order: per [[shuffleShards]]
+    * shard, the doc count, token count, and an ORDER-FREE multiset
+    * checksum (bit_xor of per-doc content hashes). XOR is the standard
+    * multiset checksum: commutative — shard order, partition order, and
+    * parallel reduction order cannot perturb it — overflow-free, and any
+    * single missing / duplicated / substituted document flips it.
+    * Shape: the shuffle_shards assignment is a narrow hash; the manifest
+    * is ONE shard-keyed map-side-combined agg — O(shards) output.
+    */
+  def shardChecksums(docs: DataFrame): DataFrame =
+    fanout(docs).select(
+        pmod(tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))),
+          lit(ShuffleShards)).as("shard"),
+        tokenHash(col("text")).as("content_hash"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        expr("bit_xor(content_hash)").as("checksum"))
+
+  def sqlShardChecksums: String =
+    s"""SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  bit_xor(content_hash) AS checksum
+       |FROM (
+       |  SELECT ${sqlTokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS shard,
+       |    ${sqlTokenHash("text")} AS content_hash,
+       |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |GROUP BY shard""".stripMargin
+
   // ------------------------------------------------- unigram_commonness
 
   /** Corpus-unigram commonness score — the exact-arithmetic stand-in for

@@ -136,6 +136,101 @@ object TextOps {
        |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // ------------------------------------------------------------- lang_mix
+
+  /** Window width (tokens) for per-window language voting. */
+  val LangMixWindow = 20
+
+  /** Language-MIXTURE detection — the QC gate [[langId]]'s single label
+    * cannot express: a document that switches language mid-stream (board
+    * scrape + quoted translation, template + injected content) gets one
+    * majority label from langId and silently pollutes a monolingual
+    * corpus. Votes the langId heuristic per [[LangMixWindow]]-token
+    * window, then per doc: window count, distinct window languages, the
+    * majority language's share (exact micros — windows are integers, no
+    * fp until one final floor), and the `mixed` flag a cleaning pipeline
+    * filters or reroutes on.
+    *
+    * Shape: windowing is an in-row explode (no shuffle), the vote is ONE
+    * doc-keyed agg with per-language conditional counts (languages are a
+    * fixed handful — wide agg beats a (doc, lang) double shuffle).
+    * Zero-token docs produce no windows and are absent from the output
+    * (the null ≡ empty house rule).
+    */
+  def langMix(docs: DataFrame): DataFrame = {
+    val langs = StopwordProfiles.map(_._1)
+    val w = LangMixWindow
+    val toks = tokens(col("text"))
+    val nwin = ceil(size(toks).cast("double") / lit(w.toDouble)).cast("int")
+    val windows = when(size(toks) > 0,
+      transform(sequence(lit(0), nwin - 1), i => slice(toks, i * w + 1, lit(w))))
+    val scored = docs
+      .select(col("doc_id"), explode(windows).as("wtoks"))
+      .select(
+        col("doc_id") +: StopwordProfiles.map { case (l, ws) =>
+          stopScore(col("wtoks"), ws).as(s"s_$l")
+        }: _*)
+    // same first-wins argmax fold as langId
+    val detect = langs.init.zipWithIndex
+      .foldRight(lit(langs.last): Column) { case ((l, i), rest) =>
+        val ge = langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+          .reduce(_ && _)
+        when(ge, lit(l)).otherwise(rest)
+      }
+    val counts = langs.map(l =>
+      sum(when(col("wlang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+    val agged = scored.select(col("doc_id"), detect.as("wlang"))
+      .groupBy("doc_id").agg(counts.head, counts.tail: _*)
+      .withColumn("n_windows", langs.map(l => col(s"c_$l")).reduce(_ + _))
+    agged
+      .withColumn("n_langs",
+        langs.map(l => when(col(s"c_$l") > 0, 1L).otherwise(0L)).reduce(_ + _))
+      .withColumn("majority_share_micro",
+        floor(greatest(langs.map(l => col(s"c_$l")): _*) * lit(1000000L)
+          / col("n_windows")).cast("long"))
+      .withColumn("mixed", col("n_langs") > 1L)
+      .select("doc_id", "n_windows", "n_langs", "majority_share_micro", "mixed")
+  }
+
+  def sqlLangMix: String = {
+    val langs = StopwordProfiles.map(_._1)
+    val w = LangMixWindow
+    val scoreCols = StopwordProfiles.map { case (l, ws) =>
+      val set = ws.map(x => s"'$x'").mkString("[", ", ", "]")
+      s"CAST(len(list_filter(wtoks, t -> list_contains($set, t))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val ge = langs.drop(i + 1).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $ge THEN '$l'"
+    }.mkString(" ")
+    val counts = langs.map(l =>
+      s"CAST(sum(CASE WHEN wlang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS c_$l")
+      .mkString(",\n    ")
+    val total = langs.map(l => s"c_$l").mkString(" + ")
+    val nlangs = langs.map(l => s"CASE WHEN c_$l > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val majority = s"greatest(${langs.map(l => s"c_$l").mkString(", ")})"
+    s"""WITH win AS (
+       |  SELECT doc_id,
+       |    list_slice(toks, i * $w + 1, (i + 1) * $w) AS wtoks
+       |  FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(range(CAST(ceil(len(toks) / $w.0) AS INT))) AS i
+       |    FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
+       |    WHERE len(toks) > 0)),
+       |voted AS (
+       |  SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS wlang
+       |  FROM (SELECT doc_id, $scoreCols FROM win)),
+       |agged AS (
+       |  SELECT doc_id, $counts FROM voted GROUP BY doc_id)
+       |SELECT doc_id, $total AS n_windows,
+       |  CAST($nlangs AS BIGINT) AS n_langs,
+       |  CAST(floor(CAST($majority * 1000000 AS DOUBLE) / ($total))
+       |    AS BIGINT) AS majority_share_micro,
+       |  ($nlangs) > 1 AS mixed
+       |FROM agged""".stripMargin
+  }
+
   // -------------------------------------------------------- quality_score
 
   /** (n_tokens, quality) as bare Columns over a text column — the same

@@ -177,7 +177,7 @@ class PlanSpec extends SparkSuite {
 
   test("ANN ops broadcast the query side, never cartesian") {
     for (name <- Seq("ann_topk_bruteforce", "ann_lsh_bucket", "ann_ivf_probe",
-        "ann_ivfpq_probe")) {
+        "ann_ivfpq_probe", "ann_ivfpq_refine")) {
       val ns = nodes(q(name))
       assert(ns.exists(_.isInstanceOf[BroadcastExchangeExec]), s"$name lost its broadcast")
       assert(!ns.exists(_.isInstanceOf[CartesianProductExec]), s"$name degraded to cartesian")

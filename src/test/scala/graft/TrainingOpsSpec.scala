@@ -738,6 +738,39 @@ class TrainingOpsSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("lang_mix: planted code-switched doc flags mixed; monolingual doc does not") {
+    val mono = "the a of and to in is " * 10
+    val mixed = ("the a of and to in is " * 5) + ("el la de y que los " * 5)
+    val planted = Seq((1L, mono, "en", "s", 1L), (2L, mixed, "xx", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val byId = TextOps.langMix(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!byId(1L).getAs[Boolean]("mixed"))
+    assert(byId(1L).getAs[Long]("majority_share_micro") == 1000000L)
+    assert(byId(2L).getAs[Boolean]("mixed"))
+    assert(byId(2L).getAs[Long]("n_langs") >= 2)
+    // real table: every tokenful doc voted, shares in (0, 1e6]
+    val full = TextOps.langMix(docs)
+    assert(full.filter($"majority_share_micro" <= 0 ||
+      $"majority_share_micro" > 1000000L).count() == 0)
+    assert(full.filter($"mixed" =!= ($"n_langs" > 1)).count() == 0)
+  }
+
+  test("shard_checksums: dropping one doc flips exactly its shard's manifest row") {
+    import graft.ops.PretrainOps
+    val all = PretrainOps.shardChecksums(docs).collect()
+      .map(r => r.getAs[Long]("shard") -> r).toMap
+    val victim = docs.select("doc_id").as[Long].head()
+    val without = PretrainOps.shardChecksums(docs.filter($"doc_id" =!= victim))
+      .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+    val changed = all.keySet.filter { s =>
+      !without.contains(s) ||
+        without(s).getAs[Long]("checksum") != all(s).getAs[Long]("checksum") ||
+        without(s).getAs[Long]("n_docs") != all(s).getAs[Long]("n_docs")
+    }
+    assert(changed.size == 1, s"exactly one shard must change, got $changed")
+  }
+
   test("corpus_clean: gates drop low-quality/foreign docs, dedup drops planted near-dup") {
     import graft.ops.CorpusOps
     val base = (1 to 60).map(i => s"the of and to token$i").mkString(" ")
