@@ -291,6 +291,7 @@ object SparkEntry {
     "epoch_schedule" -> ((s, dir) => PretrainOps.epochSchedule(tbl(s, dir, "documents"))),
     "shard_checksums" -> ((s, dir) => PretrainOps.shardChecksums(tbl(s, dir, "documents"))),
     "lang_mix" -> ((s, dir) => TextOps.langMix(tbl(s, dir, "documents"))),
+    "length_percentiles" -> ((s, dir) => TextOps.lengthPercentiles(tbl(s, dir, "documents"))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(tbl(s, dir, "documents"))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(tbl(s, dir, "documents"))),
@@ -618,6 +619,7 @@ object SparkEntry {
     "epoch_schedule" -> PretrainOps.sqlEpochSchedule,
     "shard_checksums" -> PretrainOps.sqlShardChecksums,
     "lang_mix" -> TextOps.sqlLangMix,
+    "length_percentiles" -> TextOps.sqlLengthPercentiles,
     "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
     "dedup_winnow" -> DedupOps.sqlDedupWinnow,
     "vocab_coverage" -> PretrainOps.sqlVocabCoverage,

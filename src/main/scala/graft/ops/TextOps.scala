@@ -136,6 +136,63 @@ object TextOps {
        |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // --------------------------------------------------- length_percentiles
+
+  /** Percentile points reported per source (plus max). */
+  val PercentileQs: Seq[Int] = Seq(25, 50, 90, 99)
+
+  /** Per-source token-length percentiles — the distribution table of a
+    * data card, and the number that sets truncation/packing budgets
+    * (p99 decides SeqLen waste; p25 exposes a stub-document source).
+    * DISCRETE percentiles by construction: the value at ordered position
+    * `ceil(q·n/100)` with a doc_id tiebreak — exact and
+    * engine-deterministic, where interpolated percentiles
+    * (`percentile`/`quantile_cont`) hang parity on each engine's fp
+    * interpolation. `ceil` is stable across engines: position products
+    * are exact doubles, and when q·n/100 is integral the quotient is
+    * exactly representable.
+    *
+    * Shape: ONE per-source window (rank + count ride the same shuffle)
+    * then a sources-sized agg — [[lengthHistogram]]'s cost with exact
+    * order statistics. A pathologically dominant source skews the window
+    * partition; the production monitor at that scale swaps in
+    * `approx_percentile` (one pass, no window) and keeps this exact form
+    * for bounded sources.
+    */
+  def lengthPercentiles(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.ops.DedupOps.fanout(docs).select(col("source"),
+      col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+    val w = Window.partitionBy("source").orderBy(col("n").asc, col("doc_id").asc)
+    val ranked = base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    val qcols = PercentileQs.map(q =>
+      max(when(col("rn") === ceil(col("cnt") * lit(q) / lit(100.0)), col("n")))
+        .as(s"p$q"))
+    ranked.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (qcols :+ max(col("n")).as("max_tokens")): _*)
+  }
+
+  def sqlLengthPercentiles: String = {
+    val qcols = PercentileQs.map(q =>
+      s"CAST(max(CASE WHEN rn = ceil(cnt * $q / 100.0) THEN n END) AS BIGINT) AS p$q")
+      .mkString(",\n  ")
+    s"""WITH ranked AS (
+       |  SELECT source, n,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY n, doc_id)
+       |      AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM (
+       |    SELECT source, doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n
+       |    FROM documents))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  $qcols,
+       |  CAST(max(n) AS BIGINT) AS max_tokens
+       |FROM ranked GROUP BY source""".stripMargin
+  }
+
   // ------------------------------------------------------------- lang_mix
 
   /** Window width (tokens) for per-window language voting. */

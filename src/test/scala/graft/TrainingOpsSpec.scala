@@ -51,7 +51,10 @@ class TrainingOpsSpec extends SparkSuite {
     val r = SimilarityOps.annRecall(emb)
       .select("method", "query_id", "recall")
       .as[(String, Long, Double)].collect()
-    assert(r.length == 2 * SimilarityOps.NQueries)
+    // three methods: lsh_bucket, ivf_probe, ivfpq_probe
+    assert(r.length == 3 * SimilarityOps.NQueries)
+    assert(r.map(_._1).toSet ==
+      Set("lsh_bucket", "ivf_probe", "ivfpq_probe"))
     assert(r.forall { case (_, _, rec) => rec >= 0.0 && rec <= 1.0 })
     // sanity: brute force against itself would be 1.0 — the measurement
     // machinery must report perfect recall for a perfect method
@@ -754,6 +757,24 @@ class TrainingOpsSpec extends SparkSuite {
     assert(full.filter($"majority_share_micro" <= 0 ||
       $"majority_share_micro" > 1000000L).count() == 0)
     assert(full.filter($"mixed" =!= ($"n_langs" > 1)).count() == 0)
+  }
+
+  test("length_percentiles: hand-checked discrete positions; monotone across qs") {
+    // lengths 1..10 tokens: position ceil(q*10/100) → p25=3rd=3, p50=5th=5,
+    // p90=9th=9, p99=10th=10
+    val planted = (1L to 10L).map(i =>
+      (i, ("w " * i.toInt).trim, "en", "s", i)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = TextOps.lengthPercentiles(planted).head()
+    assert(row.getAs[Long]("n_docs") == 10L)
+    assert(row.getAs[Long]("p25") == 3L)
+    assert(row.getAs[Long]("p50") == 5L)
+    assert(row.getAs[Long]("p90") == 9L)
+    assert(row.getAs[Long]("p99") == 10L)
+    assert(row.getAs[Long]("max_tokens") == 10L)
+    // real table: monotone non-decreasing across the quantile ladder
+    val full = TextOps.lengthPercentiles(docs)
+    assert(full.filter($"p25" > $"p50" || $"p50" > $"p90" ||
+      $"p90" > $"p99" || $"p99" > $"max_tokens").count() == 0)
   }
 
   test("shard_checksums: dropping one doc flips exactly its shard's manifest row") {
