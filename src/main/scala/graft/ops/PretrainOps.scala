@@ -854,6 +854,18 @@ object PretrainOps {
   /** Shard count for the deterministic global training-order shuffle. */
   val ShuffleShards = 64L
 
+  /** The salted shuffle key and shard id — ONE definition point shared by
+    * [[shuffleShards]] and [[shardChecksums]]: the manifest is only an
+    * integrity manifest if it describes exactly the shards the shuffle
+    * published, so the two must be incapable of drifting.
+    */
+  private def shuffleKey: Column =
+    tokenHash(concat(lit("shuf:"), col("doc_id").cast("string")))
+  private def shardOf(skey: Column): Column = pmod(skey, lit(ShuffleShards))
+  private def sqlShuffleKey: String =
+    sqlTokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")
+  private def sqlShardOf(skey: String): String = s"$skey % $ShuffleShards"
+
   /** Deterministic global shuffle for training order: every doc gets a
     * (shard, position) from a salted md5 of its id — reproducible across
     * runs (no RNG state), resumable (positions are stable), and uniform
@@ -869,20 +881,19 @@ object PretrainOps {
     */
   def shuffleShards(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = fanout(docs).select(col("doc_id"),
-      tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))).as("skey"))
-      .withColumn("shard", pmod(col("skey"), lit(ShuffleShards)))
+    val base = fanout(docs).select(col("doc_id"), shuffleKey.as("skey"))
+      .withColumn("shard", shardOf(col("skey")))
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
     base.withColumn("pos", row_number().over(w).cast("long") - 1)
       .select(col("doc_id"), col("shard"), col("pos"))
   }
 
   def sqlShuffleShards: String = {
-    val h = sqlTokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")
+    val h = sqlShuffleKey
     s"""SELECT doc_id, shard,
        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
        |    AS BIGINT) - 1 AS pos
-       |FROM (SELECT doc_id, $h AS skey, $h % $ShuffleShards AS shard
+       |FROM (SELECT doc_id, $h AS skey, ${sqlShardOf(h)} AS shard
        |      FROM documents)""".stripMargin
   }
 
@@ -901,8 +912,7 @@ object PretrainOps {
     */
   def shardChecksums(docs: DataFrame): DataFrame =
     fanout(docs).select(
-        pmod(tokenHash(concat(lit("shuf:"), col("doc_id").cast("string"))),
-          lit(ShuffleShards)).as("shard"),
+        shardOf(shuffleKey).as("shard"),
         tokenHash(col("text")).as("content_hash"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy("shard")
@@ -914,7 +924,7 @@ object PretrainOps {
        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
        |  bit_xor(content_hash) AS checksum
        |FROM (
-       |  SELECT ${sqlTokenHash("'shuf:' || CAST(doc_id AS VARCHAR)")} % $ShuffleShards AS shard,
+       |  SELECT ${sqlShardOf(sqlShuffleKey)} AS shard,
        |    ${sqlTokenHash("text")} AS content_hash,
        |    CAST(len(${sqlTokens("text")}) AS BIGINT) AS n_tok
        |  FROM documents)

@@ -594,10 +594,20 @@ object SimilarityOps {
         pqDistsTab(col("emb_d"), cb).as("dtab"))
       .select(col("vec_id"), col("centroid"), pqCodesOf(col("dtab")).as("codes"))
 
-  /** The fixed query side with per-subspace ADC tables + probe lists. */
+  /** The fixed query side with per-subspace ADC tables + probe lists.
+    * The qtab is computed BEFORE the probe explode: after it, the
+    * kernel would run (and the 128-double table would broadcast) once
+    * per probe row instead of once per query — 2× here, linear in
+    * nProbe at realistic probe counts.
+    */
   private def pqProbeQueries(a: DataFrame, cb: Array[Double]): DataFrame =
-    probeQueries(a).select(col("query_id"),
-      pqDistsTab(col("eq"), cb).as("qtab"), col("probe"))
+    a.filter(col("vec_id") < NQueries)
+      .withColumn("second",
+        array_position(col("dots"),
+          array_max(array_remove(col("dots"), array_max(col("dots"))))) - 1)
+      .select(col("vec_id").as("query_id"),
+        pqDistsTab(col("emb_d"), cb).as("qtab"),
+        explode(array(col("centroid"), col("second"))).as("probe"))
 
   /** ADC probe-join + rank over any coded candidate frame carrying
     * (vec_id, centroid, codes) — shared by the in-memory and the
@@ -737,24 +747,40 @@ object SimilarityOps {
     * iterate; empty codes keep their seed (driver-side, as in
     * [[ivfTrain]]).
     */
-  def pqTrainStep(emb: DataFrame): DataFrame = {
+  /** The shared assign→explode frame behind [[pqTrainStep]] and
+    * [[pqTrain]]: one (dist?, subspace, code, dim_idx, v) row per
+    * (vector, subspace, dim) — parameterized by codebook so the
+    * oracle-keyed step and the training loop CANNOT drift apart.
+    * `dist` (the row's total min-distance distortion, replicated per
+    * exploded row) is only materialized when the caller aggregates an
+    * objective.
+    */
+  private def pqStepRows(e: DataFrame, cb: Array[Double],
+      withDist: Boolean): DataFrame = {
     val subs = array((0 until PqSubspaces).map(m =>
       struct(lit(m.toLong).as("subspace"),
         element_at(col("codes"), m + 1).as("code"),
         slice(col("emb_d"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
-    withNorm(emb)
-      .select(col("emb_d"), pqDistsTab(col("emb_d")).as("dtab"))
-      .select(col("emb_d"), pqCodesOf(col("dtab")).as("codes"))
-      .select(explode(subs).as("s"))
-      .select(col("s.subspace").as("subspace"), col("s.code").as("code"),
-        posexplode(col("s.sub")))
-      .toDF("subspace", "code", "dim_idx", "v")
+    val coded = e
+      .select(col("emb_d"), pqDistsTab(col("emb_d"), cb).as("dtab"))
+      .select(col("emb_d"), pqCodesOf(col("dtab")).as("codes"),
+        (if (withDist)
+          aggregate(transform(col("dtab"), d => array_min(d)),
+            lit(0.0), (a, x) => a + x)
+        else lit(0.0)).as("dist"))
+    coded.select(col("dist"), explode(subs).as("s"))
+      .select(col("dist"), col("s.subspace").as("subspace"),
+        col("s.code").as("code"), posexplode(col("s.sub")))
+      .toDF("dist", "subspace", "code", "dim_idx", "v")
+      .withColumn("dim_idx", col("dim_idx").cast("long"))
+  }
+
+  def pqTrainStep(emb: DataFrame,
+      codebook: Array[Double] = defaultPqCodebook): DataFrame =
+    pqStepRows(withNorm(emb), codebook, withDist = false)
       .groupBy("subspace", "code", "dim_idx")
       .agg(avg(col("v")).as("mean_val"), count(lit(1)).as("n_vecs"))
-      .select(col("subspace"), col("code"),
-        col("dim_idx").cast("long").as("dim_idx"), col("mean_val"),
-        col("n_vecs"))
-  }
+      .select("subspace", "code", "dim_idx", "mean_val", "n_vecs")
 
   /** Iterative PQ codebook training: Lloyd k-means per subspace, ALL M
     * subspaces trained in one distributed pass per iteration (the
@@ -779,20 +805,7 @@ object SimilarityOps {
       var iter = 0
       var improving = true
       while (iter < maxIter && improving) {
-        val subs = array((0 until PqSubspaces).map(m =>
-          struct(lit(m.toLong).as("subspace"),
-            element_at(col("codes"), m + 1).as("code"),
-            slice(col("emb_d"), m * PqSubDim + 1, PqSubDim).as("sub"))): _*)
-        val stats = e
-          .select(col("emb_d"), pqDistsTab(col("emb_d"), cb).as("dtab"))
-          .select(col("emb_d"), pqCodesOf(col("dtab")).as("codes"),
-            aggregate(transform(col("dtab"), d => array_min(d)),
-              lit(0.0), (a, x) => a + x).as("dist"))
-          .select(col("dist"), explode(subs).as("s"))
-          .select(col("dist"), col("s.subspace").as("subspace"),
-            col("s.code").as("code"), posexplode(col("s.sub")))
-          .toDF("dist", "subspace", "code", "dim_idx", "v")
-          .withColumn("dim_idx", col("dim_idx").cast("long"))
+        val stats = pqStepRows(e, cb, withDist = true)
           .groupBy("subspace", "code", "dim_idx")
           .agg(sum("v").as("s"), count(lit(1)).as("n"),
             // each VECTOR's distortion counted once, not once per

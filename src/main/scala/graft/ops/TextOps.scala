@@ -211,17 +211,22 @@ object TextOps {
     * Shape: windowing is an in-row explode (no shuffle), the vote is ONE
     * doc-keyed agg with per-language conditional counts (languages are a
     * fixed handful — wide agg beats a (doc, lang) double shuffle).
-    * Zero-token docs produce no windows and are absent from the output
-    * (the null ≡ empty house rule).
+    * Null, empty, or whitespace-only text produces no windows and is
+    * absent from the output — checked on the TEXT, because tokens('')
+    * is [''] under the null ≡ empty rule and a size guard alone would
+    * hand empty docs a confident single-window 'en' vote.
     */
   def langMix(docs: DataFrame): DataFrame = {
     val langs = StopwordProfiles.map(_._1)
     val w = LangMixWindow
     val toks = tokens(col("text"))
     val nwin = ceil(size(toks).cast("double") / lit(w.toDouble)).cast("int")
-    val windows = when(size(toks) > 0,
+    // tokens('') is [''] (the null ≡ empty rule), so size(toks) is never
+    // 0 — emptiness must be checked on the TEXT, or an empty doc would
+    // get one empty window and a confident all-zero-scores 'en' vote
+    val windows = when(length(trim(coalesce(col("text"), lit("")))) > 0,
       transform(sequence(lit(0), nwin - 1), i => slice(toks, i * w + 1, lit(w))))
-    val scored = docs
+    val scored = graft.ops.DedupOps.fanout(docs)
       .select(col("doc_id"), explode(windows).as("wtoks"))
       .select(
         col("doc_id") +: StopwordProfiles.map { case (l, ws) =>
@@ -273,8 +278,8 @@ object TextOps {
        |  FROM (
        |    SELECT doc_id, toks,
        |      unnest(range(CAST(ceil(len(toks) / $w.0) AS INT))) AS i
-       |    FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents)
-       |    WHERE len(toks) > 0)),
+       |    FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents
+       |          WHERE len(trim(coalesce(text, ''))) > 0))),
        |voted AS (
        |  SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS wlang
        |  FROM (SELECT doc_id, $scoreCols FROM win)),

@@ -123,7 +123,7 @@ object ArrayFunctions {
   def pq_dist_tables(emb: Column, subspaces: Int, codes: Int, subDim: Int,
       codebook: Array[Double]): Column =
     ExpressionUtils.column(PqDistTables(ExpressionUtils.expression(emb),
-      subspaces, codes, subDim, codebook))
+      subspaces, codes, subDim, codebook.toIndexedSeq))
 
   /** Fully-qualified static-call prefix emitted into generated code: the
     * sketch expressions' `doGenCode` all compile to one
@@ -438,7 +438,7 @@ case class RollingWindowHashes(child: Expression, width: Int, mult: Long, mod: L
   * bit-identical by construction).
   */
 case class PqDistTables(child: Expression, subspaces: Int, codes: Int,
-    subDim: Int, codebook: Array[Double])
+    subDim: Int, codebook: IndexedSeq[Double])
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
@@ -446,12 +446,18 @@ case class PqDistTables(child: Expression, subspaces: Int, codes: Int,
     ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
   override def prettyName: String = "pq_dist_tables"
 
+  // IndexedSeq (not Array) as the case-class param: Array equals/hashCode
+  // are reference-based, which would break semanticEquals/CSE between
+  // content-equal codebooks from different instances. The kernel wants a
+  // primitive array — materialized once here.
+  private val cbArr = codebook.toArray
+
   override def nullSafeEval(v: Any): Any =
-    HashKernels.pqDistTables(v.asInstanceOf[ArrayData], codebook,
+    HashKernels.pqDistTables(v.asInstanceOf[ArrayData], cbArr,
       subspaces, codes, subDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cb = ctx.addReferenceObj("pqCodebook", codebook, "double[]")
+    val cb = ctx.addReferenceObj("pqCodebook", cbArr, "double[]")
     defineCodeGen(ctx, ev, x =>
       s"${ArrayFunctions.Kernels}.pqDistTables($x, $cb, $subspaces, $codes, $subDim)")
   }

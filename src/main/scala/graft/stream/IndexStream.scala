@@ -42,24 +42,40 @@ object IndexStream {
     * wrong; seed a streamed index through the stream itself (or keep
     * batch and streamed indexes in separate directories).
     */
-  private def guardStreamedDir(spark: SparkSession, indexDir: String): Unit = {
+  private def guardStreamedDir(spark: SparkSession, indexDir: String,
+      markerColumn: String): Unit = {
     val dirPath = new org.apache.hadoop.fs.Path(indexDir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dirPath) && fs.listStatus(dirPath).nonEmpty &&
-        !fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_spark_metadata")))
-      throw new IllegalStateException(
-        s"$indexDir holds non-streamed files (no _spark_metadata): appending " +
-          "a streaming sink here would hide every batch-written vector from " +
-          "readers. Use a fresh directory for the streamed index, or rebuild " +
-          "it through the stream from the start.")
+    if (fs.exists(dirPath) && fs.listStatus(dirPath).nonEmpty) {
+      if (!fs.exists(new org.apache.hadoop.fs.Path(dirPath, "_spark_metadata")))
+        throw new IllegalStateException(
+          s"$indexDir holds non-streamed files (no _spark_metadata): appending " +
+            "a streaming sink here would hide every batch-written vector from " +
+            "readers. Use a fresh directory for the streamed index, or rebuild " +
+            "it through the stream from the start.")
+      // flavor check: an exact-vector index and a PQ-coded one share the
+      // layout but not the row schema — appending the wrong flavor passes
+      // the metadata-log check and then either silently skips batches
+      // (same checkpoint) or mixes schemas (fresh checkpoint). Loud here.
+      val cols =
+        try spark.read.parquet(indexDir).columns.toSet
+        catch { case _: Throwable => Set.empty[String] }
+      if (cols.nonEmpty && !cols.contains(markerColumn))
+        throw new IllegalStateException(
+          s"$indexDir holds a different index flavor (existing columns " +
+            s"$cols lack '$markerColumn'): exact-vector and PQ-coded " +
+            "appenders must not share a directory. Use a fresh directory " +
+            "for this flavor.")
+    }
   }
 
   private def startIndexStream(spark: SparkSession, embDir: String,
       indexDir: String, checkpointDir: String, queryPrefix: String,
       trigger: Trigger,
+      markerColumn: String,
       rows: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : StreamingQuery = {
-    guardStreamedDir(spark, indexDir)
+    guardStreamedDir(spark, indexDir, markerColumn)
     val batches = spark.readStream
       .schema(embSchema)
       .option("maxFilesPerTrigger", 1)
@@ -81,7 +97,7 @@ object IndexStream {
       centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startIndexStream(spark, embDir, indexDir, checkpointDir,
-      "graft-ivf-index-stream", trigger,
+      "graft-ivf-index-stream", trigger, markerColumn = "emb_d",
       SimilarityOps.ivfIndexRows(_, centroids))
 
   /** The IVFADC (PQ-coded) appender: identical exactly-once layout to
@@ -98,6 +114,6 @@ object IndexStream {
       codebook: Array[Double] = SimilarityOps.defaultPqCodebook,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startIndexStream(spark, embDir, indexDir, checkpointDir,
-      "graft-ivfpq-index-stream", trigger,
+      "graft-ivfpq-index-stream", trigger, markerColumn = "codes",
       SimilarityOps.ivfPqIndexRows(_, centroids, codebook))
 }

@@ -73,6 +73,21 @@ class IndexStreamSpec extends SparkSuite {
     assert(got == base)
   }
 
+  test("appending the wrong index flavor refuses loudly (exact vs PQ-coded)") {
+    val embDir = Files.createTempDirectory("ixfl-emb").toString
+    val indexDir = Files.createTempDirectory("ixfl-idx").toString
+    val ckpt = Files.createTempDirectory("ixfl-ckpt").toString
+    emb.limit(50).coalesce(1).write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(IndexStream.run(spark, embDir, indexDir, ckpt))
+    // a PQ appender pointed at the exact-vector index: metadata log
+    // exists, so only the flavor check can save the user
+    val e = intercept[IllegalStateException] {
+      IndexStream.runPq(spark, embDir, indexDir,
+        Files.createTempDirectory("ixfl-ckpt2").toString)
+    }
+    assert(e.getMessage.contains("flavor"), e.getMessage)
+  }
+
   test("appending into a batch-written index refuses loudly (metadata log would hide it)") {
     val batchDir = Files.createTempDirectory("ix-batch").toString
     val embDir = Files.createTempDirectory("ix-emb2").toString
