@@ -49,6 +49,10 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(q("pq_train_step")) == 2)
     // encode is the repartition alone — the codes projection is narrow
     assert(exchanges(q("pq_encode")) == 1)
+    // QC/manifest family: fanout repartition + exactly one keyed
+    // agg/window shuffle each — a third exchange is a regression
+    for (name <- Seq("lang_mix", "shard_checksums", "length_percentiles"))
+      assert(exchanges(q(name)) == 2, s"$name grew an extra shuffle")
   }
 
   test("whole-stage codegen actually COMPILES for the big projection chains") {
