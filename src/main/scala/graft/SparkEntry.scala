@@ -327,7 +327,19 @@ object SparkEntry {
     "embed_covariance" -> ((s, dir) => PretrainOps.embedCovariance(tbl(s, dir, "embeddings"))),
     // one power-iteration step toward the top principal component —
     // PretrainOps.pcaTrain loops this driver-side to a full top-k PCA
-    "embed_pca_power_iter" -> ((s, dir) => PretrainOps.embedPcaPowerIter(tbl(s, dir, "embeddings")))
+    "embed_pca_power_iter" -> ((s, dir) => PretrainOps.embedPcaPowerIter(tbl(s, dir, "embeddings"))),
+    // the PCA APPLY step on pinned components (the pq_encode codebook
+    // discipline): per-vector k projected coords, micro-quantized
+    "embed_pca_project" -> ((s, dir) => PretrainOps.embedPcaProjectDefault(tbl(s, dir, "embeddings"))),
+    // SemDeDup composed with PCA reduction: cluster + compare in the
+    // k=4 projected space — the 64→4 shuffle-width win
+    "dedup_semantic_pca" -> ((s, dir) => DedupOps.dedupSemanticPca(tbl(s, dir, "embeddings"))),
+    // one LR step of the quality classifier: gopher verdicts as silver
+    // labels, fast-sigmoid residuals, ≤1024-row bucket gradient
+    "quality_linear_train" -> ((s, dir) => TextOps.qualityLinearTrainStep(tbl(s, dir, "documents"))),
+    // sequence-level leakage: benchmark grams inside PACKED training
+    // sequences (incl. grams spanning doc boundaries)
+    "decontaminate_packed" -> ((s, dir) => PretrainOps.decontaminatePacked(tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -629,6 +641,10 @@ object SparkEntry {
     "embed_normalize" -> PretrainOps.sqlEmbedNormalize,
     "embed_quantize" -> PretrainOps.sqlEmbedQuantize,
     "embed_covariance" -> PretrainOps.sqlEmbedCovariance,
-    "embed_pca_power_iter" -> PretrainOps.sqlEmbedPcaPowerIter
+    "embed_pca_power_iter" -> PretrainOps.sqlEmbedPcaPowerIter,
+    "embed_pca_project" -> PretrainOps.sqlEmbedPcaProject,
+    "dedup_semantic_pca" -> DedupOps.sqlDedupSemanticPca,
+    "quality_linear_train" -> TextOps.sqlQualityLinearTrainStep,
+    "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked
   )
 }

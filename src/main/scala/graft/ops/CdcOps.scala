@@ -55,10 +55,25 @@ object CdcOps {
     * which layout (or driver session timezone) is in play. Integer
     * micros→nanos multiply: exact, and ts stays an int64 epoch.
     */
+  /** 1e17 ns ≈ 1973-03: every plausible event epoch in NANOS sits well
+    * above this, while the same instant in raw int64 MICROS (~1.7e15 for
+    * the 2020s) sits 1000× below it. Guards the long==nanos contract.
+    */
+  private val MinPlausibleNanos = 100000000000000000L
+
   def normalizeEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     events.schema("ts").dataType match {
-      case LongType => events
+      case LongType =>
+        // A long ts is NANOS by contract (nanosAsLong parquet read). If a
+        // future testdata layout ships micros as a plain INT64 column the
+        // schema match can't tell — typing/routing would silently be 1000×
+        // off. In-plan range guard (no extra scan): fail loudly per row.
+        events.withColumn("ts",
+          when(col("ts").isNull || col("ts") >= MinPlausibleNanos, col("ts"))
+            .otherwise(raise_error(concat(
+              lit("events.ts long value "), col("ts").cast("string"),
+              lit(" is below any plausible nanosecond epoch (>= 1e17): raw int64 micros shipped without the nanosAsLong layout?")))))
       case TimestampNTZType => events.withColumn("ts",
         expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * lit(1000L))
       case TimestampType => events.withColumn("ts", unix_micros(col("ts")) * lit(1000L))

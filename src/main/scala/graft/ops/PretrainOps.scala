@@ -77,11 +77,15 @@ object PretrainOps {
     * form winnowing windows over; [[sqlGramHashes]] is its
     * distinct-set face. Twin of the `word_shingle_hashes` kernel.
     */
-  private[ops] def sqlGramHashesPositional(width: Int): String = {
-    val toks = sqlTokens("text")
+  /** [[sqlGramHashesPositional]] over an arbitrary token-list expression
+    * (the `word_shingle_hashes` kernel's twin, exactly).
+    */
+  private[ops] def sqlGramHashesPositionalOver(toks: String, width: Int): String =
     s"list_transform(range(1, greatest(len($toks) - ${width - 1}, 1) + 1), " +
       s"i -> ${sqlTokenHash(s"array_to_string(list_slice($toks, i, i + ${width - 1}), ' ')")})"
-  }
+
+  private[ops] def sqlGramHashesPositional(width: Int): String =
+    sqlGramHashesPositionalOver(sqlTokens("text"), width)
 
   private[ops] def sqlGramHashes(width: Int): String =
     s"list_distinct(${sqlGramHashesPositional(width)})"
@@ -134,6 +138,106 @@ object PretrainOps {
        |  CAST(count(*) AS DOUBLE) / n_grams AS contamination
        |FROM train JOIN bench USING (g)
        |GROUP BY doc_id, n_grams""".stripMargin
+
+  // -------------------------------------------------- decontaminate_packed
+
+  /** Packed-SEQUENCE decontamination — the leak [[decontaminate]]
+    * cannot see: doc-level gating clears each doc in isolation, but
+    * [[packSequences]] concatenates docs into [[SeqLen]]-token training
+    * sequences, and a benchmark n-gram can SPAN the boundary between two
+    * individually-clean docs — the model still trains on it. This is the
+    * published sequence-level overlap check (GPT-3 Appendix C's spirit
+    * applied to what the model actually consumes): rebuild each packed
+    * sequence's token window, take its POSITIONAL `gramWidth`-grams
+    * (duplicates kept — every leaked occurrence counts), test against
+    * the broadcast benchmark gram set. Output one row per LEAKED
+    * sequence: (source, seq_id, n_grams, leaked_grams). The benchmark
+    * split is excluded from the packing (nobody trains on it), so
+    * offsets here are the packed-TRAIN stream's.
+    *
+    * Scale shape: the sequence windows are assembled with ONE corpus
+    * shuffle keyed (source, seq_id) — exactly the shuffle the packed-
+    * dataset WRITER pays, no more (each doc explodes only into the
+    * ceil(n/SeqLen)+1 sequences it touches, carrying just its overlap
+    * slice); grams then hash in-row, the bench set is broadcast, and
+    * past the join ONLY HIT rows shuffle into the final map-side-combined
+    * agg. Packing arithmetic is [[packWindowCols]] — the one shared
+    * definition — so the checked offsets are the loader's offsets.
+    */
+  def decontaminatePacked(docs: DataFrame,
+      gramWidth: Int = DecontamGram): DataFrame = {
+    val L = SeqLen
+    val bench = fanout(docs).filter(col("source") === BenchmarkSource)
+      .select(explode_outer(decontamGrams(gramWidth)).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    val train = fanout(docs).filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+    val startLocal = greatest(col("seq_id") * L - col("tok_start"), lit(0L))
+    val endLocal = least((col("seq_id") + 1) * L - col("tok_start"), col("n_tokens"))
+    val spans = packWindowCols(train)
+      .select(col("source"), col("toks"), col("tok_start"), col("n_tokens"),
+        explode_outer(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      .filter(col("seq_id").isNotNull)
+      .select(col("source"), col("seq_id"), col("tok_start"),
+        slice(col("toks"), (startLocal + 1).cast("int"),
+          (endLocal - startLocal).cast("int")).as("sl"))
+    // stream order inside a sequence = tok_start order (struct sort —
+    // tok_start is unique per contributor by construction)
+    val win = spans.groupBy("source", "seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("tok_start"), col("sl")))),
+        x => x.getField("sl"))).as("wtoks"))
+    val grams = win
+      .select(col("source"), col("seq_id"),
+        word_shingle_hashes(col("wtoks"), gramWidth).as("ghs"))
+      .select(col("source"), col("seq_id"),
+        size(col("ghs")).cast("long").as("n_grams"),
+        explode_outer(col("ghs")).as("g"))
+      .filter(col("g").isNotNull)
+    grams.join(broadcast(bench), "g")
+      .groupBy("source", "seq_id", "n_grams")
+      .agg(count(lit(1)).as("leaked_grams"))
+      .select("source", "seq_id", "n_grams", "leaked_grams")
+  }
+
+  def sqlDecontaminatePacked: String = {
+    val w = DecontamGram
+    s"""WITH bench AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(${sqlGramHashes(w)}) AS g FROM documents
+       |    WHERE source = '$BenchmarkSource')),
+       |base AS (
+       |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
+       |        FROM documents WHERE source <> '$BenchmarkSource')),
+       |packed AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS tok_start
+       |  FROM base),
+       |spans AS (
+       |  SELECT source, seq_id, tok_start,
+       |    list_slice(toks, greatest(seq_id * $SeqLen - tok_start, 0) + 1,
+       |      least((seq_id + 1) * $SeqLen - tok_start, n_tokens)) AS sl
+       |  FROM (
+       |    SELECT source, toks, n_tokens, tok_start,
+       |      unnest(range(tok_start // $SeqLen,
+       |        (tok_start + n_tokens - 1) // $SeqLen + 1)) AS seq_id
+       |    FROM packed)),
+       |win AS (
+       |  SELECT source, seq_id, flatten(list(sl ORDER BY tok_start)) AS wtoks
+       |  FROM spans GROUP BY source, seq_id),
+       |grams AS (
+       |  SELECT source, seq_id, CAST(len(ghs) AS BIGINT) AS n_grams,
+       |    unnest(ghs) AS g
+       |  FROM (SELECT source, seq_id,
+       |          ${sqlGramHashesPositionalOver("wtoks", w)} AS ghs
+       |        FROM win))
+       |SELECT source, seq_id, n_grams, count(*) AS leaked_grams
+       |FROM grams JOIN bench USING (g)
+       |GROUP BY source, seq_id, n_grams""".stripMargin
+  }
 
   // ------------------------------------------- decontaminate (bloom prune)
 
@@ -765,17 +869,26 @@ object PretrainOps {
     * the clean+trim pipeline), so the two can never desynchronize on
     * SeqLen handling, ordering key or offset arithmetic.
     */
-  private[ops] def packTokenCounts(base: DataFrame): DataFrame = {
+  /** The packing window + arithmetic over ANY frame carrying (doc_id,
+    * source, n_tokens) — appends tok_start/seq_start/seq_end/seq_offset,
+    * PRESERVING every other column (so [[decontaminatePacked]] can carry
+    * token arrays through the same math). All consumers go through here:
+    * one definition of SeqLen handling, ordering key, offset arithmetic.
+    */
+  private[ops] def packWindowCols(base: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     base
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
-        expr(s"tok_start div $SeqLen").as("seq_start"),
-        expr(s"(tok_start + n_tokens - 1) div $SeqLen").as("seq_end"),
-        pmod(col("tok_start"), lit(SeqLen)).as("seq_offset"))
+      .withColumn("seq_start", expr(s"tok_start div $SeqLen"))
+      .withColumn("seq_end", expr(s"(tok_start + n_tokens - 1) div $SeqLen"))
+      .withColumn("seq_offset", pmod(col("tok_start"), lit(SeqLen)))
   }
+
+  private[ops] def packTokenCounts(base: DataFrame): DataFrame =
+    packWindowCols(base).select("doc_id", "source", "n_tokens", "tok_start",
+      "seq_start", "seq_end", "seq_offset")
 
   def packSequences(docs: DataFrame): DataFrame =
     packTokenCounts(fanout(docs).select(col("doc_id"), col("source"),
@@ -1431,16 +1544,66 @@ object PretrainOps {
   def embedPcaProject(emb: DataFrame, components: Seq[Seq[Double]]): DataFrame = {
     require(components.nonEmpty, "no components to project onto")
     val embD = transform(col("embedding"), x => x.cast("double"))
+    // codegen'd dot kernel, not aggregate(zip_with(...)): the HOF pair is
+    // interpreted per element and this fold runs k times per row on the
+    // hot projection path. Same ascending left fold — bit-identical.
     val scores = array(components.map { comp =>
-      aggregate(
-        zip_with(col("emb_d"), typedLit(comp), (x, w) => x * w),
-        lit(0.0), (a, x) => a + x)
+      SimilarityOps.dot(array(comp.map(lit): _*), col("emb_d"))
     }: _*)
     fanout(emb).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("label"), embD.as("emb_d"))
       .filter(!exists(col("emb_d"), x => x.isNull))
       .select(col("vec_id"), col("label"), scores.as("scores"))
   }
+
+  /** Retained components for the oracle-keyed projection face. */
+  val PcaK = 4
+
+  /** Pinned deterministic stand-in components (k=[[PcaK]] × D=[[
+    * graft.ops.SimilarityOps.Dim]]) — the [[graft.ops.SimilarityOps
+    * .defaultPqCodebook]] discipline: [[pcaTrain]]'s power iteration is
+    * a driver-side eigensolve no SQL oracle can twin, but the APPLY step
+    * is pure arithmetic given components, so both engines share the same
+    * literal values and the projection itself gets a hash-exact check.
+    * Swapping in trained components changes no operator shape.
+    */
+  lazy val defaultPcaComponents: IndexedSeq[IndexedSeq[Double]] =
+    (0 until PcaK).map(r => (0 until SimilarityOps.Dim).map(d =>
+      (((r * SimilarityOps.Dim + d + 1) * 2654435761L) % 2001L - 1000L) / 1000.0))
+
+  private[ops] def sqlPcaCompLit(r: Int): String =
+    defaultPcaComponents(r).map(_.toString).mkString("([", ", ", "]::DOUBLE[])")
+
+  /** Per-component projection SQL list `[⟨c_0,e⟩, …, ⟨c_{k−1},e⟩]`. */
+  private[ops] def sqlPcaProjList(embD: String): String =
+    (0 until PcaK).map(r => SimilarityOps.sqlDot(sqlPcaCompLit(r), embD))
+      .mkString("[", ", ", "]")
+
+  /** Oracle-keyed face of [[embedPcaProject]]: project onto the pinned
+    * [[defaultPcaComponents]], one row per (vector, component) with the
+    * coordinate micro-quantized AFTER the in-row fold (the fold itself is
+    * order-identical in both engines, so the quantization is pure
+    * hash-stabilization of the emitted double). Same zero-shuffle narrow
+    * map as the parameterized form.
+    */
+  def embedPcaProjectDefault(emb: DataFrame): DataFrame =
+    embedPcaProject(emb, defaultPcaComponents)
+      .select(col("vec_id"), col("label"), posexplode(col("scores")))
+      .toDF("vec_id", "label", "rank", "score")
+      .select(col("vec_id"), col("label"), col("rank").cast("long").as("rank"),
+        floor(col("score") * lit(QualityMicro) + lit(0.5)).cast("long")
+          .as("score_micro"))
+
+  def sqlEmbedPcaProject: String =
+    s"""SELECT vec_id, label, CAST(r.i AS BIGINT) AS rank,
+       |  CAST(floor(scores[r.i + 1] * $QualityMicro + 0.5) AS BIGINT) AS score_micro
+       |FROM (
+       |  SELECT vec_id, label, ${sqlPcaProjList("emb_d")} AS scores
+       |  FROM (SELECT vec_id, label,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+       |        FROM embeddings WHERE embedding IS NOT NULL
+       |          AND len(list_filter(embedding, x -> x IS NULL)) = 0)),
+       |  (SELECT unnest(range($PcaK)) AS i) r""".stripMargin
 
   /** PCA WHITENING: [[embedPcaProject]] with each score divided by
     * sqrt(eigenvalue), so every retained component carries unit variance

@@ -782,6 +782,21 @@ object SimilarityOps {
       .agg(avg(col("v")).as("mean_val"), count(lit(1)).as("n_vecs"))
       .select("subspace", "code", "dim_idx", "mean_val", "n_vecs")
 
+  /** Mean total quantization distortion Σₘ min_j d²(x_m, c_mj) of `cb`
+    * over `e` — one scan, one 1-row agg, no explode (cheaper than a
+    * training pass). None on empty input.
+    */
+  private def pqMeanDistortion(e: DataFrame, cb: Array[Double])
+      : Option[Double] = {
+    val row = e
+      .select(aggregate(
+        transform(pqDistsTab(col("emb_d"), cb), d => array_min(d)),
+        lit(0.0), (a, x) => a + x).as("dist"))
+      .agg(sum("dist").as("s"), count(lit(1)).as("n")).collect()(0)
+    if (row.getAs[Long]("n") == 0L) None
+    else Some(row.getAs[Double]("s") / row.getAs[Long]("n"))
+  }
+
   /** Iterative PQ codebook training: Lloyd k-means per subspace, ALL M
     * subspaces trained in one distributed pass per iteration (the
     * [[pqTrainStep]] shape: kernel-computed tables → argmin codes → one
@@ -792,6 +807,12 @@ object SimilarityOps {
     * (subspace 0, dim 0) guard; Lloyd's alternation makes it
     * non-increasing, which the spec asserts. Empty codes keep their
     * previous entry.
+    *
+    * hist(i) for i < maxIter measures codebook_i BEFORE its Lloyd update;
+    * a final cheap distortion pass ([[pqMeanDistortion]]) is appended so
+    * `hist.last` always measures the RETURNED codebook — the tol-based
+    * stop and the "trained beats seed" spec act on the real output, not
+    * the penultimate iterate.
     *
     * @return (trained flat codebook — [[pqDistsTab]]/[[writeIvfPqIndex]]
     *         accept it directly, per-iteration mean distortion)
@@ -832,6 +853,9 @@ object SimilarityOps {
         hist += obj
         iter += 1
       }
+      // measure the codebook we actually return (one Lloyd step past the
+      // last in-loop objective)
+      pqMeanDistortion(e, cb).foreach(hist += _)
       (cb, hist.toSeq)
     } finally { e.unpersist(); () }
   }

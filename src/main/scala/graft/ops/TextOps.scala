@@ -407,33 +407,59 @@ object TextOps {
     * with [[qualityScore]] (a blended score) as the published HARD gate
     * set.
     */
+  /** The six Gopher gate statistics as named Columns over a text
+    * expression — the single definition point shared by
+    * [[qualityGopherGates]] (the audit face) and [[gopherPass]] (the
+    * label used by [[qualityLinearTrainStep]]), so the report and the
+    * classifier's training labels cannot disagree.
+    */
+  private[ops] def gopherStatCols(text: Column): Map[String, Column] = {
+    val txt = coalesce(text, lit(""))
+    val toks = tokens(text)
+    Map(
+      "n_words" -> size(toks).cast("long"),
+      "sum_word_chars" ->
+        aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long")),
+      "n_alpha_words" -> size(filter(toks, x => x.rlike("[a-z]"))).cast("long"),
+      "n_hash" -> regexp_count(txt, lit("#")).cast("long"),
+      "n_ellipsis" -> regexp_count(txt, lit("\\.\\.\\.|…")).cast("long"),
+      "stop_hits" -> GopherStopwords.map(w =>
+        when(array_contains(toks, w), lit(1L)).otherwise(lit(0L))).reduce(_ + _))
+  }
+
+  /** The five gates + their conjunction, as (name, Column) pairs over a
+    * stat-column lookup — shared between the audit DataFrame (stats are
+    * materialized named columns) and the in-row label (stats are inline
+    * expressions; codegen subexpression elimination dedups them).
+    */
+  private[ops] def gopherGateCols(s: String => Column): Seq[(String, Column)] = {
+    val gCount = s("n_words") >= GopherMinWords && s("n_words") <= GopherMaxWords
+    val gWordlen = lit(3L) * s("n_words") <= s("sum_word_chars") &&
+      s("sum_word_chars") <= lit(10L) * s("n_words")
+    val gSymbol = lit(10L) * s("n_hash") <= s("n_words") &&
+      lit(10L) * s("n_ellipsis") <= s("n_words")
+    val gAlpha = lit(5L) * s("n_alpha_words") >= lit(4L) * s("n_words")
+    val gStop = s("stop_hits") >= 2L
+    Seq("g_count" -> gCount, "g_wordlen" -> gWordlen, "g_symbol" -> gSymbol,
+      "g_alpha" -> gAlpha, "g_stop" -> gStop,
+      "pass" -> (gCount && gWordlen && gSymbol && gAlpha && gStop))
+  }
+
+  private val GopherStatOrder = Seq("n_words", "sum_word_chars",
+    "n_alpha_words", "n_hash", "n_ellipsis", "stop_hits")
+
+  /** The full gate conjunction as one in-row Column over `text`. */
+  private[ops] def gopherPass(text: Column): Column = {
+    val stats = gopherStatCols(text)
+    gopherGateCols(stats).collectFirst { case ("pass", c) => c }.get
+  }
+
   def qualityGopherGates(docs: DataFrame): DataFrame = {
-    val txt = coalesce(col("text"), lit(""))
-    val toks = tokens(col("text"))
-    val nW = size(toks).cast("long")
-    val sumLen = aggregate(toks, lit(0L), (a, x) => a + length(x).cast("long"))
-    val nAlphaW = size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
-    val nHash = regexp_count(txt, lit("#")).cast("long")
-    val nEllipsis = regexp_count(txt, lit("\\.\\.\\.|…")).cast("long")
-    val stopHits = GopherStopwords.map(w =>
-      when(array_contains(toks, w), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val stats = gopherStatCols(col("text"))
     docs
-      .select(col("doc_id"), nW.as("n_words"), sumLen.as("sum_word_chars"),
-        nAlphaW.as("n_alpha_words"), nHash.as("n_hash"),
-        nEllipsis.as("n_ellipsis"), stopHits.as("stop_hits"))
-      .withColumn("g_count",
-        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
-      .withColumn("g_wordlen",
-        lit(3L) * col("n_words") <= col("sum_word_chars") &&
-          col("sum_word_chars") <= lit(10L) * col("n_words"))
-      .withColumn("g_symbol",
-        lit(10L) * col("n_hash") <= col("n_words") &&
-          lit(10L) * col("n_ellipsis") <= col("n_words"))
-      .withColumn("g_alpha",
-        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
-      .withColumn("g_stop", col("stop_hits") >= 2L)
-      .withColumn("pass", col("g_count") && col("g_wordlen") &&
-        col("g_symbol") && col("g_alpha") && col("g_stop"))
+      .select(col("doc_id") +: GopherStatOrder.map(n => stats(n).as(n)): _*)
+      .select(col("doc_id") +: GopherStatOrder.map(col) ++:
+        gopherGateCols(col).map { case (n, c) => c.as(n) }: _*)
   }
 
   def sqlQualityGopherGates: String = {
@@ -662,6 +688,23 @@ object TextOps {
     */
   val Bm25QueryTerms = 8
 
+  /** Per-term impact cap: each selected query term contributes only its
+    * top-[[Bm25ImpactCap]] docs BY TF to the candidate set — static
+    * block-max/WAND-style doc-side pruning. Rarest-first term selection
+    * bounds terms per query; this bounds docs per term, so the scored
+    * set is ≤ |queries|·[[Bm25QueryTerms]]·[[Bm25ImpactCap]] rows no
+    * matter how large the corpus grows — the fix for the one curve that
+    * was still linear in corpus size. Docs dropped for a term are the
+    * LOWEST-tf occurrences of a term that (having survived rarest-first
+    * selection) is still common — precisely the matches BM25's tf
+    * saturation scores lowest. Like [[Bm25QueryTerms]], the cap is
+    * declared semantics shared with the oracle, and it is OBSERVABLE:
+    * `n_capped` on every result row counts the candidate (term, doc)
+    * rows pruned for that query — exactly df − cap per capped term, so
+    * observability costs zero extra passes.
+    */
+  val Bm25ImpactCap = 1000
+
   /** BM25 retrieval of training docs for each held-out benchmark item —
     * the ranking function the engine's Elasticsearch target runs,
     * exercised corpus-side: retrieval-based contamination triage (the
@@ -681,7 +724,8 @@ object TextOps {
     * joins it and ONLY matching rows shuffle (df agg + per-query-doc
     * sum); the per-query top-K plans as WindowGroupLimit.
     */
-  def bm25TopK(docs: DataFrame): DataFrame = {
+  def bm25TopK(docs: DataFrame,
+      impactCap: Int = Bm25ImpactCap): DataFrame = {
     import graft.ops.PretrainOps.BenchmarkSource
     import org.apache.spark.sql.expressions.Window
     val train = docs.filter(col("source") =!= BenchmarkSource)
@@ -706,7 +750,24 @@ object TextOps {
       .withColumn("trank", row_number().over(wq))
       .filter(col("trank") <= Bm25QueryTerms)
       .select("query_id", "token", "df")
-    val matched = tf.join(broadcast(qsel), "token")
+    // impact-ordered doc-side pruning: per SELECTED term keep only the
+    // top-Bm25ImpactCap docs by tf. The rank<=cap filter plans as
+    // WindowGroupLimit (map-side partial limit before the token
+    // shuffle), and only rows matching a selected term enter the window
+    // at all — the decontaminate broadcast asymmetry preserved.
+    val wImp = Window.partitionBy(col("token"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val tfCapped = tf
+      .join(broadcast(qsel.select("token").distinct()), "token")
+      .withColumn("imprank", row_number().over(wImp))
+      .filter(col("imprank") <= impactCap)
+      .drop("imprank")
+    // per-query pruning observability, FREE of any extra pass over the
+    // corpus: a term with df docs loses exactly max(df - cap, 0) of them
+    val qCapped = qsel.groupBy("query_id")
+      .agg(sum(greatest(col("df") - lit(impactCap.toLong), lit(0L)))
+        .as("n_capped"))
+    val matched = tfCapped.join(broadcast(qsel), "token")
     val scored = matched
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -727,8 +788,10 @@ object TextOps {
       .orderBy(col("score_micro").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= Bm25TopK)
+      .join(broadcast(qCapped), "query_id")
       .select(col("query_id"), col("doc_id"), col("rank"), col("score_micro"),
-        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"),
+        col("n_capped"))
   }
 
   def sqlBm25TopK: String = {
@@ -755,9 +818,20 @@ object TextOps {
        |        ORDER BY f.df ASC, q.token) AS trank
        |    FROM qterms q JOIN dfall f USING (token))
        |  WHERE trank <= $Bm25QueryTerms),
+       |tfcapped AS MATERIALIZED (
+       |  SELECT doc_id, token, tf FROM (
+       |    SELECT t.doc_id, t.token, t.tf,
+       |      row_number() OVER (PARTITION BY t.token
+       |        ORDER BY t.tf DESC, t.doc_id) AS imprank
+       |    FROM tf t JOIN (SELECT DISTINCT token FROM qsel) s USING (token))
+       |  WHERE imprank <= $Bm25ImpactCap),
+       |qcapped AS (
+       |  SELECT query_id,
+       |    CAST(sum(greatest(df - $Bm25ImpactCap, 0)) AS BIGINT) AS n_capped
+       |  FROM qsel GROUP BY query_id),
        |matched AS MATERIALIZED (
        |  SELECT t.doc_id, t.token, t.tf, q.query_id, q.df
-       |  FROM tf t JOIN qsel q USING (token)),
+       |  FROM tfcapped t JOIN qsel q USING (token)),
        |scored AS (
        |  SELECT m.query_id, m.doc_id,
        |    CAST(sum(CAST(floor(
@@ -773,12 +847,13 @@ object TextOps {
        |  CROSS JOIN stats s
        |  GROUP BY m.query_id, m.doc_id)
        |SELECT query_id, doc_id, rank, score_micro,
-       |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+       |  CAST(score_micro AS DOUBLE) / 1000000.0 AS score, c.n_capped
        |FROM (
        |  SELECT query_id, doc_id, score_micro,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
        |  FROM scored)
+       |JOIN qcapped c USING (query_id)
        |WHERE rank <= $Bm25TopK""".stripMargin
   }
 
@@ -844,10 +919,28 @@ object TextOps {
     * partition order can't perturb it — and `accept` is the logit-sign
     * gate a filtering pipeline would apply.
     */
-  def qualityLinearScore(docs: DataFrame): DataFrame = {
+  /** Hashed feature bucket of a token — one definition for scoring,
+    * training, and the trained-weight lookup.
+    */
+  private def linearBucket(c: Column): Column = tokenHash(c) % LinearBuckets
+
+  /** The deterministic placeholder weight (micros) of a token — the
+    * arithmetic stand-in shared with the oracle.
+    */
+  private def seedWeight(c: Column): Column =
+    ((linearBucket(c) + 1L) * 2654435761L) % LinearWeightMod - 1000L
+
+  /** The placeholder weights as an explicit bucket→micros map — the
+    * exact same arithmetic as [[seedWeight]], materialized driver-side
+    * as the starting point for [[qualityLinearTrain]].
+    */
+  def seedWeightsMicro: Map[Long, Long] =
+    (0L until LinearBuckets).map(b =>
+      b -> (((b + 1L) * 2654435761L) % LinearWeightMod - 1000L)).toMap
+
+  private def linearScored(docs: DataFrame,
+      weight: Column => Column): DataFrame = {
     val toks = tokens(col("text"))
-    val weight = (c: Column) =>
-      ((tokenHash(c) % LinearBuckets + 1L) * 2654435761L) % LinearWeightMod - 1000L
     docs.select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -856,6 +949,20 @@ object TextOps {
       .withColumn("score", col("logit_micro").cast("double") / lit(1000000.0))
       .withColumn("accept", col("logit_micro") > 0L)
   }
+
+  def qualityLinearScore(docs: DataFrame): DataFrame =
+    linearScored(docs, seedWeight)
+
+  /** [[qualityLinearScore]] with EXPLICIT weights — the plan a trained
+    * model runs in: identical zero-shuffle in-row fold, with the weight
+    * arithmetic swapped for a bucket→micros literal-map lookup (the
+    * [[graft.ops.CdcOps]] routing-map pattern; [[LinearBuckets]] entries,
+    * materialized once, never per row). Unknown buckets weigh 0.
+    */
+  def qualityLinearScoreWith(docs: DataFrame,
+      weightsMicro: Map[Long, Long]): DataFrame =
+    linearScored(docs, c =>
+      coalesce(element_at(typedlit(weightsMicro), linearBucket(c)), lit(0L)))
 
   def sqlQualityLinearScore: String = {
     val w = s"((${sqlTokenHash("t")} % $LinearBuckets + 1) * 2654435761) % $LinearWeightMod - 1000"
@@ -867,5 +974,94 @@ object TextOps {
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(toks, t -> $w)), (a,x) -> a + x) AS logit_micro
        |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
+  }
+
+  // ------------------------------------------------- quality_linear_train
+
+  /** Inverse learning rate for [[qualityLinearTrain]]: η = 1/[[LinearEtaInv]]. */
+  val LinearEtaInv = 1000L
+
+  /** One training step of the linear quality classifier — the CCNet/LLaMA
+    * recipe's missing half: [[qualityLinearScore]] scores with weights,
+    * this LEARNS them, with labels taken from [[qualityGopherGates]]'
+    * verdicts (the published hard gates acting as the silver-label
+    * teacher — exactly how wikiref-style classifiers are bootstrapped
+    * when no human labels exist). Emits the per-bucket logistic gradient
+    * gᵦ = Σ_docs (p − y) · xᵦ where xᵦ is the doc's token count in
+    * bucket b, p is the FAST-sigmoid prediction p = ½ + z/(2(1+|z|))
+    * (pure IEEE arithmetic — a libm `exp` would hang cross-engine hash
+    * parity, the [[graft.ops.PretrainOps]] Jelinek-Mercer discipline),
+    * and the per-doc residual is micro-quantized BEFORE the per-bucket
+    * sum so the reduction is partition-order independent. (p−y)·x is the
+    * exact gradient of the convex matching loss of any monotone link
+    * (Auer et al. 1995), so the step is a true descent direction.
+    *
+    * Scale shape: the [[graft.ops.SimilarityOps.pqTrainStep]] altitude —
+    * one narrow scan computes label + logit + residual IN-ROW (gopher
+    * stats and the score fold share one projection), then the token
+    * explode feeds ONE map-side-combined agg with ≤ [[LinearBuckets]]
+    * keys; only the 1024-row gradient ever reaches a driver.
+    */
+  def qualityLinearTrainStep(docs: DataFrame): DataFrame = {
+    val labeled = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        when(gopherPass(col("text")), lit(1.0)).otherwise(lit(0.0)).as("y"),
+        aggregate(transform(tokens(col("text")), seedWeight(_)), lit(0L),
+          (a, x) => a + x).as("logit_micro"))
+      .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
+      .withColumn("p",
+        lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+      .withColumn("r_micro",
+        floor((col("p") - col("y")) * lit(1000000.0) + lit(0.5)).cast("long"))
+    labeled
+      .select(col("r_micro"), explode(col("toks")).as("tok"))
+      .select(linearBucket(col("tok")).as("bucket"), col("r_micro"))
+      .groupBy("bucket")
+      .agg(sum("r_micro").as("grad_micro"), count(lit(1)).as("n_terms"))
+  }
+
+  def sqlQualityLinearTrainStep: String = {
+    val w = s"((${sqlTokenHash("t")} % $LinearBuckets + 1) * 2654435761) % $LinearWeightMod - 1000"
+    s"""WITH gates AS (SELECT doc_id, pass FROM (
+       |${sqlQualityGopherGates}
+       |) gg),
+       |tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |scored AS (
+       |  SELECT tk.doc_id, tk.toks,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(tk.toks, t -> $w)), (a,x) -> a + x) AS logit_micro,
+       |    CASE WHEN g.pass THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+       |  FROM tk JOIN gates g USING (doc_id)),
+       |resid AS (
+       |  SELECT doc_id, toks,
+       |    CAST(floor(
+       |      ((0.5 + (CAST(logit_micro AS DOUBLE) / 1000000.0)
+       |        / (2.0 * (1.0 + abs(CAST(logit_micro AS DOUBLE) / 1000000.0))))
+       |       - y) * 1000000.0 + 0.5) AS BIGINT) AS r_micro
+       |  FROM scored)
+       |SELECT bucket, CAST(sum(r_micro) AS BIGINT) AS grad_micro,
+       |  count(*) AS n_terms
+       |FROM (
+       |  SELECT ${sqlTokenHash("tok")} % $LinearBuckets AS bucket, r_micro
+       |  FROM (SELECT r_micro, unnest(toks) AS tok FROM resid))
+       |GROUP BY bucket""".stripMargin
+  }
+
+  /** Full one-step train: seed weights − η · mean gradient, all in exact
+    * integer micros (`floorDiv` — deterministic toward −∞ regardless of
+    * sign). Only the ≤1024-row gradient and a 1-row count reach the
+    * driver; the returned map drops into [[qualityLinearScoreWith]]'s
+    * unchanged scoring plan.
+    */
+  def qualityLinearTrain(docs: DataFrame,
+      etaInv: Long = LinearEtaInv): Map[Long, Long] = {
+    val grads = qualityLinearTrainStep(docs).collect()
+    val nDocs = docs.count()
+    val w = scala.collection.mutable.Map(seedWeightsMicro.toSeq: _*)
+    if (nDocs > 0) for (r <- grads) {
+      val b = r.getAs[Long]("bucket")
+      w(b) = w(b) - Math.floorDiv(r.getAs[Long]("grad_micro"), etaInv * nDocs)
+    }
+    w.toMap
   }
 }

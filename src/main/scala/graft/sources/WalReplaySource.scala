@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -100,9 +100,25 @@ private[sources] case class WalOffset(seg: Long, last: Option[String] = None)
 }
 
 private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int])
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   require(dir != null, "wal-replay requires option path")
+
+  /** Trigger.AvailableNow: the end bound is PINNED at query start (the
+    * segment count then); batches drain up to it under the normal
+    * admission limit, then the query stops. Without this interface Spark
+    * falls back to ONE unbounded batch — which both ignores
+    * `maxSegmentsPerTrigger` (a 10⁶-segment backlog lands in a single
+    * batch) and means a long catch-up run commits nothing until the very
+    * end (one crash = redo everything). Segments landing after prepare
+    * are left for the next run — exactly AvailableNow's contract.
+    */
+  private var availableNowBound: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowBound = Some(segments().length.toLong)
+  }
 
   /** Name-sorted segment listing — names must be monotone (LSN-like). */
   private def segments(): Array[String] = {
@@ -180,12 +196,21 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
     val segs = segments()
     val s = start.asInstanceOf[WalOffset]
     validate(segs, s)
-    val total = segs.length.toLong
+    val total = availableNowBound
+      .fold(segs.length.toLong)(math.min(_, segs.length.toLong))
     val to = limit match {
       case mf: ReadMaxFiles => math.min(s.seg + mf.maxFiles(), total)
       case _ => total
     }
     WalOffset(to, if (to > 0) Some(segs((to - 1).toInt)) else None)
+  }
+
+  /** The unbounded high-water mark (progress reporting only — admission
+    * goes through `latestOffset(start, limit)`).
+    */
+  override def reportLatestOffset(): Offset = {
+    val segs = segments()
+    WalOffset(segs.length.toLong, segs.lastOption)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -57,9 +57,13 @@ object IndexStream {
       // layout but not the row schema — appending the wrong flavor passes
       // the metadata-log check and then either silently skips batches
       // (same checkpoint) or mixes schemas (fresh checkpoint). Loud here.
+      // Only an empty/schema-less directory (AnalysisException from schema
+      // inference) may skip the flavor check; anything else — OOM, interrupt,
+      // corrupt footer — must propagate, or a broken index would silently
+      // pass the guard that exists to fail loudly.
       val cols =
         try spark.read.parquet(indexDir).columns.toSet
-        catch { case _: Throwable => Set.empty[String] }
+        catch { case _: org.apache.spark.sql.AnalysisException => Set.empty[String] }
       if (cols.nonEmpty && !cols.contains(markerColumn))
         throw new IllegalStateException(
           s"$indexDir holds a different index flavor (existing columns " +

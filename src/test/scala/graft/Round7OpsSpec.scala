@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, PretrainOps, TextOps}
+
+/** Round-7 operators: bm25 impact cap, the quality-classifier train step,
+  * PCA projection + PCA-composed semantic dedup, packed-sequence
+  * decontamination, and the normalizeEvents nanos guard.
+  */
+class Round7OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ------------------------------------------------------- bm25 impact cap
+
+  test("bm25TopK: default cap is above the small corpus — n_capped = 0, caps invisible") {
+    val r = TextOps.bm25TopK(docs)
+    assert(r.columns.contains("n_capped"))
+    assert(r.filter(col("n_capped") =!= 0L).count() == 0L,
+      "cap must not bite below Bm25ImpactCap docs per term")
+  }
+
+  test("bm25TopK: tiny cap prunes, is observable, and keeps ranks contiguous") {
+    val r = TextOps.bm25TopK(docs, impactCap = 1).cache()
+    try {
+      // n_capped must equal Σ max(df − cap, 0) over each query's selected
+      // terms — and with cap=1 on a real corpus some term has df > 1
+      assert(r.filter(col("n_capped") > 0L).count() > 0L,
+        "cap=1 must prune something on the real corpus")
+      // per query: ranks are 1..m contiguous after pruning
+      val byQ = r.select("query_id", "rank").as[(Long, Long)].collect()
+        .groupBy(_._1).values
+      assert(byQ.forall(rs =>
+        rs.map(_._2).sorted.sameElements(1L to rs.length.toLong)))
+      // observability is per-QUERY constant: one n_capped value per query
+      val nc = r.select("query_id", "n_capped").distinct().collect()
+      assert(nc.map(_.getLong(0)).distinct.length == nc.length)
+    } finally { r.unpersist(); () }
+  }
+
+  // -------------------------------------------------- quality_linear_train
+
+  test("qualityLinearTrainStep: ≤ LinearBuckets gradient rows, occurrences conserved") {
+    val g = PretrainOps // touch to keep import
+    val step = TextOps.qualityLinearTrainStep(docs).cache()
+    try {
+      assert(step.count() <= TextOps.LinearBuckets)
+      // every token occurrence lands in exactly one bucket
+      val nTerms = step.agg(sum("n_terms")).as[Long].head()
+      val nToks = docs.select(sum(size(TextOps.tokens(col("text")))))
+        .as[Long].head()
+      assert(nTerms == nToks, s"occurrence conservation: $nTerms vs $nToks")
+    } finally { step.unpersist(); () }
+  }
+
+  test("qualityLinearScoreWith(seedWeightsMicro) ≡ qualityLinearScore (weights slot in)") {
+    val a = TextOps.qualityLinearScore(docs)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.qualityLinearScoreWith(docs, TextOps.seedWeightsMicro)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "explicit seed weights must reproduce the arithmetic weights")
+  }
+
+  test("qualityLinearScoreWith: zero-shuffle plan, same shape as the arithmetic scorer") {
+    val plan = TextOps.qualityLinearScoreWith(docs, TextOps.seedWeightsMicro)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"trained-weight scoring must stay a narrow in-row fold:\n$plan")
+  }
+
+  test("qualityLinearTrain: one step moves predictions toward the gopher labels") {
+    def meanAbsResidual(weights: Map[Long, Long]): Double = {
+      val scored = TextOps.qualityLinearScoreWith(docs, weights)
+        .select(col("doc_id"), col("logit_micro"))
+      val labels = TextOps.qualityGopherGates(docs)
+        .select(col("doc_id"), when(col("pass"), 1.0).otherwise(0.0).as("y"))
+      scored.join(labels, "doc_id")
+        .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
+        .withColumn("p",
+          lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+        .agg(avg(abs(col("p") - col("y")))).as[Double].head()
+    }
+    val before = meanAbsResidual(TextOps.seedWeightsMicro)
+    val trained = TextOps.qualityLinearTrain(docs)
+    val after = meanAbsResidual(trained)
+    assert(trained != TextOps.seedWeightsMicro, "training must move weights")
+    assert(after < before,
+      s"one LR step must reduce mean |p - y|: before=$before after=$after")
+  }
+
+  // ----------------------------------------------------- embed_pca_project
+
+  test("embedPcaProjectDefault: k rows per vector, micro-quantized from the raw projection") {
+    val raw = PretrainOps.embedPcaProject(emb, PretrainOps.defaultPcaComponents)
+      .select(col("vec_id"), col("scores")).as[(Long, Seq[Double])]
+      .collect().toMap
+    val keyed = PretrainOps.embedPcaProjectDefault(emb)
+      .select("vec_id", "rank", "score_micro").as[(Long, Long, Long)].collect()
+    assert(keyed.length == raw.size * PretrainOps.PcaK)
+    assert(keyed.forall { case (v, r, m) =>
+      m == math.floor(raw(v)(r.toInt) * 1e6 + 0.5).toLong
+    }, "oracle face must be the micro-quantized raw projection")
+  }
+
+  // --------------------------------------------------- dedup_semantic_pca
+
+  test("dedupSemanticPca: every vector verdicted once; cluster minimum always kept") {
+    val r = DedupOps.dedupSemanticPca(emb).cache()
+    try {
+      assert(r.count() == emb.count())
+      assert(r.select("vec_id").distinct().count() == emb.count())
+      // the lowest vec_id in a cluster has no lower-id neighbor → keep
+      val minKept = r.groupBy("cluster_id").agg(min("vec_id").as("vec_id"))
+        .join(r, Seq("cluster_id", "vec_id"))
+        .filter(!col("keep")).count()
+      assert(minKept == 0L, "a cluster's min vec_id can never be a dup")
+    } finally { r.unpersist(); () }
+  }
+
+  test("dedupSemanticPca: reduced-space verdicts match a driver-side recompute") {
+    val comps = PretrainOps.defaultPcaComponents
+    val cents = DedupOps.defaultPcaCentroids
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def proj(e: Seq[Double]): IndexedSeq[Double] =
+      comps.map(c => c.indices.foldLeft(0.0)((a, d) => a + c(d) * e(d)))
+    val p = vecs.map { case (id, e) => id -> proj(e) }
+    def clusterOf(v: IndexedSeq[Double]): Int = {
+      val dots = cents.map(c => c.indices.foldLeft(0.0)((a, d) => a + c(d) * v(d)))
+      dots.indexOf(dots.max)
+    }
+    val cl = p.map { case (id, v) => id -> clusterOf(v) }
+    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]): Option[Double] = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) Some(a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i)) / (na * nb))
+      else None
+    }
+    val expectDup = p.keys.map { id =>
+      id -> p.keys.exists(o => o < id && cl(o) == cl(id) &&
+        cos(p(o), p(id)).exists(_ >= DedupOps.SemanticDupThreshold))
+    }.toMap
+    val got = DedupOps.dedupSemanticPca(emb)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got.size == expectDup.size)
+    got.foreach { case (id, keep) =>
+      assert(keep == !expectDup(id), s"vec $id verdict diverged")
+    }
+  }
+
+  // -------------------------------------------------- decontaminate_packed
+
+  test("decontaminatePacked catches a benchmark gram SPANNING a doc boundary") {
+    // two individually-clean train docs whose concatenation in pack order
+    // recreates the benchmark 5-gram — invisible to doc-level
+    // decontaminate, visible in the packed stream
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon", PretrainOps.BenchmarkSource),
+      (10L, "filler1 filler2 filler3 alpha beta", "src1"),
+      (11L, "gamma delta epsilon filler4 filler5", "src1")
+    ).toDF("doc_id", "text", "source")
+    assert(PretrainOps.decontaminate(planted).count() == 0L,
+      "doc-level check must be blind to the boundary-spanning gram")
+    val leaked = PretrainOps.decontaminatePacked(planted)
+      .select("source", "seq_id", "n_grams", "leaked_grams")
+      .as[(String, Long, Long, Long)].collect()
+    assert(leaked.toSeq == Seq(("src1", 0L, 6L, 1L)),
+      s"expected exactly the spanning gram: ${leaked.toSeq}")
+  }
+
+  test("decontaminatePacked: a gram inside one doc leaks every time it occurs") {
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon", PretrainOps.BenchmarkSource),
+      // the bench 5-gram occurs twice in one doc (positions 1 and 6)
+      (10L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon", "src1")
+    ).toDF("doc_id", "text", "source")
+    val leaked = PretrainOps.decontaminatePacked(planted)
+      .select("seq_id", "leaked_grams").as[(Long, Long)].collect()
+    assert(leaked.toSeq == Seq((0L, 2L)),
+      "positional grams: every occurrence counts")
+  }
+
+  // ----------------------------------------------- normalizeEvents guard
+
+  test("normalizeEvents: long micros (1000x off) fail loudly, long nanos pass") {
+    val micros = Seq((1L, 1700000000000000L, "signup", 7L, 1.0))
+      .toDF("event_id", "ts", "event_type", "user_id", "value")
+    val ex = intercept[Exception] {
+      graft.ops.CdcOps.typedMessages(micros).collect()
+    }
+    assert(ex.getMessage.contains("nanosecond epoch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("nanosecond epoch")))
+    val nanos = Seq((1L, 1700000000000000000L, "signup", 7L, 1.0))
+      .toDF("event_id", "ts", "event_type", "user_id", "value")
+    assert(graft.ops.CdcOps.typedMessages(nanos).count() == 1L)
+  }
+}

@@ -181,6 +181,52 @@ class WalReplaySourceSpec extends SparkSuite {
     assert(fin.toSet == (1L to 10L).map(_.toString).toSet && fin.size == 10)
   }
 
+  test("long-running stream: restart from a COMPACTED metadata log resumes exactly once") {
+    // Spark's file-sink metadata log (and every CompactibleFileStreamLog)
+    // compacts every 10 batches: batch 9 folds batches 0-8 into
+    // `9.compact`. A long-running WAL stream therefore restarts not from
+    // plain per-batch files but THROUGH a compacted log — the lifecycle
+    // edge a short spec never crosses. 12 one-segment batches force the
+    // compaction, then a restart with new segments must replay exactly
+    // the unseen ones.
+    val dir = tmp("wal-cpt")
+    val out = tmp("wal-cpt-out")
+    val ckpt = tmp("wal-cpt-ckpt")
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.WalReplayProvider].getName)
+        .option("path", dir)
+        .option("maxSegmentsPerTrigger", "1")
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitDone(q)
+      ()
+    }
+    for (i <- 0 until 12)
+      writeSegment(dir, f"seg-$i%03d", Seq(i.toLong))
+    runOnce() // 12 micro-batches at 1 segment/trigger → crosses batch 9
+    val metaDir = new java.io.File(s"$out/_spark_metadata")
+    assert(metaDir.listFiles.exists(_.getName.endsWith(".compact")),
+      s"test premise: sink log must have compacted, saw " +
+        metaDir.listFiles.map(_.getName).toSeq.sorted.mkString(","))
+    val got1 = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(got1.length == 12 && got1.toSet == (0L until 12L).toSet)
+
+    // down; two more segments land; restart reads its position through
+    // the compacted log — nothing lost, nothing re-delivered
+    writeSegment(dir, "seg-012", Seq(12L))
+    writeSegment(dir, "seg-013", Seq(13L))
+    runOnce()
+    val got2 = spark.read.parquet(out).select("event_id").as[Long].collect()
+    assert(got2.length == 14, s"loss or re-delivery: ${got2.sorted.toSeq}")
+    assert(got2.toSet == (0L until 14L).toSet)
+  }
+
   test("full CDC chain over the custom source (format=wal in changeStream)") {
     val dir = tmp("wal-cdc")
     val bulk = tmp("wal-bulk")
