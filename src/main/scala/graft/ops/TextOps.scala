@@ -732,7 +732,13 @@ object TextOps {
     val toks = graft.ops.DedupOps.fanout(train)
       .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
       .filter(col("token").isNotNull)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // materialize tf ONCE: four consumers hang off it (dl, global df, the
+    // capped-candidate window, the scoring join) — without this the
+    // corpus-wide tokenize+explode+agg subtree re-executes per consumer,
+    // and at x32 that recompute, not the (now capped) match fan-out, was
+    // the whole scaling slope
+    val tf = graft.ops.DedupOps.materialize(
+      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), "bm25_tf")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // exact global df per token: tf rows are distinct (doc, token) pairs
