@@ -219,6 +219,9 @@ object SparkEntry {
     "ann_ivfpq_probe" -> ((s, dir) => SimilarityOps.annIvfPqProbe(tbl(s, dir, "embeddings"))),
     "ann_ivfpq_refine" -> ((s, dir) => SimilarityOps.annIvfPqRefine(tbl(s, dir, "embeddings"))),
     "pq_train_step" -> ((s, dir) => SimilarityOps.pqTrainStep(tbl(s, dir, "embeddings"))),
+    // PCA-reduced coarse search + exact rerank — the dimension-reduction
+    // sibling of IVFADC's quantization trick
+    "ann_pca_refine" -> ((s, dir) => SimilarityOps.annPcaRefine(tbl(s, dir, "embeddings"))),
     // recall@K of the approximate ANN paths vs the exact baseline
     "ann_recall" -> ((s, dir) => SimilarityOps.annRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(tbl(s, dir, "documents"))),
@@ -583,6 +586,7 @@ object SparkEntry {
     "pq_encode" -> SimilarityOps.sqlPqEncode,
     "ann_ivfpq_probe" -> SimilarityOps.sqlAnnIvfPqProbe,
     "ann_ivfpq_refine" -> SimilarityOps.sqlAnnIvfPqRefine,
+    "ann_pca_refine" -> SimilarityOps.sqlAnnPcaRefine,
     "pq_train_step" -> SimilarityOps.sqlPqTrainStep,
     "ann_recall" -> SimilarityOps.sqlAnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,

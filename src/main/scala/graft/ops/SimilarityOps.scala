@@ -405,6 +405,9 @@ object SimilarityOps {
       // truncation and the ADC quantization error on top of it — the
       // number that says whether the 32× index compression is safe
       .unionByName(recallOf("ivfpq_probe", annIvfPqProbe(emb)))
+      // the PCA leg measures the DIMENSION-reduction loss: how much of
+      // the exact top-K survives a coarse pass in the projected space
+      .unionByName(recallOf("pca_refine", annPcaRefine(emb)))
       .select("method", "query_id", "recall")
   }
 
@@ -420,6 +423,9 @@ object SimilarityOps {
        |) t),
        |ivfpq AS (SELECT query_id, neighbor_id FROM (
        |${sqlAnnIvfPqProbe}
+       |) t),
+       |pca AS (SELECT query_id, neighbor_id FROM (
+       |${sqlAnnPcaRefine}
        |) t)
        |SELECT 'lsh_bucket' AS method, bf.query_id,
        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
@@ -436,6 +442,12 @@ object SimilarityOps {
        |SELECT 'ivfpq_probe' AS method, bf.query_id,
        |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
        |FROM bf LEFT JOIN ivfpq a
+       |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
+       |GROUP BY bf.query_id
+       |UNION ALL
+       |SELECT 'pca_refine' AS method, bf.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM bf LEFT JOIN pca a
        |  ON bf.query_id = a.query_id AND bf.neighbor_id = a.neighbor_id
        |GROUP BY bf.query_id""".stripMargin
 
@@ -737,6 +749,88 @@ object SimilarityOps {
        |  FROM adc a
        |  JOIN e n ON n.vec_id = a.neighbor_id
        |  JOIN e q ON q.vec_id = a.query_id)""".stripMargin
+
+  // -------------------------------------------------------- ann_pca_refine
+
+  /** Coarse candidates per query for the PCA-reduced first pass. */
+  val PcaCoarseCands = 32
+
+  /** PCA-reduced ANN: coarse cosine search in the k=[[graft.ops
+    * .PretrainOps.PcaK]] PROJECTED space (per-pair cost k mults instead
+    * of [[Dim]] — the matrix-sketch sibling of PQ's table-lookup trick),
+    * take the top [[PcaCoarseCands]] per query, then exact-cosine rerank
+    * to [[TopK]] in the full space — the [[annIvfPqRefine]] two-stage
+    * shape with the dimension reduction, not the quantization, carrying
+    * the cheap pass. Completes the PCA family: project
+    * ([[graft.ops.PretrainOps.embedPcaProject]]) → dedup
+    * ([[graft.ops.DedupOps.dedupSemanticPca]]) → search (here).
+    *
+    * Scale shape: the projected+normed table materializes ONCE (at real
+    * scale it is the stored reduced index — 16× narrower than the
+    * vectors); the coarse pass is a broadcast nested-loop over 4-dim
+    * rows with a WindowGroupLimit top-C; only the |Q|·C survivor ids
+    * (broadcast) touch full vectors again, one scan, never a corpus
+    * shuffle.
+    */
+  def annPcaRefine(emb: DataFrame): DataFrame = {
+    val comps = graft.ops.PretrainOps.defaultPcaComponents
+    val proj = array(comps.map(c =>
+      dot(array(c.map(lit): _*), col("emb_d"))): _*)
+    val e = graft.ops.DedupOps.materialize(
+      withNorm(emb)
+        .withColumn("p", proj)
+        .withColumn("pnorm", sqrt(dot(col("p"), col("p")))),
+      "ann_pca_proj")
+    val qp = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("pq"),
+        col("pnorm").as("pnq"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("pca_sim").desc, col("neighbor_id"))
+    val cands = e.join(broadcast(qp), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("pq"), col("pnq"), col("p"), col("pnorm")).as("pca_sim"))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= PcaCoarseCands)
+      .select("query_id", "neighbor_id")
+    val qv = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("eq"),
+        col("norm").as("nq"))
+    val exact = e.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  def sqlAnnPcaRefine: String = {
+    val projList = graft.ops.PretrainOps.sqlPcaProjList("emb_d")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm, p, sqrt(${sqlDot("p", "p")}) AS pnorm
+       |  FROM (SELECT vec_id, emb_d, norm, $projList AS p
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${sqlCosine("q.p", "q.pnorm", "e.p", "e.pnorm")} DESC,
+       |          e.vec_id) AS crank
+       |    FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NQueries)
+       |  WHERE crank <= $PcaCoarseCands)
+       |SELECT query_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${sqlCosine("q.emb_d", "q.norm", "n.emb_d", "n.norm")} AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY ${sqlCosine("q.emb_d", "q.norm", "n.emb_d", "n.norm")} DESC, c.neighbor_id) AS BIGINT) AS rank
+       |  FROM cand c
+       |  JOIN e n ON n.vec_id = c.neighbor_id
+       |  JOIN e q ON q.vec_id = c.query_id)
+       |WHERE rank <= $TopK""".stripMargin
+  }
 
   /** One k-means step of ALL M PQ codebooks in a single pass: each
     * subvector is assigned to its nearest codebook entry (in-row,

@@ -1008,11 +1008,26 @@ object TextOps {
     * explode feeds ONE map-side-combined agg with ≤ [[LinearBuckets]]
     * keys; only the 1024-row gradient ever reaches a driver.
     */
-  def qualityLinearTrainStep(docs: DataFrame): DataFrame = {
+  def qualityLinearTrainStep(docs: DataFrame): DataFrame =
+    qualityLinearTrainStepWith(docs, None)
+
+  /** [[qualityLinearTrainStep]] against EXPLICIT current weights — the
+    * SGD form [[graft.stream.TrainStream]] iterates: gradients are taken
+    * at the weights learned so far (broadcast literal-map lookup, the
+    * [[qualityLinearScoreWith]] plan), not at the seed. `None` keeps the
+    * oracle face's arithmetic seed weights.
+    */
+  def qualityLinearTrainStepWith(docs: DataFrame,
+      weightsMicro: Option[Map[Long, Long]]): DataFrame = {
+    val weight: Column => Column = weightsMicro match {
+      case None => seedWeight(_)
+      case Some(w) =>
+        c => coalesce(element_at(typedlit(w), linearBucket(c)), lit(0L))
+    }
     val labeled = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"),
         when(gopherPass(col("text")), lit(1.0)).otherwise(lit(0.0)).as("y"),
-        aggregate(transform(tokens(col("text")), seedWeight(_)), lit(0L),
+        aggregate(transform(tokens(col("text")), weight), lit(0L),
           (a, x) => a + x).as("logit_micro"))
       .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
       .withColumn("p",
@@ -1059,15 +1074,22 @@ object TextOps {
     * driver; the returned map drops into [[qualityLinearScoreWith]]'s
     * unchanged scoring plan.
     */
+  /** The weight update w ← w − η·(g/n) in exact integer micros
+    * (`floorDiv` — deterministic toward −∞ regardless of sign). One
+    * definition point shared by the batch [[qualityLinearTrain]] and the
+    * streaming [[graft.stream.TrainStream]] fold.
+    */
+  def applyGradient(weights: Map[Long, Long], grads: Seq[(Long, Long)],
+      nDocs: Long, etaInv: Long = LinearEtaInv): Map[Long, Long] =
+    if (nDocs <= 0) weights
+    else grads.foldLeft(weights) { case (w, (b, g)) =>
+      w.updated(b, w.getOrElse(b, 0L) - Math.floorDiv(g, etaInv * nDocs))
+    }
+
   def qualityLinearTrain(docs: DataFrame,
       etaInv: Long = LinearEtaInv): Map[Long, Long] = {
     val grads = qualityLinearTrainStep(docs).collect()
-    val nDocs = docs.count()
-    val w = scala.collection.mutable.Map(seedWeightsMicro.toSeq: _*)
-    if (nDocs > 0) for (r <- grads) {
-      val b = r.getAs[Long]("bucket")
-      w(b) = w(b) - Math.floorDiv(r.getAs[Long]("grad_micro"), etaInv * nDocs)
-    }
-    w.toMap
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("grad_micro")).toSeq
+    applyGradient(seedWeightsMicro, grads, docs.count(), etaInv)
   }
 }

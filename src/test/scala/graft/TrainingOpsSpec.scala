@@ -51,10 +51,10 @@ class TrainingOpsSpec extends SparkSuite {
     val r = SimilarityOps.annRecall(emb)
       .select("method", "query_id", "recall")
       .as[(String, Long, Double)].collect()
-    // three methods: lsh_bucket, ivf_probe, ivfpq_probe
-    assert(r.length == 3 * SimilarityOps.NQueries)
+    // four methods: lsh_bucket, ivf_probe, ivfpq_probe, pca_refine
+    assert(r.length == 4 * SimilarityOps.NQueries)
     assert(r.map(_._1).toSet ==
-      Set("lsh_bucket", "ivf_probe", "ivfpq_probe"))
+      Set("lsh_bucket", "ivf_probe", "ivfpq_probe", "pca_refine"))
     assert(r.forall { case (_, _, rec) => rec >= 0.0 && rec <= 1.0 })
     // sanity: brute force against itself would be 1.0 — the measurement
     // machinery must report perfect recall for a perfect method
