@@ -1092,4 +1092,63 @@ object TextOps {
       .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("grad_micro")).toSeq
     applyGradient(seedWeightsMicro, grads, docs.count(), etaInv)
   }
+
+  /** Mean |p − y| of `weightsMicro` over the corpus — the trainer's loss
+    * gauge: label, logit and fast-sigmoid prediction all compute IN-ROW
+    * in one scan, one 1-row agg. None on empty input.
+    */
+  def linearMeanAbsResidual(docs: DataFrame,
+      weightsMicro: Map[Long, Long]): Option[Double] = {
+    val wmap = typedlit(weightsMicro)
+    val weight = (c: Column) =>
+      coalesce(element_at(wmap, linearBucket(c)), lit(0L))
+    val row = docs
+      .select(
+        when(gopherPass(col("text")), lit(1.0)).otherwise(lit(0.0)).as("y"),
+        aggregate(transform(tokens(col("text")), weight), lit(0L),
+          (a, x) => a + x).as("logit_micro"))
+      .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
+      .withColumn("p",
+        lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+      .agg(avg(abs(col("p") - col("y"))).as("l"), count(lit(1)).as("n"))
+      .collect()(0)
+    if (row.getAs[Long]("n") == 0L) None else Some(row.getAs[Double]("l"))
+  }
+
+  /** Iterated full-batch training — [[qualityLinearTrain]] looped with a
+    * loss history, the [[graft.ops.SimilarityOps.pqTrain]] discipline:
+    * hist(i) measures the weights BEFORE step i, a final pass is
+    * appended so `hist.last` always measures the RETURNED weights, and
+    * the tol-based stop acts on real measurements. Each iteration is two
+    * corpus scans (loss gauge + gradient agg) with only the ≤1024-row
+    * gradient and two 1-row aggs reaching the driver; the corpus is
+    * cached across iterations like every training loop here.
+    */
+  def qualityLinearTrainLoop(docs: DataFrame, maxIter: Int = 5,
+      etaInv: Long = LinearEtaInv, tol: Double = 1e-6)
+      : (Map[Long, Long], Seq[Double]) = {
+    val d = docs.select("doc_id", "text").cache()
+    try {
+      val nDocs = d.count()
+      var w = seedWeightsMicro
+      val hist = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var iter = 0
+      var improving = true
+      while (iter < maxIter && improving && nDocs > 0) {
+        val loss = linearMeanAbsResidual(d, w).get
+        improving = hist.lastOption.forall(prev => prev - loss > tol)
+        if (improving) {
+          hist += loss
+          val grads = qualityLinearTrainStepWith(d, Some(w)).collect()
+            .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("grad_micro"))
+            .toSeq
+          w = applyGradient(w, grads, nDocs, etaInv)
+        }
+        iter += 1
+      }
+      // measure the weights we actually return
+      linearMeanAbsResidual(d, w).foreach(hist += _)
+      (w, hist.toSeq)
+    } finally { d.unpersist(); () }
+  }
 }

@@ -53,6 +53,35 @@ class PlanSpec extends SparkSuite {
     // agg/window shuffle each — a third exchange is a regression
     for (name <- Seq("lang_mix", "shard_checksums", "length_percentiles"))
       assert(exchanges(q(name)) == 2, s"$name grew an extra shuffle")
+    // PCA projection: the fanout insurance repartition ONLY — the k dot
+    // folds are in-row, a second exchange means the projection shuffled
+    assert(exchanges(q("embed_pca_project")) == 1,
+      "embed_pca_project must stay a narrow projection")
+    // classifier train step: label+logit+residual in-row, then exactly
+    // the ≤1024-key bucket-gradient agg
+    assert(exchanges(q("quality_linear_train")) == 1,
+      "quality_linear_train is one map-side-combined gradient agg")
+  }
+
+  test("dedup_semantic_pca / ann_pca_refine: broadcasts, no cartesian") {
+    for (name <- Seq("dedup_semantic_pca", "ann_pca_refine")) {
+      val ns = nodes(q(name))
+      assert(ns.exists(_.isInstanceOf[BroadcastExchangeExec]),
+        s"$name lost its broadcast")
+      assert(!ns.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name degraded to cartesian")
+    }
+  }
+
+  test("decontaminate_packed: bench grams broadcast; corpus shuffles only for assembly") {
+    val ns = nodes(q("decontaminate_packed"))
+    assert(ns.exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "the benchmark gram set must broadcast")
+    assert(!ns.exists(_.isInstanceOf[CartesianProductExec]))
+    // pack window + span assembly + final agg + fanout — five means a
+    // consumer re-shuffled the corpus
+    assert(exchanges(q("decontaminate_packed")) <= 4,
+      "decontaminate_packed grew an extra corpus shuffle")
   }
 
   test("whole-stage codegen actually COMPILES for the big projection chains") {

@@ -90,6 +90,18 @@ class Round7OpsSpec extends SparkSuite {
       s"one LR step must reduce mean |p - y|: before=$before after=$after")
   }
 
+  test("qualityLinearTrainLoop: loss history measures the returned weights; net improvement") {
+    val (w, hist) = TextOps.qualityLinearTrainLoop(docs, maxIter = 3)
+    assert(hist.size >= 2, s"need a start and a final measurement: $hist")
+    assert(w != TextOps.seedWeightsMicro)
+    assert(hist.last < hist.head,
+      s"training must improve the loss gauge overall: $hist")
+    // hist.last is the RETURNED weights' loss — the pqTrain discipline
+    val returned = TextOps.linearMeanAbsResidual(docs, w).get
+    assert(math.abs(returned - hist.last) < 1e-12,
+      "hist.last must measure the returned weights")
+  }
+
   // ----------------------------------------------------- embed_pca_project
 
   test("embedPcaProjectDefault: k rows per vector, micro-quantized from the raw projection") {
