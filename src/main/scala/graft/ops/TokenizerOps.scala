@@ -258,4 +258,30 @@ object TokenizerOps {
     CheckpointBlocks.unpersist(vocab)
     merges.result()
   }
+
+  /** Persist a learned merge table — the tokenizer's model artifact, so
+    * training runs ONCE and every downstream job (tokenize, pack, data
+    * card) loads the same merges instead of retraining (the
+    * [[SimilarityOps.writeIvfIndex]] train-once/serve-many discipline).
+    * `rank` is the training order, which IS Sennrich's application
+    * priority order (see [[tokenizeBpe]]) — the round-trip must preserve
+    * it exactly, hence an explicit column rather than file order.
+    */
+  def writeBpeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[BpeMerge], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.p1, m.p2, m.count) }
+      .toDF("rank", "p1", "p2", "count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table in training order. */
+  def readBpeModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[BpeMerge] =
+    spark.read.parquet(path).select("rank", "p1", "p2", "count")
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(r => BpeMerge(r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
 }

@@ -195,6 +195,23 @@ class Round7OpsSpec extends SparkSuite {
       "positional grams: every occurrence counts")
   }
 
+  // ------------------------------------------------- BPE model round-trip
+
+  test("writeBpeModel/readBpeModel: exact round-trip in training order; tokenization identical") {
+    import graft.ops.TokenizerOps
+    val merges = TokenizerOps.bpeTrain(docs, TokenizerOps.NumMerges)
+    assert(merges.nonEmpty)
+    val path = java.nio.file.Files.createTempDirectory("bpe-model").toString
+    TokenizerOps.writeBpeModel(spark, merges, s"$path/m")
+    val loaded = TokenizerOps.readBpeModel(spark, s"$path/m")
+    assert(loaded == merges, "model round-trip must preserve order and counts")
+    val a = TokenizerOps.tokenizeBpe(docs, merges)
+      .orderBy("doc_id").collect().toSeq
+    val b = TokenizerOps.tokenizeBpe(docs, loaded)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "tokenizing with the loaded model must be identical")
+  }
+
   // ----------------------------------------------- normalizeEvents guard
 
   test("normalizeEvents: long micros (1000x off) fail loudly, long nanos pass") {
