@@ -342,7 +342,11 @@ object SparkEntry {
     "quality_linear_train" -> ((s, dir) => TextOps.qualityLinearTrainStep(tbl(s, dir, "documents"))),
     // sequence-level leakage: benchmark grams inside PACKED training
     // sequences (incl. grams spanning doc boundaries)
-    "decontaminate_packed" -> ((s, dir) => PretrainOps.decontaminatePacked(tbl(s, dir, "documents")))
+    "decontaminate_packed" -> ((s, dir) => PretrainOps.decontaminatePacked(tbl(s, dir, "documents"))),
+    // benchmark-side face of the packed check: which held-out items leak
+    // into packed sequences, incl. boundary-spanning grams; zero rows kept
+    "contamination_report_packed" -> ((s, dir) =>
+      PretrainOps.contaminationReportPacked(tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -649,6 +653,7 @@ object SparkEntry {
     "embed_pca_project" -> PretrainOps.sqlEmbedPcaProject,
     "dedup_semantic_pca" -> DedupOps.sqlDedupSemanticPca,
     "quality_linear_train" -> TextOps.sqlQualityLinearTrainStep,
-    "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked
+    "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked,
+    "contamination_report_packed" -> PretrainOps.sqlContaminationReportPacked
   )
 }

@@ -164,12 +164,13 @@ object PretrainOps {
     * agg. Packing arithmetic is [[packWindowCols]] — the one shared
     * definition — so the checked offsets are the loader's offsets.
     */
-  def decontaminatePacked(docs: DataFrame,
-      gramWidth: Int = DecontamGram): DataFrame = {
+  /** The packed-TRAIN-stream positional gram rows shared by
+    * [[decontaminatePacked]] (training-side gate) and
+    * [[contaminationReportPacked]] (benchmark-side report): one row per
+    * gram OCCURRENCE per packed sequence — (source, seq_id, n_grams, g).
+    */
+  private def packedSeqGrams(docs: DataFrame, gramWidth: Int): DataFrame = {
     val L = SeqLen
-    val bench = fanout(docs).filter(col("source") === BenchmarkSource)
-      .select(explode_outer(decontamGrams(gramWidth)).as("g"))
-      .filter(col("g").isNotNull).distinct()
     val train = fanout(docs).filter(col("source") =!= BenchmarkSource)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -188,26 +189,72 @@ object PretrainOps {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("tok_start"), col("sl")))),
         x => x.getField("sl"))).as("wtoks"))
-    val grams = win
+    win
       .select(col("source"), col("seq_id"),
         word_shingle_hashes(col("wtoks"), gramWidth).as("ghs"))
       .select(col("source"), col("seq_id"),
         size(col("ghs")).cast("long").as("n_grams"),
         explode_outer(col("ghs")).as("g"))
       .filter(col("g").isNotNull)
-    grams.join(broadcast(bench), "g")
+  }
+
+  def decontaminatePacked(docs: DataFrame,
+      gramWidth: Int = DecontamGram): DataFrame = {
+    val bench = fanout(docs).filter(col("source") === BenchmarkSource)
+      .select(explode_outer(decontamGrams(gramWidth)).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    packedSeqGrams(docs, gramWidth).join(broadcast(bench), "g")
       .groupBy("source", "seq_id", "n_grams")
       .agg(count(lit(1)).as("leaked_grams"))
       .select("source", "seq_id", "n_grams", "leaked_grams")
   }
 
-  def sqlDecontaminatePacked: String = {
-    val w = DecontamGram
-    s"""WITH bench AS (
-       |  SELECT DISTINCT g FROM (
-       |    SELECT unnest(${sqlGramHashes(w)}) AS g FROM documents
-       |    WHERE source = '$BenchmarkSource')),
-       |base AS (
+  /** The benchmark-side face of [[decontaminatePacked]] (the
+    * [[contaminationReport]] symmetry applied to what the model actually
+    * consumes): one row per HELD-OUT item, reporting how far it leaks
+    * into the PACKED training stream — distinct leaked grams, distinct
+    * packed sequences reached, total gram occurrences, and the leakage
+    * ratio over the item's distinct grams. Zero-leak items are included
+    * (the report's row count is the benchmark size). Catches the same
+    * boundary-spanning grams doc-level reporting is blind to.
+    *
+    * Scale shape: [[packedSeqGrams]]'s one packed-writer shuffle, then
+    * the broadcast bench side and ONLY HIT rows shuffle into the
+    * per-item agg.
+    */
+  def contaminationReportPacked(docs: DataFrame,
+      gramWidth: Int = DecontamGram): DataFrame = {
+    val benchDocs = fanout(docs).filter(col("source") === BenchmarkSource)
+      .select(col("doc_id"), decontamGrams(gramWidth).as("gs"))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        col("gs"))
+    val bench = benchDocs
+      .select(col("doc_id"), col("n_grams"), explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    val hits = packedSeqGrams(docs, gramWidth)
+      .select(col("source"), col("seq_id"), col("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(countDistinct(col("g")).as("n_leaked_grams"),
+        countDistinct(concat_ws("#", col("source"), col("seq_id")))
+          .as("n_seqs"),
+        count(lit(1)).as("n_occurrences"))
+    benchDocs.select("doc_id", "n_grams")
+      .join(hits.select("doc_id", "n_leaked_grams", "n_seqs", "n_occurrences"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occurrences"),
+        (coalesce(col("n_leaked_grams"), lit(0L)).cast("double") / col("n_grams"))
+          .as("leakage"))
+  }
+
+  /** The packed-stream gram CTE chain (twin of [[packedSeqGrams]]),
+    * shared by both packed-leakage twins.
+    */
+  private def sqlPackedGramCtes(w: Int): String =
+    s"""base AS (
        |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens
        |  FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
        |        FROM documents WHERE source <> '$BenchmarkSource')),
@@ -233,10 +280,42 @@ object PretrainOps {
        |    unnest(ghs) AS g
        |  FROM (SELECT source, seq_id,
        |          ${sqlGramHashesPositionalOver("wtoks", w)} AS ghs
-       |        FROM win))
+       |        FROM win))""".stripMargin
+
+  def sqlDecontaminatePacked: String = {
+    val w = DecontamGram
+    s"""WITH bench AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(${sqlGramHashes(w)}) AS g FROM documents
+       |    WHERE source = '$BenchmarkSource')),
+       |${sqlPackedGramCtes(w)}
        |SELECT source, seq_id, n_grams, count(*) AS leaked_grams
        |FROM grams JOIN bench USING (g)
        |GROUP BY source, seq_id, n_grams""".stripMargin
+  }
+
+  def sqlContaminationReportPacked: String = {
+    val w = DecontamGram
+    s"""WITH bd AS (
+       |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, gs
+       |  FROM (SELECT doc_id, ${sqlGramHashes(w)} AS gs FROM documents
+       |        WHERE source = '$BenchmarkSource')),
+       |bench AS (
+       |  SELECT doc_id, n_grams, unnest(gs) AS g FROM bd),
+       |${sqlPackedGramCtes(w)},
+       |hits AS (
+       |  SELECT b.doc_id,
+       |    count(DISTINCT b.g) AS n_leaked_grams,
+       |    count(DISTINCT gr.source || '#' || gr.seq_id) AS n_seqs,
+       |    count(*) AS n_occurrences
+       |  FROM grams gr JOIN bench b USING (g)
+       |  GROUP BY b.doc_id)
+       |SELECT bd.doc_id, bd.n_grams,
+       |  coalesce(h.n_leaked_grams, 0) AS n_leaked_grams,
+       |  coalesce(h.n_seqs, 0) AS n_seqs,
+       |  coalesce(h.n_occurrences, 0) AS n_occurrences,
+       |  CAST(coalesce(h.n_leaked_grams, 0) AS DOUBLE) / bd.n_grams AS leakage
+       |FROM bd LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
   // ------------------------------------------- decontaminate (bloom prune)

@@ -183,6 +183,20 @@ class Round7OpsSpec extends SparkSuite {
       s"expected exactly the spanning gram: ${leaked.toSeq}")
   }
 
+  test("contaminationReportPacked: boundary-spanning leak attributed to its bench item; zero-leak items kept") {
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon", PretrainOps.BenchmarkSource),
+      (2L, "zeta eta theta iota kappa", PretrainOps.BenchmarkSource), // never leaks
+      (10L, "filler1 filler2 filler3 alpha beta", "src1"),
+      (11L, "gamma delta epsilon filler4 filler5", "src1")
+    ).toDF("doc_id", "text", "source")
+    val r = PretrainOps.contaminationReportPacked(planted)
+      .select("doc_id", "n_grams", "n_leaked_grams", "n_seqs", "n_occurrences")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 1L, 1L, 1L, 1L), (2L, 1L, 0L, 0L, 0L)),
+      s"item 1 leaks via the spanning gram, item 2 reports zeros: $r")
+  }
+
   test("decontaminatePacked: a gram inside one doc leaks every time it occurs") {
     val planted = Seq(
       (1L, "alpha beta gamma delta epsilon", PretrainOps.BenchmarkSource),
