@@ -340,6 +340,13 @@ object SparkEntry {
     // one LR step of the quality classifier: gopher verdicts as silver
     // labels, fast-sigmoid residuals, ≤1024-row bucket gradient
     "quality_linear_train" -> ((s, dir) => TextOps.qualityLinearTrainStep(tbl(s, dir, "documents"))),
+    // the loop CLOSED end-to-end: Spark trains driver-side and scores via
+    // the literal map; the oracle recomputes the same integer weights in
+    // SQL — train+apply hash-exact across engines
+    "quality_linear_score_trained" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TextOps.qualityLinearScoreWith(d, TextOps.qualityLinearTrain(d))
+    }),
     // sequence-level leakage: benchmark grams inside PACKED training
     // sequences (incl. grams spanning doc boundaries)
     "decontaminate_packed" -> ((s, dir) => PretrainOps.decontaminatePacked(tbl(s, dir, "documents"))),
@@ -653,6 +660,7 @@ object SparkEntry {
     "embed_pca_project" -> PretrainOps.sqlEmbedPcaProject,
     "dedup_semantic_pca" -> DedupOps.sqlDedupSemanticPca,
     "quality_linear_train" -> TextOps.sqlQualityLinearTrainStep,
+    "quality_linear_score_trained" -> TextOps.sqlQualityLinearScoreTrained,
     "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked,
     "contamination_report_packed" -> PretrainOps.sqlContaminationReportPacked
   )

@@ -1041,9 +1041,13 @@ object TextOps {
       .agg(sum("r_micro").as("grad_micro"), count(lit(1)).as("n_terms"))
   }
 
-  def sqlQualityLinearTrainStep: String = {
+  /** The gradient CTE chain (labels → seed-weight logits → fast-sigmoid
+    * residuals → per-bucket gradient), shared by the train-step oracle
+    * and the trained-scoring composition so they cannot drift.
+    */
+  private def sqlLinearGradCtes: String = {
     val w = s"((${sqlTokenHash("t")} % $LinearBuckets + 1) * 2654435761) % $LinearWeightMod - 1000"
-    s"""WITH gates AS (SELECT doc_id, pass FROM (
+    s"""gates AS (SELECT doc_id, pass FROM (
        |${sqlQualityGopherGates}
        |) gg),
        |tk AS (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
@@ -1059,13 +1063,54 @@ object TextOps {
        |      ((0.5 + (CAST(logit_micro AS DOUBLE) / 1000000.0)
        |        / (2.0 * (1.0 + abs(CAST(logit_micro AS DOUBLE) / 1000000.0))))
        |       - y) * 1000000.0 + 0.5) AS BIGINT) AS r_micro
-       |  FROM scored)
-       |SELECT bucket, CAST(sum(r_micro) AS BIGINT) AS grad_micro,
-       |  count(*) AS n_terms
-       |FROM (
-       |  SELECT ${sqlTokenHash("tok")} % $LinearBuckets AS bucket, r_micro
-       |  FROM (SELECT r_micro, unnest(toks) AS tok FROM resid))
-       |GROUP BY bucket""".stripMargin
+       |  FROM scored),
+       |grads AS (
+       |  SELECT bucket, CAST(sum(r_micro) AS BIGINT) AS grad_micro,
+       |    count(*) AS n_terms
+       |  FROM (
+       |    SELECT ${sqlTokenHash("tok")} % $LinearBuckets AS bucket, r_micro
+       |    FROM (SELECT r_micro, unnest(toks) AS tok FROM resid))
+       |  GROUP BY bucket)""".stripMargin
+  }
+
+  def sqlQualityLinearTrainStep: String =
+    s"""WITH ${sqlLinearGradCtes}
+       |SELECT bucket, grad_micro, n_terms FROM grads""".stripMargin
+
+  /** Oracle twin of train→score composed END-TO-END: the updated weights
+    * are recomputed IN SQL (seed arithmetic − floor-divided mean
+    * gradient) and applied by a bucket join — while the Spark side trains
+    * driver-side ([[qualityLinearTrain]], Java `floorDiv`) and scores via
+    * the literal-map fold. Everything is integer arithmetic, so the two
+    * independently-computed weight tables are value-identical; `//` in
+    * DuckDB truncates toward zero, hence the explicit
+    * `(g − (((g % d) + d) % d)) / d` floor-division (exact: the adjusted
+    * numerator is divisible).
+    */
+  def sqlQualityLinearScoreTrained: String = {
+    val d = s"($LinearEtaInv * n.n)"
+    s"""WITH ${sqlLinearGradCtes},
+       |n AS (SELECT count(*) AS n FROM documents),
+       |seeds AS (
+       |  SELECT i AS bucket,
+       |    CAST(((i + 1) * 2654435761) % $LinearWeightMod - 1000 AS BIGINT) AS w
+       |  FROM (SELECT unnest(range(0, $LinearBuckets)) AS i)),
+       |weights AS (
+       |  SELECT s.bucket, s.w - CASE WHEN g.grad_micro IS NULL OR n.n = 0 THEN 0
+       |    ELSE CAST((g.grad_micro - (((g.grad_micro % $d) + $d) % $d)) / $d AS BIGINT)
+       |  END AS w
+       |  FROM seeds s LEFT JOIN grads g USING (bucket) CROSS JOIN n),
+       |dt AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, unnest(toks) AS tok
+       |  FROM tk),
+       |docw AS (
+       |  SELECT dt.doc_id, dt.n_tokens, CAST(sum(w.w) AS BIGINT) AS logit_micro
+       |  FROM dt JOIN weights w ON w.bucket = ${sqlTokenHash("dt.tok")} % $LinearBuckets
+       |  GROUP BY dt.doc_id, dt.n_tokens)
+       |SELECT doc_id, n_tokens, logit_micro,
+       |  CAST(logit_micro AS DOUBLE) / 1000000.0 AS score,
+       |  logit_micro > 0 AS accept
+       |FROM docw""".stripMargin
   }
 
   /** Full one-step train: seed weights − η · mean gradient, all in exact
