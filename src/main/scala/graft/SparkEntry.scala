@@ -353,7 +353,13 @@ object SparkEntry {
     // benchmark-side face of the packed check: which held-out items leak
     // into packed sequences, incl. boundary-spanning grams; zero rows kept
     "contamination_report_packed" -> ((s, dir) =>
-      PretrainOps.contaminationReportPacked(tbl(s, dir, "documents")))
+      PretrainOps.contaminationReportPacked(tbl(s, dir, "documents"))),
+    // the packed dataset MATERIALIZED (what a shard writer ships):
+    // per (source, seq_id), exact token count + the token stream
+    "pack_materialize" -> ((s, dir) => PretrainOps.packMaterialize(tbl(s, dir, "documents"))),
+    // whitened-Mahalanobis embedding QC: m² over the retained PCA
+    // subspace + the 4k outlier flag — zero shuffles
+    "embed_outlier_score" -> ((s, dir) => PretrainOps.embedOutlierScore(tbl(s, dir, "embeddings")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -662,6 +668,8 @@ object SparkEntry {
     "quality_linear_train" -> TextOps.sqlQualityLinearTrainStep,
     "quality_linear_score_trained" -> TextOps.sqlQualityLinearScoreTrained,
     "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked,
-    "contamination_report_packed" -> PretrainOps.sqlContaminationReportPacked
+    "contamination_report_packed" -> PretrainOps.sqlContaminationReportPacked,
+    "pack_materialize" -> PretrainOps.sqlPackMaterialize,
+    "embed_outlier_score" -> PretrainOps.sqlEmbedOutlierScore
   )
 }

@@ -169,14 +169,20 @@ object PretrainOps {
     * [[contaminationReportPacked]] (benchmark-side report): one row per
     * gram OCCURRENCE per packed sequence — (source, seq_id, n_grams, g).
     */
-  private def packedSeqGrams(docs: DataFrame, gramWidth: Int): DataFrame = {
+  /** The packed-stream sequence-window assembly over ANY (doc_id,
+    * source, text) frame: one row per (source, seq_id) carrying the
+    * sequence's token window `wtoks` in stream order — the packed-
+    * dataset WRITER's core, shared by [[packMaterialize]] (all docs) and
+    * the leakage checks (train split only).
+    */
+  private def packedWindows(docs: DataFrame): DataFrame = {
     val L = SeqLen
-    val train = fanout(docs).filter(col("source") =!= BenchmarkSource)
+    val base = fanout(docs)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     val startLocal = greatest(col("seq_id") * L - col("tok_start"), lit(0L))
     val endLocal = least((col("seq_id") + 1) * L - col("tok_start"), col("n_tokens"))
-    val spans = packWindowCols(train)
+    val spans = packWindowCols(base)
       .select(col("source"), col("toks"), col("tok_start"), col("n_tokens"),
         explode_outer(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
       .filter(col("seq_id").isNotNull)
@@ -185,18 +191,37 @@ object PretrainOps {
           (endLocal - startLocal).cast("int")).as("sl"))
     // stream order inside a sequence = tok_start order (struct sort —
     // tok_start is unique per contributor by construction)
-    val win = spans.groupBy("source", "seq_id")
+    spans.groupBy("source", "seq_id")
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("tok_start"), col("sl")))),
         x => x.getField("sl"))).as("wtoks"))
-    win
+  }
+
+  private def packedSeqGrams(docs: DataFrame, gramWidth: Int): DataFrame =
+    packedWindows(docs.filter(col("source") =!= BenchmarkSource))
       .select(col("source"), col("seq_id"),
         word_shingle_hashes(col("wtoks"), gramWidth).as("ghs"))
       .select(col("source"), col("seq_id"),
         size(col("ghs")).cast("long").as("n_grams"),
         explode_outer(col("ghs")).as("g"))
       .filter(col("g").isNotNull)
-  }
+
+  /** The packed dataset MATERIALIZED — the loader-facing output
+    * [[packSequences]] only indexes: one row per (source, seq_id) with
+    * the sequence's exact token count and its token stream joined back
+    * to text. Every sequence is [[SeqLen]] tokens except each shard's
+    * last. This is what a shard writer ships; [[sequenceManifest]] is
+    * its provenance index and [[decontaminatePacked]] its leakage gate,
+    * all sharing the same packing arithmetic ([[packWindowCols]]).
+    *
+    * Scale shape: the one corpus shuffle keyed (source, seq_id) a packed
+    * writer pays by definition; everything else is in-row.
+    */
+  def packMaterialize(docs: DataFrame): DataFrame =
+    packedWindows(docs)
+      .select(col("source"), col("seq_id"),
+        size(col("wtoks")).cast("long").as("seq_len"),
+        concat_ws(" ", col("wtoks")).as("seq_text"))
 
   def decontaminatePacked(docs: DataFrame,
       gramWidth: Int = DecontamGram): DataFrame = {
@@ -250,14 +275,14 @@ object PretrainOps {
           .as("leakage"))
   }
 
-  /** The packed-stream gram CTE chain (twin of [[packedSeqGrams]]),
-    * shared by both packed-leakage twins.
+  /** The packed-stream window CTE chain (twin of [[packedWindows]]);
+    * `where` filters the packed population ('' = all docs).
     */
-  private def sqlPackedGramCtes(w: Int): String =
+  private def sqlPackedWindowCtes(where: String): String =
     s"""base AS (
        |  SELECT doc_id, source, toks, CAST(len(toks) AS BIGINT) AS n_tokens
        |  FROM (SELECT doc_id, source, ${sqlTokens("text")} AS toks
-       |        FROM documents WHERE source <> '$BenchmarkSource')),
+       |        FROM documents $where)),
        |packed AS (
        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
@@ -274,13 +299,25 @@ object PretrainOps {
        |    FROM packed)),
        |win AS (
        |  SELECT source, seq_id, flatten(list(sl ORDER BY tok_start)) AS wtoks
-       |  FROM spans GROUP BY source, seq_id),
+       |  FROM spans GROUP BY source, seq_id)""".stripMargin
+
+  /** The packed-stream gram CTE chain (twin of [[packedSeqGrams]]),
+    * shared by both packed-leakage twins.
+    */
+  private def sqlPackedGramCtes(w: Int): String =
+    s"""${sqlPackedWindowCtes(s"WHERE source <> '$BenchmarkSource'")},
        |grams AS (
        |  SELECT source, seq_id, CAST(len(ghs) AS BIGINT) AS n_grams,
        |    unnest(ghs) AS g
        |  FROM (SELECT source, seq_id,
        |          ${sqlGramHashesPositionalOver("wtoks", w)} AS ghs
        |        FROM win))""".stripMargin
+
+  def sqlPackMaterialize: String =
+    s"""WITH ${sqlPackedWindowCtes("")}
+       |SELECT source, seq_id, CAST(len(wtoks) AS BIGINT) AS seq_len,
+       |  array_to_string(wtoks, ' ') AS seq_text
+       |FROM win""".stripMargin
 
   def sqlDecontaminatePacked: String = {
     val w = DecontamGram
@@ -1683,6 +1720,73 @@ object PretrainOps {
        |        FROM embeddings WHERE embedding IS NOT NULL
        |          AND len(list_filter(embedding, x -> x IS NULL)) = 0)),
        |  (SELECT unnest(range($PcaK)) AS i) r""".stripMargin
+
+  // ----------------------------------------------------- embed_outlier_score
+
+  /** Pinned deterministic eigenvalue stand-ins (λ > 0) paired with
+    * [[defaultPcaComponents]] — [[pcaTrain]]'s real eigenpairs slot in
+    * without a shape change.
+    */
+  lazy val defaultPcaEigenvalues: IndexedSeq[Double] =
+    (0 until PcaK).map(r => (((r + 1) * 48271) % 199 + 1) / 100.0)
+
+  /** Components pre-scaled by 1/√λ — computed once driver-side and
+    * injected as the SAME literals into both engines (the
+    * [[graft.ops.DedupOps.defaultPcaCentroids]] discipline), so the
+    * whitening division never has to agree across engines at runtime.
+    */
+  lazy val defaultWhitenedComponents: IndexedSeq[IndexedSeq[Double]] =
+    defaultPcaComponents.zip(defaultPcaEigenvalues).map { case (c, ev) =>
+      c.map(_ / math.sqrt(ev))
+    }
+
+  /** Squared-Mahalanobis cut for the outlier flag: E[m²] = k for clean
+    * data under the model, so flag at 4× the expectation.
+    */
+  val OutlierM2Threshold: Double = PcaK * 4.0
+
+  /** Embedding outlier scoring — the QC gate that catches corrupt /
+    * out-of-distribution vectors before they poison ANN indexes and
+    * semantic dedup: squared Mahalanobis distance in the retained PCA
+    * subspace, m² = Σᵣ ⟨cᵣ/√λᵣ, e⟩² (whitened coordinates make every
+    * retained direction unit-variance, so one threshold means the same
+    * thing in all of them — the [[embedPcaWhiten]] rationale, applied).
+    * Output per vector: micro-quantized m² and the 4k-threshold flag.
+    *
+    * Scale shape: k in-row codegen'd dot folds + a square-accumulate,
+    * zero shuffles at any corpus size.
+    */
+  def embedOutlierScore(emb: DataFrame): DataFrame = {
+    val embD = transform(col("embedding"), x => x.cast("double"))
+    val m2 = defaultWhitenedComponents.map { c =>
+      val w = SimilarityOps.dot(array(c.map(lit): _*), col("emb_d"))
+      w * w
+    }.reduce(_ + _)
+    fanout(emb).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"), embD.as("emb_d"))
+      .filter(!exists(col("emb_d"), x => x.isNull))
+      .select(col("vec_id"), col("label"),
+        floor(m2 * lit(QualityMicro) + lit(0.5)).cast("long").as("m2_micro"))
+      .withColumn("outlier",
+        col("m2_micro") > (OutlierM2Threshold * QualityMicro).toLong)
+  }
+
+  def sqlEmbedOutlierScore: String = {
+    val sq = defaultWhitenedComponents.indices.map { r =>
+      val lit = defaultWhitenedComponents(r).map(_.toString)
+        .mkString("([", ", ", "]::DOUBLE[])")
+      val d = SimilarityOps.sqlDot(lit, "emb_d")
+      s"($d) * ($d)"
+    }.mkString("(", " + ", ")")
+    s"""SELECT vec_id, label,
+       |  CAST(floor($sq * $QualityMicro + 0.5) AS BIGINT) AS m2_micro,
+       |  CAST(floor($sq * $QualityMicro + 0.5) AS BIGINT)
+       |    > ${(OutlierM2Threshold * QualityMicro).toLong} AS outlier
+       |FROM (SELECT vec_id, label,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb_d
+       |      FROM embeddings WHERE embedding IS NOT NULL
+       |        AND len(list_filter(embedding, x -> x IS NULL)) = 0)""".stripMargin
+  }
 
   /** PCA WHITENING: [[embedPcaProject]] with each score divided by
     * sqrt(eigenvalue), so every retained component carries unit variance

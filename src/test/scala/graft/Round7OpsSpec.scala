@@ -209,6 +209,44 @@ class Round7OpsSpec extends SparkSuite {
       "positional grams: every occurrence counts")
   }
 
+  test("packMaterialize agrees with sequenceManifest's exact token accounting") {
+    val mat = PretrainOps.packMaterialize(docs)
+      .select("source", "seq_id", "seq_len")
+      .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val man = PretrainOps.sequenceManifest(docs)
+      .select("source", "seq_id", "filled_tokens")
+      .as[(String, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(mat.keySet == man.keySet,
+      "writer and manifest must cover the same sequences")
+    mat.foreach { case (k, len) =>
+      assert(len == man(k), s"sequence $k: writer=$len manifest=${man(k)}")
+    }
+    // every sequence is SeqLen except possibly each shard's last
+    val bySource = mat.groupBy(_._1._1)
+    bySource.foreach { case (_, seqs) =>
+      val maxSeq = seqs.keys.map(_._2).max
+      seqs.foreach { case ((_, sid), len) =>
+        if (sid != maxSeq) assert(len == PretrainOps.SeqLen)
+      }
+    }
+  }
+
+  test("embedOutlierScore: one row per vector, m2 matches a driver recompute") {
+    val ws = PretrainOps.defaultWhitenedComponents
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val got = PretrainOps.embedOutlierScore(emb)
+      .select("vec_id", "m2_micro").as[(Long, Long)].collect().toMap
+    assert(got.size == vecs.size)
+    got.foreach { case (id, m2) =>
+      val e = vecs(id)
+      val exp = ws.map(c =>
+        c.indices.foldLeft(0.0)((a, d) => a + c(d) * e(d))).map(w => w * w).sum
+      assert(m2 == math.floor(exp * 1e6 + 0.5).toLong, s"vec $id m2 diverged")
+    }
+  }
+
   // ------------------------------------------------- BPE model round-trip
 
   test("writeBpeModel/readBpeModel: exact round-trip in training order; tokenization identical") {
