@@ -1,0 +1,208 @@
+package graft.stream
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+import scala.jdk.CollectionConverters._
+
+/** The real Elasticsearch HTTP transport — the piece the file-based
+  * [[EsBulkSink]] stands in for under the zero-egress harness, now
+  * implemented against the JDK's pooled `java.net.http.HttpClient` and
+  * exercised in tests against an in-process loopback stub server (the
+  * [[MetricsEndpoint]] precedent: loopback HTTP is inside the sandbox).
+  *
+  * Reference semantics carried over (client.go:12-49,
+  * fasthttp_transport.go:23-59, config/config.go:9-26):
+  *   - a NODE POOL seeded from `urls`, requests round-robin across it;
+  *   - node discovery (`GET /_nodes/http`, publish_address) on start
+  *     unless disabled — discovery failure keeps the seed list (the
+  *     go-elasticsearch client's behavior), it never kills the client;
+  *   - `maxRetries = 5` (client.go:16): connection errors and
+  *     429/502/503/504 retry with exponential backoff, rotating to the
+  *     next node each attempt; other statuses return to the caller
+  *     (a `_bulk` 200-with-item-errors is NOT a transport failure —
+  *     [[EsBulkResponse.itemErrors]] demuxes it);
+  *   - optional gzip request compression (CompressRequestBody ≙
+  *     `compressionEnabled`) with `Content-Encoding: gzip`;
+  *   - basic auth from username/password;
+  *   - `ping()` at construction time is the caller's choice
+  *     ([[graft.stream.Connector]]); a 401 anywhere raises the
+  *     reference's "unauthorized" (client.go:33-35).
+  *
+  * Instances are cheap enough to build per task ([[EsHttpSink]] builds
+  * one per partition) — the JDK client pools connections per instance,
+  * which matches the reference's per-process fasthttp pool when the
+  * sink keeps partition counts at `concurrentRequest`.
+  */
+final case class EsHttpConfig(
+    urls: Seq[String],
+    username: String = "",
+    password: String = "",
+    maxRetries: Int = 5,
+    compressionEnabled: Boolean = false,
+    discoverNodesOnStart: Boolean = true,
+    connectTimeoutMs: Long = 5000L,
+    requestTimeoutMs: Long = 30000L,
+    retryBackoffBaseMs: Long = 50L)
+
+final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
+  require(cfg.urls.nonEmpty, "at least one Elasticsearch URL is required")
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs))
+    .build()
+
+  private def normalize(u: String): String = u.stripSuffix("/")
+
+  private val pool = new AtomicReference[Vector[String]](
+    cfg.urls.map(normalize).toVector)
+  private val cursor = new AtomicInteger(0)
+
+  if (cfg.discoverNodesOnStart) discoverNodes()
+
+  /** Current node list (seeds, or the last successful discovery). */
+  def nodes: Seq[String] = pool.get()
+
+  private def nextNode(): String = {
+    val ns = pool.get()
+    ns(math.floorMod(cursor.getAndIncrement(), ns.size))
+  }
+
+  private def authHeader: Option[String] =
+    if (cfg.username.isEmpty) None
+    else Some("Basic " + java.util.Base64.getEncoder.encodeToString(
+      s"${cfg.username}:${cfg.password}".getBytes(UTF_8)))
+
+  private def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** One attempt against one node; the caller loops. */
+  private def attempt(node: String, method: String, path: String,
+      body: Option[Array[Byte]], contentType: String): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(node + path))
+      .timeout(Duration.ofMillis(cfg.requestTimeoutMs))
+    authHeader.foreach(b.header("Authorization", _))
+    body match {
+      case Some(raw) =>
+        val payload = if (cfg.compressionEnabled) gzip(raw) else raw
+        b.header("Content-Type", contentType)
+        if (cfg.compressionEnabled) b.header("Content-Encoding", "gzip")
+        b.method(method, HttpRequest.BodyPublishers.ofByteArray(payload))
+      case None => b.method(method, HttpRequest.BodyPublishers.noBody())
+    }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** 429 (ES backpressure) and the gateway trio retry; everything else is
+    * the caller's to interpret.
+    */
+  private def retryable(status: Int): Boolean =
+    status == 429 || status == 502 || status == 503 || status == 504
+
+  /** Request with the reference's retry loop: up to `maxRetries` retries
+    * after the first attempt, exponential backoff, next node each try.
+    * A 401 raises "unauthorized" immediately (client.go:33-35).
+    */
+  private def request(method: String, path: String,
+      body: Option[Array[Byte]] = None,
+      contentType: String = "application/json"): HttpResponse[String] = {
+    var lastErr: Throwable = null
+    var lastResp: HttpResponse[String] = null
+    var i = 0
+    while (i <= cfg.maxRetries) {
+      val node = nextNode()
+      try {
+        val r = attempt(node, method, path, body, contentType)
+        if (r.statusCode() == 401)
+          throw new IllegalStateException("unauthorized")
+        if (!retryable(r.statusCode())) return r
+        lastResp = r
+        lastErr = null
+      } catch {
+        case e: IllegalStateException => throw e
+        case e: java.io.IOException => lastErr = e
+      }
+      if (i < cfg.maxRetries && cfg.retryBackoffBaseMs > 0)
+        Thread.sleep(cfg.retryBackoffBaseMs << math.min(i, 6))
+      i += 1
+    }
+    if (lastResp != null) return lastResp
+    throw new java.io.IOException(
+      s"$method $path failed after ${cfg.maxRetries + 1} attempts " +
+        s"across ${pool.get().size} node(s)", lastErr)
+  }
+
+  /** GET / — the Info API; body feeds [[graft.conf.parseInfoVersion]]
+    * (pass `() => client.info()` as `newConnector`'s `infoProbe`).
+    */
+  def info(): String = {
+    val r = request("GET", "/")
+    if (r.statusCode() >= 300)
+      throw new java.io.IOException(s"info failed: HTTP ${r.statusCode()}")
+    r.body()
+  }
+
+  /** Ping ≙ client.Ping at construction (client.go:28-35). */
+  def ping(): Int = request("HEAD", "/").statusCode()
+
+  /** `GET /_nodes/http` → publish addresses; SWAPS the pool on success,
+    * keeps the seed list on any failure (discovery must never take a
+    * working client down).
+    */
+  def discoverNodes(): Seq[String] =
+    try {
+      val r = request("GET", "/_nodes/http")
+      if (r.statusCode() >= 300) pool.get()
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(r.body())
+        val found = root.path("nodes").properties().asScala.toSeq
+          .map(_.getValue.path("http").path("publish_address").asText(""))
+          .filter(_.nonEmpty)
+          .map(a => if (a.contains("://")) normalize(a) else s"http://$a")
+        if (found.nonEmpty) pool.set(found.toVector)
+        pool.get()
+      }
+    } catch { case scala.util.control.NonFatal(_) => pool.get() }
+
+  /** POST /_bulk. Returns (status, body); a 2xx body may still carry
+    * item-level errors — [[EsBulkResponse.itemErrors]] extracts them for
+    * [[EsBulkSink.handleResponse]].
+    */
+  def bulk(ndjson: Array[Byte]): (Int, String) = {
+    val r = request("POST", "/_bulk", Some(ndjson), "application/x-ndjson")
+    (r.statusCode(), r.body())
+  }
+
+  override def close(): Unit = () // JDK HttpClient has no explicit close on 17
+}
+
+/** `_bulk` response-body parsing — the reference's joinErrors
+  * (bulk.go:321-378): item entries with status ≥ 300 yield
+  * (`_id:_index`, error JSON) pairs, the exact map
+  * [[EsBulkSink.handleResponse]] demuxes on.
+  */
+object EsBulkResponse {
+
+  def itemErrors(body: String): Map[String, String] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    if (!root.path("errors").asBoolean(false)) Map.empty
+    else root.path("items").asScala.toSeq.flatMap { item =>
+      // each item is {"index": {...}} / {"delete": {...}} / {"update": {...}} / {"create": {...}}
+      item.properties().asScala.toSeq.flatMap { e =>
+        val a = e.getValue
+        val status = a.path("status").asInt(200)
+        if (status < 300) None
+        else Some(s"${a.path("_id").asText("")}:${a.path("_index").asText("")}"
+          -> a.path("error").toString)
+      }
+    }.toMap
+  }
+}

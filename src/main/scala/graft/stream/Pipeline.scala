@@ -257,6 +257,46 @@ object Pipeline {
       .start()
   }
 
+  /** The pipeline over the REAL HTTP transport ([[EsHttpClient]]): same
+    * chain, but each flush POSTs `_bulk` to live Elasticsearch instead of
+    * writing payload files, and the response demux runs on the ACTUAL
+    * `_bulk` response body. The ack contract is unchanged: a whole-batch
+    * transport failure (non-2xx after the retry loop) throws, the batch
+    * replays from the checkpoint — at-least-once in, LWW-deduped out.
+    */
+  def runHttp(spark: SparkSession, cfg0: graft.conf.GraftConfig,
+      eventsDir: String, http: EsHttpConfig, deadLetterDir: String,
+      checkpointDir: String,
+      trigger: Option[Trigger] = None,
+      responseHandler: Option[ResponseHandler] = None): StreamingQuery = {
+    implicit val s: SparkSession = spark
+    // version auto-detect against the LIVE cluster when requested —
+    // the reference's Info-API probe, over the real transport
+    val cfg = graft.conf.resolveVersion(cfg0, Some(() => {
+      val c = new EsHttpClient(http)
+      try c.info() finally c.close()
+    }))
+    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    rh.onInit(spark, cfg)
+    registerMetrics(spark)
+    CdcOps.handlerActions(CdcOps.typedMessages(
+        changeStream(spark, eventsDir,
+          maxBytesPerTrigger = cfg.es.maxBytesPerTriggerBytes)),
+      cfg.es.tableIndexMapping).writeStream
+      .queryName(QueryNames.cdcPipeline(checkpointDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger.getOrElse(
+        Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        EsHttpSink.postBatch(batch, batchId, http, rh,
+          cfg.es.concurrentRequest, cfg.es.esMajorVersion,
+          cfg.es.typeNameOrDefault, cfg.es.batchByteSizeLimitBytes,
+          cfg.es.batchSizeLimit)
+        ()
+      }
+      .start()
+  }
+
   // per-SESSION registration (weak: sessions must stay collectable), not a
   // JVM-global one-shot — with the global flag only the FIRST session ever
   // got a listener, and after it stopped every later session's gauges froze
