@@ -359,7 +359,24 @@ object SparkEntry {
     "pack_materialize" -> ((s, dir) => PretrainOps.packMaterialize(tbl(s, dir, "documents"))),
     // whitened-Mahalanobis embedding QC: m² over the retained PCA
     // subspace + the 4k outlier flag — zero shuffles
-    "embed_outlier_score" -> ((s, dir) => PretrainOps.embedOutlierScore(tbl(s, dir, "embeddings")))
+    "embed_outlier_score" -> ((s, dir) => PretrainOps.embedOutlierScore(tbl(s, dir, "embeddings"))),
+    // SemDeDup-style prototype coreset: per-cluster top-N by cosine to
+    // the assigned centroid; WindowGroupLimit keeps the shuffle K·N-sized
+    "cluster_sample" -> ((s, dir) => SimilarityOps.clusterSample(tbl(s, dir, "embeddings"))),
+    // deterministic salted-hash train/val split + the per-split data card
+    "split_assign" -> ((s, dir) => PretrainOps.splitAssign(tbl(s, dir, "documents"))),
+    // held-out hygiene: val docs sharing an exact gram with ANY train doc
+    // — decontaminate's check run split-vs-split (big-big, no broadcast)
+    "split_leakage" -> ((s, dir) => PretrainOps.splitLeakage(tbl(s, dir, "documents"))),
+    // corpus card top-K n-grams: count by hash, recover text via a
+    // broadcast K-row join — verbatim grams never ride a corpus shuffle
+    "ngram_topk" -> ((s, dir) => PretrainOps.ngramTopk(tbl(s, dir, "documents"))),
+    // tokenizer fertility (BPE tokens per word) per source from the
+    // LEARNED merges — exact integer micros on the summed counts
+    "bpe_fertility" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      TokenizerOps.bpeFertility(d, TokenizerOps.bpeTrain(d, TokenizerOps.NumMerges))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -670,6 +687,11 @@ object SparkEntry {
     "decontaminate_packed" -> PretrainOps.sqlDecontaminatePacked,
     "contamination_report_packed" -> PretrainOps.sqlContaminationReportPacked,
     "pack_materialize" -> PretrainOps.sqlPackMaterialize,
-    "embed_outlier_score" -> PretrainOps.sqlEmbedOutlierScore
+    "embed_outlier_score" -> PretrainOps.sqlEmbedOutlierScore,
+    "cluster_sample" -> SimilarityOps.sqlClusterSample,
+    "split_assign" -> PretrainOps.sqlSplitAssign,
+    "split_leakage" -> PretrainOps.sqlSplitLeakage,
+    "ngram_topk" -> PretrainOps.sqlNgramTopk,
+    "bpe_fertility" -> TokenizerOps.sqlBpeFertility
   )
 }

@@ -2198,4 +2198,161 @@ object PretrainOps {
        |        list_transform(emb_d, x -> abs(x))), (a,x) -> greatest(a,x)) AS amax
        |    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings))
        |  WHERE amax <> 0)""".stripMargin
+
+  // ---------------------------------------------------------- split_assign
+
+  /** Held-out fraction (percent of the hash space) for the train/val
+    * split.
+    */
+  val SplitValPct = 10
+
+  /** Deterministic split label for a doc — a salted md5 of the doc id,
+    * NOT a random() or a row position: reproducible across engines,
+    * re-runs, and repartitions, and independent of scan order (the only
+    * split rule that survives a 100 TB re-shard). The salt keeps the
+    * split decorrelated from every other doc_id-hash use (sampling,
+    * shuffling) so held-out membership is not accidentally aligned with
+    * a sampling stratum.
+    */
+  private[ops] def splitCol: Column =
+    when(pmod(TextOps.tokenHash(concat(lit("split:"), col("doc_id").cast("string"))),
+      lit(100L)) < lit(100L - SplitValPct), lit("train")).otherwise(lit("val"))
+
+  private[ops] def sqlSplitCol: String =
+    s"CASE WHEN (${TextOps.sqlTokenHash("'split:' || CAST(doc_id AS VARCHAR)")}) % 100" +
+      s" < ${100 - SplitValPct} THEN 'train' ELSE 'val' END"
+
+  /** Train/validation split assignment + the per-split data card: doc and
+    * token counts per split. One narrow projection (the split label is a
+    * per-row hash, no shuffle) + one 2-row agg — the corpus never
+    * key-shuffles. The assignment itself is `splitCol`; downstream ops
+    * filter on it at the scan.
+    */
+  def splitAssign(docs: DataFrame): DataFrame =
+    fanout(docs)
+      .select(splitCol.as("split"),
+        size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+          .cast("long").as("n_toks"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+
+  def sqlSplitAssign: String =
+    s"""SELECT split, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT $sqlSplitCol AS split,
+       |    len(list_filter(${TextOps.sqlTokens("text")}, w -> w <> '')) AS n_toks
+       |  FROM documents)
+       |GROUP BY split""".stripMargin
+
+  // --------------------------------------------------------- split_leakage
+
+  /** Cross-split exact-gram leakage: validation docs sharing at least one
+    * [[DecontamGram]]-word gram with ANY training doc — the published
+    * sequence-level held-out hygiene check, run split-vs-split instead of
+    * corpus-vs-benchmark ([[decontaminate]]'s shape with the benchmark
+    * side replaced by the hash split). Output per leaking val doc:
+    * distinct-gram hit count and leakage ratio.
+    *
+    * Scale shape differs from decontaminate on purpose: the train side is
+    * ~90% of the corpus — there is no small side to broadcast. Both sides
+    * reduce to (doc_id, gram_hash) longs and meet in ONE shuffle
+    * hash-join on the gram hash (text never shuffles); the train side is
+    * pre-distinct'd (map-side combined) so each gram crosses the wire
+    * once, not df times. At 100 TB you'd put [[decontaminateBloom]]'s
+    * bloom prefilter in front of the same join; this exact form is the
+    * ground truth the prefilter must conserve.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val g = fanout(docs).select(col("doc_id"), splitCol.as("split"),
+      decontamGrams().as("gs"))
+    val train = g.filter(col("split") === "train")
+      .select(explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull).distinct()
+    val vals = g.filter(col("split") === "val")
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
+        explode_outer(col("gs")).as("g"))
+      .filter(col("g").isNotNull)
+    vals.join(train, "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_grams"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_grams")).as("leakage"))
+  }
+
+  def sqlSplitLeakage: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, $sqlSplitCol AS split,
+       |    ${sqlGramHashes(DecontamGram)} AS gs FROM documents),
+       |train AS (
+       |  SELECT DISTINCT g FROM (
+       |    SELECT unnest(gs) AS g FROM g WHERE split = 'train')),
+       |v AS (
+       |  SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams, unnest(gs) AS g
+       |  FROM g WHERE split = 'val')
+       |SELECT doc_id, n_grams, count(*) AS n_hits,
+       |  CAST(count(*) AS DOUBLE) / n_grams AS leakage
+       |FROM v JOIN train USING (g)
+       |GROUP BY doc_id, n_grams""".stripMargin
+
+  // ------------------------------------------------------------ ngram_topk
+
+  /** [[ngramTopk]] gram width (words) and result size. */
+  val NgramTopkWidth = 2
+  val NgramTopkK = 50
+
+  /** In-order gram TEXTS of a token list (the verbatim face of the
+    * `word_shingle_hashes` kernel — same windows, same short-doc rule:
+    * a doc shorter than `w` yields its single truncated gram).
+    */
+  private def gramTexts(toks: Column, w: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(w)), " "))
+
+  private def sqlGramTexts(toks: String, w: Int): String =
+    s"list_transform(range(1, greatest(len($toks) - ${w - 1}, 1) + 1), " +
+      s"i -> array_to_string(list_slice($toks, i, i + ${w - 1}), ' '))"
+
+  /** Corpus-level top-K most frequent [[NgramTopkWidth]]-grams with their
+    * occurrence counts — the vocabulary/boilerplate/contamination-candidate
+    * report every corpus card publishes (and the seed list for stopword
+    * and boilerplate filters).
+    *
+    * Two-pass shape so verbatim gram text NEVER rides a corpus-sized
+    * shuffle: pass 1 counts by 64-bit gram hash (one map-side-combined
+    * agg) and takes the top K via orderBy+limit — TakeOrderedAndProject,
+    * per-partition top-K with a K×P-row driver merge, no global sort, no
+    * unpartitioned window. Pass 2 re-scans, joins the K-row hash set
+    * BROADCAST, and recovers each hash's text with min() — only the ~K
+    * matching rows carry text. A 32-bit-hash collision would fold two
+    * grams into one count; both engines run the identical fold, so the
+    * oracle can't diverge, and at 100 TB the hash widens before the
+    * algorithm changes.
+    */
+  def ngramTopk(docs: DataFrame, w: Int = NgramTopkWidth,
+      k: Int = NgramTopkK): DataFrame = {
+    def grams: DataFrame = fanout(docs)
+      .select(explode_outer(gramTexts(TextOps.tokens(col("text")), w)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(col("gram"), TextOps.tokenHash(col("gram")).as("gram_hash"))
+    val top = grams
+      .groupBy("gram_hash").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram_hash")).limit(k)
+    grams.join(broadcast(top), "gram_hash")
+      .groupBy("gram_hash", "n_occurrences")
+      .agg(min("gram").as("gram"))
+      .select("gram_hash", "gram", "n_occurrences")
+  }
+
+  def sqlNgramTopk: String =
+    s"""WITH gs AS MATERIALIZED (
+       |  SELECT gram, ${TextOps.sqlTokenHash("gram")} AS gram_hash FROM (
+       |    SELECT unnest(${sqlGramTexts(TextOps.sqlTokens("text"), NgramTopkWidth)}) AS gram
+       |    FROM documents)),
+       |top AS (
+       |  SELECT gram_hash, count(*) AS n_occurrences
+       |  FROM gs GROUP BY gram_hash
+       |  ORDER BY n_occurrences DESC, gram_hash LIMIT $NgramTopkK)
+       |SELECT gram_hash, min(gram) AS gram, n_occurrences
+       |FROM gs JOIN top USING (gram_hash)
+       |GROUP BY gram_hash, n_occurrences""".stripMargin
 }

@@ -954,6 +954,76 @@ object SimilarityOps {
     } finally { e.unpersist(); () }
   }
 
+  // --------------------------------------------------------- cluster_sample
+
+  /** Per-cluster prototype count kept by [[clusterSample]]. */
+  val ClusterSampleN = 16
+
+  /** Unit norm of coarse centroid `j` — a driver-side constant (the
+    * centroids are plan literals; so are their norms).
+    */
+  private def centroidNorm(j: Int): Double =
+    math.sqrt(centroid(j).map(x => x * x).sum)
+
+  /** Cluster-balanced prototype sampling — the SemDeDup / SSL-prototypes
+    * coreset selection step (Sorscher et al. 2022, Abbas et al. 2023):
+    * assign every vector to its max-dot coarse centroid, score each by
+    * cosine TO its centroid (prototypicality), and keep the
+    * [[ClusterSampleN]] most prototypical per cluster. Published pruning
+    * recipes then keep/drop slices of this ranking; the ranked per-cluster
+    * table is the operator.
+    *
+    * Scale shape: assignment and the centroid cosine are one narrow
+    * codegen'd projection (centroids AND their norms ride as plan
+    * literals — no join against a centroid table). The per-cluster top-N
+    * is a rank-limited window on `centroid`: Spark plans it as
+    * WindowGroupLimit, so each map task keeps at most N rows per cluster
+    * BEFORE the exchange — the shuffle carries O(K·N·tasks) rows, never
+    * the corpus, and the K-partition final window sees only those. K
+    * here is the literal centroid set; at 100 TB K comes from
+    * [[ivfTrain]] and is thousands — K·N stays metadata-sized either way.
+    */
+  def clusterSample(emb: DataFrame, n: Int = ClusterSampleN): DataFrame = {
+    val cnorms = array((0 until IvfCentroids).map(j => lit(centroidNorm(j))): _*)
+    val a = withNorm(emb)
+      .withColumn("dots", centDots(col("emb_d")))
+      .withColumn("centroid",
+        (array_position(col("dots"), array_max(col("dots"))) - 1).cast("long"))
+      .withColumn("cidx", (col("centroid") + 1).cast("int"))
+      .select(col("centroid"), col("vec_id"),
+        when(col("norm") > 0,
+          element_at(col("dots"), col("cidx"))
+            / (col("norm") * element_at(cnorms, col("cidx"))))
+          .as("centroid_cos"))
+    val w = Window.partitionBy(col("centroid"))
+      .orderBy(col("centroid_cos").desc, col("vec_id"))
+    a.withColumn("proto_rank", row_number().over(w).cast("long"))
+      .filter(col("proto_rank") <= n)
+      .select("centroid", "vec_id", "proto_rank", "centroid_cos")
+  }
+
+  def sqlClusterSample: String = {
+    val cnormsLit = (0 until IvfCentroids).map(j => centroidNorm(j).toString)
+      .mkString("([", ", ", "]::DOUBLE[])")
+    s"""WITH a AS (
+       |  SELECT vec_id, norm, dots,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
+       |  FROM (SELECT vec_id, norm, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |s AS (
+       |  SELECT centroid, vec_id,
+       |    CASE WHEN norm > 0 THEN
+       |      dots[CAST(centroid AS INT) + 1]
+       |        / (norm * $cnormsLit[CAST(centroid AS INT) + 1]) END AS centroid_cos
+       |  FROM a)
+       |SELECT centroid, vec_id, proto_rank, centroid_cos FROM (
+       |  SELECT centroid, vec_id, centroid_cos,
+       |    CAST(row_number() OVER (PARTITION BY centroid
+       |      ORDER BY centroid_cos DESC, vec_id) AS BIGINT) AS proto_rank
+       |  FROM s)
+       |WHERE proto_rank <= $ClusterSampleN""".stripMargin
+  }
+
   def sqlPqTrainStep: String = {
     val dists = (0 until PqSubspaces)
       .map(m => s"${sqlPqDists(m, "emb_d")} AS d$m").mkString(",\n    ")

@@ -216,6 +216,44 @@ object TokenizerOps {
         s"""    SELECT doc_id, source, n_tokens FROM (
            |${sqlDocCounts(NumMerges)})""".stripMargin)
 
+  // --------------------------------------------------------- bpe_fertility
+
+  /** Tokenizer fertility per source: BPE tokens per whitespace word —
+    * THE published tokenizer-evaluation metric (a fertility of 2 means
+    * the tokenizer splits an average word in two; multilingual tokenizer
+    * papers report exactly this per language/domain to expose
+    * under-served scripts). Computed from [[tokenizeBpe]]'s per-doc
+    * counts with ONE sources-sized agg; the ratio is exact integer
+    * micro-arithmetic on the SUMS (one division after aggregation — a
+    * per-doc double ratio averaged in parallel would be partition-order
+    * dependent and hash-mismatch the oracle).
+    *
+    * Scale shape: the corpus never key-shuffles — tokenization is
+    * [[tokenizeBpe]]'s zero-shuffle in-row fold, and the only exchange
+    * is the final groupBy(source) whose map-side combine reduces each
+    * task to O(sources) rows.
+    */
+  def bpeFertility(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
+    tokenizeBpe(docs, merges)
+      .groupBy("source")
+      .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        when(col("n_words") > 0,
+          expr("n_tokens * 1000000L DIV n_words")).otherwise(lit(0L))
+          .as("fertility_micro"))
+
+  def sqlBpeFertility: String =
+    s"""WITH ${sqlLearnCtes(NumMerges)},
+       |per_doc AS (
+       |${sqlDocCounts(NumMerges)})
+       |SELECT source, n_words, n_tokens,
+       |  CASE WHEN n_words > 0 THEN (n_tokens * 1000000) // n_words
+       |    ELSE 0 END AS fertility_micro
+       |FROM (
+       |  SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM per_doc GROUP BY source)""".stripMargin
+
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[BpeMerge] = {
     import org.apache.spark.sql.graftext.CheckpointBlocks
     // Each step must TRUNCATE the logical plan, not merely cache:

@@ -374,4 +374,31 @@ class PlanSpec extends SparkSuite {
     assert(forced.forall(_.condition.exists(_.references.exists(_.name == "w"))),
       "a forced broadcast hint escaped beyond the size-bounded bloom table")
   }
+
+  test("round-7 curation ops: rank-limit pushed, top-K without global sort") {
+    // cluster_sample: the per-cluster rank filter must plan as
+    // WindowGroupLimit — each map task keeps ≤ N rows per cluster BEFORE
+    // the exchange, so the shuffle carries O(K·N·tasks), never the corpus
+    assert(nodes(q("cluster_sample")).exists(
+      _.getClass.getSimpleName.startsWith("WindowGroupLimit")),
+      "cluster_sample lost the WindowGroupLimit pre-shuffle limit")
+    // split_assign: fanout insurance repartition + ONE splits-sized agg
+    assert(exchanges(q("split_assign")) == 2,
+      "split_assign must stay a narrow projection + one 2-row agg")
+    // ngram_topk: the top-K is TakeOrderedAndProject (per-partition
+    // top-K + K×P driver merge — no global sort), and the text-recovery
+    // join rides a K-row BROADCAST, never a cartesian
+    val nt = nodes(q("ngram_topk"))
+    assert(nt.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "ngram_topk top-K degraded from TakeOrderedAndProject")
+    assert(nt.exists(_.isInstanceOf[BroadcastExchangeExec]))
+    assert(!nt.exists(_.isInstanceOf[CartesianProductExec]))
+    // split_leakage: big-big on purpose — there must be NO forced
+    // broadcast hint (the train side is 90% of the corpus)
+    val leakPlan = q("split_leakage").queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    assert(leakPlan.collect {
+      case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }.isEmpty, "split_leakage must not force-broadcast a corpus-sized side")
+  }
 }

@@ -278,4 +278,95 @@ class Round7OpsSpec extends SparkSuite {
       .toDF("event_id", "ts", "event_type", "user_id", "value")
     assert(graft.ops.CdcOps.typedMessages(nanos).count() == 1L)
   }
+
+  // --------------------------------------------------------- cluster_sample
+
+  test("clusterSample: ≤ N per cluster, contiguous ranks, cosines in [-1,1]") {
+    import graft.ops.SimilarityOps
+    val r = SimilarityOps.clusterSample(emb).cache()
+    try {
+      val byC = r.select("centroid", "proto_rank").as[(Long, Long)].collect()
+        .groupBy(_._1).values
+      assert(byC.forall(_.length <= SimilarityOps.ClusterSampleN))
+      assert(byC.forall(rs =>
+        rs.map(_._2).sorted.sameElements(1L to rs.length.toLong)),
+        "proto_rank must be 1..m contiguous per cluster")
+      assert(r.filter(col("centroid_cos") > 1.0000001 ||
+        col("centroid_cos") < -1.0000001).count() == 0L)
+      // prototypicality must actually order: rank 1 has the max cosine
+      val top = r.filter(col("proto_rank") === 1L)
+        .select("centroid", "centroid_cos").as[(Long, Double)].collect().toMap
+      val all = r.select("centroid", "centroid_cos").as[(Long, Double)].collect()
+      assert(all.forall { case (c, cos) => cos <= top(c) + 1e-12 })
+    } finally { r.unpersist(); () }
+  }
+
+  // ----------------------------------------------------------- split family
+
+  test("splitAssign: both splits populated, val fraction near SplitValPct") {
+    val rows = PretrainOps.splitAssign(docs)
+      .select("split", "n_docs").as[(String, Long)].collect().toMap
+    assert(rows.keySet == Set("train", "val"))
+    val total = rows.values.sum.toDouble
+    val valFrac = rows("val") / total
+    // 10% target; the md5 split at 500 docs lands well inside (2%, 25%)
+    assert(valFrac > 0.02 && valFrac < 0.25, s"val fraction $valFrac")
+  }
+
+  test("splitLeakage: only val docs, hits bounded by gram counts") {
+    val leak = PretrainOps.splitLeakage(docs).cache()
+    try {
+      assert(leak.count() > 0, "synthetic dup structure must leak across the split")
+      assert(leak.filter(col("n_hits") > col("n_grams")).count() == 0L)
+      assert(leak.filter(col("leakage") <= 0.0 || col("leakage") > 1.0).count() == 0L)
+      // every reported doc must BE a val doc under the same split rule
+      val valIds = docs.select(col("doc_id"))
+        .filter(pmod(TextOps.tokenHash(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)) >= 90L)
+        .as[Long].collect().toSet
+      val got = leak.select("doc_id").as[Long].collect()
+      assert(got.forall(valIds.contains))
+    } finally { leak.unpersist(); () }
+  }
+
+  // ------------------------------------------------------------- ngram_topk
+
+  test("ngramTopk: K rows, text matches its hash, counts honest") {
+    val r = PretrainOps.ngramTopk(docs).cache()
+    try {
+      assert(r.count() == PretrainOps.NgramTopkK.toLong)
+      // recovered text re-hashes to its gram_hash (the broadcast text
+      // recovery join can't mispair)
+      assert(r.filter(TextOps.tokenHash(col("gram")) =!= col("gram_hash"))
+        .count() == 0L)
+      // spot-check the top count against a direct recount of that gram
+      val (topGram, topN) = r.orderBy(col("n_occurrences").desc, col("gram_hash"))
+        .select("gram", "n_occurrences").as[(String, Long)].head()
+      val w = PretrainOps.NgramTopkWidth
+      val recount = docs.select(explode(
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(1), greatest(size(TextOps.tokens(col("text"))) - (w - 1), lit(1))),
+            i => array_join(slice(TextOps.tokens(col("text")), i, lit(w)), " ")))
+          .as("g"))
+        .filter(col("g") === topGram).count()
+      assert(recount == topN, s"top gram '$topGram': $recount vs $topN")
+    } finally { r.unpersist(); () }
+  }
+
+  // ---------------------------------------------------------- bpe_fertility
+
+  test("bpeFertility: every source ≥ 1.0, conservation vs corpus word count") {
+    import graft.ops.TokenizerOps
+    val merges = TokenizerOps.bpeTrain(docs, TokenizerOps.NumMerges)
+    val r = TokenizerOps.bpeFertility(docs, merges).cache()
+    try {
+      // a word is ≥ 1 BPE token, so fertility_micro ≥ 1e6 wherever words exist
+      assert(r.filter(col("n_words") > 0 && col("fertility_micro") < 1000000L)
+        .count() == 0L)
+      val totalWords = r.agg(sum("n_words")).as[Long].head()
+      val corpusWords = docs.select(sum(size(org.apache.spark.sql.functions
+        .filter(TextOps.tokens(col("text")), w => w =!= "")))).as[Long].head()
+      assert(totalWords == corpusWords, s"$totalWords vs $corpusWords")
+    } finally { r.unpersist(); () }
+  }
 }
