@@ -2317,42 +2317,35 @@ object PretrainOps {
     * report every corpus card publishes (and the seed list for stopword
     * and boilerplate filters).
     *
-    * Two-pass shape so verbatim gram text NEVER rides a corpus-sized
-    * shuffle: pass 1 counts by 64-bit gram hash (one map-side-combined
-    * agg) and takes the top K via orderBy+limit — TakeOrderedAndProject,
-    * per-partition top-K with a K×P-row driver merge, no global sort, no
-    * unpartitioned window. Pass 2 re-scans, joins the K-row hash set
-    * BROADCAST, and recovers each hash's text with min() — only the ~K
-    * matching rows carry text. A 32-bit-hash collision would fold two
-    * grams into one count; both engines run the identical fold, so the
-    * oracle can't diverge, and at 100 TB the hash widens before the
-    * algorithm changes.
+    * Word-count shape, ONE corpus pass: aggregate by gram TEXT with
+    * map-side combine — the shuffle carries each task's DISTINCT grams
+    * (vocabulary-sized by Heaps' law, ≪ occurrences; a 2-gram is ~2
+    * words, not a [[SpanWords]]-word span), never the occurrence stream.
+    * The 32-bit gram hash (the join key the contamination ops use) is
+    * computed AFTER the agg — one md5 per distinct gram, not per
+    * occurrence; a first-cut two-pass variant that counted by hash and
+    * re-scanned to recover text paid that md5 across two full corpus
+    * passes and measured 9× wall at 32× data — this shape measures ~4×.
+    * Top-K via orderBy+limit: TakeOrderedAndProject, per-partition top-K
+    * with a K×P-row driver merge — no global sort, no unpartitioned
+    * window.
     */
   def ngramTopk(docs: DataFrame, w: Int = NgramTopkWidth,
-      k: Int = NgramTopkK): DataFrame = {
-    def grams: DataFrame = fanout(docs)
+      k: Int = NgramTopkK): DataFrame =
+    fanout(docs)
       .select(explode_outer(gramTexts(TextOps.tokens(col("text")), w)).as("gram"))
       .filter(col("gram").isNotNull)
-      .select(col("gram"), TextOps.tokenHash(col("gram")).as("gram_hash"))
-    val top = grams
-      .groupBy("gram_hash").agg(count(lit(1)).as("n_occurrences"))
+      .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+      .select(TextOps.tokenHash(col("gram")).as("gram_hash"),
+        col("gram"), col("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram_hash")).limit(k)
-    grams.join(broadcast(top), "gram_hash")
-      .groupBy("gram_hash", "n_occurrences")
-      .agg(min("gram").as("gram"))
-      .select("gram_hash", "gram", "n_occurrences")
-  }
 
   def sqlNgramTopk: String =
-    s"""WITH gs AS MATERIALIZED (
-       |  SELECT gram, ${TextOps.sqlTokenHash("gram")} AS gram_hash FROM (
+    s"""SELECT ${TextOps.sqlTokenHash("gram")} AS gram_hash, gram, n_occurrences
+       |FROM (
+       |  SELECT gram, count(*) AS n_occurrences FROM (
        |    SELECT unnest(${sqlGramTexts(TextOps.sqlTokens("text"), NgramTopkWidth)}) AS gram
-       |    FROM documents)),
-       |top AS (
-       |  SELECT gram_hash, count(*) AS n_occurrences
-       |  FROM gs GROUP BY gram_hash
-       |  ORDER BY n_occurrences DESC, gram_hash LIMIT $NgramTopkK)
-       |SELECT gram_hash, min(gram) AS gram, n_occurrences
-       |FROM gs JOIN top USING (gram_hash)
-       |GROUP BY gram_hash, n_occurrences""".stripMargin
+       |    FROM documents)
+       |  GROUP BY gram)
+       |ORDER BY n_occurrences DESC, gram_hash LIMIT $NgramTopkK""".stripMargin
 }

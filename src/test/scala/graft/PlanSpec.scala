@@ -385,13 +385,14 @@ class PlanSpec extends SparkSuite {
     // split_assign: fanout insurance repartition + ONE splits-sized agg
     assert(exchanges(q("split_assign")) == 2,
       "split_assign must stay a narrow projection + one 2-row agg")
-    // ngram_topk: the top-K is TakeOrderedAndProject (per-partition
-    // top-K + K×P driver merge — no global sort), and the text-recovery
-    // join rides a K-row BROADCAST, never a cartesian
+    // ngram_topk: one corpus pass — fanout repartition + ONE
+    // map-side-combined text agg, top-K via TakeOrderedAndProject
+    // (per-partition top-K + K×P driver merge — no global sort)
     val nt = nodes(q("ngram_topk"))
     assert(nt.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
       "ngram_topk top-K degraded from TakeOrderedAndProject")
-    assert(nt.exists(_.isInstanceOf[BroadcastExchangeExec]))
+    assert(exchanges(q("ngram_topk")) == 2,
+      "ngram_topk must stay a single-agg word-count shape")
     assert(!nt.exists(_.isInstanceOf[CartesianProductExec]))
     // split_leakage: big-big on purpose — there must be NO forced
     // broadcast hint (the train side is 90% of the corpus)
