@@ -376,7 +376,11 @@ object SparkEntry {
     "bpe_fertility" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       TokenizerOps.bpeFertility(d, TokenizerOps.bpeTrain(d, TokenizerOps.NumMerges))
-    })
+    }),
+    // one DoReMi-shaped multiplicative-weights mixture update from the
+    // corpus-relative quality excess — rational update, exact micros
+    "mixture_reweight_step" -> ((s, dir) =>
+      PretrainOps.mixtureReweightStep(tbl(s, dir, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -692,6 +696,7 @@ object SparkEntry {
     "split_assign" -> PretrainOps.sqlSplitAssign,
     "split_leakage" -> PretrainOps.sqlSplitLeakage,
     "ngram_topk" -> PretrainOps.sqlNgramTopk,
-    "bpe_fertility" -> TokenizerOps.sqlBpeFertility
+    "bpe_fertility" -> TokenizerOps.sqlBpeFertility,
+    "mixture_reweight_step" -> PretrainOps.sqlMixtureReweightStep
   )
 }

@@ -935,9 +935,14 @@ object PretrainOps {
         col("sum_quality_micro") / lit(QualityMicro) / col("n_scored"))
   }
 
-  def sqlDomainStats: String = {
+  /** The (source, lang, n_tokens, q_micro) CTE body shared by
+    * [[sqlDomainStats]] and [[sqlMixtureReweightStep]] — one definition
+    * of the micro-quantized quality score, so the data-card stats and
+    * the mixture step can never disagree on what "quality" means.
+    */
+  private def sqlQualityMicroCte: String = {
     val set = TextOps.StopwordProfiles.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT source, lang, n_tokens,
        |    CASE WHEN n_chars_m = 0 THEN NULL ELSE CAST(floor((
        |      0.4 * least(n_tokens / 64.0, 1.0) +
@@ -950,7 +955,11 @@ object PretrainOps {
        |      CAST(len(list_filter(toks, t -> list_contains($set, t))) AS BIGINT) AS n_stop,
        |      CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha,
        |      CAST(length(text) AS BIGINT) AS n_chars_m
-       |    FROM (SELECT source, lang, text, ${sqlTokens("text")} AS toks FROM documents)))
+       |    FROM (SELECT source, lang, text, ${sqlTokens("text")} AS toks FROM documents)))""".stripMargin
+  }
+
+  def sqlDomainStats: String = {
+    s"""WITH $sqlQualityMicroCte
        |SELECT source, count(*) AS n_docs,
        |  count(DISTINCT lang) AS n_langs,
        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
@@ -2348,4 +2357,93 @@ object PretrainOps {
        |    FROM documents)
        |  GROUP BY gram)
        |ORDER BY n_occurrences DESC, gram_hash LIMIT $NgramTopkK""".stripMargin
+
+  // -------------------------------------------------- mixture_reweight_step
+
+  /** Multiplicative-weights step size: factor micros added per micro of
+    * quality excess (η=4 → a source scoring +0.25 above the corpus mean
+    * doubles its unnormalized factor).
+    */
+  val MixtureEta = 4L
+
+  /** One multiplicative-weights update of the per-source mixture — the
+    * DoReMi-shaped reweighting loop (Xie et al. 2023) with the reference
+    * model's excess loss stood in by the corpus-relative quality excess
+    * (the signal the engine already computes; a real excess-loss column
+    * drops into the same plan). From uniform weights:
+    * factor_s = max(0, 1 + η·(mean_quality_s − mean_quality_corpus)),
+    * normalized across sources. LINEARIZED update (1 + η·x, not
+    * exp(η·x)) on purpose: libm exp is not bit-identical across engines,
+    * while the rational form stays in exact integer micros until the
+    * single normalizing division — the [[sampleTemperature]] parity
+    * discipline. Iterating the step re-derives DoReMi's domain weights;
+    * each iteration is this one plan.
+    *
+    * Scale shape: one corpus scan into a sources-sized agg (map-side
+    * combined); the corpus mean and the factor total are 1-row
+    * broadcasts over the sources-sized frame. The corpus never
+    * key-shuffles and only O(sources) rows exist past the first agg.
+    */
+  def mixtureReweightStep(docs: DataFrame): DataFrame = {
+    val (_, quality) = TextOps.qualityCols(col("text"))
+    val qMicro = when(quality.isNull, lit(null).cast("long"))
+      .otherwise(floor(quality * lit(QualityMicro) + lit(0.5)).cast("long"))
+    // the corpus scan + source agg feeds THREE branches (the per-source
+    // rows, the corpus total, the factor total) — materialize the
+    // sources-sized result once or each branch re-runs the scan
+    val per = DedupOps.materialize(
+      fanout(docs).select(col("source"), qMicro.as("q_micro"))
+        .groupBy("source")
+        .agg(count(col("q_micro")).as("n_scored"),
+          sum(col("q_micro")).as("sum_q"))
+        .withColumn("mean_quality_micro",
+          when(col("n_scored") > 0, expr("sum_q DIV n_scored"))),
+      "mixture_per_source")
+    val tot = per.agg(sum("sum_q").as("tot_q"), sum("n_scored").as("tot_n"))
+    val f = per.crossJoin(broadcast(tot))
+      .withColumn("excess_micro",
+        col("mean_quality_micro") -
+          when(col("tot_n") > 0, expr("tot_q DIV tot_n")))
+      .withColumn("factor_micro",
+        greatest(lit(0L), lit(QualityMicro.toLong) +
+          lit(MixtureEta) * col("excess_micro")))
+    val totF = f.agg(sum("factor_micro").as("tot_factor"))
+    f.crossJoin(broadcast(totF))
+      .select(col("source"), col("n_scored"), col("mean_quality_micro"),
+        col("excess_micro"), col("factor_micro"),
+        when(col("tot_factor") > 0,
+          col("factor_micro").cast("double") / col("tot_factor").cast("double"))
+          .as("weight"))
+  }
+
+  def sqlMixtureReweightStep: String =
+    s"""WITH $sqlQualityMicroCte,
+       |per AS (
+       |  SELECT source, count(q_micro) AS n_scored,
+       |    CAST(sum(q_micro) AS BIGINT) AS sum_q
+       |  FROM q GROUP BY source),
+       |per2 AS (
+       |  SELECT source, n_scored, sum_q,
+       |    CASE WHEN n_scored > 0 THEN sum_q // n_scored END AS mean_quality_micro
+       |  FROM per),
+       |tot AS (
+       |  SELECT CAST(sum(sum_q) AS BIGINT) AS tot_q,
+       |    CAST(sum(n_scored) AS BIGINT) AS tot_n FROM per),
+       |f AS (
+       |  SELECT source, n_scored, mean_quality_micro,
+       |    mean_quality_micro - (CASE WHEN tot_n > 0 THEN tot_q // tot_n END)
+       |      AS excess_micro
+       |  FROM per2, tot),
+       |g AS (
+       |  SELECT source, n_scored, mean_quality_micro, excess_micro,
+       |    greatest(0, ${QualityMicro.toLong} + $MixtureEta * excess_micro)
+       |      AS factor_micro
+       |  FROM f),
+       |tf AS (SELECT CAST(sum(factor_micro) AS BIGINT) AS tot_factor FROM g)
+       |SELECT source, n_scored, mean_quality_micro, excess_micro,
+       |  CAST(factor_micro AS BIGINT) AS factor_micro,
+       |  CASE WHEN tot_factor > 0
+       |    THEN CAST(factor_micro AS DOUBLE) / CAST(tot_factor AS DOUBLE)
+       |  END AS weight
+       |FROM g, tf""".stripMargin
 }

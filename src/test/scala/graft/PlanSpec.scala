@@ -394,6 +394,12 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(q("ngram_topk")) == 2,
       "ngram_topk must stay a single-agg word-count shape")
     assert(!nt.exists(_.isInstanceOf[CartesianProductExec]))
+    // mixture_reweight_step: one corpus scan into a sources-sized agg,
+    // then only metadata-sized frames — broadcast folds, no cartesian
+    assert(exchanges(q("mixture_reweight_step")) <= 4,
+      "mixture_reweight_step grew beyond its agg + broadcast-fold shape")
+    assert(!nodes(q("mixture_reweight_step"))
+      .exists(_.isInstanceOf[CartesianProductExec]))
     // split_leakage: big-big on purpose — there must be NO forced
     // broadcast hint (the train side is 90% of the corpus)
     val leakPlan = q("split_leakage").queryExecution.optimizedPlan

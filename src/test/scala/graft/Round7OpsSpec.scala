@@ -353,6 +353,29 @@ class Round7OpsSpec extends SparkSuite {
     } finally { r.unpersist(); () }
   }
 
+  // -------------------------------------------------- mixture_reweight_step
+
+  test("mixtureReweightStep: weights normalize, monotone in quality, uniform fixed point") {
+    val r = PretrainOps.mixtureReweightStep(docs).cache()
+    try {
+      val rows = r.select("mean_quality_micro", "weight")
+        .as[(Long, Double)].collect().sortBy(_._1)
+      assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+      // the linear update is monotone: better-scoring sources never get
+      // LESS weight
+      assert(rows.sliding(2).forall { p =>
+        p.length < 2 || p(1)._2 >= p(0)._2 - 1e-12
+      })
+      // a uniform-quality corpus is a fixed point: equal weights
+      val uni = Seq((1L, "same text here", "en", "s0", 14L),
+        (2L, "same text here", "en", "s1", 14L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val w = PretrainOps.mixtureReweightStep(uni)
+        .select("weight").as[Double].collect()
+      assert(w.forall(x => math.abs(x - 0.5) < 1e-12))
+    } finally { r.unpersist(); () }
+  }
+
   // ---------------------------------------------------------- bpe_fertility
 
   test("bpeFertility: every source ≥ 1.0, conservation vs corpus word count") {
