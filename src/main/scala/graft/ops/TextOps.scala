@@ -300,7 +300,7 @@ object TextOps {
     * pipeline (CorpusOps.cleanCorpus) can ride them in ONE projection
     * instead of joining the gate frame back on doc_id.
     */
-  private[ops] def qualityCols(text: Column): (Column, Column) = {
+  private[graft] def qualityCols(text: Column): (Column, Column) = {
     val toks = tokens(text)
     val nTok = size(toks).cast("long")
     val nStop = stopScore(toks, StopwordProfiles.head._2)
@@ -320,7 +320,7 @@ object TextOps {
     * (per-language stopword scores inlined; Catalyst's collapsed langId
     * projection evaluates the same shape).
     */
-  private[ops] def detectLang(text: Column): Column = {
+  private[graft] def detectLang(text: Column): Column = {
     val toks = tokens(text)
     val scores = StopwordProfiles.map { case (l, ws) => l -> stopScore(toks, ws) }.toMap
     val langs = StopwordProfiles.map(_._1)
