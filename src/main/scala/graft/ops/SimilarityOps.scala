@@ -954,6 +954,47 @@ object SimilarityOps {
     } finally { e.unpersist(); () }
   }
 
+  // -------------------------------------------------------- index compaction
+
+  /** Compact a STREAMED index directory ([[graft.stream.IndexStream]])
+    * into a fresh batch-layout index: the file sink appends one file per
+    * (micro-batch × list) — after a year of daily batches each probe
+    * touches hundreds of footer-sized files, and the small-files problem
+    * IS the serving-index maintenance problem at scale. One
+    * `repartition(centroid)` co-locates each inverted list into a single
+    * task, so the rewrite emits ONE file per list directory; dynamic
+    * partition pruning and both probe paths work unchanged over the
+    * result ([[annIvfProbeIndexed]] / [[annIvfPqProbeIndexed]] —
+    * flavor-agnostic, all columns preserved).
+    *
+    * Reads THROUGH the `_spark_metadata` log (exactly the committed
+    * rows — an uncommitted replay file is invisible) and writes a NEW
+    * directory: compacting in place under the metadata log would orphan
+    * the log's file listing and is refused loudly. The streamed dir +
+    * its checkpoint stay the live ingestion path; readers cut over to
+    * the compacted dir, the next compaction run folds the delta — the
+    * standard serve/compact cycle. Lists larger than one task's worth:
+    * pass `filesPerList` > 1 to salt the repartition.
+    */
+  def compactIndex(spark: SparkSession, streamedDir: String, outDir: String,
+      filesPerList: Int = 1): Unit = {
+    val src = new org.apache.hadoop.fs.Path(streamedDir)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.makeQualified(src) == fs.makeQualified(dst))
+      throw new IllegalArgumentException(
+        s"compactIndex must write a NEW directory: in-place compaction of " +
+          s"$streamedDir would orphan its _spark_metadata file listing " +
+          "under live readers. Compact to a fresh dir and cut readers over.")
+    val rows = spark.read.parquet(streamedDir)
+    val keyed =
+      if (filesPerList <= 1) rows.repartition(col("centroid"))
+      else rows.repartition(col("centroid"),
+        pmod(col("vec_id"), lit(filesPerList.toLong)))
+    keyed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("centroid").parquet(outDir)
+  }
+
   // --------------------------------------------------------- cluster_sample
 
   /** Per-cluster prototype count kept by [[clusterSample]]. */

@@ -99,4 +99,48 @@ class IndexStreamSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("_spark_metadata"))
   }
+
+  test("compactIndex: one file per list, probe-identical, in-place refused") {
+    val embDir = Files.createTempDirectory("ixc-emb").toString
+    val indexDir = Files.createTempDirectory("ixc-idx").toString
+    val ckpt = Files.createTempDirectory("ixc-ckpt").toString
+    // four micro-batches → four appended files per touched list
+    for (k <- 0 until 4)
+      emb.filter($"vec_id" % 4 === k).coalesce(1)
+        .write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(IndexStream.run(spark, embDir, indexDir, ckpt))
+
+    def filesPerList(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("centroid="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerList(indexDir)
+    assert(before.values.exists(_ > 1),
+      "test setup must produce a fragmented index")
+
+    val compactDir = Files.createTempDirectory("ixc-out").toString
+    SimilarityOps.compactIndex(spark, indexDir, compactDir)
+    val after = filesPerList(compactDir)
+    assert(after.keySet == before.keySet, "no list may vanish")
+    assert(after.values.forall(_ == 1), s"still fragmented: $after")
+
+    // identical rows AND identical probe results from the compacted dir
+    val a = spark.read.parquet(indexDir).select("vec_id").as[Long].collect().toSet
+    val b = spark.read.parquet(compactDir).select("vec_id").as[Long].collect().toSet
+    assert(a == b)
+    val got = SimilarityOps.annIvfProbeIndexed(spark, compactDir, emb)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val base = SimilarityOps.annIvfProbeIndexed(spark, indexDir, emb)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == base)
+
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.compactIndex(spark, indexDir, indexDir)
+    }
+    assert(e.getMessage.contains("in-place"), e.getMessage)
+  }
 }

@@ -376,6 +376,44 @@ class Round7OpsSpec extends SparkSuite {
     } finally { r.unpersist(); () }
   }
 
+  // ------------------------------------------- curation ops: degenerate input
+
+  test("curation ops survive null/empty text and zero vectors") {
+    val weird = Seq(
+      (1L, null.asInstanceOf[String], "en", "s0", 0L),
+      (2L, "", "en", "s0", 0L),
+      (3L, "   ", "en", "s1", 3L),
+      (4L, "one real document with several words here", "en", "s1", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // split family: every doc gets a split; leakage empty (nothing shared)
+    val sa = PretrainOps.splitAssign(weird)
+      .agg(sum("n_docs")).as[Long].head()
+    assert(sa == 4L)
+    PretrainOps.splitLeakage(weird).count() // must not throw (ANSI div etc.)
+    // ngram_topk: degenerate docs contribute their single (possibly empty)
+    // truncated gram — no crash, counts stay honest
+    val nt = PretrainOps.ngramTopk(weird, k = 100).cache()
+    try {
+      assert(nt.filter(col("gram") === "").count() <= 1L)
+      assert(nt.agg(sum("n_occurrences")).as[Long].head() >= 4L)
+    } finally { nt.unpersist(); () }
+    // mixture step: null-quality docs (empty text) drop out of n_scored;
+    // weights still normalize over the scored mass
+    val mw = PretrainOps.mixtureReweightStep(weird)
+      .agg(sum("weight")).as[Double].head()
+    assert(math.abs(mw - 1.0) < 1e-9)
+    // cluster_sample: an all-zeros vector must yield a NULL cosine (the
+    // ANSI divide guard), never a crash or a fake rank-1 prototype
+    val weirdEmb = Seq(
+      (1L, Array.fill(64)(0.0f), 0),
+      (2L, Array.tabulate(64)(i => (i + 1) / 64.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cs = graft.ops.SimilarityOps.clusterSample(weirdEmb)
+    val zeroRow = cs.filter(col("vec_id") === 1L)
+      .select("centroid_cos").collect()
+    assert(zeroRow.forall(_.isNullAt(0)), "zero vector must cos as NULL")
+  }
+
   // ---------------------------------------------------------- bpe_fertility
 
   test("bpeFertility: every source ≥ 1.0, conservation vs corpus word count") {
