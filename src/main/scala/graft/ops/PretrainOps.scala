@@ -918,10 +918,20 @@ object PretrainOps {
     * associative), so summing longs is the only way the distributed
     * aggregate stays bit-identical to the single-threaded oracle.
     */
+  /** Micro-quantized quality score — ONE Scala definition (the twin of
+    * [[sqlQualityMicroCte]]'s `q_micro`) shared by [[domainStats]] and
+    * [[mixtureReweightStep]], so the two can never disagree on the
+    * rounding or the null rule.
+    */
+  private def qualityMicroCol: Column = {
+    val (_, quality) = TextOps.qualityCols(col("text"))
+    when(quality.isNull, lit(null).cast("long"))
+      .otherwise(floor(quality * lit(QualityMicro) + lit(0.5)).cast("long"))
+  }
+
   def domainStats(docs: DataFrame): DataFrame = {
     val (nTok, quality) = TextOps.qualityCols(col("text"))
-    val qMicro = when(quality.isNull, lit(null).cast("long"))
-      .otherwise(floor(quality * lit(QualityMicro) + lit(0.5)).cast("long"))
+    val qMicro = qualityMicroCol
     docs
       .select(col("source"), col("lang"), nTok.as("n_tok"), qMicro.as("q_micro"))
       .groupBy("source")
@@ -2385,9 +2395,7 @@ object PretrainOps {
     * key-shuffles and only O(sources) rows exist past the first agg.
     */
   def mixtureReweightStep(docs: DataFrame): DataFrame = {
-    val (_, quality) = TextOps.qualityCols(col("text"))
-    val qMicro = when(quality.isNull, lit(null).cast("long"))
-      .otherwise(floor(quality * lit(QualityMicro) + lit(0.5)).cast("long"))
+    val qMicro = qualityMicroCol
     // the corpus scan + source agg feeds THREE branches (the per-source
     // rows, the corpus total, the factor total) — materialize the
     // sources-sized result once or each branch re-runs the scan

@@ -981,11 +981,18 @@ object SimilarityOps {
     val src = new org.apache.hadoop.fs.Path(streamedDir)
     val dst = new org.apache.hadoop.fs.Path(outDir)
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.makeQualified(src) == fs.makeQualified(dst))
+    // equality is not enough: Overwrite to an ANCESTOR of the streamed
+    // dir recursively deletes it (index + metadata log) before writing,
+    // and a DESCENDANT would be clobbered by the source's own listing —
+    // refuse any containment either way
+    val srcQ = fs.makeQualified(src).toString.stripSuffix("/") + "/"
+    val dstQ = fs.makeQualified(dst).toString.stripSuffix("/") + "/"
+    if (srcQ.startsWith(dstQ) || dstQ.startsWith(srcQ))
       throw new IllegalArgumentException(
-        s"compactIndex must write a NEW directory: in-place compaction of " +
-          s"$streamedDir would orphan its _spark_metadata file listing " +
-          "under live readers. Compact to a fresh dir and cut readers over.")
+        s"compactIndex must write a NEW directory outside $streamedDir: " +
+          "in-place (or ancestor/descendant) compaction would delete or " +
+          "orphan the _spark_metadata file listing under live readers. " +
+          "Compact to a fresh dir and cut readers over.")
     val rows = spark.read.parquet(streamedDir)
     val keyed =
       if (filesPerList <= 1) rows.repartition(col("centroid"))
@@ -1026,7 +1033,12 @@ object SimilarityOps {
     */
   def clusterSample(emb: DataFrame, n: Int = ClusterSampleN): DataFrame = {
     val cnorms = array((0 until IvfCentroids).map(j => lit(centroidNorm(j))): _*)
+    // zero-norm vectors are degenerate ("near-dups of nothing" — the
+    // cosine guard's own rationale): excluded up front, or their NULL
+    // cosine would sort last yet still claim top-N slots in any cluster
+    // with fewer than N real members
     val a = withNorm(emb)
+      .filter(col("norm") > 0)
       .withColumn("dots", centDots(col("emb_d")))
       .withColumn("centroid",
         (array_position(col("dots"), array_max(col("dots"))) - 1).cast("long"))
@@ -1050,7 +1062,7 @@ object SimilarityOps {
        |  SELECT vec_id, norm, dots,
        |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS centroid
        |  FROM (SELECT vec_id, norm, ${sqlCentDots("emb_d")} AS dots
-       |        FROM (${sqlWithNorm("embeddings")}))),
+       |        FROM (${sqlWithNorm("embeddings")}) WHERE norm > 0)),
        |s AS (
        |  SELECT centroid, vec_id,
        |    CASE WHEN norm > 0 THEN

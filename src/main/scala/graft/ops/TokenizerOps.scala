@@ -233,13 +233,30 @@ object TokenizerOps {
     * is the final groupBy(source) whose map-side combine reduces each
     * task to O(sources) rows.
     */
+  /** floor(n·10⁶ / d) in STAGED exact integer arithmetic: a direct
+    * `n * 1000000` overflows Long at n ≈ 9.2e12 — BELOW a 100 TB
+    * source's token count, and under ANSI mode one oversized source
+    * kills the whole job. Splitting into whole part + two ×1000 stages
+    * of the remainder keeps every intermediate ≤ max(n, d·1000): exact
+    * to n, d < 9.2e15 (a thousand 100 TB corpora). Derivation:
+    * r·10⁶/d = (q₁ + s₁/d)·1000 with r·1000 = q₁·d + s₁, so
+    * floor(n·10⁶/d) = (n div d)·10⁶ + q₁·1000 + (s₁·1000) div d.
+    */
+  private def microRatio(n: String, d: String): String =
+    s"($n DIV $d) * 1000000L + (($n % $d) * 1000L DIV $d) * 1000L + " +
+      s"((($n % $d) * 1000L % $d) * 1000L DIV $d)"
+
+  private def sqlMicroRatio(n: String, d: String): String =
+    s"($n // $d) * 1000000 + (($n % $d) * 1000 // $d) * 1000 + " +
+      s"((($n % $d) * 1000 % $d) * 1000 // $d)"
+
   def bpeFertility(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame =
     tokenizeBpe(docs, merges)
       .groupBy("source")
       .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
       .select(col("source"), col("n_words"), col("n_tokens"),
         when(col("n_words") > 0,
-          expr("n_tokens * 1000000L DIV n_words")).otherwise(lit(0L))
+          expr(microRatio("n_tokens", "n_words"))).otherwise(lit(0L))
           .as("fertility_micro"))
 
   def sqlBpeFertility: String =
@@ -247,7 +264,7 @@ object TokenizerOps {
        |per_doc AS (
        |${sqlDocCounts(NumMerges)})
        |SELECT source, n_words, n_tokens,
-       |  CASE WHEN n_words > 0 THEN (n_tokens * 1000000) // n_words
+       |  CASE WHEN n_words > 0 THEN ${sqlMicroRatio("n_tokens", "n_words")}
        |    ELSE 0 END AS fertility_micro
        |FROM (
        |  SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,

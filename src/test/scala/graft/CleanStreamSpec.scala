@@ -18,6 +18,25 @@ class CleanStreamSpec extends SparkSuite {
 
   private def tmp(p: String) = Files.createTempDirectory(p).toString
 
+  /** Append one batch file and PIN its mtime: FileStreamSource orders
+    * files by modification time, and two back-to-back writes can land on
+    * the same timestamp — arbitrary batch order would flip first-seen-
+    * wins and flake the min-doc_id equivalence assertions.
+    */
+  private val mtimeSeen = scala.collection.mutable.Set.empty[String]
+  private def appendBatch(dir: String, rows: Seq[(Long, String)],
+      order: Int): Unit = {
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => mtimeSeen(f.getAbsolutePath))
+      .foreach { f =>
+        assert(f.setLastModified(1700000000000L + order * 60000L))
+        mtimeSeen += f.getAbsolutePath
+      }
+  }
+
   /** Real corpus texts as material — they pass/fail the REAL gates the
     * way production text does (ids reassigned so batch order == id order).
     */
@@ -48,10 +67,8 @@ class CleanStreamSpec extends SparkSuite {
     val file2 = (0 until 5).map(i => (100L + i, material(i))) ++
       (0 until 13).map(i => (110L + i, material(40 + i))) ++
       Seq((130L, material(55)), (131L, material(55)))
-    file1.toDF("doc_id", "text").coalesce(1)
-      .write.mode(SaveMode.Append).parquet(docsDir)
-    file2.toDF("doc_id", "text").coalesce(1)
-      .write.mode(SaveMode.Append).parquet(docsDir)
+    appendBatch(docsDir, file1, 1)
+    appendBatch(docsDir, file2, 2)
     awaitDone(CleanStream.run(spark, docsDir, outDir, ckpt))
 
     val got = spark.read.parquet(s"$outDir/batch_*")
@@ -77,8 +94,7 @@ class CleanStreamSpec extends SparkSuite {
     // restart: a third file duplicating file1 content — the hash DELTAS,
     // not stream memory, must reject them
     val file3 = (0 until 6).map(i => (200L + i, material(i)))
-    file3.toDF("doc_id", "text").coalesce(1)
-      .write.mode(SaveMode.Append).parquet(docsDir)
+    appendBatch(docsDir, file3, 3)
     awaitDone(CleanStream.run(spark, docsDir, outDir, ckpt))
     val got2 = spark.read.parquet(s"$outDir/batch_*")
       .select("doc_id").as[Long].collect().toSet

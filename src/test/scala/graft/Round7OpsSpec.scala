@@ -402,16 +402,17 @@ class Round7OpsSpec extends SparkSuite {
     val mw = PretrainOps.mixtureReweightStep(weird)
       .agg(sum("weight")).as[Double].head()
     assert(math.abs(mw - 1.0) < 1e-9)
-    // cluster_sample: an all-zeros vector must yield a NULL cosine (the
-    // ANSI divide guard), never a crash or a fake rank-1 prototype
+    // cluster_sample: an all-zeros vector is degenerate — it must be
+    // EXCLUDED, never ranked as a prototype (a NULL cosine would sort
+    // last yet still claim a top-N slot in an under-full cluster)
     val weirdEmb = Seq(
       (1L, Array.fill(64)(0.0f), 0),
       (2L, Array.tabulate(64)(i => (i + 1) / 64.0f), 1))
       .toDF("vec_id", "embedding", "label")
-    val cs = graft.ops.SimilarityOps.clusterSample(weirdEmb)
-    val zeroRow = cs.filter(col("vec_id") === 1L)
-      .select("centroid_cos").collect()
-    assert(zeroRow.forall(_.isNullAt(0)), "zero vector must cos as NULL")
+    val cs = graft.ops.SimilarityOps.clusterSample(weirdEmb).collect()
+    assert(!cs.exists(_.getLong(1) == 1L),
+      "zero vector must not appear among prototypes")
+    assert(cs.exists(_.getLong(1) == 2L))
   }
 
   // ---------------------------------------------------------- bpe_fertility
