@@ -237,12 +237,16 @@ object TokenizerOps {
     * `n * 1000000` overflows Long at n ≈ 9.2e12 — BELOW a 100 TB
     * source's token count, and under ANSI mode one oversized source
     * kills the whole job. Splitting into whole part + two ×1000 stages
-    * of the remainder keeps every intermediate ≤ max(n, d·1000): exact
-    * to n, d < 9.2e15 (a thousand 100 TB corpora). Derivation:
+    * of the remainder keeps every intermediate ≤ max(result, d·1000):
+    * exact whenever n, d < 9.2e15 (a thousand 100 TB corpora) AND the
+    * result n·10⁶/d itself fits int64 — past that NO long-returning
+    * engine can represent the answer, and the expression dies loudly
+    * under ANSI instead of wrapping (property-tested both ways).
+    * Derivation:
     * r·10⁶/d = (q₁ + s₁/d)·1000 with r·1000 = q₁·d + s₁, so
     * floor(n·10⁶/d) = (n div d)·10⁶ + q₁·1000 + (s₁·1000) div d.
     */
-  private def microRatio(n: String, d: String): String =
+  private[graft] def microRatio(n: String, d: String): String =
     s"($n DIV $d) * 1000000L + (($n % $d) * 1000L DIV $d) * 1000L + " +
       s"((($n % $d) * 1000L % $d) * 1000L DIV $d)"
 

@@ -73,4 +73,42 @@ class ChunkPropertySpec extends SparkSuite {
       assert(got.map(_._1).distinct.length == got.length, s"seed=$seed")
     }
   }
+
+  test("microRatio: staged x1e6 division exact vs BigInt up to 9e15, no ANSI overflow") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // deterministic LCG sweep over magnitudes that would overflow the
+    // naive n*1000000 multiply (anything past ~9.2e12)
+    var x = 42L
+    def next(bound: Long): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(x, bound - 1) + 1
+    }
+    val cases = (Seq.tabulate(60) { i =>
+      val mag = Seq(1000L, 1000000L, 9000000000L, 9000000000000L,
+        9000000000000000L)(i % 5)
+      (next(mag), next(mag))
+    } ++ Seq((1L, 9000000000000000L),
+      (9000000000000000L, 9000000000000000L), (7L, 3L)))
+      // exactness is only claimable where the RESULT fits an int64 —
+      // no long-returning engine can represent n·1e6/d past 2^63
+      .filter { case (n, d) => BigInt(n) * 1000000 / BigInt(d) <= Long.MaxValue }
+    assert(cases.size >= 50)
+    val got = cases.toDF("n", "d")
+      .select(col("n"), col("d"),
+        expr(graft.ops.TokenizerOps.microRatio("n", "d")).as("r"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (n, d, r) =>
+      val want = (BigInt(n) * 1000000 / BigInt(d)).toLong
+      assert(r == want, s"n=$n d=$d: $r != $want")
+    }
+    // an UNREPRESENTABLE result must die loudly (ANSI overflow), never
+    // wrap silently into a plausible-looking fertility
+    val ex = intercept[Exception] {
+      Seq((9000000000000000L, 1L)).toDF("n", "d")
+        .select(expr(graft.ops.TokenizerOps.microRatio("n", "d")))
+        .collect()
+    }
+    assert(ex.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ARITHMETIC_OVERFLOW")))
+  }
 }
