@@ -63,17 +63,7 @@ object CleanStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hashesRoot = s"$outDir/_hashes"
-        val fs = new org.apache.hadoop.fs.Path(hashesRoot)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val priorDirs = {
-          val root = new org.apache.hadoop.fs.Path(hashesRoot)
-          if (!fs.exists(root)) Seq.empty
-          else fs.listStatus(root).toSeq
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("b_") => n.drop(2).toLong }
-            .filter(_ < batchId) // a replayed batch must NOT see its own delta
-            .sorted.map(j => s"$hashesRoot/b_$j")
-        }
+        val priorDirs = VersionedState.allBefore(spark, hashesRoot, batchId)
         val prior =
           if (priorDirs.isEmpty) None
           else Some(spark.read.parquet(priorDirs: _*)

@@ -166,7 +166,16 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
         val found = root.path("nodes").properties().asScala.toSeq
           .map(_.getValue.path("http").path("publish_address").asText(""))
           .filter(_.nonEmpty)
-          .map(a => if (a.contains("://")) normalize(a) else s"http://$a")
+          .map {
+            // publish_host clusters report "hostname/ip:port" — the part
+            // after '/' is the dialable address (go-elasticsearch parses
+            // this form explicitly); treating it as a URL path would
+            // replace a WORKING seed pool with broken node URLs
+            case a if a.contains("://") => normalize(a)
+            case a if a.contains("/") =>
+              s"http://${a.substring(a.lastIndexOf('/') + 1)}"
+            case a => s"http://$a"
+          }
         if (found.nonEmpty) pool.set(found.toVector)
         pool.get()
       }

@@ -14,13 +14,15 @@ import graft.ops.CdcOps
   * [[EsBulkSink.handleResponse]]), which is the part the file sink can
   * only fault-inject.
   *
-  * Concurrency model: the payload repartitions to the request split
-  * (concurrentRequest, widened by the byte/count flush limits exactly
-  * like [[EsBulkSink.writeBatch]]), and each PARTITION posts one `_bulk`
-  * from its executor task — in-flight requests = parallel tasks =
-  * the reference's concurrentRequest goroutine slots. Item-level errors
-  * are tiny by construction (only failures travel) and collect to the
-  * driver for the demux broadcast.
+  * Concurrency model: the payload splits into EXACT per-request bodies
+  * (global ordinals → request ids; the byte/count flush limits widen the
+  * request count exactly like [[EsBulkSink.writeBatch]]), and the bodies
+  * then spread across at most `concurrentRequest` executor tasks, each
+  * posting its bodies sequentially — in-flight requests = tasks = the
+  * reference's concurrentRequest goroutine slots, REGARDLESS of how far
+  * the flush limits widened the split. Item-level errors are tiny by
+  * construction (only failures travel) and collect to the driver for
+  * the demux broadcast.
   *
   * Failure contract: an item error fails only its item (OnError).
   * A TRANSPORT failure (non-2xx after the client's retry loop, or an
@@ -40,51 +42,63 @@ object EsHttpSink {
     val cached = batch.cache()
     var deduped: DataFrame = null
     try {
-      val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
-      if (!bad.isEmpty) {
-        responseHandler.onError(bad, batchId)
-      }
-      deduped = CdcOps.dedupLastWriteWins(
-        cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
-        .cache()
-      val payload =
-        (if (esMajor < 8) CdcOps.versionGatedMeta(deduped, lit(esMajor), typeName)
-         else CdcOps.ndjsonEncode(deduped))
-        .select(concat_ws("\n", col("meta"), col("source")).as("value"))
-      val nRequests =
-        if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0)
-          concurrentRequest
-        else {
-          val m = payload
-            .agg(sum(octet_length(col("value"))), count(lit(1))).collect()(0)
-          val totalBytes = if (m.isNullAt(0)) 0L else m.getLong(0)
-          val nActions = m.getLong(1)
-          val byBytes =
-            if (batchByteSizeLimit <= 0L) 1
-            else math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt
-          val byCount =
-            if (batchSizeLimit <= 0) 1
-            else math.ceil(nActions.toDouble / batchSizeLimit).toInt
-          math.max(concurrentRequest, math.max(byBytes, byCount))
-        }
-      // executor-side POST per partition; only item-level FAILURES return
-      val errors: Map[String, String] = payload
-        .repartition(nRequests)
-        .as[String]
-        .mapPartitions { lines =>
-          if (lines.isEmpty) Iterator.empty
+      // the WHAT (bad-split → LWW dedup → encode) is shared with the
+      // file sink — EsBulkSink.flushPrologue — so the two transports
+      // cannot drift on payload contents
+      val (d, payload) = EsBulkSink.flushPrologue(cached, batchId,
+        responseHandler, esMajor, typeName)
+      deduped = d
+      val m = payload
+        .agg(sum(octet_length(col("value"))), count(lit(1))).collect()(0)
+      val totalBytes = if (m.isNullAt(0)) 0L else m.getLong(0)
+      val nActions = m.getLong(1)
+      val nRequests = EsBulkSink.requestSplit(totalBytes, nActions,
+        concurrentRequest, batchByteSizeLimit, batchSizeLimit)
+      // Request assembly vs concurrency are SEPARATE dials: the byte/count
+      // flush limits can widen nRequests far past the concurrency slots
+      // (10k actions / batchSizeLimit=100 → 100 requests), and a
+      // one-request-per-partition post would put min(cores, nRequests)
+      // simultaneous _bulk calls on the cluster — the very overload the
+      // slot count exists to prevent. So: exact request ids via the
+      // two-pass global ordinals (round-robin repartition is only
+      // APPROXIMATELY even and AQE may coalesce it — either breaks the
+      // per-request action bound), one body per request id (in-body line
+      // order pinned by ordinal for replay-identical payloads), then the
+      // bodies redistribute across at most concurrentRequest tasks, each
+      // posting ITS bodies sequentially — in-flight = tasks = the
+      // reference's goroutine slots.
+      val cap = math.max(1, math.min(concurrentRequest, nRequests))
+      val perReq = math.max(1L,
+        math.ceil(nActions.toDouble / math.max(1, nRequests)).toLong)
+      val (stamped, _) = CdcOps.globalOrdinals(payload, Seq.empty, "event_id")
+      val bodies = stamped
+        .withColumn("_rid", expr(s"_ord DIV $perReq"))
+        .groupBy("_rid")
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("_ord").as("o"), col("value").as("v")))),
+          x => x.getField("v"))).as("body"))
+        .select(col("body")).as[String]
+      // only item-level FAILURES return to the driver
+      val errors: Map[String, String] = bodies
+        .repartition(cap)
+        .mapPartitions { bs =>
+          if (bs.isEmpty) Iterator.empty
           else {
-            // discovery already ran (or was disabled) on the driver-side
-            // client; per-task clients just post
+            // discovery already ran on the driver; `http` carries the
+            // discovered node pool (Pipeline.runHttp) so executor tasks
+            // spread over the cluster, not just the seed node
             val client = new EsHttpClient(http.copy(discoverNodesOnStart = false))
-            try {
-              val body = lines.mkString("", "\n", "\n")
-              val (status, respBody) = client.bulk(body.getBytes(UTF_8))
-              if (status >= 300)
-                throw new java.io.IOException(
-                  s"_bulk HTTP $status after retries: ${respBody.take(500)}")
-              EsBulkResponse.itemErrors(respBody).iterator
-            } finally client.close()
+            val out =
+              try bs.flatMap { body =>
+                // the bulk API requires the body to end in a newline
+                val (status, respBody) = client.bulk((body + "\n").getBytes(UTF_8))
+                if (status >= 300)
+                  throw new java.io.IOException(
+                    s"_bulk HTTP $status after retries: ${respBody.take(500)}")
+                EsBulkResponse.itemErrors(respBody)
+              }.toVector
+              finally client.close()
+            out.iterator
           }
         }
         .collect().toMap

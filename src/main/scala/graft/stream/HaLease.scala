@@ -17,14 +17,17 @@ import org.apache.spark.sql.streaming.Trigger
   * at-least-once batch contract).
   *
   * Lease mechanics (coarse by design, like slot activity):
-  *   - acquire = atomically create the lease file
-  *     (`FileSystem.create(overwrite = false)` — atomic on local FS and
-  *     HDFS-like stores);
-  *   - the holder RENEWS by rewriting the heartbeat timestamp through a
-  *     tmp-file + atomic rename;
-  *   - a lease whose heartbeat is older than `leaseMs` is DEAD: a
-  *     contender deletes it and races the create — losers get the
-  *     create exception and go back to polling, so at most one winner.
+  *   - acquire = atomic RENAME of a pre-written tmp onto the lease path
+  *     (content-complete from its first instant; rename onto an existing
+  *     path fails, so one winner);
+  *   - the holder RENEWS by dropping an empty `hb.<ts>.<id>` marker file
+  *     — the timestamp lives in the NAME, the lease file itself is never
+  *     rewritten, so there is no mid-heartbeat window in which the lease
+  *     is missing or half-written;
+  *   - a lease whose heartbeat is older than `leaseMs` (or whose content
+  *     is unreadable — external corruption) is DEAD: a contender STEALS
+  *     it with an atomic rename to a tombstone (one winner by
+  *     construction) and then claims — losers go back to polling.
   *
   * Split-brain window: a paused-but-alive holder (GC, VM freeze) can
   * overlap a takeover for up to one renewal period. That is the same
@@ -38,21 +41,42 @@ final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
 
   private val fs = new Path(dir).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
+  private val dirPath = new Path(dir)
   private val leasePath = new Path(dir, "lease")
 
-  private def writeVia(tmpName: String, content: String): Unit = {
-    val tmp = new Path(dir, tmpName)
-    val out = fs.create(tmp, true)
-    out.write(content.getBytes(UTF_8)); out.close()
-    // atomic swap; rename-onto requires the destination gone on some FS
-    // implementations — delete+rename is fine, the holder is the only
-    // renewer
-    fs.delete(leasePath, false)
-    if (!fs.rename(tmp, leasePath))
-      throw new java.io.IOException(s"lease renew rename failed: $tmp")
-  }
+  // Protocol invariants (each closes a measured failure mode):
+  //   - the lease file is NEVER rewritten during a tenure — claim is one
+  //     atomic rename of a fully-written tmp (no half-written content a
+  //     reader could misparse, and no rewrite window for renew: the
+  //     FileContext-OVERWRITE and delete+rename heartbeat forms BOTH
+  //     measurably exposed a missing-lease instant on the local FS,
+  //     during which a contender's claim legitimately succeeds);
+  //   - heartbeats are separate `hb.<ts>.<id>` marker files whose NAME
+  //     carries the timestamp — existence-only, nothing to parse
+  //     mid-write, and pruning old markers can never lower the max;
+  //   - a dead lease is STOLEN by renaming it to a tombstone: rename is
+  //     atomic with one winner, so two contenders can never both clear
+  //     it and both claim (the delete-then-create form let a queued
+  //     delete remove the winner's FRESH lease — unbounded dual-active).
 
-  /** (holderId, heartbeatMs) of the current lease, if any. */
+  private def hbPrefix = "hb."
+
+  private def heartbeats(): Seq[(Long, String)] =
+    (try fs.listStatus(dirPath).toSeq
+     catch { case scala.util.control.NonFatal(_) => Seq.empty })
+      .map(_.getPath.getName)
+      .filter(_.startsWith(hbPrefix))
+      .flatMap { n =>
+        n.split("\\.", 3) match {
+          case Array(_, ts, id) => scala.util.Try((ts.toLong, id)).toOption
+          case _ => None
+        }
+      }
+
+  /** (holderId, heartbeatMs) of the current lease, if any. The claim
+    * file carries (id, claimTs); the live heartbeat is the max of the
+    * claim ts and this holder's hb markers.
+    */
   def read(): Option[(String, Long)] =
     try {
       if (!fs.exists(leasePath)) None
@@ -60,7 +84,10 @@ final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
         val in = fs.open(leasePath)
         val s = try new String(in.readAllBytes(), UTF_8) finally in.close()
         s.split('\n') match {
-          case Array(id, hb) => Some((id, hb.toLong))
+          case Array(id, ts) =>
+            val hb = heartbeats().collect { case (t, h) if h == id => t }
+              .foldLeft(ts.toLong)(math.max)
+            Some((id, hb))
           case _ => None
         }
       }
@@ -71,33 +98,63 @@ final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
       id != instanceId && nowMs - hb < leaseMs
     }
 
-  /** Try to take the lease: free → create; dead → delete + race the
-    * create; live-and-other's → false.
+  /** Atomically claim the (absent) lease: rename of a pre-written tmp —
+    * the file is content-complete from its first instant of existence,
+    * and rename onto an existing path fails, so one winner.
+    */
+  private def claim(nowMs: Long): Boolean = {
+    val tmp = new Path(dir, s"lease.tmp.$instanceId")
+    val out = fs.create(tmp, true)
+    out.write(s"$instanceId\n$nowMs".getBytes(UTF_8)); out.close()
+    try fs.rename(tmp, leasePath)
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** Try to take the lease: free → atomic rename-claim; dead (expired
+    * OR unreadable content — external corruption) → atomic-rename steal
+    * + claim; live-and-other's → false.
     */
   def tryAcquire(nowMs: Long): Boolean = read() match {
     case Some((id, _)) if id == instanceId =>
       renew(nowMs); true
     case Some((_, hb)) if nowMs - hb < leaseMs => false
-    case other =>
-      // free or dead: clear a dead lease, then the atomic create decides
-      if (other.isDefined) fs.delete(leasePath, false)
-      try {
-        val out = fs.create(leasePath, false) // overwrite=false: atomic claim
-        out.write(s"$instanceId\n$nowMs".getBytes(UTF_8)); out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    case _ =>
+      if (fs.exists(leasePath)) {
+        val tomb = new Path(dir, s"lease.dead.$instanceId.$nowMs")
+        val won =
+          try fs.rename(leasePath, tomb)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!won) return false // another contender stole it first
+        fs.delete(tomb, false)
+        // the dead holder's stale heartbeat markers must not outlive it
+        heartbeats().foreach { case (t, h) =>
+          fs.delete(new Path(dir, s"$hbPrefix$t.$h"), false)
+        }
+      }
+      claim(nowMs)
   }
 
-  /** Heartbeat (holder only). */
-  def renew(nowMs: Long): Unit =
-    writeVia(s"lease.tmp.$instanceId", s"$instanceId\n$nowMs")
+  /** Heartbeat (holder only): drop an empty `hb.<ts>.<id>` marker and
+    * prune this holder's older markers. The lease file is untouched.
+    */
+  def renew(nowMs: Long): Unit = {
+    fs.create(new Path(dir, s"$hbPrefix$nowMs.$instanceId"), true).close()
+    heartbeats()
+      .filter { case (t, h) => h == instanceId && t < nowMs }
+      .foreach { case (t, h) => fs.delete(new Path(dir, s"$hbPrefix$t.$h"), false) }
+  }
 
   /** Graceful handover: drop the lease so a passive can take over
     * without waiting out the expiry.
     */
   def release(): Unit = {
     read().foreach { case (id, _) =>
-      if (id == instanceId) fs.delete(leasePath, false)
+      if (id == instanceId) {
+        fs.delete(leasePath, false)
+        heartbeats().filter(_._2 == instanceId).foreach { case (t, h) =>
+          fs.delete(new Path(dir, s"$hbPrefix$t.$h"), false)
+        }
+      }
     }
     ()
   }
@@ -147,6 +204,7 @@ object HaConnector {
     val instance: Instance = new Instance(lease)
     val t = new Thread(() => {
       while (!instance.isStopped) {
+        try {
         if (lease.tryAcquire(System.currentTimeMillis())) {
           // startQuery can fail TRANSIENTLY right after a takeover (the
           // dead instance's query name may still be deregistering in
@@ -163,7 +221,13 @@ object HaConnector {
             instance.current = Some(q)
             try {
               while (!instance.isStopped && q.isActive) {
-                lease.renew(System.currentTimeMillis())
+                // a TRANSIENT heartbeat failure (storage hiccup) must not
+                // kill the query: keep running — if failures persist past
+                // leaseMs the lease expires and a passive takes over,
+                // which is the documented split-brain window, already
+                // safe under the checkpoint's batch serialization
+                try lease.renew(System.currentTimeMillis())
+                catch { case scala.util.control.NonFatal(_) => () }
                 Thread.sleep(pollMs)
               }
             } catch { case _: InterruptedException => () }
@@ -171,11 +235,22 @@ object HaConnector {
               if (q.isActive) q.stop()
               // a DEAD query must free the slot for the next contender;
               // a kill() leaves the lease to expire (crash semantics)
-              if (!instance.isStopped) lease.release()
+              if (!instance.isStopped)
+                try lease.release()
+                catch { case scala.util.control.NonFatal(_) => () }
             }
           }
         }
-        if (!instance.isStopped) Thread.sleep(pollMs)
+        } catch {
+          // any storage exception (tryAcquire's fs.exists, a renew that
+          // escaped, q.stop) must bring us back to polling — a dead
+          // monitor thread silently removes the instance from the
+          // deployment (isActive=false but nobody ever recaptures)
+          case scala.util.control.NonFatal(_) => ()
+        }
+        if (!instance.isStopped)
+          try Thread.sleep(pollMs)
+          catch { case _: InterruptedException => instance.stopped = true }
       }
     }, s"graft-ha-$instanceId")
     instance.thread = t

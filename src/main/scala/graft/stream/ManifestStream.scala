@@ -62,17 +62,8 @@ object ManifestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val stateRoot = s"$outDir/_manifest"
-        val fs = new org.apache.hadoop.fs.Path(stateRoot)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior = {
-          val root = new org.apache.hadoop.fs.Path(stateRoot)
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).toSeq
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("b_") => n.drop(2).toLong }
-            .filter(_ < batchId) // a replayed batch must NOT see its own partial write
-            .sorted.lastOption.map(j => spark.read.parquet(s"$stateRoot/b_$j"))
-        }
+        val prior = VersionedState.latestBefore(spark, stateRoot, batchId)
+          .map(spark.read.parquet(_))
         val delta = PretrainOps.shardChecksums(batch)
         val merged = prior.fold(delta)(p => fold(p, delta))
         merged.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/b_$batchId")

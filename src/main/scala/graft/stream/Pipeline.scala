@@ -270,12 +270,18 @@ object Pipeline {
       trigger: Option[Trigger] = None,
       responseHandler: Option[ResponseHandler] = None): StreamingQuery = {
     implicit val s: SparkSession = spark
-    // version auto-detect against the LIVE cluster when requested —
-    // the reference's Info-API probe, over the real transport
-    val cfg = graft.conf.resolveVersion(cfg0, Some(() => {
-      val c = new EsHttpClient(http)
-      try c.info() finally c.close()
-    }))
+    // ONE driver-side client up front: node discovery runs here (when
+    // enabled) and the DISCOVERED pool ships to the executor tasks via
+    // the config — without this, per-task clients rebuilt from the seed
+    // URLs would put the whole write load on the seed node(s) and the
+    // driver's discovery result would be discarded. Version auto-detect
+    // (the reference's Info-API probe) rides the same client.
+    val probe = new EsHttpClient(http)
+    val (cfg, httpForTasks) =
+      try {
+        val c = graft.conf.resolveVersion(cfg0, Some(() => probe.info()))
+        (c, http.copy(urls = probe.nodes, discoverNodesOnStart = false))
+      } finally probe.close()
     val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
     rh.onInit(spark, cfg)
     registerMetrics(spark)
@@ -288,7 +294,7 @@ object Pipeline {
       .trigger(trigger.getOrElse(
         Trigger.ProcessingTime(cfg.es.batchTickerDuration.toMillis)))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        EsHttpSink.postBatch(batch, batchId, http, rh,
+        EsHttpSink.postBatch(batch, batchId, httpForTasks, rh,
           cfg.es.concurrentRequest, cfg.es.esMajorVersion,
           cfg.es.typeNameOrDefault, cfg.es.batchByteSizeLimitBytes,
           cfg.es.batchSizeLimit)
@@ -455,17 +461,73 @@ object EsBulkSink {
           concat_ws(":", col("doc_id"), col("index_name"), col("routing")))
           .otherwise(idIdx)
       else idIdx
-    val errDf = broadcast(errors.toSeq.toDF("_action_key", "_bulk_error"))
+    val errDf = broadcast(errors.toSeq.toDF("_err_key", "_bulk_error"))
+    // an error entry matches on the full `_id:_index[:_routing]` key OR
+    // the `_id:_index` base: a REAL `_bulk` response does not echo
+    // routing, so the HTTP transport's error keys are base-form — a
+    // full-key-only match silently dropped routed failures into
+    // onSuccess. Post-LWW the (doc_id, index) pair is unique, so the
+    // base key cannot mispair. Errors are tiny (only failures travel);
+    // the OR-condition join stays a broadcast loop over them.
+    val joinCond = col("_action_key") === col("_err_key") ||
+      col("_action_key_base") === col("_err_key")
     // cache: both demux branches scan the keyed frame once
-    val keyed = actions.withColumn("_action_key", key).cache()
+    val keyed = actions.withColumn("_action_key", key)
+      .withColumn("_action_key_base", idIdx).cache()
     try {
-      val bad = keyed.join(errDf, "_action_key").drop("_action_key")
-      val good = keyed.join(errDf, Seq("_action_key"), "left_anti")
-        .drop("_action_key")
+      val bad = keyed.join(errDf, joinCond)
+        .drop("_err_key", "_action_key", "_action_key_base")
+      val good = keyed.join(errDf, joinCond, "left_anti")
+        .drop("_action_key", "_action_key_base")
       responseHandler.onError(bad, batchId)
       responseHandler.onSuccess(good, batchId)
     } finally { keyed.unpersist(); () }
   }
+
+  /** Shared flush prologue of the file and HTTP sinks — bad-key demux →
+    * LWW dedup (cached: the window runs once per flush) → version-gated
+    * NDJSON encode — so the two transports can never drift on WHAT they
+    * ship. Returns (deduped, payload(event_id, value)); the caller owns
+    * `deduped.unpersist()`. The demux runs BEFORE dedup: a null doc key
+    * is not a document identity, so key-less actions must not collapse
+    * into one null-keyed window row. concat_ws skips NULLs: deletes emit
+    * the meta line only (bulk.go:231-235).
+    */
+  private[stream] def flushPrologue(cached: DataFrame, batchId: Long,
+      responseHandler: ResponseHandler, esMajor: Int, typeName: String)
+      : (DataFrame, DataFrame) = {
+    val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
+    if (!bad.isEmpty) responseHandler.onError(bad, batchId)
+    val deduped = CdcOps.dedupLastWriteWins(
+      cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
+      .cache()
+    // X2: `_type` in the action metadata only for ES major < 8
+    // (bulk.go:194-206,227-230; version from config ≙ Info-API detect)
+    val payload =
+      (if (esMajor < 8) CdcOps.versionGatedMeta(deduped, lit(esMajor), typeName)
+       else CdcOps.ndjsonEncode(deduped))
+      .select(col("event_id"),
+        concat_ws("\n", col("meta"), col("source")).as("value"))
+    (deduped, payload)
+  }
+
+  /** B2 flush-split arithmetic (bulk.go:164-173), shared by both sinks:
+    * requests sized so none exceeds the byte/count limit, never fewer
+    * than `concurrentRequest`.
+    */
+  private[stream] def requestSplit(totalBytes: Long, nActions: Long,
+      concurrentRequest: Int, batchByteSizeLimit: Long,
+      batchSizeLimit: Int): Int =
+    if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0) concurrentRequest
+    else {
+      val byBytes =
+        if (batchByteSizeLimit <= 0L) 1
+        else math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt
+      val byCount =
+        if (batchSizeLimit <= 0) 1
+        else math.ceil(nActions.toDouble / batchSizeLimit).toInt
+      math.max(concurrentRequest, math.max(byBytes, byCount))
+    }
 
   def writeBatch(batch: DataFrame, batchId: Long, bulkOutDir: String,
       responseHandler: ResponseHandler, concurrentRequest: Int,
@@ -483,50 +545,29 @@ object EsBulkSink {
     val cached = batch.cache()
     var deduped: DataFrame = null
     try {
-      // demux BEFORE dedup: a null doc key is not a document identity, so
-      // key-less actions must not collapse into one null-keyed window row
-      val bad = cached.filter(col("doc_id").isNull || col("index_name").isNull)
-      if (!bad.isEmpty) {
-        responseHandler.onError(bad, batchId)
-      }
-      deduped = CdcOps.dedupLastWriteWins(
-        cached.filter(col("doc_id").isNotNull && col("index_name").isNotNull))
-        .cache()
-      // X2: `_type` in the action metadata only for ES major < 8
-      // (bulk.go:194-206,227-230; version from config ≙ Info-API detect)
-      val payload =
-        (if (esMajor < 8) CdcOps.versionGatedMeta(deduped, lit(esMajor), typeName)
-         else CdcOps.ndjsonEncode(deduped))
-        // concat_ws skips NULLs: deletes emit the meta line only
-        // (bulk.go:231-235 — delete actions carry no source line)
-        .select(concat_ws("\n", col("meta"), col("source")).as("value"))
-      // B2 flush triggers (bulk.go:164-173): when a byte and/or action-
-      // count limit is set, size the bulk-request split so no single
-      // `_bulk` file exceeds either — payload sized in UTF-8 BYTES
-      // (octet_length; the reference counts bytes, not chars). One tiny
-      // post-agg collect computes both measures. The per-file bound is
-      // approximate under row-size skew (round-robin balances rows).
-      // When the limits bind, nRequests EXCEEDS concurrentRequest: the
-      // file sink writes all splits in parallel tasks, where the
-      // reference issues them sequentially through concurrentRequest
-      // goroutine slots — a real HTTP sink built on this split must pool
-      // its connections at concurrentRequest; for files the split is
-      // about per-request byte/count bounds, not in-flight concurrency.
+      val (d, payloadWithId) = flushPrologue(cached, batchId,
+        responseHandler, esMajor, typeName)
+      deduped = d
+      val payload = payloadWithId.select("value")
+      // B2 flush triggers: when a byte and/or action-count limit is set,
+      // size the bulk-request split so no single `_bulk` file exceeds
+      // either — payload sized in UTF-8 BYTES (octet_length; the
+      // reference counts bytes, not chars). One tiny post-agg collect
+      // computes both measures; skipped entirely when no limit binds.
+      // The per-file bound is approximate under row-size skew
+      // (round-robin balances rows). When the limits bind, nRequests
+      // EXCEEDS concurrentRequest: the file sink writes all splits in
+      // parallel tasks (for files the split is about per-request
+      // byte/count bounds, not in-flight concurrency — the HTTP sink
+      // caps in-flight separately, see EsHttpSink).
       val nRequests =
         if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0)
           concurrentRequest
         else {
           val m = payload
             .agg(sum(octet_length(col("value"))), count(lit(1))).collect()(0)
-          val totalBytes = if (m.isNullAt(0)) 0L else m.getLong(0)
-          val nActions = m.getLong(1)
-          val byBytes =
-            if (batchByteSizeLimit <= 0L) 1
-            else math.ceil(totalBytes.toDouble / batchByteSizeLimit).toInt
-          val byCount =
-            if (batchSizeLimit <= 0) 1
-            else math.ceil(nActions.toDouble / batchSizeLimit).toInt
-          math.max(concurrentRequest, math.max(byBytes, byCount))
+          requestSplit(if (m.isNullAt(0)) 0L else m.getLong(0), m.getLong(1),
+            concurrentRequest, batchByteSizeLimit, batchSizeLimit)
         }
       // overwrite INTO the per-batch directory: a replayed batch (failure
       // after partial write, before checkpoint commit) clobbers its own

@@ -160,17 +160,8 @@ object SampleStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val totalsRoot = s"$outDir/_totals"
-        val fs = new org.apache.hadoop.fs.Path(totalsRoot)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior = {
-          val root = new org.apache.hadoop.fs.Path(totalsRoot)
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).toSeq
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("b_") => n.drop(2).toLong }
-            .filter(_ < batchId) // a replayed batch must NOT see its own partial write
-            .sorted.lastOption.map(j => spark.read.parquet(s"$totalsRoot/b_$j"))
-        }
+        val prior = VersionedState.latestBefore(spark, totalsRoot, batchId)
+          .map(spark.read.parquet(_))
         val batchStats = PretrainOps.mixTokenTotals(batch)
         val merged = prior.fold(batchStats)(p =>
           p.unionByName(batchStats).groupBy("source")

@@ -61,17 +61,8 @@ object TrainStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import spark.implicits._
         val stateRoot = s"$outDir/_weights"
-        val fs = new org.apache.hadoop.fs.Path(stateRoot)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val prior = {
-          val root = new org.apache.hadoop.fs.Path(stateRoot)
-          if (!fs.exists(root)) None
-          else fs.listStatus(root).toSeq
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("b_") => n.drop(2).toLong }
-            .filter(_ < batchId) // a replayed batch must NOT see its own partial write
-            .sorted.lastOption.map(j => readWeights(spark, s"$stateRoot/b_$j"))
-        }
+        val prior = VersionedState.latestBefore(spark, stateRoot, batchId)
+          .map(readWeights(spark, _))
         val weights = prior.getOrElse(TextOps.seedWeightsMicro)
         val grads = TextOps.qualityLinearTrainStepWith(batch, Some(weights))
           .collect()

@@ -215,6 +215,71 @@ class EsHttpTransportSpec extends SparkSuite {
     } finally es.stop()
   }
 
+  test("discovery parses the publish_host 'hostname/ip:port' form to a dialable URL") {
+    val es = new StubEs()
+    try {
+      es.nodesOf = s =>
+        s"""{"nodes":{"n1":{"http":{"publish_address":"esnode1/127.0.0.1:${es.port}"}}}}"""
+      val c = new EsHttpClient(EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = true, retryBackoffBaseMs = 1))
+      assert(c.nodes == Seq(s"http://127.0.0.1:${es.port}"),
+        s"host/ip:port must resolve to the ip:port half, got ${c.nodes}")
+      val (status, _) = c.bulk("x\n".getBytes(UTF_8))
+      assert(status == 200, "the discovered URL must actually be dialable")
+    } finally es.stop()
+  }
+
+  test("routed item failures demux on the base _id:_index key (real _bulk responses omit routing)") {
+    import graft.stream.{EsBulkSink, ResponseHandler}
+    val actions = Seq(
+      ("1", "idx", "index", "r7", "{\"a\":1}"),
+      ("2", "idx", "index", null.asInstanceOf[String], "{\"a\":2}"))
+      .toDF("doc_id", "index_name", "action_type", "routing", "source")
+    val errs = Map("1:idx" -> "{\"type\":\"mapper_parsing_exception\"}")
+    val bad = new ConcurrentLinkedQueue[String]()
+    val good = new ConcurrentLinkedQueue[String]()
+    val rh = new ResponseHandler {
+      override def onError(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
+        a.select("doc_id").collect().foreach(r => bad.add(r.getString(0)))
+      override def onSuccess(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
+        a.select("doc_id").collect().foreach(r => good.add(r.getString(0)))
+    }
+    EsBulkSink.handleResponse(actions, errs, rh, 0L)
+    import scala.jdk.CollectionConverters._
+    assert(bad.asScala.toSet == Set("1"),
+      s"the ROUTED failed action must reach onError, got ${bad.asScala}")
+    assert(good.asScala.toSet == Set("2"))
+  }
+
+  test("in-flight _bulk requests stay within concurrentRequest even when flush limits widen the split") {
+    import graft.stream.{EsHttpSink, ResponseHandler}
+    val inFlight = new AtomicInteger(0)
+    val maxInFlight = new AtomicInteger(0)
+    val es = new StubEs(bulkResponder = (_, _) => {
+      val cur = inFlight.incrementAndGet()
+      maxInFlight.getAndUpdate(m => math.max(m, cur))
+      Thread.sleep(150)
+      inFlight.decrementAndGet()
+      (200, """{"took":1,"errors":false,"items":[]}""")
+    })
+    try {
+      val actions = (1 to 12).map(i =>
+        (i.toLong, i.toString, "idx", "index", s"""{"v":$i}"""))
+        .toDF("event_id", "doc_id", "index_name", "action_type", "source")
+      // batchSizeLimit=2 over 12 actions → 6 requests; cap at 2 slots
+      EsHttpSink.postBatch(actions, 0L, EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = false, retryBackoffBaseMs = 1),
+        new ResponseHandler {
+          override def onError(a: org.apache.spark.sql.DataFrame, b: Long): Unit = ()
+        }, concurrentRequest = 2,
+        batchSizeLimit = 2)
+      assert(es.bulkCount.get() == 6,
+        s"flush split must hold: ${es.bulkCount.get()} requests")
+      assert(maxInFlight.get() <= 2,
+        s"in-flight exceeded the slot count: ${maxInFlight.get()}")
+    } finally es.stop()
+  }
+
   test("EsBulkResponse.itemErrors parses mixed action kinds, skips successes") {
     val body =
       """{"errors":true,"items":[

@@ -63,6 +63,45 @@ class HaConnectorSpec extends SparkSuite {
     assert(a.tryAcquire(t0 + 500 + 1300), "released lease is free")
   }
 
+  test("lease: a zero-byte/corrupt lease file is DEAD (stealable), not a permanent deadlock") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = tmp("ha-lease-corrupt")
+    // a crash between create and write leaves an empty lease file
+    Files.write(Paths.get(dir, "lease"), Array.emptyByteArray)
+    val a = new HaLease(dir, "A", leaseMs = 1000)
+    assert(a.tryAcquire(5000L),
+      "an unreadable lease must be stolen like a dead one")
+    assert(a.read().exists(_._1 == "A"))
+    // and a garbage-content lease likewise
+    val dir2 = tmp("ha-lease-garbage")
+    Files.write(Paths.get(dir2, "lease"), "not-a-lease".getBytes("UTF-8"))
+    val b = new HaLease(dir2, "B", leaseMs = 1000)
+    assert(b.tryAcquire(5000L))
+    assert(b.read().exists(_._1 == "B"))
+  }
+
+  test("lease renew never makes the lease file vanish (no heartbeat acquire window)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val dir = tmp("ha-lease-renew")
+    val a = new HaLease(dir, "A", leaseMs = 60000)
+    assert(a.tryAcquire(1000L))
+    val lease = Paths.get(dir, "lease")
+    // hammer renewals on one thread while a watcher polls existence —
+    // the FileContext OVERWRITE rename must never expose a missing file
+    // (the delete+rename form failed this within a few hundred renews)
+    @volatile var vanished = false
+    @volatile var done = false
+    val watcher = new Thread(() => {
+      while (!done) if (!Files.exists(lease)) vanished = true
+    })
+    watcher.start()
+    (1 to 500).foreach(i => a.renew(1000L + i))
+    done = true
+    watcher.join(5000)
+    assert(!vanished, "renew exposed a no-lease window")
+    assert(a.read().exists(_._2 == 1500L))
+  }
+
   test("active/passive failover: kill the active, the passive resumes exactly-once") {
     val walDir = tmp("ha-wal")
     val bulk = tmp("ha-bulk")
