@@ -135,7 +135,7 @@ object CleanStream {
             .filter(col("content_hash").isNotNull && !col("dup_exact"))
             .select(col("content_hash")).distinct()
             .coalesce(1).write.mode("overwrite")
-            .parquet(s"$hashesRoot/b_$batchId")
+            .parquet(VersionedState.versionDir(hashesRoot, batchId))
         } finally { base.unpersist(); () }
         ()
       }

@@ -200,6 +200,25 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   */
 object EsBulkResponse {
 
+  /** Positional item errors: (0-based position in the request, error
+    * JSON) for every item with status ≥ 300. `_bulk` guarantees items
+    * arrive in request order, so position identifies the exact action —
+    * including between routed siblings that share `_id:_index` (the
+    * response does not echo routing, so key-based attribution cannot).
+    */
+  def itemErrorsByPosition(body: String): Seq[(Int, String)] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    if (!root.path("errors").asBoolean(false)) Seq.empty
+    else root.path("items").asScala.toSeq.zipWithIndex.flatMap {
+      case (item, pos) =>
+        item.properties().asScala.toSeq.flatMap { e =>
+          val a = e.getValue
+          if (a.path("status").asInt(200) < 300) None
+          else Some(pos -> a.path("error").toString)
+        }
+    }
+  }
+
   def itemErrors(body: String): Map[String, String] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     if (!root.path("errors").asBoolean(false)) Map.empty

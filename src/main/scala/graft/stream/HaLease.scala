@@ -17,17 +17,20 @@ import org.apache.spark.sql.streaming.Trigger
   * at-least-once batch contract).
   *
   * Lease mechanics (coarse by design, like slot activity):
-  *   - acquire = atomic RENAME of a pre-written tmp onto the lease path
-  *     (content-complete from its first instant; rename onto an existing
-  *     path fails, so one winner);
+  *   - acquire = `FileSystem.create(overwrite = false)` — the one
+  *     primitive that is one-winner on BOTH local FS and HDFS (local
+  *     rename onto an existing file silently overwrites, so a
+  *     rename-claim would admit two winners);
   *   - the holder RENEWS by dropping an empty `hb.<ts>.<id>` marker file
   *     — the timestamp lives in the NAME, the lease file itself is never
   *     rewritten, so there is no mid-heartbeat window in which the lease
   *     is missing or half-written;
-  *   - a lease whose heartbeat is older than `leaseMs` (or whose content
-  *     is unreadable — external corruption) is DEAD: a contender STEALS
-  *     it with an atomic rename to a tombstone (one winner by
-  *     construction) and then claims — losers go back to polling.
+  *   - a lease whose heartbeat is older than `leaseMs` is DEAD: a
+  *     contender STEALS it with an atomic rename to a tombstone (one
+  *     winner by construction) and then claims — losers go back to
+  *     polling. Unreadable content is steal-eligible only once the FILE
+  *     is stale by mtime: a transient read error or an in-flight claim
+  *     must never cost a live holder its lease.
   *
   * Split-brain window: a paused-but-alive holder (GC, VM freeze) can
   * overlap a takeover for up to one renewal period. That is the same
@@ -98,40 +101,66 @@ final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
       id != instanceId && nowMs - hb < leaseMs
     }
 
-  /** Atomically claim the (absent) lease: rename of a pre-written tmp —
-    * the file is content-complete from its first instant of existence,
-    * and rename onto an existing path fails, so one winner.
+  /** Atomically claim the ABSENT lease via `create(overwrite = false)` —
+    * the one primitive that is genuinely one-winner on BOTH the local FS
+    * and HDFS-like stores (LocalFileSystem.rename onto an existing file
+    * silently overwrites and returns true — measured on this Hadoop —
+    * so a rename-based claim would let two contenders both "win").
+    * Content lands right after the create; the microsecond window in
+    * which the file exists content-less is benign because unreadable
+    * content alone is never steal-eligible — see [[tryAcquire]].
     */
-  private def claim(nowMs: Long): Boolean = {
-    val tmp = new Path(dir, s"lease.tmp.$instanceId")
-    val out = fs.create(tmp, true)
-    out.write(s"$instanceId\n$nowMs".getBytes(UTF_8)); out.close()
-    try fs.rename(tmp, leasePath)
-    catch { case scala.util.control.NonFatal(_) => false }
+  private def claim(nowMs: Long): Boolean =
+    try {
+      val out = fs.create(leasePath, false)
+      out.write(s"$instanceId\n$nowMs".getBytes(UTF_8)); out.close()
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Unreadable lease content (None from read() while the file exists)
+    * is steal-eligible ONLY once the FILE is stale by wall-clock mtime:
+    * a transient open() failure or a claim-in-progress must not get a
+    * live holder's lease stolen, while a crash that left a zero-byte or
+    * garbage lease ages past `leaseMs` and unblocks acquisition.
+    */
+  private def unreadableButStale(): Boolean =
+    try {
+      fs.exists(leasePath) &&
+        (System.currentTimeMillis() -
+          fs.getFileStatus(leasePath).getModificationTime) >= leaseMs
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Atomic-rename steal of a DEAD lease: one winner by construction
+    * (the loser's rename finds the source gone), then claim.
+    */
+  private def stealAndClaim(nowMs: Long): Boolean = {
+    val tomb = new Path(dir, s"lease.dead.$instanceId.$nowMs")
+    val won =
+      try fs.rename(leasePath, tomb)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!won) return false // another contender stole it first
+    fs.delete(tomb, false)
+    // the dead holder's stale heartbeat markers must not outlive it
+    heartbeats().foreach { case (t, h) =>
+      fs.delete(new Path(dir, s"$hbPrefix$t.$h"), false)
+    }
+    claim(nowMs)
   }
 
-  /** Try to take the lease: free → atomic rename-claim; dead (expired
-    * OR unreadable content — external corruption) → atomic-rename steal
-    * + claim; live-and-other's → false.
+  /** Try to take the lease: free → atomic create-claim; expired → steal
+    * + claim; unreadable → steal ONLY once stale by file mtime (a
+    * transient I/O error must not cost a live holder its lease);
+    * live-and-other's → false.
     */
   def tryAcquire(nowMs: Long): Boolean = read() match {
     case Some((id, _)) if id == instanceId =>
       renew(nowMs); true
     case Some((_, hb)) if nowMs - hb < leaseMs => false
-    case _ =>
-      if (fs.exists(leasePath)) {
-        val tomb = new Path(dir, s"lease.dead.$instanceId.$nowMs")
-        val won =
-          try fs.rename(leasePath, tomb)
-          catch { case scala.util.control.NonFatal(_) => false }
-        if (!won) return false // another contender stole it first
-        fs.delete(tomb, false)
-        // the dead holder's stale heartbeat markers must not outlive it
-        heartbeats().foreach { case (t, h) =>
-          fs.delete(new Path(dir, s"$hbPrefix$t.$h"), false)
-        }
-      }
-      claim(nowMs)
+    case Some(_) => stealAndClaim(nowMs)
+    case None =>
+      if (!fs.exists(leasePath)) claim(nowMs)
+      else if (unreadableButStale()) stealAndClaim(nowMs)
+      else false // unreadable but fresh: retry next poll
   }
 
   /** Heartbeat (holder only): drop an empty `hb.<ts>.<id>` marker and

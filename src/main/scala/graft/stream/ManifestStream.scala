@@ -66,10 +66,11 @@ object ManifestStream {
           .map(spark.read.parquet(_))
         val delta = PretrainOps.shardChecksums(batch)
         val merged = prior.fold(delta)(p => fold(p, delta))
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/b_$batchId")
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(VersionedState.versionDir(stateRoot, batchId))
         // publish the current manifest from the read-back snapshot —
         // replay-idempotent overwrite, and readers never see a partial fold
-        spark.read.parquet(s"$stateRoot/b_$batchId")
+        spark.read.parquet(VersionedState.versionDir(stateRoot, batchId))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/current")
         ()
       }

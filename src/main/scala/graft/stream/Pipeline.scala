@@ -280,7 +280,12 @@ object Pipeline {
     val (cfg, httpForTasks) =
       try {
         val c = graft.conf.resolveVersion(cfg0, Some(() => probe.info()))
-        (c, http.copy(urls = probe.nodes, discoverNodesOnStart = false))
+        // seeds ∪ discovered: the discovery snapshot spreads load across
+        // the cluster, but the SEED addresses (stable DNS) stay in the
+        // pool — node churn after a one-shot snapshot must not leave the
+        // query with only dead ephemeral addresses
+        (c, http.copy(urls = (http.urls ++ probe.nodes).distinct,
+          discoverNodesOnStart = false))
       } finally probe.close()
     val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
     rh.onInit(spark, cfg)
@@ -461,27 +466,42 @@ object EsBulkSink {
           concat_ws(":", col("doc_id"), col("index_name"), col("routing")))
           .otherwise(idIdx)
       else idIdx
-    val errDf = broadcast(errors.toSeq.toDF("_err_key", "_bulk_error"))
-    // an error entry matches on the full `_id:_index[:_routing]` key OR
-    // the `_id:_index` base: a REAL `_bulk` response does not echo
-    // routing, so the HTTP transport's error keys are base-form — a
-    // full-key-only match silently dropped routed failures into
-    // onSuccess. Post-LWW the (doc_id, index) pair is unique, so the
-    // base key cannot mispair. Errors are tiny (only failures travel);
-    // the OR-condition join stays a broadcast loop over them.
-    val joinCond = col("_action_key") === col("_err_key") ||
-      col("_action_key_base") === col("_err_key")
+    val errDf = broadcast(errors.toSeq.toDF("_action_key", "_bulk_error"))
     // cache: both demux branches scan the keyed frame once
-    val keyed = actions.withColumn("_action_key", key)
-      .withColumn("_action_key_base", idIdx).cache()
+    val keyed = actions.withColumn("_action_key", key).cache()
     try {
-      val bad = keyed.join(errDf, joinCond)
-        .drop("_err_key", "_action_key", "_action_key_base")
-      val good = keyed.join(errDf, joinCond, "left_anti")
-        .drop("_action_key", "_action_key_base")
+      val bad = keyed.join(errDf, "_action_key").drop("_action_key")
+      val good = keyed.join(errDf, Seq("_action_key"), "left_anti")
+        .drop("_action_key")
       responseHandler.onError(bad, batchId)
       responseHandler.onSuccess(good, batchId)
     } finally { keyed.unpersist(); () }
+  }
+
+  /** Demux keyed by EVENT id — the HTTP sink's form. A real `_bulk`
+    * response does not echo routing, so `_id:_index`-keyed errors are
+    * ambiguous between routed siblings (LWW dedups per id:index:ROUTING
+    * — the delete-old-routing + index-new-routing CDC pattern keeps two
+    * live actions per id:index); the HTTP sink therefore attributes item
+    * failures POSITIONALLY within each request and arrives here with
+    * exact event ids — no key ambiguity to resolve.
+    */
+  private[stream] def handleResponseByEventId(actions: DataFrame,
+      errors: Map[Long, String], responseHandler: ResponseHandler,
+      batchId: Long): Unit = {
+    if (errors.isEmpty) {
+      responseHandler.onSuccess(actions, batchId)
+      return
+    }
+    val spark = actions.sparkSession
+    import spark.implicits._
+    val errDf = broadcast(errors.toSeq.toDF("event_id", "_bulk_error"))
+    val cached = actions.cache()
+    try {
+      responseHandler.onError(cached.join(errDf, "event_id"), batchId)
+      responseHandler.onSuccess(
+        cached.join(errDf, Seq("event_id"), "left_anti"), batchId)
+    } finally { cached.unpersist(); () }
   }
 
   /** Shared flush prologue of the file and HTTP sinks — bad-key demux →

@@ -166,11 +166,12 @@ object SampleStream {
         val merged = prior.fold(batchStats)(p =>
           p.unionByName(batchStats).groupBy("source")
             .agg(sum("src_tokens").as("src_tokens")))
-        merged.coalesce(1).write.mode("overwrite").parquet(s"$totalsRoot/b_$batchId")
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(VersionedState.versionDir(totalsRoot, batchId))
         // rates from the read-back snapshot (stable under re-planning),
         // covering the batch's own tokens — the batch operator's algebra
         val rates = PretrainOps.mixtureRates(
-          spark.read.parquet(s"$totalsRoot/b_$batchId"))
+          spark.read.parquet(VersionedState.versionDir(totalsRoot, batchId)))
         batch.select(col("doc_id"), col("source"),
             PretrainOps.mixBucket().as("bucket"))
           .join(broadcast(rates), "source")

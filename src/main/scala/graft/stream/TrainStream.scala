@@ -70,9 +70,10 @@ object TrainStream {
           .toSeq
         val next = TextOps.applyGradient(weights, grads, batch.count())
         next.toSeq.toDF("bucket", "w_micro")
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/b_$batchId")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(VersionedState.versionDir(stateRoot, batchId))
         // publish from the read-back snapshot — replay-idempotent overwrite
-        spark.read.parquet(s"$stateRoot/b_$batchId")
+        spark.read.parquet(VersionedState.versionDir(stateRoot, batchId))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/current")
         ()
       }

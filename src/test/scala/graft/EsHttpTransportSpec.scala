@@ -229,26 +229,43 @@ class EsHttpTransportSpec extends SparkSuite {
     } finally es.stop()
   }
 
-  test("routed item failures demux on the base _id:_index key (real _bulk responses omit routing)") {
-    import graft.stream.{EsBulkSink, ResponseHandler}
-    val actions = Seq(
-      ("1", "idx", "index", "r7", "{\"a\":1}"),
-      ("2", "idx", "index", null.asInstanceOf[String], "{\"a\":2}"))
-      .toDF("doc_id", "index_name", "action_type", "routing", "source")
-    val errs = Map("1:idx" -> "{\"type\":\"mapper_parsing_exception\"}")
-    val bad = new ConcurrentLinkedQueue[String]()
-    val good = new ConcurrentLinkedQueue[String]()
-    val rh = new ResponseHandler {
-      override def onError(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
-        a.select("doc_id").collect().foreach(r => bad.add(r.getString(0)))
-      override def onSuccess(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
-        a.select("doc_id").collect().foreach(r => good.add(r.getString(0)))
-    }
-    EsBulkSink.handleResponse(actions, errs, rh, 0L)
-    import scala.jdk.CollectionConverters._
-    assert(bad.asScala.toSet == Set("1"),
-      s"the ROUTED failed action must reach onError, got ${bad.asScala}")
-    assert(good.asScala.toSet == Set("2"))
+  test("routed SIBLING failures attribute positionally: only the failed routing dead-letters") {
+    import graft.stream.{EsHttpSink, ResponseHandler}
+    // two live actions share _id:_index but differ in routing (the
+    // delete-old-routing + index-new-routing CDC pattern); the stub fails
+    // the routing=ra item. A real response does NOT echo routing, so only
+    // positional attribution can tell the siblings apart.
+    val es = new StubEs(bulkResponder = (body, _) => {
+      val items = body.linesIterator.filter(_.contains("\"_id\"")).map { meta =>
+        if (meta.contains("\"routing\":\"ra\""))
+          s"""{"index":{"_id":"1","_index":"idx","status":400,"error":{"type":"routed_boom"}}}"""
+        else
+          s"""{"index":{"_id":"1","_index":"idx","status":201}}"""
+      }.mkString(",")
+      (200, s"""{"took":1,"errors":true,"items":[$items]}""")
+    })
+    try {
+      val actions = Seq(
+        (1L, "1", "idx", "index", "ra", "{\"a\":1}"),
+        (2L, "1", "idx", "index", "rb", "{\"a\":2}"))
+        .toDF("event_id", "doc_id", "index_name", "action_type", "routing", "source")
+      val bad = new ConcurrentLinkedQueue[Long]()
+      val good = new ConcurrentLinkedQueue[Long]()
+      val rh = new ResponseHandler {
+        override def onError(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
+          a.select("event_id").collect().foreach(r => bad.add(r.getLong(0)))
+        override def onSuccess(a: org.apache.spark.sql.DataFrame, b: Long): Unit =
+          a.select("event_id").collect().foreach(r => good.add(r.getLong(0)))
+      }
+      EsHttpSink.postBatch(actions, 0L, EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = false, retryBackoffBaseMs = 1),
+        rh, concurrentRequest = 1)
+      import scala.jdk.CollectionConverters._
+      assert(bad.asScala.toSet == Set(1L),
+        s"exactly the routing=ra sibling must fail, got ${bad.asScala}")
+      assert(good.asScala.toSet == Set(2L),
+        s"the routing=rb sibling must succeed, got ${good.asScala}")
+    } finally es.stop()
   }
 
   test("in-flight _bulk requests stay within concurrentRequest even when flush limits widen the split") {

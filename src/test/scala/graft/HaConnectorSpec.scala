@@ -63,18 +63,27 @@ class HaConnectorSpec extends SparkSuite {
     assert(a.tryAcquire(t0 + 500 + 1300), "released lease is free")
   }
 
-  test("lease: a zero-byte/corrupt lease file is DEAD (stealable), not a permanent deadlock") {
+  test("lease: a STALE zero-byte/corrupt lease is stealable; a FRESH one is not") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = tmp("ha-lease-corrupt")
     // a crash between create and write leaves an empty lease file
-    Files.write(Paths.get(dir, "lease"), Array.emptyByteArray)
+    val leaseFile = Paths.get(dir, "lease")
+    Files.write(leaseFile, Array.emptyByteArray)
     val a = new HaLease(dir, "A", leaseMs = 1000)
+    // FRESH unreadable content must NOT be steal-eligible: it could be a
+    // transient read error or another claimer mid-write
+    assert(!a.tryAcquire(5000L),
+      "a fresh unreadable lease must wait, not be stolen")
+    // once the FILE is stale by mtime, the deadlock breaks
+    assert(leaseFile.toFile.setLastModified(System.currentTimeMillis() - 5000L))
     assert(a.tryAcquire(5000L),
-      "an unreadable lease must be stolen like a dead one")
+      "a stale unreadable lease must be stolen like a dead one")
     assert(a.read().exists(_._1 == "A"))
-    // and a garbage-content lease likewise
+    // and a stale garbage-content lease likewise
     val dir2 = tmp("ha-lease-garbage")
-    Files.write(Paths.get(dir2, "lease"), "not-a-lease".getBytes("UTF-8"))
+    val lease2 = Paths.get(dir2, "lease")
+    Files.write(lease2, "not-a-lease".getBytes("UTF-8"))
+    assert(lease2.toFile.setLastModified(System.currentTimeMillis() - 5000L))
     val b = new HaLease(dir2, "B", leaseMs = 1000)
     assert(b.tryAcquire(5000L))
     assert(b.read().exists(_._1 == "B"))
