@@ -67,10 +67,11 @@ object EsHttpSink {
       // and sort by (_rid, event_id); each task posts one `_bulk` per
       // contiguous rid run, sequentially — in-flight = tasks = the
       // reference's goroutine slots regardless of the split width.
+      val cap = math.max(1, concurrentRequest)
       val ridded =
         if (batchByteSizeLimit <= 0L && batchSizeLimit <= 0)
           payload.withColumn("_rid",
-            pmod(xxhash64(col("event_id")), lit(concurrentRequest.toLong)))
+            pmod(xxhash64(col("event_id")), lit(cap.toLong)))
         else {
           val m = payload
             .agg(sum(octet_length(col("value"))), count(lit(1))).collect()(0)
@@ -83,7 +84,6 @@ object EsHttpSink {
           val (stamped, _) = CdcOps.globalOrdinals(payload, Seq.empty, "event_id")
           stamped.withColumn("_rid", expr(s"_ord DIV $perReq"))
         }
-      val cap = math.max(1, concurrentRequest)
       // Item failures are attributed POSITIONALLY: `_bulk` items arrive
       // in request order, and each task knows its lines' event ids in
       // that order — exact attribution even between routed siblings
