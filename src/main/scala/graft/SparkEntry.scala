@@ -323,6 +323,7 @@ object SparkEntry {
     "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(tbl(s, dir, "documents"))),
     // top rung: Jelinek-Mercer interpolated trigram, all-integer micros
     "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluency(tbl(s, dir, "documents"))),
+    "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(tbl(s, dir, "documents"))),
     // classifier rung: fastText-style hashed linear model, in-row logit fold
     "quality_linear_score" -> ((s, dir) => TextOps.qualityLinearScore(tbl(s, dir, "documents"))),
     // BPE iteration #1 pair statistics — argmax = the first learned merge;
@@ -671,6 +672,7 @@ object SparkEntry {
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
     "quality_trigram_fluency" -> PretrainOps.sqlQualityTrigramFluency,
+    "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,

@@ -2068,6 +2068,96 @@ object PretrainOps {
        |  CROSS JOIN n)
        |GROUP BY doc_id""".stripMargin
 
+  // -------------------------------------------- quality_perplexity_bucket
+
+  /** CCNet-style head/middle/tail split: bucket each document by its
+    * LM score RELATIVE TO ITS SOURCE — the published recipe (CCNet,
+    * reused by LLaMA) trains a small LM, sorts each snapshot/language
+    * shard by perplexity, and cuts it into thirds; "head" feeds the
+    * highest-quality mixture tier, "tail" is dropped or down-sampled.
+    * Here the LM score is [[qualityTrigramFluency]]'s interpolated
+    * trigram probability (higher = more fluent = lower perplexity), so
+    * head = the top-fluency third. Per-source cuts matter: a web-scrape
+    * source and a curated source have incomparable absolute scores, and
+    * a global cut would just rank sources, not documents.
+    *
+    * Determinism: the per-doc score is the exact integer mean micro
+    * `sum_micro div n_trigrams` (one more integer division on the
+    * already-exact fluency sums — a double mean would hang parity on fp
+    * association order). Thresholds are DISCRETE value-at-position
+    * order statistics (the [[TextOps.lengthPercentiles]] rule): the
+    * score at ordered position `ceil(n/3)` and `ceil(2n/3)` with a
+    * doc_id tiebreak. Bucket by strict `>` against the cut values, so
+    * ties at a threshold land deterministically in the lower bucket
+    * (bucket sizes are exactly n/3 only when scores are distinct — the
+    * cuts are VALUES, not ranks, which is what makes them reusable as
+    * standalone per-source quality bars). A single-doc source has both
+    * cuts equal to its one score → that doc is "tail" (no relative
+    * evidence to promote it). Docs with < 3 tokens have no trigram
+    * score and are absent, matching the fluency contract.
+    *
+    * Scale shape: the fluency aggregate dominates; scores materialize
+    * once ([[DedupOps.materialize]] — the threshold branch and the
+    * bucket branch both read them), ranking is ONE per-source window
+    * (rank + count ride the same shuffle), and the cut table is
+    * sources-sized → broadcast back. The window partitions by source —
+    * same dominant-source skew note as lengthPercentiles, with the same
+    * production swap (approx_percentile cuts, no window) when one
+    * source is most of 100 TB.
+    */
+  def qualityPerplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = DedupOps.materialize(
+      qualityTrigramFluency(docs)
+        .select(col("doc_id"), expr("sum_micro div n_trigrams").as("p_mean_micro"))
+        .join(fanout(docs).select(col("doc_id"), col("source")), Seq("doc_id")),
+      "ppl_bucket_scored")
+    val w = Window.partitionBy("source")
+      .orderBy(col("p_mean_micro").asc, col("doc_id").asc)
+    val ranked = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+    val th = ranked.groupBy("source").agg(
+      max(when(col("rn") === ceil(col("cnt") / lit(3.0)), col("p_mean_micro")))
+        .as("t33"),
+      max(when(col("rn") === ceil(col("cnt") * lit(2) / lit(3.0)),
+        col("p_mean_micro"))).as("t67"))
+    scored.join(broadcast(th), Seq("source"))
+      .select(col("doc_id"), col("source"), col("p_mean_micro"),
+        when(col("p_mean_micro") > col("t67"), lit("head"))
+          .when(col("p_mean_micro") > col("t33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** DuckDB twin — nests the full fluency statement as a MATERIALIZED
+    * CTE (DuckDB supports a WITH inside a CTE body), so the score
+    * definition cannot drift from [[sqlQualityTrigramFluency]].
+    */
+  def sqlQualityPerplexityBuckets: String =
+    s"""WITH flu AS MATERIALIZED (
+       |$sqlQualityTrigramFluency
+       |),
+       |scored AS (
+       |  SELECT d.source, flu.doc_id,
+       |    (sum_micro // n_trigrams) AS p_mean_micro
+       |  FROM flu JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT source, doc_id, p_mean_micro,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY p_mean_micro, doc_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM scored),
+       |th AS (
+       |  SELECT source,
+       |    max(CASE WHEN rn = ceil(cnt / 3.0) THEN p_mean_micro END) AS t33,
+       |    max(CASE WHEN rn = ceil(cnt * 2 / 3.0) THEN p_mean_micro END) AS t67
+       |  FROM ranked GROUP BY source)
+       |SELECT s.doc_id, s.source, s.p_mean_micro,
+       |  CASE WHEN s.p_mean_micro > th.t67 THEN 'head'
+       |       WHEN s.p_mean_micro > th.t33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM scored s JOIN th USING (source)""".stripMargin
+
   // ------------------------------------------------------- sample_mixture
 
   /** Domain-mixture targets: relative sampling weight per source (unnamed

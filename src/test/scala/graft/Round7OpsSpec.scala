@@ -431,4 +431,42 @@ class Round7OpsSpec extends SparkSuite {
       assert(totalWords == corpusWords, s"$totalWords vs $corpusWords")
     } finally { r.unpersist(); () }
   }
+
+  // --------------------------------------------- quality_perplexity_bucket
+
+  test("qualityPerplexityBuckets: one verdict per scored doc, buckets value-ordered per source") {
+    val flu = PretrainOps.qualityTrigramFluency(docs)
+    val r = PretrainOps.qualityPerplexityBuckets(docs).cache()
+    try {
+      assert(r.count() == flu.count(),
+        "every fluency-scored doc gets exactly one bucket")
+      assert(r.select("doc_id").distinct().count() == r.count())
+      assert(r.filter(!col("bucket").isin("head", "middle", "tail")).count() == 0L)
+      // the cuts are VALUES: within a source every tail score < every
+      // middle score < every head score (strict — bucket predicates are
+      // strict > against the cut, so threshold ties sink)
+      val bySrc = r.select("source", "bucket", "p_mean_micro")
+        .as[(String, String, Long)].collect().groupBy(_._1)
+      for ((src, rows) <- bySrc) {
+        val b = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+        for (t <- b.get("tail"); m <- b.get("middle"))
+          assert(t.max < m.min, s"$src: tail must sit strictly below middle")
+        for (m <- b.get("middle"); h <- b.get("head"))
+          assert(m.max < h.min, s"$src: middle must sit strictly below head")
+        for (t <- b.get("tail"); h <- b.get("head"); if !b.contains("middle"))
+          assert(t.max < h.min, s"$src: tail must sit strictly below head")
+      }
+    } finally { r.unpersist(); () }
+  }
+
+  test("qualityPerplexityBuckets: a single-doc source is tail; short docs absent") {
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon", "solo"), // one doc, one source
+      (2L, "hi there", "shorty") // < 3 tokens: no trigram score
+    ).toDF("doc_id", "text", "source")
+    val r = PretrainOps.qualityPerplexityBuckets(planted)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toSeq
+    assert(r == Seq((1L, "tail")),
+      s"solo doc has no relative evidence (both cuts equal its score): $r")
+  }
 }
