@@ -228,6 +228,7 @@ object SparkEntry {
     "vocab_coverage" -> ((s, dir) => PretrainOps.vocabCoverage(tbl(s, dir, "documents"))),
 
     "ann_topk_bruteforce" -> ((s, dir) => SimilarityOps.annTopkBruteForce(tbl(s, dir, "embeddings"))),
+    "knn_graph" -> ((s, dir) => SimilarityOps.knnGraph(tbl(s, dir, "embeddings"))),
     "ann_lsh_bucket" -> ((s, dir) => SimilarityOps.annLshBucket(tbl(s, dir, "embeddings"))),
     "ann_ivf_probe" -> ((s, dir) => SimilarityOps.annIvfProbe(tbl(s, dir, "embeddings"))),
     "ivf_train_step" -> ((s, dir) => SimilarityOps.ivfTrainStep(tbl(s, dir, "embeddings"))),
@@ -630,6 +631,7 @@ object SparkEntry {
     "dedup_lsh_recall" -> DedupOps.sqlDedupLshRecall,
 
     "ann_topk_bruteforce" -> SimilarityOps.sqlAnnTopkBruteForce,
+    "knn_graph" -> SimilarityOps.sqlKnnGraph,
     "ann_lsh_bucket" -> SimilarityOps.sqlAnnLshBucket,
     "ann_ivf_probe" -> SimilarityOps.sqlAnnIvfProbe,
     "ivf_train_step" -> SimilarityOps.sqlIvfTrainStep,

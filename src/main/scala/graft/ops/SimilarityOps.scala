@@ -160,6 +160,83 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "bucket", "rank", "cos_sim")
   }
 
+  // ----------------------------------------------------------- knn_graph
+
+  /** Neighbors kept per vector in the kNN graph. */
+  val KnnGraphK = 5
+
+  /** Cluster-blocked k-nearest-neighbor GRAPH over the whole embedding
+    * table — the adjacency structure graph clustering (connected
+    * components over similarity edges), SemDeDup-style pipelines, and
+    * diversity samplers consume. Unlike [[annTopkBruteForce]] (a fixed
+    * tiny query set against the corpus), EVERY vector is a query, so
+    * the quadratic pair space is bounded the way
+    * [[DedupOps.dedupSemantic]] bounds it: neighbors come only from the
+    * vector's max-dot coarse-centroid list (nProbe=1 semantics — recall
+    * < 1 by construction, the documented IVF trade; at scale raise the
+    * cluster count so Σ|cluster|² stays ~linear, or probe the
+    * second-best list for boundary vectors at 2× pair cost).
+    *
+    * Scale shape: assignment is a narrow map (centroids ride as plan
+    * literals); the within-cluster self-join shuffles on the cluster id
+    * with the adaptive mod-salt of the other block joins (few clusters
+    * → the salt restores parallelism); ranking is ONE per-vector window
+    * on the raw double cosine (in-row fold order is identical in both
+    * engines — the ann_topk parity precedent) with a neighbor-id
+    * tiebreak, and the `rank <= k` filter plans as WindowGroupLimit so
+    * every map task pre-limits to k rows per vector before the
+    * exchange. Output is a directed edge list (vec_id, neighbor_id,
+    * rank, cos_sim) of ≤ k·N rows; a vector alone in its cluster has no
+    * edges and is absent.
+    */
+  def knnGraph(emb: DataFrame, k: Int = KnnGraphK,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val salt = DedupOps.saltB(emb)
+    val e = DedupOps.materialize(
+      assigned(emb, centroids)
+        .select(col("vec_id"), col("emb_d"), col("norm"),
+          col("centroid").cast("long").as("cluster_id")),
+      "knn_graph_clusters")
+    val a = e.select(col("cluster_id"), col("vec_id"),
+        col("emb_d").as("ea"), col("norm").as("na"))
+      .withColumn("salt", pmod(col("vec_id"), lit(salt)))
+    val b = e.select(col("cluster_id").as("cluster2"),
+        col("vec_id").as("neighbor_id"),
+        col("emb_d").as("eb"), col("norm").as("nb"))
+      .withColumn("salt2", explode(sequence(lit(0), lit(salt - 1))))
+    val scored = a.join(b,
+        col("cluster_id") === col("cluster2") &&
+          col("salt") === col("salt2") &&
+          col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** DuckDB twin — the e CTE is [[DedupOps.sqlDedupSemantic]]'s cluster
+    * assignment verbatim, so graph blocking and dedup blocking cannot
+    * disagree.
+    */
+  def sqlKnnGraph: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, emb_d, norm,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")})))
+       |SELECT vec_id, neighbor_id, rank, cos_sim FROM (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} AS cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} DESC,
+       |        b.vec_id) AS BIGINT) AS rank
+       |  FROM e a JOIN e b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
+       |WHERE rank <= $KnnGraphK""".stripMargin
+
   // ------------------------------------------------------- ann_ivf_probe
 
   /** IVF parameters: K coarse centroids, nProbe probed lists per query.

@@ -469,4 +469,34 @@ class Round7OpsSpec extends SparkSuite {
     assert(r == Seq((1L, "tail")),
       s"solo doc has no relative evidence (both cuts equal its score): $r")
   }
+
+  // ------------------------------------------------------------ knn_graph
+
+  test("knnGraph: min(k, |cluster|-1) contiguous-rank edges per vector, all within-cluster") {
+    import graft.ops.SimilarityOps
+    val g = SimilarityOps.knnGraph(emb).cache()
+    try {
+      // recompute each vector's cluster via the same public assignment path
+      val clusters = graft.ops.DedupOps.dedupSemantic(emb)
+        .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+      val sizes = clusters.values.groupBy(identity).view.mapValues(_.size).toMap
+      val edges = g.select("vec_id", "neighbor_id", "rank")
+        .as[(Long, Long, Long)].collect()
+      // every edge stays inside its source's cluster
+      assert(edges.forall { case (v, n, _) => clusters(v) == clusters(n) })
+      // per vector: exactly min(k, clusterSize-1) edges, ranks 1..m
+      val byV = edges.groupBy(_._1)
+      for ((v, es) <- byV) {
+        val expect = math.min(SimilarityOps.KnnGraphK, sizes(clusters(v)) - 1)
+        assert(es.length == expect, s"vec $v: ${es.length} vs $expect")
+        assert(es.map(_._3).sorted.sameElements(1L to expect.toLong))
+      }
+      // vectors alone in their cluster (and only those) are absent
+      val lonely = clusters.filter { case (_, c) => sizes(c) == 1 }.keySet
+      assert(clusters.keySet -- byV.keySet == lonely)
+      // the rank<=k filter must pre-limit map-side: WindowGroupLimit planned
+      assert(g.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+        "rank filter should plan as WindowGroupLimit")
+    } finally { g.unpersist(); () }
+  }
 }
