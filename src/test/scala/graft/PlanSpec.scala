@@ -408,4 +408,26 @@ class PlanSpec extends SparkSuite {
       case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
     }.isEmpty, "split_leakage must not force-broadcast a corpus-sized side")
   }
+
+  test("round-7 (cont.): knn_graph and quality_perplexity_bucket shapes hold") {
+    // knn_graph: assignment is narrow (centroid literals), pairs meet on
+    // ONE cluster/salt shuffle, and the per-vector top-k must pre-limit
+    // map-side — never a cartesian, never a global sort
+    val kg = q("knn_graph")
+    val kn = nodes(kg)
+    assert(kg.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      "knn_graph lost the WindowGroupLimit pre-shuffle limit")
+    assert(!kn.exists(_.isInstanceOf[CartesianProductExec]))
+    assert(exchanges(kg) <= 3,
+      "knn_graph grew beyond assignment + pair-join + window shuffles")
+    // quality_perplexity_bucket: the cut table is sources-sized and must
+    // come back as a broadcast, not a shuffle join; no SMJ anywhere
+    val pb = q("quality_perplexity_bucket")
+    val pn = nodes(pb)
+    assert(pn.count(_.isInstanceOf[BroadcastExchangeExec]) >= 1,
+      "perplexity-bucket threshold join lost its broadcast")
+    assert(!pn.exists(_.getClass.getSimpleName.startsWith("SortMergeJoin")),
+      "perplexity-bucket picked up a sort-merge join")
+    assert(!pn.exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
