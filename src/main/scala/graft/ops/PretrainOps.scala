@@ -71,7 +71,14 @@ object PretrainOps {
     * (one-pass sorted_distinct; consumers are order-insensitive).
     */
   private[graft] def decontamGrams(width: Int = DecontamGram): Column =
-    sorted_distinct(word_shingle_hashes(tokens(col("text")), width))
+    decontamGramsOf(tokens(col("text")), width)
+
+  /** [[decontamGrams]] over an arbitrary token-list column — the face the
+    * batch callers use so a pre-tokenized shared token table
+    * ([[TextOps.tokenize]]) skips re-tokenization.
+    */
+  private[graft] def decontamGramsOf(toks: Column, width: Int = DecontamGram): Column =
+    sorted_distinct(word_shingle_hashes(toks, width))
 
   /** Positional (in-order, duplicates kept) gram hash stream — the raw
     * form winnowing windows over; [[sqlGramHashes]] is its
@@ -108,7 +115,7 @@ object PretrainOps {
     */
   def decontaminate(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), col("source"),
-      decontamGrams(gramWidth).as("gs"))
+      decontamGramsOf(TextOps.toksOf(docs), gramWidth).as("gs"))
     val bench = g.filter(col("source") === BenchmarkSource)
       .select(explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull).distinct()
@@ -178,7 +185,7 @@ object PretrainOps {
   private def packedWindows(docs: DataFrame): DataFrame = {
     val L = SeqLen
     val base = fanout(docs)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), TextOps.toksOf(docs).as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
     val startLocal = greatest(col("seq_id") * L - col("tok_start"), lit(0L))
     val endLocal = least((col("seq_id") + 1) * L - col("tok_start"), col("n_tokens"))
@@ -226,7 +233,7 @@ object PretrainOps {
   def decontaminatePacked(docs: DataFrame,
       gramWidth: Int = DecontamGram): DataFrame = {
     val bench = fanout(docs).filter(col("source") === BenchmarkSource)
-      .select(explode_outer(decontamGrams(gramWidth)).as("g"))
+      .select(explode_outer(decontamGramsOf(TextOps.toksOf(docs), gramWidth)).as("g"))
       .filter(col("g").isNotNull).distinct()
     packedSeqGrams(docs, gramWidth).join(broadcast(bench), "g")
       .groupBy("source", "seq_id", "n_grams")
@@ -250,7 +257,7 @@ object PretrainOps {
   def contaminationReportPacked(docs: DataFrame,
       gramWidth: Int = DecontamGram): DataFrame = {
     val benchDocs = fanout(docs).filter(col("source") === BenchmarkSource)
-      .select(col("doc_id"), decontamGrams(gramWidth).as("gs"))
+      .select(col("doc_id"), decontamGramsOf(TextOps.toksOf(docs), gramWidth).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_grams"),
         col("gs"))
     val bench = benchDocs
@@ -386,7 +393,7 @@ object PretrainOps {
     */
   def decontaminateBloom(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), col("source"),
-      decontamGrams(gramWidth).as("gs"))
+      decontamGramsOf(TextOps.toksOf(docs), gramWidth).as("gs"))
     // materialized: the bench gram set feeds TWO branches (bloom build +
     // exact-confirm join) — without it the full benchmark-side scan +
     // gram sketch + distinct runs twice, and the benchmark side being
@@ -436,7 +443,7 @@ object PretrainOps {
   def dedupSubstring(docs: DataFrame): DataFrame =
     fanout(docs)
       .select(col("doc_id"),
-        explode_outer(sorted_distinct(word_shingle_hashes(tokens(col("text")), SpanWords)))
+        explode_outer(sorted_distinct(word_shingle_hashes(TextOps.toksOf(docs), SpanWords)))
           .as("span_hash"))
       .filter(col("span_hash").isNotNull)
       .groupBy("span_hash")
@@ -475,7 +482,7 @@ object PretrainOps {
     * per query (identical plans share the cache entry in-session).
     */
   private def spanTable(docs: DataFrame): DataFrame = {
-    val toksC = tokens(col("text"))
+    val toksC = TextOps.toksOf(docs)
     DedupOps.materialize(
       fanout(docs).select(col("doc_id"),
           size(toksC).cast("long").as("n"),
@@ -696,10 +703,10 @@ object PretrainOps {
       // collect_list order is nondeterministic → array_sort the (rs, re)
       // structs (field order makes that start-ordered)
       .agg(array_sort(collect_list(struct(col("rs"), col("re")))).as("rngs"))
-    val toksC = tokens(col("text"))
-    docs.select(col("doc_id"), col("text"))
+    // project toks THROUGH the join (as `toks` either way) — selecting
+    // (doc_id, text) then re-deriving would drop a pre-computed column
+    docs.select(col("doc_id"), col("text"), TextOps.toksOf(docs).as("toks"))
       .join(rngs, Seq("doc_id"), "left")
-      .withColumn("toks", toksC)
       .withColumn("surv",
         when(col("rngs").isNull, col("toks")).otherwise(
           filter(col("toks"), (_, i) => !exists(col("rngs"), r =>
@@ -784,7 +791,7 @@ object PretrainOps {
     */
   def qualityRepetition(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.ArrayFunctions.{md5_prefix_hashes, rolling_window_hashes}
-    val ths = md5_prefix_hashes(tokens(col("text")))
+    val ths = md5_prefix_hashes(TextOps.toksOf(docs))
     def dupRatio(g: Column): Column =
       lit(1.0) - size(array_distinct(g)).cast("double") / size(g)
     val narrow = fanout(docs)
@@ -1027,7 +1034,7 @@ object PretrainOps {
 
   def packSequences(docs: DataFrame): DataFrame =
     packTokenCounts(fanout(docs).select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).cast("long").as("n_tokens")))
+      size(TextOps.toksOf(docs)).cast("long").as("n_tokens")))
 
   /** SQL twin of [[packTokenCounts]] over an inner relation producing
     * (doc_id, source, n_tokens).
@@ -1162,7 +1169,7 @@ object PretrainOps {
     fanout(docs).select(
         shardOf(shuffleKey).as("shard"),
         tokenHash(col("text")).as("content_hash"),
-        size(tokens(col("text"))).cast("long").as("n_tok"))
+        size(TextOps.toksOf(docs)).cast("long").as("n_tok"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         expr("bit_xor(content_hash)").as("checksum"))
@@ -1198,7 +1205,7 @@ object PretrainOps {
     */
   def unigramCommonness(docs: DataFrame): DataFrame = {
     val tok = fanout(docs).select(col("doc_id"),
-      explode_outer(tokens(col("text"))).as("t"))
+      explode_outer(TextOps.toksOf(docs)).as("t"))
       .filter(col("t").isNotNull)
     // vocab feeds BOTH the totals agg and the occurrence join —
     // materialize it (Zipf keeps it far smaller than the corpus) so the
@@ -1261,7 +1268,7 @@ object PretrainOps {
   def spanCorruption(docs: DataFrame): DataFrame = {
     val nwin = col("n").divide(lit(SpanWindow)).cast("long")
     fanout(docs)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .select(col("doc_id"), size(TextOps.toksOf(docs)).cast("long").as("n"))
       .withColumn("w", explode_outer(when(nwin >= 1L,
         sequence(lit(0L), nwin - 1)).otherwise(array().cast("array<long>"))))
       .filter(col("w").isNotNull)
@@ -1308,7 +1315,7 @@ object PretrainOps {
   def contaminationReport(docs: DataFrame,
       gramWidth: Int = DecontamGramProd): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), col("source"),
-      decontamGrams(gramWidth).as("gs"))
+      decontamGramsOf(TextOps.toksOf(docs), gramWidth).as("gs"))
     // gs is sorted_distinct, so n_grams is the doc's DISTINCT gram count
     // and leakage = n_leaked/n_grams is bounded in [0, 1]. The division
     // is safe under ANSI: the shingle kernel emits max(n-w+1, 1) grams
@@ -1847,7 +1854,7 @@ object PretrainOps {
     * trade as [[unigramCommonness]].
     */
   def qualityBigramFluency(docs: DataFrame): DataFrame = {
-    val toksC = tokens(col("text"))
+    val toksC = TextOps.toksOf(docs)
     val bi = fanout(docs).select(col("doc_id"),
         explode_outer(zip_with(
           slice(toksC, lit(1), size(toksC) - 1),
@@ -1907,7 +1914,7 @@ object PretrainOps {
     */
   def vocabCoverage(docs: DataFrame): DataFrame = {
     val tok = fanout(docs).select(col("doc_id"),
-        explode_outer(tokens(col("text"))).as("t"))
+        explode_outer(TextOps.toksOf(docs)).as("t"))
       .filter(col("t").isNotNull)
       .filter(col("t") =!= "")
     // orderBy+limit, NOT a global row_number window: this plans as
@@ -1980,7 +1987,7 @@ object PretrainOps {
     * broadcast. Lazy: building this launches zero jobs.
     */
   def qualityTrigramFluency(docs: DataFrame): DataFrame = {
-    val toksC = tokens(col("text"))
+    val toksC = TextOps.toksOf(docs)
     val len3 = greatest(size(toksC) - 2, lit(0))
     val tri = fanout(docs).select(col("doc_id"),
         explode_outer(zip_with(
@@ -2210,7 +2217,7 @@ object PretrainOps {
 
   /** Per-source (source, src_tokens) whitespace-token totals. */
   private[graft] def mixTokenTotals(docs: DataFrame): DataFrame = docs
-    .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    .select(col("source"), size(TextOps.toksOf(docs)).cast("long").as("n_tok"))
     .groupBy("source").agg(sum("n_tok").as("src_tokens"))
 
   def sampleMixture(docs: DataFrame): DataFrame = {
@@ -2340,7 +2347,7 @@ object PretrainOps {
   def splitAssign(docs: DataFrame): DataFrame =
     fanout(docs)
       .select(splitCol.as("split"),
-        size(filter(TextOps.tokens(col("text")), w => w =!= ""))
+        size(filter(TextOps.toksOf(docs), w => w =!= ""))
           .cast("long").as("n_toks"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
@@ -2373,7 +2380,7 @@ object PretrainOps {
     */
   def splitLeakage(docs: DataFrame): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), splitCol.as("split"),
-      decontamGrams().as("gs"))
+      decontamGramsOf(TextOps.toksOf(docs)).as("gs"))
     val train = g.filter(col("split") === "train")
       .select(explode_outer(col("gs")).as("g"))
       .filter(col("g").isNotNull).distinct()
@@ -2442,7 +2449,7 @@ object PretrainOps {
   def ngramTopk(docs: DataFrame, w: Int = NgramTopkWidth,
       k: Int = NgramTopkK): DataFrame =
     fanout(docs)
-      .select(explode_outer(gramTexts(TextOps.tokens(col("text")), w)).as("gram"))
+      .select(explode_outer(gramTexts(TextOps.toksOf(docs), w)).as("gram"))
       .filter(col("gram").isNotNull)
       .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
       .select(TextOps.tokenHash(col("gram")).as("gram_hash"),

@@ -222,7 +222,7 @@ object SimilarityOps {
     * disagree.
     */
   def sqlKnnGraph: String =
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, emb_d, norm,
        |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
        |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
@@ -236,6 +236,175 @@ object SimilarityOps {
        |  FROM e a JOIN e b
        |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
        |WHERE rank <= $KnnGraphK""".stripMargin
+
+  // --------------------------------------- knn_graph: auto granularity
+
+  /** Target cluster size for the granularity-∝-N rule. Within-cluster
+    * pair cost is Σ|cluster|²; holding expected cluster size CONSTANT as
+    * the corpus grows keeps that sum ~linear in N. The fixed-8-centroid
+    * default is the measured quadratic trap (SCALING.md round 7: 84 s at
+    * x32 vs 3.46 s with centroids ∝ N on the same operator) — so the
+    * production entry points below derive the centroid count from the
+    * corpus instead of trusting a pinned constant. 256 keeps per-cluster
+    * work (~65k pairs) far below a task's split size while leaving
+    * clusters statistically meaningful.
+    */
+  val KnnTargetClusterSize = 256
+
+  /** Centroid count for a corpus of n vectors: ⌈n / target⌉, floored at
+    * [[IvfCentroids]] so tiny corpora keep the oracle-pinned shape.
+    */
+  def knnAutoCentroidCount(n: Long, target: Int = KnnTargetClusterSize): Int =
+    math.max(IvfCentroids.toLong, (n + target - 1) / target).toInt
+
+  /** The deterministic centroid ladder extended to any K — the same
+    * generator as [[defaultCentroids]] (which is `autoCentroidSet(8)`).
+    * At scale the learned [[ivfTrain]] set drops in instead; the
+    * AUTO-GRANULARITY rule (K ∝ N) is what must not be optional.
+    */
+  def autoCentroidSet(k: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until k).map(centroid)
+
+  /** [[knnGraph]] with granularity ∝ N — the PRODUCTION DEFAULT path.
+    * One O(1)-result count() decides K driver-side (the k-means-stats
+    * "driver decides" pattern), then the graph runs with ⌈N/256⌉
+    * clusters: constant expected cluster size, ~linear total pair work,
+    * no quadratic trap when the corpus is 1000× bigger. The pinned-
+    * centroid [[knnGraph]] face remains for the deterministic oracle key
+    * and for callers bringing [[ivfTrain]]'s learned centroids.
+    */
+  def knnGraphAuto(emb: DataFrame, k: Int = KnnGraphK,
+      targetClusterSize: Int = KnnTargetClusterSize): DataFrame =
+    knnGraph(emb, k,
+      autoCentroidSet(knnAutoCentroidCount(emb.count(), targetClusterSize)))
+
+  // ------------------------------------------- knn_graph: 2-probe + recall
+
+  /** [[knnGraph]] probing each vector's best AND second-best centroid
+    * list — the boundary-vector fix for nProbe=1's structural recall
+    * loss (a vector near a cluster boundary has true neighbors just
+    * across it). Candidates still live in exactly one list, so each
+    * (query, neighbor) pair appears at most once; query-side rows double
+    * (2× pair cost), nothing else changes — the same recall/cost dial
+    * [[annIvfProbe]] exposes, applied to the all-vectors graph.
+    */
+  def knnGraph2Probe(emb: DataFrame, k: Int = KnnGraphK,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val salt = DedupOps.saltB(emb)
+    val e = DedupOps.materialize(
+      assigned(emb, centroids)
+        .withColumn("second",
+          array_position(col("dots"),
+            array_max(array_remove(col("dots"), array_max(col("dots"))))) - 1)
+        .select(col("vec_id"), col("emb_d"), col("norm"),
+          col("centroid").cast("long").as("cluster_id"),
+          col("second").cast("long").as("second_id")),
+      "knn_graph2_clusters")
+    val a = e.select(col("vec_id"), col("emb_d").as("ea"), col("norm").as("na"),
+        explode(array(col("cluster_id"), col("second_id"))).as("probe"))
+      .withColumn("salt", pmod(col("vec_id"), lit(salt)))
+    val b = e.select(col("cluster_id").as("cluster2"),
+        col("vec_id").as("neighbor_id"),
+        col("emb_d").as("eb"), col("norm").as("nb"))
+      .withColumn("salt2", explode(sequence(lit(0), lit(salt - 1))))
+    val scored = a.join(b,
+        col("probe") === col("cluster2") && col("salt") === col("salt2") &&
+          col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Measured recall of the cluster-blocked graph against exact brute
+    * force — the [[annRecall]] discipline applied to [[knnGraph]]: for
+    * the fixed query subset (vec_id < [[NQueries]]), what fraction of
+    * the TRUE top-[[KnnGraphK]] neighbors does the graph keep, probing
+    * 1 list and probing 2? The gap between the two rows is exactly the
+    * boundary-vector loss the second-best probe buys back; the monitor
+    * a production pipeline runs on a sample before trusting nProbe=1.
+    * (The window rank is per-vector, so filtering to the query subset
+    * after ranking changes nothing — same edges, cheaper oracle.)
+    */
+  def knnRecall(emb: DataFrame): DataFrame = {
+    val e = withNorm(emb)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("emb_d").as("eq"),
+        col("norm").as("nq"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("eq"), col("nq"), col("emb_d"), col("norm")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val exact = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnGraphK)
+      .select("query_id", "neighbor_id")
+    def recallOf(name: String, g: DataFrame): DataFrame =
+      exact.join(
+          g.filter(col("vec_id") < NQueries)
+            .select(col("vec_id").as("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1))).as("recall"))
+        .withColumn("method", lit(name))
+    recallOf("cluster_1probe", knnGraph(emb))
+      .unionByName(recallOf("cluster_2probe", knnGraph2Probe(emb)))
+      .select("method", "query_id", "recall")
+  }
+
+  def sqlKnnRecall: String = {
+    val cos = sqlCosine("q.emb_d", "q.norm", "e.emb_d", "e.norm")
+    val gcos = sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm, dots,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id,
+       |    CAST(list_position(dots, list_max(list_filter(dots, x -> x <> list_max(dots)))) - 1 AS BIGINT) AS second_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $cos DESC, e.vec_id) AS BIGINT) AS rank
+       |    FROM e q JOIN e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $NQueries)
+       |  WHERE rank <= $KnnGraphK),
+       |g1 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $gcos DESC, b.vec_id) AS BIGINT) AS rank
+       |    FROM e a JOIN e b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < $NQueries)
+       |  WHERE rank <= $KnnGraphK),
+       |g2 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY $gcos DESC, b.vec_id) AS BIGINT) AS rank
+       |    FROM (SELECT vec_id, emb_d, norm,
+       |            unnest([cluster_id, second_id]) AS probe
+       |          FROM e WHERE vec_id < $NQueries) a
+       |    JOIN e b ON a.probe = b.cluster_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KnnGraphK)
+       |SELECT 'cluster_1probe' AS method, exact.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM exact LEFT JOIN g1 a
+       |  ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
+       |GROUP BY exact.query_id
+       |UNION ALL
+       |SELECT 'cluster_2probe' AS method, exact.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS recall
+       |FROM exact LEFT JOIN g2 a
+       |  ON exact.query_id = a.query_id AND exact.neighbor_id = a.neighbor_id
+       |GROUP BY exact.query_id""".stripMargin
+  }
 
   // ------------------------------------------------------- ann_ivf_probe
 

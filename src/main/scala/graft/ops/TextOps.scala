@@ -60,6 +60,38 @@ object TextOps {
   def sqlTokens(e: String): String =
     s"string_split_regex(trim(lower(coalesce($e, ''))), '\\s+')"
 
+  /** Column name carrying pre-computed [[tokens]] in a shared token table
+    * (see [[tokenize]]).
+    */
+  val ToksCol = "toks"
+
+  /** The shared token table: `documents.* + toks` — tokenize ONCE per
+    * corpus and let every token-consuming operator (the n-gram/fluency
+    * ladder, decontamination, vocabulary, BPE, packing) read the same
+    * materialized column instead of re-paying the scan+split pass. This
+    * is the tokenize-once-reuse-many shape a production pipeline runs: a
+    * 100 TB curation job writes `tokenize(documents)` as a parquet table
+    * (or caches it across a query sweep) and every downstream op consumes
+    * it. The same amortization the reference applies to bulk actions —
+    * serialize once at AddActions, reuse the bytes at every flush
+    * (elasticsearch/bulk/bulk.go:129-137).
+    *
+    * Results are bit-identical to inline tokenization by construction:
+    * [[toksOf]] is the SAME deterministic expression, evaluated earlier.
+    */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.withColumn(ToksCol, tokens(col("text")))
+
+  /** The token list of a documents frame: the pre-computed [[ToksCol]]
+    * when the input IS the shared token table, else inline [[tokens]].
+    * Every batch token-consumer resolves its tokens through this one
+    * gate, so handing an operator `tokenize(docs)` (cached or parquet)
+    * skips re-tokenization with zero semantic drift.
+    */
+  def toksOf(docs: DataFrame): Column =
+    if (docs.columns.contains(ToksCol)) col(ToksCol)
+    else tokens(col("text"))
+
   /** 32-bit token hash: first 8 hex digits of md5, parsed. md5 is
     * byte-identical across engines, unlike murmur-style `hash()`.
     */
@@ -83,7 +115,7 @@ object TextOps {
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(toksOf(docs)).cast("long").as("n_ws_tokens"),
       regexp_count(coalesce(col("text"), lit("")), lit(BpePattern))
         .cast("long").as("n_bpe_tokens")
     )
@@ -103,7 +135,7 @@ object TextOps {
     * order on ties (en > es > de > fr > zh).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = toksOf(docs)
     val scored = docs.select(
       col("doc_id") +: StopwordProfiles.map { case (l, ws) =>
         stopScore(toks, ws).as(s"s_$l")
@@ -162,7 +194,7 @@ object TextOps {
   def lengthPercentiles(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = graft.ops.DedupOps.fanout(docs).select(col("source"),
-      col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      col("doc_id"), size(toksOf(docs)).cast("long").as("n"))
     val w = Window.partitionBy("source").orderBy(col("n").asc, col("doc_id").asc)
     val ranked = base
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -219,7 +251,7 @@ object TextOps {
   def langMix(docs: DataFrame): DataFrame = {
     val langs = StopwordProfiles.map(_._1)
     val w = LangMixWindow
-    val toks = tokens(col("text"))
+    val toks = toksOf(docs)
     val nwin = ceil(size(toks).cast("double") / lit(w.toDouble)).cast("int")
     // tokens('') is [''] (the null ≡ empty rule), so size(toks) is never
     // 0 — emptiness must be checked on the TEXT, or an empty doc would
@@ -335,7 +367,7 @@ object TextOps {
     * score = 0.4·min(n_tokens/64, 1) + 0.3·min(4·stop_ratio, 1) + 0.3·alpha_ratio
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = toksOf(docs)
     val nTok = size(toks).cast("long")
     val stopWords = StopwordProfiles.head._2
     val nStop = stopScore(toks, stopWords)
@@ -550,7 +582,7 @@ object TextOps {
     val nDf = docs.agg(count(lit(1)).cast("double").as("_n"))
     // outer + null filter: an inner explode would infer a size(tokens)>0
     // filter and push the tokenization below the scan a second time
-    val toks = docs.select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+    val toks = docs.select(col("doc_id"), explode_outer(toksOf(docs)).as("token"))
       .filter(col("token").isNotNull)
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
@@ -587,7 +619,7 @@ object TextOps {
     */
   def docFingerprint(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.ArrayFunctions.{md5_prefix_hashes, rolling_fingerprint}
-    val ths = md5_prefix_hashes(tokens(col("text")))
+    val ths = md5_prefix_hashes(toksOf(docs))
     // one-pass sketch expression: n_windows interpreted
     // aggregate(slice(...)) folds otherwise dominate (and the un-fanned
     // single-file local input would run them in ONE task)
@@ -632,7 +664,7 @@ object TextOps {
   def chunkTokens(docs: DataFrame,
       window: Int = ChunkWindow, stride: Int = ChunkStride): DataFrame =
     DedupOps.fanout(docs)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), toksOf(docs).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
       // n ≥ 1 always (tokens('') = ['']), so nwin ≥ 1 and the sequence is
       // never descending-by-accident
@@ -730,7 +762,7 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val train = docs.filter(col("source") =!= BenchmarkSource)
     val toks = graft.ops.DedupOps.fanout(train)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), explode_outer(toksOf(docs)).as("token"))
       .filter(col("token").isNotNull)
     // materialize tf ONCE: four consumers hang off it (dl, global df, the
     // capped-candidate window, the scoring join) — without this the
@@ -746,7 +778,7 @@ object TextOps {
     val dfAll = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val qterms = docs.filter(col("source") === BenchmarkSource)
       .select(col("doc_id").as("query_id"),
-        explode_outer(tokens(col("text"))).as("token"))
+        explode_outer(toksOf(docs)).as("token"))
       .filter(col("token").isNotNull).distinct()
     // rarest-first term selection (see Bm25QueryTerms): vocab-sized
     // broadcast + a |queries|·|vocab|-row window — never corpus-scale
@@ -881,7 +913,7 @@ object TextOps {
   def lengthHistogram(docs: DataFrame): DataFrame =
     graft.ops.DedupOps.fanout(docs)
       .select(col("source"),
-        size(tokens(col("text"))).cast("long").as("n"))
+        size(toksOf(docs)).cast("long").as("n"))
       .withColumn("bucket", (length(bin(col("n") + 1)) - 1).cast("long"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("n_docs"),
@@ -946,7 +978,7 @@ object TextOps {
 
   private def linearScored(docs: DataFrame,
       weight: Column => Column): DataFrame = {
-    val toks = tokens(col("text"))
+    val toks = toksOf(docs)
     docs.select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
@@ -1025,9 +1057,9 @@ object TextOps {
         c => coalesce(element_at(typedlit(w), linearBucket(c)), lit(0L))
     }
     val labeled = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"),
+      .select(col("doc_id"), toksOf(docs).as("toks"),
         when(gopherPass(col("text")), lit(1.0)).otherwise(lit(0.0)).as("y"),
-        aggregate(transform(tokens(col("text")), weight), lit(0L),
+        aggregate(transform(toksOf(docs), weight), lit(0L),
           (a, x) => a + x).as("logit_micro"))
       .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
       .withColumn("p",
@@ -1150,7 +1182,7 @@ object TextOps {
     val row = docs
       .select(
         when(gopherPass(col("text")), lit(1.0)).otherwise(lit(0.0)).as("y"),
-        aggregate(transform(tokens(col("text")), weight), lit(0L),
+        aggregate(transform(toksOf(docs), weight), lit(0L),
           (a, x) => a + x).as("logit_micro"))
       .withColumn("z", col("logit_micro").cast("double") / lit(1000000.0))
       .withColumn("p",

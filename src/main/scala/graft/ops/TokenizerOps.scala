@@ -27,7 +27,7 @@ object TokenizerOps {
     * agg; the '' token (empty/null docs) carries no pairs and is cut.
     */
   private def wordFreq(docs: DataFrame): DataFrame =
-    fanout(docs).select(explode_outer(tokens(col("text"))).as("word"))
+    fanout(docs).select(explode_outer(TextOps.toksOf(docs)).as("word"))
       .filter(col("word").isNotNull && col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
@@ -126,7 +126,7 @@ object TokenizerOps {
     */
   def tokenizeBpe(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
     val ms = merges.map(m => (m.p1, m.p2))
-    val toks = filter(tokens(col("text")), w => w =!= "")
+    val toks = filter(TextOps.toksOf(docs), w => w =!= "")
     fanout(docs).select(col("doc_id"), col("source"), toks.as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_words"),

@@ -13,16 +13,34 @@ import org.apache.spark.sql.execution.joins.CartesianProductExec
   */
 class PlanSpec extends SparkSuite {
 
-  private def nodes(df: DataFrame): Seq[SparkPlan] = {
-    def all(p: SparkPlan): Seq[SparkPlan] =
-      (p +: p.children.flatMap(all)) ++ (p match {
-        case a: AdaptiveSparkPlanExec => all(a.executedPlan)
-        // materialized AQE stages hold their subtree as a member, not a child
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(qs.plan)
-        case _ => Seq.empty
-      })
-    all(df.queryExecution.executedPlan)
-  }
+  private def collect(p: SparkPlan, deep: Boolean): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collect(_, deep))) ++ (p match {
+      case a: AdaptiveSparkPlanExec => collect(a.executedPlan, deep)
+      // materialized AQE stages hold their subtree as a member, not a child
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collect(qs.plan, deep)
+      // deep: ALSO descend into InMemoryRelation build plans (the
+      // materialized ppl_bucket_scored / shared token table) — the
+      // "no SMJ anywhere" sweeps must cover the score-build side, not
+      // only the post-materialization layer
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+          if deep =>
+        collect(im.relation.cachedPlan, deep)
+      case _ => Seq.empty
+    })
+
+  /** Post-materialization nodes only: exchange-count budgets charge a
+    * cached build to the query that materializes it, not to every
+    * consumer re-reading the InMemoryRelation.
+    */
+  private def nodes(df: DataFrame): Seq[SparkPlan] =
+    collect(df.queryExecution.executedPlan, deep = false)
+
+  /** Every node including cached-build subtrees — for the join-shape
+    * sweeps (no SMJ / no cartesian), which must hold everywhere.
+    */
+  private def nodesDeep(df: DataFrame): Seq[SparkPlan] =
+    collect(df.queryExecution.executedPlan, deep = true)
 
   private def exchanges(df: DataFrame): Int =
     nodes(df).count(_.isInstanceOf[ShuffleExchangeExec])
@@ -426,8 +444,11 @@ class PlanSpec extends SparkSuite {
     val pn = nodes(pb)
     assert(pn.count(_.isInstanceOf[BroadcastExchangeExec]) >= 1,
       "perplexity-bucket threshold join lost its broadcast")
-    assert(!pn.exists(_.getClass.getSimpleName.startsWith("SortMergeJoin")),
-      "perplexity-bucket picked up a sort-merge join")
-    assert(!pn.exists(_.isInstanceOf[CartesianProductExec]))
+    // deep sweep: the fluency gram joins and the scored⋈documents join
+    // sit INSIDE the cached ppl_bucket_scored build plan — cover them too
+    val pd = nodesDeep(pb)
+    assert(!pd.exists(_.getClass.getSimpleName.startsWith("SortMergeJoin")),
+      "perplexity-bucket picked up a sort-merge join (incl. the score-build side)")
+    assert(!pd.exists(_.isInstanceOf[CartesianProductExec]))
   }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** Round-8 operator specs: granularity-∝-N as the production default for
+  * the cluster-blocked pair ops, the 2-probe boundary fix, and the
+  * measured recall monitor.
+  */
+class Round8OpsSpec extends SparkSuite {
+
+  private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def rows(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+  }
+
+  test("auto centroid count: ∝ N with the oracle floor") {
+    // below the floor: tiny corpora keep the pinned-8 shape
+    assert(SimilarityOps.knnAutoCentroidCount(100) == SimilarityOps.IvfCentroids)
+    assert(SimilarityOps.knnAutoCentroidCount(8 * 256) == 8)
+    // above: ⌈N/256⌉ — constant expected cluster size
+    assert(SimilarityOps.knnAutoCentroidCount(10 * 256) == 10)
+    assert(SimilarityOps.knnAutoCentroidCount(10 * 256 + 1) == 11)
+    assert(SimilarityOps.knnAutoCentroidCount(1_000_000) == 3907)
+    // the generator extends the SAME ladder the oracle pins at 8
+    assert(SimilarityOps.autoCentroidSet(SimilarityOps.IvfCentroids) ==
+      SimilarityOps.defaultCentroids)
+  }
+
+  test("knnGraphAuto ≡ knnGraph at fixture scale (auto resolves to the floor)") {
+    // sf0.001 has < 8·256 vectors, so the auto rule lands exactly on the
+    // pinned oracle shape — the default path and the oracle key agree
+    assert(emb.count() < 8L * 256)
+    assert(rows(SimilarityOps.knnGraphAuto(emb)) ==
+      rows(SimilarityOps.knnGraph(emb)))
+  }
+
+  test("knnGraphAuto derives more clusters on a bigger corpus") {
+    // synthesize 4× the fixture by shifting vec_ids: the auto rule must
+    // pick K > 8 once N crosses the floor, and the graph still builds
+    val big = (0 until 12).map(i =>
+        emb.select((col("vec_id") + lit(i * 100000L)).as("vec_id"),
+          col("embedding"), col("label")))
+      .reduce(_.unionByName(_))
+    val n = big.count()
+    val k = SimilarityOps.knnAutoCentroidCount(n)
+    assert(k > SimilarityOps.IvfCentroids, s"expected >8 clusters for n=$n")
+    val g = SimilarityOps.knnGraphAuto(big)
+    assert(g.columns.toSeq == Seq("vec_id", "neighbor_id", "rank", "cos_sim"))
+    assert(g.count() > 0)
+  }
+
+  test("dedupSemanticAuto ≡ dedupSemantic at fixture scale") {
+    assert(rows(DedupOps.dedupSemanticAuto(emb)) ==
+      rows(DedupOps.dedupSemantic(emb)))
+  }
+
+  test("2-probe recall dominates 1-probe recall per query") {
+    // the 2-probe candidate set is a superset per query, and a candidate
+    // that displaces a true neighbor from the window is itself globally
+    // closer (hence also in the exact top-k) — so recall can only rise
+    val r = SimilarityOps.knnRecall(emb)
+      .groupBy("query_id")
+      .pivot("method", Seq("cluster_1probe", "cluster_2probe"))
+      .agg(first("recall"))
+      .collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val r1 = row.getAs[Double]("cluster_1probe")
+      val r2 = row.getAs[Double]("cluster_2probe")
+      assert(r2 >= r1, s"query ${row.get(0)}: 2-probe $r2 < 1-probe $r1")
+    }
+  }
+
+  test("2-probe graph edges are a superset-rank refinement: k per vector, no dup pairs") {
+    val g2 = SimilarityOps.knnGraph2Probe(emb)
+    val dups = g2.groupBy("vec_id", "neighbor_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "a (vec, neighbor) pair scored twice — probe lists overlap")
+    val over = g2.groupBy("vec_id").count()
+      .filter(col("count") > SimilarityOps.KnnGraphK).count()
+    assert(over == 0)
+  }
+}
