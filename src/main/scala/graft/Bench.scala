@@ -122,14 +122,39 @@ object Bench {
       val best = (if (good.nonEmpty) good else runs).minBy(_.wall)
       name -> best.copy(failed = good.isEmpty)
     }
-    // end-of-sweep re-time: queries the heuristic flags get ONE more
-    // clean-context run each (slowest first, capped — re-timing is for
-    // adjudicating the top of the table, not re-running the sweep); the
-    // reported timing is the min, i.e. best-of-3 for flagged queries.
-    // This is the round-6 judge's probe, performed by the artifact itself.
+    // The BENCH_r07 blind spot: `isStarved` detects WAITING (cpu ≪ wall)
+    // but is blind to CORE COMPETITION — an external tenant stealing 31
+    // of 32 cores leaves a query burning cpu ≈ wall at ~1 effective core
+    // (r07: domain_stats 12.1 cpu / 11.2 wall self-certified clean while
+    // 10× inflated). Parallelism signal: a query's effective core count
+    // (cpu/wall) far below the sweep's OWN median — the sweep is its own
+    // control group, since the mix is dominated by 32-thread scans — or a
+    // hot load average AT measurement, means the wall number is about the
+    // box, not the plan.
+    def effCores(t: Timing): Double =
+      if (t.wall > 0 && t.cpu >= 0) t.cpu / t.wall else -1.0
+    val effSamples = firstPass.values.toSeq
+      .filter(t => !t.failed && t.wall > 0.5 && t.cpu >= 0)
+      .map(effCores).sorted
+    val medianEff =
+      if (effSamples.isEmpty) -1.0 else effSamples(effSamples.size / 2)
+    def isLowParallelism(t: Timing): Boolean =
+      !t.failed && t.wall > 0.5 && t.cpu >= 0 &&
+        ((medianEff > 0 && effCores(t) < 0.25 * medianEff) ||
+          t.load > loadThreshold)
+    def isSuspect(t: Timing): Boolean = isStarved(t) || isLowParallelism(t)
+    // end-of-sweep re-time: (a) queries either heuristic flags, capped
+    // (slowest first — re-timing adjudicates the top of the table, not
+    // the sweep); (b) UNCONDITIONALLY the top-8 by wall, flags or not —
+    // the r07 artifact would have been fixed outright by this ~15 s of
+    // re-runs, and no heuristic earns trust it hasn't paid for. Reported
+    // timing is the min across all runs (best-of-3 for re-timed).
     val retimeCap = 8
-    val suspects = firstPass.toSeq.filter(kv => isStarved(kv._2))
+    val flagged = firstPass.toSeq.filter(kv => isSuspect(kv._2))
       .sortBy(-_._2.wall).take(retimeCap).map(_._1).toSet
+    val top8 = firstPass.toSeq.filter(!_._2.failed)
+      .sortBy(-_._2.wall).take(retimeCap).map(_._1).toSet
+    val suspects = flagged ++ top8
     val results = firstPass.map { case (name, t) =>
       if (!suspects(name)) name -> t
       else {
@@ -148,7 +173,8 @@ object Bench {
       .mkString("{", ",", "}")
     val detail = results.map { case (k, t) =>
       s"""\"$k\":{"wall":${f(t.wall)},"cpu":${f(t.cpu)},"load":${f(t.load)},""" +
-        s""""contended":${isStarved(t)},"retimed":${t.retimed}}"""
+        s""""eff_cores":${f(effCores(t))},"contended":${isStarved(t)},""" +
+        s""""low_par":${isLowParallelism(t)},"retimed":${t.retimed}}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, t) if t.failed => s"\"$k\"" }
       .mkString("[", ",", "]")
@@ -168,7 +194,8 @@ object Bench {
     // load average at start, adjudicates the run as contention-poisoned.
     val nFailed = results.values.count(_.failed)
     val starved = results.collect { case (k, t) if isStarved(t) => k }
-    val contended = contendedAtStart || starved.size >= 3
+    val lowPar = results.collect { case (k, t) if isLowParallelism(t) => k }
+    val contended = contendedAtStart || starved.size >= 3 || lowPar.size >= 3
     val top5 = results.toSeq.sortBy(-_._2.wall).take(5)
       .map { case (k, t) => s"\"$k\":${f(t.wall)}" }.mkString("{", ",", "}")
     // top5_clean: the slowest queries whose timing the heuristic TRUSTS
@@ -177,15 +204,48 @@ object Bench {
     // still starved after best-of-3 stays out; if contention ate the
     // whole tail this may hold fewer than 5 entries, which is itself
     // the honest signal.
-    val top5Clean = results.toSeq.filter(kv => !isStarved(kv._2))
+    val top5Clean = results.toSeq.filter(kv => !isSuspect(kv._2))
       .sortBy(-_._2.wall).take(5)
       .map { case (k, t) => s"\"$k\":${f(t.wall)}" }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","summary":true,""" +
         s""""failed":$nFailed,"contended":$contended,""" +
         s""""contended_at_start":$contendedAtStart,"starved":${starved.size},""" +
+        s""""low_par":${lowPar.size},"median_eff_cores":${f(medianEff)},""" +
         s""""retimed":${results.values.count(_.retimed)},""" +
         s""""top5":$top5,"top5_clean":$top5Clean}""")
+    // Complete per-query history to a repo file (BENCH_r* artifact tails
+    // truncate to ~13 of 115 entries): every entry with wall/cpu/load/
+    // eff_cores/flags, pretty-enough for git diffs, so round-over-round
+    // per-query regressions are detectable without artifact archaeology.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val entries = results.toSeq.sortBy(-_._2.wall).map { case (k, t) =>
+        s"""  "$k": {"wall": ${f(t.wall)}, "cpu": ${f(t.cpu)}, """ +
+          s""""load": ${f(t.load)}, "eff_cores": ${f(effCores(t))}, """ +
+          s""""contended": ${isStarved(t)}, "low_par": ${isLowParallelism(t)}, """ +
+          s""""retimed": ${t.retimed}, "failed": ${t.failed}}"""
+      }.mkString(",\n")
+      val body =
+        s"""{
+           |"_meta": {"sf": "$sfDir", "total_sec": ${f(total)},
+           |  "cpu_total_sec": ${f(cpuTotal)}, "n_queries": ${results.size},
+           |  "failed": $nFailed, "contended": $contended,
+           |  "contended_at_start": $contendedAtStart,
+           |  "load_at_start": ${f(loadAtStart)},
+           |  "median_eff_cores": ${f(medianEff)},
+           |  "starved": ${starved.size}, "low_par": ${lowPar.size},
+           |  "retimed": ${results.values.count(_.retimed)}},
+           |$entries
+           |}""".stripMargin
+      java.nio.file.Files.write(p, body.getBytes("UTF-8"))
+      System.err.println(s"[bench] full per-query history written to $outPath")
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     val anyFailed = results.values.exists(_.failed)
     spark.stop()
     if (anyFailed) sys.exit(1)

@@ -72,7 +72,8 @@ private[sources] class WalTable(schema: StructType, props: Map[String, String])
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new WalMicroBatchStream(
             options.get("path"),
-            Option(options.get("maxSegmentsPerTrigger")).map(_.toInt))
+            Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+            schema0)
       }
     }
 }
@@ -99,7 +100,8 @@ private[sources] case class WalOffset(seg: Long, last: Option[String] = None)
   }
 }
 
-private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int])
+private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int],
+    schema: StructType = graft.stream.Pipeline.eventSchema)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -239,7 +241,7 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
       .sessionState.newHadoopConf()
     val confMap = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    new WalReaderFactory(confMap)
+    new WalReaderFactory(confMap, schema)
   }
 
   override def commit(end: Offset): Unit = () // segments are retained (replayable slot)
@@ -248,14 +250,23 @@ private[sources] class WalMicroBatchStream(dir: String, maxSegments: Option[Int]
 
 private[sources] case class WalSegmentPartition(path: String) extends InputPartition
 
-private[sources] class WalReaderFactory(hadoopConf: Map[String, String])
+private[sources] class WalReaderFactory(hadoopConf: Map[String, String],
+    schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WalSegmentReader(partition.asInstanceOf[WalSegmentPartition].path, hadoopConf)
+    new WalSegmentReader(partition.asInstanceOf[WalSegmentPartition].path,
+      hadoopConf, schema)
 }
 
-/** JSONL → InternalRow, one segment per reader (executor-side). */
-private[sources] class WalSegmentReader(path: String, hadoopConf: Map[String, String])
+/** JSONL → InternalRow, one segment per reader (executor-side),
+  * SCHEMA-DRIVEN (round 8): fields convert by the declared read schema
+  * instead of a hard-coded event layout, so any JSON-lines WAL — CDC
+  * events, documents, embeddings manifests — replays through the same
+  * segment-offset source (the e2e production composition streams
+  * documents this way).
+  */
+private[sources] class WalSegmentReader(path: String, hadoopConf: Map[String, String],
+    schema: StructType = graft.stream.Pipeline.eventSchema)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -274,15 +285,23 @@ private[sources] class WalSegmentReader(path: String, hadoopConf: Map[String, St
       val line = lines.next().trim
       if (line.nonEmpty) {
         val n = mapper.readTree(line)
-        def str(f: String): Any =
-          if (n.hasNonNull(f)) UTF8String.fromString(n.get(f).asText()) else null
-        def lng(f: String): Any =
-          if (n.hasNonNull(f)) java.lang.Long.valueOf(n.get(f).asLong()) else null
-        def dbl(f: String): Any =
-          if (n.hasNonNull(f)) java.lang.Double.valueOf(n.get(f).asDouble()) else null
-        current = new GenericInternalRow(Array[Any](
-          lng("event_id"), lng("ts"), lng("user_id"),
-          str("event_type"), dbl("value"), str("props")))
+        current = new GenericInternalRow(schema.fields.map { f =>
+          if (!n.hasNonNull(f.name)) null
+          else f.dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              java.lang.Long.valueOf(n.get(f.name).asLong())
+            case org.apache.spark.sql.types.IntegerType =>
+              java.lang.Integer.valueOf(n.get(f.name).asInt())
+            case org.apache.spark.sql.types.DoubleType =>
+              java.lang.Double.valueOf(n.get(f.name).asDouble())
+            case org.apache.spark.sql.types.BooleanType =>
+              java.lang.Boolean.valueOf(n.get(f.name).asBoolean())
+            case org.apache.spark.sql.types.StringType =>
+              UTF8String.fromString(n.get(f.name).asText())
+            case dt => throw new IllegalArgumentException(
+              s"WAL replay: unsupported field type $dt for '${f.name}'")
+          }
+        }.asInstanceOf[Array[Any]])
         ok = true
       }
     }

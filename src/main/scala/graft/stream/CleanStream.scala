@@ -53,10 +53,29 @@ object CleanStream {
       checkpointDir: String,
       benchGrams: Option[DataFrame] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream
-      .schema(DedupStream.docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(docsDir)
+    runFrom(spark,
+      spark.readStream
+        .schema(DedupStream.docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docsDir),
+      outDir, checkpointDir, benchGrams, trigger)
+
+  /** [[run]] over ANY streaming document source (file arrival, the
+    * [[graft.sources.WalReplayProvider]] segment replay, Kafka-shaped
+    * frames mapped to the doc schema) with an optional per-batch
+    * SURVIVOR hook — the composition point a production deployment uses
+    * to fan the cleaned shard into a downstream sink ([[EsHttpSink]] in
+    * the e2e spec) in the SAME batch transaction: if the hook throws,
+    * the batch fails and replays from the checkpoint, and all CleanStream
+    * writes (per-batch overwrite) plus the idempotent downstream batch
+    * contract make the replay safe.
+    */
+  def runFrom(spark: SparkSession, source: DataFrame, outDir: String,
+      checkpointDir: String,
+      benchGrams: Option[DataFrame] = None,
+      trigger: Trigger = Trigger.AvailableNow(),
+      onSurvivors: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    source
       .writeStream
       .queryName(s"graft-clean-stream-${QueryNames.suffix(checkpointDir)}")
       .option("checkpointLocation", checkpointDir)
@@ -127,6 +146,11 @@ object CleanStream {
             .select("doc_id", "text")
             .coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/batch_$batchId")
+          // downstream fan-out (e.g. the ES bulk sink) INSIDE the batch:
+          // a hook failure fails the batch → checkpoint replay, and the
+          // downstream idempotent-batch contract absorbs the re-run
+          onSurvivors(classified.filter(col("keep"))
+            .select("doc_id", "text"), batchId)
           // state delta: this batch's NEW gated first-occurrence hashes.
           // Gated reps, not survivors: the batch operator dedups before
           // decontamination, so a later copy of a contaminated-and-

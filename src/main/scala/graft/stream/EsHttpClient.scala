@@ -44,6 +44,7 @@ final case class EsHttpConfig(
     maxRetries: Int = 5,
     compressionEnabled: Boolean = false,
     discoverNodesOnStart: Boolean = true,
+    discoverNodesIntervalMs: Long = 300000L,
     connectTimeoutMs: Long = 5000L,
     requestTimeoutMs: Long = 30000L,
     retryBackoffBaseMs: Long = 50L)
@@ -60,6 +61,33 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   private val pool = new AtomicReference[Vector[String]](
     cfg.urls.map(normalize).toVector)
   private val cursor = new AtomicInteger(0)
+
+  /** Periodic re-discovery state — ≙ the reference's
+    * `discoverNodesInterval` ticker (default 5 min; config/config.go:54-57,
+    * wired at elasticsearch/client/client.go:21). A long-lived sink
+    * against a cluster that rolls its nodes would otherwise rot its pool
+    * down to the seed list. Deadline-checked on the REQUEST path instead
+    * of a background thread: a Spark-executor client must not leak a
+    * daemon thread per partition task, and a sink with no traffic needs
+    * no fresh nodes — while traffic flows the cadence is the ticker's.
+    * Discovery failure keeps the current pool (the on-start contract:
+    * discovery never takes a working client down, never shrinks to
+    * nothing), and the deadline still advances so a flapping discovery
+    * endpoint is probed once per interval, not once per request.
+    */
+  private val lastDiscoveryMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private val discovering =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def maybeRediscover(): Unit = {
+    val iv = cfg.discoverNodesIntervalMs
+    if (cfg.discoverNodesOnStart && iv > 0 &&
+        System.currentTimeMillis() - lastDiscoveryMs.get() >= iv &&
+        discovering.compareAndSet(false, true))
+      try discoverNodes() // sets lastDiscoveryMs; nested requests skip (flag)
+      finally discovering.set(false)
+  }
 
   if (cfg.discoverNodesOnStart) discoverNodes()
 
@@ -113,6 +141,7 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   private def request(method: String, path: String,
       body: Option[Array[Byte]] = None,
       contentType: String = "application/json"): HttpResponse[String] = {
+    maybeRediscover()
     var lastErr: Throwable = null
     var lastResp: HttpResponse[String] = null
     var i = 0
@@ -158,6 +187,7 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
     */
   def discoverNodes(): Seq[String] =
     try {
+      lastDiscoveryMs.set(System.currentTimeMillis())
       val r = request("GET", "/_nodes/http")
       if (r.statusCode() >= 300) pool.get()
       else {

@@ -42,6 +42,18 @@ import org.apache.spark.sql.streaming.Trigger
 final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
     (implicit spark: SparkSession) {
 
+  // Capability guard — checked on the URI BEFORE a FileSystem is even
+  // built: every correctness claim above rests on one-winner
+  // create(overwrite=false) and ATOMIC rename, which S3-style object
+  // stores do not have (rename = server-side copy + delete, and two
+  // concurrent "steals" can both succeed — the dual-active failure mode
+  // this lease exists to prevent). Refusing loudly at construction is
+  // the difference between a deploy-time error and silent split-brain
+  // under load. Alternatives for object-store deployments are in the
+  // error text; a store with a DOCUMENTED atomic-rename guarantee can
+  // be allowlisted via [[HaLease.ExtraSchemesConf]].
+  require(HaLease.atomicRenameGuaranteed(dir, spark), HaLease.schemeError(dir))
+
   private val fs = new Path(dir).getFileSystem(
     spark.sparkContext.hadoopConfiguration)
   private val dirPath = new Path(dir)
@@ -187,6 +199,47 @@ final class HaLease(dir: String, val instanceId: String, leaseMs: Long)
     }
     ()
   }
+}
+
+object HaLease {
+
+  /** Filesystem schemes with BOTH one-winner `create(overwrite=false)`
+    * and atomic single-winner rename — the two primitives the lease
+    * protocol's correctness argument uses. Everything else (s3/s3a/gs/
+    * wasb/oss/... and unknown schemes) is refused: object-store rename
+    * is copy+delete, create is last-writer-wins, and a lease built on
+    * either admits dual-active.
+    */
+  val AtomicRenameSchemes: Set[String] = Set("file", "hdfs", "viewfs", "webhdfs")
+
+  /** Comma-separated EXTRA schemes the operator vouches for (e.g. a
+    * store with a documented HNS atomic-rename guarantee).
+    */
+  val ExtraSchemesConf = "spark.graft.ha.extraAtomicSchemes"
+
+  private[stream] def schemeOf(dir: String): String =
+    scala.util.Try(Option(new java.net.URI(dir).getScheme))
+      .toOption.flatten.getOrElse("file").toLowerCase(java.util.Locale.ROOT)
+
+  private[graft] def atomicRenameGuaranteed(dir: String,
+      spark: SparkSession): Boolean = {
+    val extra = spark.conf.getOption(ExtraSchemesConf)
+      .map(_.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    (AtomicRenameSchemes ++ extra).contains(schemeOf(dir))
+  }
+
+  private[stream] def schemeError(dir: String): String =
+    s"HA lease dir '$dir' (scheme '${schemeOf(dir)}') cannot host the lease: " +
+      "the protocol needs one-winner create(overwrite=false) and ATOMIC " +
+      "rename, which S3-style object stores do not guarantee (rename is " +
+      "copy+delete) — deploying there risks silent dual-active, the exact " +
+      "failure HA exists to prevent. Put the lease dir on HDFS/a cluster " +
+      "FS (the checkpoint can stay on the object store), or replace the " +
+      "lease with a conditional-put lock (DynamoDB-style / S3 " +
+      "If-None-Match). A store with a documented atomic-rename guarantee " +
+      s"can be allowlisted via $ExtraSchemesConf."
 }
 
 /** The failover RUNNER: poll the lease; on acquiring it, run the

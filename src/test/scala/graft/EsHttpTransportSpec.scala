@@ -172,6 +172,65 @@ class EsHttpTransportSpec extends SparkSuite {
     assert(c.nodes == Seq("http://127.0.0.1:1"))
   }
 
+  test("periodic re-discovery: a rolled cluster's new node list is picked up after the interval") {
+    // ≙ discoverNodesInterval (config.go:54-57): the cluster 'rolls' —
+    // _nodes starts answering a NEW address mid-run — and bulks after
+    // the deadline reach the new node without a client rebuild
+    val esNew = new StubEs()
+    val esOld = new StubEs()
+    try {
+      // start: the old node publishes only itself
+      esOld.nodesOf = s =>
+        s"""{"nodes":{"n1":{"http":{"publish_address":"127.0.0.1:${esOld.port}"}}}}"""
+      val c = new EsHttpClient(EsHttpConfig(Seq(esOld.url),
+        discoverNodesOnStart = true, discoverNodesIntervalMs = 150,
+        retryBackoffBaseMs = 1))
+      assert(c.nodes == Seq(s"http://127.0.0.1:${esOld.port}"))
+      // roll: the cluster now publishes the replacement node
+      esOld.nodesOf = s =>
+        s"""{"nodes":{"nX":{"http":{"publish_address":"127.0.0.1:${esNew.port}"}}}}"""
+      // inside the interval: pool unchanged, bulks still hit the old node
+      c.bulk("a\n".getBytes(UTF_8))
+      assert(c.nodes == Seq(s"http://127.0.0.1:${esOld.port}"),
+        "re-discovery fired before its interval")
+      assert(esNew.bulkCount.get() == 0)
+      Thread.sleep(200)
+      // past the deadline: the SAME bulk call re-discovers first, so the
+      // request already lands on the rolled cluster's new node
+      c.bulk("b\n".getBytes(UTF_8))
+      assert(c.nodes == Seq(s"http://127.0.0.1:${esNew.port}"),
+        "pool did not refresh after the discovery interval")
+      assert(esNew.bulkCount.get() == 1)
+    } finally { esOld.stop(); esNew.stop() }
+  }
+
+  test("periodic re-discovery failure keeps the working pool; next probe waits a full interval") {
+    val es = new StubEs()
+    try {
+      var discoveries = 0
+      es.nodesOf = s => {
+        discoveries += 1
+        s"""{"nodes":{"n1":{"http":{"publish_address":"127.0.0.1:${es.port}"}}}}"""
+      }
+      val c = new EsHttpClient(EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = true, discoverNodesIntervalMs = 150,
+        retryBackoffBaseMs = 1))
+      assert(discoveries == 1)
+      // the cluster's discovery endpoint starts answering garbage
+      es.nodesOf = s => """{"nodes":{}}"""
+      Thread.sleep(200)
+      c.bulk("a\n".getBytes(UTF_8)) // triggers the failed re-discovery
+      assert(c.nodes == Seq(s"http://127.0.0.1:${es.port}"),
+        "a failed discovery must never shrink a working pool")
+      // deadline advanced even though discovery failed: immediate further
+      // traffic must NOT re-probe per request
+      val before = es.bulkCount.get()
+      c.bulk("b\n".getBytes(UTF_8))
+      c.bulk("c\n".getBytes(UTF_8))
+      assert(es.bulkCount.get() == before + 2, "bulks still flow")
+    } finally es.stop()
+  }
+
   test("end-to-end runHttp: version auto-detect gates _type; real item error dead-letters exactly its action") {
     // stub a 6.x cluster that rejects doc 2 at item level
     val es = new StubEs(version = "6.8.23", bulkResponder = (body, _) => {

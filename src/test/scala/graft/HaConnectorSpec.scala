@@ -63,6 +63,33 @@ class HaConnectorSpec extends SparkSuite {
     assert(a.tryAcquire(t0 + 500 + 1300), "released lease is free")
   }
 
+  test("lease refuses object-store schemes (non-atomic rename = silent split-brain)") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    // every correctness claim rests on one-winner create + atomic rename;
+    // S3-style stores have neither — construction must fail LOUDLY, at
+    // deploy time, with the documented alternatives in the message
+    for (bad <- Seq("s3a://bucket/lease", "s3://bucket/lease",
+        "gs://bucket/lease", "wasbs://c@a.blob.core.windows.net/lease",
+        "someunknownfs://x/lease")) {
+      val e = intercept[IllegalArgumentException] {
+        new HaLease(bad, "A", leaseMs = 1000)
+      }
+      assert(e.getMessage.contains("ATOMIC rename"), s"$bad: ${e.getMessage}")
+      assert(e.getMessage.contains("conditional-put"),
+        "the refusal must name the object-store alternative")
+    }
+    // local paths (scheme-less and file://) and HDFS-like schemes pass
+    new HaLease(tmp("ha-ok"), "A", leaseMs = 1000)
+    new HaLease("file:///tmp/ha-ok2-" + System.nanoTime(), "A", leaseMs = 1000)
+    // an operator-vouched scheme is allowlisted via conf (scheme check
+    // only — no FileSystem is built until first use)
+    spark.conf.set(HaLease.ExtraSchemesConf, "myposixfs")
+    try {
+      assert(HaLease.atomicRenameGuaranteed("myposixfs://x/lease", spark))
+      assert(!HaLease.atomicRenameGuaranteed("s3a://x/lease", spark))
+    } finally spark.conf.unset(HaLease.ExtraSchemesConf)
+  }
+
   test("lease: a STALE zero-byte/corrupt lease is stealable; a FRESH one is not") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val dir = tmp("ha-lease-corrupt")

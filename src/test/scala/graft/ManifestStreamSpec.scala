@@ -61,6 +61,73 @@ class ManifestStreamSpec extends SparkSuite {
     assert(fin != mid)
   }
 
+  test("clean-pipeline binding: streamed manifest over CleanStream survivors equals batch shard_checksums of corpus_clean's survivors, across a restart") {
+    import org.apache.spark.sql.functions.col
+    // corpus_clean (the full batch composition: gates → exact dedup →
+    // LSH near-dup removal) defines the survivor set; CleanStream is a
+    // fixed point on already-clean docs (they pass the gates and carry
+    // no exact dups by construction), so streaming those survivors
+    // through CleanStream → ManifestStream binds the batch face and both
+    // streaming faces to ONE per-shard checksum table.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val survivors = docs
+      .join(graft.ops.CorpusOps.cleanCorpus(docs).select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id").cache()
+    val ids = survivors.select("doc_id").as[Long].collect().toSeq
+    assert(ids.size > 10, "fixture must yield a real survivor set")
+    val (half1, half2) = ids.splitAt(ids.size / 2)
+
+    val streamDir = tmp("bind-docs")
+    val cleanOut = tmp("bind-clean")
+    val cleanCkpt = tmp("bind-clean-ckpt")
+    val mfOut = tmp("bind-mf")
+    val mfCkpt = tmp("bind-mf-ckpt")
+
+    def arrive(part: Seq[Long], order: Int): Unit = {
+      survivors.filter(col("doc_id").isin(part: _*))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(streamDir)
+      // pin mtimes: FileStreamSource orders arrivals by modification time
+      new java.io.File(streamDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") &&
+          f.lastModified() > 1700000000000L)
+        .foreach(f => assert(f.setLastModified(1690000000000L + order * 60000L)))
+    }
+
+    def runBoth(): Unit = {
+      awaitDone(graft.stream.CleanStream.run(spark, streamDir, cleanOut, cleanCkpt))
+      // the manifest stream CONSUMES the clean stream's survivor shards
+      awaitDone(ManifestStream.run(spark, s"$cleanOut/batch_*", mfOut, mfCkpt))
+    }
+
+    arrive(half1, 0)
+    runBoth()
+    val mid = spark.read.parquet(s"$mfOut/current")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val midExpect = PretrainOps.shardChecksums(
+        survivors.filter(col("doc_id").isin(half1: _*)))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(mid == midExpect,
+      "prefix manifest must equal batch shard_checksums of the ingested survivors")
+
+    // restart BOTH streams with the second survivor wave
+    arrive(half2, 1)
+    runBoth()
+    val fin = spark.read.parquet(s"$mfOut/current")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val finExpect = PretrainOps.shardChecksums(survivors)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(fin == finExpect,
+      "post-restart manifest must equal batch shard_checksums of corpus_clean's survivors")
+    // CleanStream really was a fixed point (nothing re-filtered)
+    val streamedIds = spark.read.parquet(s"$cleanOut/batch_*")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamedIds == ids.toSet,
+      "already-clean survivors must pass the streaming gates untouched")
+    survivors.unpersist()
+    ()
+  }
+
   test("replayed batch folds idempotently (versioned state ignores its own partial write)") {
     val docsDir = tmp("mf2-docs")
     val outDir = tmp("mf2-out")

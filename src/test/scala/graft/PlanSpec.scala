@@ -440,6 +440,22 @@ class PlanSpec extends SparkSuite {
       "knn_graph grew beyond assignment + pair-join + window shuffles")
     // quality_perplexity_bucket: the cut table is sources-sized and must
     // come back as a broadcast, not a shuffle join; no SMJ anywhere
+    // round-8: the AUTO-granularity default (centroids ∝ N) must keep
+    // exactly the pinned-centroid plan shape — the rule changes K, never
+    // the operator's physical form
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val kga = graft.ops.SimilarityOps.knnGraphAuto(emb)
+    assert(kga.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      "knnGraphAuto lost the WindowGroupLimit pre-shuffle limit")
+    assert(!nodes(kga).exists(_.isInstanceOf[CartesianProductExec]))
+    assert(exchanges(kga) <= 3)
+    // knn_recall: the exact side broadcasts the fixed query set (never a
+    // cartesian), both graph legs keep their bounded shapes
+    val kr = q("knn_recall")
+    assert(!nodesDeep(kr).exists(_.isInstanceOf[CartesianProductExec]),
+      "knn_recall degraded to a cartesian")
+    assert(nodes(kr).count(_.isInstanceOf[BroadcastExchangeExec]) >= 1,
+      "knn_recall exact side lost its query broadcast")
     val pb = q("quality_perplexity_bucket")
     val pn = nodes(pb)
     assert(pn.count(_.isInstanceOf[BroadcastExchangeExec]) >= 1,
