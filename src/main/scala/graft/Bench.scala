@@ -138,10 +138,18 @@ object Bench {
       .map(effCores).sorted
     val medianEff =
       if (effSamples.isEmpty) -1.0 else effSamples(effSamples.size / 2)
+    // SLOW + low-parallel only: wall > 2 s at < max(1.5, 25%·median)
+    // effective cores. Two deliberate exclusions, both measured on a
+    // clean sweep: (a) fast queries — sub-second CDC/scheduling-bound
+    // ops legitimately run at 1-2 effective cores; (b) the system load
+    // average — a 32-thread sweep keeps its OWN 1-min load above any
+    // absolute threshold, so a load clause self-flags every clean run.
+    // The 1.5-core absolute floor keeps the signal alive even when
+    // whole-sweep contention drags the median down with it (the r07
+    // mode: domain_stats at 11.2 s wall / ~1.1 effective cores).
     def isLowParallelism(t: Timing): Boolean =
-      !t.failed && t.wall > 0.5 && t.cpu >= 0 &&
-        ((medianEff > 0 && effCores(t) < 0.25 * medianEff) ||
-          t.load > loadThreshold)
+      !t.failed && t.wall > 2.0 && t.cpu >= 0 &&
+        effCores(t) < math.max(1.5, 0.25 * medianEff)
     def isSuspect(t: Timing): Boolean = isStarved(t) || isLowParallelism(t)
     // end-of-sweep re-time: (a) queries either heuristic flags, capped
     // (slowest first — re-timing adjudicates the top of the table, not

@@ -192,10 +192,13 @@ object SimilarityOps {
   def knnGraph(emb: DataFrame, k: Int = KnnGraphK,
       centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
     val salt = DedupOps.saltB(emb)
+    // assignment strategy by K (withClusterId): the oracle-pinned
+    // literal-dot shape for small K, broadcast-join arg-max past the
+    // measured literal-codegen cliff (granularity-∝-N territory)
     val e = DedupOps.materialize(
-      assigned(emb, centroids)
-        .select(col("vec_id"), col("emb_d"), col("norm"),
-          col("centroid").cast("long").as("cluster_id")),
+      withClusterId(
+        withNorm(emb).select(col("vec_id"), col("emb_d"), col("norm")),
+        centroids),
       "knn_graph_clusters")
     val a = e.select(col("cluster_id"), col("vec_id"),
         col("emb_d").as("ea"), col("norm").as("na"))
@@ -277,6 +280,64 @@ object SimilarityOps {
       targetClusterSize: Int = KnnTargetClusterSize): DataFrame =
     knnGraph(emb, k,
       autoCentroidSet(knnAutoCentroidCount(emb.count(), targetClusterSize)))
+
+  /** Centroid count above which assignment switches from plan-literal
+    * dot arrays to the broadcast-join arg-max ([[clusterIdsOf]]).
+    * MEASURED boundary, not taste: a K=250 literal `array(dot, dot, …)`
+    * expression evaluated 30.5 s for 64k vectors on EVERY run (the
+    * expression is too large to stay in efficient codegen), while K=8
+    * took 0.4 s and the join form does the same arithmetic through ONE
+    * codegen'd dot per (vector, centroid) row. Conf-overridable so the
+    * equivalence spec can force either path on the same K.
+    */
+  val LiteralCentroidMax = 16
+  val LiteralCentroidMaxConf = "spark.graft.knn.literalCentroidMax"
+  private def literalMax(df: DataFrame): Int =
+    df.sparkSession.conf.getOption(LiteralCentroidMaxConf)
+      .map(_.toInt).getOrElse(LiteralCentroidMax)
+
+  /** Max-dot cluster ids for a (vec_id, emb_d, …) frame: literal dot
+    * array for small K (the oracle-pinned shape), broadcast-join arg-max
+    * for large K — centroids become DATA (a K-row broadcast), each
+    * (vector, centroid) row pays one codegen'd [[dot]], and the arg-max
+    * is a map-side-combined `max(struct(dot, -cent_id))` agg whose tie
+    * rule (highest dot, then LOWEST centroid id) is exactly the literal
+    * path's `array_position(dots, array_max(dots))`. Output
+    * (vec_id, cluster_id); narrow columns only ride the K-fan-out.
+    */
+  private[ops] def withClusterId(base: DataFrame,
+      cents: Seq[IndexedSeq[Double]]): DataFrame =
+    if (cents.size <= literalMax(base))
+      base
+        .withColumn("dots", centDotsOf(cents, col("emb_d")))
+        .withColumn("cluster_id",
+          (array_position(col("dots"), array_max(col("dots"))) - 1)
+            .cast("long"))
+        .drop("dots")
+    else base.join(clusterIdsOf(base, cents), Seq("vec_id"))
+
+  private[ops] def clusterIdsOf(e: DataFrame,
+      cents: Seq[IndexedSeq[Double]]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val spark = e.sparkSession
+      val cdf = spark.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i.toLong, c)
+        }.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cvec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+      e.select(col("vec_id"), col("emb_d"))
+        .crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("cent_id"),
+          dot(col("cvec"), col("emb_d")).as("dd"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("dd"), (-col("cent_id")).as("neg"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg")).cast("long").as("cluster_id"))
+    }
 
   // ------------------------------------------- knn_graph: 2-probe + recall
 

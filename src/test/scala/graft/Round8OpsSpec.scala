@@ -58,6 +58,22 @@ class Round8OpsSpec extends SparkSuite {
       rows(DedupOps.dedupSemantic(emb)))
   }
 
+  test("broadcast-join arg-max assignment ≡ literal dot-array (K past the codegen cliff)") {
+    // K=40 > LiteralCentroidMax → the join path runs; forcing the
+    // literal path on the SAME centroids via conf must give identical
+    // graphs (incl. the tie rule: highest dot, then lowest centroid id)
+    val cents = SimilarityOps.autoCentroidSet(40)
+    val viaJoin = rows(SimilarityOps.knnGraph(emb, SimilarityOps.KnnGraphK, cents))
+    val viaJoinDedup = rows(DedupOps.dedupSemantic(emb, cents))
+    spark.conf.set(SimilarityOps.LiteralCentroidMaxConf, "1000")
+    try {
+      assert(rows(SimilarityOps.knnGraph(emb, SimilarityOps.KnnGraphK, cents))
+        == viaJoin, "knnGraph assignment paths disagree")
+      assert(rows(DedupOps.dedupSemantic(emb, cents)) == viaJoinDedup,
+        "dedupSemantic assignment paths disagree")
+    } finally spark.conf.unset(SimilarityOps.LiteralCentroidMaxConf)
+  }
+
   test("2-probe recall dominates 1-probe recall per query") {
     // the 2-probe candidate set is a superset per query, and a candidate
     // that displaces a true neighbor from the window is itself globally
