@@ -354,6 +354,10 @@ object SparkEntry {
     // top rung: Jelinek-Mercer interpolated trigram, all-integer micros
     "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluency(docsT(s, dir))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
+    // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
+    // under score ties — the mixture-tier-sizing face of the split
+    "quality_perplexity_bucket_rank" -> ((s, dir) =>
+      PretrainOps.qualityPerplexityBucketsRank(docsT(s, dir))),
     // classifier rung: fastText-style hashed linear model, in-row logit fold
     "quality_linear_score" -> ((s, dir) => TextOps.qualityLinearScore(docsT(s, dir))),
     // BPE iteration #1 pair statistics — argmax = the first learned merge;
@@ -705,6 +709,7 @@ object SparkEntry {
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
     "quality_trigram_fluency" -> PretrainOps.sqlQualityTrigramFluency,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
+    "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,

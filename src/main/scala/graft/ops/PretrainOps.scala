@@ -2112,13 +2112,20 @@ object PretrainOps {
     * production swap (approx_percentile cuts, no window) when one
     * source is most of 100 TB.
     */
-  def qualityPerplexityBuckets(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = DedupOps.materialize(
+  /** The per-doc (source, mean-fluency-micro) score table BOTH bucket
+    * variants read — materialized once (same name ⇒ CacheManager shares
+    * it across the two queries in one session).
+    */
+  private def pplScored(docs: DataFrame): DataFrame =
+    DedupOps.materialize(
       qualityTrigramFluency(docs)
         .select(col("doc_id"), expr("sum_micro div n_trigrams").as("p_mean_micro"))
         .join(fanout(docs).select(col("doc_id"), col("source")), Seq("doc_id")),
       "ppl_bucket_scored")
+
+  def qualityPerplexityBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pplScored(docs)
     val w = Window.partitionBy("source")
       .orderBy(col("p_mean_micro").asc, col("doc_id").asc)
     val ranked = scored
@@ -2164,6 +2171,56 @@ object PretrainOps {
        |       WHEN s.p_mean_micro > th.t33 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN th USING (source)""".stripMargin
+
+  // ------------------------------------- quality_perplexity_bucket_rank
+
+  /** RANK-based per-source thirds — CCNet's actual volume rule, the
+    * production sibling of [[qualityPerplexityBuckets]]' value-cut: each
+    * source's docs rank by (score, doc_id) and split at ⌈n/3⌉ / ⌈2n/3⌉
+    * POSITIONS, so bucket volumes are exactly ~n/3 REGARDLESS of score
+    * ties (the value-cut sinks a tied group wholesale — a fully-tied
+    * source goes 100% tail there; here the doc_id tiebreak spreads it
+    * deterministically). Use this variant when a downstream mixture
+    * tier is sized on head volume; use the value-cut when the cut
+    * thresholds themselves are the product (per-source quality bars).
+    * Shape: identical to the value variant minus the threshold
+    * broadcast — the scores materialize once ([[pplScored]], shared
+    * with the value variant in-session), ONE per-source window carries
+    * rank and count together, and the bucket label is an in-row CASE.
+    */
+  def qualityPerplexityBucketsRank(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pplScored(docs)
+    val w = Window.partitionBy("source")
+      .orderBy(col("p_mean_micro").asc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("p_mean_micro"),
+        when(col("rn") > ceil(col("cnt") * lit(2) / lit(3.0)), lit("head"))
+          .when(col("rn") > ceil(col("cnt") / lit(3.0)), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  def sqlQualityPerplexityBucketsRank: String =
+    s"""WITH flu AS MATERIALIZED (
+       |$sqlQualityTrigramFluency
+       |),
+       |scored AS (
+       |  SELECT d.source, flu.doc_id,
+       |    (sum_micro // n_trigrams) AS p_mean_micro
+       |  FROM flu JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT source, doc_id, p_mean_micro,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY p_mean_micro, doc_id) AS BIGINT) AS rn,
+       |    count(*) OVER (PARTITION BY source) AS cnt
+       |  FROM scored)
+       |SELECT doc_id, source, p_mean_micro,
+       |  CASE WHEN rn > ceil(cnt * 2 / 3.0) THEN 'head'
+       |       WHEN rn > ceil(cnt / 3.0) THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM ranked""".stripMargin
 
   // ------------------------------------------------------- sample_mixture
 

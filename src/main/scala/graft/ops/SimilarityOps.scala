@@ -390,7 +390,16 @@ object SimilarityOps {
     * (The window rank is per-vector, so filtering to the query subset
     * after ranking changes nothing — same edges, cheaper oracle.)
     */
-  def knnRecall(emb: DataFrame): DataFrame = {
+  def knnRecall(emb: DataFrame): DataFrame =
+    knnRecallWith(emb, defaultCentroids)
+
+  /** [[knnRecall]] against ANY centroid set — the production monitor
+    * runs this with [[ivfTrain]]'s learned quantizer on a sample before
+    * trusting nProbe=1 blocking (the fixed pseudo-random set's 0.10
+    * recall on the fixture is exactly the failure it would catch).
+    */
+  def knnRecallWith(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame = {
     val e = withNorm(emb)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"), col("emb_d").as("eq"),
@@ -413,8 +422,9 @@ object SimilarityOps {
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
           count(lit(1))).as("recall"))
         .withColumn("method", lit(name))
-    recallOf("cluster_1probe", knnGraph(emb))
-      .unionByName(recallOf("cluster_2probe", knnGraph2Probe(emb)))
+    recallOf("cluster_1probe", knnGraph(emb, KnnGraphK, centroids))
+      .unionByName(recallOf("cluster_2probe",
+        knnGraph2Probe(emb, KnnGraphK, centroids)))
       .select("method", "query_id", "recall")
   }
 

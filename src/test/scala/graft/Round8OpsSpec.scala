@@ -91,6 +91,27 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("knnRecallWith runs the monitor against a LEARNED quantizer") {
+    // the production loop: ivfTrain learns the coarse set, the recall
+    // monitor decides whether nProbe=1 blocking is safe with it. The
+    // sf0.01 measurement (SCALING round 8): fixed 0.10/0.40 vs learned
+    // k=8 0.40/0.625 — here we assert the harness contract (both
+    // methods present, recall is a valid fraction, 2-probe dominates),
+    // not the data-dependent lift.
+    val (learned, _) = SimilarityOps.ivfTrain(emb, k = SimilarityOps.IvfCentroids)
+    val r = SimilarityOps.knnRecallWith(emb, learned)
+      .groupBy("query_id")
+      .pivot("method", Seq("cluster_1probe", "cluster_2probe"))
+      .agg(first("recall")).collect()
+    assert(r.nonEmpty)
+    for (row <- r) {
+      val r1 = row.getAs[Double]("cluster_1probe")
+      val r2 = row.getAs[Double]("cluster_2probe")
+      assert(r1 >= 0.0 && r1 <= 1.0 && r2 >= 0.0 && r2 <= 1.0)
+      assert(r2 >= r1, s"2-probe must dominate under any quantizer")
+    }
+  }
+
   test("2-probe graph edges are a superset-rank refinement: k per vector, no dup pairs") {
     val g2 = SimilarityOps.knnGraph2Probe(emb)
     val dups = g2.groupBy("vec_id", "neighbor_id").count()
