@@ -127,6 +127,25 @@ object TokenizerOps {
   def tokenizeBpe(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
     val ms = merges.map(m => (m.p1, m.p2))
     val toks = filter(TextOps.toksOf(docs), w => w =!= "")
+    // round 8: the per-word merge application runs as ONE codegen'd
+    // kernel (graftext.BpeTokenCount) instead of NumMerges nested
+    // interpreted `aggregate` HOFs — semantically identical (the spec
+    // asserts equality against the fold), and the measured 10 s x32
+    // floor under the BPE family drops to the tokenize+scan cost
+    fanout(docs).select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_words"),
+        org.apache.spark.sql.graftext.ArrayFunctions
+          .bpe_token_count(col("toks"), ms).as("n_tokens"))
+  }
+
+  /** The HOF-fold form [[tokenizeBpe]] replaced — kept (test-visible)
+    * as the executable spec of [[graftext.BpeTokenCount]]'s semantics:
+    * the equality test runs both on the real corpus + trained merges.
+    */
+  private[graft] def tokenizeBpeFold(docs: DataFrame, merges: Seq[BpeMerge]): DataFrame = {
+    val ms = merges.map(m => (m.p1, m.p2))
+    val toks = filter(TextOps.toksOf(docs), w => w =!= "")
     fanout(docs).select(col("doc_id"), col("source"), toks.as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_words"),

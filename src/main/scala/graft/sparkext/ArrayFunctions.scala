@@ -94,6 +94,10 @@ object ArrayFunctions {
   def md5_prefix_hashes(xs: Column): Column =
     ExpressionUtils.column(Md5PrefixHashes(ExpressionUtils.expression(xs)))
 
+  /** Column DSL entry for [[BpeTokenCount]]. */
+  def bpe_token_count(toks: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeTokenCount(ExpressionUtils.expression(toks), merges))
+
   /** Column DSL entry for [[WordShingleHashes]]. */
   def word_shingle_hashes(xs: Column, width: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(xs), width))
@@ -283,6 +287,46 @@ case class Md5PrefixHashes(child: Expression)
     defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.md5Prefix($xs)")
 
   override protected def withNewChildInternal(c: Expression): Md5PrefixHashes =
+    copy(child = c)
+}
+
+/** Total BPE token count of a word array after applying a learned merge
+  * table in training order — semantically identical to the per-word
+  * `aggregate(toks, 0L, (acc, w) -> acc + size(applyMerges(w)))` fold
+  * chain (8 nested `aggregate` HOFs, one per merge, each rebuilding the
+  * symbol array per character through interpreted lambdas), but as ONE
+  * flat kernel loop: decompose by code point, compact in place per
+  * merge, count. The merge table rides the expression as a reference
+  * object (tokenizer-vocab-sized, broadcast-scale — never a corpus
+  * join); both evaluation paths run [[HashKernels.bpeTokenCount]].
+  * This was the measured 10 s x32 floor under tokenize_bpe /
+  * pack_sequences_bpe / bpe_fertility / corpus_to_sequences_bpe.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  @transient private lazy val ma: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val mb: Array[String] = merges.map(_._2).toArray
+  @transient private lazy val mm: Array[String] =
+    merges.map(p => p._1 + p._2).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.bpeTokenCount(v.asInstanceOf[ArrayData], ma, mb, mm)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeMergeA", ma, "java.lang.String[]")
+    val bRef = ctx.addReferenceObj("bpeMergeB", mb, "java.lang.String[]")
+    val mRef = ctx.addReferenceObj("bpeMergeM", mm, "java.lang.String[]")
+    defineCodeGen(ctx, ev, xs =>
+      s"${ArrayFunctions.Kernels}.bpeTokenCount($xs, $aRef, $bRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeTokenCount =
     copy(child = c)
 }
 

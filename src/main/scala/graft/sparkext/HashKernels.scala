@@ -280,4 +280,64 @@ object HashKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Total BPE token count of a word array after applying `merges` in
+    * training order — the flat-loop kernel behind `bpe_token_count`,
+    * replacing a chain of per-merge `aggregate` HOFs that rebuilt the
+    * symbol array per character (interpreted lambdas + O(len²)
+    * concat/slice churn — the measured 10 s x32 floor under the BPE
+    * queries). Semantics are EXACTLY the fold's, per merge m greedy
+    * left-to-right over the output of merge m-1: if the last OUTPUT
+    * symbol equals a(m) and the next input symbol equals b(m), the last
+    * output symbol becomes merged(m); words decompose by CODE POINT
+    * (java.util.regex `split("")` semantics, which the HOF path used via
+    * Spark's StringSplit; the empty word decomposes to [""] there — the
+    * callers filter empties first, and this kernel mirrors the rule).
+    */
+  def bpeTokenCount(words: ArrayData, a: Array[String], b: Array[String],
+      merged: Array[String]): Long = {
+    var total = 0L
+    val nWords = words.numElements()
+    var w = 0
+    while (w < nWords) {
+      val s0 = words.getUTF8String(w)
+      val str = if (s0 == null) "" else s0.toString
+      var len = 0
+      var syms: Array[String] = null
+      if (str.isEmpty) {
+        // Pattern.split("", -1) on "" yields one empty element
+        syms = Array("")
+        len = 1
+      } else {
+        len = str.codePointCount(0, str.length)
+        syms = new Array[String](len)
+        var i = 0
+        var off = 0
+        while (i < len) {
+          val cp = str.codePointAt(off)
+          val n = Character.charCount(cp)
+          syms(i) = str.substring(off, off + n)
+          off += n
+          i += 1
+        }
+      }
+      var m = 0
+      while (m < a.length) {
+        val am = a(m); val bm = b(m); val mm = merged(m)
+        var out = 0
+        var i = 0
+        while (i < len) {
+          val x = syms(i)
+          if (out > 0 && syms(out - 1) == am && x == bm) syms(out - 1) = mm
+          else { syms(out) = x; out += 1 }
+          i += 1
+        }
+        len = out
+        m += 1
+      }
+      total += len
+      w += 1
+    }
+    total
+  }
 }

@@ -259,7 +259,7 @@ class PlanSpec extends SparkSuite {
     def collectSorted(name: String): Seq[String] =
       q(name).collect().map(_.toString).sorted.toSeq
     val generated = Seq("minhash_signature", "simhash_signature",
-      "doc_fingerprint").map(n => n -> collectSorted(n))
+      "doc_fingerprint", "tokenize_bpe").map(n => n -> collectSorted(n))
     val saved = Seq("spark.sql.codegen.wholeStage", "spark.sql.codegen.factoryMode")
       .map(k => k -> spark.conf.getOption(k))
     try {

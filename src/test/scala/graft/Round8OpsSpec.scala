@@ -112,6 +112,30 @@ class Round8OpsSpec extends SparkSuite {
     }
   }
 
+  test("bpe_token_count kernel ≡ the aggregate-HOF merge fold, real corpus + trained merges") {
+    import graft.ops.TokenizerOps
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = TokenizerOps.bpeTrain(docs, TokenizerOps.NumMerges)
+    assert(rows(TokenizerOps.tokenizeBpe(docs, merges)) ==
+      rows(TokenizerOps.tokenizeBpeFold(docs, merges)),
+      "kernel and fold disagree on trained merges")
+    // adversarial merge shapes: chained merges (a+b then ab+c), merges
+    // over multi-char symbols, a merge that never fires, unicode incl.
+    // an astral code point (code-point decomposition, not UTF-16 units)
+    val tricky = Seq(
+      (1L, "abc abcabc cab"), (2L, "aaaa aaa aa a"),
+      (3L, "ab ab ababab"), (4L, "xéz 😀ab 你好"),
+      (5L, ""), (6L, "zzz")
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val chained = Seq(TokenizerOps.BpeMerge("a", "b", 9),
+      TokenizerOps.BpeMerge("ab", "c", 5), TokenizerOps.BpeMerge("a", "a", 4),
+      TokenizerOps.BpeMerge("aa", "aa", 2), TokenizerOps.BpeMerge("q", "q", 1))
+    assert(rows(TokenizerOps.tokenizeBpe(tricky, chained)) ==
+      rows(TokenizerOps.tokenizeBpeFold(tricky, chained)),
+      "kernel and fold disagree on adversarial merges")
+  }
+
   test("2-probe graph edges are a superset-rank refinement: k per vector, no dup pairs") {
     val g2 = SimilarityOps.knnGraph2Probe(emb)
     val dups = g2.groupBy("vec_id", "neighbor_id").count()
