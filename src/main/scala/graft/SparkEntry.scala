@@ -353,6 +353,14 @@ object SparkEntry {
     "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(docsT(s, dir))),
     // top rung: Jelinek-Mercer interpolated trigram, all-integer micros
     "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluency(docsT(s, dir))),
+    // the published-smoothing rung: Kneser-Ney absolute discounting with
+    // continuation-count backoff (KenLM's family), exact integer micros
+    "quality_kn_fluency" -> ((s, dir) => PretrainOps.qualityKnFluency(docsT(s, dir))),
+    // DSIR hashed-bigram importance weights (target-vs-raw distribution
+    // ratio, bounded rational log surrogate)
+    "dsir_weight" -> ((s, dir) => PretrainOps.dsirWeight(docsT(s, dir))),
+    // cross-source contamination matrix: pairwise gram Jaccard/containment
+    "source_overlap" -> ((s, dir) => PretrainOps.sourceOverlap(docsT(s, dir))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -708,6 +716,9 @@ object SparkEntry {
     "unigram_commonness" -> PretrainOps.sqlUnigramCommonness,
     "quality_bigram_fluency" -> PretrainOps.sqlQualityBigramFluency,
     "quality_trigram_fluency" -> PretrainOps.sqlQualityTrigramFluency,
+    "quality_kn_fluency" -> PretrainOps.sqlQualityKnFluency,
+    "dsir_weight" -> PretrainOps.sqlDsirWeight,
+    "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

@@ -2608,4 +2608,285 @@ object PretrainOps {
        |    THEN CAST(factor_micro AS DOUBLE) / CAST(tot_factor AS DOUBLE)
        |  END AS weight
        |FROM g, tf""".stripMargin
+
+  // ---------------------------------------------------- quality_kn_fluency
+
+  /** Kneser–Ney smoothed bigram fluency — the smoothing the production
+    * n-gram rung actually ships (KenLM implements modified KN; Chen &
+    * Goodman 1998 is the canonical reference): absolute discounting of
+    * the bigram ML estimate, with the stolen mass backed off to the
+    * CONTINUATION unigram ("in how many distinct contexts does w2
+    * complete a bigram?") rather than the raw unigram — the fix for
+    * high-count-but-single-context words ("Francisco" is frequent but
+    * only ever follows "San", so its continuation probability is tiny).
+    * Sits beside [[qualityBigramFluency]] (raw ML) and
+    * [[qualityTrigramFluency]] (fixed-λ Jelinek–Mercer) as the third,
+    * published-form rung of the LM-quality ladder.
+    *
+    * With discount D = 3/4 (the canonical "count minus discount" choice;
+    * rational on purpose):
+    * {{{
+    *   P_KN(w2|w1) = max(c2 - D, 0)/c1  +  (D · N1+(w1·)/c1) · Pcont(w2)
+    *   Pcont(w2)   = N1+(·w2) / N1+(··)
+    * }}}
+    * where c2 = count(w1 w2), c1 = Σ_w c2(w1, w), N1+(w1·) = distinct
+    * continuations of w1, N1+(·w2) = distinct contexts of w2, N1+(··) =
+    * distinct bigram types. Multiplying through by 4 keeps every term
+    * integral: per occurrence,
+    * `p_micro = ((4·c2 − 3)·1e6) div (4·c1) + (3·n1f·pcont_micro) div (4·c1)`
+    * with `pcont_micro = (n1b·1e6) div n1_total` — exact integer
+    * arithmetic in both engines (the [[qualityBigramFluency]] micro
+    * discipline), longs summed per doc, one final double division.
+    * Overflow bound: n1f ≤ c1 and pcont ≤ 1e6, so the second numerator
+    * ≤ 3e6·c1 — same ~10¹² headroom note as the other fluency rungs.
+    * Docs with < 2 tokens have no bigrams and are absent (both engines).
+    *
+    * Scale shape: identical to [[qualityBigramFluency]] — bigrams zip
+    * IN-ROW; ALL four statistics tables (c2, prefix c1+N1+fwd, backward
+    * N1+, total types) derive from the ONE materialized bigram-type
+    * table, so the corpus pays a single gram aggregation; n1_total is a
+    * 1-row broadcast; the occurrence joins skew at the Zipf head (AQE
+    * skew-join territory, like every vocab join in this file).
+    */
+  def qualityKnFluency(docs: DataFrame): DataFrame = {
+    val toksC = TextOps.toksOf(docs)
+    val bi = fanout(docs).select(col("doc_id"),
+        explode_outer(zip_with(
+          slice(toksC, lit(1), size(toksC) - 1),
+          slice(toksC, lit(2), size(toksC) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cnt2 = DedupOps.materialize(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")), "kn_bigram_counts")
+    val pre = cnt2.groupBy("w1")
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val bwd = cnt2.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val tot = cnt2.agg(count(lit(1)).as("n1_total"))
+    bi.join(cnt2, Seq("w1", "w2")).join(pre, Seq("w1")).join(bwd, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        expr("((greatest(4 * c2 - 3, 0) * 1000000) div (4 * c1))" +
+          " + ((3 * n1f * ((n1b * 1000000) div n1_total)) div (4 * c1))")
+          .as("p_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_micro")).as("sum_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_micro"),
+        (col("sum_micro").cast("double") /
+          (col("n_bigrams").cast("double") * lit(QualityMicro))).as("fluency"))
+  }
+
+  def sqlQualityKnFluency: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+       |    unnest(list_slice(toks, 2, len(toks))) AS w2
+       |  FROM t WHERE len(toks) >= 2),
+       |cnt2 AS MATERIALIZED (
+       |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+       |pre AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, count(*) AS n1f
+       |        FROM cnt2 GROUP BY w1),
+       |bwd AS (SELECT w2, count(*) AS n1b FROM cnt2 GROUP BY w2),
+       |tot AS (SELECT count(*) AS n1_total FROM cnt2)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  CAST(sum(p_micro) AS BIGINT) AS sum_micro,
+       |  CAST(sum(p_micro) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * $QualityMicro) AS fluency
+       |FROM (
+       |  SELECT doc_id,
+       |    ((greatest(4 * c2 - 3, 0) * 1000000) // (4 * c1))
+       |     + ((3 * n1f * ((n1b * 1000000) // n1_total)) // (4 * c1)) AS p_micro
+       |  FROM bi JOIN cnt2 USING (w1, w2) JOIN pre USING (w1)
+       |  JOIN bwd USING (w2) CROSS JOIN tot)
+       |GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- dsir_weight
+
+  /** DSIR feature-space size (hashed-bigram buckets). The paper (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling") uses 10k buckets over unigrams+bigrams; 256 keeps every
+    * bucket populated on the synthetic corpus. Production swaps the
+    * constant — the plan is bucket-count-independent (the λ table stays a
+    * broadcast until B ~ 10⁸).
+    */
+  val DsirBuckets = 256L
+
+  /** The `lang` value whose documents act as the DSIR target corpus (the
+    * "high-quality exemplar" distribution — Wikipedia/books in the paper;
+    * the majority language here keeps the fixture's target well
+    * populated).
+    */
+  val DsirTargetLang = "en"
+
+  /** DSIR importance weights — hashed n-gram importance resampling (Xie
+    * et al. 2023): score every raw document by how much more likely its
+    * hashed-bigram features are under a TARGET distribution than under
+    * the raw corpus distribution, then resample/filter by weight. This is
+    * the principled replacement for binary quality classification when
+    * the goal is "make the kept data LOOK LIKE the target corpus"
+    * (the data-selection rung between heuristic gates and trained
+    * classifiers in a curation pipeline).
+    *
+    * Features: positional bigram hashes ([[TextOps.tokenHash]] via the
+    * `word_shingle_hashes` kernel, width 2) mod [[DsirBuckets]] —
+    * occurrences, not distinct grams (the paper's bag-of-ngrams).
+    * Bucket b's add-one-smoothed probabilities are
+    * `p_t = (ct+1)/(Tt+B)` (target = `lang = ` [[DsirTargetLang]]) and
+    * `p_r = (cr+1)/(Tr+B)` (raw = whole corpus). The per-bucket score is
+    * the BOUNDED RATIONAL log-ratio surrogate
+    * `λ = (p_t − p_r)/(p_t + p_r)` — monotone in the true ratio, the
+    * same fast-sigmoid discipline [[TextOps]]'s trainer uses to keep
+    * both engines exact-integer (no `ln` — engine libm rounding could
+    * flip a floor). Cross-multiplying clears every denominator:
+    * `λ_micro(b) = ((ct+1)·(Tr+B)·1e6) div den − 500000`, with
+    * `den = (ct+1)·(Tr+B) + (cr+1)·(Tt+B)` — all operands non-negative,
+    * so `div`/`//` agree. The doc's weight is the exact-long sum of its
+    * occurrences' λ_micro (production note: at ≳10⁹ occurrences per side
+    * the cross-products need 128-bit or a double λ table — at that scale
+    * the oracle-exactness constraint is gone and real `ln` drops in).
+    *
+    * Scale shape: the gram stream materializes ONCE and feeds all three
+    * consumers (target agg, raw agg, per-doc·bucket counts); both
+    * distribution aggs are B-row map-side-combined reductions; the λ
+    * table is a ≤B-row broadcast joined back to per-doc bucket counts
+    * (never to raw occurrences); one groupBy(doc) ends the plan. Docs
+    * with no grams are absent (like the fluency rungs).
+    */
+  def dsirWeight(docs: DataFrame): DataFrame = {
+    val g = DedupOps.materialize(
+      fanout(docs).select(col("doc_id"), col("lang"),
+          explode(word_shingle_hashes(TextOps.toksOf(docs), 2)).as("gh"))
+        .select(col("doc_id"), col("lang"),
+          (col("gh") % DsirBuckets).as("b")),
+      "dsir_grams")
+    val perDocB = g.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val cr = g.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("ct"))
+    val totals = g.agg(count(lit(1)).as("tr"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("tt"))
+    val lam = cr.crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr(s"(((ct + 1) * (tr + $DsirBuckets) * 1000000)" +
+          s" div ((ct + 1) * (tr + $DsirBuckets)" +
+          s" + (cr + 1) * (tt + $DsirBuckets))) - 500000").as("lam_micro"))
+    perDocB.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n")).as("n_grams"),
+        sum(col("n") * col("lam_micro")).as("weight_micro"))
+      .select(col("doc_id"), col("n_grams"), col("weight_micro"),
+        (col("weight_micro").cast("double") /
+          (col("n_grams").cast("double") * lit(QualityMicro))).as("weight"))
+  }
+
+  def sqlDsirWeight: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, lang, gh % $DsirBuckets AS b FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(${sqlGramHashesPositionalOver("toks", 2)}) AS gh
+       |    FROM t)),
+       |per_doc_b AS (
+       |  SELECT doc_id, b, count(*) AS n FROM g GROUP BY doc_id, b),
+       |cr AS (
+       |  SELECT b, count(*) AS cr,
+       |    count(CASE WHEN lang = '$DsirTargetLang' THEN 1 END) AS ct
+       |  FROM g GROUP BY b),
+       |tot AS (
+       |  SELECT count(*) AS tr,
+       |    count(CASE WHEN lang = '$DsirTargetLang' THEN 1 END) AS tt
+       |  FROM g),
+       |lam AS (
+       |  SELECT b,
+       |    (((ct + 1) * (tr + $DsirBuckets) * 1000000)
+       |     // ((ct + 1) * (tr + $DsirBuckets)
+       |        + (cr + 1) * (tt + $DsirBuckets))) - 500000 AS lam_micro
+       |  FROM cr CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+       |  CAST(sum(n * lam_micro) AS BIGINT) AS weight_micro,
+       |  CAST(sum(n * lam_micro) AS DOUBLE) /
+       |    (CAST(sum(n) AS DOUBLE) * $QualityMicro) AS weight
+       |FROM per_doc_b JOIN lam USING (b)
+       |GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------------------- source_overlap
+
+  /** Cross-source contamination matrix — pairwise distinct-gram overlap
+    * between every pair of corpus mixture components: Jaccard (symmetric
+    * near-duplication of the components) and containment
+    * (|A∩B| / min(|A|,|B|) — catches a small source that is a SUBSET of a
+    * big one, which Jaccard hides). The corpus-composition analog of
+    * [[decontaminate]]: where decontaminate asks "does training data leak
+    * the benchmark?", this asks "how much do my mixture components leak
+    * into EACH OTHER?" — double-counted mass across sources silently
+    * re-weights the mixture a sampler like [[sampleMixture]] thinks it
+    * set. Grams are the [[DecontamGram]]-word distinct shingle hashes
+    * (the decontamination vocabulary, deliberately shared).
+    *
+    * Output: one row per unordered source pair (s1 < s2), ZERO-overlap
+    * pairs included — the full C(S,2) matrix, so a downstream gate can
+    * assert "no pair above τ" without absent-row special-casing.
+    *
+    * Scale shape: the (source, gram) distinct table is one hash shuffle
+    * (grams of 100 TB ≈ signature bytes, the exact-dedup footprint, NOT
+    * text). Pair expansion groups by gram and expands IN-ROW from the
+    * sorted source set — bounded by S per gram, never a gram⋈gram
+    * self-join (the all-pairs trap); a gram shared by k sources costs
+    * k(k−1)/2 in-row rows, Zipf-bounded by S(S−1)/2. The S²-row matrix
+    * assembles from a broadcast of the S-row size table. S here is
+    * MIXTURE COMPONENTS (dozens–hundreds); per-DOMAIN overlap at web
+    * scale (millions of keys) goes through the minhash family instead —
+    * this operator's contract is the curated-mixture audit.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val gs = DedupOps.materialize(
+      fanout(docs).select(col("source"),
+          explode(decontamGramsOf(TextOps.toksOf(docs))).as("g"))
+        .distinct(),
+      "source_grams")
+    val sizes = gs.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = gs.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
+          struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val a = sizes.select(col("source").as("s1"), col("n").as("n_s1"))
+    val b = sizes.select(col("source").as("s2"), col("n").as("n_s2"))
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .select(col("s1"), col("s2"), col("n_s1"), col("n_s2"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_s1") + col("n_s2") - col("n_inter")).cast("double"))
+      .withColumn("containment", col("n_inter").cast("double") /
+        least(col("n_s1"), col("n_s2")).cast("double"))
+  }
+
+  def sqlSourceOverlap: String =
+    s"""WITH t AS (
+       |  SELECT source, ${sqlTokens("text")} AS toks FROM documents),
+       |gs AS MATERIALIZED (
+       |  SELECT DISTINCT source, g FROM (
+       |    SELECT source,
+       |      unnest(list_distinct(${sqlGramHashesPositionalOver("toks", DecontamGram)})) AS g
+       |    FROM t)),
+       |sizes AS (SELECT source, count(*) AS n FROM gs GROUP BY source),
+       |inter AS (
+       |  SELECT x.source AS s1, y.source AS s2, count(*) AS n_inter
+       |  FROM gs x JOIN gs y ON x.g = y.g AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT a.source AS s1, b.source AS s2,
+       |  a.n AS n_s1, b.n AS n_s2,
+       |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |    CAST(a.n + b.n - coalesce(i.n_inter, 0) AS DOUBLE) AS jaccard,
+       |  CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+       |    CAST(least(a.n, b.n) AS DOUBLE) AS containment
+       |FROM sizes a JOIN sizes b ON a.source < b.source
+       |LEFT JOIN inter i ON i.s1 = a.source AND i.s2 = b.source""".stripMargin
 }

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.PretrainOps
+
+/** Round-8 (cont.) curation operators: Kneser–Ney fluency, DSIR
+  * importance weights, and the cross-source overlap matrix — each checked
+  * against an INDEPENDENT plain-Scala reimplementation of the published
+  * contract on hand-built corpora (the oracle-twin discipline, but
+  * in-JVM), plus the behavioral properties that motivate the algorithm
+  * (continuation-count backoff, target-distribution sign, containment
+  * catching subset sources).
+  */
+class CurationR8Spec extends SparkSuite {
+
+  import spark.implicits._
+
+  // ---- naive twins of the shared hashing/tokenizing contracts --------
+
+  /** First-8-hex-digits-of-md5 token hash — [[graft.ops.TextOps.tokenHash]]
+    * recomputed from first principles.
+    */
+  private def h(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def toks(text: String): Vector[String] =
+    text.trim.toLowerCase.split("\\s+", -1).toVector
+
+  /** Positional word grams with the kernel's short-doc rule: a doc
+    * shorter than the window yields ONE whole-doc gram.
+    */
+  private def grams(ts: Vector[String], w: Int): Vector[String] = {
+    val n = math.max(ts.length - (w - 1), 1)
+    (0 until n).map(i => ts.slice(i, i + w).mkString(" ")).toVector
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ------------------------------------------------- quality_kn_fluency
+
+  /** Naive Kneser–Ney bigram per-doc (n_bigrams, sum_micro) with D=3/4 in
+    * the operator's exact integer arithmetic.
+    */
+  private def naiveKn(corpus: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+    val bis = corpus.map { case (id, t) =>
+      val ts = toks(t); id -> ts.zip(ts.drop(1))
+    }
+    val all = bis.flatMap(_._2)
+    val cnt2 = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = cnt2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val n1f = cnt2.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val n1b = cnt2.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val n1tot = cnt2.size.toLong
+    bis.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val sum = bs.map { b =>
+        val (w1, w2) = b
+        val (cc2, cc1) = (cnt2(b), c1(w1))
+        ((math.max(4 * cc2 - 3, 0) * 1000000L) / (4 * cc1)) +
+          ((3 * n1f(w1) * ((n1b(w2) * 1000000L) / n1tot)) / (4 * cc1))
+      }.sum
+      id -> (bs.size.toLong, sum)
+    }.toMap
+  }
+
+  test("quality_kn_fluency ≡ naive Kneser–Ney on a hand-built corpus") {
+    val corpus = Seq[(Long, String)](
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran to the mat",
+      3L -> "san francisco san francisco san francisco",
+      4L -> "a dog sat on a rug",
+      5L -> "zz",                      // 1 token → no bigrams → absent
+      6L -> "the dog sat on the rug and the cat sat too")
+    val got = PretrainOps.qualityKnFluency(docsDf(corpus))
+      .select("doc_id", "n_bigrams", "sum_micro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naiveKn(corpus))
+    assert(!got.contains(5L), "a 1-token doc must be absent")
+  }
+
+  test("KN continuation backoff: many-context words beat single-context words") {
+    // "b" completes bigrams after 4 distinct contexts; "f" has the same
+    // corpus frequency but only ever follows "s" (the San-Francisco
+    // shape). The two probe docs "q b" / "q f" are symmetric in every
+    // bigram statistic EXCEPT the continuation count — raw-ML bigram
+    // scoring (qualityBigramFluency) cannot tell them apart; KN must.
+    val corpus = Seq[(Long, String)](
+      1L -> "u b", 2L -> "v b", 3L -> "w b",
+      4L -> "s f s f s f",
+      10L -> "q b", 11L -> "q f")
+    val kn = PretrainOps.qualityKnFluency(docsDf(corpus))
+      .select("doc_id", "fluency").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kn(10L) > kn(11L),
+      s"KN must prefer the many-context continuation: ${kn(10L)} !> ${kn(11L)}")
+    val ml = PretrainOps.qualityBigramFluency(docsDf(corpus))
+      .select("doc_id", "fluency").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ml(10L) == ml(11L),
+      "raw ML bigram scoring is blind to the distinction by construction")
+  }
+
+  test("KN probabilities are a (sub-)distribution: per-occurrence p in (0, 1e6]") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val r = PretrainOps.qualityKnFluency(fixture)
+      .agg(min(col("sum_micro").cast("double") / col("n_bigrams")),
+        max(col("sum_micro").cast("double") / col("n_bigrams"))).head()
+    assert(r.getDouble(0) > 0.0 && r.getDouble(1) <= 1000000.0)
+  }
+
+  // ------------------------------------------------------- dsir_weight
+
+  /** Naive DSIR per-doc weight_micro with the operator's exact integers. */
+  private def naiveDsir(corpus: Seq[(Long, String, String)])
+      : Map[Long, (Long, Long)] = {
+    val b = PretrainOps.DsirBuckets
+    val occ = corpus.map { case (id, lang, t) =>
+      (id, lang, grams(toks(t), 2).map(g => h(g) % b))
+    }
+    val tr = occ.map(_._3.size.toLong).sum
+    val tt = occ.filter(_._2 == PretrainOps.DsirTargetLang)
+      .map(_._3.size.toLong).sum
+    val cr = occ.flatMap(_._3).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    val ct = occ.filter(_._2 == PretrainOps.DsirTargetLang).flatMap(_._3)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .withDefaultValue(0L)
+    def lam(bk: Long): Long = {
+      val num = (ct(bk) + 1) * (tr + b)
+      val den = num + (cr(bk) + 1) * (tt + b)
+      (num * 1000000L) / den - 500000L
+    }
+    occ.map { case (id, _, gs) =>
+      id -> (gs.size.toLong, gs.map(lam).sum)
+    }.toMap
+  }
+
+  test("dsir_weight ≡ naive DSIR on a hand-built bilingual corpus") {
+    val corpus = Seq[(Long, String, String)](
+      (1L, "en", "the market opened higher on tuesday"),
+      (2L, "en", "the market closed lower on friday"),
+      (3L, "en", "shares of the market rallied"),
+      (4L, "zh", "股市 周二 高开 上涨"),
+      (5L, "zh", "股市 周五 低开 下跌"),
+      (6L, "en", "单 token 外语 混入 the market"),
+      (7L, "en", "x"))                        // 1 token → 1 degenerate gram
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = PretrainOps.dsirWeight(df)
+      .select("doc_id", "n_grams", "weight_micro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == naiveDsir(corpus))
+  }
+
+  test("DSIR weights separate target-looking from non-target-looking docs") {
+    // target (en) text is drawn from one phrase family, zh from another:
+    // an en doc's buckets are target-heavy (λ > 0), a zh doc's are
+    // target-absent (λ < 0) — the importance-resampling contract.
+    val corpus = (1L to 8L).map(i => (i, "en", "aa bb aa bb aa")) ++
+      (9L to 16L).map(i => (i, "zh", "cc dd cc dd cc"))
+    val w = PretrainOps.dsirWeight(corpus.toDF("doc_id", "lang", "text"))
+      .select("doc_id", "weight").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (1L to 8L).foreach(i => assert(w(i) > 0.0, s"target doc $i: ${w(i)}"))
+    (9L to 16L).foreach(i => assert(w(i) < 0.0, s"raw-only doc $i: ${w(i)}"))
+  }
+
+  test("dsir_weight covers every doc with ≥1 token and sums grams right") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val out = PretrainOps.dsirWeight(fixture)
+    assert(out.count() == fixture.count(),
+      "every fixture doc tokenizes to ≥1 gram and must be scored")
+    // n_grams per doc = max(len-1, 1) — the kernel's short-doc rule
+    val bad = out.join(fixture, "doc_id")
+      .withColumn("exp",
+        greatest(size(split(trim(lower(col("text"))), "\\s+")) - 1, lit(1)))
+      .filter(col("n_grams") =!= col("exp").cast("long"))
+    assert(bad.isEmpty, "n_grams must equal the positional bigram count")
+  }
+
+  // ---------------------------------------------------- source_overlap
+
+  test("source_overlap ≡ naive set overlap, full matrix, subset containment") {
+    val corpus = Seq(
+      // A: two docs, three distinct 5-grams
+      ("srcA", "a b c d e f"),           // grams: "a b c d e", "b c d e f"
+      ("srcA", "p q r s t"),             // gram:  "p q r s t"
+      // B: identical to A's first doc → Jaccard 2/3, containment 1
+      ("srcB", "a b c d e f"),
+      // C: subset — one gram, contained in A → containment 1, Jaccard 1/3
+      ("srcC", "a b c d e"),
+      // D: disjoint
+      ("srcD", "zz yy xx ww vv"))
+    val df = corpus.zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, s, t) }
+      .toDF("doc_id", "source", "text")
+    val got = PretrainOps.sourceOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // full C(4,2) matrix, zero pairs included, s1 < s2
+    assert(got.size == 6)
+    assert(got.keySet.forall { case (a, b) => a < b })
+    // naive gram sets
+    val sets = corpus.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.flatMap(d => grams(toks(d._2), PretrainOps.DecontamGram)).toSet
+    }
+    for (((s1, s2), (n1, n2, ni, jac, cont)) <- got) {
+      val (g1, g2) = (sets(s1), sets(s2))
+      assert(n1 == g1.size && n2 == g2.size)
+      assert(ni == g1.intersect(g2).size.toLong, s"($s1,$s2)")
+      assert(math.abs(jac - ni.toDouble / (n1 + n2 - ni)) < 1e-12)
+      assert(math.abs(cont - ni.toDouble / math.min(n1, n2)) < 1e-12)
+    }
+    // the subset source is INVISIBLE to Jaccard but loud to containment
+    val (_, _, _, jacAC, contAC) = got(("srcA", "srcC"))
+    assert(contAC == 1.0 && jacAC < 0.5)
+    assert(got(("srcA", "srcD"))._3 == 0L, "disjoint pair present with 0")
+  }
+
+  test("source_overlap on the fixture: C(20,2) rows, bounds hold") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val out = PretrainOps.sourceOverlap(fixture).cache()
+    try {
+      assert(out.count() == 190L)
+      val r = out.agg(min("jaccard"), max("jaccard"), max("containment")).head()
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0 &&
+        r.getDouble(2) <= 1.0)
+      // symmetric-by-construction: every (s1, s2) has s1 < s2, no dupes
+      assert(out.select("s1", "s2").distinct().count() == 190L)
+    } finally { out.unpersist() }
+  }
+}

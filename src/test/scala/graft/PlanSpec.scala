@@ -467,4 +467,30 @@ class PlanSpec extends SparkSuite {
       "perplexity-bucket picked up a sort-merge join (incl. the score-build side)")
     assert(!pd.exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("round-8 (cont.): KN fluency / DSIR / source-overlap shapes") {
+    // quality_kn_fluency: all four statistics tables (c2, prefix, backward
+    // continuation, type total) derive from ONE materialized bigram agg —
+    // the corpus pays a single gram aggregation; n1_total broadcasts
+    val kn = q("quality_kn_fluency")
+    assert(exchanges(kn) <= 7, "quality_kn_fluency grew an extra shuffle")
+    assert(nodes(kn).exists(_.isInstanceOf[BroadcastExchangeExec]))
+    assert(!nodesDeep(kn).exists(_.isInstanceOf[CartesianProductExec]))
+    // dsir_weight: BOTH distribution aggs are B-row map-side-combined
+    // reductions and the λ table joins back as a broadcast to per-doc
+    // BUCKET COUNTS (never to raw gram occurrences)
+    val dw = q("dsir_weight")
+    assert(exchanges(dw) <= 5, "dsir_weight grew an extra shuffle")
+    assert(nodes(dw).count(_.isInstanceOf[BroadcastExchangeExec]) >= 2,
+      "dsir_weight must broadcast the totals AND the λ table")
+    assert(!nodesDeep(dw).exists(_.isInstanceOf[CartesianProductExec]))
+    // source_overlap: pair expansion is IN-ROW from each gram's sorted
+    // source set — a gram⋈gram self-join (the all-pairs trap) would show
+    // up as extra exchanges or a cartesian; the S²-matrix assembly rides
+    // a broadcast of the S-row size table
+    val so = q("source_overlap")
+    assert(exchanges(so) <= 6, "source_overlap grew an extra shuffle")
+    assert(nodes(so).exists(_.isInstanceOf[BroadcastExchangeExec]))
+    assert(!nodesDeep(so).exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
