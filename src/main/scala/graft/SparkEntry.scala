@@ -359,6 +359,8 @@ object SparkEntry {
     // DSIR hashed-bigram importance weights (target-vs-raw distribution
     // ratio, bounded rational log surrogate)
     "dsir_weight" -> ((s, dir) => PretrainOps.dsirWeight(docsT(s, dir))),
+    // the DSIR selection step: per-source top-N by importance weight
+    "dsir_resample" -> ((s, dir) => PretrainOps.dsirResample(docsT(s, dir))),
     // cross-source contamination matrix: pairwise gram Jaccard/containment
     "source_overlap" -> ((s, dir) => PretrainOps.sourceOverlap(docsT(s, dir))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
@@ -718,6 +720,7 @@ object SparkEntry {
     "quality_trigram_fluency" -> PretrainOps.sqlQualityTrigramFluency,
     "quality_kn_fluency" -> PretrainOps.sqlQualityKnFluency,
     "dsir_weight" -> PretrainOps.sqlDsirWeight,
+    "dsir_resample" -> PretrainOps.sqlDsirResample,
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,

@@ -2811,6 +2811,43 @@ object PretrainOps {
        |FROM per_doc_b JOIN lam USING (b)
        |GROUP BY doc_id""".stripMargin
 
+  /** Fixed per-source keep count for [[dsirResample]] — the fixture-scale
+    * stand-in for the paper's global sample budget; production sets it
+    * from the token budget per mixture component.
+    */
+  val DsirKeepPerSource = 10L
+
+  /** The DSIR SELECTION step — [[dsirWeight]] carried into the sampling
+    * family: keep the top-[[DsirKeepPerSource]] docs PER SOURCE by
+    * importance weight (ties broken by doc_id). Stratifying by source
+    * keeps the selection from collapsing onto one mixture component the
+    * target distribution happens to resemble — the same reason
+    * [[sampleReservoir]] strata by language — and keeps the rank window
+    * BOUNDED: row_number over (source) plans as WindowGroupLimit
+    * (per-map-task pre-limit before the exchange), never a global sort.
+    * The paper's global-budget form is this with one more
+    * sources-weighted allocation table on top.
+    */
+  def dsirResample(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+    dsirWeight(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("weight_micro"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= DsirKeepPerSource)
+  }
+
+  def sqlDsirResample: String =
+    s"""WITH dw AS ($sqlDsirWeight)
+       |SELECT doc_id, source, weight_micro, rk FROM (
+       |  SELECT dw.doc_id, d.source, dw.weight_micro,
+       |    CAST(row_number() OVER (PARTITION BY d.source
+       |      ORDER BY dw.weight_micro DESC, dw.doc_id) AS BIGINT) AS rk
+       |  FROM dw JOIN documents d ON d.doc_id = dw.doc_id)
+       |WHERE rk <= $DsirKeepPerSource""".stripMargin
+
   // -------------------------------------------------------- source_overlap
 
   /** Cross-source contamination matrix — pairwise distinct-gram overlap

@@ -181,6 +181,28 @@ class CurationR8Spec extends SparkSuite {
     assert(bad.isEmpty, "n_grams must equal the positional bigram count")
   }
 
+  test("dsir_resample keeps the per-source top-N by weight, ties by doc_id") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val sel = PretrainOps.dsirResample(fixture).cache()
+    try {
+      // every source contributes ≤ N rows, rk is 1..N dense per source
+      val per = sel.groupBy("source")
+        .agg(count(lit(1)).as("n"), max("rk").as("mx")).collect()
+      assert(per.forall(r => r.getLong(1) <= PretrainOps.DsirKeepPerSource &&
+        r.getLong(1) == r.getLong(2)))
+      // the kept set IS the argmax: no unkept doc of the same source may
+      // beat a kept doc's (weight, -doc_id) order
+      val w = PretrainOps.dsirWeight(fixture)
+        .join(fixture.select("doc_id", "source"), "doc_id")
+      val worstKept = sel.groupBy("source").agg(
+        min(struct(col("weight_micro"), -col("doc_id"))).as("floor"))
+      val unkept = w.join(sel.select("doc_id", "rk"), Seq("doc_id"), "left_anti")
+      val violations = unkept.join(worstKept, "source")
+        .filter(struct(col("weight_micro"), -col("doc_id")) > col("floor"))
+      assert(violations.isEmpty, "an unkept doc outranks a kept one")
+    } finally { sel.unpersist() }
+  }
+
   // ---------------------------------------------------- source_overlap
 
   test("source_overlap ≡ naive set overlap, full matrix, subset containment") {

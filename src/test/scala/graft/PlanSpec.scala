@@ -484,6 +484,12 @@ class PlanSpec extends SparkSuite {
     assert(nodes(dw).count(_.isInstanceOf[BroadcastExchangeExec]) >= 2,
       "dsir_weight must broadcast the totals AND the λ table")
     assert(!nodesDeep(dw).exists(_.isInstanceOf[CartesianProductExec]))
+    // dsir_resample: the per-source rank must pre-limit map-side
+    // (WindowGroupLimit) — a global sort here is the 100 TB killer
+    val dr = q("dsir_resample")
+    assert(dr.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      "dsir_resample lost the WindowGroupLimit pre-shuffle limit")
+    assert(!nodesDeep(dr).exists(_.isInstanceOf[CartesianProductExec]))
     // source_overlap: pair expansion is IN-ROW from each gram's sorted
     // source set — a gram⋈gram self-join (the all-pairs trap) would show
     // up as extra exchanges or a cartesian; the S²-matrix assembly rides
