@@ -363,6 +363,9 @@ object SparkEntry {
     "dsir_resample" -> ((s, dir) => PretrainOps.dsirResample(docsT(s, dir))),
     // cross-source contamination matrix: pairwise gram Jaccard/containment
     "source_overlap" -> ((s, dir) => PretrainOps.sourceOverlap(docsT(s, dir))),
+    // graph-based ANN: lock-step beam search over the knn_graph edges
+    "ann_graph_search" -> ((s, dir) =>
+      SimilarityOps.annGraphSearch(tbl(s, dir, "embeddings"))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -722,6 +725,7 @@ object SparkEntry {
     "dsir_weight" -> PretrainOps.sqlDsirWeight,
     "dsir_resample" -> PretrainOps.sqlDsirResample,
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
+    "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

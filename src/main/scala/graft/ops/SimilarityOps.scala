@@ -477,6 +477,190 @@ object SimilarityOps {
        |GROUP BY exact.query_id""".stripMargin
   }
 
+  // ----------------------------------------------------- ann_graph_search
+
+  /** Graph-search entry points (fixed, deterministic: the [[SearchSeeds]]
+    * smallest non-query vec_ids). Production NSW/HNSW picks arbitrary or
+    * hierarchical entry points; what matters is the walk, not the door.
+    */
+  val SearchSeeds = 4
+
+  /** Beam width (candidates kept per query per hop) and hop count. Small
+    * on the fixture; production tunes B up for recall (the ef-search
+    * dial) and H to the graph diameter (~log N for NSW-like graphs).
+    */
+  val BeamWidth = 8
+  val BeamHops = 2
+
+  /** Graph-based ANN: BEAM SEARCH over the [[knnGraph]] adjacency — the
+    * NSW/HNSW-family search loop (Malkov & Yashunin 2016), the production
+    * ANN default beside the IVF family. From fixed entry points, each hop
+    * expands the current beam through the graph's out-edges, scores every
+    * candidate by exact cosine against the query, and keeps the best
+    * [[BeamWidth]] per query; after [[BeamHops]] hops the top-k of the
+    * final beam is the answer. Recall comes from the graph's navigability
+    * rather than from partition coverage — the reason graph indexes beat
+    * IVF at high recall on big corpora.
+    *
+    * Batch-parallel shape (this is the ONE ANN family whose classic form
+    * is a sequential per-query walk; the Spark rendition walks ALL
+    * queries in lock-step): each hop is
+    * frontier(|Q|·B rows) ⋈ edges(k·N) on the candidate id, a DISTINCT
+    * on (query, candidate), a scoring join against the vector table, and
+    * a per-query WindowGroupLimit top-B — every step bounded, no
+    * per-query driver loop, hop count FIXED (the unrolled-loop
+    * discipline of [[PretrainOps]]'s BPE oracle). The frontier never
+    * exceeds |Q|·B·(k+1) rows, so a million queries ride the same plan.
+    * Dedup-before-rank is load-bearing: a candidate reached twice would
+    * occupy two beam slots and the engines would disagree on which dup
+    * ranks first.
+    *
+    * Determinism: ranking orders by (cos DESC, cand_id) — total order,
+    * NULL cosines (zero-norm vectors) last in both engines. Output is
+    * (query_id, neighbor_id, rank, cos_sim), rank ≤ k.
+    */
+  def annGraphSearch(emb: DataFrame, k: Int = KnnGraphK,
+      hops: Int = BeamHops, beam: Int = BeamWidth,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val edges = DedupOps.materialize(
+      knnGraph(emb, centroids = centroids).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst")),
+      "graph_search_edges")
+    graphBeamSearch(emb, edges, k, hops, beam)
+  }
+
+  /** The search loop over an ALREADY-BUILT edge list — shared by the
+    * in-memory face and the indexed face, so the two cannot diverge.
+    */
+  private def graphBeamSearch(emb: DataFrame, edges: DataFrame, k: Int,
+      hops: Int, beam: Int): DataFrame = {
+    require(hops >= 1, s"annGraphSearch: hops must be >= 1, got $hops")
+    require(beam >= k, s"annGraphSearch: beam $beam must cover k=$k")
+    val e = DedupOps.materialize(
+      withNorm(emb).select(col("vec_id"), col("emb_d"), col("norm")),
+      "graph_search_vectors")
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"),
+        col("emb_d").as("eq"), col("norm").as("nq"))
+    val seeds = e.filter(col("vec_id") >= NQueries)
+      .orderBy(col("vec_id")).limit(SearchSeeds)
+      .select(col("vec_id").as("cand_id"))
+    def score(frontier: DataFrame): DataFrame =
+      frontier.join(e, frontier("cand_id") === e("vec_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand_id"),
+          cosine(col("eq"), col("nq"), col("emb_d"), col("norm"))
+            .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    var beam0 = q.select(col("query_id")).crossJoin(broadcast(seeds))
+    for (_ <- 1 to hops) {
+      val expanded = beam0.select(col("query_id"), col("cand_id"))
+        .union(beam0.join(edges, beam0("cand_id") === edges("src"))
+          .select(col("query_id"), col("dst").as("cand_id")))
+        .filter(col("cand_id") =!= col("query_id"))
+        .distinct()
+      beam0 = score(expanded)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= beam)
+        .select(col("query_id"), col("cand_id"), col("cos_sim"))
+    }
+    beam0
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        col("rank"), col("cos_sim"))
+  }
+
+  /** [[annGraphSearch]] over the granularity-∝-N graph — the PRODUCTION
+    * default, exactly [[knnGraphAuto]]'s rule: the underlying edge build
+    * derives its centroid count from the corpus so the graph
+    * construction never hits the fixed-granularity quadratic trap; the
+    * search loop is unchanged (its cost is |Q|·beam·hops, independent of
+    * N once the graph exists).
+    */
+  def annGraphSearchAuto(emb: DataFrame, k: Int = KnnGraphK,
+      hops: Int = BeamHops, beam: Int = BeamWidth,
+      targetClusterSize: Int = KnnTargetClusterSize): DataFrame =
+    annGraphSearch(emb, k, hops, beam,
+      autoCentroidSet(knnAutoCentroidCount(emb.count(), targetClusterSize)))
+
+  /** Persist the k-NN graph as an INDEX artifact — the production split:
+    * the edge build (the expensive, corpus-sized pass) runs once and
+    * writes parquet; every later search amortizes it. Mirrors
+    * [[writeIvfIndex]]. Cold-composed vs indexed is measured in
+    * SCALING.md (the composed cold path at x32 pays the whole graph
+    * build + a cache stampede inside one job; the indexed search reads
+    * a 2-column edge list).
+    */
+  def writeKnnGraphIndex(emb: DataFrame, dir: String, k: Int = KnnGraphK,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): Unit =
+    knnGraph(emb, k, centroids)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+
+  /** Beam search over a persisted [[writeKnnGraphIndex]] graph. Results
+    * are identical to [[annGraphSearch]] over the same vectors+centroids
+    * — both run [[graphBeamSearch]]; parquet round-trips the edge ids
+    * exactly.
+    */
+  def annGraphSearchIndexed(spark: SparkSession, indexDir: String,
+      emb: DataFrame, k: Int = KnnGraphK, hops: Int = BeamHops,
+      beam: Int = BeamWidth): DataFrame =
+    graphBeamSearch(emb,
+      spark.read.parquet(indexDir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+      k, hops, beam)
+
+  /** DuckDB twin: the e/graph CTEs are [[sqlKnnGraph]]'s verbatim; the
+    * two hops unroll as expand→distinct→score→beam CTE pairs.
+    */
+  def sqlAnnGraphSearch: String = {
+    val qcos = sqlCosine("q.eq", "q.nq", "e.emb_d", "e.norm")
+    def hop(prev: String, x: String, f: String): String =
+      s"""$x AS (
+         |  SELECT DISTINCT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id FROM $prev
+         |    UNION ALL
+         |    SELECT p.query_id, g.dst AS cand_id
+         |    FROM $prev p JOIN g ON g.src = p.cand_id)
+         |  WHERE cand_id <> query_id),
+         |$f AS (
+         |  SELECT query_id, cand_id, cos_sim FROM (
+         |    SELECT x.query_id, x.cand_id, $qcos AS cos_sim,
+         |      CAST(row_number() OVER (PARTITION BY x.query_id
+         |        ORDER BY $qcos DESC, x.cand_id) AS BIGINT) AS rk
+         |    FROM $x x JOIN q ON q.query_id = x.query_id
+         |    JOIN e ON e.vec_id = x.cand_id)
+         |  WHERE rk <= $BeamWidth)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} DESC,
+       |          b.vec_id) AS BIGINT) AS rank
+       |    FROM e a JOIN e b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KnnGraphK),
+       |q AS (SELECT vec_id AS query_id, emb_d AS eq, norm AS nq
+       |      FROM e WHERE vec_id < $NQueries),
+       |seeds AS (SELECT vec_id AS cand_id FROM e WHERE vec_id >= $NQueries
+       |          ORDER BY vec_id LIMIT $SearchSeeds),
+       |f0 AS (SELECT query_id, cand_id FROM q CROSS JOIN seeds),
+       |${hop("f0", "x1", "f1")},
+       |${hop("f1", "x2", "f2")}
+       |SELECT query_id, cand_id AS neighbor_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, cand_id) AS BIGINT) AS rank,
+       |  cos_sim
+       |FROM f2
+       |QUALIFY rank <= $KnnGraphK""".stripMargin
+  }
+
   // ------------------------------------------------------- ann_ivf_probe
 
   /** IVF parameters: K coarse centroids, nProbe probed lists per query.

@@ -498,5 +498,13 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(so) <= 6, "source_overlap grew an extra shuffle")
     assert(nodes(so).exists(_.isInstanceOf[BroadcastExchangeExec]))
     assert(!nodesDeep(so).exists(_.isInstanceOf[CartesianProductExec]))
+    // ann_graph_search: every hop must prune the beam map-side
+    // (WindowGroupLimit) and the seed fan-out must stay a broadcast of
+    // the 4-row seed table — no CartesianProduct anywhere
+    val gs = q("ann_graph_search")
+    assert(gs.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      "ann_graph_search lost the per-hop WindowGroupLimit beam prune")
+    assert(!nodesDeep(gs).exists(_.isInstanceOf[CartesianProductExec]),
+      "ann_graph_search degraded to a cartesian")
   }
 }

@@ -58,6 +58,41 @@ class Round8OpsSpec extends SparkSuite {
       rows(DedupOps.dedupSemantic(emb)))
   }
 
+  test("annGraphSearchIndexed ≡ annGraphSearch over a persisted graph") {
+    val dir = java.nio.file.Files.createTempDirectory("knn_graph_idx").toString
+    SimilarityOps.writeKnnGraphIndex(emb, dir)
+    assert(rows(SimilarityOps.annGraphSearchIndexed(spark, dir, emb)) ==
+      rows(SimilarityOps.annGraphSearch(emb)))
+  }
+
+  test("annGraphSearch: valid beams, recall>0 and MONOTONE in hop count") {
+    import org.apache.spark.sql.functions._
+    val exact = SimilarityOps.annTopkBruteForce(emb)
+      .filter(col("rank") <= SimilarityOps.KnnGraphK)
+      .select("query_id", "neighbor_id").cache()
+    try {
+      val nExact = exact.count()
+      def recall(h: Int): Double = {
+        val g = SimilarityOps.annGraphSearch(emb, hops = h)
+        // contract: ranks dense 1..k per query, neighbor ≠ query
+        val per = g.groupBy("query_id")
+          .agg(count(lit(1)).as("n"), max("rank").as("mx")).collect()
+        assert(per.forall(r => r.getLong(1) <= SimilarityOps.KnnGraphK &&
+          r.getLong(1) == r.getLong(2)))
+        assert(g.filter(col("neighbor_id") === col("query_id")).isEmpty)
+        exact.join(g.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / nExact
+      }
+      // pointwise-better beams ⇒ recall can only grow with hops: each
+      // beam is the top-B of a superset of the previous beam, and a
+      // kept-over-exact swap would need a non-member with HIGHER cosine
+      // than a member — impossible against the global top-k
+      val (r1, r2, r3) = (recall(1), recall(2), recall(3))
+      assert(r2 >= r1 && r3 >= r2, s"recall not monotone: $r1 $r2 $r3")
+      assert(r3 > 0.0, "3-hop walk found nothing from the fixed seeds")
+    } finally { exact.unpersist() }
+  }
+
   test("broadcast-join arg-max assignment ≡ literal dot-array (K past the codegen cliff)") {
     // K=40 > LiteralCentroidMax → the join path runs; forcing the
     // literal path on the SAME centroids via conf must give identical
