@@ -2811,6 +2811,54 @@ object PretrainOps {
        |FROM per_doc_b JOIN lam USING (b)
        |GROUP BY doc_id""".stripMargin
 
+  /** The COMPLETE λ table (all [[DsirBuckets]] buckets, including
+    * corpus-absent ones at ct=cr=0) as a driver-side map — the artifact
+    * a "train batch-side, freeze, apply anywhere" deployment ships. The
+    * counting runs through the SAME Spark aggs as [[dsirWeight]] (≤B+1
+    * rows reach the driver — the ivfTrain driver-decides pattern); the λ
+    * arithmetic is the operator's exact integer formula, applied here to
+    * every bucket so an UNSEEN bucket in later data gets the smoothed
+    * ct=0/cr=0 score instead of a hole.
+    */
+  def dsirLambdaFull(docs: DataFrame): Map[Long, Long] = {
+    val g = fanout(docs).select(col("lang"),
+        explode(word_shingle_hashes(TextOps.toksOf(docs), 2)).as("gh"))
+      .select(col("lang"), (col("gh") % DsirBuckets).as("b"))
+    val rows = g.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("lang") === DsirTargetLang, 1)).as("ct")).collect()
+    val counts = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val tr = counts.values.map(_._1).sum
+    val tt = counts.values.map(_._2).sum
+    (0L until DsirBuckets).map { b =>
+      val (cr, ct) = counts.getOrElse(b, (0L, 0L))
+      val num = (ct + 1) * (tr + DsirBuckets)
+      val den = num + (cr + 1) * (tt + DsirBuckets)
+      b -> ((num * 1000000L) / den - 500000L)
+    }.toMap
+  }
+
+  /** [[dsirWeight]] with a FROZEN λ table — the apply-only face: with λ
+    * as a literal map, the whole score is an IN-ROW fold (gram hashes →
+    * bucket → λ lookup → exact-long sum), a zero-shuffle narrow
+    * projection exactly like [[TextOps.qualityLinearScoreWith]]. This is
+    * the plan both the scoring side of a frozen-model batch sweep and
+    * the streaming face ([[graft.stream.ScoreStream]]) run; against the
+    * training corpus itself it is spec-equal to [[dsirWeight]].
+    */
+  def dsirWeightWith(docs: DataFrame, lamMicro: Map[Long, Long]): DataFrame = {
+    require(lamMicro.keySet == (0L until DsirBuckets).toSet,
+      s"dsirWeightWith needs the full $DsirBuckets-bucket λ table " +
+        "(dsirLambdaFull) — a partial map would null unseen buckets")
+    val hs = word_shingle_hashes(TextOps.toksOf(docs), 2)
+    docs.select(col("doc_id"),
+        size(hs).cast("long").as("n_grams"),
+        aggregate(transform(hs, gh =>
+            element_at(typedlit(lamMicro), gh % lit(DsirBuckets))),
+          lit(0L), (a, x) => a + x).as("weight_micro"))
+      .withColumn("weight", col("weight_micro").cast("double") /
+        (col("n_grams").cast("double") * lit(QualityMicro)))
+  }
+
   /** Fixed per-source keep count for [[dsirResample]] — the fixture-scale
     * stand-in for the paper's global sample budget; production sets it
     * from the token budget per mixture component.
