@@ -366,6 +366,8 @@ object SparkEntry {
     // graph-based ANN: lock-step beam search over the knn_graph edges
     "ann_graph_search" -> ((s, dir) =>
       SimilarityOps.annGraphSearch(tbl(s, dir, "embeddings"))),
+    // Unicode NFC hygiene pass (codegen'd kernel; DuckDB nfc_normalize twin)
+    "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -726,6 +728,7 @@ object SparkEntry {
     "dsir_resample" -> PretrainOps.sqlDsirResample,
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
+    "text_normalize" -> TextOps.sqlTextNormalize,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

@@ -523,6 +523,34 @@ object TextOps {
        |        ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // ------------------------------------------------------- text_normalize
+
+  /** Unicode NFC normalization — the hygiene pass ahead of every
+    * hash-based operator in this library: "é" as precomposed U+00E9 and
+    * as e+COMBINING ACUTE are byte-different, so without this pass the
+    * same visible text fingerprints, dedups, shingles, and tokenizes as
+    * DIFFERENT content (md5 hashes see bytes). One codegen'd kernel
+    * expression ([[graft.sparkext]] `nfc_normalize`, UAX #15 via
+    * java.text.Normalizer with an already-normalized fast path that
+    * returns the input buffer untouched); DuckDB's `nfc_normalize` twins
+    * it — both engines implement the same Unicode algorithm. Zero
+    * shuffles; `was_nfc` reports how much of the corpus actually needed
+    * work (real corpora: almost none — the fast path is the operator).
+    */
+  def textNormalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        org.apache.spark.sql.graftext.ArrayFunctions
+          .nfc_normalize(col("text")).as("normalized"))
+      .select(col("doc_id"), col("normalized"),
+        (col("text") === col("normalized")).as("was_nfc"),
+        length(col("normalized")).cast("long").as("n_chars"))
+
+  def sqlTextNormalize: String =
+    s"""SELECT doc_id, normalized, text = normalized AS was_nfc,
+       |  CAST(length(normalized) AS BIGINT) AS n_chars
+       |FROM (SELECT doc_id, text, nfc_normalize(text) AS normalized
+       |      FROM documents)""".stripMargin
+
   // ----------------------------------------------------------- text_scrub
 
   /** PII/URL scrubbing — the standard pre-training redaction pass:

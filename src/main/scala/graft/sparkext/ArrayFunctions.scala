@@ -106,6 +106,10 @@ object ArrayFunctions {
   def char_gram_hashes(text: Column, width: Int): Column =
     ExpressionUtils.column(CharGramHashes(ExpressionUtils.expression(text), width))
 
+  /** Column DSL entry for [[NfcNormalize]]. */
+  def nfc_normalize(text: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
+
   /** Column DSL entry for [[RollingFingerprint]]. */
   def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
@@ -380,6 +384,32 @@ case class CharGramHashes(child: Expression, width: Int)
     defineCodeGen(ctx, ev, s => s"${ArrayFunctions.Kernels}.charGram($s, $width)")
 
   override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) — the text
+  * hygiene preamble every multilingual curation pipeline runs before
+  * tokenizing/hashing: "é" as U+00E9 and as e+U+0301 must fingerprint,
+  * dedup, and tokenize identically. [[HashKernels.nfcNormalize]] on both
+  * evaluation paths (already-NFC rows return the input UTF8String
+  * untouched); DuckDB's `nfc_normalize` is the oracle twin — both
+  * implement the same Unicode algorithm.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.nfcNormalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"${ArrayFunctions.Kernels}.nfcNormalize($s)")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
 }
 

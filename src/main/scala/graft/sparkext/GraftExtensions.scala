@@ -79,6 +79,8 @@ object GraftExtensions {
       val a = arity(args, 2, "char_gram_hashes", "text, width")
       CharGramHashes(a(0), intArg(a(1), "char_gram_hashes"))
     }),
+    "nfc_normalize" -> (args =>
+      NfcNormalize(arity(args, 1, "nfc_normalize", "text").head)),
     "rolling_fingerprint" -> (args => {
       val a = arity(args, 4, "rolling_fingerprint", "longArr, width, mult, mod")
       RollingFingerprint(a(0),

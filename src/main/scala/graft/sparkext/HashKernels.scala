@@ -340,4 +340,18 @@ object HashKernels {
     }
     total
   }
+
+  /** Unicode NFC normalization (canonical composition, UAX #15) with the
+    * already-normalized fast path: `Normalizer.isNormalized` is a scan
+    * with no composition work, and real corpus text is overwhelmingly
+    * NFC already — so most rows pay one decode + scan and return the
+    * input UTF8String unchanged (keeping its zero-copy backing); only
+    * denormalized rows pay the actual normalization and re-encode.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }

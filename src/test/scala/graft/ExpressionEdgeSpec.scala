@@ -22,6 +22,34 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(withNull.collect().forall(_.isNullAt(0)))
   }
 
+  test("nfc_normalize: composes combining marks, identity on NFC, null-safe") {
+    // e + COMBINING ACUTE (2 codepoints) must become precomposed U+00E9;
+    // Hangul jamo compose to the syllable; NFC text passes unchanged.
+    // All non-ASCII spelled as escapes so no editor can re-normalize them.
+    val df = Seq(
+      (1L, "cafe\u0301"),
+      (2L, "caf\u00e9"),
+      (3L, "\u1100\u1161"),
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select($"id", nfc_normalize($"t")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(got(1L) == "caf\u00e9" && got(1L).asInstanceOf[String].length == 4)
+    assert(got(2L) == "caf\u00e9")
+    assert(got(3L) == "\uac00")
+    assert(got(4L) == "")
+    assert(got(5L) == null)
+    // the per-doc operator flags exactly the denormalized rows
+    val op = graft.ops.TextOps.textNormalize(
+      df.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getBoolean(2)))
+      .toMap
+    assert(op == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> null))
+  }
+
   test("dot_product: dimension mismatch fails LOUD; empty·empty → 0.0") {
     // silently truncating to the common prefix would emit
     // plausible-looking cosine scores for corrupted embeddings

@@ -26,6 +26,11 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(row.getLong(3) == 133L)
     assert(row.getSeq[Long](4) == Seq(133L, 265L))
     assert(row.getSeq[Long](5) == Seq(1L, 2L, 5L))
+    // NFC: SQL face composes e+COMBINING ACUTE to U+00E9
+    // (inputs spelled as escapes so no editor can pre-normalize them)
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301') AS t")
+      .head().getString(0)
+    assert(nfc == "caf\u00e9")
   }
 
   test("SQL pq_dist_tables: default codebook, agrees with the kernel directly") {
