@@ -368,6 +368,8 @@ object SparkEntry {
       SimilarityOps.annGraphSearch(tbl(s, dir, "embeddings"))),
     // Unicode NFC hygiene pass (codegen'd kernel; DuckDB nfc_normalize twin)
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
+    // embedding-space drift monitor: per-dim mean delta between splits
+    "embed_drift" -> ((s, dir) => PretrainOps.embedDrift(tbl(s, dir, "embeddings"))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -729,6 +731,7 @@ object SparkEntry {
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
     "text_normalize" -> TextOps.sqlTextNormalize,
+    "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

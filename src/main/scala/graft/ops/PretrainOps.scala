@@ -2335,6 +2335,93 @@ object PretrainOps {
        |  SELECT vec_id, norm, emb_d, unnest(range(1, len(emb_d) + 1)) AS i
        |  FROM e WHERE norm <> 0)""".stripMargin
 
+  // --------------------------------------------------------- embed_drift
+
+  /** Per-dimension drift flag threshold (micros): |Δmean| above this
+    * marks the dimension drifted. 0.05 in unit terms — wide enough that
+    * the sf0.001 fixture's 250-per-split sampling noise (measured up to
+    * ~0.032) stays quiet while a real shift trips it. Production sets
+    * this from the split sizes (|Δ| > z·σ·√(2/n), the two-sample bound)
+    * rather than a constant; the operator's shape is
+    * threshold-independent.
+    */
+  val DriftThresholdMicro = 50000L
+
+  /** Embedding distribution DRIFT monitor — the ML-ops check between a
+    * reference corpus and an incoming batch (yesterday's embeddings vs
+    * today's crawl, or pre/post encoder upgrade): per dimension, the
+    * mean under each split and their delta, flagged against
+    * [[DriftThresholdMicro]]. Upstream encoder drift silently poisons
+    * every cosine-threshold operator in this library (semantic dedup,
+    * ANN recall, cluster assignments all assume one embedding space) —
+    * this is the gate that catches it before they run. The split here is
+    * the content-free `vec_id % 2` stand-in (the [[splitAssign]] rule);
+    * production passes two real snapshots through the same plan.
+    *
+    * Exactness: each element micro-quantizes (floor(x·1e6 + 0.5), the
+    * [[domainStats]] discipline) BEFORE the sum — a distributed double
+    * sum depends on partition order and would hash-mismatch the oracle —
+    * and the mean is INTEGER division of exact longs. Scale shape: one
+    * posexplode → ONE (dim)-keyed map-side-combined agg with conditional
+    * sums — D output rows at any corpus size; the narrow fan-out rides
+    * the scan like every embed_* op.
+    */
+  def embedDrift(emb: DataFrame): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    fanout(emb).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(d))
+      .select((col("vec_id") % 2 === 0).as("is_ref"),
+        col("pos").cast("long").as("dim_idx"),
+        floor(col("col") * lit(QualityMicro) + lit(0.5)).cast("long")
+          .as("m"))
+      // null ELEMENTS drop (the embed_outlier discipline): counting a
+      // row whose value the sum skips would shift the mean
+      .filter(col("m").isNotNull)
+      .groupBy("dim_idx")
+      .agg(
+        count(when(col("is_ref"), 1)).as("n_ref"),
+        count(when(!col("is_ref"), 1)).as("n_new"),
+        sum(when(col("is_ref"), col("m")).otherwise(0L)).as("s_ref"),
+        sum(when(!col("is_ref"), col("m")).otherwise(0L)).as("s_new"))
+      // an empty split keeps NULL means (ANSI div-by-zero would kill the
+      // job on a corpus whose ids are all one parity)
+      .select(col("dim_idx"), col("n_ref"), col("n_new"),
+        expr("CASE WHEN n_ref > 0 THEN s_ref div n_ref END")
+          .as("mean_ref_micro"),
+        expr("CASE WHEN n_new > 0 THEN s_new div n_new END")
+          .as("mean_new_micro"))
+      .withColumn("delta_micro",
+        col("mean_new_micro") - col("mean_ref_micro"))
+      .withColumn("drifted", abs(col("delta_micro")) > DriftThresholdMicro)
+  }
+
+  def sqlEmbedDrift: String =
+    s"""SELECT dim_idx, n_ref, n_new,
+       |  mean_ref_micro, mean_new_micro,
+       |  mean_new_micro - mean_ref_micro AS delta_micro,
+       |  abs(mean_new_micro - mean_ref_micro) > $DriftThresholdMicro
+       |    AS drifted
+       |FROM (
+       |  SELECT dim_idx, n_ref, n_new,
+       |    CASE WHEN n_ref > 0 THEN s_ref // n_ref END AS mean_ref_micro,
+       |    CASE WHEN n_new > 0 THEN s_new // n_new END AS mean_new_micro
+       |  FROM (
+       |    SELECT dim_idx,
+       |      count(CASE WHEN is_ref THEN 1 END) AS n_ref,
+       |      count(CASE WHEN NOT is_ref THEN 1 END) AS n_new,
+       |      CAST(sum(CASE WHEN is_ref THEN m ELSE 0 END) AS BIGINT) AS s_ref,
+       |      CAST(sum(CASE WHEN NOT is_ref THEN m ELSE 0 END) AS BIGINT) AS s_new
+       |    FROM (
+       |      SELECT vec_id % 2 = 0 AS is_ref,
+       |        CAST(i - 1 AS BIGINT) AS dim_idx,
+       |        CAST(floor(CAST(embedding[i] AS DOUBLE) * $QualityMicro + 0.5)
+       |          AS BIGINT) AS m
+       |      FROM (SELECT vec_id, embedding,
+       |              unnest(range(1, len(embedding) + 1)) AS i
+       |            FROM embeddings WHERE embedding IS NOT NULL))
+       |    WHERE m IS NOT NULL
+       |    GROUP BY dim_idx))""".stripMargin
+
   // ------------------------------------------------------- embed_quantize
 
   /** Symmetric int8 quantization: scale = 127/max|x|, q_i = ⌊x_i·scale +

@@ -529,11 +529,32 @@ object SimilarityOps {
     graphBeamSearch(emb, edges, k, hops, beam)
   }
 
+  /** [[annGraphSearch]] with HIERARCHICAL entry points — the HNSW
+    * upper-layer idea in its one-level form: instead of arbitrary fixed
+    * seeds, the walk enters at each cluster's best PROTOTYPE (the
+    * [[clusterSample]] n=1 representative — the vector most central to
+    * its coarse cell), so hop 0 already spans the whole space and the
+    * beam's first prune lands the walk in the query's own region. At
+    * production K the prototype table is still tiny (K rows); for K in
+    * the millions, recurse — prototypes of prototype-clusters — which is
+    * exactly HNSW's layer stack.
+    */
+  def annGraphSearchHier(emb: DataFrame, k: Int = KnnGraphK,
+      hops: Int = BeamHops, beam: Int = BeamWidth): DataFrame = {
+    val edges = DedupOps.materialize(
+      knnGraph(emb).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst")),
+      "graph_search_edges")
+    graphBeamSearch(emb, edges, k, hops, beam,
+      Some(clusterSample(emb, 1).select(col("vec_id").as("cand_id"))))
+  }
+
   /** The search loop over an ALREADY-BUILT edge list — shared by the
     * in-memory face and the indexed face, so the two cannot diverge.
     */
   private def graphBeamSearch(emb: DataFrame, edges: DataFrame, k: Int,
-      hops: Int, beam: Int): DataFrame = {
+      hops: Int, beam: Int,
+      seedsOpt: Option[DataFrame] = None): DataFrame = {
     require(hops >= 1, s"annGraphSearch: hops must be >= 1, got $hops")
     require(beam >= k, s"annGraphSearch: beam $beam must cover k=$k")
     val e = DedupOps.materialize(
@@ -542,9 +563,10 @@ object SimilarityOps {
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("query_id"),
         col("emb_d").as("eq"), col("norm").as("nq"))
-    val seeds = e.filter(col("vec_id") >= NQueries)
-      .orderBy(col("vec_id")).limit(SearchSeeds)
-      .select(col("vec_id").as("cand_id"))
+    val seeds = seedsOpt.getOrElse(
+      e.filter(col("vec_id") >= NQueries)
+        .orderBy(col("vec_id")).limit(SearchSeeds)
+        .select(col("vec_id").as("cand_id")))
     def score(frontier: DataFrame): DataFrame =
       frontier.join(e, frontier("cand_id") === e("vec_id"))
         .join(broadcast(q), Seq("query_id"))

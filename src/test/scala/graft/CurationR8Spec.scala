@@ -203,6 +203,32 @@ class CurationR8Spec extends SparkSuite {
     } finally { sel.unpersist() }
   }
 
+  // ------------------------------------------------------- embed_drift
+
+  test("embed_drift flags a planted per-dimension shift, not the null split") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // same-distribution halves of the fixture: nothing should drift
+    val base = PretrainOps.embedDrift(emb)
+    assert(base.count() == 64)
+    assert(base.filter(col("drifted")).isEmpty,
+      "parity halves of one corpus must not read as drifted")
+    // plant a +0.5 shift in dim 3 of the ODD (incoming) split
+    val shifted = emb.select(col("vec_id"), col("label"),
+      when(col("vec_id") % 2 === 1,
+        transform(col("embedding"), (x, i) =>
+          when(i === 3, x + lit(0.5f)).otherwise(x)))
+        .otherwise(col("embedding")).as("embedding"))
+    val drifted = PretrainOps.embedDrift(shifted)
+      .filter(col("drifted")).select("dim_idx")
+      .collect().map(_.getLong(0)).toSeq
+    assert(drifted == Seq(3L), s"expected exactly dim 3, got $drifted")
+    // the delta is the planted shift (±quantization)
+    val d = PretrainOps.embedDrift(shifted)
+      .filter(col("dim_idx") === 3).head().getAs[Long]("delta_micro")
+    // float32 addition of 0.5 carries per-element rounding: allow ~1%%
+    assert(math.abs(d - 500000L) < 5000, s"delta $d")
+  }
+
   // ---------------------------------------------------- source_overlap
 
   test("source_overlap ≡ naive set overlap, full matrix, subset containment") {

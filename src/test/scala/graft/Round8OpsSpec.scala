@@ -65,6 +65,31 @@ class Round8OpsSpec extends SparkSuite {
       rows(SimilarityOps.annGraphSearch(emb)))
   }
 
+  test("annGraphSearchHier: prototype entry points never lose to arbitrary seeds") {
+    import org.apache.spark.sql.functions._
+    val exact = SimilarityOps.annTopkBruteForce(emb)
+      .filter(col("rank") <= SimilarityOps.KnnGraphK)
+      .select("query_id", "neighbor_id").cache()
+    try {
+      val n = exact.count()
+      def recallOf(g: org.apache.spark.sql.DataFrame): Double =
+        exact.join(g.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / n
+      // all-deterministic, so this is an exact regression pin, not a
+      // statistical claim: at the tight hop budget the cluster-prototype
+      // entry layer must do at least as well as the arbitrary fixed seeds
+      val hier = recallOf(SimilarityOps.annGraphSearchHier(emb, hops = 2))
+      val fixed = recallOf(SimilarityOps.annGraphSearch(emb, hops = 2))
+      assert(hier >= fixed, s"hier $hier < fixed $fixed")
+      // contract: dense ranks ≤ k per query
+      val g = SimilarityOps.annGraphSearchHier(emb)
+      val per = g.groupBy("query_id")
+        .agg(count(lit(1)).as("c"), max("rank").as("mx")).collect()
+      assert(per.forall(r => r.getLong(1) <= SimilarityOps.KnnGraphK &&
+        r.getLong(1) == r.getLong(2)))
+    } finally { exact.unpersist() }
+  }
+
   test("annGraphSearch: valid beams, recall>0 and MONOTONE in hop count") {
     import org.apache.spark.sql.functions._
     val exact = SimilarityOps.annTopkBruteForce(emb)
