@@ -370,6 +370,8 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     // embedding-space drift monitor: per-dim mean delta between splits
     "embed_drift" -> ((s, dir) => PretrainOps.embedDrift(tbl(s, dir, "embeddings"))),
+    // char-trigram profile language ID (textcat family), self-evaluating
+    "lang_id_ngram" -> ((s, dir) => TextOps.langIdNgram(tbl(s, dir, "documents"))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -732,6 +734,7 @@ object SparkEntry {
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
+    "lang_id_ngram" -> TextOps.sqlLangIdNgram,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

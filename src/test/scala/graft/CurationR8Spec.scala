@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.PretrainOps
+import graft.ops.{PretrainOps, TextOps}
 
 /** Round-8 (cont.) curation operators: Kneser–Ney fluency, DSIR
   * importance weights, and the cross-source overlap matrix — each checked
@@ -201,6 +201,35 @@ class CurationR8Spec extends SparkSuite {
         .filter(struct(col("weight_micro"), -col("doc_id")) > col("floor"))
       assert(violations.isEmpty, "an unkept doc outranks a kept one")
     } finally { sel.unpersist() }
+  }
+
+  // ------------------------------------------------------ lang_id_ngram
+
+  test("langIdNgram: perfect separation on distinct vocabularies; chance on the signal-free fixture") {
+    // three languages with genuinely distinct character distributions
+    val corpus = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "en", "a quiet morning with tea and the daily paper on the porch"),
+      (3L, "en", "rain fell on the quiet town through the long afternoon"),
+      (4L, "de", "der schnelle braune fuchs springt über den faulen hund hinweg"),
+      (5L, "de", "ein ruhiger morgen mit tee und der täglichen zeitung draußen"),
+      (6L, "de", "über den dächern der stadt zog langsam der nebel auf"),
+      (7L, "zh", "敏捷的棕色狐狸跳过了那只懒惰的狗然后跑远了"),
+      (8L, "zh", "清晨安静的小镇上飘着茶香和报纸的味道"),
+      (9L, "zh", "雨水落在安静的小镇上整个下午都没有停")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.langIdNgram(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(4))).toMap
+    assert(out.size == 9)
+    assert(out.values.forall(_._2),
+      s"distinct vocabularies must classify perfectly: $out")
+    // the fixture's text is label-independent by construction — the
+    // audit honestly reads ~chance there, and must NOT read high (a
+    // high score on signal-free content would mean label leakage)
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val acc = TextOps.langIdNgram(fixture)
+      .agg(avg(col("correct").cast("double"))).head().getDouble(0)
+    assert(acc < 0.5, s"label leakage? accuracy $acc on signal-free text")
   }
 
   // ------------------------------------------------------- embed_drift
