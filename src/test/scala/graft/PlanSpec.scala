@@ -506,5 +506,18 @@ class PlanSpec extends SparkSuite {
       "ann_graph_search lost the per-hop WindowGroupLimit beam prune")
     assert(!nodesDeep(gs).exists(_.isInstanceOf[CartesianProductExec]),
       "ann_graph_search degraded to a cartesian")
+    // embed_drift: one dim-keyed agg — a second exchange would mean the
+    // monitor started shuffling per-element rows somewhere
+    assert(exchanges(q("embed_drift")) <= 2,
+      "embed_drift must stay fanout + one dim-keyed agg")
+    // lang_id_ngram: per-doc gram dedup must stay IN-ROW (the
+    // sorted_distinct explode) — the profile top-K is a WindowGroupLimit
+    // and the hit join a broadcast; no cartesian anywhere
+    val li = q("lang_id_ngram")
+    assert(li.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"),
+      "lang_id_ngram lost the per-language WindowGroupLimit top-K")
+    assert(nodes(li).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "lang_id_ngram profile join lost its broadcast")
+    assert(!nodesDeep(li).exists(_.isInstanceOf[CartesianProductExec]))
   }
 }
