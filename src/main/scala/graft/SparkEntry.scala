@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, TextOps, TokenizerOps}
+import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -372,6 +372,16 @@ object SparkEntry {
     "embed_drift" -> ((s, dir) => PretrainOps.embedDrift(tbl(s, dir, "embeddings"))),
     // char-trigram profile language ID (textcat family), self-evaluating
     "lang_id_ngram" -> ((s, dir) => TextOps.langIdNgram(tbl(s, dir, "documents"))),
+    // corpus suffix array via distributed prefix doubling (ExactSubstr
+    // base). The KEY builds shard 0 of a 10-shard build — production
+    // ExactSubstr builds per-shard arrays and merges, and the shard keeps
+    // the log-round sort cost off the sweep's interactive budget; the
+    // full-corpus face is the same call without the filter.
+    "suffix_array" -> ((s, dir) => SuffixOps.suffixArray(
+      tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0))),
+    // longest repeated substring via adjacent-SA capped LCP (same shard)
+    "sa_longest_repeat" -> ((s, dir) => SuffixOps.saLongestRepeat(
+      tbl(s, dir, "documents").filter(col("doc_id") % 10 === 0))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -735,6 +745,8 @@ object SparkEntry {
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,
+    "suffix_array" -> SuffixOps.sqlSuffixArray,
+    "sa_longest_repeat" -> SuffixOps.sqlSaLongestRepeat,
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,

@@ -110,6 +110,11 @@ object ArrayFunctions {
   def nfc_normalize(text: Column): Column =
     ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(text)))
 
+  /** Column DSL entry for [[CommonPrefixLen]]. */
+  def common_prefix_len(a: Column, b: Column): Column =
+    ExpressionUtils.column(CommonPrefixLen(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Column DSL entry for [[RollingFingerprint]]. */
   def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
@@ -411,6 +416,34 @@ case class NfcNormalize(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
     copy(child = c)
+}
+
+/** Common-prefix length in codepoints ([[HashKernels.commonPrefixLen]]
+  * on both evaluation paths) — the LCP primitive of the suffix-array
+  * consumers; callers bound the cost by passing capped substring
+  * windows.
+  */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "common_prefix_len"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    HashKernels.commonPrefixLen(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"${ArrayFunctions.Kernels}.commonPrefixLen($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CommonPrefixLen =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Sorted distinct long array in one pass ([[HashKernels.sortedDistinct]]

@@ -81,6 +81,10 @@ object GraftExtensions {
     }),
     "nfc_normalize" -> (args =>
       NfcNormalize(arity(args, 1, "nfc_normalize", "text").head)),
+    "common_prefix_len" -> (args => {
+      val a = arity(args, 2, "common_prefix_len", "a, b")
+      CommonPrefixLen(a(0), a(1))
+    }),
     "rolling_fingerprint" -> (args => {
       val a = arity(args, 4, "rolling_fingerprint", "longArr, width, mult, mod")
       RollingFingerprint(a(0),

@@ -341,6 +341,26 @@ object HashKernels {
     total
   }
 
+  /** Common-prefix length in CODEPOINTS (matching SQL `substr`
+    * semantics — both engines count characters, not UTF-16 units or
+    * bytes): the LCP primitive of the suffix-array consumers. O(prefix)
+    * per call; callers cap their inputs (substring windows) so the cost
+    * is bounded by the probe width, not the document.
+    */
+  def commonPrefixLen(a: UTF8String, b: UTF8String): Int = {
+    val sa = a.toString
+    val sb = b.toString
+    var i = 0
+    var cnt = 0
+    while (i < sa.length && i < sb.length) {
+      val ca = sa.codePointAt(i)
+      if (ca != sb.codePointAt(i)) return cnt
+      cnt += 1
+      i += Character.charCount(ca)
+    }
+    cnt
+  }
+
   /** Unicode NFC normalization (canonical composition, UAX #15) with the
     * already-normalized fast path: `Normalizer.isNormalized` is a scan
     * with no composition work, and real corpus text is overwhelmingly

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SuffixOps
+import org.apache.spark.sql.graftext.ArrayFunctions.common_prefix_len
+
+/** Distributed suffix array (prefix doubling) vs naive suffix sort, the
+  * identical-document tie rule, and the capped-LCP longest-repeat
+  * consumer.
+  */
+class SuffixOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Naive reference: sort all (suffix, doc_id, pos) lexicographically. */
+  private def naiveSa(corpus: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+    corpus.flatMap { case (id, t) =>
+      (0 until t.length).map(p => (t.substring(p), id, p.toLong))
+    }.sortBy(identity).zipWithIndex
+      .map { case ((_, d, p), i) => (i.toLong, d, p) }
+
+  test("suffixArray ≡ naive suffix sort (banana + friends)") {
+    val corpus = Seq[(Long, String)](
+      1L -> "banana",
+      2L -> "abracadabra",
+      3L -> "aa",
+      4L -> "")                      // empty doc: zero suffixes
+    val got = SuffixOps.suffixArray(corpus.toDF("doc_id", "text"))
+      .orderBy("sa_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naiveSa(corpus))
+    // and the banana classic holds inside the merged order
+    val bananaOrder = got.filter(_._2 == 1L).map(_._3)
+    assert(bananaOrder.indexOf(5L) < bananaOrder.indexOf(3L) &&
+      bananaOrder.indexOf(3L) < bananaOrder.indexOf(1L) &&
+      bananaOrder.indexOf(1L) < bananaOrder.indexOf(0L) &&
+      bananaOrder.indexOf(0L) < bananaOrder.indexOf(4L) &&
+      bananaOrder.indexOf(4L) < bananaOrder.indexOf(2L))
+  }
+
+  test("identical documents: content can never separate them — (doc_id, pos) must") {
+    val corpus = Seq[(Long, String)](
+      7L -> "same text here", 9L -> "same text here")
+    val got = SuffixOps.suffixArray(corpus.toDF("doc_id", "text"))
+      .orderBy("sa_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naiveSa(corpus))
+    // every adjacent identical-suffix pair orders doc 7 before doc 9
+    val byRank = got.map { case (_, d, p) => (d, p) }
+    (0 until byRank.length - 1).foreach { i =>
+      val (d1, p1) = byRank(i); val (d2, p2) = byRank(i + 1)
+      if (p1 == p2) assert(d1 < d2, s"tie at pos $p1 ordered $d1 after $d2")
+    }
+  }
+
+  test("saLongestRepeat finds a planted cross-doc repeat; caps at SaLcpCap") {
+    val repeat = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq[(Long, String)](
+      1L -> s"prefix one $repeat suffix alpha",
+      2L -> s"other beginning $repeat different end",
+      3L -> "completely unrelated content with nothing shared")
+    val row = SuffixOps.saLongestRepeat(corpus.toDF("doc_id", "text")).head()
+    // the planted repeat plus the trailing " " both docs share after it
+    assert(row.getAs[Long]("lcp") >= repeat.length.toLong)
+    assert(!row.getAs[Boolean]("capped"))
+    val ds = Set(row.getAs[Long]("doc_a"), row.getAs[Long]("doc_b"))
+    assert(ds == Set(1L, 2L))
+    // a repeat longer than the probe width reports the cap, flagged
+    val long = "x" * (SuffixOps.SaLcpCap + 20)
+    val capped = SuffixOps.saLongestRepeat(
+      Seq((1L, s"a $long b"), (2L, s"c $long d")).toDF("doc_id", "text"))
+      .head()
+    assert(capped.getAs[Long]("lcp") == SuffixOps.SaLcpCap.toLong)
+    assert(capped.getAs[Boolean]("capped"))
+  }
+
+  test("common_prefix_len: codepoints, null-safe, empty-safe") {
+    val got = Seq(
+      ("abcdef", "abcxyz"),   // 3
+      ("", "anything"),       // 0
+      ("same", "same"),       // 4
+      ("日本語abc", "日本語xyz"), // 3 codepoints
+      (null.asInstanceOf[String], "x")
+    ).toDF("a", "b").select(common_prefix_len($"a", $"b")).collect()
+    assert(got(0).getInt(0) == 3)
+    assert(got(1).getInt(0) == 0)
+    assert(got(2).getInt(0) == 4)
+    assert(got(3).getInt(0) == 3)
+    assert(got(4).isNullAt(0))
+  }
+}
