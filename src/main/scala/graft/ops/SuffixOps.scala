@@ -188,8 +188,24 @@ object SuffixOps {
     * strings never ride the big exchange; the argmax is
     * TakeOrderedAndProject.
     */
-  def saLongestRepeat(docs: DataFrame): DataFrame = {
-    val sa = suffixArray(docs)
+  def saLongestRepeat(docs: DataFrame): DataFrame =
+    saLongestRepeatOn(suffixArray(docs), docs)
+
+  /** [[saLongestRepeat]] over an ALREADY-BUILT suffix array — the face a
+    * sweep uses so every SA consumer amortizes one build (the shared
+    * token-table discipline; the oracle rebuilds per query, so hash
+    * parity proves the sharing is semantics-free).
+    */
+  def saLongestRepeatOn(sa: DataFrame, docs: DataFrame): DataFrame =
+    adjacentLcp(sa, docs)
+      .orderBy(col("lcp").desc, col("sa_rank").asc)
+      .limit(1)
+      .select("lcp", "capped", "doc_a", "pos_a", "doc_b", "pos_b")
+
+  /** Adjacent SA entries with their capped LCP — shared by the
+    * longest-repeat argmax and the repeat-coverage union.
+    */
+  private def adjacentLcp(sa: DataFrame, docs: DataFrame): DataFrame = {
     val txt = docs.select(col("doc_id"),
       coalesce(col("text"), lit("")).as("t"))
     def win(saDf: DataFrame, suffix: String): DataFrame =
@@ -204,10 +220,88 @@ object SuffixOps {
         col("doc_b"), col("pos_b"),
         common_prefix_len(col("w_a"), col("w_b")).cast("long").as("lcp"))
       .withColumn("capped", col("lcp") === SaLcpCap)
-      .orderBy(col("lcp").desc, col("sa_rank").asc)
-      .limit(1)
-      .select("lcp", "capped", "doc_a", "pos_a", "doc_b", "pos_b")
   }
+
+  /** Minimum repeat length (chars) for [[saRepeatCoverage]] — the
+    * ExactSubstr paper removes repeats ≥ 50 BPE tokens; 20 chars keeps
+    * the synthetic corpus populated.
+    */
+  val SaRepeatMin = 20
+
+  /** EXACT-repeat coverage per document — the corpus diagnostic behind
+    * ExactSubstr dedup: what fraction of each doc's characters sits
+    * inside an exact repeated substring of ≥ [[SaRepeatMin]] chars
+    * (found as adjacent-SA LCP intervals; the probe caps at
+    * [[SaLcpCap]], and a longer repeat is still fully covered because
+    * EVERY position inside it heads its own adjacent pair — the
+    * interval union closes over the chain). Zero-coverage docs are
+    * present with 0 — a gate can assert "coverage < τ" corpus-wide.
+    *
+    * Scale shape: pairs as [[saLongestRepeat]]; qualifying intervals
+    * explode into covered positions (bounded by total repeat VOLUME,
+    * which is the quantity being measured — a corpus where this
+    * explodes is a corpus that needed the dedup), then one distinct +
+    * one per-doc agg.
+    */
+  def saRepeatCoverage(docs: DataFrame): DataFrame =
+    saRepeatCoverageOn(suffixArray(docs), docs)
+
+  def saRepeatCoverageOn(sa: DataFrame, docs: DataFrame): DataFrame = {
+    val rep = adjacentLcp(sa, docs).filter(col("lcp") >= SaRepeatMin)
+    val covered = rep.select(col("doc_a").as("doc_id"),
+        explode(sequence(col("pos_a"), col("pos_a") + col("lcp") - 1))
+          .as("p"))
+      .union(rep.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pos_b"), col("pos_b") + col("lcp") - 1))
+          .as("p")))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    docs.select(col("doc_id"),
+        length(coalesce(col("text"), lit(""))).cast("long").as("n_chars"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage",
+        when(col("n_chars") > 0,
+          col("n_covered").cast("double") / col("n_chars").cast("double")))
+  }
+
+  def sqlSaRepeatCoverage: String =
+    s"""WITH sa AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) - 1 AS BIGINT)
+       |      AS sa_rank,
+       |    doc_id, CAST(pos - 1 AS BIGINT) AS pos,
+       |    substr(suf, 1, $SaLcpCap) AS w
+       |  FROM (
+       |    SELECT doc_id, i AS pos, substr(text, i) AS suf
+       |    FROM (SELECT doc_id, coalesce(text, '') AS text,
+       |            unnest(range(1, length(coalesce(text, '')) + 1)) AS i
+       |          FROM documents WHERE doc_id % 10 = 0))),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+       |    b.doc_id AS doc_b, b.pos AS pos_b,
+       |    CAST(list_max(list_prepend(0,
+       |      list_filter(range(1, least(length(a.w), length(b.w)) + 1),
+       |        i -> substr(a.w, 1, i) = substr(b.w, 1, i)))) AS BIGINT) AS lcp
+       |  FROM sa a JOIN sa b ON b.sa_rank = a.sa_rank + 1),
+       |rep AS (SELECT * FROM pairs WHERE lcp >= $SaRepeatMin),
+       |covered AS (
+       |  SELECT doc_id, count(*) AS n_covered FROM (
+       |    SELECT DISTINCT doc_id, p FROM (
+       |      SELECT doc_a AS doc_id, unnest(range(pos_a, pos_a + lcp)) AS p
+       |      FROM rep
+       |      UNION ALL
+       |      SELECT doc_b AS doc_id, unnest(range(pos_b, pos_b + lcp)) AS p
+       |      FROM rep))
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(length(coalesce(d.text, '')) AS BIGINT) AS n_chars,
+       |  CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       |  CASE WHEN length(coalesce(d.text, '')) > 0
+       |    THEN CAST(coalesce(c.n_covered, 0) AS DOUBLE)
+       |      / length(coalesce(d.text, '')) END AS coverage
+       |FROM documents d LEFT JOIN covered c USING (doc_id)
+       |WHERE d.doc_id % 10 = 0""".stripMargin
 
   def sqlSaLongestRepeat: String =
     s"""WITH sa AS (

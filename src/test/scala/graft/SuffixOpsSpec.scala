@@ -73,6 +73,24 @@ class SuffixOpsSpec extends SparkSuite {
     assert(capped.getAs[Boolean]("capped"))
   }
 
+  test("saRepeatCoverage: planted repeat covered on both sides, clean docs at 0") {
+    val repeat = "shared repeated segment of text"   // 31 chars ≥ SaRepeatMin
+    val corpus = Seq[(Long, String)](
+      1L -> s"aaa $repeat bbb",
+      2L -> s"ccc $repeat ddd",
+      3L -> "entirely unique content qqq")
+    val df = corpus.toDF("doc_id", "text")
+    val got = SuffixOps.saRepeatCoverage(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == 3)
+    // both occurrences covered for ≥ the planted length; the unique doc 0
+    assert(got(1L)._2 >= repeat.length.toLong, s"doc1: $got")
+    assert(got(2L)._2 >= repeat.length.toLong, s"doc2: $got")
+    assert(got(3L)._2 == 0L)
+    // coverage never exceeds the doc
+    got.foreach { case (_, (n, c)) => assert(c <= n) }
+  }
+
   test("common_prefix_len: codepoints, null-safe, empty-safe") {
     val got = Seq(
       ("abcdef", "abcxyz"),   // 3
