@@ -386,6 +386,9 @@ object SparkEntry {
     "embed_drift" -> ((s, dir) => PretrainOps.embedDrift(tbl(s, dir, "embeddings"))),
     // char-trigram profile language ID (textcat family), self-evaluating
     "lang_id_ngram" -> ((s, dir) => TextOps.langIdNgram(tbl(s, dir, "documents"))),
+    // exact-parity HyperLogLog per source, self-evaluated vs true distinct
+    "source_distinct_hll" -> ((s, dir) =>
+      PretrainOps.sourceDistinctHll(tbl(s, dir, "documents"))),
     // corpus suffix array via distributed prefix doubling (ExactSubstr
     // base). The KEYS build shard 0 of a 10-shard build — production
     // ExactSubstr builds per-shard arrays and merges, and the shard keeps
@@ -763,6 +766,7 @@ object SparkEntry {
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,
+    "source_distinct_hll" -> PretrainOps.sqlSourceDistinctHll,
     "suffix_array" -> SuffixOps.sqlSuffixArray,
     "sa_longest_repeat" -> SuffixOps.sqlSaLongestRepeat,
     "sa_repeat_coverage" -> SuffixOps.sqlSaRepeatCoverage,

@@ -2335,6 +2335,121 @@ object PretrainOps {
        |  SELECT vec_id, norm, emb_d, unnest(range(1, len(emb_d) + 1)) AS i
        |  FROM e WHERE norm <> 0)""".stripMargin
 
+  // -------------------------------------------------- source_distinct_hll
+
+  /** HLL precision: 2^7 = 128 registers per source — chosen so the raw
+    * estimator's validity range (n ≳ 2.5·m = 320) covers the fixture's
+    * per-source trigram vocabularies (~360); production bumps p for
+    * lower variance once cardinalities are far above the threshold
+    * (σ ≈ 1.04/√m).
+    */
+  val HllP = 7
+  val HllM = 1 << HllP
+
+  /** HyperLogLog distinct-cardinality sketch with EXACT cross-engine
+    * parity — per source, the estimated number of distinct char-trigram
+    * hashes, beside the exact count it approximates (the sketch
+    * self-evaluation, like `knn_recall`/`ann_recall`). Neither engine's
+    * native `approx_count_distinct` can be oracle-checked (different
+    * sketches, different seeds); this one can, because every ingredient
+    * is deterministic: the md5-derived 32-bit hash splits into an
+    * [[HllP]]-bit register index (top bits) and a 24-bit tail whose
+    * ρ = leading-zero count + 1 computes INTEGERLY via the binary-string
+    * length (`bin()`, identical in both engines, w=0 ⇒ ρ=25); registers
+    * are a max-agg; and the harmonic estimator folds 2^(−M_j) over the
+    * full register array IN INDEX ORDER — negative powers of two are
+    * exactly representable doubles, so the fold sequence is bit-identical
+    * across engines. Raw estimator only (the ln-based small-range
+    * correction would hang parity on libm): valid for
+    * n ≳ 2.5·m = 640, which trigram vocabularies clear; `n_zero` is
+    * emitted so a consumer can see when linear counting would apply.
+    *
+    * Scale shape — the reason sketches exist: the register build is ONE
+    * map-side-combined (source, bucket) max-agg — S·256 rows out of any
+    * corpus size, NO distinct shuffle. The exact side (the evaluation
+    * column) pays the real distinct; production drops it and keeps the
+    * sketch. Registers union across shards/batches by max — the
+    * streaming/merge story is free (associative, commutative,
+    * idempotent).
+    */
+  def sourceDistinctHll(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.ArrayFunctions.char_gram_hashes
+    val g = DedupOps.materialize(
+      fanout(docs).select(col("source"),
+        explode(char_gram_hashes(coalesce(col("text"), lit("")), 3))
+          .as("h")),
+      "hll_grams")
+    val regs = g
+      .select(col("source"),
+        expr(s"h div ${1L << (32 - HllP)}").as("bucket"),
+        (col("h") % (1L << (32 - HllP))).as("w"))
+      .select(col("source"), col("bucket"),
+        when(col("w") === 0, lit((32 - HllP) + 1))
+          .otherwise(lit((32 - HllP) + 1) - length(bin(col("w"))))
+          .cast("long").as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
+    val perSource = regs.groupBy("source")
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("m"))).as("mm"))
+    val harm = aggregate(
+      transform(sequence(lit(0), lit(HllM - 1)),
+        j => pow(lit(2.0), -coalesce(element_at(col("mm"), j.cast("long")),
+          lit(0L)).cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val est = lit(0.7213 / (1.0 + 1.079 / HllM)) * lit(HllM.toLong * HllM) / harm
+    val exact = g.groupBy("source")
+      .agg(count_distinct(col("h")).as("n_exact"))
+    perSource
+      .select(col("source"),
+        est.as("hll_est"),
+        aggregate(transform(sequence(lit(0), lit(HllM - 1)),
+            j => when(element_at(col("mm"), j.cast("long")).isNull, 1L)
+              .otherwise(0L)),
+          lit(0L), (a, x) => a + x).as("n_zero"))
+      .join(exact, Seq("source"))
+      .withColumn("rel_err",
+        abs(col("hll_est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"))
+      .select("source", "n_exact", "hll_est", "n_zero", "rel_err")
+  }
+
+  def sqlSourceDistinctHll: String = {
+    val tail = 1L << (32 - HllP)
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT source, gh AS h FROM (
+       |    SELECT source,
+       |      unnest(list_transform(
+       |        range(1, greatest(length(coalesce(text, '')) - 2, 1) + 1),
+       |        i -> ${TextOps.sqlTokenHash("substr(coalesce(text, ''), i, 3)")})) AS gh
+       |    FROM documents)),
+       |regs AS (
+       |  SELECT source, h // $tail AS bucket,
+       |    CAST(max(CASE WHEN h % $tail = 0 THEN ${32 - HllP + 1}
+       |      ELSE ${32 - HllP + 1} - length(bin(h % $tail)) END) AS BIGINT) AS m
+       |  FROM g GROUP BY source, h // $tail),
+       |per AS (
+       |  SELECT source, map(list(bucket), list(m)) AS mm
+       |  FROM regs GROUP BY source),
+       |est AS (
+       |  SELECT source,
+       |    CAST($alpha AS DOUBLE) * ${HllM.toLong * HllM}.0 / list_reduce(list_prepend(
+       |      CAST(0 AS DOUBLE),
+       |      list_transform(range(0, $HllM),
+       |        j -> pow(2.0, -CAST(coalesce(mm[j][1], 0) AS DOUBLE)))),
+       |      (a, x) -> a + x) AS hll_est,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, $HllM),
+       |        j -> CASE WHEN mm[j][1] IS NULL THEN 1 ELSE 0 END)),
+       |      (a, x) -> a + x) AS BIGINT) AS n_zero
+       |  FROM per),
+       |ex AS (
+       |  SELECT source, count(DISTINCT h) AS n_exact FROM g GROUP BY source)
+       |SELECT e.source, x.n_exact, e.hll_est, e.n_zero,
+       |  abs(e.hll_est - CAST(x.n_exact AS DOUBLE)) / x.n_exact AS rel_err
+       |FROM est e JOIN ex x ON e.source = x.source""".stripMargin
+  }
+
   // --------------------------------------------------------- embed_drift
 
   /** Per-dimension drift flag threshold (micros): |Δmean| above this

@@ -232,6 +232,35 @@ class CurationR8Spec extends SparkSuite {
     assert(acc < 0.5, s"label leakage? accuracy $acc on signal-free text")
   }
 
+  // -------------------------------------------------- source_distinct_hll
+
+  test("sourceDistinctHll: accurate in its valid range; registers merge by max") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+    val out = PretrainOps.sourceDistinctHll(fixture).cache()
+    try {
+      // every fixture source's trigram vocabulary clears the raw
+      // estimator's 2.5m threshold, so the estimate must be close
+      val bad = out.filter(col("n_exact") >= 2.5 * PretrainOps.HllM)
+        .filter(col("rel_err") > 0.15)
+      assert(bad.isEmpty, "raw HLL off by >15% inside its valid range")
+      assert(out.count() == 20)
+      // sketch mergeability — the scale/streaming story: the estimate
+      // of the UNION corpus equals max-merging per-half registers,
+      // which is exactly what computing over the union does (max is
+      // associative/commutative/idempotent). Split the corpus, relabel
+      // both halves to one source, and compare against the full corpus
+      // relabeled the same way.
+      val relabeled = fixture.withColumn("source", lit("all"))
+      val whole = PretrainOps.sourceDistinctHll(relabeled)
+        .select("hll_est").head().getDouble(0)
+      val h1 = relabeled.filter(col("doc_id") % 2 === 0)
+      val h2 = relabeled.filter(col("doc_id") % 2 === 1)
+      val merged = PretrainOps.sourceDistinctHll(h1.unionByName(h2))
+        .select("hll_est").head().getDouble(0)
+      assert(merged == whole, "register merge must be order/split-free")
+    } finally { out.unpersist() }
+  }
+
   // ------------------------------------------------------- embed_drift
 
   test("embed_drift flags a planted per-dimension shift, not the null split") {
