@@ -380,6 +380,9 @@ object SparkEntry {
     // graph-based ANN: lock-step beam search over the knn_graph edges
     "ann_graph_search" -> ((s, dir) =>
       SimilarityOps.annGraphSearch(tbl(s, dir, "embeddings"))),
+    // PageRank centrality over the knn graph (coreset/survivor authority)
+    "knn_pagerank" -> ((s, dir) =>
+      SimilarityOps.knnPagerank(tbl(s, dir, "embeddings"))),
     // Unicode NFC hygiene pass (codegen'd kernel; DuckDB nfc_normalize twin)
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     // embedding-space drift monitor: per-dim mean delta between splits
@@ -763,6 +766,7 @@ object SparkEntry {
     "dsir_resample" -> PretrainOps.sqlDsirResample,
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
+    "knn_pagerank" -> SimilarityOps.sqlKnnPagerank,
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,

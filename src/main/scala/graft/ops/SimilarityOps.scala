@@ -477,6 +477,110 @@ object SimilarityOps {
        |GROUP BY exact.query_id""".stripMargin
   }
 
+  // --------------------------------------------------------- knn_pagerank
+
+  /** PageRank damping (d = 85/100 — rational on purpose) and fixed
+    * iteration count for the oracle key.
+    */
+  val PrDampNum = 85L
+  val PrIters = 5
+
+  /** PageRank-style centrality over the [[knnGraph]] edges — the graph
+    * face of representativeness selection: a vector many near-neighbor
+    * chains point INTO is central to its region (the coreset/authority
+    * pick, complementing [[clusterSample]]'s geometric prototypes), and
+    * a dedup cluster's highest-centrality member is the natural
+    * survivor. Standard power iteration with damping 85/100,
+    * [[PrIters]] fixed rounds, EXACT integer micros: per round,
+    * `pr'(v) = (15·10⁶) div 100 + (85·Σ_{u→v} (pr(u) div out(u))) div 100`
+    * — integer division before the sum and after the damping product,
+    * identical in both engines; no convergence test (fixed rounds ARE
+    * the oracle contract, the [[graft.ops.TextOps]] train-loop
+    * discipline).
+    *
+    * Scale shape: each round is one join of the rank table against the
+    * edge list on src (k·N rows) and one map-side-combined sum by dst —
+    * the canonical distributed PR round; the plan grows LINEARLY in
+    * rounds (the rank table feeds one join side only, unlike the
+    * suffix-array's self-join), so five rounds need no lineage
+    * truncation. Nodes with no IN-edges keep the teleport term only
+    * (left join, coalesce 0). Node set = vectors appearing in the edge
+    * list (isolated vectors have no graph opinion, absent in both
+    * engines).
+    */
+  def knnPagerank(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val edges = DedupOps.materialize(
+      knnGraph(emb, centroids = centroids)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+      "pr_edges")
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = DedupOps.materialize(
+      edges.select(col("src").as("vec_id"))
+        .union(edges.select(col("dst").as("vec_id"))).distinct(),
+      "pr_nodes")
+    val teleport = (15L * 1000000L) / 100L
+    var pr = nodes.withColumn("pr_micro", lit(1000000L))
+    for (_ <- 1 to PrIters) {
+      val contrib = pr
+        .join(edges, pr("vec_id") === edges("src"))
+        .join(outDeg, Seq("src"))
+        .select(col("dst").as("vec_id"),
+          expr("pr_micro div deg").as("c"))
+        .groupBy("vec_id").agg(sum(col("c")).as("in_sum"))
+      pr = nodes.join(contrib, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(teleport) +
+            expr(s"($PrDampNum * coalesce(in_sum, 0)) div 100"))
+            .as("pr_micro"))
+    }
+    pr.select(col("vec_id"), col("pr_micro"),
+      (col("pr_micro").cast("double") / 1000000.0).as("pr"))
+  }
+
+  /** DuckDB twin: the graph CTE is [[sqlKnnGraph]]'s; the five rounds
+    * unroll as pr0..pr5 CTEs.
+    */
+  def sqlKnnPagerank: String = {
+    val teleport = (15L * 1000000L) / 100L
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.vec_id,
+         |    $teleport + ($PrDampNum * coalesce(s.in_sum, 0)) // 100
+         |      AS pr_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT g.dst AS vec_id,
+         |      CAST(sum(p.pr_micro // d.deg) AS BIGINT) AS in_sum
+         |    FROM $prev p
+         |    JOIN g ON g.src = p.vec_id
+         |    JOIN deg d ON d.src = g.src
+         |    GROUP BY g.dst) s ON s.vec_id = n.vec_id)""".stripMargin
+    val rounds = (1 to PrIters)
+      .map(i => round(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} DESC,
+       |          b.vec_id) AS BIGINT) AS rank
+       |    FROM e a JOIN e b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KnnGraphK),
+       |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+       |nodes AS (SELECT DISTINCT vec_id FROM (
+       |  SELECT src AS vec_id FROM g UNION ALL SELECT dst FROM g)),
+       |pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr_micro FROM nodes),
+       |$rounds
+       |SELECT vec_id, CAST(pr_micro AS BIGINT) AS pr_micro,
+       |  CAST(pr_micro AS DOUBLE) / 1000000.0 AS pr
+       |FROM pr$PrIters""".stripMargin
+  }
+
   // ----------------------------------------------------- ann_graph_search
 
   /** Graph-search entry points (fixed, deterministic: the [[SearchSeeds]]

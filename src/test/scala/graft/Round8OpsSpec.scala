@@ -65,6 +65,30 @@ class Round8OpsSpec extends SparkSuite {
       rows(SimilarityOps.annGraphSearch(emb)))
   }
 
+  test("knnPagerank ≡ naive integer power iteration on the same edges") {
+    import org.apache.spark.sql.functions._
+    val edges = SimilarityOps.knnGraph(emb)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outDeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    var pr = nodes.map(_ -> 1000000L).toMap
+    (1 to SimilarityOps.PrIters).foreach { _ =>
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / outDeg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (150000L +
+        (SimilarityOps.PrDampNum * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    val got = SimilarityOps.knnPagerank(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == pr)
+    // the teleport term is every node's floor
+    assert(got.values.forall(_ >= 150000L))
+    // centrality actually varies (a flat graph would make the op vacuous)
+    assert(got.values.toSet.size > 1)
+  }
+
   test("annGraphSearchHier: prototype entry points never lose to arbitrary seeds") {
     import org.apache.spark.sql.functions._
     val exact = SimilarityOps.annTopkBruteForce(emb)
