@@ -519,5 +519,16 @@ class PlanSpec extends SparkSuite {
     assert(nodes(li).exists(_.isInstanceOf[BroadcastExchangeExec]),
       "lang_id_ngram profile join lost its broadcast")
     assert(!nodesDeep(li).exists(_.isInstanceOf[CartesianProductExec]))
+    // source_distinct_hll: the REGISTER side must never pay a distinct
+    // shuffle (that's the sketch's reason to exist) — budget covers
+    // fanout + register agg + per-source fold + the exact-side
+    // evaluation column (which production drops)
+    assert(exchanges(q("source_distinct_hll")) <= 6,
+      "source_distinct_hll grew an extra shuffle")
+    assert(!nodesDeep(q("source_distinct_hll"))
+      .exists(_.isInstanceOf[CartesianProductExec]))
+    // knn_pagerank: five rank⋈edges rounds, no cartesian anywhere
+    assert(!nodesDeep(q("knn_pagerank"))
+      .exists(_.isInstanceOf[CartesianProductExec]))
   }
 }
