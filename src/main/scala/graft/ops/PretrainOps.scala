@@ -2510,6 +2510,52 @@ object PretrainOps {
       .withColumn("drifted", abs(col("delta_micro")) > DriftThresholdMicro)
   }
 
+  /** The frozen REFERENCE side of the drift monitor: per-dim mean micros
+    * of a reference corpus, collected driver-side (D rows — the
+    * ivfTrain driver-decides pattern). This is the artifact a
+    * deployment ships to [[graft.stream.DriftStream]].
+    */
+  def embedDriftRef(emb: DataFrame): Map[Long, Long] = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    fanout(emb).filter(col("embedding").isNotNull)
+      .select(posexplode(d))
+      .select(col("pos").cast("long").as("dim_idx"),
+        floor(col("col") * lit(QualityMicro) + lit(0.5)).cast("long").as("m"))
+      .filter(col("m").isNotNull)
+      .groupBy("dim_idx")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+      .filter(col("n") > 0)
+      .select(col("dim_idx"), expr("s div n").as("mean_micro"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** [[embedDrift]] with a FROZEN reference — the apply-only face: the
+    * incoming frame's per-dim means (same exact-integer discipline)
+    * against the shipped reference table. Against the odd parity half
+    * with a reference trained on the even half, this reproduces
+    * [[embedDrift]]'s deltas EXACTLY (spec-asserted) — the two faces
+    * are one monitor. Dimensions absent from the reference (encoder
+    * width change — the loudest drift of all) keep NULL ref/delta and
+    * flag `drifted`.
+    */
+  def embedDriftWith(emb: DataFrame, refMicro: Map[Long, Long]): DataFrame = {
+    val d = transform(col("embedding"), x => x.cast("double"))
+    fanout(emb).filter(col("embedding").isNotNull)
+      .select(posexplode(d))
+      .select(col("pos").cast("long").as("dim_idx"),
+        floor(col("col") * lit(QualityMicro) + lit(0.5)).cast("long").as("m"))
+      .filter(col("m").isNotNull)
+      .groupBy("dim_idx")
+      .agg(count(lit(1)).as("n_new"), sum(col("m")).as("s"))
+      .select(col("dim_idx"), col("n_new"),
+        expr("CASE WHEN n_new > 0 THEN s div n_new END").as("mean_new_micro"),
+        element_at(typedlit(refMicro), col("dim_idx")).as("mean_ref_micro"))
+      .withColumn("delta_micro",
+        col("mean_new_micro") - col("mean_ref_micro"))
+      .withColumn("drifted",
+        coalesce(abs(col("delta_micro")) > DriftThresholdMicro, lit(true)))
+  }
+
   def sqlEmbedDrift: String =
     s"""SELECT dim_idx, n_ref, n_new,
        |  mean_ref_micro, mean_new_micro,
