@@ -2372,6 +2372,48 @@ object PretrainOps {
     * streaming/merge story is free (associative, commutative,
     * idempotent).
     */
+  /** The (source, bucket, m) register table of a documents frame — one
+    * map-side-combined max-agg, S·[[HllM]] rows out of any corpus.
+    * Registers MERGE BY MAX (associative/commutative/idempotent), which
+    * is the whole shard/streaming story
+    * ([[graft.stream.HllStream]] accumulates exactly these).
+    */
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.ArrayFunctions.char_gram_hashes
+    fanout(docs).select(col("source"),
+        explode(char_gram_hashes(coalesce(col("text"), lit("")), 3))
+          .as("h"))
+      .select(col("source"),
+        expr(s"h div ${1L << (32 - HllP)}").as("bucket"),
+        (col("h") % (1L << (32 - HllP))).as("w"))
+      .select(col("source"), col("bucket"),
+        when(col("w") === 0, lit((32 - HllP) + 1))
+          .otherwise(lit((32 - HllP) + 1) - length(bin(col("w"))))
+          .cast("long").as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
+  }
+
+  /** Raw-HLL estimates from a register table: per source, the harmonic
+    * estimate and the zero-register count (folded in index order —
+    * exactly-representable powers of two, both engines identical).
+    */
+  def hllEstimates(regs: DataFrame): DataFrame = {
+    val perSource = regs.groupBy("source")
+      .agg(map_from_arrays(collect_list(col("bucket")),
+        collect_list(col("m"))).as("mm"))
+    val harm = aggregate(
+      transform(sequence(lit(0), lit(HllM - 1)),
+        j => pow(lit(2.0), -coalesce(element_at(col("mm"), j.cast("long")),
+          lit(0L)).cast("double"))),
+      lit(0.0), (a, x) => a + x)
+    val est = lit(0.7213 / (1.0 + 1.079 / HllM)) * lit(HllM.toLong * HllM) / harm
+    perSource.select(col("source"), est.as("hll_est"),
+      aggregate(transform(sequence(lit(0), lit(HllM - 1)),
+          j => when(element_at(col("mm"), j.cast("long")).isNull, 1L)
+            .otherwise(0L)),
+        lit(0L), (a, x) => a + x).as("n_zero"))
+  }
+
   def sourceDistinctHll(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.ArrayFunctions.char_gram_hashes
     val g = DedupOps.materialize(
@@ -2388,24 +2430,9 @@ object PretrainOps {
           .otherwise(lit((32 - HllP) + 1) - length(bin(col("w"))))
           .cast("long").as("rho"))
       .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
-    val perSource = regs.groupBy("source")
-      .agg(map_from_arrays(collect_list(col("bucket")),
-        collect_list(col("m"))).as("mm"))
-    val harm = aggregate(
-      transform(sequence(lit(0), lit(HllM - 1)),
-        j => pow(lit(2.0), -coalesce(element_at(col("mm"), j.cast("long")),
-          lit(0L)).cast("double"))),
-      lit(0.0), (a, x) => a + x)
-    val est = lit(0.7213 / (1.0 + 1.079 / HllM)) * lit(HllM.toLong * HllM) / harm
     val exact = g.groupBy("source")
       .agg(count_distinct(col("h")).as("n_exact"))
-    perSource
-      .select(col("source"),
-        est.as("hll_est"),
-        aggregate(transform(sequence(lit(0), lit(HllM - 1)),
-            j => when(element_at(col("mm"), j.cast("long")).isNull, 1L)
-              .otherwise(0L)),
-          lit(0L), (a, x) => a + x).as("n_zero"))
+    hllEstimates(regs)
       .join(exact, Seq("source"))
       .withColumn("rel_err",
         abs(col("hll_est") - col("n_exact").cast("double")) /
