@@ -392,6 +392,8 @@ object SparkEntry {
     // exact-parity HyperLogLog per source, self-evaluated vs true distinct
     "source_distinct_hll" -> ((s, dir) =>
       PretrainOps.sourceDistinctHll(tbl(s, dir, "documents"))),
+    // Count-Min Sketch token frequencies, point-queried at the top-K
+    "token_freq_cms" -> ((s, dir) => PretrainOps.tokenFreqCms(docsT(s, dir))),
     // corpus suffix array via distributed prefix doubling (ExactSubstr
     // base). The KEYS build shard 0 of a 10-shard build — production
     // ExactSubstr builds per-shard arrays and merges, and the shard keeps
@@ -771,6 +773,7 @@ object SparkEntry {
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,
     "source_distinct_hll" -> PretrainOps.sqlSourceDistinctHll,
+    "token_freq_cms" -> PretrainOps.sqlTokenFreqCms,
     "suffix_array" -> SuffixOps.sqlSuffixArray,
     "sa_longest_repeat" -> SuffixOps.sqlSaLongestRepeat,
     "sa_repeat_coverage" -> SuffixOps.sqlSaRepeatCoverage,

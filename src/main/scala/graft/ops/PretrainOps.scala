@@ -2477,6 +2477,87 @@ object PretrainOps {
        |FROM est e JOIN ex x ON e.source = x.source""".stripMargin
   }
 
+  // ------------------------------------------------------- token_freq_cms
+
+  /** Count-Min Sketch geometry: d hash rows × w counters, and the
+    * evaluation top-K. ε ≈ e/w ≈ 1% of total mass at w=256; production
+    * widens w for tighter overcounts.
+    */
+  val CmsD = 4
+  val CmsW = 256
+  val CmsTopK = 16
+
+  /** Count-Min Sketch token-frequency estimation with exact oracle
+    * parity — the FREQUENCY sibling of [[sourceDistinctHll]]: d
+    * independently-salted md5 hash rows of w counters each; a token's
+    * estimate is the MIN of its d counters; everything is integer, so
+    * parity is trivial. Self-evaluating like the HLL key: the corpus's
+    * top-[[CmsTopK]] tokens (exact count desc, token asc) are point-
+    * queried against the sketch and reported beside their true counts
+    * with the overcount — CMS NEVER undercounts (estimate ≥ truth, a
+    * structural guarantee the spec asserts), and heavy hitters' relative
+    * overcount is small because collisions add at most ~ε of total mass
+    * per row and the min takes the luckiest row.
+    *
+    * Scale shape — the sketch's reason to exist: counter build is ONE
+    * map-side-combined agg to d·w rows regardless of vocabulary
+    * (Heaps'-law state without the vocabulary-sized shuffle
+    * `ngram_topk` pays); point queries join the d·w-row BROADCAST.
+    * Counters merge by SUM (associative) — shard unions and streaming
+    * accumulation free, the [[graft.stream.HllStream]] delta pattern
+    * with sum in place of max. The exact top-K side is the evaluation
+    * column; production keeps the sketch and drops it.
+    */
+  def tokenFreqCms(docs: DataFrame, w: Int = CmsW): DataFrame = {
+    def bucket(r: Int, t: Column): Column =
+      tokenHash(concat(lit(s"cms$r:"), t)) % w
+    val occ = DedupOps.materialize(
+      fanout(docs).select(explode(TextOps.toksOf(docs)).as("t"))
+        .filter(col("t") =!= ""),
+      "cms_tokens")
+    val counters = occ
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r).as("r"), bucket(r, col("t")).as("b"))): _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val topk = occ.groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("t")).limit(CmsTopK)
+    topk
+      .select(col("t"), col("n_exact"),
+        explode(array((0 until CmsD).map(r =>
+          struct(lit(r).as("r"), bucket(r, col("t")).as("b"))): _*)).as("rb"))
+      .join(broadcast(counters),
+        col("rb.r") === col("r") && col("rb.b") === col("b"))
+      .groupBy("t", "n_exact").agg(min(col("c")).as("cms_est"))
+      .select(col("t").as("token"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
+  def sqlTokenFreqCms: String = {
+    def bucket(r: Int, e: String): String =
+      s"${sqlTokenHash(s"'cms$r:' || $e")} % $CmsW"
+    val bucketStructs = (0 until CmsD).map(r =>
+      s"{'r': $r, 'b': ${bucket(r, "t")}}").mkString("[", ", ", "]")
+    s"""WITH occ AS MATERIALIZED (
+       |  SELECT t FROM (
+       |    SELECT unnest(${sqlTokens("text")}) AS t FROM documents)
+       |  WHERE t <> ''),
+       |counters AS (
+       |  SELECT rb.r AS r, rb.b AS b, count(*) AS c FROM (
+       |    SELECT unnest($bucketStructs) AS rb FROM occ)
+       |  GROUP BY rb.r, rb.b),
+       |topk AS (
+       |  SELECT t, count(*) AS n_exact FROM occ GROUP BY t
+       |  ORDER BY count(*) DESC, t LIMIT $CmsTopK),
+       |q AS (
+       |  SELECT t, n_exact, unnest($bucketStructs) AS rb FROM topk)
+       |SELECT q.t AS token, CAST(q.n_exact AS BIGINT) AS n_exact,
+       |  CAST(min(c.c) AS BIGINT) AS cms_est,
+       |  CAST(min(c.c) - q.n_exact AS BIGINT) AS overcount
+       |FROM q JOIN counters c ON c.r = q.rb.r AND c.b = q.rb.b
+       |GROUP BY q.t, q.n_exact""".stripMargin
+  }
+
   // --------------------------------------------------------- embed_drift
 
   /** Per-dimension drift flag threshold (micros): |Δmean| above this

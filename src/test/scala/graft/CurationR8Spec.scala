@@ -261,6 +261,25 @@ class CurationR8Spec extends SparkSuite {
     } finally { out.unpersist() }
   }
 
+  // ----------------------------------------------------- token_freq_cms
+
+  test("tokenFreqCms: NEVER undercounts; exact when collision-free; tight when squeezed") {
+    val fixture = TextOps.tokenize(spark.read.parquet(s"$sf/documents.parquet"))
+    // default width: the ~31-word vocabulary is collision-free in at
+    // least one of the 4 rows for every heavy hitter → estimates exact
+    val wide = PretrainOps.tokenFreqCms(fixture)
+    assert(wide.count() == PretrainOps.CmsTopK)
+    assert(wide.filter(col("overcount") =!= 0L).isEmpty,
+      "256 counters over a 31-word vocab should be collision-free at the min")
+    // squeezed to w=4 the counters MUST collide — the structural CMS
+    // guarantee is one-sided: estimate ≥ truth, never below
+    val tight = PretrainOps.tokenFreqCms(fixture, w = 4)
+    assert(tight.filter(col("overcount") < 0L).isEmpty,
+      "CMS undercounted — the min-of-counters bound is broken")
+    assert(tight.filter(col("overcount") > 0L).count() > 0,
+      "4 counters over 31 words cannot be collision-free")
+  }
+
   // ------------------------------------------------------- embed_drift
 
   test("embed_drift flags a planted per-dimension shift, not the null split") {
