@@ -394,6 +394,9 @@ object SparkEntry {
       PretrainOps.sourceDistinctHll(tbl(s, dir, "documents"))),
     // Count-Min Sketch token frequencies, point-queried at the top-K
     "token_freq_cms" -> ((s, dir) => PretrainOps.tokenFreqCms(docsT(s, dir))),
+    // block-diagonal attention-mask spans of the packed dataset
+    "pack_attention_spans" -> ((s, dir) =>
+      PretrainOps.packAttentionSpans(docsT(s, dir))),
     // corpus suffix array via distributed prefix doubling (ExactSubstr
     // base). The KEYS build shard 0 of a 10-shard build — production
     // ExactSubstr builds per-shard arrays and merges, and the shard keeps
@@ -774,6 +777,7 @@ object SparkEntry {
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,
     "source_distinct_hll" -> PretrainOps.sqlSourceDistinctHll,
     "token_freq_cms" -> PretrainOps.sqlTokenFreqCms,
+    "pack_attention_spans" -> PretrainOps.sqlPackAttentionSpans,
     "suffix_array" -> SuffixOps.sqlSuffixArray,
     "sa_longest_repeat" -> SuffixOps.sqlSaLongestRepeat,
     "sa_repeat_coverage" -> SuffixOps.sqlSaRepeatCoverage,

@@ -1104,6 +1104,66 @@ object PretrainOps {
        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY tok_start, doc_id) AS doc_ids
        |FROM x GROUP BY source, seq_id""".stripMargin
 
+  // ----------------------------------------------- pack_attention_spans
+
+  /** The block-diagonal ATTENTION-MASK artifact of packed training — per
+    * packed sequence, each contributing document's [start, end) token
+    * span IN SEQUENCE-LOCAL offsets, ordered: exactly what a
+    * no-cross-document-attention data loader consumes next to the token
+    * shard ([[sequenceManifest]] answers "which docs"; this answers
+    * "where each doc's attention block begins and ends"). Spans are
+    * emitted as the deterministic string `"a:b,a:b,…"` (ordered by
+    * start, then doc_id — the manifest's string_agg parity idiom), and
+    * `covered` asserts the invariant a loader relies on: the spans
+    * tile the sequence exactly (Σ lengths = filled tokens, no gaps, no
+    * overlaps — packing is a partition of the stream).
+    *
+    * Scale shape: identical to [[sequenceManifest]] — each doc explodes
+    * into only the sequences it spans, one map-side-combined agg on
+    * (source, seq_id).
+    */
+  def packAttentionSpans(docs: DataFrame): DataFrame = {
+    val L = SeqLen
+    val x = packSequences(docs)
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
+        explode_outer(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+      .select(col("source"), col("seq_id"), col("doc_id"),
+        (greatest(col("tok_start"), col("seq_id") * L) -
+          col("seq_id") * L).as("a"),
+        (least(col("tok_start") + col("n_tokens"), (col("seq_id") + 1) * L) -
+          col("seq_id") * L).as("b"))
+    x.groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("b") - col("a")).as("filled_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("a"), col("doc_id"), col("b")))),
+          s => concat(s.getField("a").cast("string"), lit(":"),
+            s.getField("b").cast("string"))), ",").as("spans"),
+        (max(col("b")) - min(col("a")) ===
+          sum(col("b") - col("a"))).as("covered"))
+  }
+
+  def sqlPackAttentionSpans: String =
+    s"""WITH packed AS (
+       |${sqlPackSequences.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |x AS (
+       |  SELECT source, seq_id, doc_id,
+       |    greatest(tok_start, seq_id * $SeqLen) - seq_id * $SeqLen AS a,
+       |    least(tok_start + n_tokens, (seq_id + 1) * $SeqLen)
+       |      - seq_id * $SeqLen AS b
+       |  FROM (
+       |    SELECT doc_id, source, n_tokens, tok_start,
+       |      unnest(range(seq_start, seq_end + 1)) AS seq_id
+       |    FROM packed WHERE n_tokens >= 1))
+       |SELECT source, seq_id, count(*) AS n_docs,
+       |  CAST(sum(b - a) AS BIGINT) AS filled_tokens,
+       |  string_agg(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR), ','
+       |    ORDER BY a, doc_id) AS spans,
+       |  max(b) - min(a) = sum(b - a) AS covered
+       |FROM x GROUP BY source, seq_id""".stripMargin
+
   // ----------------------------------------------------- shuffle_shards
 
   /** Shard count for the deterministic global training-order shuffle. */

@@ -280,6 +280,33 @@ class CurationR8Spec extends SparkSuite {
       "4 counters over 31 words cannot be collision-free")
   }
 
+  // ----------------------------------------------- pack_attention_spans
+
+  test("packAttentionSpans: spans tile every sequence; parse-consistent") {
+    val fixture = TextOps.tokenize(spark.read.parquet(s"$sf/documents.parquet"))
+    val out = PretrainOps.packAttentionSpans(fixture).cache()
+    try {
+      // packing is a partition of the token stream: no gaps, no overlaps
+      assert(out.filter(!col("covered")).isEmpty,
+        "spans must tile each sequence exactly")
+      // every row's spans string reparses to n_docs ordered half-open
+      // intervals summing to filled_tokens and starting at 0 for full seqs
+      out.collect().foreach { r =>
+        val spans = r.getAs[String]("spans").split(",").map { s =>
+          val Array(a, b) = s.split(":").map(_.toLong); (a, b)
+        }
+        assert(spans.length == r.getAs[Long]("n_docs"))
+        assert(spans.map { case (a, b) => b - a }.sum ==
+          r.getAs[Long]("filled_tokens"))
+        spans.sliding(2).foreach {
+          case Array((_, b1), (a2, _)) => assert(b1 == a2, s"gap in $r")
+          case _ =>
+        }
+        assert(spans.forall { case (a, b) => a >= 0 && b <= PretrainOps.SeqLen && a < b })
+      }
+    } finally { out.unpersist() }
+  }
+
   // ------------------------------------------------------- embed_drift
 
   test("embed_drift flags a planted per-dimension shift, not the null split") {
