@@ -65,6 +65,19 @@ class Round8OpsSpec extends SparkSuite {
       rows(SimilarityOps.annGraphSearch(emb)))
   }
 
+  test("farthestPointInit: deterministic, unit-norm, k distinct, trains monotonically") {
+    val a = SimilarityOps.farthestPointInit(emb)
+    val b = SimilarityOps.farthestPointInit(emb)
+    assert(a == b, "greedy k-center must be reproducible — no RNG anywhere")
+    assert(a.size == SimilarityOps.IvfCentroids)
+    assert(a.distinct.size == a.size, "seeds must be distinct vectors")
+    a.foreach(v => assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9))
+    // Lloyd from these seeds keeps its monotone-objective contract
+    val (_, objs) = SimilarityOps.ivfTrain(emb, init = a)
+    assert(objs.zip(objs.drop(1)).forall { case (p, n) => n >= p - 1e-12 },
+      s"objective regressed: $objs")
+  }
+
   test("knnPagerank ≡ naive integer power iteration on the same edges") {
     import org.apache.spark.sql.functions._
     val edges = SimilarityOps.knnGraph(emb)
