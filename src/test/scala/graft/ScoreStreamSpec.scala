@@ -36,6 +36,59 @@ class ScoreStreamSpec extends SparkSuite {
     }
   }
 
+  test("curation e2e: CleanStream survivors → frozen-λ scores ≡ batch clean+score") {
+    import graft.ops.{CorpusOps, DedupOps, TextOps}
+    import graft.stream.{CleanStream, DedupStream}
+    val docsDir = tmp("ce-docs")
+    val outDir = tmp("ce-out")
+    val ckpt = tmp("ce-ckpt")
+    val scoreDir = tmp("ce-scores")
+
+    // real corpus texts so the REAL gates fire; one in-batch duplicate
+    // pair (order-free: same file) — cross-batch dup mechanics belong to
+    // CleanStreamSpec, THIS spec is the composition contract
+    val material = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    val file1 = (0 until 25).map(i => (i.toLong, material(i)))
+    val file2 = (0 until 10).map(i => (100L + i, material(30 + i))) ++
+      Seq((120L, material(50)), (121L, material(50)))
+    val lam = PretrainOps.dsirLambdaFull(
+      spark.read.parquet(s"$sf/documents.parquet"))
+
+    file1.toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    file2.toDF("doc_id", "text")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(CleanStream.runFrom(spark,
+      spark.readStream.schema(DedupStream.docSchema)
+        .option("maxFilesPerTrigger", 1).parquet(docsDir),
+      outDir, ckpt, benchGrams = None,
+      onSurvivors = (surv, bid) =>
+        PretrainOps.dsirWeightWith(surv, lam)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").parquet(s"$scoreDir/b_$bid")))
+
+    // batch twin of the whole composition: gates + exact dedup, then the
+    // same frozen-λ scorer
+    val all = (file1 ++ file2).toDF("doc_id", "text")
+    val (_, quality) = TextOps.qualityCols(col("text"))
+    val gated = all.filter(quality >= CorpusOps.QualityThreshold &&
+      TextOps.detectLang(col("text")).isin(CorpusOps.AcceptedLangs: _*))
+    val survivors = gated.join(
+      DedupOps.dedupExact(gated).select(col("rep_doc_id").as("doc_id")),
+      "doc_id")
+    val expect = PretrainOps.dsirWeightWith(survivors, lam)
+      .select("doc_id", "n_grams", "weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = spark.read.parquet(s"$scoreDir/b_*")
+      .select("doc_id", "n_grams", "weight_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect,
+      "streamed clean→score composition must equal the batch pipeline")
+    assert(got.nonEmpty && got.size < (file1.size + file2.size),
+      "the gates/dedup must actually have filtered something")
+  }
+
   test("streamed scores ≡ batch scores across a restart, exactly once") {
     val docsDir = tmp("ds-docs")
     val outDir = tmp("ds-out")
