@@ -373,6 +373,27 @@ class CurationR8Spec extends SparkSuite {
     assert(got(("srcA", "srcD"))._3 == 0L, "disjoint pair present with 0")
   }
 
+  test("degenerate corpora: single source, empty corpus") {
+    // one source: the matrix is C(1,2) = 0 rows, not an error
+    val one = Seq((1L, "srcX", "some text here"), (2L, "srcX", "more text"))
+      .toDF("doc_id", "source", "text")
+    assert(PretrainOps.sourceOverlap(one).count() == 0)
+    // empty corpus: weights/overlap/KN all come back empty, no throw
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "text")
+    assert(PretrainOps.dsirWeight(empty).count() == 0)
+    assert(PretrainOps.sourceOverlap(empty).count() == 0)
+    assert(PretrainOps.qualityKnFluency(empty).count() == 0)
+    // frozen-λ table of an empty corpus is the all-smoothed table and
+    // still scores new docs (everything lands on the ct=0/cr=0 value)
+    val lam = PretrainOps.dsirLambdaFull(empty)
+    assert(lam.size == PretrainOps.DsirBuckets)
+    assert(lam.values.toSet.size == 1)
+    val scored = PretrainOps.dsirWeightWith(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), lam)
+    assert(scored.count() == 1)
+  }
+
   test("source_overlap on the fixture: C(20,2) rows, bounds hold") {
     val fixture = spark.read.parquet(s"$sf/documents.parquet")
     val out = PretrainOps.sourceOverlap(fixture).cache()

@@ -91,6 +91,22 @@ class SuffixOpsSpec extends SparkSuite {
     got.foreach { case (_, (n, c)) => assert(c <= n) }
   }
 
+  test("degenerate corpora: empty corpus, all-empty docs, single doc") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SuffixOps.suffixArray(empty).count() == 0)
+    assert(SuffixOps.suffixArray(empty).columns.toSeq ==
+      Seq("sa_rank", "doc_id", "pos"))
+    val blank = Seq((1L, ""), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(SuffixOps.suffixArray(blank).count() == 0)
+    // a single doc still builds a full array; with no ≥min repeat the
+    // coverage table is all-zero but PRESENT for the doc
+    val one = Seq((5L, "abcdefg")).toDF("doc_id", "text")
+    assert(SuffixOps.suffixArray(one).count() == 7)
+    val cov = SuffixOps.saRepeatCoverage(one).collect()
+    assert(cov.length == 1 && cov(0).getLong(2) == 0L)
+  }
+
   test("common_prefix_len: codepoints, null-safe, empty-safe") {
     val got = Seq(
       ("abcdef", "abcxyz"),   // 3
