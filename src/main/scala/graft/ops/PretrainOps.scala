@@ -1133,15 +1133,22 @@ object PretrainOps {
           col("seq_id") * L).as("a"),
         (least(col("tok_start") + col("n_tokens"), (col("seq_id") + 1) * L) -
           col("seq_id") * L).as("b"))
+    val sortedSpans =
+      sort_array(collect_list(struct(col("a"), col("doc_id"), col("b"))))
+    val starts = transform(sortedSpans, s => s.getField("a"))
+    val ends = transform(sortedSpans, s => s.getField("b"))
     x.groupBy("source", "seq_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("b") - col("a")).as("filled_tokens"),
-        array_join(transform(
-          sort_array(collect_list(struct(col("a"), col("doc_id"), col("b")))),
+        array_join(transform(sortedSpans,
           s => concat(s.getField("a").cast("string"), lit(":"),
             s.getField("b").cast("string"))), ",").as("spans"),
-        (max(col("b")) - min(col("a")) ===
-          sum(col("b") - col("a"))).as("covered"))
+        // TRUE chain tiling, not the max−min == Σ surrogate (which an
+        // overlap offset by an equal gap, or a leading gap, satisfies):
+        // sorted starts must equal [0] ++ sorted ends dropped-last —
+        // every span begins exactly where its predecessor stopped
+        (starts === concat(array(lit(0L)),
+          slice(ends, lit(1), size(ends) - 1))).as("covered"))
   }
 
   def sqlPackAttentionSpans: String =
@@ -1161,8 +1168,12 @@ object PretrainOps {
        |  CAST(sum(b - a) AS BIGINT) AS filled_tokens,
        |  string_agg(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR), ','
        |    ORDER BY a, doc_id) AS spans,
-       |  max(b) - min(a) = sum(b - a) AS covered
-       |FROM x GROUP BY source, seq_id""".stripMargin
+       |  bool_and(chain_ok) AS covered
+       |FROM (
+       |  SELECT *, a = coalesce(lag(b) OVER (PARTITION BY source, seq_id
+       |    ORDER BY a, doc_id), 0) AS chain_ok
+       |  FROM x)
+       |GROUP BY source, seq_id""".stripMargin
 
   // ----------------------------------------------------- shuffle_shards
 
@@ -2413,7 +2424,7 @@ object PretrainOps {
     * native `approx_count_distinct` can be oracle-checked (different
     * sketches, different seeds); this one can, because every ingredient
     * is deterministic: the md5-derived 32-bit hash splits into an
-    * [[HllP]]-bit register index (top bits) and a 24-bit tail whose
+    * [[HllP]]-bit register index (top bits) and a (32−p)-bit tail whose
     * ρ = leading-zero count + 1 computes INTEGERLY via the binary-string
     * length (`bin()`, identical in both engines, w=0 ⇒ ρ=25); registers
     * are a max-agg; and the harmonic estimator folds 2^(−M_j) over the
@@ -2421,11 +2432,11 @@ object PretrainOps {
     * exactly representable doubles, so the fold sequence is bit-identical
     * across engines. Raw estimator only (the ln-based small-range
     * correction would hang parity on libm): valid for
-    * n ≳ 2.5·m = 640, which trigram vocabularies clear; `n_zero` is
+    * n ≳ 2.5·m = 320, which trigram vocabularies clear; `n_zero` is
     * emitted so a consumer can see when linear counting would apply.
     *
     * Scale shape — the reason sketches exist: the register build is ONE
-    * map-side-combined (source, bucket) max-agg — S·256 rows out of any
+    * map-side-combined (source, bucket) max-agg — S·[[HllM]] rows out of any
     * corpus size, NO distinct shuffle. The exact side (the evaluation
     * column) pays the real distinct; production drops it and keeps the
     * sketch. Registers union across shards/batches by max — the
@@ -2438,11 +2449,13 @@ object PretrainOps {
     * is the whole shard/streaming story
     * ([[graft.stream.HllStream]] accumulates exactly these).
     */
-  def hllRegisters(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graftext.ArrayFunctions.char_gram_hashes
-    fanout(docs).select(col("source"),
-        explode(char_gram_hashes(coalesce(col("text"), lit("")), 3))
-          .as("h"))
+  /** Register derivation from a (source, h) gram-hash frame — ONE
+    * definition point for the batch key and [[hllRegisters]]: a
+    * precision change touching only one copy would silently
+    * desynchronize the streaming face from the oracle-keyed batch op.
+    */
+  private def registersOf(grams: DataFrame): DataFrame =
+    grams
       .select(col("source"),
         expr(s"h div ${1L << (32 - HllP)}").as("bucket"),
         (col("h") % (1L << (32 - HllP))).as("w"))
@@ -2451,6 +2464,12 @@ object PretrainOps {
           .otherwise(lit((32 - HllP) + 1) - length(bin(col("w"))))
           .cast("long").as("rho"))
       .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
+
+  def hllRegisters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.ArrayFunctions.char_gram_hashes
+    registersOf(fanout(docs).select(col("source"),
+      explode(char_gram_hashes(coalesce(col("text"), lit("")), 3))
+        .as("h")))
   }
 
   /** Raw-HLL estimates from a register table: per source, the harmonic
@@ -2481,18 +2500,9 @@ object PretrainOps {
         explode(char_gram_hashes(coalesce(col("text"), lit("")), 3))
           .as("h")),
       "hll_grams")
-    val regs = g
-      .select(col("source"),
-        expr(s"h div ${1L << (32 - HllP)}").as("bucket"),
-        (col("h") % (1L << (32 - HllP))).as("w"))
-      .select(col("source"), col("bucket"),
-        when(col("w") === 0, lit((32 - HllP) + 1))
-          .otherwise(lit((32 - HllP) + 1) - length(bin(col("w"))))
-          .cast("long").as("rho"))
-      .groupBy("source", "bucket").agg(max(col("rho")).as("m"))
     val exact = g.groupBy("source")
       .agg(count_distinct(col("h")).as("n_exact"))
-    hllEstimates(regs)
+    hllEstimates(registersOf(g))
       .join(exact, Seq("source"))
       .withColumn("rel_err",
         abs(col("hll_est") - col("n_exact").cast("double")) /
@@ -2707,17 +2717,26 @@ object PretrainOps {
     * flag `drifted`.
     */
   def embedDriftWith(emb: DataFrame, refMicro: Map[Long, Long]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val d = transform(col("embedding"), x => x.cast("double"))
-    fanout(emb).filter(col("embedding").isNotNull)
+    val batchDims = fanout(emb).filter(col("embedding").isNotNull)
       .select(posexplode(d))
       .select(col("pos").cast("long").as("dim_idx"),
         floor(col("col") * lit(QualityMicro) + lit(0.5)).cast("long").as("m"))
       .filter(col("m").isNotNull)
       .groupBy("dim_idx")
       .agg(count(lit(1)).as("n_new"), sum(col("m")).as("s"))
-      .select(col("dim_idx"), col("n_new"),
+    // FULL OUTER against the reference's dims: an encoder that NARROWS
+    // (reference dim absent from every batch row) must flag, not vanish
+    // — that direction is just as much a width change as widening, and
+    // the monitor exists for exactly that event
+    val refDims = refMicro.toSeq.toDF("dim_idx", "ref_micro")
+    batchDims.join(broadcast(refDims), Seq("dim_idx"), "full_outer")
+      .select(col("dim_idx"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
         expr("CASE WHEN n_new > 0 THEN s div n_new END").as("mean_new_micro"),
-        element_at(typedlit(refMicro), col("dim_idx")).as("mean_ref_micro"))
+        col("ref_micro").as("mean_ref_micro"))
       .withColumn("delta_micro",
         col("mean_new_micro") - col("mean_ref_micro"))
       .withColumn("drifted",

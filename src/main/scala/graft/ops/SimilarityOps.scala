@@ -970,6 +970,14 @@ object SimilarityOps {
       .withColumn("unit", transform(col("emb_d"), _ / col("norm")))
       .select(col("vec_id"), col("unit")).cache()
     try {
+      // loud on degenerate input: the ladder init survives an empty or
+      // all-zero corpus, so opting INTO this init must not turn that
+      // into a bare ArrayIndexOutOfBounds; and fewer distinct vectors
+      // than k would silently return duplicate centroids
+      val n = e.count()
+      require(n >= k,
+        s"farthestPointInit: $n nonzero-norm vectors < k=$k — " +
+          "use the default ladder init for degenerate corpora")
       def unitOf(df: DataFrame): IndexedSeq[Double] =
         df.select("unit").collect()(0).getSeq[Double](0).toIndexedSeq
       var cents = IndexedSeq(unitOf(e.orderBy("vec_id").limit(1)))

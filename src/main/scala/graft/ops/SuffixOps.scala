@@ -62,14 +62,16 @@ object SuffixOps {
   def suffixArray(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // seed windows in ONE kernel pass per doc (char_windows) — the
+    // per-position `substring(t, pos+1, w)` idiom re-scans the string
+    // from byte 0 per position: O(n²) bytes per document
     val chars = DedupOps.fanout(docs)
       .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
       .select(col("doc_id"),
-        posexplode(split(col("t"), "")), col("t"))
-      .toDF("doc_id", "pos", "ch", "t")
-      .filter(col("ch") =!= "")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        expr(s"substring(t, pos + 1, $SaSeedWidth)").as("w"))
+        posexplode(org.apache.spark.sql.graftext.ArrayFunctions
+          .char_windows(col("t"), SaSeedWidth)))
+      .toDF("doc_id", "pos", "w")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w"))
     // per-round lineage truncation (the connectedComponents discipline):
     // elems feeds BOTH sides of the shift join AND the re-rank, so
     // without truncation the logical plan TRIPLES per round — ~3^10
@@ -206,13 +208,24 @@ object SuffixOps {
     * longest-repeat argmax and the repeat-coverage union.
     */
   private def adjacentLcp(sa: DataFrame, docs: DataFrame): DataFrame = {
-    val txt = docs.select(col("doc_id"),
-      coalesce(col("text"), lit("")).as("t"))
+    // LCP windows built ONCE per doc by the char_windows kernel and
+    // exploded to (doc, pos, w) rows — O(n·cap) bytes total. Joining the
+    // text and substring-ing per SA row would re-scan O(n) bytes per
+    // position (quadratic per doc); shipping the whole window ARRAY per
+    // SA row would be quadratic in shuffle bytes instead.
+    val wins = DedupOps.materialize(
+      docs.select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+        .select(col("doc_id"),
+          posexplode(org.apache.spark.sql.graftext.ArrayFunctions
+            .char_windows(col("t"), SaLcpCap)))
+        .toDF("doc_id", "pos", "w")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("w")),
+      "sa_lcp_windows")
     def win(saDf: DataFrame, suffix: String): DataFrame =
-      saDf.join(txt, Seq("doc_id"))
+      saDf.join(wins, Seq("doc_id", "pos"))
         .select(col("sa_rank"),
           col("doc_id").as(s"doc_$suffix"), col("pos").as(s"pos_$suffix"),
-          expr(s"substring(t, pos + 1, $SaLcpCap)").as(s"w_$suffix"))
+          col("w").as(s"w_$suffix"))
     val a = win(sa, "a")
     val b = win(sa.withColumn("sa_rank", col("sa_rank") - 1), "b")
     a.join(b, Seq("sa_rank"))

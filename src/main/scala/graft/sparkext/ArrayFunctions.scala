@@ -115,6 +115,10 @@ object ArrayFunctions {
     ExpressionUtils.column(CommonPrefixLen(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Column DSL entry for [[CharWindows]]. */
+  def char_windows(text: Column, width: Int): Column =
+    ExpressionUtils.column(CharWindows(ExpressionUtils.expression(text), width))
+
   /** Column DSL entry for [[RollingFingerprint]]. */
   def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
@@ -415,6 +419,32 @@ case class NfcNormalize(child: Expression)
     defineCodeGen(ctx, ev, s => s"${ArrayFunctions.Kernels}.nfcNormalize($s)")
 
   override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
+/** All width-codepoint windows of a string, one per position, in one
+  * pass ([[HashKernels.charWindows]] on both evaluation paths) — the
+  * suffix-array seed/LCP window builder; tail windows shorten to the
+  * remaining suffix, matching `substring(t, pos+1, w)` at doc ends.
+  */
+case class CharWindows(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"char_windows: width must be positive, got $width")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "char_windows"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.charWindows(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"${ArrayFunctions.Kernels}.charWindows($s, $width)")
+
+  override protected def withNewChildInternal(c: Expression): CharWindows =
     copy(child = c)
 }
 

@@ -85,6 +85,10 @@ object GraftExtensions {
       val a = arity(args, 2, "common_prefix_len", "a, b")
       CommonPrefixLen(a(0), a(1))
     }),
+    "char_windows" -> (args => {
+      val a = arity(args, 2, "char_windows", "text, width")
+      CharWindows(a(0), intArg(a(1), "char_windows"))
+    }),
     "rolling_fingerprint" -> (args => {
       val a = arity(args, 4, "rolling_fingerprint", "longArr, width, mult, mod")
       RollingFingerprint(a(0),

@@ -341,6 +341,37 @@ object HashKernels {
     total
   }
 
+  /** All `width`-codepoint windows of a string, one per position (the
+    * tail windows shorten to the remaining suffix), in ONE forward pass
+    * recording codepoint byte offsets — the per-row `substring(t, pos+1,
+    * w)` idiom re-scans from byte 0 to find codepoint `pos`, which is
+    * O(n²) bytes per document (the charGram lesson, again). Output
+    * windows share the source byte array (fromBytes wraps, no copy).
+    */
+  def charWindows(s: UTF8String, width: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val numChars = s.numChars()
+    if (numChars == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val offsets = new Array[Int](numChars + 1)
+    var i = 0
+    var c = 0
+    while (i < n) {
+      offsets(c) = i
+      c += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    offsets(numChars) = n
+    val out = new Array[AnyRef](numChars)
+    var p = 0
+    while (p < numChars) {
+      val end = offsets(math.min(p + width, numChars))
+      out(p) = UTF8String.fromBytes(bytes, offsets(p), end - offsets(p))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Common-prefix length in CODEPOINTS (matching SQL `substr`
     * semantics — both engines count characters, not UTF-16 units or
     * bytes): the LCP primitive of the suffix-array consumers. O(prefix)

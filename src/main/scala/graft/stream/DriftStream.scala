@@ -43,10 +43,14 @@ object DriftStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val monitor = PretrainOps.embedDriftWith(batch, refMicro)
+        // compute ONCE: republish `current` from the written parquet —
+        // a second write of the uncached monitor frame would re-run the
+        // whole per-batch aggregation (two jobs on the ingest path)
+        PretrainOps.embedDriftWith(batch, refMicro)
           .withColumn("batch_id", lit(batchId))
-        monitor.write.mode("overwrite").parquet(s"$outDir/b_$batchId")
-        monitor.write.mode("overwrite").parquet(s"$outDir/current")
+          .write.mode("overwrite").parquet(s"$outDir/b_$batchId")
+        spark.read.parquet(s"$outDir/b_$batchId")
+          .write.mode("overwrite").parquet(s"$outDir/current")
         ()
       }
       .start()

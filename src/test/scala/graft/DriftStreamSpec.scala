@@ -32,12 +32,23 @@ class DriftStreamSpec extends SparkSuite {
     assert(got == exp, "the two faces diverged")
   }
 
-  test("a dimension missing from the reference flags drifted (width change)") {
+  test("width changes flag in BOTH directions: widened batch dim and narrowed ref dim") {
+    // widening: batch has dim 5, reference doesn't
     val ref = PretrainOps.embedDriftRef(emb) - 5L
     val out = PretrainOps.embedDriftWith(emb, ref)
     val dim5 = out.filter(col("dim_idx") === 5).head()
     assert(dim5.isNullAt(out.columns.indexOf("mean_ref_micro")))
     assert(dim5.getAs[Boolean]("drifted"))
+    // narrowing: reference has dim 99, no batch row does — the row must
+    // still APPEAR, drifted, with n_new = 0 (a silently-vanished dim is
+    // the monitor's own blind spot)
+    val wide = PretrainOps.embedDriftRef(emb) + (99L -> 123L)
+    val out2 = PretrainOps.embedDriftWith(emb, wide)
+    val dim99 = out2.filter(col("dim_idx") === 99).head()
+    assert(dim99.getAs[Long]("n_new") == 0L)
+    assert(dim99.isNullAt(out2.columns.indexOf("mean_new_micro")))
+    assert(dim99.getAs[Boolean]("drifted"))
+    assert(out2.count() == 65)
   }
 
   test("streamed per-batch monitors ≡ batch apply per file, across a restart") {

@@ -107,6 +107,15 @@ class SuffixOpsSpec extends SparkSuite {
     assert(cov.length == 1 && cov(0).getLong(2) == 0L)
   }
 
+  test("char_windows: per-position windows, codepoint-correct, tail-shortened") {
+    import org.apache.spark.sql.graftext.ArrayFunctions.char_windows
+    val got = Seq("abcd", "", "日本語X")
+      .toDF("t").select(char_windows($"t", 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("abc", "bcd", "cd", "d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("日本語", "本語X", "語X", "X"))
+  }
+
   test("common_prefix_len: codepoints, null-safe, empty-safe") {
     val got = Seq(
       ("abcdef", "abcxyz"),   // 3
