@@ -54,8 +54,24 @@ object SparkEntry {
     */
   private val tokenTableCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Session-validated per-dir DataFrame cache: a DataFrame persisted
+    * under one SparkSession is useless (and throws) once that session
+    * stops, so a hit whose `sparkSession` differs from the caller's is
+    * recomputed in place — the long-lived-driver case of one process
+    * reusing the entry across sessions.
+    */
+  private def cachedFor(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      s: SparkSession, dir: String)(build: String => DataFrame): DataFrame =
+    cache.compute(dir, (d, prev) =>
+      if (prev != null && (prev.sparkSession eq s)) prev
+      else {
+        if (prev != null) { try prev.unpersist() catch { case _: Exception => () } }
+        build(d)
+      })
+
   private def docsT(s: SparkSession, dir: String): DataFrame =
-    tokenTableCache.computeIfAbsent(dir, d =>
+    cachedFor(tokenTableCache, s, dir)(d =>
       TextOps.tokenize(tbl(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -69,7 +85,7 @@ object SparkEntry {
   private val saCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def saShardArray(s: SparkSession, dir: String): DataFrame =
-    saCache.computeIfAbsent(dir, d =>
+    cachedFor(saCache, s, dir)(d =>
       SuffixOps.suffixArray(saShard(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

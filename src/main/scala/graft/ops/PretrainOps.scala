@@ -582,12 +582,21 @@ object PretrainOps {
     * [[dedupSubstringApply]] (applies them to the text).
     */
   private def mergedRanges(sp: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = SpanWords
-    val iv = sp.join(repeatedSpans(sp), "span_hash")
+    mergeIntervals(sp.join(repeatedSpans(sp), "span_hash")
       .select(col("doc_id"), col("n"), col("pos").as("s"),
         least(col("pos") + lit(w - 1), col("n")).as("e"))
-      .distinct()
+      .distinct())
+  }
+
+  /** The interval sweep itself, factored for every consumer that turns
+    * per-doc 1-based [s, e] intervals into maximal merged ranges — the
+    * token-span trim family here and [[SuffixOps.dedupSubstringSaOn]]'s
+    * exact char-range twin. Input (doc_id, n, s, e); output
+    * (doc_id, n, grp, rs, re), one row per maximal covered interval.
+    */
+  private[ops] def mergeIntervals(iv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val prevMax = max(col("e"))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -2603,9 +2612,17 @@ object PretrainOps {
         (col("cms_est") - col("n_exact")).as("overcount"))
   }
 
-  def sqlTokenFreqCms: String = {
+  /** Oracle twin of [[tokenFreqCms]] at the default width. */
+  def sqlTokenFreqCms: String = sqlTokenFreqCmsAt(CmsW)
+
+  /** Width-parameterized oracle twin — mirrors [[tokenFreqCms]]'s `w`
+    * parameter (the `sqlDecontaminateAt` discipline) so a caller running
+    * the sketch at a non-default width keeps oracle parity for that
+    * configuration instead of silently comparing against w=[[CmsW]].
+    */
+  def sqlTokenFreqCmsAt(w: Int): String = {
     def bucket(r: Int, e: String): String =
-      s"${sqlTokenHash(s"'cms$r:' || $e")} % $CmsW"
+      s"${sqlTokenHash(s"'cms$r:' || $e")} % $w"
     val bucketStructs = (0 until CmsD).map(r =>
       s"{'r': $r, 'b': ${bucket(r, "t")}}").mkString("[", ", ", "]")
     s"""WITH occ AS MATERIALIZED (

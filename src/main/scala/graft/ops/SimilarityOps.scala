@@ -972,11 +972,13 @@ object SimilarityOps {
     try {
       // loud on degenerate input: the ladder init survives an empty or
       // all-zero corpus, so opting INTO this init must not turn that
-      // into a bare ArrayIndexOutOfBounds; and fewer distinct vectors
-      // than k would silently return duplicate centroids
-      val n = e.count()
+      // into a bare ArrayIndexOutOfBounds; and fewer DISTINCT unit
+      // vectors than k would silently return duplicate centroids, so the
+      // guard counts distinct units, not rows — a corpus of n ≥ k rows
+      // duplicating < k embeddings must fail just as loudly
+      val n = e.select("unit").distinct().count()
       require(n >= k,
-        s"farthestPointInit: $n nonzero-norm vectors < k=$k — " +
+        s"farthestPointInit: $n distinct nonzero-norm unit vectors < k=$k — " +
           "use the default ladder init for degenerate corpora")
       def unitOf(df: DataFrame): IndexedSeq[Double] =
         df.select("unit").collect()(0).getSeq[Double](0).toIndexedSeq

@@ -20,8 +20,13 @@ import graft.ops.PretrainOps
   *
   * Stateless like [[ScoreStream]]: the reference is immutable, so
   * exactly-once needs only per-batch overwrite (`outDir/b_<id>`); a
-  * replayed batch rewrites identical rows. `outDir/current` republishes
-  * the latest batch's monitor table for a dashboard to read.
+  * replayed batch rewrites identical rows. The latest monitor table is
+  * published through a VERSIONED POINTER — `outDir/_latest` names the
+  * newest `b_<id>` and [[current]] resolves it — because republishing a
+  * `current` directory via overwrite is not atomic (the dir is deleted
+  * then rewritten; a dashboard reading mid-publish fails or sees a
+  * partial table), while the pointer is one small file whose create is
+  * all-or-nothing and whose target is already fully written.
   */
 object DriftStream {
 
@@ -43,15 +48,41 @@ object DriftStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // compute ONCE: republish `current` from the written parquet —
-        // a second write of the uncached monitor frame would re-run the
-        // whole per-batch aggregation (two jobs on the ingest path)
         PretrainOps.embedDriftWith(batch, refMicro)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outDir/b_$batchId")
-        spark.read.parquet(s"$outDir/b_$batchId")
-          .write.mode("overwrite").parquet(s"$outDir/current")
+        // publish AFTER the table is fully written: flip the pointer to
+        // the completed version (single small file, all-or-nothing) —
+        // readers resolving through `current` never observe a partial dir
+        publishLatest(spark, outDir, batchId)
         ()
       }
       .start()
+
+  /** Flip `outDir/_latest` to name `b_<batchId>`. */
+  private def publishLatest(spark: SparkSession, outDir: String,
+      batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_latest.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$outDir/_latest")
+    val out = fs.create(tmp, true)
+    try out.write(s"b_$batchId".getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  /** The latest published monitor table — resolves the `_latest` pointer
+    * the stream maintains (the dashboard's read path).
+    */
+  def current(spark: SparkSession, outDir: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(s"$outDir/_latest")
+    val in = fs.open(ptr)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    spark.read.parquet(s"$outDir/$name")
+  }
 }

@@ -9,18 +9,21 @@ import graft.ops.PretrainOps
 
 /** Streaming distinct-cardinality monitoring — cross-batch HyperLogLog
   * accumulation, the stateful sibling of [[ManifestStream]] with MAX
-  * where the manifest uses SUM+XOR: each micro-batch writes only its own
-  * (source, bucket, m) register DELTA (`_regs/b_<id>`), and the
-  * published estimate max-merges all deltas up to and including the
-  * batch — so the running "distinct grams per source" number covers
-  * everything ever ingested while total state I/O stays
-  * O(batches · S · [[graft.ops.PretrainOps.HllM]]) registers, never a
-  * distinct shuffle, never the corpus.
+  * where the manifest uses SUM+XOR: each micro-batch max-merges its own
+  * (source, bucket, m) registers into the latest prior COMPACTED state
+  * and writes the result as `_regs/b_<id>` — so the running "distinct
+  * grams per source" number covers everything ever ingested while
+  * PER-BATCH state I/O stays O(S · [[graft.ops.PretrainOps.HllM]])
+  * registers regardless of how long the stream has run (the per-batch-
+  * delta form re-read the whole version history each batch — quadratic
+  * cumulative I/O with batch count), never a distinct shuffle, never
+  * the corpus.
   *
   * Replay safety is STRUCTURAL, stronger than the manifest's versioning
-  * argument: max-merge is idempotent, so even double-counting a replayed
-  * batch's registers cannot move the estimate (the spec replays one and
-  * asserts equality). A restart resumes from the deltas.
+  * argument: a batch reads only versions strictly below its own id and
+  * max-merge is idempotent, so even re-folding a replayed batch's
+  * registers cannot move the estimate (the spec replays one and
+  * asserts equality). A restart resumes from the compacted state.
   */
 object HllStream {
 
@@ -39,14 +42,26 @@ object HllStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // COMPACTED running state, not per-batch deltas: b_<id> holds the
+        // max-merge of every batch ≤ id, so each batch reads exactly ONE
+        // prior version (latestBefore) instead of re-merging the whole
+        // history — per-batch I/O stays O(S·HllM) over the stream's life
+        // where the delta form grew quadratically with batch count.
+        // Replay-safe for the same reason the delta form was: a replayed
+        // batch reads only versions strictly below its id (the compacted
+        // state through id−1) and max-merge is idempotent, so re-folding
+        // its own rows reproduces b_<id> exactly (spec-asserted).
         val regsRoot = s"$outDir/_regs"
         val mine = PretrainOps.hllRegisters(batch)
-        mine.write.mode("overwrite").parquet(s"$regsRoot/b_$batchId")
-        val priorDirs = VersionedState.allBefore(spark, regsRoot, batchId)
-        val all = priorDirs.foldLeft(mine)((acc, d) =>
-          acc.unionByName(spark.read.parquet(d)))
-        val merged = all.groupBy("source", "bucket").agg(max("m").as("m"))
-        PretrainOps.hllEstimates(merged)
+        val merged = VersionedState.latestBefore(spark, regsRoot, batchId) match {
+          case Some(prev) => mine.unionByName(spark.read.parquet(prev))
+            .groupBy("source", "bucket").agg(max("m").as("m"))
+          case None => mine
+        }
+        merged.write.mode("overwrite").parquet(s"$regsRoot/b_$batchId")
+        // estimate from the WRITTEN state — re-running the merge plan for
+        // a second action would double the aggregation on the ingest path
+        PretrainOps.hllEstimates(spark.read.parquet(s"$regsRoot/b_$batchId"))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").parquet(s"$outDir/estimate/b_$batchId")
         ()

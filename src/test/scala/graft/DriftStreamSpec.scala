@@ -80,7 +80,10 @@ class DriftStreamSpec extends SparkSuite {
     val shifted = perBatch.maxBy(_._1)._2
     assert(clean == 0L, s"unshifted batch flagged $clean dims")
     assert(shifted == 1L, s"shifted batch flagged $shifted dims (want dim 3 only)")
-    val cur = spark.read.parquet(s"$outDir/current")
+    // the published pointer resolves to the newest fully-written version
+    val cur = DriftStream.current(spark, outDir)
+    assert(cur.select("batch_id").distinct().head().getLong(0) ==
+      perBatch.keys.max)
     assert(cur.filter(col("drifted")).select("dim_idx")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }

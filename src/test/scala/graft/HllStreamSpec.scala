@@ -47,7 +47,7 @@ class HllStreamSpec extends SparkSuite {
     assert(latestEstimate(outDir) == batchExpect(f1.unionByName(f2)),
       "streamed running sketch must equal the batch sketch")
 
-    // restart with more data: the deltas carry the history
+    // restart with more data: the compacted state carries the history
     f3.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
     awaitDone(HllStream.run(spark, docsDir, outDir, ckpt))
     assert(latestEstimate(outDir) == batchExpect(fixture),

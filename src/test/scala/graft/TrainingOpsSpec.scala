@@ -524,6 +524,25 @@ class TrainingOpsSpec extends SparkSuite {
     assert(sampledRow.getAs[Long]("n_true") <= real.getAs[Long]("n_true"))
   }
 
+  test("dedup_lsh_recall truthDfCap: hot-gram guard truncates the truth index and reports it") {
+    // one boilerplate shingle shared by all 10 docs (the degenerate gram
+    // that inflates the uncapped ground-truth self-join by C(10,2) pairs)
+    val hot = "shared boilerplate line"
+    val docs10 = (1L to 10L).map(i =>
+      (i, s"$hot unique$i worda$i wordb$i wordc$i wordd$i")).toDF("doc_id", "text")
+    val capped = DedupOps.dedupLshRecall(docs10, truthDfCap = 3).collect()(0)
+    assert(capped.getAs[Long]("n_capped_grams") >= 1L,
+      "the planted hot gram must be reported as capped")
+    // the default ∞ cap is the exact complete-truth path, zero capped
+    val un = DedupOps.dedupLshRecall(docs10).collect()(0)
+    assert(un.getAs[Long]("n_capped_grams") == 0L)
+    // a finite cap at/above every gram's df ≡ the ∞ cap semantically
+    val wide = DedupOps.dedupLshRecall(docs10, truthDfCap = 1000).collect()(0)
+    assert(wide.getAs[Long]("n_true") == un.getAs[Long]("n_true"))
+    assert(wide.getAs[Long]("n_found") == un.getAs[Long]("n_found"))
+    assert(wide.getAs[Long]("n_capped_grams") == 0L)
+  }
+
   test("dedup_semantic: identical vectors collapse to the lower id, distinct ones survive") {
     val v = Seq.tabulate(64)(i => (math.sin(i + 1) * 10).toFloat)
     val w = Seq.tabulate(64)(i => (math.cos(i + 1) * 10).toFloat)
