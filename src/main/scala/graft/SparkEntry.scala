@@ -33,6 +33,15 @@ object SparkEntry {
     bpeModelCache.computeIfAbsent(dir,
       d => TokenizerOps.bpeTrain(docsT(s, d), TokenizerOps.NumMerges))
 
+  /** The unigram-LM vocab for a corpus dir, trained once per process —
+    * the [[trainedMerges]] discipline for the second tokenizer family.
+    */
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[TokenizerOps.UnigramPiece]]()
+  private def trainedUnigram(s: SparkSession, dir: String): Seq[TokenizerOps.UnigramPiece] =
+    unigramModelCache.computeIfAbsent(dir,
+      d => TokenizerOps.unigramTrain(docsT(s, d)))
+
   /** The shared TOKEN TABLE for a corpus dir — `documents.* + toks`
     * ([[TextOps.tokenize]]), persisted ONCE per process and consumed by
     * every token-reading query below through [[TextOps.toksOf]]. This is
@@ -88,6 +97,35 @@ object SparkEntry {
     cachedFor(saCache, s, dir)(d =>
       SuffixOps.suffixArray(saShard(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Shard 5 and the TWO-SHARD MERGED array — the cross-shard half of
+    * the sharded build: shard 5's array is built independently (exactly
+    * as a second worker would build it) and
+    * [[SuffixOps.mergeShardArrays]] combines it with shard 0's into the
+    * true suffix array of the two-shard union, which the SA-driven trim
+    * consumes. Two of ten shards keep the oracle's quadratic
+    * suffix-string build inside its budget while exercising the full
+    * merge path; production merges all ten the same way.
+    */
+  private def saShard5(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") % 10 === 5)
+  private def saShards05(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("doc_id") % 10 isin (0, 5))
+  private val sa5Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def saShard5Array(s: SparkSession, dir: String): DataFrame =
+    cachedFor(sa5Cache, s, dir)(d =>
+      SuffixOps.suffixArray(saShard5(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private val saMergedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def saMergedArray(s: SparkSession, dir: String): DataFrame =
+    cachedFor(saMergedCache, s, dir)(d =>
+      SuffixOps.mergeShardArrays(
+        Seq(saShardArray(s, d), saShard5Array(s, d)), saShards05(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private val SaShardPred = "doc_id % 10 IN (0, 5)"
 
   /** events.parquet has shipped as TIMESTAMP(NANOS) — which Spark 4
     * rejects unless read as raw long nanos via the legacy conf set here —
@@ -427,6 +465,15 @@ object SparkEntry {
     // ExactSubstr's corpus diagnostic: per-doc exact-repeat coverage
     "sa_repeat_coverage" -> ((s, dir) =>
       SuffixOps.saRepeatCoverageOn(saShardArray(s, dir), saShard(s, dir))),
+    // the cross-shard MERGE: shards 0 and 5 built independently, merged
+    // into the true suffix array of their union (the step that makes a
+    // repeat spanning two shards visible to the exact instrument)
+    "suffix_array_merged" -> ((s, dir) => saMergedArray(s, dir)),
+    // ExactSubstr's ACTION at the exact level: per-doc merged drop
+    // ranges from adjacent-LCP intervals of the MERGED array — the
+    // suffix-array twin of dedup_substring_trim's hash stand-in
+    "dedup_substring_sa" -> ((s, dir) =>
+      SuffixOps.dedupSubstringSaOn(saMergedArray(s, dir), saShards05(s, dir))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
@@ -444,6 +491,21 @@ object SparkEntry {
     // sequence packing by BPE counts — packTokenCounts reused unchanged
     "pack_sequences_bpe" -> ((s, dir) =>
       TokenizerOps.packSequencesBpe(docsT(s, dir), trainedMerges(s, dir))),
+    // unigram-LM tokenizer (SentencePiece family): the trained vocab —
+    // seed grams → EM (Viterbi E-step fold, usage M-step agg) → prune
+    "unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      trainedUnigram(s, dir).toDF("piece", "score")
+    }),
+    // the trained unigram vocab APPLIED: per-doc real piece counts via
+    // the per-distinct-word Viterbi fold + broadcast join-back
+    "tokenize_unigram" -> ((s, dir) =>
+      TokenizerOps.tokenizeUnigram(docsT(s, dir), trainedUnigram(s, dir))),
+    // tokenizer bake-off: BPE vs unigram fertility per source, one row
+    // per source with both ratios in exact micros
+    "tokenizer_fertility_compare" -> ((s, dir) =>
+      TokenizerOps.tokenizerFertilityCompare(docsT(s, dir),
+        trainedMerges(s, dir), trainedUnigram(s, dir))),
     "dedup_survivors" -> ((s, dir) => DedupOps.dedupSurvivors(docsT(s, dir))),
     "domain_stats" -> ((s, dir) => PretrainOps.domainStats(tbl(s, dir, "documents"))),
     "embed_normalize" -> ((s, dir) => PretrainOps.embedNormalize(tbl(s, dir, "embeddings"))),
@@ -797,12 +859,17 @@ object SparkEntry {
     "suffix_array" -> SuffixOps.sqlSuffixArray,
     "sa_longest_repeat" -> SuffixOps.sqlSaLongestRepeat,
     "sa_repeat_coverage" -> SuffixOps.sqlSaRepeatCoverage,
+    "suffix_array_merged" -> SuffixOps.sqlSuffixArrayFor(SaShardPred),
+    "dedup_substring_sa" -> SuffixOps.sqlDedupSubstringSaFor(SaShardPred),
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,
     "pack_sequences_bpe" -> TokenizerOps.sqlPackSequencesBpe,
+    "unigram_train" -> TokenizerOps.sqlUnigramTrain,
+    "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,
+    "tokenizer_fertility_compare" -> TokenizerOps.sqlTokenizerFertilityCompare,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,

@@ -1081,9 +1081,18 @@ object PretrainOps {
     * exact long overlap of [tok_start, tok_start+n) with the sequence
     * window — no fp anywhere.
     */
-  def sequenceManifest(docs: DataFrame): DataFrame = {
+  def sequenceManifest(docs: DataFrame): DataFrame =
+    sequenceManifestFrom(packSequences(docs))
+
+  /** [[sequenceManifest]] over an ALREADY-PACKED table (doc_id, source,
+    * n_tokens, tok_start, seq_start, seq_end, …) — the face the
+    * streaming packer's fill accounting reuses, so batch and streamed
+    * manifests are the same aggregation over their respective pack
+    * tables.
+    */
+  def sequenceManifestFrom(pack: DataFrame): DataFrame = {
     val L = SeqLen
-    packSequences(docs)
+    pack
       .filter(col("n_tokens") >= 1)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_start"),
         explode_outer(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
@@ -2587,6 +2596,43 @@ object PretrainOps {
     * with sum in place of max. The exact top-K side is the evaluation
     * column; production keeps the sketch and drops it.
     */
+  /** The d row-bucket coordinates of one token — shared by the batch
+    * sketch and [[graft.stream.CmsStream]]'s per-batch counter build.
+    */
+  private def cmsBuckets(t: Column, w: Int): Column =
+    array((0 until CmsD).map(r =>
+      struct(lit(r).as("r"),
+        (tokenHash(concat(lit(s"cms$r:"), t)) % w).as("b"))): _*)
+
+  /** CMS counter table (r, b, c) of a corpus slice — the sketch STATE:
+    * one map-side-combined agg to d·w rows regardless of vocabulary.
+    * Counters merge by SUM (associative), which is the entire shard and
+    * streaming story — [[graft.stream.CmsStream]] folds per-batch
+    * counters into a compacted running version exactly like
+    * [[graft.stream.HllStream]] does with max.
+    */
+  def cmsCounters(docs: DataFrame, w: Int = CmsW): DataFrame =
+    fanout(docs).select(explode(TextOps.toksOf(docs)).as("t"))
+      .filter(col("t") =!= "")
+      .select(explode(cmsBuckets(col("t"), w)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point-query a counter table for `tokens`: estimate = MIN of the d
+    * counters (never undercounts). Missing buckets count 0.
+    */
+  def cmsPointQuery(counters: DataFrame, tokens: Seq[String],
+      w: Int = CmsW): DataFrame = {
+    val spark = counters.sparkSession
+    import spark.implicits._
+    tokens.toDF("token")
+      .select(col("token"), explode(cmsBuckets(col("token"), w)).as("rb"))
+      .join(broadcast(counters),
+        col("rb.r") === col("r") && col("rb.b") === col("b"), "left")
+      .groupBy("token")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+  }
+
   def tokenFreqCms(docs: DataFrame, w: Int = CmsW): DataFrame = {
     def bucket(r: Int, t: Column): Column =
       tokenHash(concat(lit(s"cms$r:"), t)) % w

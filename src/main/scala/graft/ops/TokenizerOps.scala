@@ -337,6 +337,353 @@ object TokenizerOps {
     merges.result()
   }
 
+  // ------------------------------------------------------ unigram tokenizer
+
+  /** Max piece length for the unigram-LM tokenizer — the DP fold keeps a
+    * rolling window of this many positions, and both engines unroll
+    * exactly this many candidates per position.
+    */
+  val UniMaxPieceLen = 4
+
+  /** Seed pool size for multi-char candidate pieces (top weighted char
+    * n-grams), and the per-round prune targets of the EM loop — the
+    * SentencePiece shape: seed BIG from substring statistics, then prune
+    * toward the target vocab, always keeping single chars for coverage.
+    */
+  val UniSeedMulti = 64
+  val UniPruneSizes: Seq[Int] = Seq(48, 32)
+
+  /** Per-char fallback cost for a character outside the vocab (cannot
+    * happen on the training corpus — every corpus char is seeded — but
+    * keeps tokenization total on unseen text, emitting per-char UNKs).
+    */
+  val UniUnkCost = 10000000L
+  private val UniInf = Long.MaxValue / 2
+
+  /** One vocab entry: the piece and its integer score (usage count). */
+  final case class UnigramPiece(piece: String, score: Long)
+
+  /** Integer piece cost from an integer score: 10⁶ − ⌊log₂ score⌋. The
+    * objective this induces — minimize Σ costs — is an integer-EXACT
+    * surrogate for the unigram negative log-likelihood: the 10⁶ base
+    * makes PIECE COUNT dominate (every extra piece costs at least one
+    * −log p, the dominant term when piece probabilities share a scale)
+    * and the binary order of magnitude of the score refines among
+    * equal-length segmentations. A transcendental log at micro precision
+    * would differ between engines at floor boundaries (1-ulp libm
+    * differences), which the hash-exact oracle discipline cannot
+    * tolerate; ⌊log₂⌋ is the largest log both engines compute exactly
+    * (`length(bin(s)) - 1` in SQL, `63 − numberOfLeadingZeros` here).
+    */
+  private def pieceCost(score: Long): Long =
+    1000000L - (63 - java.lang.Long.numberOfLeadingZeros(math.max(score, 1L)))
+
+  /** Best unigram segmentation of one word under `cost` — Viterbi as a
+    * BOUNDED in-row fold: the DP over positions keeps only the last
+    * [[UniMaxPieceLen]] states (cost + best path each), so the
+    * accumulator is constant-size and the fold is one pass over the
+    * word's chars. Candidates scan longest-first with strict-improve
+    * replacement — equal-cost ties resolve to the LONGER piece,
+    * deterministically, in both engines (the oracle's `list_reduce`
+    * scans the same candidate order with the same strict `<`).
+    * Multi-char pieces outside the vocab are inadmissible; unknown
+    * single chars cost [[UniUnkCost]].
+    */
+  private def unigramSegment(word: Column, cost: Map[String, Long]): Column = {
+    val P = UniMaxPieceLen
+    val cmap = typedLit(cost)
+    val emptyPath = array().cast("array<string>")
+    val inf = lit(UniInf)
+    val init = struct(
+      array(inf, inf, inf, lit(0L)).as("costs"),
+      array(emptyPath, emptyPath, emptyPath, emptyPath).as("paths"))
+    def step(acc: Column, i: Column): Column = {
+      val cands = (P to 1 by -1).map { l =>
+        val piece = word.substr(i - (l - 1), lit(l))
+        val prevC = element_at(acc.getField("costs"), P + 1 - l)
+        val prevP = element_at(acc.getField("paths"), P + 1 - l)
+        val admissible =
+          if (l == 1) i >= l
+          else i >= l && element_at(cmap, piece).isNotNull
+        val c =
+          if (l == 1) prevC + coalesce(element_at(cmap, piece), lit(UniUnkCost))
+          else prevC + element_at(cmap, piece)
+        when(admissible, struct(c.as("c"),
+            concat(prevP, array(piece)).as("p")))
+          .otherwise(struct(inf.as("c"), emptyPath.as("p")))
+      }
+      val best = cands.reduceLeft((a, b) =>
+        when(b.getField("c") < a.getField("c"), b).otherwise(a))
+      struct(
+        array(element_at(acc.getField("costs"), 2),
+          element_at(acc.getField("costs"), 3),
+          element_at(acc.getField("costs"), 4),
+          best.getField("c")).as("costs"),
+        array(element_at(acc.getField("paths"), 2),
+          element_at(acc.getField("paths"), 3),
+          element_at(acc.getField("paths"), 4),
+          best.getField("p")).as("paths"))
+    }
+    when(length(word) === 0, emptyPath).otherwise(
+      aggregate(sequence(lit(1), length(word)), init, step,
+        acc => element_at(acc.getField("paths"), P)))
+  }
+
+  /** Weighted single-char and 2..[[UniMaxPieceLen]]-gram counts of the
+    * distinct-word table — the unigram seed statistics (SentencePiece
+    * seeds from frequent substrings; over whitespace words, word char
+    * n-grams ARE the frequent substrings).
+    */
+  private def charCounts(wf: DataFrame): DataFrame =
+    wf.select(col("cnt"), explode(split(col("word"), "")).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("s"))
+
+  private def gramCounts(wf: DataFrame): DataFrame =
+    wf.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(2), lit(UniMaxPieceLen)), n =>
+          when(length(col("word")) >= n,
+            transform(sequence(lit(1), length(col("word")) - n + 1),
+              i => col("word").substr(i, n)))
+            .otherwise(array().cast("array<string>"))))).as("piece"))
+      .groupBy("piece").agg(sum(col("cnt")).as("s"))
+
+  /** Train the unigram-LM tokenizer — the SentencePiece-family loop
+    * (Kudo 2018) at the [[bpeTrain]]/`pqTrain` driver altitude: seed a
+    * large candidate vocab from substring statistics, then iterate
+    * E-step (per-word Viterbi under current scores — a distributed fold
+    * over the Zipf-small DISTINCT-WORD table, never the corpus) and
+    * M-step (piece-usage counts: ONE vocab-keyed agg, ≤ vocab rows to
+    * the driver — the driver-decides-small pattern), pruning the
+    * lowest-usage multi-char pieces each round while single chars stay
+    * for coverage. Scores are integer usage counts end-to-end, so the
+    * DuckDB twin re-learns the identical vocab by unrolling the same
+    * rounds ([[sqlUnigramCtes]]) — train + apply hash-exact across
+    * engines, the `quality_linear_score_trained` discipline.
+    */
+  def unigramTrain(docs: DataFrame): Seq[UnigramPiece] = {
+    val wf = DedupOps.materialize(wordFreq(docs), "unigram_words")
+    val chars = charCounts(wf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (chars.isEmpty) return Seq.empty
+    val seedMulti = gramCounts(wf)
+      .orderBy(col("s").desc, col("piece")).limit(UniSeedMulti).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    var vocab: Map[String, Long] = chars ++ seedMulti
+    UniPruneSizes.foreach { keep =>
+      val costs = vocab.map { case (p, s) => p -> pieceCost(s) }
+      val usage = wf
+        .select(col("cnt"),
+          explode(unigramSegment(col("word"), costs)).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val keptMulti = usage.filter(_._1.length > 1).toSeq
+        .sortBy { case (p, s) => (-s, p) }.take(keep)
+      vocab = chars.keys.map(c => c -> usage.getOrElse(c, 0L)).toMap ++ keptMulti
+    }
+    vocab.toSeq.sortBy(_._1).map { case (p, s) => UnigramPiece(p, s) }
+  }
+
+  /** Per-distinct-word unigram piece counts under a trained vocab — the
+    * word-table face every corpus-scale consumer joins against: the
+    * Viterbi fold runs ONCE per distinct word (the Zipf amortization —
+    * per-occurrence recompute would re-fold the corpus), and corpus
+    * tokenization becomes a broadcast-scale hash-join probe.
+    */
+  private def wordPieceCounts(wf: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val costs = vocab.map(u => u.piece -> pieceCost(u.score)).toMap
+    wf.select(col("word"),
+      size(unigramSegment(col("word"), costs)).cast("long").as("n_p"))
+  }
+
+  /** Tokenize the corpus with the TRAINED unigram vocab — output shape
+    * identical to [[tokenizeBpe]] (doc_id, source, n_words, n_tokens) so
+    * the packing/fertility consumers take either tokenizer unchanged.
+    * Unlike BPE's zero-shuffle per-occurrence kernel, the unigram fold
+    * is priced per DISTINCT word and joined back (broadcast — the word
+    * table is Zipf-small), trading one broadcast probe for never folding
+    * the same word twice.
+    */
+  def tokenizeUnigram(docs: DataFrame, vocab: Seq[UnigramPiece]): DataFrame = {
+    val wf = wordFreq(docs)
+    val wp = broadcast(wordPieceCounts(wf, vocab))
+    fanout(docs)
+      .select(col("doc_id"), col("source"),
+        explode_outer(TextOps.toksOf(docs)).as("word"))
+      .join(wp, Seq("word"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(when(col("word") =!= "", 1)).as("n_words"),
+        coalesce(sum(col("n_p")), lit(0L)).as("n_tokens"))
+  }
+
+  /** Side-by-side fertility of the two trained tokenizers per source —
+    * the evaluation row a tokenizer bake-off reports: same corpus, same
+    * word counts, BPE vs unigram tokens-per-word in exact micros.
+    */
+  def tokenizerFertilityCompare(docs: DataFrame, merges: Seq[BpeMerge],
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val bpe = bpeFertility(docs, merges)
+      .select(col("source"), col("n_words"),
+        col("n_tokens").as("bpe_tokens"),
+        col("fertility_micro").as("bpe_fertility_micro"))
+    val uni = tokenizeUnigram(docs, vocab)
+      .groupBy("source")
+      .agg(sum("n_tokens").as("unigram_tokens"))
+    bpe.join(uni, Seq("source"))
+      .select(col("source"), col("n_words"), col("bpe_tokens"),
+        col("unigram_tokens"), col("bpe_fertility_micro"),
+        when(col("n_words") > 0,
+          expr(microRatio("unigram_tokens", "n_words"))).otherwise(lit(0L))
+          .as("unigram_fertility_micro"))
+  }
+
+  /** The Viterbi fold of [[unigramSegment]] in DuckDB — same rolling
+    * 4-state DP, same longest-first strict-`<` candidate scan, over a
+    * piece→cost map column `mp` (cost already baked in at map build).
+    * Accumulator and elements share one struct type (DuckDB's
+    * `list_reduce` has no initial-accumulator form — the [[sqlLearnCtes]]
+    * lifting discipline); `best` binds through a single-element
+    * `list_transform`, the lambda-scope substitute for a subquery.
+    */
+  private def sqlUniFold: String = {
+    val inf = UniInf
+    def cand(l: Int): String = {
+      val piece = s"substr(word, CAST(x.pos AS INT) - ${l - 1}, $l)"
+      if (l == 1)
+        s"struct_pack(c := acc.costs[4] + coalesce(mp[$piece][1], $UniUnkCost), " +
+          s"p := list_append(acc.paths[4], $piece))"
+      else
+        s"CASE WHEN x.pos >= $l AND len(mp[$piece]) > 0 THEN " +
+          s"struct_pack(c := acc.costs[${5 - l}] + mp[$piece][1], " +
+          s"p := list_append(acc.paths[${5 - l}], $piece)) " +
+          s"ELSE struct_pack(c := CAST($inf AS BIGINT), p := []::VARCHAR[]) END"
+    }
+    val cands = (UniMaxPieceLen to 1 by -1).map(cand).mkString(", ")
+    s"""list_reduce(
+       |      list_prepend(
+       |        struct_pack(pos := CAST(0 AS BIGINT),
+       |          costs := [CAST($inf AS BIGINT), $inf, $inf, 0],
+       |          paths := [[],[],[],[]]::VARCHAR[][]),
+       |        list_transform(range(1, length(word) + 1), i ->
+       |          struct_pack(pos := i, costs := NULL::BIGINT[],
+       |            paths := NULL::VARCHAR[][]))),
+       |      (acc, x) -> list_transform(
+       |        [list_reduce([$cands],
+       |          (ca, cb) -> CASE WHEN cb.c < ca.c THEN cb ELSE ca END)],
+       |        best -> struct_pack(pos := x.pos,
+       |          costs := [acc.costs[2], acc.costs[3], acc.costs[4], best.c],
+       |          paths := [acc.paths[2], acc.paths[3], acc.paths[4], best.p]))[1]
+       |    ).paths[4]""".stripMargin
+  }
+
+  /** CTE chain re-learning the unigram vocab in SQL — the training loop
+    * unrolled exactly as the Spark driver runs it: `uw` (word, cnt),
+    * seed chars + top-[[UniSeedMulti]] grams, then per round a map
+    * build, an E-step fold, an M-step usage agg, and the prune — ending
+    * at `uvocab${rounds}` (the final vocab) and `ue${rounds+1}` /
+    * `uwp` (the final per-word segmentation + piece counts). Words with
+    * empty text never enter `uw` ('' is cut), mirroring [[wordFreq]].
+    */
+  private[ops] def sqlUnigramCtes(table: String = "documents"): String = {
+    val rounds = UniPruneSizes.length
+    val base =
+      s"""uw AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(${sqlTokens("text")}) AS word FROM $table)
+         |  WHERE word <> '' GROUP BY word),
+         |uch AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM (
+         |    SELECT cnt, unnest(string_split(word, '')) AS piece FROM uw)
+         |  GROUP BY piece),
+         |ugr AS (
+         |  SELECT piece, s FROM (
+         |    SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM (
+         |      SELECT cnt, unnest(flatten(list_transform(
+         |        range(2, ${UniMaxPieceLen + 1}), n ->
+         |          CASE WHEN length(word) >= n THEN
+         |            list_transform(range(1, length(word) - n + 2), i ->
+         |              substr(word, CAST(i AS INT), CAST(n AS INT)))
+         |          ELSE []::VARCHAR[] END))) AS piece
+         |      FROM uw)
+         |    GROUP BY piece)
+         |  ORDER BY s DESC, piece LIMIT $UniSeedMulti),
+         |uvocab0 AS (SELECT piece, s FROM uch UNION ALL SELECT piece, s FROM ugr)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      val keep = UniPruneSizes(r - 1)
+      s"""umap${r - 1} AS (
+         |  SELECT map_from_entries(list(struct_pack(k := piece,
+         |    v := 1000000 - (length(bin(greatest(s, 1))) - 1)))) AS mp
+         |  FROM uvocab${r - 1}),
+         |ue$r AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    ${sqlUniFold} AS path
+         |  FROM uw, umap${r - 1}),
+         |um$r AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS s FROM (
+         |    SELECT cnt, unnest(path) AS piece FROM ue$r)
+         |  GROUP BY piece),
+         |uvocab$r AS (
+         |  SELECT c.piece, CAST(coalesce(u.s, 0) AS BIGINT) AS s
+         |  FROM uch c LEFT JOIN um$r u USING (piece)
+         |  UNION ALL
+         |  SELECT piece, s FROM (
+         |    SELECT piece, s FROM um$r WHERE length(piece) > 1
+         |    ORDER BY s DESC, piece LIMIT $keep))""".stripMargin
+    }
+    val finalSeg =
+      s"""umap$rounds AS (
+         |  SELECT map_from_entries(list(struct_pack(k := piece,
+         |    v := 1000000 - (length(bin(greatest(s, 1))) - 1)))) AS mp
+         |  FROM uvocab$rounds),
+         |ue${rounds + 1} AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    ${sqlUniFold} AS path
+         |  FROM uw, umap$rounds),
+         |uwp AS (SELECT word, CAST(len(path) AS BIGINT) AS n_p FROM ue${rounds + 1})""".stripMargin
+    (base +: steps :+ finalSeg).mkString(",\n")
+  }
+
+  def sqlUnigramTrain: String =
+    s"""WITH ${sqlUnigramCtes()}
+       |SELECT piece, s AS score FROM uvocab${UniPruneSizes.length}""".stripMargin
+
+  def sqlTokenizeUnigram: String =
+    s"""WITH ${sqlUnigramCtes()}
+       |SELECT doc_id, source,
+       |  CAST(count(*) FILTER (WHERE word <> '') AS BIGINT) AS n_words,
+       |  CAST(coalesce(sum(p.n_p), 0) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, source, unnest(${sqlTokens("text")}) AS word
+       |  FROM documents) d
+       |LEFT JOIN uwp p USING (word)
+       |GROUP BY doc_id, source""".stripMargin
+
+  def sqlTokenizerFertilityCompare: String =
+    s"""WITH ${sqlLearnCtes(NumMerges)},
+       |${sqlUnigramCtes()},
+       |occ AS MATERIALIZED (
+       |  SELECT doc_id, source, unnest(${sqlTokens("text")}) AS word
+       |  FROM documents),
+       |bpeagg AS (
+       |  SELECT source,
+       |    CAST(count(*) FILTER (WHERE word <> '') AS BIGINT) AS n_words,
+       |    CAST(coalesce(sum(len(v.syms)), 0) AS BIGINT) AS bpe_tokens
+       |  FROM occ LEFT JOIN v$NumMerges v USING (word)
+       |  GROUP BY source),
+       |uniagg AS (
+       |  SELECT source,
+       |    CAST(coalesce(sum(p.n_p), 0) AS BIGINT) AS unigram_tokens
+       |  FROM occ LEFT JOIN uwp p USING (word)
+       |  GROUP BY source)
+       |SELECT b.source, b.n_words, b.bpe_tokens, u.unigram_tokens,
+       |  CASE WHEN b.n_words > 0
+       |    THEN ${sqlMicroRatio("b.bpe_tokens", "b.n_words")} ELSE 0 END
+       |    AS bpe_fertility_micro,
+       |  CASE WHEN b.n_words > 0
+       |    THEN ${sqlMicroRatio("u.unigram_tokens", "b.n_words")} ELSE 0 END
+       |    AS unigram_fertility_micro
+       |FROM bpeagg b JOIN uniagg u USING (source)""".stripMargin
+
   /** Persist a learned merge table — the tokenizer's model artifact, so
     * training runs ONCE and every downstream job (tokenize, pack, data
     * card) loads the same merges instead of retraining (the

@@ -107,6 +107,85 @@ class SuffixOpsSpec extends SparkSuite {
     assert(cov.length == 1 && cov(0).getLong(2) == 0L)
   }
 
+  test("mergeShardArrays: merged per-shard arrays ≡ direct suffixArray of the union, row-exact") {
+    // shard by doc_id % 2; identical docs ACROSS shards force the
+    // byte-identical (doc_id, pos) tiebreak, and a repeat > 2·SaLcpCap
+    // spanning shards forces > 2 probe-deepening rounds
+    val long = "z" * (SuffixOps.SaLcpCap * 2 + 10)
+    val corpus = Seq[(Long, String)](
+      1L -> s"alpha $long omega",
+      2L -> s"beta $long gamma",
+      3L -> "same text here",
+      4L -> "same text here",
+      5L -> "banana",
+      6L -> "abracadabra",
+      7L -> "")
+    val df = corpus.toDF("doc_id", "text")
+    val s0 = df.filter(col("doc_id") % 2 === 0)
+    val s1 = df.filter(col("doc_id") % 2 === 1)
+    val merged = SuffixOps.mergeShardArrays(
+        Seq(SuffixOps.suffixArray(s0), SuffixOps.suffixArray(s1)), df)
+      .orderBy("sa_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(merged == naiveSa(corpus))
+  }
+
+  test("mergeShardArrays degenerate: one shard passes through exactly; empty corpus") {
+    val corpus = Seq[(Long, String)](1L -> "banana", 2L -> "abracadabra")
+    val df = corpus.toDF("doc_id", "text")
+    val one = SuffixOps.mergeShardArrays(
+        Seq(SuffixOps.suffixArray(df)), df)
+      .orderBy("sa_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one == naiveSa(corpus))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val mergedEmpty = SuffixOps.mergeShardArrays(
+      Seq(SuffixOps.suffixArray(empty)), empty)
+    assert(mergedEmpty.count() == 0)
+    assert(mergedEmpty.columns.toSeq == Seq("sa_rank", "doc_id", "pos"))
+  }
+
+  test("cross-shard repeat: invisible to every per-shard trim, found by the merged one") {
+    val repeat = "cross shard repeated boilerplate segment"  // 40 ≥ SaRepeatMin
+    val corpus = Seq[(Long, String)](
+      10L -> s"first document body $repeat trailing words",   // shard 0
+      5L -> s"second document opens $repeat and then ends",   // shard 1
+      20L -> "totally distinct filler for the zero bucket",   // shard 0
+      15L -> "another unrelated sentence about tides")        // shard 1
+    val df = corpus.toDF("doc_id", "text")
+    val s0 = df.filter(col("doc_id") % 10 === 0)
+    val s1 = df.filter(col("doc_id") % 10 === 5)
+    val sa0 = SuffixOps.suffixArray(s0)
+    val sa1 = SuffixOps.suffixArray(s1)
+    // per shard: the repeat's occurrences live in different shards, so
+    // NO shard-local trim can see it — every doc survives whole
+    Seq((sa0, s0), (sa1, s1)).foreach { case (sa, docs) =>
+      val trims = SuffixOps.dedupSubstringSaOn(sa, docs).collect()
+      trims.foreach { r =>
+        assert(r.getAs[Long]("n_ranges") == 0L,
+          s"per-shard trim must miss the cross-shard repeat: $r")
+        assert(r.getAs[String]("ranges") == "")
+      }
+    }
+    // merged: BOTH occurrences get a drop range covering ≥ the repeat
+    val merged = SuffixOps.mergeShardArrays(Seq(sa0, sa1), df)
+    val got = SuffixOps.dedupSubstringSaOn(merged, df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ranges"), r.getAs[Long]("trimmed_chars"),
+          r.getAs[Long]("surviving_chars"), r.getAs[String]("ranges")))).toMap
+    assert(got.size == 4)
+    Seq(10L, 5L).foreach { d =>
+      val (nr, trimmed, surviving, ranges) = got(d)
+      assert(nr >= 1L, s"doc $d must carry a trim range: $got")
+      assert(trimmed >= repeat.length.toLong, s"doc $d trim too small: $got")
+      assert(ranges.nonEmpty)
+      assert(surviving == corpus.toMap.apply(d).length - trimmed)
+    }
+    Seq(20L, 15L).foreach { d =>
+      assert(got(d)._1 == 0L, s"clean doc $d must survive whole: $got")
+    }
+  }
+
   test("char_windows: per-position windows, codepoint-correct, tail-shortened") {
     import org.apache.spark.sql.graftext.ArrayFunctions.char_windows
     val got = Seq("abcd", "", "日本語X")
