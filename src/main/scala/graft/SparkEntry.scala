@@ -491,6 +491,14 @@ object SparkEntry {
     // sequence packing by BPE counts — packTokenCounts reused unchanged
     "pack_sequences_bpe" -> ((s, dir) =>
       TokenizerOps.packSequencesBpe(docsT(s, dir), trainedMerges(s, dir))),
+    // perceptual image hash (dHash) over the declared-stub sample grid —
+    // the comparison cascade, banding and pair join are the REAL
+    // operator; production swaps in the JDK-decoded gray grid
+    // (BinaryOps.dhashImage, spec-proven on generated PNGs)
+    "image_dhash" -> ((s, dir) => BinaryOps.imageDhashStub(tbl(s, dir, "documents"))),
+    // LAION-scale image dedup: banded Hamming join over the dHash —
+    // the simhash pigeonhole machinery at 64 bits
+    "dedup_image_dhash" -> ((s, dir) => BinaryOps.dedupImageDhash(tbl(s, dir, "documents"))),
     // unigram-LM tokenizer (SentencePiece family): the trained vocab —
     // seed grams → EM (Viterbi E-step fold, usage M-step agg) → prune
     "unigram_train" -> ((s, dir) => {
@@ -867,6 +875,8 @@ object SparkEntry {
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,
     "tokenize_bpe" -> TokenizerOps.sqlTokenizeBpe,
     "pack_sequences_bpe" -> TokenizerOps.sqlPackSequencesBpe,
+    "image_dhash" -> BinaryOps.sqlImageDhashStub,
+    "dedup_image_dhash" -> BinaryOps.sqlDedupImageDhash,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,
     "tokenizer_fertility_compare" -> TokenizerOps.sqlTokenizerFertilityCompare,

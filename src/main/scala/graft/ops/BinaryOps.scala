@@ -263,6 +263,173 @@ object BinaryOps {
       .toDF()
   }
 
+  // ------------------------------------------- perceptual-hash image dedup
+
+  /** dHash grid geometry: [[DhashRows]] rows × ([[DhashCols]]+1) sampled
+    * columns; bit (r, c) is set iff sample(r, c) > sample(r, c+1) —
+    * 64 bits total, the standard difference-hash (the LAION-scale
+    * image-dedup signature: gradient direction survives resizing,
+    * re-encoding and small edits, so near-duplicate images land within
+    * a few bits).
+    */
+  val DhashRows = 8
+  val DhashCols = 8
+  val DhashBands = 4
+  val DhashBandBits = 16
+
+  /** STUB sample grid hash over the payload bytes — the declared-stub
+    * discipline of [[decodeStub]]: sample (r, c) is payload byte
+    * (r·(cols+1)+c) mod len, standing in for the decoded-and-downscaled
+    * gray grid (the real path is [[dhashImage]]); the comparison
+    * cascade, banding and pair join downstream are the REAL operator,
+    * and the oracle mirrors the byte arithmetic over the UTF-8 text.
+    */
+  private def dhashStubCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = coalesce(text, lit(""))
+    val n = length(t)
+    def sample(j: Int) = ascii(t.substr(lit(j) % n + 1, lit(1)))
+    val bits = (0 until DhashRows * DhashCols).map { k =>
+      val r = k / DhashCols
+      val c = k % DhashCols
+      when(sample(r * (DhashCols + 1) + c) > sample(r * (DhashCols + 1) + c + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    when(n === 0, lit(0L)).otherwise(bits).cast("long")
+  }
+
+  /** Per-doc stub dHash signatures (doc_id, dhash). */
+  def imageDhashStub(docs: DataFrame): DataFrame =
+    DedupOps.fanout(docs)
+      .select(col("doc_id"), dhashStubCol(col("text")).as("dhash"))
+
+  /** Near-duplicate image pairs by banded Hamming join over the dHash —
+    * [[DedupOps.hammingBandPairs]] (the simhash pigeonhole machinery)
+    * at 64 bits / 4×16-bit bands: hamming ≤ [[DedupOps.MaxHamming]]
+    * pairs agree on ≥ 1 band, so the join key is (band, value), never
+    * the cross product. Run over [[imageDhashStub]] for the oracle key;
+    * production swaps in [[imageDhash]]'s real-decode signatures — the
+    * pair machinery is identical.
+    */
+  def dedupImageDhash(docs: DataFrame): DataFrame =
+    DedupOps.hammingBandPairs(
+      DedupOps.materialize(imageDhashStub(docs), "dhash_signatures"),
+      "dhash", DhashBands, DhashBandBits, DedupOps.MaxHamming,
+      DedupOps.BandBucketCap)
+
+  private def sqlDhashBits: String = {
+    val sample = (j: Int) =>
+      s"greatest(unicode(substr(text, ($j % n) + 1, 1)), 0)"
+    val bits = (0 until DhashRows * DhashCols).map { k =>
+      val r = k / DhashCols
+      val c = k % DhashCols
+      s"CASE WHEN ${sample(r * (DhashCols + 1) + c)} > ${sample(r * (DhashCols + 1) + c + 1)} THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+    s"CASE WHEN n = 0 THEN 0 ELSE $bits END"
+  }
+
+  def sqlImageDhashStub: String =
+    s"""SELECT doc_id, CAST($sqlDhashBits AS BIGINT) AS dhash
+       |FROM (SELECT doc_id, coalesce(text, '') AS text,
+       |        strlen(coalesce(text, '')) AS n
+       |      FROM documents)""".stripMargin
+
+  def sqlDedupImageDhash: String = {
+    val mask = (1L << DhashBandBits) - 1
+    val bandArms = (0 until DhashBands)
+      .map(j => s"SELECT doc_id, dhash, $j AS band_idx, (dhash >> ${j * DhashBandBits}) & $mask AS band_val FROM sig")
+      .mkString("\nUNION ALL\n")
+    s"""WITH sig AS (
+       |  SELECT doc_id, CAST($sqlDhashBits AS BIGINT) AS dhash
+       |  FROM (SELECT doc_id, coalesce(text, '') AS text,
+       |          strlen(coalesce(text, '')) AS n
+       |        FROM documents)),
+       |bands AS (
+       |  SELECT doc_id, dhash, band_idx, band_val FROM (
+       |    SELECT doc_id, dhash, band_idx, band_val,
+       |      row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+       |    FROM (
+       |$bandArms))
+       |  WHERE rn <= ${DedupOps.BandBucketCap})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= ${DedupOps.MaxHamming}""".stripMargin
+  }
+
+  /** Per-image dHash; `decoded = false` carries hash 0 (quarantine row). */
+  case class DhashMeta(doc_id: Long, dhash: Long, decoded: Boolean)
+
+  /** Pixel budget for the FULL decode [[dhashImage]] needs (unlike the
+    * header-only [[decodeImage]]): a corrupt header declaring 60000²
+    * pixels would OOM the executor at `ImageIO.read` — the header is
+    * checked FIRST and oversized payloads are quarantined undecoded.
+    */
+  val DhashMaxPixels = 64L * 1024 * 1024
+
+  /** REAL perceptual hash: JDK decode → integer luma → nearest-sample
+    * downscale to the ([[DhashCols]]+1)×[[DhashRows]] grid → the same
+    * comparison cascade as the stub. All integer (299/587/114 luma,
+    * truncating division), so the hash is bit-deterministic across
+    * JVMs.
+    */
+  def dhashImage(docId: Long, payload: Array[Byte]): DhashMeta = {
+    val header = decodeImage(docId, payload)
+    if (!header.decoded ||
+        header.width * header.height > DhashMaxPixels ||
+        header.width == 0 || header.height == 0)
+      return DhashMeta(docId, 0L, decoded = false)
+    imageIoNoDiskCache
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return DhashMeta(docId, 0L, decoded = false)
+    val w = img.getWidth
+    val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      (r * 299 + g * 587 + b * 114) / 1000
+    }
+    var bits = 0L
+    var k = 0
+    while (k < DhashRows * DhashCols) {
+      val r = k / DhashCols
+      val c = k % DhashCols
+      val y = r * h / DhashRows
+      val xa = c * w / (DhashCols + 1)
+      val xb = (c + 1) * w / (DhashCols + 1)
+      if (gray(xa, y) > gray(xb, y)) bits |= (1L << k)
+      k += 1
+    }
+    DhashMeta(docId, bits, decoded = true)
+  }
+
+  /** (doc_id, payload) → real dHash signatures, per-partition like
+    * [[imageDecode]]. Feed the decoded rows to
+    * [[DedupOps.hammingBandPairs]] via [[dedupImageDhashReal]].
+    */
+  def imageDhash(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => dhashImage(id, p) })
+      .toDF()
+  }
+
+  /** Real-image near-duplicate pairs: decoded signatures → the shared
+    * banded Hamming join. No oracle twin (DuckDB has no image codec);
+    * spec-proven on generated PNGs with a planted near-duplicate.
+    */
+  def dedupImageDhashReal(spark: SparkSession, images: DataFrame): DataFrame =
+    DedupOps.hammingBandPairs(
+      imageDhash(spark, images).filter(col("decoded")),
+      "dhash", DhashBands, DhashBandBits, DedupOps.MaxHamming,
+      DedupOps.BandBucketCap)
+
   /** Oracle twin over text chars (ASCII ⇒ chars are the bytes). */
   def sqlMultimodalFeatures: String =
     """SELECT doc_id,

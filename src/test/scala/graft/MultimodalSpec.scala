@@ -64,6 +64,52 @@ class MultimodalSpec extends SparkSuite {
     assert(got(5L) == ((5L, 0L, 0L, 0L, 0L, false)))
   }
 
+  test("real dHash: planted near-duplicate PNG pairs within MaxHamming; distinct image does not") {
+    // base: horizontal gradient (every row's comparisons point one way);
+    // near-dup: ONE sampled grid pixel brightened (flips ≤ 2 bits);
+    // distinct: inverted gradient (flips every bit)
+    def gradPng(invert: Boolean, bump: Boolean): Array[Byte] = {
+      val w = 64; val h = 64
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach { x =>
+        val g0 = (x * 3) & 0xff
+        val g = if (invert) 255 - g0 else g0
+        (0 until h).foreach(y => img.setRGB(x, y, (g << 16) | (g << 8) | g))
+      }
+      if (bump) {
+        // sampled position (c=4, r=0): x = 4·64/9 = 28, y = 0
+        val b = 255
+        img.setRGB(28, 0, (b << 16) | (b << 8) | b)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, gradPng(invert = false, bump = false)),
+      (2L, gradPng(invert = false, bump = true)),  // near-dup of 1
+      (3L, gradPng(invert = true, bump = false)),  // opposite of 1
+      (4L, "junk".getBytes("UTF-8"))               // quarantined
+    ).toDF("doc_id", "payload")
+    val sigs = BinaryOps.imageDhash(spark, rows)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(sigs(1L)._3 && sigs(2L)._3 && sigs(3L)._3)
+    assert(!sigs(4L)._3, "junk must be quarantined, not hashed")
+    assert(java.lang.Long.bitCount(sigs(1L)._2 ^ sigs(2L)._2) <=
+      graft.ops.DedupOps.MaxHamming, "near-dup must be within the radius")
+    assert(java.lang.Long.bitCount(sigs(1L)._2 ^ sigs(3L)._2) >
+      graft.ops.DedupOps.MaxHamming, "inverted image must be far")
+    // determinism: re-hashing yields identical bits
+    val again = BinaryOps.imageDhash(spark, rows)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._2).toMap
+    assert(again(1L) == sigs(1L)._2 && again(3L) == sigs(3L)._2)
+    // the pair join: exactly the planted near-dup, junk excluded
+    val pairs = BinaryOps.dedupImageDhashReal(spark, rows)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("token_count: ws tokens match a hand count; bpe >= ws on punctuated text") {
     val planted = Seq((1L, "hello world, how are you?"), (2L, "  a  b  ")).toDF("doc_id", "text")
     val got = TextOps.tokenCount(planted).as[(Long, Long, Long)].collect().toMap2
