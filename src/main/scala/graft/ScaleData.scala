@@ -98,4 +98,48 @@ object ScaleData {
     println(s"SCALED x$copies -> $out")
     spark.stop()
   }
+
+  /** Deterministic CLUSTERED embedding fixture — a mixture of `k`
+    * spherical blobs, generated from md5-derived values only (no RNG —
+    * the id-rotation discipline above): the ANN/recall monitors'
+    * documented worst case is the driver's near-uniform synthetic
+    * embeddings, where cluster structure is absent and the lifts the
+    * monitors exist to measure (learned centroids over the fixed
+    * ladder, prototype entry points over arbitrary seeds) are invisible
+    * or inverted. This fixture is the REGIME THE OPERATORS ARE FOR:
+    * real embedding spaces are clustered, and the ordering specs pin
+    * the expected rankings here.
+    *
+    * Construction: center `c` is the normalized vector of md5-derived
+    * values in [−1, 1]; point `i` (cluster `i % k`, so the fixed query
+    * set vec_id < NQueries spans clusters) is `center + spread · noise`
+    * with its own md5-derived noise. `label` carries the true cluster
+    * for block-structured consumers. Schema matches the driver's
+    * embeddings table (vec_id, embedding float[], label int).
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Int = 512, k: Int = 8,
+      d: Int = 64, spread: Double = 0.15): DataFrame = {
+    import spark.implicits._
+    def vals(seed: String): IndexedSeq[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until d).map { j =>
+        val h = md.digest(s"$seed:$j".getBytes("UTF-8"))
+        val v = ((h(0) & 0xff) << 16) | ((h(1) & 0xff) << 8) | (h(2) & 0xff)
+        v.toDouble / ((1 << 23).toDouble) - 1.0 // [-1, 1)
+      }
+    }
+    def unit(v: IndexedSeq[Double]): IndexedSeq[Double] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nrm)
+    }
+    val centers = (0 until k).map(c => unit(vals(s"cent:$c")))
+    val rows = (0 until n).map { i =>
+      val c = i % k
+      val noise = vals(s"pt:$i")
+      val e = centers(c).zip(noise)
+        .map { case (cv, nv) => (cv + spread * nv).toFloat }.toArray
+      (i.toLong, e, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
 }

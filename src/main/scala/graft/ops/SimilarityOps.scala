@@ -644,13 +644,15 @@ object SimilarityOps {
     * exactly HNSW's layer stack.
     */
   def annGraphSearchHier(emb: DataFrame, k: Int = KnnGraphK,
-      hops: Int = BeamHops, beam: Int = BeamWidth): DataFrame = {
+      hops: Int = BeamHops, beam: Int = BeamWidth,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
     val edges = DedupOps.materialize(
-      knnGraph(emb).select(col("vec_id").as("src"),
+      knnGraph(emb, centroids = centroids).select(col("vec_id").as("src"),
         col("neighbor_id").as("dst")),
       "graph_search_edges")
     graphBeamSearch(emb, edges, k, hops, beam,
-      Some(clusterSample(emb, 1).select(col("vec_id").as("cand_id"))))
+      Some(clusterSampleWith(emb, 1, centroids)
+        .select(col("vec_id").as("cand_id"))))
   }
 
   /** The search loop over an ALREADY-BUILT edge list — shared by the
@@ -1710,15 +1712,24 @@ object SimilarityOps {
     * here is the literal centroid set; at 100 TB K comes from
     * [[ivfTrain]] and is thousands — K·N stays metadata-sized either way.
     */
-  def clusterSample(emb: DataFrame, n: Int = ClusterSampleN): DataFrame = {
-    val cnorms = array((0 until IvfCentroids).map(j => lit(centroidNorm(j))): _*)
+  def clusterSample(emb: DataFrame, n: Int = ClusterSampleN): DataFrame =
+    clusterSampleWith(emb, n, defaultCentroids)
+
+  /** [[clusterSample]] under explicit coarse centroids — the face the
+    * trained-quantizer pipeline uses (ivfTrain → prototypes of the
+    * LEARNED cells, not the fixed ladder's).
+    */
+  def clusterSampleWith(emb: DataFrame, n: Int,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame = {
+    val cnorms = array(centroids.map(c =>
+      lit(math.sqrt(c.map(x => x * x).sum))): _*)
     // zero-norm vectors are degenerate ("near-dups of nothing" — the
     // cosine guard's own rationale): excluded up front, or their NULL
     // cosine would sort last yet still claim top-N slots in any cluster
     // with fewer than N real members
     val a = withNorm(emb)
       .filter(col("norm") > 0)
-      .withColumn("dots", centDots(col("emb_d")))
+      .withColumn("dots", centDotsOf(centroids, col("emb_d")))
       .withColumn("centroid",
         (array_position(col("dots"), array_max(col("dots"))) - 1).cast("long"))
       .withColumn("cidx", (col("centroid") + 1).cast("int"))
