@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -68,13 +68,23 @@ object SparkEntry {
     * under one SparkSession is useless (and throws) once that session
     * stops, so a hit whose `sparkSession` differs from the caller's is
     * recomputed in place — the long-lived-driver case of one process
-    * reusing the entry across sessions.
+    * reusing the entry across sessions. A hit whose persistence was
+    * externally dropped (a measurement barrier or memory-pressure
+    * `clearCache` unpersists EVERYTHING, including this shared infra)
+    * is RE-MARKED persistent before reuse — otherwise every later
+    * consumer silently recomputes the shared table per action, which is
+    * precisely the cost the cache exists to amortize (bench-measured:
+    * the SA-trim key re-built two shard arrays + the merge inside one
+    * query after a barrier).
     */
   private def cachedFor(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
       s: SparkSession, dir: String)(build: String => DataFrame): DataFrame =
     cache.compute(dir, (d, prev) =>
-      if (prev != null && (prev.sparkSession eq s)) prev
-      else {
+      if (prev != null && (prev.sparkSession eq s)) {
+        if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          prev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prev
+      } else {
         if (prev != null) { try prev.unpersist() catch { case _: Exception => () } }
         build(d)
       })
@@ -499,6 +509,15 @@ object SparkEntry {
     // LAION-scale image dedup: banded Hamming join over the dHash —
     // the simhash pigeonhole machinery at 64 bits
     "dedup_image_dhash" -> ((s, dir) => BinaryOps.dedupImageDhash(tbl(s, dir, "documents"))),
+    // Philips-style robust audio hash over the declared-stub energy
+    // samples — frame×band×temporal-diff bit structure, banding and
+    // pair join are the REAL operator; production swaps in the
+    // RIFF-parsed Haar-cascade fingerprint (AudioOps.fingerprintWav,
+    // spec-proven on generated WAV bytes)
+    "audio_fingerprint" -> ((s, dir) => AudioOps.audioFpStub(tbl(s, dir, "documents"))),
+    // audio near-dup pairs: the same hammingBandPairs pigeonhole as
+    // simhash and image dHash — a third modality, zero new join code
+    "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
     // unigram-LM tokenizer (SentencePiece family): the trained vocab —
     // seed grams → EM (Viterbi E-step fold, usage M-step agg) → prune
     "unigram_train" -> ((s, dir) => {
@@ -877,6 +896,8 @@ object SparkEntry {
     "pack_sequences_bpe" -> TokenizerOps.sqlPackSequencesBpe,
     "image_dhash" -> BinaryOps.sqlImageDhashStub,
     "dedup_image_dhash" -> BinaryOps.sqlDedupImageDhash,
+    "audio_fingerprint" -> AudioOps.sqlAudioFpStub,
+    "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,
     "tokenizer_fertility_compare" -> TokenizerOps.sqlTokenizerFertilityCompare,

@@ -414,6 +414,70 @@ object DedupStream {
     query
   }
 
+  /** Streaming incremental IMAGE dedup — the perceptual-hash leg of the
+    * daily-crawl-vs-history family: is today's image a near-duplicate of
+    * one already in the standing corpus? Incoming micro-batches of
+    * (doc_id, payload) are dHashed per partition
+    * ([[graft.ops.BinaryOps.dhashImage]] — real JDK decode, quarantine
+    * rows excluded) and joined against the HISTORY's banded signature
+    * index, built ONCE from the history's decoded signatures (4×16-bit
+    * bands — the [[graft.ops.DedupOps.hammingBandPairs]] pigeonhole,
+    * cached for the query lifetime, freed on termination).
+    * Incoming×history only, never history×history; per-batch overwrite
+    * dirs keep replays idempotent. Emits (doc_a=incoming, doc_b=history,
+    * hamming ≤ [[graft.ops.DedupOps.MaxHamming]]).
+    */
+  def runIncrementalImageDhash(spark: SparkSession, imagesDir: String,
+      historyImages: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.{BinaryOps, DedupOps}
+    import spark.implicits._
+    val bandMask = (1L << BinaryOps.DhashBandBits) - 1
+    def banded(sig: DataFrame): DataFrame =
+      sig.select(col("doc_id"), col("dhash"),
+          posexplode(array((0 until BinaryOps.DhashBands).map(j =>
+            shiftright(col("dhash"), j * BinaryOps.DhashBandBits)
+              .bitwiseAND(lit(bandMask))): _*)))
+        .toDF("doc_id", "dhash", "band_idx", "band_val")
+    val histIdx = banded(
+      BinaryOps.imageDhash(spark, historyImages).filter(col("decoded")))
+      .select(col("doc_id").as("doc_b"), col("dhash").as("dhash_b"),
+        col("band_idx"), col("band_val"))
+      .cache()
+    val imgSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val query = try spark.readStream
+      .schema(imgSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(imagesDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => BinaryOps.dhashImage(id, p) })
+      .toDF()
+      .filter(col("decoded"))
+      .writeStream
+      .queryName(s"graft-image-dhash-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val out = banded(batch)
+          .select(col("doc_id").as("doc_a"), col("dhash").as("dhash_a"),
+            col("band_idx"), col("band_val"))
+          .join(histIdx, Seq("band_idx", "band_val"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+              .cast("long").as("hamming"))
+          .filter(col("hamming") <= DedupOps.MaxHamming)
+          .distinct()
+        out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    catch { case t: Throwable => histIdx.unpersist(); throw t }
+    unpersistOnTermination(spark, query, histIdx)
+    query
+  }
+
   /** Self-removing listener that unpersists `cached` once query `q`
     * terminates — the streaming analog of a try/finally around a batch
     * job's cache.

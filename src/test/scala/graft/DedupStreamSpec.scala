@@ -213,4 +213,49 @@ class DedupStreamSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(got2 == Set(1L, 3L), s"got $got2")
   }
+
+  test("incremental image dhash: incoming near-dup PNG pairs with history, junk and distinct do not") {
+    import org.apache.spark.sql.SaveMode
+    def gradPng(invert: Boolean, bump: Boolean): Array[Byte] = {
+      val w = 64; val h = 64
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach { x =>
+        val g0 = (x * 3) & 0xff
+        val g = if (invert) 255 - g0 else g0
+        (0 until h).foreach(y => img.setRGB(x, y, (g << 16) | (g << 8) | g))
+      }
+      if (bump) img.setRGB(28, 0, 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val imagesDir = tmp("imgdh-in")
+    val outDir = tmp("imgdh-out")
+    val ckpt = tmp("imgdh-ckpt")
+    val history = Seq(
+      (100L, gradPng(invert = false, bump = false)),
+      (101L, gradPng(invert = true, bump = false))
+    ).toDF("doc_id", "payload")
+    // batch 1: a near-dup of history 100, plus junk (quarantined)
+    Seq((1L, gradPng(invert = false, bump = true)),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(imagesDir)
+    // batch 2: an exact copy of history 101
+    Seq((3L, gradPng(invert = true, bump = false)))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(imagesDir)
+    awaitDone(graft.stream.DedupStream.runIncrementalImageDhash(
+      spark, imagesDir, history, outDir, ckpt))
+    val pairs = spark.read.parquet(s"$outDir/batch_*")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 100L), (3L, 101L)),
+      s"got $pairs")
+    pairs.foreach { case (_, _, hm) =>
+      assert(hm <= graft.ops.DedupOps.MaxHamming)
+    }
+    assert(pairs.find(_._1 == 3L).get._3 == 0L, "exact copy → hamming 0")
+  }
 }
