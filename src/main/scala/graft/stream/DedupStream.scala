@@ -414,57 +414,56 @@ object DedupStream {
     query
   }
 
-  /** Streaming incremental IMAGE dedup — the perceptual-hash leg of the
-    * daily-crawl-vs-history family: is today's image a near-duplicate of
-    * one already in the standing corpus? Incoming micro-batches of
-    * (doc_id, payload) are dHashed per partition
-    * ([[graft.ops.BinaryOps.dhashImage]] — real JDK decode, quarantine
-    * rows excluded) and joined against the HISTORY's banded signature
-    * index, built ONCE from the history's decoded signatures (4×16-bit
-    * bands — the [[graft.ops.DedupOps.hammingBandPairs]] pigeonhole,
-    * cached for the query lifetime, freed on termination).
-    * Incoming×history only, never history×history; per-batch overwrite
-    * dirs keep replays idempotent. Emits (doc_a=incoming, doc_b=history,
-    * hamming ≤ [[graft.ops.DedupOps.MaxHamming]]).
+  /** Binary-payload stream schema shared by the perceptual-hash legs. */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("payload", org.apache.spark.sql.types.BinaryType)))
+
+  /** The ONE streaming incremental Hamming-dedup core behind every
+    * perceptual-hash modality — the daily-crawl-vs-history question "is
+    * today's item a near-duplicate of one already in the standing
+    * corpus?", asked of any 64-bit signature: incoming micro-batches of
+    * (doc_id, payload) are fingerprinted per partition by `sigFn`
+    * (real decode, quarantine rows excluded) and joined against the
+    * HISTORY's banded signature index, built ONCE (the
+    * [[graft.ops.DedupOps.hammingBandPairs]] pigeonhole: hamming ≤
+    * maxHamming < bands forces agreement on ≥ 1 band), cached for the
+    * query lifetime, freed on termination. Incoming×history only,
+    * never history×history; per-batch overwrite dirs keep replays
+    * idempotent. Emits (doc_a=incoming, doc_b=history, hamming).
     */
-  def runIncrementalImageDhash(spark: SparkSession, imagesDir: String,
-      historyImages: DataFrame, outDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import graft.ops.{BinaryOps, DedupOps}
-    import spark.implicits._
-    val bandMask = (1L << BinaryOps.DhashBandBits) - 1
+  private def runIncrementalHamming(spark: SparkSession, inDir: String,
+      sigFn: DataFrame => DataFrame, sigCol: String, bands: Int,
+      bandBits: Int, historySig: DataFrame, outDir: String,
+      checkpointDir: String, trigger: Trigger,
+      nameTag: String): StreamingQuery = {
+    import graft.ops.DedupOps
+    val bandMask = (1L << bandBits) - 1
     def banded(sig: DataFrame): DataFrame =
-      sig.select(col("doc_id"), col("dhash"),
-          posexplode(array((0 until BinaryOps.DhashBands).map(j =>
-            shiftright(col("dhash"), j * BinaryOps.DhashBandBits)
+      sig.select(col("doc_id"), col(sigCol).as("sig"),
+          posexplode(array((0 until bands).map(j =>
+            shiftright(col(sigCol), j * bandBits)
               .bitwiseAND(lit(bandMask))): _*)))
-        .toDF("doc_id", "dhash", "band_idx", "band_val")
-    val histIdx = banded(
-      BinaryOps.imageDhash(spark, historyImages).filter(col("decoded")))
-      .select(col("doc_id").as("doc_b"), col("dhash").as("dhash_b"),
+        .toDF("doc_id", "sig", "band_idx", "band_val")
+    val histIdx = banded(historySig)
+      .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band_idx"), col("band_val"))
       .cache()
-    val imgSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("payload", org.apache.spark.sql.types.BinaryType)))
     val query = try spark.readStream
-      .schema(imgSchema)
+      .schema(payloadSchema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(imagesDir)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, p) => BinaryOps.dhashImage(id, p) })
-      .toDF()
-      .filter(col("decoded"))
+      .parquet(inDir)
+      .transform(sigFn)
       .writeStream
-      .queryName(s"graft-image-dhash-stream-${QueryNames.suffix(checkpointDir)}")
+      .queryName(s"graft-$nameTag-stream-${QueryNames.suffix(checkpointDir)}")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val out = banded(batch)
-          .select(col("doc_id").as("doc_a"), col("dhash").as("dhash_a"),
+          .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
             col("band_idx"), col("band_val"))
           .join(histIdx, Seq("band_idx", "band_val"))
           .select(col("doc_a"), col("doc_b"),
-            bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
               .cast("long").as("hamming"))
           .filter(col("hamming") <= DedupOps.MaxHamming)
           .distinct()
@@ -476,6 +475,39 @@ object DedupStream {
     catch { case t: Throwable => histIdx.unpersist(); throw t }
     unpersistOnTermination(spark, query, histIdx)
     query
+  }
+
+  /** Streaming incremental IMAGE dedup: [[runIncrementalHamming]] over
+    * real dHash signatures ([[graft.ops.BinaryOps.dhashImage]] — JDK
+    * decode, quarantine rows excluded).
+    */
+  def runIncrementalImageDhash(spark: SparkSession, imagesDir: String,
+      historyImages: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.BinaryOps
+    def sigs(df: DataFrame) =
+      BinaryOps.imageDhash(spark, df).filter(col("decoded"))
+        .select(col("doc_id"), col("dhash"))
+    runIncrementalHamming(spark, imagesDir, sigs, "dhash",
+      BinaryOps.DhashBands, BinaryOps.DhashBandBits, sigs(historyImages),
+      outDir, checkpointDir, trigger, "image-dhash")
+  }
+
+  /** Streaming incremental AUDIO dedup: the same core over real
+    * Haar-cascade fingerprints ([[graft.ops.AudioOps.fingerprintWav]] —
+    * RIFF/WAVE parse, quarantine rows excluded). A third modality costs
+    * one wrapper, no new join or state code.
+    */
+  def runIncrementalAudioFp(spark: SparkSession, audioDir: String,
+      historyAudio: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.AudioOps
+    def sigs(df: DataFrame) =
+      AudioOps.audioFingerprint(spark, df).filter(col("decoded"))
+        .select(col("doc_id"), col("afp"))
+    runIncrementalHamming(spark, audioDir, sigs, "afp",
+      AudioOps.AfpBands, AudioOps.AfpBandBits, sigs(historyAudio),
+      outDir, checkpointDir, trigger, "audio-fp")
   }
 
   /** Self-removing listener that unpersists `cached` once query `q`

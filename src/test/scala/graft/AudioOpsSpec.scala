@@ -8,29 +8,7 @@ import graft.ops.{AudioOps, DedupOps}
   */
 class AudioOpsSpec extends SparkSuite {
   import spark.implicits._
-
-  /** Minimal canonical WAV writer: RIFF + fmt(PCM) + data, 16-bit LE.
-    * Interleaved input for multi-channel.
-    */
-  private def wavBytes(samples: Array[Short], channels: Int = 1,
-      sampleRate: Int = 8000): Array[Byte] = {
-    val dataLen = samples.length * 2
-    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-      .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
-      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
-      .putShort(16)
-    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(bb.putShort)
-    bb.array()
-  }
-
-  private def square(period: Int, amp: Int, n: Int): Array[Short] =
-    Array.tabulate(n)(i =>
-      (if ((i / (period / 2)) % 2 == 0) amp else -amp).toShort)
+  import WavGen.{square, wavBytes}
 
   test("decodeWav: canonical 16-bit PCM round-trips metadata; junk and truncated payloads quarantine") {
     val mono = wavBytes(square(50, 20000, 8000))

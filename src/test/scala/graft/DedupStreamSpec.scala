@@ -258,4 +258,32 @@ class DedupStreamSpec extends SparkSuite {
     }
     assert(pairs.find(_._1 == 3L).get._3 == 0L, "exact copy → hamming 0")
   }
+
+  test("incremental audio fp: incoming near-dup WAV pairs with history, junk and different signal do not") {
+    import org.apache.spark.sql.SaveMode
+    import WavGen.{square, wavBytes}
+    val audioDir = tmp("audfp-in")
+    val outDir = tmp("audfp-out")
+    val ckpt = tmp("audfp-ckpt")
+    val history = Seq(
+      (100L, wavBytes(square(50, 20000, 8000))),
+      (101L, wavBytes(square(12, 16000, 8000)))
+    ).toDF("doc_id", "payload")
+    // batch 1: an amplitude-scaled copy of history 100 (exact-sign
+    // invariance → hamming 0), plus junk (quarantined)
+    Seq((1L, wavBytes(square(50, 18000, 8000))),
+      (2L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(audioDir)
+    // batch 2: a different signal — pairs with nothing
+    Seq((3L, wavBytes(square(6, 20000, 8000))))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(audioDir)
+    awaitDone(graft.stream.DedupStream.runIncrementalAudioFp(
+      spark, audioDir, history, outDir, ckpt))
+    val pairs = spark.read.parquet(s"$outDir/batch_*")
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 100L, 0L)), s"got $pairs")
+  }
 }
