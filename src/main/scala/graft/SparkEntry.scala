@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -515,6 +515,14 @@ object SparkEntry {
     // RIFF-parsed Haar-cascade fingerprint (AudioOps.fingerprintWav,
     // spec-proven on generated WAV bytes)
     "audio_fingerprint" -> ((s, dir) => AudioOps.audioFpStub(tbl(s, dir, "documents"))),
+    // gap-based sessionization of the event stream — the first half of
+    // the interaction-log → training-document transform; one user-keyed
+    // exchange, user-partitioned windows only
+    "sessionize" -> ((s, dir) => SessionOps.sessionize(tbl(s, dir, "events"))),
+    // each session rendered as ONE ordered conversation document with a
+    // deterministic MaxTurns cap + n_dropped observability — how chat /
+    // agent-trace corpora are assembled
+    "conversation_flatten" -> ((s, dir) => SessionOps.conversationFlatten(tbl(s, dir, "events"))),
     // audio near-dup pairs: the same hammingBandPairs pigeonhole as
     // simhash and image dHash — a third modality, zero new join code
     "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
@@ -897,6 +905,8 @@ object SparkEntry {
     "image_dhash" -> BinaryOps.sqlImageDhashStub,
     "dedup_image_dhash" -> BinaryOps.sqlDedupImageDhash,
     "audio_fingerprint" -> AudioOps.sqlAudioFpStub,
+    "sessionize" -> SessionOps.sqlSessionize,
+    "conversation_flatten" -> SessionOps.sqlConversationFlatten,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,
