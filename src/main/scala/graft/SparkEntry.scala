@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -515,6 +515,14 @@ object SparkEntry {
     // RIFF-parsed Haar-cascade fingerprint (AudioOps.fingerprintWav,
     // spec-proven on generated WAV bytes)
     "audio_fingerprint" -> ((s, dir) => AudioOps.audioFpStub(tbl(s, dir, "documents"))),
+    // per-frame perceptual hashes over the declared-stub frame explode —
+    // the frame table real video dedup indexes; production swaps in the
+    // RIFF/AVI MJPEG parse (VideoOps.videoFrameHashes, spec-proven on
+    // generated AVIs)
+    "video_framehash" -> ((s, dir) => VideoOps.videoFrameHashStub(tbl(s, dir, "documents"))),
+    // video near-dup by cross-video frame voting: banded frame join +
+    // one (doc_a, doc_b) agg — never a video×video product
+    "dedup_video" -> ((s, dir) => VideoOps.dedupVideoStub(tbl(s, dir, "documents"))),
     // gap-based sessionization of the event stream — the first half of
     // the interaction-log → training-document transform; one user-keyed
     // exchange, user-partitioned windows only
@@ -905,6 +913,8 @@ object SparkEntry {
     "image_dhash" -> BinaryOps.sqlImageDhashStub,
     "dedup_image_dhash" -> BinaryOps.sqlDedupImageDhash,
     "audio_fingerprint" -> AudioOps.sqlAudioFpStub,
+    "video_framehash" -> VideoOps.sqlVideoFrameHashStub,
+    "dedup_video" -> VideoOps.sqlDedupVideoStub,
     "sessionize" -> SessionOps.sqlSessionize,
     "conversation_flatten" -> SessionOps.sqlConversationFlatten,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
