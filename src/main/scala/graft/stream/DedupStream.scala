@@ -510,6 +510,81 @@ object DedupStream {
       outDir, checkpointDir, trigger, "audio-fp")
   }
 
+  /** Streaming incremental VIDEO dedup — the frame-vote modality
+    * (videos pair through SETS of near-identical frames, not one
+    * signature, so it composes the banded join with a per-pair vote
+    * instead of riding [[runIncrementalHamming]]): the history's frame
+    * hashes ([[graft.ops.VideoOps.videoFrameHashes]] — real RIFF/AVI
+    * MJPEG parse) are banded and cached ONCE with their per-video frame
+    * counts; each incoming micro-batch's frames join incoming×history
+    * on the band key, and a (doc_a, doc_b) vote keeps pairs with
+    * [[graft.ops.VideoOps.MinFrameVote]]·matched ≥ min(frames). Emits
+    * (doc_a=incoming, doc_b=history, n_matched, min_frames).
+    */
+  def runIncrementalVideoVote(spark: SparkSession, videosDir: String,
+      historyVideos: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.ops.{BinaryOps, DedupOps, VideoOps}
+    val bands = BinaryOps.DhashBands
+    val bandBits = BinaryOps.DhashBandBits
+    val bandMask = (1L << bandBits) - 1
+    def frames(df: DataFrame): DataFrame =
+      VideoOps.videoFrameHashes(spark, df).filter(col("decoded"))
+        .select(col("doc_id"), col("frame_idx"), col("dhash"))
+    def banded(fr: DataFrame): DataFrame =
+      fr.select(col("doc_id"), col("frame_idx"), col("dhash"),
+          posexplode(array((0 until bands).map(j =>
+            shiftright(col("dhash"), j * bandBits)
+              .bitwiseAND(lit(bandMask))): _*)))
+        .toDF("doc_id", "frame_idx", "dhash", "band_idx", "band_val")
+    val histFrames = frames(historyVideos)
+    val histIdx = banded(histFrames)
+      .select(col("doc_id").as("doc_b"), col("dhash").as("dhash_b"),
+        col("band_idx"), col("band_val"))
+      .cache()
+    val histCounts = histFrames.groupBy(col("doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("nf_b"))
+      .cache()
+    val query = try spark.readStream
+      .schema(payloadSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(videosDir)
+      .transform(frames)
+      .writeStream
+      .queryName(s"graft-video-vote-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val incCounts = batch.groupBy(col("doc_id").as("doc_a"))
+          .agg(count(lit(1)).as("nf_a"))
+        val out = banded(batch)
+          .select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
+            col("dhash").as("dhash_a"), col("band_idx"), col("band_val"))
+          .join(histIdx, Seq("band_idx", "band_val"))
+          .filter(bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
+            <= DedupOps.MaxHamming)
+          .select(col("doc_a"), col("doc_b"), col("frame_a"))
+          .distinct()
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("n_matched"))
+          .join(incCounts, "doc_a")
+          .join(histCounts, "doc_b")
+          .select(col("doc_a"), col("doc_b"), col("n_matched"),
+            least(col("nf_a"), col("nf_b")).as("min_frames"))
+          .filter(col("n_matched") * VideoOps.MinFrameVote >= col("min_frames"))
+        out.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+    catch {
+      case t: Throwable =>
+        histIdx.unpersist(); histCounts.unpersist(); throw t
+    }
+    unpersistOnTermination(spark, query, histIdx)
+    unpersistOnTermination(spark, query, histCounts)
+    query
+  }
+
   /** Self-removing listener that unpersists `cached` once query `q`
     * terminates — the streaming analog of a try/finally around a batch
     * job's cache.

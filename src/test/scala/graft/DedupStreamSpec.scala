@@ -286,4 +286,42 @@ class DedupStreamSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs == Set((1L, 100L, 0L)), s"got $pairs")
   }
+
+  test("incremental video vote: incoming re-encoded copy pairs with history by frame vote; inverted footage and junk do not") {
+    import org.apache.spark.sql.SaveMode
+    def avi(invert: Boolean, quality: Float): Array[Byte] =
+      AviGen.aviBytes((0 until 6).map { i =>
+        val w = 64; val h = 64
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until w).foreach { x =>
+          val g0 = (x * (3 + i)) & 0xff
+          val g = if (invert) 255 - g0 else g0
+          (0 until h).foreach(y => img.setRGB(x, y, (g << 16) | (g << 8) | g))
+        }
+        AviGen.jpegFrame(img, quality)
+      }, 64, 64)
+    val videosDir = tmp("vidvote-in")
+    val outDir = tmp("vidvote-out")
+    val ckpt = tmp("vidvote-ckpt")
+    val history = Seq((100L, avi(invert = false, quality = 0.9f)))
+      .toDF("doc_id", "payload")
+    // batch 1: a re-encoded copy of history 100, plus junk
+    Seq((1L, avi(invert = false, quality = 0.6f)),
+      (2L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(videosDir)
+    // batch 2: inverted footage — no vote
+    Seq((3L, avi(invert = true, quality = 0.9f)))
+      .toDF("doc_id", "payload").coalesce(1)
+      .write.mode(SaveMode.Append).parquet(videosDir)
+    awaitDone(graft.stream.DedupStream.runIncrementalVideoVote(
+      spark, videosDir, history, outDir, ckpt))
+    val pairs = spark.read.parquet(s"$outDir/batch_*")
+      .select("doc_a", "doc_b", "n_matched", "min_frames")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 100L)), s"got $pairs")
+    val p = pairs.head
+    assert(p._3 * graft.ops.VideoOps.MinFrameVote >= p._4)
+  }
 }
