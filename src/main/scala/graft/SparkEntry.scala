@@ -69,20 +69,22 @@ object SparkEntry {
     * stops, so a hit whose `sparkSession` differs from the caller's is
     * recomputed in place — the long-lived-driver case of one process
     * reusing the entry across sessions. A hit whose persistence was
-    * externally dropped (a measurement barrier or memory-pressure
-    * `clearCache` unpersists EVERYTHING, including this shared infra)
-    * is RE-MARKED persistent before reuse — otherwise every later
-    * consumer silently recomputes the shared table per action, which is
-    * precisely the cost the cache exists to amortize (bench-measured:
-    * the SA-trim key re-built two shard arrays + the merge inside one
-    * query after a barrier).
+    * externally dropped (a measurement barrier's `clearCache`) is
+    * deliberately NOT re-marked persistent: re-persisting was tried and
+    * bench-measured a net LOSS at these SFs — the cache WRITE (a full
+    * serialization pass of the token table / SA arrays) lands on every
+    * single-use consumer after every barrier (substring_coverage
+    * 1.44 → 2.01 s, tfidf_topk 0.83 → 1.57 s), and even the
+    * multi-branch SA-trim key came out slower (2.09 → 3.14 s) because
+    * the write+read round-trip costs more than the intra-query
+    * recompute it saves. The 100 TB answer to post-eviction recompute
+    * is the parquet checkpoint ([[graft.ops.DedupOps.CheckpointDirConf]]),
+    * not an in-memory re-persist.
     */
   private def cachedFor(cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
       s: SparkSession, dir: String)(build: String => DataFrame): DataFrame =
     cache.compute(dir, (d, prev) =>
       if (prev != null && (prev.sparkSession eq s)) {
-        if (prev.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-          prev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         prev
       } else {
         if (prev != null) { try prev.unpersist() catch { case _: Exception => () } }
