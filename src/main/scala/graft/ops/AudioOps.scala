@@ -256,7 +256,12 @@ object AudioOps {
     */
   def dedupAudioFingerprintReal(spark: SparkSession, audio: DataFrame): DataFrame =
     DedupOps.hammingBandPairs(
-      audioFingerprint(spark, audio).filter(col("decoded")),
+      // materialize: the pair join's two self-join branches would each
+      // re-run the WAV parse + Haar cascade without it
+      DedupOps.materialize(
+        audioFingerprint(spark, audio).filter(col("decoded"))
+          .select(col("doc_id"), col("afp")),
+        "afp_signatures_real"),
       "afp", AfpBands, AfpBandBits, DedupOps.MaxHamming,
       DedupOps.BandBucketCap)
 

@@ -426,7 +426,12 @@ object BinaryOps {
     */
   def dedupImageDhashReal(spark: SparkSession, images: DataFrame): DataFrame =
     DedupOps.hammingBandPairs(
-      imageDhash(spark, images).filter(col("decoded")),
+      // materialize: the pair join's two self-join branches would each
+      // re-run the full image decode without it
+      DedupOps.materialize(
+        imageDhash(spark, images).filter(col("decoded"))
+          .select(col("doc_id"), col("dhash")),
+        "dhash_signatures_real"),
       "dhash", DhashBands, DhashBandBits, DedupOps.MaxHamming,
       DedupOps.BandBucketCap)
 

@@ -57,9 +57,16 @@ object VideoOps {
     var avih: Option[(Long, Long, Long)] = None
     var frames = Vector.newBuilder[(Int, Int)]
     var sawMovi = false
-    // walk(off, end): iterate sibling chunks, recursing into LISTs —
-    // AVI nests (RIFF → LIST hdrl → LIST strl, RIFF → LIST movi)
-    def walk(from: Int, end: Int): Boolean = {
+    // walk(off, end, depth): iterate sibling chunks, recursing into
+    // LISTs — AVI nests (RIFF → LIST hdrl → LIST strl, RIFF → LIST
+    // movi). Real containers nest ~3 deep; the depth cap quarantines a
+    // malicious payload of nested 12-byte LIST headers that would
+    // otherwise drive the recursion to StackOverflowError — an Error,
+    // not an exception, so no catch downstream could save the task
+    // (the same budget discipline as the declared-size bounds checks)
+    val MaxListDepth = 16
+    def walk(from: Int, end: Int, depth: Int): Boolean = {
+      if (depth > MaxListDepth) return false
       var off = from
       while (off + 8 <= end) {
         val id = tag(b, off)
@@ -70,7 +77,7 @@ object VideoOps {
         if (id == "LIST" && sz >= 4) {
           val subtype = tag(b, off + 8)
           if (subtype == "movi") sawMovi = true
-          if (!walk(off + 12, off + 8 + sz)) return false
+          if (!walk(off + 12, off + 8 + sz, depth + 1)) return false
         } else if (id == "avih" && sz >= 40) {
           avih = Some((u32(b, off + 8), u32(b, off + 40), u32(b, off + 44)))
         } else if (id.endsWith("dc") || id.endsWith("db")) {
@@ -81,7 +88,7 @@ object VideoOps {
       true
     }
     val totalEnd = math.min(b.length.toLong, 8 + u32(b, 4)).toInt
-    if (!walk(12, totalEnd) || !sawMovi) None
+    if (!walk(12, totalEnd, 0) || !sawMovi) None
     else avih.map { case (usPf, w, h) => AviChunks(w, h, usPf, frames.result()) }
   }
 
@@ -152,36 +159,30 @@ object VideoOps {
     */
   def dedupVideoReal(spark: SparkSession, videos: DataFrame,
       stride: Int = FrameStride): DataFrame =
-    framePairVote(
+    framePairVote(DedupOps.materialize(
+      // materialize: the vote plan scans the frame table from several
+      // branches (count agg + banded self-join + count joins) — without
+      // this every branch re-runs the AVI parse + per-frame JPEG decode
       videoFrameHashes(spark, videos, stride).filter(col("decoded"))
-        .select(col("doc_id"), col("frame_idx"), col("dhash")))
+        .select(col("doc_id"), col("frame_idx"), col("dhash")),
+      "video_framehash_real"))
 
   /** The shared frame-vote pipeline over any (doc_id, frame_idx, dhash)
     * table — used by the real path and the oracle stub.
     */
   private def framePairVote(frames: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val bands = BinaryOps.DhashBands
-    val bandBits = BinaryOps.DhashBandBits
-    val bandMask = (1L << bandBits) - 1
-    val wBucket = Window.partitionBy(col("band_idx"), col("band_val"))
-      .orderBy(col("doc_id"), col("frame_idx"))
     val nFrames = frames.groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"))
-    val banded = frames.select(col("doc_id"), col("frame_idx"), col("dhash"),
-        posexplode(array((0 until bands).map(j =>
-          shiftright(col("dhash"), j * bandBits).bitwiseAND(lit(bandMask))): _*)))
-      .toDF("doc_id", "frame_idx", "dhash", "band_idx", "band_val")
-      .withColumn("rn", row_number().over(wBucket))
-      .filter(col("rn") <= DedupOps.BandBucketCap)
-      .drop("rn")
+    val banded = DedupOps.bandedSignatures(frames, "dhash",
+      BinaryOps.DhashBands, BinaryOps.DhashBandBits, DedupOps.BandBucketCap,
+      extraCols = Seq("frame_idx"))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val matched = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.dhash").bitwiseXOR(col("b.dhash")))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
         <= DedupOps.MaxHamming)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.frame_idx").as("frame_a"))

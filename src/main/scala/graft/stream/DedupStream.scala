@@ -438,13 +438,13 @@ object DedupStream {
       checkpointDir: String, trigger: Trigger,
       nameTag: String): StreamingQuery = {
     import graft.ops.DedupOps
-    val bandMask = (1L << bandBits) - 1
+    // the shared banding INCLUDING the per-bucket cap — each side capped
+    // independently (history at index build, incoming per batch), the
+    // streaming analog of the batch op's cap on the unified table; an
+    // uncapped hot bucket would make every batch's join quadratic in it
     def banded(sig: DataFrame): DataFrame =
-      sig.select(col("doc_id"), col(sigCol).as("sig"),
-          posexplode(array((0 until bands).map(j =>
-            shiftright(col(sigCol), j * bandBits)
-              .bitwiseAND(lit(bandMask))): _*)))
-        .toDF("doc_id", "sig", "band_idx", "band_val")
+      DedupOps.bandedSignatures(sig, sigCol, bands, bandBits,
+        DedupOps.BandBucketCap)
     val histIdx = banded(historySig)
       .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
         col("band_idx"), col("band_val"))
@@ -525,21 +525,17 @@ object DedupStream {
       historyVideos: DataFrame, outDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import graft.ops.{BinaryOps, DedupOps, VideoOps}
-    val bands = BinaryOps.DhashBands
-    val bandBits = BinaryOps.DhashBandBits
-    val bandMask = (1L << bandBits) - 1
     def frames(df: DataFrame): DataFrame =
       VideoOps.videoFrameHashes(spark, df).filter(col("decoded"))
         .select(col("doc_id"), col("frame_idx"), col("dhash"))
+    // shared banding WITH the per-bucket cap (see runIncrementalHamming)
     def banded(fr: DataFrame): DataFrame =
-      fr.select(col("doc_id"), col("frame_idx"), col("dhash"),
-          posexplode(array((0 until bands).map(j =>
-            shiftright(col("dhash"), j * bandBits)
-              .bitwiseAND(lit(bandMask))): _*)))
-        .toDF("doc_id", "frame_idx", "dhash", "band_idx", "band_val")
+      DedupOps.bandedSignatures(fr, "dhash", BinaryOps.DhashBands,
+        BinaryOps.DhashBandBits, DedupOps.BandBucketCap,
+        extraCols = Seq("frame_idx"))
     val histFrames = frames(historyVideos)
     val histIdx = banded(histFrames)
-      .select(col("doc_id").as("doc_b"), col("dhash").as("dhash_b"),
+      .select(col("doc_id").as("doc_b"), col("sig").as("dhash_b"),
         col("band_idx"), col("band_val"))
       .cache()
     val histCounts = histFrames.groupBy(col("doc_id").as("doc_b"))
@@ -558,7 +554,7 @@ object DedupStream {
           .agg(count(lit(1)).as("nf_a"))
         val out = banded(batch)
           .select(col("doc_id").as("doc_a"), col("frame_idx").as("frame_a"),
-            col("dhash").as("dhash_a"), col("band_idx"), col("band_val"))
+            col("sig").as("dhash_a"), col("band_idx"), col("band_val"))
           .join(histIdx, Seq("band_idx", "band_val"))
           .filter(bit_count(col("dhash_a").bitwiseXOR(col("dhash_b")))
             <= DedupOps.MaxHamming)

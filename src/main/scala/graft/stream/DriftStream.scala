@@ -59,17 +59,23 @@ object DriftStream {
       }
       .start()
 
-  /** Flip `outDir/_latest` to name `b_<batchId>`. */
+  /** Flip `outDir/_latest` to name `b_<batchId>` — rename with OVERWRITE
+    * (one atomic op; POSIX rename / HDFS overwrite-rename), NOT
+    * delete-then-rename, whose window between the two ops is exactly
+    * the reader-sees-no-pointer failure the pointer exists to prevent.
+    */
   private def publishLatest(spark: SparkSession, outDir: String,
       batchId: Long): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
     val tmp = new org.apache.hadoop.fs.Path(s"$outDir/_latest.tmp")
     val dst = new org.apache.hadoop.fs.Path(s"$outDir/_latest")
+    val fs = dst.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(s"b_$batchId".getBytes("UTF-8")) finally out.close()
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 

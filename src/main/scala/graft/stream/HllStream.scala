@@ -52,6 +52,13 @@ object HllStream {
         // state through id−1) and max-merge is idempotent, so re-folding
         // its own rows reproduces b_<id> exactly (spec-asserted).
         val regsRoot = s"$outDir/_regs"
+        // b_<id> changed meaning round-9 from per-batch DELTA to
+        // cumulative COMPACTED state. latestBefore on dirs written by
+        // the delta scheme would silently treat one delta as the whole
+        // history (max-merge just yields smaller registers — no error),
+        // so the layout carries a format marker and a resume over
+        // unmarked pre-existing state fails LOUDLY instead.
+        assertCompactedFormat(spark, regsRoot, batchId)
         val mine = PretrainOps.hllRegisters(batch)
         val merged = VersionedState.latestBefore(spark, regsRoot, batchId) match {
           case Some(prev) => mine.unionByName(spark.read.parquet(prev))
@@ -67,4 +74,24 @@ object HllStream {
         ()
       }
       .start()
+
+  /** Fail loudly when `regsRoot` holds versions written by the retired
+    * per-batch-delta layout (no marker file): compacting on top of a
+    * delta would silently drop every batch before it. Writes the
+    * marker on first contact with an empty root.
+    */
+  private def assertCompactedFormat(spark: SparkSession, regsRoot: String,
+      batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$regsRoot/_format_compacted")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    val priorVersions = VersionedState.idsBefore(spark, regsRoot, batchId)
+    require(priorVersions.isEmpty,
+      s"$regsRoot holds versions ${priorVersions.mkString(",")} without the " +
+        "compacted-format marker: they were written by the retired " +
+        "per-batch-delta layout. Re-merging them as compacted state would " +
+        "silently undercount. Migrate once (max-merge all b_* into the " +
+        "newest id, write _format_compacted) or start a fresh outDir.")
+    fs.create(marker, true).close()
+  }
 }

@@ -45,6 +45,23 @@ class VideoOpsSpec extends SparkSuite {
     assert(!got(2L).decoded && !got(3L).decoded)
   }
 
+  test("decodeAvi: a deeply-nested LIST bomb quarantines instead of overflowing the stack") {
+    // payload of recursively nested LIST headers: each 12-byte LIST
+    // wraps the next — ~10k deep would StackOverflowError an unbounded
+    // walker (an Error no catch can save); the depth cap quarantines
+    val depth = 20000
+    val bb = java.nio.ByteBuffer.allocate(12 + depth * 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + depth * 12)
+      .put("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      val remaining = (depth - i) * 12 - 8
+      bb.put("LIST".getBytes("US-ASCII")).putInt(remaining)
+        .put("hdrl".getBytes("US-ASCII"))
+    }
+    assert(!VideoOps.decodeAvi(66L, bb.array()).decoded)
+  }
+
   test("videoFrameHashes: stride sampling, real JPEG decode, deterministic hashes") {
     val rows = Seq((1L, avi(invert = false, quality = 0.9f)))
       .toDF("doc_id", "payload")
