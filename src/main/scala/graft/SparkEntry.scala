@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PostTrainOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -533,6 +533,19 @@ object SparkEntry {
     // deterministic MaxTurns cap + n_dropped observability — how chat /
     // agent-trace corpora are assembled
     "conversation_flatten" -> ((s, dir) => SessionOps.conversationFlatten(tbl(s, dir, "events"))),
+    // post-training: sessions rendered as SFT chat documents with the
+    // assistant-only loss-mask spans — offsets computed IN-ROW over the
+    // MaxTurns-bounded turns array (no second window pass)
+    "chat_render" -> ((s, dir) => PostTrainOps.chatRender(tbl(s, dir, "events"))),
+    // DPO preference pairs: per prompt group chosen=max/rejected=min by
+    // (reward, doc_id) struct — ONE map-side-combinable agg, zero-margin
+    // and singleton groups dropped
+    "dpo_pairs" -> ((s, dir) => PostTrainOps.dpoPairs(docsT(s, dir))),
+    // best-of-n rejection sampling with exact integer-micros group mean
+    "best_of_n" -> ((s, dir) => PostTrainOps.bestOfN(docsT(s, dir))),
+    // reward length-bias data card: Pearson corr(reward, n_tokens) from
+    // exact integer sums, ONE row out — the "DPO learns verbosity" gate
+    "reward_length_bias" -> ((s, dir) => PostTrainOps.rewardLengthBias(docsT(s, dir))),
     // audio near-dup pairs: the same hammingBandPairs pigeonhole as
     // simhash and image dHash — a third modality, zero new join code
     "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
@@ -919,6 +932,10 @@ object SparkEntry {
     "dedup_video" -> VideoOps.sqlDedupVideoStub,
     "sessionize" -> SessionOps.sqlSessionize,
     "conversation_flatten" -> SessionOps.sqlConversationFlatten,
+    "chat_render" -> PostTrainOps.sqlChatRender,
+    "dpo_pairs" -> PostTrainOps.sqlDpoPairs,
+    "best_of_n" -> PostTrainOps.sqlBestOfN,
+    "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,

@@ -1,0 +1,355 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Post-training data preparation — the SFT / preference-tuning half of
+  * the corpus pipeline. The pretraining family (quality ladder, dedup,
+  * packing) ends at packed token sequences; a post-training pipeline
+  * additionally needs (a) chat-template RENDERING with loss-mask spans
+  * (the SFT loader masks the loss to assistant turns only), (b)
+  * preference-PAIR construction for DPO/RLHF reward modeling (per
+  * prompt: best vs worst candidate with the reward margin), and (c)
+  * best-of-n / rejection-sampling selection. All three are exact
+  * relational transforms — no model in the loop here; the reward is the
+  * deterministic heuristic quality score ([[TextOps.qualityScore]]),
+  * exactly the role a learned reward model's scores column would play.
+  *
+  * Scale shape: chat rendering is ONE user-keyed exchange (shared with
+  * sessionize/conversationFlatten via [[SessionOps.withSessionSeq]])
+  * with all offset arithmetic IN-ROW over the MaxTurns-bounded turns
+  * array — no second window pass, no per-turn shuffle. Pair
+  * construction and best-of-n are ONE prompt-keyed aggregation each:
+  * chosen/rejected fall out of max/min over (reward, doc_id) structs —
+  * map-side combinable, constant state per group, never a sort or a
+  * per-group top-k window. At 100 TB every shape here is a single
+  * exchange over data that already had to move for the grouping.
+  */
+object PostTrainOps {
+
+  /** Role markers of the chat template. Turn 1 is the user by
+    * convention (interaction logs open with the human); roles then
+    * alternate — a real trace would carry an explicit role column and
+    * the rendering below consumes only (rn → role, content), so
+    * swapping in a real role column is a one-line change.
+    */
+  val UserMarker = "<|user|>"
+  val AssistantMarker = "<|assistant|>"
+
+  /** Candidate-group count for the preference keys: candidates for the
+    * same pseudo-prompt are the docs with equal `doc_id % NumPromptGroups`
+    * — deterministic and engine-independent. A real pipeline has an
+    * explicit prompt_id column; the group arithmetic below never looks
+    * inside the id, so the modulus is a stand-in, not a dependency.
+    */
+  val NumPromptGroups = 256
+
+  /** Minimum candidates for a group to emit a DPO pair. */
+  val MinCandidates = 2
+
+  // ---------------------------------------------------------------
+  // Chat-template rendering with loss-mask spans
+  // ---------------------------------------------------------------
+
+  /** Render each session (gap-assembled, [[SessionOps.MaxTurns]]-capped
+    * like conversationFlatten) as ONE SFT chat document:
+    *
+    *   `<|user|>\ncontent\n<|assistant|>\ncontent\n...`
+    *
+    * with `mask_spans` — the half-open character ranges `[a:b)` of the
+    * rendered string the SFT loss is computed over: each ASSISTANT
+    * turn's content plus its terminating newline (the EOS stand-in),
+    * role markers and user turns excluded. Encoded `"a:b,a:b"` (the
+    * pack_attention_spans discipline), with `n_chars` / `n_mask_chars`
+    * so a data card can report the loss fraction without re-parsing.
+    *
+    * All offsets are computed IN-ROW over the collected turns array in
+    * ONE linear `aggregate` fold whose accumulator is
+    * struct(offset, spans_csv, masked_chars) — fixed-size generated
+    * code regardless of MaxTurns (a per-index prefix-sum formulation
+    * was measured to blow the codegen method budget and fall back to
+    * interpreted eval), and no second window pass.
+    */
+  def chatRender(rawEvents: DataFrame): DataFrame = {
+    val maxTurns = SessionOps.MaxTurns
+    val assembled = SessionOps.withSessionSeq(rawEvents)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        slice(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))), 1, maxTurns).as("turns"))
+
+    // per-turn metadata: 0-based index i even -> user, odd -> assistant
+    val texts = transform(col("turns"),
+      (t, i) => concat(
+        when(i % 2 === 0, lit(UserMarker)).otherwise(lit(AssistantMarker)),
+        lit("\n"), t.getField("event_type"), lit("\n")))
+    val meta = transform(col("turns"), (t, i) => struct(
+      (i % 2 === 1).as("asst"),
+      when(i % 2 === 1, lit(AssistantMarker.length.toLong))
+        .otherwise(lit(UserMarker.length.toLong)).as("rlen"),
+      (when(i % 2 === 1, lit(AssistantMarker.length.toLong))
+        .otherwise(lit(UserMarker.length.toLong)) +
+        length(t.getField("event_type")).cast("long") + 2L).as("tlen")))
+    // one pass: running offset + csv span list + masked-char count
+    val folded = aggregate(
+      meta,
+      struct(lit(0L).as("off"), lit("").as("spans"), lit(0L).as("mask")),
+      (acc, e) => struct(
+        (acc.getField("off") + e.getField("tlen")).as("off"),
+        when(e.getField("asst"), concat(
+          acc.getField("spans"),
+          when(acc.getField("spans") === "", lit("")).otherwise(lit(",")),
+          (acc.getField("off") + e.getField("rlen") + 1).cast("string"),
+          lit(":"),
+          (acc.getField("off") + e.getField("tlen")).cast("string")))
+          .otherwise(acc.getField("spans")).as("spans"),
+        when(e.getField("asst"),
+          acc.getField("mask") + e.getField("tlen") - e.getField("rlen") - 1)
+          .otherwise(acc.getField("mask")).as("mask")))
+
+    assembled
+      .withColumn("f", folded)
+      .withColumn("texts", texts)
+      .select(
+        col("user_id"), col("session_seq"),
+        least(col("n_all"), lit(maxTurns.toLong)).as("n_turns"),
+        greatest(col("n_all") - maxTurns, lit(0L)).as("n_dropped"),
+        array_join(col("texts"), "").as("rendered"),
+        col("f.spans").as("mask_spans"),
+        col("f.off").as("n_chars"),
+        col("f.mask").as("n_mask_chars"))
+  }
+
+  /** DuckDB twin of [[chatRender]] — window form (string_agg + a
+    * ROWS-preceding cumulative length), same totals by construction.
+    */
+  def sqlChatRender: String = {
+    val gap = SessionOps.SessionGapUs
+    val maxTurns = SessionOps.MaxTurns
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts_us, event_id, event_type,
+       |    CASE WHEN lag(ts_us) OVER w IS NULL
+       |           OR ts_us - lag(ts_us) OVER w > $gap
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |assigned AS (
+       |  SELECT user_id, ts_us, event_id, event_type,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_seq
+       |  FROM flagged),
+       |ranked AS (
+       |  SELECT user_id, session_seq, ts_us, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id, session_seq ORDER BY ts_us, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id, session_seq) AS n_all
+       |  FROM assigned),
+       |sized AS (
+       |  SELECT user_id, session_seq, rn, n_all,
+       |    CASE WHEN rn % 2 = 1 THEN '$UserMarker' ELSE '$AssistantMarker' END AS role,
+       |    CASE WHEN rn % 2 = 1 THEN '$UserMarker' ELSE '$AssistantMarker' END
+       |      || chr(10) || event_type || chr(10) AS turn_text
+       |  FROM ranked WHERE rn <= $maxTurns),
+       |offs AS (
+       |  SELECT *, CAST(length(turn_text) AS BIGINT) AS turn_len,
+       |    COALESCE(sum(CAST(length(turn_text) AS BIGINT)) OVER
+       |      (PARTITION BY user_id, session_seq ORDER BY rn
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM sized)
+       |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       |  CAST(least(max(n_all), $maxTurns) AS BIGINT) AS n_turns,
+       |  CAST(greatest(max(n_all) - $maxTurns, 0) AS BIGINT) AS n_dropped,
+       |  string_agg(turn_text, '' ORDER BY rn) AS rendered,
+       |  COALESCE(string_agg(CASE WHEN rn % 2 = 0 THEN
+       |      (cum + length(role) + 1) || ':' || (cum + turn_len) END,
+       |    ',' ORDER BY rn), '') AS mask_spans,
+       |  CAST(sum(turn_len) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(sum(CASE WHEN rn % 2 = 0
+       |    THEN turn_len - length(role) - 1 END), 0) AS BIGINT) AS n_mask_chars
+       |FROM offs
+       |GROUP BY user_id, session_seq""".stripMargin
+  }
+
+  /** JVM twin of [[chatRender]]'s in-row expressions, for the streaming
+    * face ([[graft.stream.SessionStream]] renders each closed session's
+    * capped turn list with this): returns (rendered, mask_spans,
+    * n_chars, n_mask_chars). Offsets count Unicode CODE POINTS like
+    * Spark/DuckDB `length()` — `codePointCount`, not String.length, so
+    * a non-BMP character in a turn cannot make the two faces disagree.
+    */
+  def renderTurnsLocal(turns: Seq[String]): (String, String, Long, Long) = {
+    val sb = new StringBuilder
+    val spans = Seq.newBuilder[String]
+    var off = 0L // codepoint offset into the rendered string
+    var mask = 0L
+    turns.zipWithIndex.foreach { case (c, i) =>
+      val role = if (i % 2 == 0) UserMarker else AssistantMarker
+      val cLen = c.codePointCount(0, c.length).toLong
+      val tLen = role.length + 1 + cLen + 1
+      sb.append(role).append('\n').append(c).append('\n')
+      if (i % 2 == 1) {
+        spans += s"${off + role.length + 1}:${off + tLen}"
+        mask += cLen + 1
+      }
+      off += tLen
+    }
+    (sb.toString, spans.result().mkString(","), off, mask)
+  }
+
+  // ---------------------------------------------------------------
+  // Preference pairs (DPO) and best-of-n selection
+  // ---------------------------------------------------------------
+
+  /** Candidate table shared by the preference ops: docs with a non-NULL
+    * reward (the heuristic quality score — NULL means empty text, never
+    * a candidate) and their prompt group.
+    */
+  private def candidates(docs: DataFrame): DataFrame =
+    TextOps.qualityScore(docs)
+      .filter(col("quality").isNotNull)
+      .select((col("doc_id") % NumPromptGroups).as("prompt_id"),
+        col("doc_id"), col("quality").as("reward"))
+
+  /** DPO preference pairs: per prompt group, chosen = candidate with
+    * the highest reward, rejected = lowest, both tie-broken by doc_id
+    * (chosen prefers the LATER id, rejected the EARLIER — the lexical
+    * order of max/min over (reward, doc_id) structs, stated so the
+    * choice is a contract, not an accident). Groups with fewer than
+    * [[MinCandidates]] candidates or a zero margin emit nothing — a
+    * pair that can't express a preference is noise to the DPO loss.
+    *
+    * ONE aggregation: max(struct) / min(struct) are map-side
+    * combinable, so the shuffle carries at most two structs + a count
+    * per prompt group regardless of candidate fan-in — the same
+    * constant-state shape as the sketch family, and the reason this
+    * never needs a per-group sort or window.
+    */
+  def dpoPairs(docs: DataFrame): DataFrame =
+    candidates(docs)
+      .groupBy(col("prompt_id"))
+      .agg(
+        max(struct(col("reward"), col("doc_id"))).as("c"),
+        min(struct(col("reward"), col("doc_id"))).as("r"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("prompt_id"),
+        col("c.doc_id").as("chosen_id"), col("r.doc_id").as("rejected_id"),
+        col("c.reward").as("chosen_reward"), col("r.reward").as("rejected_reward"),
+        (col("c.reward") - col("r.reward")).as("margin"),
+        col("n_candidates"))
+      .filter(col("n_candidates") >= MinCandidates &&
+        col("chosen_reward") > col("rejected_reward"))
+
+  def sqlDpoPairs: String =
+    s"""WITH reward AS (${TextOps.sqlQualityScore}),
+       |cand AS (
+       |  SELECT doc_id % $NumPromptGroups AS prompt_id, doc_id, quality AS reward
+       |  FROM reward WHERE quality IS NOT NULL),
+       |ranked AS (
+       |  SELECT prompt_id, doc_id, reward,
+       |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id DESC) AS rc,
+       |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward ASC, doc_id ASC) AS rr,
+       |    count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+       |  FROM cand)
+       |SELECT c.prompt_id,
+       |  c.doc_id AS chosen_id, r.doc_id AS rejected_id,
+       |  c.reward AS chosen_reward, r.reward AS rejected_reward,
+       |  c.reward - r.reward AS margin,
+       |  c.n_candidates
+       |FROM (SELECT * FROM ranked WHERE rc = 1) c
+       |JOIN (SELECT * FROM ranked WHERE rr = 1) r USING (prompt_id)
+       |WHERE c.n_candidates >= $MinCandidates AND c.reward > r.reward""".stripMargin
+
+  /** Best-of-n (rejection sampling): per prompt group keep the single
+    * highest-reward candidate, with the group statistics a selection
+    * report needs — candidate count, mean reward (exact: summed in
+    * integer MICROS, divided once — the house integer-micros
+    * discipline, because a float sum's value depends on partition
+    * order) and the winner's lift over that mean. Same one-aggregation
+    * shape as [[dpoPairs]].
+    */
+  def bestOfN(docs: DataFrame): DataFrame =
+    candidates(docs)
+      .withColumn("reward_micros", floor(col("reward") * 1e6).cast("long"))
+      .groupBy(col("prompt_id"))
+      .agg(
+        max(struct(col("reward"), col("doc_id"))).as("best"),
+        count(lit(1)).as("n_candidates"),
+        sum(col("reward_micros")).as("sum_micros"))
+      .select(col("prompt_id"),
+        col("best.doc_id").as("doc_id"), col("best.reward").as("reward"),
+        col("n_candidates"),
+        (col("sum_micros").cast("double") / col("n_candidates") / lit(1e6))
+          .as("reward_mean"),
+        (floor(col("best.reward") * 1e6).cast("long") * col("n_candidates") -
+          col("sum_micros")).as("lift_micros_x_n"))
+
+  /** Reward length-bias diagnostic — the data-card check every
+    * preference pipeline runs before trusting a reward signal: the
+    * Pearson correlation between reward and response length (token
+    * count), computed from EXACT integer sums (count + Σx, Σy, Σxy,
+    * Σx², Σy² in longs — map-side combinable, ONE row out at any
+    * corpus size) with the float formula applied ONCE at the end in a
+    * pinned operation order, so both engines produce the identical
+    * double. A high positive corr means DPO will learn "longer is
+    * better" — the known failure mode this row exists to catch.
+    *
+    * Long-sum bounds: x ≤ 1e6 (reward micros), so Σx² ≤ N·1e12 — safe
+    * to N ≈ 9e6 docs per aggregation; a 100 TB deployment runs this
+    * per shard/source (the sums merge by addition, in DECIMAL(38) at
+    * the final fold if N demands it).
+    */
+  def rewardLengthBias(docs: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    TextOps.qualityScore(docs)
+      .filter(col("quality").isNotNull)
+      .select(floor(col("quality") * 1e6).cast("long").as("x"),
+        col("n_tokens").as("y"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_candidates"),
+        ((d(col("n_candidates")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          (sqrt(d(col("n_candidates")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            sqrt(d(col("n_candidates")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("reward_token_corr"))
+  }
+
+  def sqlRewardLengthBias: String =
+    s"""WITH reward AS (${TextOps.sqlQualityScore}),
+       |cand AS (
+       |  SELECT CAST(floor(quality * 1e6) AS BIGINT) AS x, n_tokens AS y
+       |  FROM reward WHERE quality IS NOT NULL),
+       |sums AS (
+       |  SELECT count(*) AS n_candidates,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM cand)
+       |SELECT n_candidates,
+       |  (CAST(n_candidates AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |  (sqrt(CAST(n_candidates AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |   sqrt(CAST(n_candidates AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |  AS reward_token_corr
+       |FROM sums""".stripMargin
+
+  def sqlBestOfN: String =
+    s"""WITH reward AS (${TextOps.sqlQualityScore}),
+       |cand AS (
+       |  SELECT doc_id % $NumPromptGroups AS prompt_id, doc_id, quality AS reward,
+       |    CAST(floor(quality * 1e6) AS BIGINT) AS reward_micros
+       |  FROM reward WHERE quality IS NOT NULL),
+       |ranked AS (
+       |  SELECT prompt_id, doc_id, reward, reward_micros,
+       |    row_number() OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id DESC) AS rc,
+       |    count(*) OVER (PARTITION BY prompt_id) AS n_candidates,
+       |    sum(reward_micros) OVER (PARTITION BY prompt_id) AS sum_micros
+       |  FROM cand)
+       |SELECT prompt_id, doc_id, reward, n_candidates,
+       |  CAST(sum_micros AS DOUBLE) / n_candidates / 1e6 AS reward_mean,
+       |  CAST(reward_micros * n_candidates - sum_micros AS BIGINT) AS lift_micros_x_n
+       |FROM ranked WHERE rc = 1""".stripMargin
+}

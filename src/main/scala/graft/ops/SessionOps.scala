@@ -36,7 +36,7 @@ object SessionOps {
     * nanos→micros (a double division would lose precision on 1.7e18
     * nano epochs).
     */
-  private def eventsUs(rawEvents: DataFrame): DataFrame =
+  private[ops] def eventsUs(rawEvents: DataFrame): DataFrame =
     CdcOps.normalizeEvents(rawEvents)
       .select(col("user_id").cast("long"),
         expr("ts div 1000").as("ts_us"),
@@ -50,13 +50,7 @@ object SessionOps {
     * Output: one row per session with bounds and size.
     */
   def sessionize(rawEvents: DataFrame): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    eventsUs(rawEvents)
-      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_us").isNull ||
-          col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
-      .withColumn("session_seq", sum(col("new_session")).over(byUser))
+    withSessionSeq(rawEvents)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -94,7 +88,12 @@ object SessionOps {
     * order is total (event_id unique), so the rendered text is
     * byte-deterministic in both engines.
     */
-  def conversationFlatten(rawEvents: DataFrame): DataFrame = {
+  /** Events with their per-user session ordinal attached — the shared
+    * assignment prefix of [[sessionize]], [[conversationFlatten]] and
+    * [[PostTrainOps.chatRender]]: one user-keyed exchange, two
+    * user-partitioned window passes, nothing global.
+    */
+  private[ops] def withSessionSeq(rawEvents: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     eventsUs(rawEvents)
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
@@ -102,6 +101,10 @@ object SessionOps {
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("new_session")).over(byUser))
+  }
+
+  def conversationFlatten(rawEvents: DataFrame): DataFrame = {
+    withSessionSeq(rawEvents)
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_all"),

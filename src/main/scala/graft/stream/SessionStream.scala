@@ -16,11 +16,17 @@ import graft.ops.SessionOps
   * conversation documents with the batch face's exact cap semantics
   * ([[SessionOps.MaxTurns]] earliest-wins, `n_dropped`).
   *
-  * State: one O(MaxTurns)-bounded entry per OPEN session (closed
-  * state is removed immediately), keyed by user — at 100 TB/day of
-  * events that is O(concurrently active users), the minimum any
-  * sessionizer can hold, checkpointed and restored across restarts
-  * (ordinals continue, spec-proven).
+  * State: one O(MaxTurns)-bounded entry per OPEN session, keyed by
+  * user; a timeout close collapses the entry to an ORDINAL TOMBSTONE
+  * (three zeroed longs) rather than removing it — session_seq must
+  * stay monotone per user across closes, exactly like the batch
+  * face's ordinals, or the output stream would carry duplicate
+  * (user_id, session_seq) keys. So state is O(open sessions) in the
+  * heavy part plus O(users ever seen) tombstone longs — the honest
+  * price of history-wide ordinals (a deployment content with
+  * per-epoch ordinals can TTL the tombstones). Checkpointed and
+  * restored across restarts (ordinals continue, spec-proven —
+  * including after a timeout close).
   */
 object SessionStream {
 
@@ -32,16 +38,28 @@ object SessionStream {
   case class SessState(sessionSeq: Long, startUs: Long, lastUs: Long,
       nAll: Long, turns: List[String])
 
+  /** Closed-session record — `convo` is the batch conversationFlatten
+    * rendering; `rendered`/`mask_spans`/`n_mask_chars` are the
+    * post-training SFT face ([[graft.ops.PostTrainOps.chatRender]]'s
+    * template + assistant-only loss-mask spans, computed by the shared
+    * JVM twin so the streamed document is byte-identical to the batch
+    * one — spec-asserted).
+    */
   case class Closed(user_id: Long, session_seq: Long, n_events: Long,
       start_us: Long, end_us: Long, duration_us: Long,
-      n_turns: Long, n_dropped: Long, convo: String)
+      n_turns: Long, n_dropped: Long, convo: String,
+      rendered: String, mask_spans: String, n_mask_chars: Long)
 
-  private def close(userId: Long, s: SessState): Closed =
+  private def close(userId: Long, s: SessState): Closed = {
+    val (rendered, spans, _, nMask) =
+      graft.ops.PostTrainOps.renderTurnsLocal(s.turns)
     Closed(userId, s.sessionSeq, s.nAll, s.startUs, s.lastUs,
       s.lastUs - s.startUs,
       math.min(s.nAll, SessionOps.MaxTurns.toLong),
       math.max(s.nAll - SessionOps.MaxTurns, 0L),
-      s.turns.mkString(" "))
+      s.turns.mkString(" "),
+      rendered, spans, nMask)
+  }
 
   private def open(seq: Long, e: Ev): SessState =
     SessState(seq, e.tsUs, e.tsUs, 1L, List(e.eventType))
@@ -60,7 +78,13 @@ object SessionStream {
       state: GroupState[SessState]): Iterator[Closed] = {
     if (state.hasTimedOut) {
       val s = state.get
-      state.remove()
+      // TOMBSTONE, not remove(): the ordinal must survive the close, or
+      // the user's next event would reopen at session_seq = 1 and the
+      // sink would append duplicate (user_id, session_seq) keys — the
+      // batch face's ordinals are monotone per user over the whole
+      // history, and so are these. nAll == 0 marks "nothing open"; no
+      // timeout is set on a tombstone (nothing left to close).
+      state.update(SessState(s.sessionSeq, 0L, 0L, 0L, Nil))
       Iterator(close(key, s))
     } else {
       val batch = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
@@ -68,6 +92,8 @@ object SessionStream {
       var cur = state.getOption
       for (e <- batch) {
         cur = cur match {
+          case Some(s) if s.nAll == 0L => // tombstone: continue ordinals
+            Some(open(s.sessionSeq + 1, e))
           case Some(s) if e.tsUs - s.lastUs <= SessionOps.SessionGapUs =>
             Some(absorb(s, e))
           case Some(s) =>
@@ -76,7 +102,7 @@ object SessionStream {
           case None => Some(open(1L, e))
         }
       }
-      cur.foreach { s =>
+      cur.filter(_.nAll > 0L).foreach { s =>
         state.update(s)
         // deadline in epoch MILLIS; fires when the watermark passes it
         state.setTimeoutTimestamp(s.lastUs / 1000 + SessionOps.SessionGapUs / 1000)

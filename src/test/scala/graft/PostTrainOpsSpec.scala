@@ -1,0 +1,113 @@
+package graft
+
+import graft.ops.{PostTrainOps, TextOps}
+import org.apache.spark.sql.functions._
+
+class PostTrainOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000 // one hour in micros
+  private def ev(id: Long, user: Long, tUs: Long, typ: String) =
+    (id, new java.sql.Timestamp(tUs / 1000), user, typ, 1.0, "{}")
+
+  private def eventsDf(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("chat_render: exact template bytes, spans cover exactly the assistant content+newline") {
+    val t0 = 1700000000L * 1000000
+    val rows = Seq( // one user, one session, 3 turns: user/assistant/user
+      ev(1, 1, t0, "hello"), ev(2, 1, t0 + H, "reply"), ev(3, 1, t0 + 2 * H, "bye"))
+    val got = PostTrainOps.chatRender(eventsDf(rows))
+      .select("rendered", "mask_spans", "n_chars", "n_mask_chars", "n_turns", "n_dropped")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(got.length == 1)
+    val (rendered, spans, nChars, nMask, nTurns, nDropped) = got.head
+    val expect = "<|user|>\nhello\n<|assistant|>\nreply\n<|user|>\nbye\n"
+    assert(rendered == expect, s"got <$rendered>")
+    assert(nChars == expect.length.toLong && nTurns == 3L && nDropped == 0L)
+    // the single assistant turn: content 'reply' + trailing newline
+    val Array(a, b) = spans.split(":").map(_.toInt)
+    assert(rendered.substring(a, b) == "reply\n", s"span [$a:$b) = <${rendered.substring(a, b)}>")
+    assert(nMask == 6L)
+  }
+
+  test("chat_render: a user-only session has empty mask; multi-assistant spans are disjoint and in order") {
+    val t0 = 1700000000L * 1000000
+    val solo = Seq(ev(1, 5, t0, "ping")) // 1 turn -> no assistant
+    val four = (0 until 4).map(i => ev(10 + i, 6, t0 + i * 60L * 1000000, s"m$i"))
+    val got = PostTrainOps.chatRender(eventsDf(solo ++ four))
+      .select("user_id", "rendered", "mask_spans", "n_mask_chars")
+      .as[(Long, String, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(5L)._3 == "" && got(5L)._4 == 0L)
+    val (_, rendered, spans, nMask) = got(6L)
+    val parsed = spans.split(",").map { s =>
+      val Array(a, b) = s.split(":").map(_.toInt); (a, b)
+    }
+    assert(parsed.length == 2) // turns 2 and 4 are assistant
+    assert(parsed.map { case (a, b) => rendered.substring(a, b) }.toSeq ==
+      Seq("m1\n", "m3\n"))
+    assert(parsed.sliding(2).forall { case Array((_, b1), (a2, _)) => b1 <= a2; case _ => true })
+    assert(nMask == parsed.map { case (a, b) => b - a }.sum.toLong)
+  }
+
+  // documents fixture for the preference ops: quality rises with text
+  // richness; doc_ids chosen so groups (doc_id % NumPromptGroups) are known
+  private def docsDf(rows: Seq[(Long, String)]) =
+    TextOps.tokenize(rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+
+  test("dpo_pairs: chosen=max reward, rejected=min, margin>0 enforced, singleton and tied groups dropped") {
+    val G = PostTrainOps.NumPromptGroups
+    val rich = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val poor = "zzz 123 !!!"
+    val mid = "some plain words here that read fine"
+    val rows = Seq(
+      (0L * G + 1L, poor), (1L * G + 1L, rich), (2L * G + 1L, mid), // group 1: spread
+      (0L * G + 2L, rich),                                          // group 2: singleton
+      (0L * G + 3L, mid), (1L * G + 3L, mid))                       // group 3: exact tie
+    val got = PostTrainOps.dpoPairs(docsDf(rows))
+      .select("prompt_id", "chosen_id", "rejected_id", "n_candidates")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == 1, s"got ${got.toSeq}")
+    val (pid, chosen, rejected, n) = got.head
+    assert(pid == 1L && n == 3L)
+    assert(chosen == 1L * G + 1L, s"chosen should be the rich doc, got $chosen")
+    assert(rejected == 0L * G + 1L, s"rejected should be the poor doc, got $rejected")
+  }
+
+  test("best_of_n: winner, exact integer-micros mean, non-negative lift") {
+    val G = PostTrainOps.NumPromptGroups
+    val rich = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val poor = "zzz 123 !!!"
+    val rows = Seq((0L * G + 7L, poor), (1L * G + 7L, rich), (2L * G + 7L, poor))
+    val got = PostTrainOps.bestOfN(docsDf(rows))
+      .select("prompt_id", "doc_id", "n_candidates", "reward", "reward_mean", "lift_micros_x_n")
+      .as[(Long, Long, Long, Double, Double, Long)].collect()
+    assert(got.length == 1)
+    val (pid, winner, n, reward, mean, liftXn) = got.head
+    assert(pid == 7L && winner == 1L * G + 7L && n == 3L)
+    assert(reward > mean && liftXn > 0L)
+    // exact arithmetic: lift×n = winner_micros·n − Σ candidate_micros
+    val micros = TextOps.qualityScore(docsDf(rows))
+      .select(floor(col("quality") * 1e6).cast("long"))
+      .as[Long].collect()
+    assert(liftXn == micros.max * n - micros.sum)
+    assert(mean == micros.sum.toDouble / n / 1e6)
+  }
+
+  test("chat_render totals: n_mask_chars equals the sum of span widths on the sf fixture") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val bad = PostTrainOps.chatRender(events)
+      .withColumn("span_sum", coalesce(aggregate(
+        transform(split(col("mask_spans"), ","),
+          s => when(s === "", lit(0L)).otherwise(
+            element_at(split(s, ":"), 2).cast("long") -
+              element_at(split(s, ":"), 1).cast("long"))),
+        lit(0L), (a, x) => a + x), lit(0L)))
+      .filter(col("span_sum") =!= col("n_mask_chars") ||
+        col("n_chars") =!= length(col("rendered")))
+      .count()
+    assert(bad == 0L)
+  }
+}

@@ -41,14 +41,21 @@ class SessionStreamSpec extends SparkSuite {
       (2L, 1L, 1L, 0L, "signup")), s"got $got")
 
     // restart on the same checkpoint: user 1's OPEN session 2 was state,
-    // not output; a 48h event closes it with the continued ordinal
-    stage(eventsDir, Seq(ev(5, 1, t0 + 48 * H, "buy")))
+    // not output; a 48h event closes it with the continued ordinal.
+    // user 2 was closed BY TIMEOUT — their new event must reopen at
+    // session_seq 2 (the tombstone), not restart the ordinals at 1
+    stage(eventsDir, Seq(ev(5, 1, t0 + 48 * H, "buy"), ev(6, 2, t0 + 30 * H, "view")))
+    stage(eventsDir, Seq(ev(7, 2, t0 + 60 * H, "click"))) // closes user 2's reopened session by gap
     awaitDone(graft.stream.SessionStream.run(spark, eventsDir, outDir, ckpt))
     val got2 = spark.read.parquet(outDir)
       .select("user_id", "session_seq", "n_events", "convo")
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got2.contains((1L, 2L, 1L, "view")),
       s"restored state must close session 2 with its ordinal, got $got2")
+    assert(got2.contains((2L, 2L, 1L, "view")),
+      s"a timeout-closed user must reopen at the NEXT ordinal (tombstone), got $got2")
+    assert(!got2.exists(r => r._1 == 2L && r._2 == 1L && r._4 == "view"),
+      s"no duplicate (user 2, session 1) key, got $got2")
   }
 
   test("turn cap: a marathon session emits n_turns=MaxTurns, n_dropped set, earliest turns kept") {
@@ -67,5 +74,36 @@ class SessionStreamSpec extends SparkSuite {
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(got == Seq((n.toLong, SessionOps.MaxTurns.toLong, 3L,
       (0 until SessionOps.MaxTurns).map(i => s"t$i").mkString(" "))), s"got $got")
+  }
+
+  test("streamed chat rendering is byte-identical to batch chatRender on every closed session") {
+    val eventsDir = tmp("sessrender-in")
+    val outDir = tmp("sessrender-out")
+    val ckpt = tmp("sessrender-ckpt")
+    // users with 1..4-turn sessions (mix of user-only and multi-assistant),
+    // then a far-future sentinel per user so the watermark closes everything
+    val rows = (1L to 4L).flatMap { u =>
+      (0 until u.toInt).map(i =>
+        ev(u * 100 + i, u, t0 + i * 60L * 1000000, s"m${u}_$i"))
+    } ++ Seq(ev(9999, 99, t0 + 100 * H, "sentinel"))
+    stage(eventsDir, rows)
+    awaitDone(graft.stream.SessionStream.run(spark, eventsDir, outDir, ckpt))
+    val streamed = spark.read.parquet(outDir)
+      .select("user_id", "session_seq", "rendered", "mask_spans", "n_mask_chars")
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val batchDf = graft.ops.PostTrainOps.chatRender(
+      rows.map { case (id, tsNs, user, typ, v, p) =>
+        (id, new java.sql.Timestamp(tsNs / 1000000), user, typ, v, p)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .select("user_id", "session_seq", "rendered", "mask_spans", "n_mask_chars")
+      .as[(Long, Long, String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // every streamed close must match the batch face exactly (streamed
+    // keys are a subset: the sentinel user's own session is still open)
+    assert(streamed.nonEmpty && streamed.size >= 4)
+    streamed.foreach { case (k, v) =>
+      assert(batchDf(k) == v, s"session $k: streamed=$v batch=${batchDf(k)}")
+    }
   }
 }
