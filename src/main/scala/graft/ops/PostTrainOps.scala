@@ -205,11 +205,56 @@ object PostTrainOps {
     * reward (the heuristic quality score — NULL means empty text, never
     * a candidate) and their prompt group.
     */
-  private def candidates(docs: DataFrame): DataFrame =
+  private[graft] def candidates(docs: DataFrame): DataFrame =
     TextOps.qualityScore(docs)
       .filter(col("quality").isNotNull)
       .select((col("doc_id") % NumPromptGroups).as("prompt_id"),
         col("doc_id"), col("quality").as("reward"))
+
+  /** Per-prompt preference STATE — the mergeable reduction both faces
+    * share: (best, worst, count) per prompt group, ≤[[NumPromptGroups]]
+    * rows at any corpus size. max/min/sum are associative, so states
+    * from shards or micro-batches merge with [[mergePrefStates]] into
+    * exactly the state of the union (the HLL/CMS sketch discipline —
+    * spec-asserted split-invariance).
+    */
+  private[graft] def prefState(docs: DataFrame): DataFrame =
+    candidates(docs)
+      .groupBy(col("prompt_id"))
+      .agg(
+        max(struct(col("reward"), col("doc_id"))).as("c"),
+        min(struct(col("reward"), col("doc_id"))).as("r"),
+        count(lit(1)).as("n"))
+      .select(col("prompt_id"),
+        col("c.reward").as("c_reward"), col("c.doc_id").as("c_doc"),
+        col("r.reward").as("r_reward"), col("r.doc_id").as("r_doc"),
+        col("n"))
+
+  /** Merge two [[prefState]] tables (max/min/sum fold). */
+  private[graft] def mergePrefStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("prompt_id"))
+      .agg(
+        max(struct(col("c_reward").as("reward"), col("c_doc").as("doc_id"))).as("c"),
+        min(struct(col("r_reward").as("reward"), col("r_doc").as("doc_id"))).as("r"),
+        sum(col("n")).as("n"))
+      .select(col("prompt_id"),
+        col("c.reward").as("c_reward"), col("c.doc_id").as("c_doc"),
+        col("r.reward").as("r_reward"), col("r.doc_id").as("r_doc"),
+        col("n"))
+
+  /** The pair-emission rule over a [[prefState]] — shared by the batch
+    * key and the streaming query face, so the two cannot drift on the
+    * margin/min-candidates contract.
+    */
+  private[graft] def pairsFromState(state: DataFrame): DataFrame =
+    state.select(col("prompt_id"),
+        col("c_doc").as("chosen_id"), col("r_doc").as("rejected_id"),
+        col("c_reward").as("chosen_reward"), col("r_reward").as("rejected_reward"),
+        (col("c_reward") - col("r_reward")).as("margin"),
+        col("n").as("n_candidates"))
+      .filter(col("n_candidates") >= MinCandidates &&
+        col("chosen_reward") > col("rejected_reward"))
 
   /** DPO preference pairs: per prompt group, chosen = candidate with
     * the highest reward, rejected = lowest, both tie-broken by doc_id
@@ -226,19 +271,7 @@ object PostTrainOps {
     * never needs a per-group sort or window.
     */
   def dpoPairs(docs: DataFrame): DataFrame =
-    candidates(docs)
-      .groupBy(col("prompt_id"))
-      .agg(
-        max(struct(col("reward"), col("doc_id"))).as("c"),
-        min(struct(col("reward"), col("doc_id"))).as("r"),
-        count(lit(1)).as("n_candidates"))
-      .select(col("prompt_id"),
-        col("c.doc_id").as("chosen_id"), col("r.doc_id").as("rejected_id"),
-        col("c.reward").as("chosen_reward"), col("r.reward").as("rejected_reward"),
-        (col("c.reward") - col("r.reward")).as("margin"),
-        col("n_candidates"))
-      .filter(col("n_candidates") >= MinCandidates &&
-        col("chosen_reward") > col("rejected_reward"))
+    pairsFromState(prefState(docs))
 
   def sqlDpoPairs: String =
     s"""WITH reward AS (${TextOps.sqlQualityScore}),

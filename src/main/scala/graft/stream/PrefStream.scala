@@ -1,0 +1,62 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.PostTrainOps
+
+/** Streaming preference-pair state — the live face of
+  * [[graft.ops.PostTrainOps.dpoPairs]]: candidate documents arrive
+  * continuously (a generation service emitting scored samples), and the
+  * per-prompt (best, worst, count) state accumulates across
+  * micro-batches so the current DPO pair set is queryable at any time.
+  *
+  * State shape: ≤[[graft.ops.PostTrainOps.NumPromptGroups]] rows of
+  * six scalars, COMPACTED per batch under `outDir/_state/b_<id>` — the
+  * [[CmsStream]] versioned-state discipline. max/min merge is
+  * idempotent but the candidate COUNT sums, so replay safety rests on
+  * the [[VersionedState]] argument: a batch reads only versions
+  * strictly below its own id and overwrites its own, so a replayed
+  * batch re-derives `b_<id>` byte-identical (spec-asserted).
+  *
+  * The query face is [[pairs]]: resolve the newest state, apply the
+  * SHARED emission rule ([[graft.ops.PostTrainOps.pairsFromState]] —
+  * min-candidates + positive margin), identical by construction to
+  * what batch dpoPairs would emit over everything ingested so far
+  * (spec: streamed ≡ batch over the same corpus, and split-invariant).
+  */
+object PrefStream {
+
+  def run(spark: SparkSession, docsDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(CmsStream.docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(docsDir)
+      .writeStream
+      .queryName(s"graft-pref-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val root = s"$outDir/_state"
+        val mine = PostTrainOps.prefState(batch)
+        val merged = VersionedState.latestBefore(spark, root, batchId) match {
+          case Some(prev) =>
+            PostTrainOps.mergePrefStates(mine, spark.read.parquet(prev))
+          case None => mine
+        }
+        merged.write.mode("overwrite").parquet(s"$root/b_$batchId")
+        ()
+      }
+      .start()
+
+  /** Current DPO pairs over everything ingested so far. */
+  def pairs(spark: SparkSession, outDir: String): DataFrame = {
+    val root = s"$outDir/_state"
+    val latest = VersionedState
+      .latestBefore(spark, root, Long.MaxValue)
+      .getOrElse(sys.error(s"PrefStream.pairs: no state under $root"))
+    PostTrainOps.pairsFromState(spark.read.parquet(latest))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.ops.PostTrainOps
+import graft.stream.PrefStream
+
+/** Streaming preference state: the queryable pair set over everything
+  * ingested equals batch dpoPairs on the same corpus, across restarts;
+  * state is split-invariant (shard/batch boundaries can't move a pair).
+  */
+class PrefStreamSpec extends SparkSuite {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("prompt_id", "chosen_id", "rejected_id", "n_candidates")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  test("streamed pairs ≡ batch dpoPairs over all ingested docs, across a restart") {
+    val docsDir = tmp("pref-docs")
+    val outDir = tmp("pref-out")
+    val ckpt = tmp("pref-ckpt")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val f1 = fixture.filter(col("doc_id") < 150)
+    val f2 = fixture.filter(col("doc_id") >= 150 && col("doc_id") < 300)
+    val f3 = fixture.filter(col("doc_id") >= 300)
+
+    f1.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    f2.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    assert(pairSet(PrefStream.pairs(spark, outDir)) ==
+      pairSet(PostTrainOps.dpoPairs(f1.unionByName(f2))),
+      "streamed pairs must equal batch dpoPairs over the ingested prefix")
+
+    // restart with more data: compacted state carries the history, and a
+    // previously-emitted pair may be displaced by a better/worse candidate
+    f3.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    assert(pairSet(PrefStream.pairs(spark, outDir)) ==
+      pairSet(PostTrainOps.dpoPairs(fixture)),
+      "post-restart pairs must equal batch dpoPairs over everything")
+  }
+
+  test("split-invariance and replay: merging shard states equals the union's state, byte-stable") {
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val a = fixture.filter(col("doc_id") % 2 === 0)
+    val b = fixture.filter(col("doc_id") % 2 === 1)
+    def stateMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val merged = stateMap(PostTrainOps.mergePrefStates(
+      PostTrainOps.prefState(a), PostTrainOps.prefState(b)))
+    assert(merged == stateMap(PostTrainOps.prefState(fixture)),
+      "shard-state merge must equal the union's state")
+    // replay in miniature: re-deriving from the same (prior, batch) is stable
+    val again = stateMap(PostTrainOps.mergePrefStates(
+      PostTrainOps.prefState(a), PostTrainOps.prefState(b)))
+    assert(merged == again)
+  }
+}
