@@ -546,6 +546,9 @@ object SparkEntry {
     // reward length-bias data card: Pearson corr(reward, n_tokens) from
     // exact integer sums, ONE row out — the "DPO learns verbosity" gate
     "reward_length_bias" -> ((s, dir) => PostTrainOps.rewardLengthBias(docsT(s, dir))),
+    // SFT packing: rendered chats packed per-user into SeqLen-char
+    // sequences, loss-mask spans remapped/split across boundaries
+    "chat_pack_spans" -> ((s, dir) => PostTrainOps.chatPackSpans(tbl(s, dir, "events"))),
     // audio near-dup pairs: the same hammingBandPairs pigeonhole as
     // simhash and image dHash — a third modality, zero new join code
     "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
@@ -936,6 +939,7 @@ object SparkEntry {
     "dpo_pairs" -> PostTrainOps.sqlDpoPairs,
     "best_of_n" -> PostTrainOps.sqlBestOfN,
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,
+    "chat_pack_spans" -> PostTrainOps.sqlChatPackSpans,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,

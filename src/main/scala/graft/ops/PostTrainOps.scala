@@ -198,6 +198,110 @@ object PostTrainOps {
   }
 
   // ---------------------------------------------------------------
+  // Packed SFT sequences: loss-mask spans remapped across boundaries
+  // ---------------------------------------------------------------
+
+  /** Pack rendered chat documents into fixed-length training sequences
+    * (length [[PretrainOps.SeqLen]] chars — the packing unit here is
+    * the rendering's character, as the mask spans are) and REMAP the
+    * loss-mask spans into sequence-local coordinates, splitting any
+    * span that straddles a boundary — what an SFT loader does when it
+    * packs conversations: the mask must follow the text or the loss
+    * lands on user turns.
+    *
+    * Layout: per-USER packing streams ([[PretrainOps.packWindowCols]]
+    * with source := user_id, ordered by session_seq) — the user-
+    * contiguous shard layout; the cumulative-offset window, both
+    * explodes and both aggregations all share the user partitioning.
+    * Output per (user_id, seq_id): n_docs sessions touching the
+    * sequence, the sequence-local mask spans csv (sorted by start;
+    * disjointness is inherited from packing disjointness + per-doc
+    * span disjointness), mask_chars and n_spans. Sequences whose slice
+    * is entirely user turns keep a row with an empty span list — the
+    * loader needs to know the sequence exists and contributes no loss.
+    */
+  def chatPackSpans(rawEvents: DataFrame): DataFrame = {
+    val L = PretrainOps.SeqLen
+    val base = chatRender(rawEvents)
+      .filter(col("n_chars") >= 1)
+      .select(col("session_seq").as("doc_id"), col("user_id").as("source"),
+        col("n_chars").as("n_tokens"), col("mask_spans"))
+    val bySeq = PretrainOps.packWindowCols(base)
+      .select(col("source").as("user_id"), col("tok_start"), col("mask_spans"),
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+    val nDocs = bySeq.groupBy(col("user_id"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"))
+    val localSpans = bySeq
+      .select(col("user_id"), col("seq_id"), (col("seq_id") * L).as("s"),
+        col("tok_start"),
+        explode(filter(split(col("mask_spans"), ","), x => x =!= "")).as("sp"))
+      .select(col("user_id"), col("seq_id"),
+        (greatest(col("tok_start") +
+          element_at(split(col("sp"), ":"), 1).cast("long"), col("s")) -
+          col("s")).as("a"),
+        (least(col("tok_start") +
+          element_at(split(col("sp"), ":"), 2).cast("long"), col("s") + L) -
+          col("s")).as("b"))
+      .filter(col("b") > col("a"))
+    val spanAgg = localSpans.groupBy(col("user_id"), col("seq_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("b") - col("a")).as("mask_chars"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("a"), col("b")))),
+          p => concat(p.getField("a").cast("string"), lit(":"),
+            p.getField("b").cast("string"))), ",").as("mask_spans"))
+    nDocs.join(spanAgg, Seq("user_id", "seq_id"), "left")
+      .select(col("user_id"), col("seq_id"), col("n_docs"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("mask_chars"), lit(0L)).as("mask_chars"),
+        coalesce(col("mask_spans"), lit("")).as("mask_spans"))
+  }
+
+  def sqlChatPackSpans: String = {
+    val L = PretrainOps.SeqLen
+    // each embedded line carries its OWN margin pipe: the outer
+    // stripMargin would otherwise eat the first '|' of any embedded
+    // line that starts with whitespace + '||' (string concat)
+    s"""WITH rendered AS (
+${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
+       |),
+       |base AS (
+       |  SELECT user_id AS source, session_seq AS doc_id,
+       |    n_chars AS n_tokens, mask_spans
+       |  FROM rendered WHERE n_chars >= 1),
+       |packed AS (
+       |  SELECT source, doc_id, n_tokens, mask_spans,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+       |  FROM base),
+       |byseq AS (
+       |  SELECT source AS user_id, tok_start, mask_spans,
+       |    unnest(range(tok_start // $L, (tok_start + n_tokens - 1) // $L + 1)) AS seq_id
+       |  FROM packed),
+       |ndocs AS (
+       |  SELECT user_id, CAST(seq_id AS BIGINT) AS seq_id, count(*) AS n_docs
+       |  FROM byseq GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT user_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |    greatest(tok_start + CAST(string_split(x.sp, ':')[1] AS BIGINT),
+       |      seq_id * $L) - seq_id * $L AS a,
+       |    least(tok_start + CAST(string_split(x.sp, ':')[2] AS BIGINT),
+       |      (seq_id + 1) * $L) - seq_id * $L AS b
+       |  FROM byseq, unnest(string_split(mask_spans, ',')) AS x(sp)
+       |  WHERE x.sp <> ''),
+       |spagg AS (
+       |  SELECT user_id, seq_id, count(*) AS n_spans,
+       |    CAST(sum(b - a) AS BIGINT) AS mask_chars,
+       |    string_agg(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR), ','
+       |      ORDER BY a) AS mask_spans
+       |  FROM sp WHERE b > a GROUP BY 1, 2)
+       |SELECT n.user_id, n.seq_id, n.n_docs,
+       |  CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(s.mask_chars, 0) AS BIGINT) AS mask_chars,
+       |  COALESCE(s.mask_spans, '') AS mask_spans
+       |FROM ndocs n LEFT JOIN spagg s USING (user_id, seq_id)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Preference pairs (DPO) and best-of-n selection
   // ---------------------------------------------------------------
 

@@ -96,6 +96,55 @@ class PostTrainOpsSpec extends SparkSuite {
     assert(mean == micros.sum.toDouble / n / 1e6)
   }
 
+  test("chat_pack_spans: a straddling assistant span splits across the boundary; mask mass is conserved") {
+    val t0 = 1700000000L * 1000000
+    val L = graft.ops.PretrainOps.SeqLen
+    // one user, one session: user turn, then an assistant turn whose
+    // content pushes its span across the SeqLen boundary
+    val longMsg = "x" * 300
+    val rows = Seq(ev(1, 1, t0, "hi"), ev(2, 1, t0 + 60L * 1000000, longMsg))
+    val packed = PostTrainOps.chatPackSpans(eventsDf(rows))
+      .select("seq_id", "n_docs", "n_spans", "mask_chars", "mask_spans")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // rendered = "<|user|>\nhi\n<|assistant|>\n" + 300x + "\n" = 326 chars -> 2 seqs
+    assert(packed.map(_._1).toSeq == Seq(0L, 1L))
+    val batch = PostTrainOps.chatRender(eventsDf(rows))
+      .select("n_mask_chars").as[Long].collect().head
+    assert(packed.map(_._4).sum == batch, "mask mass must be conserved by packing")
+    // the straddling span: part in seq 0 ending at L, remainder opening seq 1 at 0
+    val (a0, b0) = { val Array(a, b) = packed(0)._5.split(":").map(_.toLong); (a, b) }
+    val (a1, b1) = { val Array(a, b) = packed(1)._5.split(":").map(_.toLong); (a, b) }
+    assert(b0 == L && a1 == 0L, s"split must abut the boundary: got $b0 / $a1")
+    assert((b0 - a0) + (b1 - a1) == batch)
+  }
+
+  test("chat_pack_spans: fixture invariants — spans in-bounds, sorted, disjoint; all-user sequences keep empty rows") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val L = graft.ops.PretrainOps.SeqLen
+    val rows = PostTrainOps.chatPackSpans(events)
+      .select("n_spans", "mask_chars", "mask_spans")
+      .as[(Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nSpans, maskChars, csv) =>
+      val spans = if (csv.isEmpty) Array.empty[(Long, Long)]
+        else csv.split(",").map { s =>
+          val Array(a, b) = s.split(":").map(_.toLong); (a, b)
+        }
+      assert(spans.length.toLong == nSpans)
+      assert(spans.map { case (a, b) => b - a }.sum == maskChars)
+      spans.foreach { case (a, b) =>
+        assert(a >= 0 && b <= L && a < b, s"span out of bounds: $a:$b") }
+      spans.sliding(2).foreach {
+        case Array((_, b1), (a2, _)) => assert(b1 <= a2, "overlap/disorder")
+        case _ => ()
+      }
+    }
+    // mask conservation corpus-wide
+    val total = PostTrainOps.chatRender(events)
+      .agg(sum("n_mask_chars")).as[Long].collect().head
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("chat_render totals: n_mask_chars equals the sum of span widths on the sf fixture") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val bad = PostTrainOps.chatRender(events)
