@@ -531,4 +531,31 @@ class PlanSpec extends SparkSuite {
     assert(!nodesDeep(q("knn_pagerank"))
       .exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("round-9 post-training ops: one exchange each for render and preference aggs") {
+    // chat_render: the session windows + the final per-session agg all
+    // ride ONE hashpartitioning(user_id) exchange (the subset rule) —
+    // all offset/mask arithmetic is in-row, so a second shuffle here
+    // means the fold regressed to a window pass
+    assert(exchanges(q("chat_render")) == 1,
+      "chat_render must stay one user_id exchange")
+    // dpo_pairs / best_of_n: ONE prompt-keyed map-side-combinable agg
+    // over the cached token table — constant state per group, no window,
+    // no join; reward_length_bias folds to a single row (one
+    // SinglePartition gather of 6 longs)
+    for (name <- Seq("dpo_pairs", "best_of_n")) {
+      val df = q(name)
+      assert(exchanges(df) <= 1, s"$name grew a shuffle")
+      assert(!df.queryExecution.optimizedPlan.toString.contains("Window"),
+        s"$name must not need a window")
+    }
+    assert(exchanges(q("reward_length_bias")) == 1, // the SinglePartition gather
+      "reward_length_bias must carry only the single-row gather")
+    // chat_pack_spans: render exchange + the two (user, seq)-keyed aggs;
+    // the n_docs⋈spans join is on the agg key, so it must never add a
+    // repartition of either side beyond those aggs — and no cartesian
+    val cp = q("chat_pack_spans")
+    assert(exchanges(cp) <= 5, "chat_pack_spans grew an extra shuffle")
+    assert(!nodesDeep(cp).exists(_.isInstanceOf[CartesianProductExec]))
+  }
 }
