@@ -549,6 +549,16 @@ object SparkEntry {
     // SFT packing: rendered chats packed per-user into SeqLen-char
     // sequences, loss-mask spans remapped/split across boundaries
     "chat_pack_spans" -> ((s, dir) => PostTrainOps.chatPackSpans(tbl(s, dir, "events"))),
+    // self-consistency majority vote: modal answer per prompt group —
+    // two map-side-combinable aggs, RLVR's verification-free reduction
+    "majority_vote" -> ((s, dir) => PostTrainOps.majorityVote(docsT(s, dir))),
+    // GRPO/RLOO group-relative advantage: exact per-group integer sums,
+    // fp normalization applied once per row in a pinned operation order
+    "grpo_advantage" -> ((s, dir) => PostTrainOps.grpoAdvantage(docsT(s, dir))),
+    // dataset-versioning diff between two corpus snapshots: one narrow
+    // hash projection per side + one full-outer join on doc_id; output
+    // proportional to churn, not corpus
+    "corpus_diff" -> ((s, dir) => CorpusOps.corpusDiffKey(tbl(s, dir, "documents"))),
     // audio near-dup pairs: the same hammingBandPairs pigeonhole as
     // simhash and image dHash — a third modality, zero new join code
     "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
@@ -940,6 +950,9 @@ object SparkEntry {
     "best_of_n" -> PostTrainOps.sqlBestOfN,
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,
     "chat_pack_spans" -> PostTrainOps.sqlChatPackSpans,
+    "majority_vote" -> PostTrainOps.sqlMajorityVote,
+    "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
+    "corpus_diff" -> CorpusOps.sqlCorpusDiff,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,

@@ -311,4 +311,67 @@ object CorpusOps {
        |  LEFT JOIN reps r ON r.doc_id = q.doc_id
        |  LEFT JOIN losers lo ON lo.doc_id = q.doc_id
        |  LEFT JOIN contam c ON c.doc_id = q.doc_id)""".stripMargin
+
+  // ------------------------------------------------------ corpus_diff
+
+  /** Snapshot diff between two corpus VERSIONS — the dataset-versioning
+    * primitive every periodically-rebuilt 100 TB corpus needs (what
+    * changed between yesterday's crawl and today's, before re-running
+    * the expensive downstream stages on everything): per doc_id,
+    * `added` (only in `b`), `removed` (only in `a`) or `changed`
+    * (present in both, content hash differs); unchanged docs emit
+    * NOTHING, which is the point — diff output is proportional to the
+    * CHURN, not the corpus.
+    *
+    * Shape: each side reduces to (doc_id, md5) narrow projections, then
+    * ONE full-outer join on doc_id — both sides shuffle once on the
+    * join key and nothing else moves; with both snapshots stored in the
+    * [[BucketedLayout]] doc_id buckets even those two exchanges vanish.
+    */
+  def corpusDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    def h(df: DataFrame, name: String) =
+      df.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as(name))
+    h(a, "hash_a").join(h(b, "hash_b"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("hash_a").isNull, lit("added"))
+          .when(col("hash_b").isNull, lit("removed"))
+          .when(col("hash_a") =!= col("hash_b"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"),
+        coalesce(col("hash_a"), lit("")).as("hash_a"),
+        coalesce(col("hash_b"), lit("")).as("hash_b"))
+  }
+
+  /** The oracle key binds [[corpusDiff]] to two DETERMINISTIC synthetic
+    * versions of the fixture corpus: v1 drops doc_id % 7 == 0, v2 drops
+    * doc_id % 5 == 0 and "edits" doc_id % 11 == 0 (upper-cases the
+    * text) — all three statuses exercised, engine-independent.
+    */
+  def corpusDiffKey(docs: DataFrame): DataFrame =
+    corpusDiff(
+      docs.filter(col("doc_id") % 7 =!= 0),
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text"))))
+
+  def sqlCorpusDiff: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(coalesce(text, '')) AS hash_a
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(coalesce(CASE WHEN doc_id % 11 = 0 THEN upper(text)
+      |      ELSE text END, '')) AS hash_b
+      |  FROM documents WHERE doc_id % 5 <> 0)
+      |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.hash_a <> b.hash_b THEN 'changed' END AS status,
+      |  coalesce(a.hash_a, '') AS hash_a,
+      |  coalesce(b.hash_b, '') AS hash_b
+      |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |WHERE (CASE WHEN a.doc_id IS NULL THEN 'added'
+      |       WHEN b.doc_id IS NULL THEN 'removed'
+      |       WHEN a.hash_a <> b.hash_b THEN 'changed' END) IS NOT NULL""".stripMargin
 }

@@ -421,6 +421,109 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
         (floor(col("best.reward") * 1e6).cast("long") * col("n_candidates") -
           col("sum_micros")).as("lift_micros_x_n"))
 
+  /** Self-consistency majority vote (Wang et al. 2022) — the RLVR
+    * data-prep reduction: per prompt group, the modal ANSWER among the
+    * candidates and its vote count. The answer here is the canonical
+    * projection "last whitespace token, lowercased" (deterministic and
+    * engine-independent); a real pipeline swaps in its own answer
+    * extractor — everything downstream of the `answer` column is
+    * generic. Ties break to the lexicographically larger answer (the
+    * max-struct order, stated as contract). Empty-text candidates
+    * (answer = "") are excluded.
+    *
+    * Shape: two map-side-combinable aggs — (prompt, answer) counts,
+    * then per-prompt max over (count, answer) structs. State per group
+    * is one struct; the (prompt, answer) fan-in is bounded by the
+    * DISTINCT answers per prompt, which self-consistency keeps small
+    * by construction (that's what voting is for).
+    */
+  def majorityVote(docs: DataFrame): DataFrame =
+    docs
+      .select((col("doc_id") % NumPromptGroups).as("prompt_id"),
+        element_at(TextOps.toksOf(docs), -1).as("answer"))
+      .filter(col("answer") =!= "")
+      .groupBy(col("prompt_id"), col("answer"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("prompt_id"))
+      .agg(max(struct(col("n_votes"), col("answer"))).as("m"),
+        sum(col("n_votes")).as("n_candidates"))
+      .select(col("prompt_id"), col("m.answer").as("answer"),
+        col("m.n_votes").as("n_votes"), col("n_candidates"))
+
+  def sqlMajorityVote: String =
+    s"""WITH cand AS (
+       |  SELECT doc_id % $NumPromptGroups AS prompt_id,
+       |    list_extract(toks, len(toks)) AS answer
+       |  FROM (SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks FROM documents)
+       |  WHERE list_extract(toks, len(toks)) <> ''),
+       |votes AS (
+       |  SELECT prompt_id, answer, count(*) AS n_votes
+       |  FROM cand GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT prompt_id, answer, n_votes,
+       |    row_number() OVER (PARTITION BY prompt_id
+       |      ORDER BY n_votes DESC, answer DESC) AS r,
+       |    sum(n_votes) OVER (PARTITION BY prompt_id) AS n_candidates
+       |  FROM votes)
+       |SELECT prompt_id, answer, n_votes,
+       |  CAST(n_candidates AS BIGINT) AS n_candidates
+       |FROM ranked WHERE r = 1""".stripMargin
+
+  /** Group-relative advantage (the GRPO/RLOO normalization): per
+    * candidate, (reward − group mean) / group std over its prompt
+    * group, from EXACT per-group integer sums (micros) with the fp
+    * formula applied once per row in a pinned operation order —
+    * identical doubles in both engines. Groups with zero variance (or
+    * a single candidate) emit NULL advantage: there is no signal to
+    * normalize, and silently emitting 0 would let those rows into an
+    * RL batch as "neutral" when they are actually uninformative.
+    *
+    * Shape: one prompt-keyed agg to ≤[[NumPromptGroups]] stat rows,
+    * broadcast-joined back to the candidates — the stats side is
+    * constant-size, so the join never shuffles the candidate table a
+    * second time.
+    */
+  def grpoAdvantage(docs: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val cand = candidates(docs)
+      .withColumn("x", floor(col("reward") * 1e6).cast("long"))
+    val stats = cand.groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    cand.join(broadcast(stats), Seq("prompt_id"))
+      .select(col("prompt_id"), col("doc_id"), col("reward"),
+        when(col("n") < 2 ||
+          d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(
+            (d(col("x")) - d(col("sx")) / d(col("n"))) /
+              sqrt((d(col("sxx")) / d(col("n"))) -
+                (d(col("sx")) / d(col("n"))) * (d(col("sx")) / d(col("n")))))
+          .as("advantage"))
+  }
+
+  def sqlGrpoAdvantage: String =
+    s"""WITH reward AS (${TextOps.sqlQualityScore}),
+       |cand AS (
+       |  SELECT doc_id % $NumPromptGroups AS prompt_id, doc_id, quality AS reward,
+       |    CAST(floor(quality * 1e6) AS BIGINT) AS x
+       |  FROM reward WHERE quality IS NOT NULL),
+       |stats AS (
+       |  SELECT prompt_id, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM cand GROUP BY 1)
+       |SELECT c.prompt_id, c.doc_id, c.reward,
+       |  CASE WHEN s.n < 2 OR
+       |      CAST(s.n AS DOUBLE) * CAST(s.sxx AS DOUBLE)
+       |        - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE) = 0.0
+       |    THEN NULL
+       |    ELSE (CAST(c.x AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)) /
+       |      sqrt((CAST(s.sxx AS DOUBLE) / CAST(s.n AS DOUBLE)) -
+       |        (CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)) *
+       |          (CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)))
+       |  END AS advantage
+       |FROM cand c JOIN stats s USING (prompt_id)""".stripMargin
+
   /** Reward length-bias diagnostic — the data-card check every
     * preference pipeline runs before trusting a reward signal: the
     * Pearson correlation between reward and response length (token

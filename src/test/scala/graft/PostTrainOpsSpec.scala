@@ -145,6 +145,56 @@ class PostTrainOpsSpec extends SparkSuite {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("majority_vote: modal answer wins; tie breaks to the lexicographically larger answer") {
+    val G = PostTrainOps.NumPromptGroups
+    val rows = Seq(
+      // group 1: "yes" x2 vs "no" x1
+      (0L * G + 1L, "i think yes"), (1L * G + 1L, "surely Yes"), (2L * G + 1L, "answer no"),
+      // group 2: tie "a" vs "b" -> "b" (contract: larger answer)
+      (0L * G + 2L, "a"), (1L * G + 2L, "b"),
+      // group 3: only empty text -> excluded entirely
+      (0L * G + 3L, ""))
+    val got = PostTrainOps.majorityVote(docsDf(rows))
+      .select("prompt_id", "answer", "n_votes", "n_candidates")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "yes", 2L, 3L)), s"got ${got.get(1L)}")
+    assert(got(2L) == ((2L, "b", 1L, 2L)), s"got ${got.get(2L)}")
+    assert(!got.contains(3L))
+  }
+
+  test("grpo_advantage: zero-variance and singleton groups yield NULL; spread group sums to ~0 with correct signs") {
+    val G = PostTrainOps.NumPromptGroups
+    val rich = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val poor = "zzz 123 !!!"
+    val mid = "some plain words here that read fine"
+    val rows = Seq(
+      (0L * G + 1L, poor), (1L * G + 1L, rich), (2L * G + 1L, mid), // spread
+      (0L * G + 2L, mid), (1L * G + 2L, mid),                       // zero variance
+      (0L * G + 3L, rich))                                          // singleton
+    val got = PostTrainOps.grpoAdvantage(docsDf(rows))
+      .select("prompt_id", "doc_id", "advantage")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((2L, 0L * G + 2L)).isEmpty && got((2L, 1L * G + 2L)).isEmpty)
+    assert(got((3L, 0L * G + 3L)).isEmpty)
+    val g1 = Seq(0L * G + 1L, 1L * G + 1L, 2L * G + 1L).map(d => got((1L, d)).get)
+    assert(math.abs(g1.sum) < 1e-9, s"advantages must center at 0, got $g1")
+    assert(got((1L, 1L * G + 1L)).get > 0 && got((1L, 0L * G + 1L)).get < 0,
+      "rich doc above the mean, poor below")
+  }
+
+  test("corpus_diff: added/removed/changed emitted, unchanged silent") {
+    import org.apache.spark.sql.functions.{col, lit, length}
+    def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val a = mk(Seq((1L, "same"), (2L, "old"), (3L, "gone")))
+    val b = mk(Seq((1L, "same"), (2L, "new"), (4L, "fresh")))
+    val got = graft.ops.CorpusOps.corpusDiff(a, b)
+      .select("doc_id", "status").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")), s"got $got")
+  }
+
   test("chat_render totals: n_mask_chars equals the sum of span widths on the sf fixture") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val bad = PostTrainOps.chatRender(events)
