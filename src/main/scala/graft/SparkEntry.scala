@@ -559,6 +559,12 @@ object SparkEntry {
     // hash projection per side + one full-outer join on doc_id; output
     // proportional to churn, not corpus
     "corpus_diff" -> ((s, dir) => CorpusOps.corpusDiffKey(tbl(s, dir, "documents"))),
+    // DPO pair hygiene: drop pairs whose two sides are near-duplicates
+    // (simhash, hamming ≤ 3) — the pair table broadcasts into the anti-join
+    "dpo_pairs_nodup" -> ((s, dir) => PostTrainOps.dpoPairsNodup(docsT(s, dir))),
+    // the published preference-data pipeline: clean+decontaminate, then
+    // DPO pairs over the survivors — the corpus_to_sequences sibling
+    "corpus_to_preferences" -> ((s, dir) => CorpusOps.corpusToPreferences(docsT(s, dir))),
     // audio near-dup pairs: the same hammingBandPairs pigeonhole as
     // simhash and image dHash — a third modality, zero new join code
     "dedup_audio_fingerprint" -> ((s, dir) => AudioOps.dedupAudioFp(tbl(s, dir, "documents"))),
@@ -953,6 +959,8 @@ object SparkEntry {
     "majority_vote" -> PostTrainOps.sqlMajorityVote,
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,
+    "dpo_pairs_nodup" -> PostTrainOps.sqlDpoPairsNodup,
+    "corpus_to_preferences" -> CorpusOps.sqlCorpusToPreferences,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,

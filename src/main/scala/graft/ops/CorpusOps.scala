@@ -312,6 +312,32 @@ object CorpusOps {
        |  LEFT JOIN losers lo ON lo.doc_id = q.doc_id
        |  LEFT JOIN contam c ON c.doc_id = q.doc_id)""".stripMargin
 
+  // ------------------------------------------- corpus_to_preferences
+
+  /** The post-training sibling of [[corpusToSequences]] — the published
+    * preference-data pipeline as ONE declarative flow: clean the corpus
+    * ([[cleanCorpusDecontam]]: quality gate → language gate → exact
+    * dedup → MinHash near-dup removal → benchmark decontamination),
+    * then construct DPO pairs over the SURVIVORS
+    * ([[PostTrainOps.dpoPairs]]). Cleaning first matters for
+    * preferences specifically: a contaminated or duplicated candidate
+    * that wins a group poisons every pair it appears in.
+    */
+  def corpusToPreferences(docs: DataFrame): DataFrame = {
+    val survivors = DedupOps.materialize(
+      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
+      "clean_survivors_pref")
+    PostTrainOps.dpoPairs(survivors)
+  }
+
+  def sqlCorpusToPreferences: String =
+    s"""WITH cleaned AS (SELECT doc_id FROM (
+       |$sqlCleanCorpusDecontam
+       |)),
+       |survivors AS (SELECT d.* FROM documents d JOIN cleaned USING (doc_id)),
+       |${PostTrainOps.sqlDpoPairs.stripPrefix("WITH ")
+            .replace("FROM documents", "FROM survivors")}""".stripMargin
+
   // ------------------------------------------------------ corpus_diff
 
   /** Snapshot diff between two corpus VERSIONS — the dataset-versioning

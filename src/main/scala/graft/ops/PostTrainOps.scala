@@ -421,6 +421,51 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
         (floor(col("best.reward") * 1e6).cast("long") * col("n_candidates") -
           col("sum_micros")).as("lift_micros_x_n"))
 
+  /** Margin-pipe-safe embedding of a complete oracle SQL into another
+    * stripMargin block: every embedded line gets its own margin pipe so
+    * the OUTER stripMargin cannot eat the first '|' of a '||' concat.
+    */
+  private def embedSql(sql: String): String =
+    sql.linesIterator.map(l => "       |    " + l).mkString("\n")
+
+  /** DPO pair hygiene: drop pairs whose chosen and rejected documents
+    * are NEAR-DUPLICATES of each other (simhash pairs, hamming ≤ 3) —
+    * a pair whose two sides are the same text modulo noise teaches the
+    * DPO loss to prefer noise; production preference pipelines filter
+    * these before training. Kept pairs are [[dpoPairs]] rows whose
+    * (min, max) doc pair is absent from the near-dup pair set.
+    *
+    * Shape: the pair table is ≤[[NumPromptGroups]] rows — it BROADCASTS
+    * into the anti-join against the banded simhash pair set, so the
+    * hygiene pass costs the simhash index (already paid by the dedup
+    * family) plus a broadcast anti-join; nothing about the corpus
+    * shuffles again.
+    */
+  def dpoPairsNodup(docs: DataFrame): DataFrame = {
+    val nearDup = DedupOps.dedupSimhash(docs)
+      .select(col("doc_a"), col("doc_b"))
+    dpoPairs(docs)
+      .withColumn("pa", least(col("chosen_id"), col("rejected_id")))
+      .withColumn("pb", greatest(col("chosen_id"), col("rejected_id")))
+      .join(nearDup,
+        col("pa") === col("doc_a") && col("pb") === col("doc_b"),
+        "left_anti")
+      .drop("pa", "pb")
+  }
+
+  def sqlDpoPairsNodup: String =
+    s"""WITH pairs AS (
+${embedSql(sqlDpoPairs)}
+       |),
+       |near AS (
+${embedSql(DedupOps.sqlDedupSimhash)}
+       |)
+       |SELECT p.* FROM pairs p
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM near n
+       |  WHERE n.doc_a = least(p.chosen_id, p.rejected_id)
+       |    AND n.doc_b = greatest(p.chosen_id, p.rejected_id))""".stripMargin
+
   /** Self-consistency majority vote (Wang et al. 2022) — the RLVR
     * data-prep reduction: per prompt group, the modal ANSWER among the
     * candidates and its vote count. The answer here is the canonical

@@ -145,6 +145,31 @@ class PostTrainOpsSpec extends SparkSuite {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("dpo_pairs_nodup: a pair whose sides are near-duplicates is dropped; dissimilar pairs survive") {
+    val G = PostTrainOps.NumPromptGroups
+    val base = "the quick brown fox jumps over the lazy dog while rain falls on the quiet town and people walk home slowly past the old stone bridge near the river"
+    val rows = Seq(
+      // group 1: two near-identical candidates (one word dropped) —
+      // different quality (token count), simhash-close -> pair filtered
+      (0L * G + 1L, base),
+      (1L * G + 1L, base.split(" ").dropRight(1).mkString(" ")),
+      // group 2: genuinely different texts -> pair kept
+      (0L * G + 2L, base),
+      (1L * G + 2L, "zzz 123 !!! qqq"))
+    val docs = docsDf(rows)
+    val before = PostTrainOps.dpoPairs(docs)
+      .select("prompt_id").as[Long].collect().toSet
+    assert(before == Set(1L, 2L), s"both groups must pair pre-filter, got $before")
+    // precondition: the two group-1 docs ARE a simhash near-dup pair
+    val nd = graft.ops.DedupOps.dedupSimhash(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(nd.contains((1L, 1L * G + 1L)),
+      s"fixture must make group 1 a near-dup pair, got $nd")
+    val after = PostTrainOps.dpoPairsNodup(docs)
+      .select("prompt_id").as[Long].collect().toSet
+    assert(after == Set(2L), s"near-dup pair must be dropped, got $after")
+  }
+
   test("majority_vote: modal answer wins; tie breaks to the lexicographically larger answer") {
     val G = PostTrainOps.NumPromptGroups
     val rows = Seq(
