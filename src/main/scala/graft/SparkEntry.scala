@@ -353,6 +353,10 @@ object SparkEntry {
     "knn_recall" -> ((s, dir) => SimilarityOps.knnRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(docsT(s, dir))),
     "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
+    // C4/RefinedWeb boilerplate-line removal: drop lines with corpus doc
+    // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
+    // lines, everything keyed by line md5 (never raw text)
+    "scrub_boilerplate_lines" -> ((s, dir) => TextOps.scrubBoilerplateLines(tbl(s, dir, "documents"))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -890,6 +894,7 @@ object SparkEntry {
     "knn_recall" -> SimilarityOps.sqlKnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
+    "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

@@ -693,6 +693,82 @@ object TextOps {
        |      '\\s+', ' ', 'g') AS scrubbed
        |  FROM documents)""".stripMargin
 
+  // ------------------------------------------- scrub_boilerplate_lines
+
+  /** A line appearing in at least this many DISTINCT documents is
+    * boilerplate (nav bars, cookie banners, license headers — the
+    * C4/RefinedWeb line-level correction).
+    */
+  val LineDupDocFreq = 3
+
+  /** Boilerplate-line removal (C4 §2.2 / RefinedWeb line-wise
+    * corrections): drop every line whose document frequency is ≥
+    * [[LineDupDocFreq]], rebuild each document from its surviving lines
+    * in original order, report `n_lines`/`n_dropped`. Docs whose every
+    * line is boilerplate stay in the output with empty text — the
+    * downstream length gate drops them EXPLICITLY (filter_reasons
+    * observability), not silently here.
+    *
+    * Fixture honesty: the synthetic corpus has no newlines, so on it
+    * each doc is ONE line and the oracle key degenerates to "drop
+    * full texts duplicated across ≥ K docs" — still the df-threshold
+    * semantics end-to-end; the multiline behavior (partial scrub,
+    * order preservation, within-doc repeats counting once toward df)
+    * is pinned on a hand-built fixture in the spec.
+    *
+    * Shape: one narrow line explode; df counts via ONE hash-keyed agg
+    * over IN-ROW-deduped per-doc lines (a doc repeating its own line
+    * counts once — and the in-row distinct removes the per-doc
+    * duplicate shuffle rows); the boilerplate hit set joins back on
+    * the line hash (AQE broadcasts it when small — it usually is: few
+    * lines clear a corpus-wide df threshold); one doc-keyed rebuild
+    * agg. Nothing is ever keyed by raw line text — always the md5.
+    */
+  def scrubBoilerplateLines(docs: DataFrame): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", md5(col("line")))
+    val boilerplate = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\n"))).as("line"))
+      .groupBy(md5(col("line")).as("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= LineDupDocFreq)
+      .select(col("h"), lit(true).as("bp"))
+    lines.join(boilerplate, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("bp")).as("n_dropped"),
+        array_join(transform(
+          sort_array(collect_list(
+            when(col("bp").isNull, struct(col("idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("scrubbed"))
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"), col("scrubbed"))
+  }
+
+  def sqlScrubBoilerplateLines: String =
+    s"""WITH split_docs AS (
+       |  SELECT doc_id, string_split(text, chr(10)) AS lst FROM documents),
+       |lines AS (
+       |  SELECT doc_id, idx, lst[idx] AS line, md5(lst[idx]) AS h
+       |  FROM (SELECT doc_id, lst,
+       |          unnest(range(1, len(lst) + 1)) AS idx
+       |        FROM split_docs)),
+       |bp AS (
+       |  SELECT h FROM (
+       |    SELECT md5(line) AS h, count(*) AS df
+       |    FROM (SELECT DISTINCT doc_id, unnest(lst) AS line FROM split_docs)
+       |    GROUP BY 1)
+       |  WHERE df >= $LineDupDocFreq)
+       |SELECT l.doc_id,
+       |  count(*) AS n_lines,
+       |  CAST(count(*) FILTER (WHERE bp.h IS NOT NULL) AS BIGINT) AS n_dropped,
+       |  coalesce(string_agg(l.line, chr(10) ORDER BY l.idx)
+       |    FILTER (WHERE bp.h IS NULL), '') AS scrubbed
+       |FROM lines l LEFT JOIN bp ON l.h = bp.h
+       |GROUP BY l.doc_id""".stripMargin
+
   // ----------------------------------------------------------- tfidf_topk
 
   /** Top terms per document by tf·idf. idf is the BM25-style rational

@@ -140,6 +140,33 @@ class MultimodalSpec extends SparkSuite {
     assert(got(2L) == "account <NUM> balance")
   }
 
+  test("scrub_boilerplate_lines: df-threshold removal, order kept, within-doc repeats count once toward df but all occurrences drop") {
+    val bp = "accept our cookies to continue"
+    val planted = Seq(
+      (1L, s"intro one\n$bp\nbody one"),
+      (2L, s"$bp\nbody two"),
+      // doc 3 repeats the line — df contribution is ONE (in-row distinct),
+      // but both occurrences are removed
+      (3L, s"$bp\nmiddle three\n$bp"),
+      (4L, bp), // fully boilerplate -> empty text, row kept
+      (5L, "no boilerplate here\nsecond line")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.scrubBoilerplateLines(planted)
+      .select("doc_id", "n_lines", "n_dropped", "scrubbed")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 1L, "intro one\nbody one")))
+    assert(got(2L) == ((2L, 2L, 1L, "body two")))
+    assert(got(3L) == ((3L, 3L, 2L, "middle three")))
+    assert(got(4L) == ((4L, 1L, 1L, "")), "fully-boilerplate doc stays, emptied")
+    assert(got(5L) == ((5L, 2L, 0L, "no boilerplate here\nsecond line")))
+    // threshold boundary: a line in only TWO docs survives (df < 3)
+    val twoDf = Seq((1L, "shared twice\na"), (2L, "shared twice\nb"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.TextOps.scrubBoilerplateLines(twoDf)
+      .agg(org.apache.spark.sql.functions.sum("n_dropped"))
+      .as[Long].head()
+    assert(kept == 0L, "df=2 must stay below the K=3 threshold")
+  }
+
   test("lang_id priority: tie on all-zero scores resolves to en (fixed order)") {
     val planted = Seq((1L, "xyzzy quux blorp")).toDF("doc_id", "text")
     val got = TextOps.langId(planted).select("detected_lang").as[String].head()
