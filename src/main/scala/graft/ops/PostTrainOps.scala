@@ -324,15 +324,17 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
     */
   private[graft] def prefState(docs: DataFrame): DataFrame =
     candidates(docs)
+      .withColumn("x", floor(col("reward") * 1e6).cast("long"))
       .groupBy(col("prompt_id"))
       .agg(
         max(struct(col("reward"), col("doc_id"))).as("c"),
         min(struct(col("reward"), col("doc_id"))).as("r"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
       .select(col("prompt_id"),
         col("c.reward").as("c_reward"), col("c.doc_id").as("c_doc"),
         col("r.reward").as("r_reward"), col("r.doc_id").as("r_doc"),
-        col("n"))
+        col("n"), col("sx"), col("sxx"))
 
   /** Merge two [[prefState]] tables (max/min/sum fold). */
   private[graft] def mergePrefStates(a: DataFrame, b: DataFrame): DataFrame =
@@ -341,11 +343,37 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
       .agg(
         max(struct(col("c_reward").as("reward"), col("c_doc").as("doc_id"))).as("c"),
         min(struct(col("r_reward").as("reward"), col("r_doc").as("doc_id"))).as("r"),
-        sum(col("n")).as("n"))
+        sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sxx")).as("sxx"))
       .select(col("prompt_id"),
         col("c.reward").as("c_reward"), col("c.doc_id").as("c_doc"),
         col("r.reward").as("r_reward"), col("r.doc_id").as("r_doc"),
-        col("n"))
+        col("n"), col("sx"), col("sxx"))
+
+  /** GRPO advantages for `docs` against a FROZEN [[prefState]] — the
+    * streaming deployment ([[graft.stream.PrefStream.advantages]]):
+    * group statistics accumulate over everything ingested, and each
+    * new candidate batch normalizes against the CURRENT stats — the
+    * frozen-parameter apply discipline of ScoreStream's λ. When
+    * `state` is the state of exactly `docs`, this IS [[grpoAdvantage]]
+    * (same pinned fp operation order — spec-asserted).
+    */
+  private[graft] def advantageAgainst(docs: DataFrame,
+      state: DataFrame): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    candidates(docs)
+      .withColumn("x", floor(col("reward") * 1e6).cast("long"))
+      .join(broadcast(state.select(col("prompt_id"), col("n"), col("sx"),
+        col("sxx"))), Seq("prompt_id"))
+      .select(col("prompt_id"), col("doc_id"), col("reward"),
+        when(col("n") < 2 ||
+          d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(
+            (d(col("x")) - d(col("sx")) / d(col("n"))) /
+              sqrt((d(col("sxx")) / d(col("n"))) -
+                (d(col("sx")) / d(col("n"))) * (d(col("sx")) / d(col("n")))))
+          .as("advantage"))
+  }
 
   /** The pair-emission rule over a [[prefState]] — shared by the batch
     * key and the streaming query face, so the two cannot drift on the
@@ -528,24 +556,8 @@ ${embedSql(DedupOps.sqlDedupSimhash)}
     * constant-size, so the join never shuffles the candidate table a
     * second time.
     */
-  def grpoAdvantage(docs: DataFrame): DataFrame = {
-    val d = (c: Column) => c.cast("double")
-    val cand = candidates(docs)
-      .withColumn("x", floor(col("reward") * 1e6).cast("long"))
-    val stats = cand.groupBy(col("prompt_id"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"))
-    cand.join(broadcast(stats), Seq("prompt_id"))
-      .select(col("prompt_id"), col("doc_id"), col("reward"),
-        when(col("n") < 2 ||
-          d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")) === 0.0,
-          lit(null).cast("double"))
-          .otherwise(
-            (d(col("x")) - d(col("sx")) / d(col("n"))) /
-              sqrt((d(col("sxx")) / d(col("n"))) -
-                (d(col("sx")) / d(col("n"))) * (d(col("sx")) / d(col("n")))))
-          .as("advantage"))
-  }
+  def grpoAdvantage(docs: DataFrame): DataFrame =
+    advantageAgainst(docs, prefState(docs))
 
   def sqlGrpoAdvantage: String =
     s"""WITH reward AS (${TextOps.sqlQualityScore}),

@@ -52,11 +52,25 @@ object PrefStream {
       .start()
 
   /** Current DPO pairs over everything ingested so far. */
-  def pairs(spark: SparkSession, outDir: String): DataFrame = {
+  def pairs(spark: SparkSession, outDir: String): DataFrame =
+    PostTrainOps.pairsFromState(latestState(spark, outDir))
+
+  /** GRPO advantages for `docs` against the CURRENT accumulated group
+    * statistics — the frozen-stats apply ([[ScoreStream]]'s λ
+    * discipline): the normalizer a continuously-running RL data
+    * pipeline actually uses, because per-batch statistics of a small
+    * batch are noise. When the state covers exactly `docs`, this IS
+    * batch `grpoAdvantage` (spec-asserted).
+    */
+  def advantages(spark: SparkSession, outDir: String,
+      docs: DataFrame): DataFrame =
+    PostTrainOps.advantageAgainst(docs, latestState(spark, outDir))
+
+  private def latestState(spark: SparkSession, outDir: String): DataFrame = {
     val root = s"$outDir/_state"
     val latest = VersionedState
       .latestBefore(spark, root, Long.MaxValue)
-      .getOrElse(sys.error(s"PrefStream.pairs: no state under $root"))
-    PostTrainOps.pairsFromState(spark.read.parquet(latest))
+      .getOrElse(sys.error(s"PrefStream: no state under $root"))
+    spark.read.parquet(latest)
   }
 }

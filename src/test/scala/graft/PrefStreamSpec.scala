@@ -46,6 +46,27 @@ class PrefStreamSpec extends SparkSuite {
       "post-restart pairs must equal batch dpoPairs over everything")
   }
 
+  test("advantages face: frozen accumulated stats over the full corpus reproduce batch grpoAdvantage exactly") {
+    val docsDir = tmp("prefadv-docs")
+    val outDir = tmp("prefadv-out")
+    val ckpt = tmp("prefadv-ckpt")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    // ingest in two batches; the accumulated stats then cover the corpus
+    fixture.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(docsDir)
+    fixture.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    def advMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    val streamed = advMap(PrefStream.advantages(spark, outDir, fixture))
+    val batch = advMap(PostTrainOps.grpoAdvantage(fixture))
+    assert(streamed == batch,
+      "frozen-stats advantages over the full corpus must BE batch grpoAdvantage")
+  }
+
   test("split-invariance and replay: merging shard states equals the union's state, byte-stable") {
     val fixture = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source")
@@ -53,7 +74,8 @@ class PrefStreamSpec extends SparkSuite {
     val b = fixture.filter(col("doc_id") % 2 === 1)
     def stateMap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) ->
-        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+        (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
     val merged = stateMap(PostTrainOps.mergePrefStates(
       PostTrainOps.prefState(a), PostTrainOps.prefState(b)))
     assert(merged == stateMap(PostTrainOps.prefState(fixture)),
