@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PostTrainOps, PretrainOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PostTrainOps, PretrainOps, ProfileOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -357,6 +357,10 @@ object SparkEntry {
     // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
     // lines, everything keyed by line md5 (never raw text)
     "scrub_boilerplate_lines" -> ((s, dir) => TextOps.scrubBoilerplateLines(tbl(s, dir, "documents"))),
+    // Deequ-style data-quality gate: one-pass statistical profile + a
+    // constraint-violation rule table (zero everywhere or no ship)
+    "profile_corpus" -> ((s, dir) => ProfileOps.profileCorpus(tbl(s, dir, "documents"))),
+    "validate_corpus" -> ((s, dir) => ProfileOps.validateCorpus(tbl(s, dir, "documents"))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -895,6 +899,8 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
+    "profile_corpus" -> ProfileOps.sqlProfileCorpus,
+    "validate_corpus" -> ProfileOps.sqlValidateCorpus,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and constraint validation — the Deequ-style
+  * gate a production pipeline runs BEFORE spending cluster-days on a
+  * corpus: a one-pass statistical profile (the data card's table
+  * section) and a rule table of constraint violation counts (the
+  * hard gate: nonzero rows block the run).
+  *
+  * Scale shape: [[profileCorpus]] is ONE aggregation pass to ONE row —
+  * every statistic is map-side combinable (counts, conditional counts,
+  * min/max, sums); the distinct counts are over the two LOW-cardinality
+  * columns only (lang, source — never text). [[validateCorpus]] pays
+  * one extra doc_id-keyed exchange for the duplicate-key rule (the one
+  * constraint that genuinely needs a shuffle) and derives every other
+  * rule from the same one-pass conditional counts.
+  */
+object ProfileOps {
+
+  /** One-row statistical profile of the documents table. */
+  def profileCorpus(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("text")).as("n_text"),
+      count(col("lang")).as("n_lang"),
+      count(col("source")).as("n_source"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      sum(col("n_chars")).as("sum_chars"),
+      count(when(col("n_chars") === 0, 1)).as("n_empty"))
+
+  def sqlProfileCorpus: String =
+    """SELECT count(*) AS n_rows,
+      |  count(text) AS n_text,
+      |  count(lang) AS n_lang,
+      |  count(source) AS n_source,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(CASE WHEN n_chars = 0 THEN 1 END) AS BIGINT) AS n_empty
+      |FROM documents""".stripMargin
+
+  /** Constraint-violation rule table: one row per rule with its
+    * violation count — zero everywhere or the corpus does not ship.
+    * Rules: primary key present and unique; text present; declared
+    * n_chars consistent with the text; lang present. The rule NAMES
+    * are the contract (a dashboard keys on them), so they are literals
+    * here, not derived.
+    */
+  def validateCorpus(docs: DataFrame): DataFrame = {
+    // one pass for the four row-local rules, reshaped to rule rows —
+    // LAZY (no collect: the gate composes into plans and noop-write
+    // benches without running jobs at construction time)
+    val base = docs.agg(
+      count(when(col("doc_id").isNull, 1)).as("null_key"),
+      count(when(col("text").isNull, 1)).as("null_text"),
+      count(when(col("lang").isNull, 1)).as("null_lang"),
+      count(when(col("n_chars") =!= length(col("text")), 1))
+        .as("chars_mismatch"))
+    val dups = docs.filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c") - 1)), lit(0L))
+        .as("dup_key"))
+    def rule(src: DataFrame, name: String, c: String) =
+      src.select(lit(name).as("rule"), col(c).cast("long").as("n_violations"))
+    rule(base, "pk_not_null", "null_key")
+      .unionByName(rule(dups, "pk_unique", "dup_key"))
+      .unionByName(rule(base, "text_not_null", "null_text"))
+      .unionByName(rule(base, "lang_not_null", "null_lang"))
+      .unionByName(rule(base, "n_chars_consistent", "chars_mismatch"))
+  }
+
+  def sqlValidateCorpus: String =
+    """SELECT 'pk_not_null' AS rule,
+      |  CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS n_violations
+      |FROM documents
+      |UNION ALL
+      |SELECT 'pk_unique',
+      |  CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM (
+      |  SELECT count(*) AS c FROM documents
+      |  WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1)
+      |UNION ALL
+      |SELECT 'text_not_null',
+      |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 'lang_not_null',
+      |  CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 'n_chars_consistent',
+      |  CAST(count(CASE WHEN n_chars <> length(text) THEN 1 END) AS BIGINT)
+      |FROM documents""".stripMargin
+}

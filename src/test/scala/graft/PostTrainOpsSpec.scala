@@ -208,6 +208,34 @@ class PostTrainOpsSpec extends SparkSuite {
       "rich doc above the mean, poor below")
   }
 
+  test("validate_corpus: planted violations are counted per rule; clean fixture is all-zero") {
+    import org.apache.spark.sql.functions.{col, length, lit, when}
+    val planted = Seq(
+      (java.lang.Long.valueOf(1L), "ok", "en"),
+      (java.lang.Long.valueOf(1L), "dup key", "en"),      // pk_unique x1
+      (java.lang.Long.valueOf(1L), "dup key again", "en"), // pk_unique x1 more
+      (null.asInstanceOf[java.lang.Long], "no key", "en"), // pk_not_null
+      (java.lang.Long.valueOf(2L), null, null))            // text+lang null
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars",
+        when(col("doc_id") === 2L, lit(99L)) // also n_chars mismatch? text null -> comparison null, not counted
+          .otherwise(length(col("text")).cast("long") + when(col("doc_id").isNull, 5L).otherwise(0L)))
+    val got = graft.ops.ProfileOps.validateCorpus(planted)
+      .as[(String, Long)].collect().toMap
+    assert(got("pk_not_null") == 1L)
+    assert(got("pk_unique") == 2L, s"3 rows share key 1 -> 2 extras, got $got")
+    assert(got("text_not_null") == 1L)
+    assert(got("lang_not_null") == 1L)
+    assert(got("n_chars_consistent") == 1L,
+      "the null-key row's n_chars is off by 5; the null-text row must NOT count (null comparison)")
+    // the shipped fixture is clean
+    val fixture = graft.ops.ProfileOps.validateCorpus(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .as[(String, Long)].collect().toMap
+    assert(fixture.values.forall(_ == 0L), s"fixture violations: $fixture")
+  }
+
   test("corpus_diff: added/removed/changed emitted, unchanged silent") {
     import org.apache.spark.sql.functions.{col, lit, length}
     def mk(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
