@@ -361,6 +361,10 @@ object SparkEntry {
     // constraint-violation rule table (zero everywhere or no ship)
     "profile_corpus" -> ((s, dir) => ProfileOps.profileCorpus(tbl(s, dir, "documents"))),
     "validate_corpus" -> ((s, dir) => ProfileOps.validateCorpus(tbl(s, dir, "documents"))),
+    // fill-in-the-middle (Bavarian et al. 2022): PSM rendering at two
+    // hash-derived split points for a deterministic 7/10 of docs —
+    // zero shuffles, all in-row over the shared token table
+    "fim_split" -> ((s, dir) => PretrainOps.fimSplit(docsT(s, dir))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -901,6 +905,7 @@ object SparkEntry {
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,
     "validate_corpus" -> ProfileOps.sqlValidateCorpus,
+    "fim_split" -> PretrainOps.sqlFimSplit,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

@@ -1354,6 +1354,77 @@ object PretrainOps {
     * Scale shape: a narrow generate — tokenize once, per-row window
     * count, explode bounded by n/W rows per doc. Zero shuffles.
     */
+  /** Share of documents that get the FIM transform (7 of 10 — the
+    * published FIM rate region, Bavarian et al. 2022 use 50–90%).
+    */
+  val FimRateMod = 10
+  val FimRateKeep = 7
+
+  /** Fill-in-the-middle (Bavarian et al. 2022): for a deterministic
+    * [[FimRateKeep]]/[[FimRateMod]] share of docs, split the token
+    * sequence at two hash-derived positions 0 ≤ a ≤ b ≤ n and emit the
+    * PSM rendering `<PRE> prefix <SUF> suffix <MID> middle` — training
+    * on this teaches infilling while the autoregressive loss machinery
+    * stays unchanged, which is why every code model runs this exact
+    * transform over a fixed share of the corpus. Unselected docs emit
+    * the plain token join (`fim_applied` = false) so the output is the
+    * full corpus in loader order, not a filtered slice.
+    *
+    * Scale shape: zero shuffles — split positions are md5-derived
+    * in-row (the spanCorruption discipline: deterministic,
+    * engine-independent), the three slices and the re-join are in-row
+    * array ops over the shared token table.
+    */
+  def fimSplit(docs: DataFrame): DataFrame = {
+    val toks = TextOps.toksOf(docs)
+    val n = size(toks).cast("long")
+    val selHash = pmod(tokenHash(concat(lit("fim:"),
+      col("doc_id").cast("string"))), lit(FimRateMod.toLong))
+    val a = pmod(tokenHash(concat(lit("fim_a:"),
+      col("doc_id").cast("string"))), n + 1)
+    val b = a + pmod(tokenHash(concat(lit("fim_b:"),
+      col("doc_id").cast("string"))), n - a + 1)
+    val joinSeg = (seg: Column) => array_join(seg, " ")
+    docs.select(col("doc_id"), n.as("n_tokens"),
+        (selHash < FimRateKeep).as("fim_applied"),
+        when(selHash < FimRateKeep, a).otherwise(lit(null)).as("a"),
+        when(selHash < FimRateKeep, b).otherwise(lit(null)).as("b"),
+        when(selHash < FimRateKeep,
+          // explicit concat, not concat_ws: DuckDB renders an empty
+          // list join as NULL and concat_ws SKIPS it (one space) while
+          // Spark keeps the empty string (two spaces) — coalesce + a
+          // fixed separator layout keeps the bytes identical
+          concat(lit("<PRE> "), joinSeg(slice(toks, lit(1), a)),
+            lit(" <SUF> "), joinSeg(slice(toks, b + 1, n - b)),
+            lit(" <MID> "), joinSeg(slice(toks, a + 1, b - a))))
+          .otherwise(joinSeg(toks)).as("fim_text"))
+  }
+
+  def sqlFimSplit: String = {
+    val selHash = s"${TextOps.sqlTokenHash("'fim:' || CAST(doc_id AS VARCHAR)")} % $FimRateMod"
+    val aH = TextOps.sqlTokenHash("'fim_a:' || CAST(doc_id AS VARCHAR)")
+    val bH = TextOps.sqlTokenHash("'fim_b:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id, n AS n_tokens,
+       |  sel < $FimRateKeep AS fim_applied,
+       |  CASE WHEN sel < $FimRateKeep THEN a END AS a,
+       |  CASE WHEN sel < $FimRateKeep THEN b END AS b,
+       |  CASE WHEN sel < $FimRateKeep THEN
+       |    '<PRE> ' || coalesce(array_to_string(toks[1:a], ' '), '') ||
+       |    ' <SUF> ' || coalesce(array_to_string(toks[b+1:n], ' '), '') ||
+       |    ' <MID> ' || coalesce(array_to_string(toks[a+1:b], ' '), '')
+       |  ELSE array_to_string(toks, ' ') END AS fim_text
+       |FROM (
+       |  SELECT doc_id, toks, n, sel, a,
+       |    a + ($bH % (n - a + 1)) AS b
+       |  FROM (
+       |    SELECT doc_id, toks, n, $selHash AS sel,
+       |      ($aH % (n + 1)) AS a
+       |    FROM (
+       |      SELECT doc_id, ${TextOps.sqlTokens("text")} AS toks,
+       |        CAST(len(${TextOps.sqlTokens("text")}) AS BIGINT) AS n
+       |      FROM documents)))""".stripMargin
+  }
+
   def spanCorruption(docs: DataFrame): DataFrame = {
     val nwin = col("n").divide(lit(SpanWindow)).cast("long")
     fanout(docs)

@@ -208,6 +208,38 @@ class PostTrainOpsSpec extends SparkSuite {
       "rich doc above the mean, poor below")
   }
 
+  test("fim_split: PSM segments reconstruct the original tokens; rate and determinism hold") {
+    import graft.ops.{PretrainOps, TextOps}
+    val docs = TextOps.tokenize(spark.read.parquet(s"$sf/documents.parquet"))
+    val rows = PretrainOps.fimSplit(docs)
+      .select("doc_id", "fim_applied", "fim_text")
+      .as[(Long, Boolean, String)].collect()
+    val toksOf = docs.select(col("doc_id"),
+        concat_ws(" ", col("toks")).as("joined"))
+      .as[(Long, String)].collect().toMap
+    assert(rows.nonEmpty)
+    val applied = rows.count(_._2)
+    // md5 selection: expect ~70%; allow a generous band
+    assert(applied > rows.length / 2 && applied < rows.length * 9 / 10,
+      s"$applied of ${rows.length} selected")
+    rows.foreach { case (id, fim, text) =>
+      if (!fim) assert(text == toksOf(id))
+      else {
+        // <PRE> p <SUF> s <MID> m  ->  p ++ m ++ s == original
+        val pre = text.substring(6, text.indexOf(" <SUF> "))
+        val suf = text.substring(text.indexOf(" <SUF> ") + 7, text.indexOf(" <MID> "))
+        val mid = text.substring(text.indexOf(" <MID> ") + 7)
+        val rebuilt = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+        assert(rebuilt == toksOf(id), s"doc $id: <$rebuilt> != <${toksOf(id)}>")
+      }
+    }
+    // determinism: a second run is byte-identical
+    val again = PretrainOps.fimSplit(docs)
+      .select("doc_id", "fim_applied", "fim_text")
+      .as[(Long, Boolean, String)].collect()
+    assert(again.toSet == rows.toSet)
+  }
+
   test("validate_corpus: planted violations are counted per rule; clean fixture is all-zero") {
     import org.apache.spark.sql.functions.{col, length, lit, when}
     val planted = Seq(
