@@ -365,6 +365,9 @@ object SparkEntry {
     // hash-derived split points for a deterministic 7/10 of docs —
     // zero shuffles, all in-row over the shared token table
     "fim_split" -> ((s, dir) => PretrainOps.fimSplit(docsT(s, dir))),
+    // contrastive triplets with HARD negative mining over the cluster-
+    // blocked knn graph: one anchor-keyed agg, two structs of state
+    "contrastive_triplets" -> ((s, dir) => SimilarityOps.contrastiveTriplets(tbl(s, dir, "embeddings"))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -906,6 +909,7 @@ object SparkEntry {
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,
     "validate_corpus" -> ProfileOps.sqlValidateCorpus,
     "fim_split" -> PretrainOps.sqlFimSplit,
+    "contrastive_triplets" -> SimilarityOps.sqlContrastiveTriplets,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

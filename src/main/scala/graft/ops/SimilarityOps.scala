@@ -240,6 +240,63 @@ object SimilarityOps {
        |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
        |WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** Contrastive-training triplets with HARD negative mining — the
+    * embedding-training data-prep step (anchor, positive, negative):
+    * per anchor, positive = the most-similar SAME-label neighbor,
+    * negative = the most-similar DIFFERENT-label neighbor (hard — the
+    * near-misses are what a contrastive loss learns from; random
+    * negatives are trivially separable). Neighbors come from the
+    * cluster-blocked [[knnGraph]] — the candidate generation is already
+    * linear-shaped, and mining adds ONE anchor-keyed aggregation:
+    * max over (cos, neighbor) structs conditioned on label match, so
+    * per-anchor state is two structs regardless of k. Anchors missing
+    * either side emit nothing (a triplet needs both); ties break to
+    * the larger neighbor_id (the max-struct order, stated as contract).
+    */
+  def contrastiveTriplets(emb: DataFrame): DataFrame = {
+    val labels = emb.select(col("vec_id"), col("label").cast("long"))
+    val edges = knnGraph(emb)
+      .join(labels.withColumnRenamed("label", "label_a"), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("label_b")), Seq("neighbor_id"))
+    edges.groupBy(col("vec_id"), col("label_a"))
+      .agg(
+        max(when(col("label_a") === col("label_b"),
+          struct(col("cos_sim"), col("neighbor_id")))).as("p"),
+        max(when(col("label_a") =!= col("label_b"),
+          struct(col("cos_sim"), col("neighbor_id")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("vec_id").as("anchor_id"), col("label_a").as("label"),
+        col("p.neighbor_id").as("positive_id"),
+        col("n.neighbor_id").as("negative_id"),
+        col("p.cos_sim").as("pos_cos"), col("n.cos_sim").as("neg_cos"),
+        (col("p.cos_sim") - col("n.cos_sim")).as("margin"))
+  }
+
+  def sqlContrastiveTriplets: String =
+    s"""WITH edges AS (
+       |${sqlKnnGraph.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |labeled AS (
+       |  SELECT e.vec_id, e.neighbor_id, e.cos_sim,
+       |    CAST(la.label AS BIGINT) AS label_a,
+       |    CAST(lb.label AS BIGINT) AS label_b
+       |  FROM edges e
+       |  JOIN embeddings la ON la.vec_id = e.vec_id
+       |  JOIN embeddings lb ON lb.vec_id = e.neighbor_id),
+       |ranked AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY vec_id, label_a = label_b
+       |      ORDER BY cos_sim DESC, neighbor_id DESC) AS r
+       |  FROM labeled)
+       |SELECT p.vec_id AS anchor_id, p.label_a AS label,
+       |  p.neighbor_id AS positive_id, n.neighbor_id AS negative_id,
+       |  p.cos_sim AS pos_cos, n.cos_sim AS neg_cos,
+       |  p.cos_sim - n.cos_sim AS margin
+       |FROM (SELECT * FROM ranked WHERE label_a = label_b AND r = 1) p
+       |JOIN (SELECT * FROM ranked WHERE label_a <> label_b AND r = 1) n
+       |  USING (vec_id)""".stripMargin
+
   // --------------------------------------- knn_graph: auto granularity
 
   /** Target cluster size for the granularity-∝-N rule. Within-cluster

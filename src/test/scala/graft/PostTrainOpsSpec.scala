@@ -208,6 +208,40 @@ class PostTrainOpsSpec extends SparkSuite {
       "rich doc above the mean, poor below")
   }
 
+  test("contrastive_triplets: planted geometry picks the hard negative; labels partition correctly") {
+    import graft.ops.SimilarityOps
+    // anchor 1 (label 0) at e1; positive 2 (label 0) very close;
+    // hard negative 3 (label 1) close; easy negative 4 (label 1) far
+    def v(x: Double, y: Double) =
+      Array(x.toFloat, y.toFloat) ++ Array.fill(62)(0f) // centroid dim = 64
+    val emb = Seq(
+      (1L, v(1.0, 0.00), 0),
+      (2L, v(1.0, 0.05), 0),
+      (3L, v(1.0, 0.20), 1),
+      (4L, v(-1.0, 0.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = SimilarityOps.contrastiveTriplets(emb)
+      .select("anchor_id", "positive_id", "negative_id", "margin")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, pos, neg, margin) = got(1L)
+    assert(pos == 2L, s"positive must be the same-label nearest, got $pos")
+    assert(neg == 3L, s"negative must be the HARD (nearest diff-label), got $neg")
+    assert(margin > 0)
+    // fixture-wide invariants: labels partition, margin consistency
+    val fixture = spark.read.parquet(s"$sf/embeddings.parquet")
+    val labels = fixture.select(col("vec_id"), col("label").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val rows = SimilarityOps.contrastiveTriplets(fixture)
+      .select("anchor_id", "label", "positive_id", "negative_id", "pos_cos", "neg_cos", "margin")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, lab, p, n2, pc, nc, m) =>
+      assert(labels(a) == lab && labels(p) == lab && labels(n2) != lab)
+      assert(math.abs(m - (pc - nc)) < 1e-12)
+    }
+  }
+
   test("fim_split: PSM segments reconstruct the original tokens; rate and determinism hold") {
     import graft.ops.{PretrainOps, TextOps}
     val docs = TextOps.tokenize(spark.read.parquet(s"$sf/documents.parquet"))
