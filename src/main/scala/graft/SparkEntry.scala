@@ -368,6 +368,9 @@ object SparkEntry {
     // contrastive triplets with HARD negative mining over the cluster-
     // blocked knn graph: one anchor-keyed agg, two structs of state
     "contrastive_triplets" -> ((s, dir) => SimilarityOps.contrastiveTriplets(tbl(s, dir, "embeddings"))),
+    // matryoshka ablation: recall@K of prefix-truncated brute search vs
+    // the full-dim exact top-K — is the 2-4x index shrink safe?
+    "matryoshka_recall" -> ((s, dir) => SimilarityOps.matryoshkaRecall(tbl(s, dir, "embeddings"))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -910,6 +913,7 @@ object SparkEntry {
     "validate_corpus" -> ProfileOps.sqlValidateCorpus,
     "fim_split" -> PretrainOps.sqlFimSplit,
     "contrastive_triplets" -> SimilarityOps.sqlContrastiveTriplets,
+    "matryoshka_recall" -> SimilarityOps.sqlMatryoshkaRecall,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

@@ -240,6 +240,76 @@ object SimilarityOps {
        |    ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
        |WHERE rank <= $KnnGraphK""".stripMargin
 
+  /** Prefix-dimension truncation levels for the matryoshka ablation. */
+  val MrlDims: Seq[Int] = Seq(16, 32)
+
+  /** Matryoshka ablation (Kusupati et al. 2022 MRL): recall@K of
+    * brute-force search over PREFIX-truncated embeddings vs the
+    * full-dimension exact top-K — the table that decides whether the
+    * 2–4× index-size reduction of storing prefix dims is safe. Rows:
+    * (mrl_dims, query_id, recall). Each truncation level is the same
+    * broadcast-queries brute-force shape as [[annTopkBruteForce]];
+    * truncation and the prefix norm are in-row slices, and the ONLY
+    * cosine computed is over the prefix — this measures the geometry
+    * the truncated index would actually search, not a rescaled full
+    * cosine.
+    */
+  def matryoshkaRecall(emb: DataFrame): DataFrame = {
+    val bf = annTopkBruteForce(emb).select("query_id", "neighbor_id")
+    def truncTopk(dims: Int): DataFrame = {
+      val e = withNorm(emb)
+        .select(col("vec_id"), slice(col("emb_d"), 1, dims).as("emb_t"))
+        .withColumn("norm_t", sqrt(dot(col("emb_t"), col("emb_t"))))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("emb_t").as("eq"),
+          col("norm_t").as("nq"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          cosine(col("eq"), col("nq"), col("emb_t"), col("norm_t")).as("cos_sim"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select("query_id", "neighbor_id")
+    }
+    MrlDims.map { dims =>
+      bf.join(truncTopk(dims).withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+          count(lit(1))).as("recall"))
+        .withColumn("mrl_dims", lit(dims.toLong))
+    }.reduce(_.unionByName(_))
+      .select("mrl_dims", "query_id", "recall")
+  }
+
+  def sqlMatryoshkaRecall: String = {
+    def arm(dims: Int): String =
+      s"""SELECT CAST($dims AS BIGINT) AS mrl_dims, bf.query_id,
+         |  CAST(count(t.neighbor_id) AS DOUBLE) / count(*) AS recall
+         |FROM bf LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |      CAST(row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqlCosine("q.emb_t", "q.norm_t", "e.emb_t", "e.norm_t")} DESC,
+         |          e.vec_id) AS BIGINT) AS rank
+         |    FROM t$dims e JOIN t$dims q ON q.vec_id < $NQueries AND e.vec_id <> q.vec_id)
+         |  WHERE rank <= $TopK) t
+         |  ON t.query_id = bf.query_id AND t.neighbor_id = bf.neighbor_id
+         |GROUP BY bf.query_id""".stripMargin
+    def tCte(dims: Int): String =
+      s"""t$dims AS (
+         |  SELECT vec_id, emb_t, sqrt(${sqlDot("emb_t", "emb_t")}) AS norm_t
+         |  FROM (SELECT vec_id, emb_d[1:$dims] AS emb_t
+         |        FROM (${sqlWithNorm("embeddings")})))""".stripMargin
+    s"""WITH bf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |${sqlAnnTopkBruteForce.linesIterator.map("    " + _).mkString("\n")}
+       |  )),
+       |${MrlDims.map(tCte).mkString(",\n")}
+       |${MrlDims.map(arm).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** Contrastive-training triplets with HARD negative mining — the
     * embedding-training data-prep step (anchor, positive, negative):
     * per anchor, positive = the most-similar SAME-label neighbor,

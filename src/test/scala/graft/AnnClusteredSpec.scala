@@ -77,4 +77,16 @@ class AnnClusteredSpec extends SparkSuite {
       // composition this spec exercises)
     } finally { exact.unpersist(); () }
   }
+
+  test("matryoshka truncation: recall rises with prefix dims; clustered structure survives 16 of 64 dims") {
+    val byDims = SimilarityOps.matryoshkaRecall(emb)
+      .groupBy("mrl_dims").agg(avg("recall").as("r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // monotone in dims — the MRL premise; strict on the clustered blobs
+    assert(byDims(32L) > byDims(16L),
+      s"recall must rise with prefix dims, got $byDims")
+    // blob geometry concentrates in the leading dims' offsets enough
+    // that HALF the dims keep most of the exact top-K
+    assert(byDims(32L) > 0.5, s"32-dim recall collapsed: $byDims")
+  }
 }
