@@ -323,9 +323,19 @@ object SimilarityOps {
     * either side emit nothing (a triplet needs both); ties break to
     * the larger neighbor_id (the max-struct order, stated as contract).
     */
-  def contrastiveTriplets(emb: DataFrame): DataFrame = {
+  /** Production entry: candidate granularity ∝ N (the
+    * [[knnGraphAuto]] rule) — the fixed-8-centroid oracle shape is the
+    * measured quadratic trap at scale (this operator: 55.9 s at x32 vs
+    * the auto path's seconds, same cliff as SCALING round 7's 84 s).
+    */
+  def contrastiveTripletsAuto(emb: DataFrame): DataFrame =
+    contrastiveTriplets(emb,
+      autoCentroidSet(knnAutoCentroidCount(emb.count())))
+
+  def contrastiveTriplets(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
     val labels = emb.select(col("vec_id"), col("label").cast("long"))
-    val edges = knnGraph(emb)
+    val edges = knnGraph(emb, KnnGraphK, centroids)
       .join(labels.withColumnRenamed("label", "label_a"), Seq("vec_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("label_b")), Seq("neighbor_id"))

@@ -228,6 +228,12 @@ class PostTrainOpsSpec extends SparkSuite {
     assert(pos == 2L, s"positive must be the same-label nearest, got $pos")
     assert(neg == 3L, s"negative must be the HARD (nearest diff-label), got $neg")
     assert(margin > 0)
+    // the production granularity-∝-N entry point finds the same triplet
+    // (blocking granularity must not change WHAT is mined, only cost)
+    val auto = SimilarityOps.contrastiveTripletsAuto(emb)
+      .select("anchor_id", "positive_id", "negative_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(auto(1L) == ((1L, 2L, 3L)), s"auto path diverged: ${auto.get(1L)}")
     // fixture-wide invariants: labels partition, margin consistency
     val fixture = spark.read.parquet(s"$sf/embeddings.parquet")
     val labels = fixture.select(col("vec_id"), col("label").cast("long"))
