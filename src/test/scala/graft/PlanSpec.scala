@@ -558,4 +558,30 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(cp) <= 5, "chat_pack_spans grew an extra shuffle")
     assert(!nodesDeep(cp).exists(_.isInstanceOf[CartesianProductExec]))
   }
+
+  test("round-9 (cont.): quality gate, FIM, diff, scrub and mining shapes") {
+    // fim_split: in-row splits over the token table — ZERO shuffles
+    assert(exchanges(q("fim_split")) == 0, "fim_split grew a shuffle")
+    // profile_corpus: one pass to one row (distinct counts expand the
+    // agg, but never beyond the gather exchanges)
+    assert(exchanges(q("profile_corpus")) <= 3, "profile_corpus grew")
+    // validate_corpus: the one genuine shuffle is the duplicate-key agg
+    assert(exchanges(q("validate_corpus")) <= 4, "validate_corpus grew")
+    // corpus_diff: one narrow projection per side + ONE co-keyed join
+    val cd = q("corpus_diff")
+    assert(exchanges(cd) <= 2, "corpus_diff must shuffle each side once")
+    assert(!nodesDeep(cd).exists(_.isInstanceOf[CartesianProductExec]))
+    // scrub_boilerplate_lines: line explode is narrow; df agg + hit
+    // join + rebuild agg — and the join key is always the md5, so no
+    // raw-text shuffles and no cartesian
+    val sb = q("scrub_boilerplate_lines")
+    assert(exchanges(sb) <= 5, "scrub_boilerplate_lines grew a shuffle")
+    assert(!nodesDeep(sb).exists(_.isInstanceOf[CartesianProductExec]))
+    // contrastive_triplets / matryoshka_recall: blocked/broadcast pair
+    // generation only — never a cartesian anywhere
+    for (name <- Seq("contrastive_triplets", "matryoshka_recall")) {
+      assert(!nodesDeep(q(name)).exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name degraded to a cartesian")
+    }
+  }
 }
