@@ -371,6 +371,9 @@ object SparkEntry {
     // matryoshka ablation: recall@K of prefix-truncated brute search vs
     // the full-dim exact top-K — is the 2-4x index shrink safe?
     "matryoshka_recall" -> ((s, dir) => SimilarityOps.matryoshkaRecall(tbl(s, dir, "embeddings"))),
+    // THE published data card: size/tokens/dedup-rate/lang-share/quality
+    // from two single-pass aggs, reshaped by one map-explode
+    "data_card" -> ((s, dir) => ProfileOps.dataCard(docsT(s, dir))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -914,6 +917,7 @@ object SparkEntry {
     "fim_split" -> PretrainOps.sqlFimSplit,
     "contrastive_triplets" -> SimilarityOps.sqlContrastiveTriplets,
     "matryoshka_recall" -> SimilarityOps.sqlMatryoshkaRecall,
+    "data_card" -> ProfileOps.sqlDataCard,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

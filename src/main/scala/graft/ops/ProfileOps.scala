@@ -80,6 +80,63 @@ object ProfileOps {
       .toDF("rule", "n_violations")
   }
 
+  /** THE published data card (one (metric, value) table) — the summary
+    * every corpus release ships: size, token mass, dedup rate, language
+    * share, quality mean. Everything derives from TWO single-pass
+    * aggregations (one over the raw docs incl. the exact-dup distinct,
+    * one over the quality-score table), cross-joined 1×1 and reshaped
+    * by one map-explode (the validateCorpus discipline). Doubles come
+    * from exact integer sums divided once — partition order cannot
+    * move a digit.
+    */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val toks = TextOps.toksOf(docs)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(toks).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("sum_chars"),
+      count(when(col("lang") === "en", 1)).as("n_en"),
+      countDistinct(DedupOps.normalizedContentHash).as("n_distinct"),
+      count(when(col("n_chars") === 0, 1)).as("n_empty"))
+    val quality = TextOps.qualityScore(docs)
+      .agg(sum(floor(col("quality") * 1e6).cast("long")).as("q_micros"),
+        count(col("quality")).as("n_scored"))
+    base.crossJoin(quality)
+      .select(explode(map(
+        lit("n_docs"), col("n_docs").cast("double"),
+        lit("n_tokens"), col("n_tokens").cast("double"),
+        lit("mean_doc_chars"),
+        col("sum_chars").cast("double") / col("n_docs"),
+        lit("pct_en"), col("n_en").cast("double") / col("n_docs"),
+        lit("exact_dup_rate"),
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"),
+        lit("empty_rate"), col("n_empty").cast("double") / col("n_docs"),
+        lit("mean_quality"),
+        col("q_micros").cast("double") / col("n_scored") / lit(1e6))))
+      .toDF("metric", "value")
+  }
+
+  def sqlDataCard: String =
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT count(*) AS n_docs,
+       |    CAST(sum(len(${TextOps.sqlTokens("text")})) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |    count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       |    CAST(count(DISTINCT ${DedupOps.SqlNormalizedContentHash}) AS BIGINT) AS n_distinct,
+       |    count(CASE WHEN n_chars = 0 THEN 1 END) AS n_empty
+       |  FROM documents),
+       |q AS MATERIALIZED (
+       |  SELECT CAST(sum(CAST(floor(quality * 1e6) AS BIGINT)) AS BIGINT) AS q_micros,
+       |    count(quality) AS n_scored
+       |  FROM (${TextOps.sqlQualityScore}))
+       |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM base
+       |UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM base
+       |UNION ALL SELECT 'mean_doc_chars', CAST(sum_chars AS DOUBLE) / n_docs FROM base
+       |UNION ALL SELECT 'pct_en', CAST(n_en AS DOUBLE) / n_docs FROM base
+       |UNION ALL SELECT 'exact_dup_rate', 1.0 - CAST(n_distinct AS DOUBLE) / n_docs FROM base
+       |UNION ALL SELECT 'empty_rate', CAST(n_empty AS DOUBLE) / n_docs FROM base
+       |UNION ALL SELECT 'mean_quality', CAST(q_micros AS DOUBLE) / n_scored / 1e6 FROM q""".stripMargin
+
   def sqlValidateCorpus: String =
     """SELECT 'pk_not_null' AS rule,
       |  CAST(count(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS n_violations
