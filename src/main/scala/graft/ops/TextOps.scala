@@ -724,18 +724,32 @@ object TextOps {
     * lines clear a corpus-wide df threshold); one doc-keyed rebuild
     * agg. Nothing is ever keyed by raw line text — always the md5.
     */
-  def scrubBoilerplateLines(docs: DataFrame): DataFrame = {
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
-      .withColumn("h", md5(col("line")))
-    val boilerplate = docs
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), "\n"))).as("line"))
+  def scrubBoilerplateLines(docs: DataFrame): DataFrame =
+    scrubWithBoilerplate(docs, lineDfCounts(docs)
+      .filter(col("df") >= LineDupDocFreq)
+      .select(col("h"), lit(true).as("bp")))
+
+  /** Per-line document-frequency contributions of `docs` — in-row
+    * distinct per doc first (a doc repeating its own line counts once).
+    * Shared by the batch op and [[graft.stream.ScrubStream]]'s delta
+    * writer; counts merge by SUM across batches/shards.
+    */
+  private[graft] def lineDfCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(array_distinct(split(col("text"), "\n"))).as("line"))
       .groupBy(md5(col("line")).as("h"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= LineDupDocFreq)
-      .select(col("h"), lit(true).as("bp"))
-    lines.join(boilerplate, Seq("h"), "left")
+
+  /** Drop lines in the `boilerplate` (h, bp) hit set, rebuild docs in
+    * line order — the ACTION shared by the batch op (df from the same
+    * corpus) and the streaming frozen-index face.
+    */
+  private[graft] def scrubWithBoilerplate(docs: DataFrame,
+      boilerplate: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("h", md5(col("line")))
+      .join(boilerplate, Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -745,7 +759,6 @@ object TextOps {
             when(col("bp").isNull, struct(col("idx"), col("line"))))),
           s => s.getField("line")), "\n").as("scrubbed"))
       .select(col("doc_id"), col("n_lines"), col("n_dropped"), col("scrubbed"))
-  }
 
   def sqlScrubBoilerplateLines: String =
     s"""WITH split_docs AS (
