@@ -374,6 +374,9 @@ object SparkEntry {
     // THE published data card: size/tokens/dedup-rate/lang-share/quality
     // from two single-pass aggs, reshaped by one map-explode
     "data_card" -> ((s, dir) => ProfileOps.dataCard(docsT(s, dir))),
+    // reliability table of the trained quality gate: integer-binned
+    // logits vs silver-label pass rate — threshold choice as a read
+    "quality_calibration" -> ((s, dir) => TextOps.qualityCalibration(docsT(s, dir))),
     // sliding-window token chunking (RAG/embedding context windows)
     "chunk_tokens" -> ((s, dir) => TextOps.chunkTokens(docsT(s, dir))),
     // per-source log2 doc-length histogram — exact bit-length buckets
@@ -918,6 +921,7 @@ object SparkEntry {
     "contrastive_triplets" -> SimilarityOps.sqlContrastiveTriplets,
     "matryoshka_recall" -> SimilarityOps.sqlMatryoshkaRecall,
     "data_card" -> ProfileOps.sqlDataCard,
+    "quality_calibration" -> TextOps.sqlQualityCalibration,
     "chunk_tokens" -> TextOps.sqlChunkTokens,
     "length_histogram" -> TextOps.sqlLengthHistogram,
     "bm25_topk" -> TextOps.sqlBm25TopK,

@@ -1339,6 +1339,49 @@ object TextOps {
     * `(g − (((g % d) + d) % d)) / d` floor-division (exact: the adjusted
     * numerator is divisible).
     */
+  /** Calibration (reliability) table for the TRAINED quality classifier
+    * — the table a shipped gate publishes so a threshold choice is a
+    * read, not a rerun: logits bucketed into clamped integer bins, per
+    * bin the silver-label pass rate ([[gopherPass]] — the same labels
+    * the classifier trained on, so this measures fit, not transfer).
+    * A well-calibrated gate shows pass_rate rising with the bin.
+    *
+    * Shape: scored ⋈ labels on doc_id (both derive from the same
+    * corpus — co-keyed join), then ONE ≤11-group agg; binning is
+    * floor(logit) clamped to [−5, 5], all from the exact integer
+    * logit_micro, so the bin edges cannot drift between engines.
+    */
+  def qualityCalibration(docs: DataFrame): DataFrame = {
+    val scored = qualityLinearScoreWith(docs, qualityLinearTrain(docs))
+      .select(col("doc_id"), col("logit_micro"))
+    val labeled = docs.select(col("doc_id"),
+      when(gopherPass(col("text")), 1L).otherwise(0L).as("y"))
+    scored.join(labeled, Seq("doc_id"))
+      .withColumn("bin",
+        least(greatest(floor(col("logit_micro").cast("double") / 1e6),
+          lit(-5L)), lit(5L)).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pass"))
+      .select(col("bin"), col("n"), col("n_pass"),
+        (col("n_pass").cast("double") / col("n")).as("pass_rate"))
+  }
+
+  def sqlQualityCalibration: String =
+    s"""WITH scored AS (
+${sqlQualityLinearScoreTrained.linesIterator.map(l => "       |  " + l).mkString("\n")}
+       |),
+       |labeled AS (
+       |  SELECT doc_id, CASE WHEN pass THEN 1 ELSE 0 END AS y FROM (
+${sqlQualityGopherGates.linesIterator.map(l => "       |    " + l).mkString("\n")}
+       |)),
+       |binned AS (
+       |  SELECT least(greatest(CAST(floor(CAST(s.logit_micro AS DOUBLE) / 1e6) AS BIGINT),
+       |      -5), 5) AS bin, l.y
+       |  FROM scored s JOIN labeled l USING (doc_id))
+       |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pass,
+       |  CAST(sum(y) AS DOUBLE) / count(*) AS pass_rate
+       |FROM binned GROUP BY bin""".stripMargin
+
   def sqlQualityLinearScoreTrained: String = {
     val d = s"($LinearEtaInv * n.n)"
     s"""WITH ${sqlLinearGradCtes},

@@ -208,6 +208,24 @@ class PostTrainOpsSpec extends SparkSuite {
       "rich doc above the mean, poor below")
   }
 
+  test("quality_calibration: on a mixed corpus the bins spread and pass rate rises with the bin") {
+    import graft.ops.TextOps
+    val good = "the quick brown fox jumps over the lazy dog while it runs far away from the old town and the people walk home slowly past the stone bridge near the river bank in the evening light with their friends and family all around them talking about the fine day they spent together walking the long road through the green fields and the quiet woods beyond the hill"
+    val bad = "zz9 @@ ## !! xx3 %% ^^ qq7 && ** yy1 (( )) kk2 [[ ]] ww8"
+    val rows = (0 until 30).map(i => (i.toLong, if (i % 2 == 0) good + s" extra$i" else bad + s" $i"))
+    val docs = docsDf(rows)
+    val got = TextOps.qualityCalibration(docs)
+      .select("bin", "n", "n_pass", "pass_rate")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).sum == 30L)
+    assert(got.length >= 2, s"bins must spread on a mixed corpus, got ${got.toSeq}")
+    // reliability: the top bin's pass rate strictly exceeds the bottom's
+    assert(got.last._4 > got.head._4,
+      s"pass rate must rise with the bin, got ${got.toSeq}")
+    // and the trained gate actually separates: top bin nearly all pass
+    assert(got.last._4 >= 0.9 && got.head._4 <= 0.1, s"got ${got.toSeq}")
+  }
+
   test("contrastive_triplets: planted geometry picks the hard negative; labels partition correctly") {
     import graft.ops.SimilarityOps
     // anchor 1 (label 0) at e1; positive 2 (label 0) very close;
