@@ -307,6 +307,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => TextOps.docFingerprint(docsT(s, dir))),
 
     "dedup_exact" -> ((s, dir) => DedupOps.dedupExact(tbl(s, dir, "documents"))),
+    // first-K-token prefix clustering: the tail-differing crawl dup
+    // (timestamps/counters/footers) exact dedup is blind to
+    "dedup_prefix" -> ((s, dir) => DedupOps.dedupPrefix(docsT(s, dir))),
+    // soft dedup: down-weight (1/cluster) instead of drop — duplicates
+    // as signal, one expected copy per cluster in the mix
+    "soft_dedup_weight" -> ((s, dir) => DedupOps.softDedupWeight(tbl(s, dir, "documents"))),
     "minhash_signature" -> ((s, dir) => DedupOps.minhashSignature(docsT(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => DedupOps.dedupMinhashLsh(docsT(s, dir))),
     "simhash_signature" -> ((s, dir) => DedupOps.simhashSignature(docsT(s, dir))),
@@ -353,6 +359,10 @@ object SparkEntry {
     "knn_recall" -> ((s, dir) => SimilarityOps.knnRecall(tbl(s, dir, "embeddings"))),
     "tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(docsT(s, dir))),
     "text_scrub" -> ((s, dir) => TextOps.textScrub(tbl(s, dir, "documents"))),
+    // WARC→text extraction over a deterministically synthesized HTML
+    // wrapper (the multimodal declared-fake discipline): tag strip,
+    // title pull, link-density chrome gate — all in-row
+    "html_extract" -> ((s, dir) => TextOps.htmlExtract(docsT(s, dir))),
     // C4/RefinedWeb boilerplate-line removal: drop lines with corpus doc
     // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
     // lines, everything keyed by line md5 (never raw text)
@@ -437,6 +447,10 @@ object SparkEntry {
     "quality_repetition" -> ((s, dir) => PretrainOps.qualityRepetition(docsT(s, dir))),
     "sample_stratified" -> ((s, dir) => PretrainOps.sampleStratified(tbl(s, dir, "documents"))),
     "sample_mixture" -> ((s, dir) => PretrainOps.sampleMixture(docsT(s, dir))),
+    // greedy per-source token-budget fill ("cut a 1T-token mixture") —
+    // the decomposed prefix sum: bucket ladder + bucket-local windows,
+    // never one source through one window partition
+    "token_budget_fill" -> ((s, dir) => PretrainOps.tokenBudgetFill(docsT(s, dir))),
     // exact per-stratum COUNT (deterministic reservoir) — the manifest
     // counterpart of sample_stratified's keep-RATE
     "sample_reservoir" -> ((s, dir) => PretrainOps.sampleReservoir(tbl(s, dir, "documents"))),
@@ -888,6 +902,8 @@ object SparkEntry {
     "doc_fingerprint" -> TextOps.sqlDocFingerprint,
 
     "dedup_exact" -> DedupOps.sqlDedupExact,
+    "dedup_prefix" -> DedupOps.sqlDedupPrefix,
+    "soft_dedup_weight" -> DedupOps.sqlSoftDedupWeight,
     "minhash_signature" -> DedupOps.sqlMinhashSignature,
     "dedup_minhash_lsh" -> DedupOps.sqlDedupMinhashLsh,
     "simhash_signature" -> DedupOps.sqlSimhashSignature,
@@ -914,6 +930,7 @@ object SparkEntry {
     "knn_recall" -> SimilarityOps.sqlKnnRecall,
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
+    "html_extract" -> TextOps.sqlHtmlExtract,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,
     "validate_corpus" -> ProfileOps.sqlValidateCorpus,
@@ -1001,6 +1018,7 @@ object SparkEntry {
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
+    "token_budget_fill" -> PretrainOps.sqlTokenBudgetFill,
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
     "sample_temperature" -> PretrainOps.sqlSampleTemperature,
     "epoch_schedule" -> PretrainOps.sqlEpochSchedule,

@@ -2468,6 +2468,83 @@ object PretrainOps {
        |WHERE d.bucket < r.keep_rate * $MixBuckets.0""".stripMargin
   }
 
+  // ----------------------------------------------------- token_budget_fill
+
+  /** Per-source token budget for [[tokenBudgetFill]] — deliberately below
+    * every source's fixture total (~1.1–1.7k tokens at sf0.01) so the
+    * boundary doc and the rejected tail are both exercised at every SF.
+    * The production value is "target mixture tokens ÷ sources" (e.g.
+    * 1T ÷ |sources|).
+    */
+  val TokenBudget = 800L
+
+  /** Prefix-sum decomposition width for [[tokenBudgetFill]]: admission
+    * order is (bucket, doc_id) with bucket = hash(doc_id) % this, so the
+    * per-source running total splits into a buckets-sized ladder plus
+    * bucket-local windows.
+    */
+  val BudgetBuckets = 64L
+
+  /** Greedy per-source token-budget fill — the "cut a 1T-token mixture"
+    * operator: documents are admitted in a deterministic per-source order
+    * (md5-bucket, then doc_id — the [[sampleMixture]] decorrelation
+    * discipline with its own "budget:" salt) while the running token
+    * total BEFORE the doc is under [[TokenBudget]]. The admitted set is
+    * an order-prefix (the cumsum is monotone), so the boundary doc may
+    * overshoot — the standard greedy fill; budget-exact trimming is
+    * [[chunkSplit]]'s job downstream.
+    *
+    * Scale shape — the decomposed prefix sum: a naive
+    * `sum() OVER (PARTITION BY source ORDER BY …)` serializes each
+    * source's ENTIRE corpus through one window partition (a top source
+    * at 100 TB is tens of billions of rows through one task). Instead:
+    * (1) one map-side-combined agg to per-(source, bucket) token
+    * subtotals — S·[[BudgetBuckets]] rows; (2) the running offset ladder
+    * over that tiny frame (the only cross-bucket window, S·64 rows);
+    * (3) broadcast the ladder back and finish with bucket-LOCAL windows —
+    * S·64 independent partitions, each 1/64th of a source. The oracle
+    * computes the same values with the naive single window, proving the
+    * decomposition exact.
+    */
+  def tokenBudgetFill(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = fanout(docs).select(
+      col("doc_id"), col("source"),
+      size(TextOps.toksOf(docs)).cast("long").as("n_tok"),
+      pmod(tokenHash(concat(lit("budget:"), col("doc_id").cast("string"))),
+        lit(BudgetBuckets)).as("bucket"))
+    val ladder = t.groupBy("source", "bucket")
+      .agg(sum("n_tok").as("bkt_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("bkt_tokens")).over(
+          Window.partitionBy("source").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bucket"), col("offset"))
+    val inBucket = Window.partitionBy("source", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(ladder), Seq("source", "bucket"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("n_tok")).over(inBucket), lit(0L)))
+      .filter(col("cum_before") < TokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_before"))
+  }
+
+  def sqlTokenBudgetFill: String =
+    s"""SELECT doc_id, source, n_tok, cum_before
+       |FROM (
+       |  SELECT doc_id, source, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (
+       |      PARTITION BY source ORDER BY bucket, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CAST(len(${TextOps.sqlTokens("text")}) AS BIGINT) AS n_tok,
+       |      ${TextOps.sqlTokenHash("'budget:' || CAST(doc_id AS VARCHAR)")}
+       |        % $BudgetBuckets AS bucket
+       |    FROM documents))
+       |WHERE cum_before < $TokenBudget""".stripMargin
+
   // ------------------------------------------------------ embed_normalize
 
   /** L2 normalization, emitted one row per dimension (vec_id, norm,

@@ -693,6 +693,79 @@ object TextOps {
        |      '\\s+', ' ', 'g') AS scrubbed
        |  FROM documents)""".stripMargin
 
+  // ----------------------------------------------------- html_extract
+
+  /** Link-density gate for [[htmlExtract]]: chrome-dominated pages (nav
+    * + promo anchors outweighing body text) land above it, long body
+    * text far below — the jusText/trafilatura-family block heuristic
+    * reduced to its measurable core.
+    */
+  val LinkDensityMax = 0.1
+
+  /** HTML text extraction — the first operator every web-crawl pipeline
+    * runs (CommonCrawl WARC → text): strip tags, pull the `<title>`,
+    * measure link density (anchor-text chars ÷ extracted chars), gate
+    * chrome-dominated pages. The container ships no real crawl, so the
+    * HTML is SYNTHESIZED in-row from (doc_id, text) — the multimodal
+    * declared-fake discipline ([[graft.ops.BinaryOps]]): a deterministic
+    * head/nav/body/promo wrapper both engines rebuild bit-identically,
+    * making the EXTRACTION path (the real deliverable: regex kernels,
+    * density algebra, gate) oracle-checkable end-to-end. Every step is a
+    * narrow codegen'd projection — zero shuffles, the whole operator
+    * rides the scan.
+    */
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val title3 = concat_ws(" ", slice(toksOf(docs), 1, 3))
+    val html = concat(
+      lit("<html><head><title>"), title3, lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a></nav>"),
+      lit("<p>"), col("text"), lit("</p>"),
+      when(col("doc_id") % 3 === 0,
+        lit("<div class=\"promo\"><a href=\"/buy\">click here for great deals and top offers</a></div>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    docs.select(col("doc_id"), html.as("html"))
+      .select(
+        col("doc_id"),
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        trim(regexp_replace(regexp_replace(col("html"), "<[^>]*>", " "),
+          "\\s+", " ")).as("extracted"),
+        length(concat_ws("",
+          regexp_extract_all(col("html"), lit("<a[^>]*>([^<]*)</a>"), lit(1))))
+          .cast("long").as("n_anchor_chars"))
+      .withColumn("link_density",
+        col("n_anchor_chars").cast("double") /
+          length(col("extracted")).cast("double"))
+      .withColumn("is_chrome", col("link_density") > LinkDensityMax)
+  }
+
+  def sqlHtmlExtract: String =
+    s"""SELECT doc_id, title, extracted, n_anchor_chars,
+       |  CAST(n_anchor_chars AS DOUBLE) / CAST(length(extracted) AS DOUBLE)
+       |    AS link_density,
+       |  CAST(n_anchor_chars AS DOUBLE) / CAST(length(extracted) AS DOUBLE)
+       |    > $LinkDensityMax AS is_chrome
+       |FROM (
+       |  SELECT doc_id,
+       |    regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       |    trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS extracted,
+       |    CAST(length(array_to_string(
+       |      regexp_extract_all(html, '<a[^>]*>([^<]*)</a>', 1), '')) AS BIGINT)
+       |      AS n_anchor_chars
+       |  FROM (
+       |    SELECT doc_id,
+       |      '<html><head><title>'
+       |      || array_to_string(list_slice(${sqlTokens("text")}, 1, 3), ' ')
+       |      || '</title></head><body>'
+       |      || '<nav><a href="/">home</a> <a href="/about">about us</a></nav>'
+       |      || '<p>' || text || '</p>'
+       |      || CASE WHEN doc_id % 3 = 0 THEN
+       |           '<div class="promo"><a href="/buy">click here for great deals and top offers</a></div>'
+       |         ELSE '' END
+       |      || '</body></html>' AS html
+       |    FROM documents))""".stripMargin
+
   // ------------------------------------------- scrub_boilerplate_lines
 
   /** A line appearing in at least this many DISTINCT documents is

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, PretrainOps, TextOps}
+
+/** Round-9 curation additions: token-budget fill (the decomposed prefix
+  * sum vs a naive single-window reference), prefix dedup (tail-differing
+  * crawl dups), soft dedup weighting (unit mass per cluster), and HTML
+  * extraction (synthesized-wrapper title/strip/link-density algebra).
+  */
+class CurationR9Spec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  // ------------------------------------------------------ token_budget_fill
+
+  test("tokenBudgetFill ≡ naive per-source running total, admitted set is a prefix") {
+    // enough docs that buckets scatter; deterministic texts
+    val corpus = docs((0L until 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt * 20)("w" + i).mkString(" "),
+        if (i < 20) "sA" else "sB")): _*)
+    val got = PretrainOps.tokenBudgetFill(corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // naive reference: per source, order by (bucket, doc_id), running cumsum
+    val withKeys = corpus.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tok"),
+        pmod(TextOps.tokenHash(concat(lit("budget:"), col("doc_id").cast("string"))),
+          lit(PretrainOps.BudgetBuckets)).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expect = withKeys.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._1))
+      val cums = ordered.scanLeft(0L)(_ + _._3).init
+      ordered.zip(cums).collect { case ((id, src, nt, _), cb)
+        if cb < PretrainOps.TokenBudget => (id, src, nt, cb) }
+    }.toSet
+    assert(got.toSet === expect)
+    assert(got.nonEmpty)
+    // partial fill actually exercised: some docs rejected in each source
+    assert(got.count(_._2 == "sA") < 20 && got.count(_._2 == "sB") < 20)
+    // prefix property: per source, the admitted ids are exactly the first
+    // k in (bucket, doc_id) order — greedy fill never skips then resumes
+    withKeys.groupBy(_._2).foreach { case (src, rows) =>
+      val orderedIds = rows.sortBy(r => (r._4, r._1)).map(_._1)
+      val admitted = got.filter(_._2 == src).map(_._1).toSet
+      val k = orderedIds.indexWhere(!admitted.contains(_)) match {
+        case -1 => orderedIds.length
+        case i => i
+      }
+      assert(orderedIds.drop(k).forall(!admitted.contains(_)),
+        s"$src admitted set is not an order-prefix")
+    }
+  }
+
+  test("tokenBudgetFill admits everything under a huge budget, boundary doc may overshoot") {
+    val corpus = docs(
+      (1L, "a b c", "s"), (2L, "d e", "s"), (3L, "f g h i", "s"))
+    val all = PretrainOps.tokenBudgetFill(corpus).collect()
+    assert(all.length === 3) // total 9 tokens < TokenBudget=800
+    // cum_before of the last admitted doc + its n_tok = 9 (cumsum closes)
+    val totals = all.map(r => r.getAs[Long]("cum_before") + r.getAs[Long]("n_tok"))
+    assert(totals.max === 9L)
+  }
+
+  // ---------------------------------------------------------- dedup_prefix
+
+  test("dedupPrefix clusters tail-differing docs exact dedup splits") {
+    val head = (1 to DedupOps.PrefixTokens).map("t" + _).mkString(" ")
+    val corpus = docs(
+      (1L, s"$head updated 2024-01-01 views 1532", "s"),
+      (2L, s"$head updated 2024-02-02 views 99871", "s"),
+      (3L, s"$head updated 2024-01-01 views 1532", "s"), // exact dup of 1
+      (4L, "a completely different document body", "s"),
+      (5L, "short", "s"))
+    val got = DedupOps.dedupPrefix(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // docs 1,2,3 share the 16-token prefix: one cluster, rep=1, copies=3,
+    // TWO distinct texts (1≡3, 2 differs) — the catch exact dedup misses
+    val big = got.filter(_._3 === 3L)
+    assert(big.length === 1 && big.head._2 === 1L && big.head._4 === 2L)
+    // singletons stay singletons
+    assert(got.count(_._3 === 1L) === 2)
+    // docs shorter than the prefix window key on their full token list
+    assert(got.length === 3)
+  }
+
+  // ----------------------------------------------------- soft_dedup_weight
+
+  test("softDedupWeight: unit mass per cluster, audit superset") {
+    val corpus = docs(
+      (1L, "same text here", "s"), (2L, "Same   TEXT here!", "s"),
+      (3L, "same text here", "s"), (4L, "unique body", "s"))
+    val got = DedupOps.softDedupWeight(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 4) // every doc emitted
+    // normalization folds case/punct/whitespace: 1,2,3 are ONE cluster
+    assert(got.filter(_._3 === 3L).map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(got.find(_._1 === 4L).get._3 === 1L)
+    // Σ weight per cluster = 1 ⇒ total weight = #clusters
+    val totalW = got.map(_._4).sum
+    assert(math.abs(totalW - 2.0) < 1e-12)
+  }
+
+  // ---------------------------------------------------------- html_extract
+
+  test("htmlExtract: title, strip, anchor accounting, chrome gate") {
+    val longBody = (1 to 60).map("word" + _).mkString(" ")
+    val corpus = docs(
+      (3L, "tiny body", "s"),      // doc_id%3=0 → promo div injected
+      (4L, longBody, "s"))         // no promo, long body
+    val got = TextOps.htmlExtract(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val tiny = got(3L)
+    assert(tiny.getAs[String]("title") === "tiny body")
+    // anchors: "home"(4) + "about us"(8) + promo(41) = 53
+    assert(tiny.getAs[Long]("n_anchor_chars") === 53L)
+    val ex = tiny.getAs[String]("extracted")
+    assert(ex.contains("tiny body") && ex.contains("home about us")
+      && !ex.contains("<"))
+    assert(tiny.getAs[Boolean]("is_chrome"),
+      "chrome-dominated short page must trip the link-density gate")
+
+    val long = got(4L)
+    assert(long.getAs[String]("title") === "word1 word2 word3")
+    assert(long.getAs[Long]("n_anchor_chars") === 12L)
+    assert(!long.getAs[Boolean]("is_chrome"))
+    // density algebra is exactly anchors/extracted
+    assert(math.abs(long.getAs[Double]("link_density") -
+      12.0 / long.getAs[String]("extracted").length) < 1e-12)
+  }
+}
