@@ -363,6 +363,10 @@ object SparkEntry {
     // wrapper (the multimodal declared-fake discipline): tag strip,
     // title pull, link-density chrome gate — all in-row
     "html_extract" -> ((s, dir) => TextOps.htmlExtract(docsT(s, dir))),
+    // URL canonicalization (fragment/utm/case/port/slash rules, pinned
+    // order) + crawl-frontier dedup on the canonical key
+    "url_normalize" -> ((s, dir) => TextOps.urlNormalize(tbl(s, dir, "documents"))),
+    "dedup_url" -> ((s, dir) => TextOps.dedupUrl(tbl(s, dir, "documents"))),
     // C4/RefinedWeb boilerplate-line removal: drop lines with corpus doc
     // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
     // lines, everything keyed by line md5 (never raw text)
@@ -931,6 +935,8 @@ object SparkEntry {
     "tfidf_topk" -> TextOps.sqlTfidfTopK,
     "text_scrub" -> TextOps.sqlTextScrub,
     "html_extract" -> TextOps.sqlHtmlExtract,
+    "url_normalize" -> TextOps.sqlUrlNormalize,
+    "dedup_url" -> TextOps.sqlDedupUrl,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,
     "validate_corpus" -> ProfileOps.sqlValidateCorpus,

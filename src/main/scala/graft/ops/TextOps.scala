@@ -766,6 +766,110 @@ object TextOps {
        |      || '</body></html>' AS html
        |    FROM documents))""".stripMargin
 
+  // -------------------------------------- url_normalize / dedup_url
+
+  /** The synthesized raw URL of a document — the [[htmlExtract]]
+    * declared-fake discipline again (the corpus ships no URL column):
+    * four deterministic noise variants by doc_id%4 — clean, uppercased
+    * host + default port + trailing slash, utm tracking params, fragment
+    * — all of which MUST canonicalize to the same URL. doc_id%8 as the
+    * item id makes same-source docs collide on the canonical form, so
+    * the dedup stage has real clusters to find.
+    */
+  private def rawUrl: Column = {
+    val item = pmod(col("doc_id"), lit(8)).cast("string")
+    val clean = concat(lit("https://"), col("source"),
+      lit(".example.com/item/"), item)
+    when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), upper(col("source")), lit(".EXAMPLE.COM:443/item/"),
+          item, lit("/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(clean, lit("?utm_source=feed&utm_campaign=c"), item))
+      .when(col("doc_id") % 4 === 3,
+        concat(clean, lit("#sec-"), col("doc_id").cast("string")))
+      .otherwise(clean)
+  }
+
+  // single-line on purpose: this fragment interpolates into outer
+  // stripMargin SQL, where a continuation line starting with `||` would
+  // have its first pipe eaten as a margin marker
+  private def sqlRawUrl: String =
+    "CASE CAST(doc_id % 4 AS INTEGER) " +
+      "WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.COM:443/item/' " +
+      "|| CAST(doc_id % 8 AS VARCHAR) || '/' " +
+      "WHEN 2 THEN 'https://' || source || '.example.com/item/' " +
+      "|| CAST(doc_id % 8 AS VARCHAR) " +
+      "|| '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 8 AS VARCHAR) " +
+      "WHEN 3 THEN 'https://' || source || '.example.com/item/' " +
+      "|| CAST(doc_id % 8 AS VARCHAR) || '#sec-' || CAST(doc_id AS VARCHAR) " +
+      "ELSE 'https://' || source || '.example.com/item/' " +
+      "|| CAST(doc_id % 8 AS VARCHAR) END"
+
+  /** URL canonicalization kernel — the crawl-frontier/dedup-key rule set
+    * (fragment is client-side; utm_* is tracking noise; scheme+host are
+    * case-insensitive per RFC 3986 while the PATH is not; :443/:80 are
+    * scheme defaults; a trailing slash is the same resource for the
+    * document pipeline's purposes). Order matters and is pinned:
+    * fragment → utm → dangling separator → authority lowercase → default
+    * port → trailing slash. A pure regexp_replace chain: codegen'd, no
+    * backreferences (Spark `$n` vs RE2 `\\n` replacement syntax would
+    * make the twins diverge silently).
+    */
+  private[graft] def canonUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noUtm = regexp_replace(noFrag, "utm_[a-z]+=[^&]*&?", "")
+    val noDangle = regexp_replace(noUtm, "[?&]$", "")
+    val lowAuth = concat(
+      lower(regexp_extract(noDangle, "^(https?://[^/]*)", 1)),
+      regexp_replace(noDangle, "^https?://[^/]*", ""))
+    val noPort = regexp_replace(lowAuth, ":(443|80)/", "/")
+    regexp_replace(noPort, "/$", "")
+  }
+
+  // single-line for the same nested-stripMargin reason as sqlRawUrl
+  private[graft] def sqlCanonUrl(e: String): String = {
+    val stripped = s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      "'#.*$', ''), 'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$', '')"
+    s"regexp_replace(regexp_replace(" +
+      s"lower(regexp_extract($stripped, '^(https?://[^/]*)', 1)) " +
+      s"|| regexp_replace($stripped, '^https?://[^/]*', ''), " +
+      "':(443|80)/', '/'), '/$', '')"
+  }
+
+  /** Per-doc URL canonicalization: (doc_id, url_raw, url_canon,
+    * was_canonical). Narrow codegen'd projection, zero shuffle.
+    */
+  def urlNormalize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rawUrl.as("url_raw"))
+      .withColumn("url_canon", canonUrl(col("url_raw")))
+      .withColumn("was_canonical", col("url_raw") === col("url_canon"))
+
+  def sqlUrlNormalize: String =
+    s"""SELECT doc_id, url_raw, ${sqlCanonUrl("url_raw")} AS url_canon,
+       |  url_raw = ${sqlCanonUrl("url_raw")} AS was_canonical
+       |FROM (SELECT doc_id, $sqlRawUrl AS url_raw FROM documents)""".stripMargin
+
+  /** URL-level dedup over the CANONICAL form — the crawl-frontier "have
+    * I fetched this page" key: cluster by url_canon, survivor = min
+    * doc_id; `n_variants` counts distinct RAW spellings folded into the
+    * cluster (> 1 ⇒ the canonicalization did real work — tracking-param
+    * and case noise, not just re-crawls). Same minimal shape as
+    * [[graft.ops.DedupOps.dedupExact]]: one hash-keyed map-side agg.
+    */
+  def dedupUrl(docs: DataFrame): DataFrame =
+    urlNormalize(docs)
+      .groupBy("url_canon")
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("url_raw")).as("n_variants"))
+
+  def sqlDedupUrl: String =
+    s"""SELECT url_canon, min(doc_id) AS rep_doc_id, count(*) AS n_copies,
+       |  CAST(count(DISTINCT url_raw) AS BIGINT) AS n_variants
+       |FROM (
+       |  SELECT doc_id, url_raw, ${sqlCanonUrl("url_raw")} AS url_canon
+       |  FROM (SELECT doc_id, $sqlRawUrl AS url_raw FROM documents))
+       |GROUP BY url_canon""".stripMargin
+
   // ------------------------------------------- scrub_boilerplate_lines
 
   /** A line appearing in at least this many DISTINCT documents is

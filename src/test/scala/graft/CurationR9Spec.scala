@@ -103,6 +103,56 @@ class CurationR9Spec extends SparkSuite {
     assert(math.abs(totalW - 2.0) < 1e-12)
   }
 
+  // ------------------------------------------------ url_normalize/dedup_url
+
+  test("canonUrl folds all four noise variants to the clean form, idempotently") {
+    // doc_ids chosen ≡ 0,1,2,3 (mod 4) AND ≡ same item (mod 8): 8,1,2,3
+    // share item ids 0,1,2,3 — use ids 0..3 with one source so the four
+    // VARIANT shapes all appear; then 8 and 0 collide on the clean form
+    val corpus = docs(
+      (0L, "x", "srcA"), (1L, "x", "srcA"), (2L, "x", "srcA"),
+      (3L, "x", "srcA"), (8L, "x", "srcA"))
+    val rows = TextOps.urlNormalize(corpus).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).sortBy(_._1)
+
+    // each variant canonicalizes to the clean spelling of ITS item id
+    rows.foreach { case (id, _, canon, _) =>
+      assert(canon === s"https://srca.example.com/item/${id % 8}",
+        s"doc $id") }
+    // note: host lowercase applies to EVERY variant (source "srcA" has
+    // case noise even in the clean shape — canonicalization fixed it)
+    assert(rows.forall(!_._4))
+    // the raw spellings really were noisy in the expected ways
+    val raw = rows.map(r => r._1 -> r._2).toMap
+    assert(raw(1L).contains(":443/") && raw(1L).endsWith("/"))
+    assert(raw(2L).contains("utm_source="))
+    assert(raw(3L).contains("#sec-3"))
+    // idempotence: canonicalizing the canonical form changes nothing
+    val twice = corpus.select(
+      TextOps.canonUrl(TextOps.canonUrl(
+        TextOps.canonUrl(lit("https://SRC.EXAMPLE.COM:443/item/5/?utm_source=a&utm_campaign=b#x"))))
+        .as("c")).head().getString(0)
+    assert(twice === "https://src.example.com/item/5")
+
+    // dedup on the canonical key: 0 and 8 fold into one cluster of 2 with
+    // 1 raw variant (both clean-shaped); 1,2,3 are singletons
+    val clusters = TextOps.dedupUrl(corpus).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(clusters.length === 4)
+    val c0 = clusters.find(_._1.endsWith("/item/0")).get
+    assert(c0._2 === 0L && c0._3 === 2L && c0._4 === 1L)
+  }
+
+  test("dedupUrl counts distinct raw spellings folded per cluster") {
+    // ids 2, 10, 18: all ≡ 2 (mod 4) AND ≡ 2 (mod 8) — the same utm-noise
+    // raw spelling three times → one cluster, three copies, ONE variant
+    val corpus = docs((2L, "x", "s"), (10L, "x", "s"), (18L, "x", "s"))
+    val c = TextOps.dedupUrl(corpus).collect()
+    assert(c.length === 1)
+    assert(c.head.getLong(2) === 3L && c.head.getLong(3) === 1L)
+  }
+
   // ---------------------------------------------------------- html_extract
 
   test("htmlExtract: title, strip, anchor accounting, chrome gate") {
