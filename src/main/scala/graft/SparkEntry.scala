@@ -579,6 +579,9 @@ object SparkEntry {
     // assistant-only loss-mask spans — offsets computed IN-ROW over the
     // MaxTurns-bounded turns array (no second window pass)
     "chat_render" -> ((s, dir) => PostTrainOps.chatRender(tbl(s, dir, "events"))),
+    // the SFT-data ship gate: six rule counts over the rendered corpus
+    // (role opening, span bounds/order, mask accounting) — zero or no ship
+    "validate_chat" -> ((s, dir) => PostTrainOps.validateChat(tbl(s, dir, "events"))),
     // DPO preference pairs: per prompt group chosen=max/rejected=min by
     // (reward, doc_id) struct — ONE map-side-combinable agg, zero-margin
     // and singleton groups dropped
@@ -1007,6 +1010,7 @@ object SparkEntry {
     "sessionize" -> SessionOps.sqlSessionize,
     "conversation_flatten" -> SessionOps.sqlConversationFlatten,
     "chat_render" -> PostTrainOps.sqlChatRender,
+    "validate_chat" -> PostTrainOps.sqlValidateChat,
     "dpo_pairs" -> PostTrainOps.sqlDpoPairs,
     "best_of_n" -> PostTrainOps.sqlBestOfN,
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,

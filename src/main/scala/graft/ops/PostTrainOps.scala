@@ -198,6 +198,120 @@ object PostTrainOps {
   }
 
   // ---------------------------------------------------------------
+  // validate_chat: the SFT-data quality gate
+  // ---------------------------------------------------------------
+
+  /** Constraint-violation rule table over the RENDERED chat corpus —
+    * the [[graft.ops.ProfileOps.validateCorpus]] discipline applied to
+    * SFT data: zero everywhere or the dataset does not ship. Rules (the
+    * names are the dashboard contract):
+    *
+    *   - `opens_with_user`: every rendering starts with the user marker
+    *     (a conversation opening with the assistant trains the model to
+    *     speak unprompted);
+    *   - `has_turns`: n_turns ≥ 1;
+    *   - `spans_in_bounds`: every mask span is 0 ≤ a < b ≤ n_chars (an
+    *     out-of-range span makes the loader read past the sequence);
+    *   - `spans_ordered`: spans ascend and never overlap (an overlap
+    *     double-counts loss on the overlapped characters);
+    *   - `mask_total_consistent`: Σ(b−a) = n_mask_chars (the data card's
+    *     loss fraction must describe the spans actually shipped);
+    *   - `masked_when_assistant`: a session with ≥ 2 turns has a
+    *     non-empty mask (an SFT doc contributing zero loss is dead
+    *     weight the loader should never see).
+    *
+    * All six checks are IN-ROW over the parsed span list (one transform
+    * + three folds — no explode, no second shuffle beyond
+    * [[chatRender]]'s own session assembly); the counts reduce in ONE
+    * map-side-combined agg and reshape by the one-map-explode idiom.
+    * On this fixture all six are zero BY CONSTRUCTION (chatRender
+    * emits well-formed data — the gate guards the real world's hand-
+    * written templates); the spec feeds hand-broken rows through the
+    * same rule expressions to prove each rule actually fires.
+    */
+  def validateChat(rawEvents: DataFrame): DataFrame =
+    validateChatRules(chatRender(rawEvents))
+
+  /** The rule table over an ALREADY-RENDERED frame — split out so the
+    * spec can aim the rules at hand-broken rows.
+    */
+  private[graft] def validateChatRules(rendered: DataFrame): DataFrame = {
+    val sp = when(col("mask_spans") === "",
+        array().cast("array<struct<a:bigint,b:bigint>>"))
+      .otherwise(transform(split(col("mask_spans"), ","), s => struct(
+        split(s, ":").getItem(0).cast("long").as("a"),
+        split(s, ":").getItem(1).cast("long").as("b"))))
+    val parsed = rendered.withColumn("sp", sp)
+    val badBounds = exists(col("sp"), e =>
+      e.getField("a") < 0 || e.getField("a") >= e.getField("b") ||
+        e.getField("b") > col("n_chars"))
+    val unordered = !aggregate(col("sp"),
+      struct(lit(true).as("ok"), lit(-1L).as("pe")),
+      (acc, e) => struct(
+        (acc.getField("ok") && e.getField("a") >= acc.getField("pe")).as("ok"),
+        e.getField("b").as("pe"))).getField("ok")
+    val maskSum = aggregate(col("sp"), lit(0L),
+      (acc, e) => acc + e.getField("b") - e.getField("a"))
+    parsed.agg(
+        count(when(substring(col("rendered"), 1, UserMarker.length)
+          =!= UserMarker, 1)).as("bad_open"),
+        count(when(col("n_turns") < 1, 1)).as("no_turns"),
+        count(when(badBounds, 1)).as("bad_bounds"),
+        count(when(unordered, 1)).as("unordered"),
+        count(when(maskSum =!= col("n_mask_chars"), 1)).as("mask_mismatch"),
+        count(when(col("n_turns") >= 2 && col("n_mask_chars") <= 0, 1))
+          .as("unmasked"))
+      .select(explode(map(
+        lit("opens_with_user"), col("bad_open").cast("long"),
+        lit("has_turns"), col("no_turns").cast("long"),
+        lit("spans_in_bounds"), col("bad_bounds").cast("long"),
+        lit("spans_ordered"), col("unordered").cast("long"),
+        lit("mask_total_consistent"), col("mask_mismatch").cast("long"),
+        lit("masked_when_assistant"), col("unmasked").cast("long"))))
+      .toDF("rule", "n_violations")
+  }
+
+  /** Oracle twin: [[sqlChatRender]] as a CTE (string-concatenated, NOT
+    * interpolated into an outer stripMargin — its rendered lines may
+    * open with `||`, which an outer margin strip would eat), then the
+    * same six in-row rules over DuckDB list lambdas.
+    */
+  def sqlValidateChat: String = {
+    val spans = "CASE WHEN mask_spans = '' THEN [] ELSE " +
+      "list_transform(string_split(mask_spans, ','), s -> " +
+      "{a: CAST(string_split(s, ':')[1] AS BIGINT), " +
+      "b: CAST(string_split(s, ':')[2] AS BIGINT)}) END"
+    "WITH r AS MATERIALIZED (" + sqlChatRender + "),\n" +
+      s"p AS (SELECT *, $spans AS sp FROM r)\n" +
+      s"""SELECT 'opens_with_user' AS rule,
+        |  CAST(count(CASE WHEN substr(rendered, 1, ${UserMarker.length})
+        |    <> '$UserMarker' THEN 1 END) AS BIGINT) AS n_violations
+        |FROM p
+        |UNION ALL
+        |SELECT 'has_turns',
+        |  CAST(count(CASE WHEN n_turns < 1 THEN 1 END) AS BIGINT) FROM p
+        |UNION ALL
+        |SELECT 'spans_in_bounds',
+        |  CAST(count(CASE WHEN len(list_filter(sp,
+        |    e -> e.a < 0 OR e.a >= e.b OR e.b > n_chars)) > 0 THEN 1 END) AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT 'spans_ordered',
+        |  CAST(count(CASE WHEN len(list_filter(range(2, len(sp) + 1),
+        |    i -> sp[i].a < sp[i - 1].b)) > 0 THEN 1 END) AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT 'mask_total_consistent',
+        |  CAST(count(CASE WHEN coalesce(list_sum(list_transform(sp, e -> e.b - e.a)), 0)
+        |    <> n_mask_chars THEN 1 END) AS BIGINT)
+        |FROM p
+        |UNION ALL
+        |SELECT 'masked_when_assistant',
+        |  CAST(count(CASE WHEN n_turns >= 2 AND n_mask_chars <= 0 THEN 1 END) AS BIGINT)
+        |FROM p""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Packed SFT sequences: loss-mask spans remapped across boundaries
   // ---------------------------------------------------------------
 

@@ -153,6 +153,42 @@ class CurationR9Spec extends SparkSuite {
     assert(c.head.getLong(2) === 3L && c.head.getLong(3) === 1L)
   }
 
+  // ---------------------------------------------------------- validate_chat
+
+  test("validateChat rules each fire on a hand-broken row and stay zero on good data") {
+    import graft.ops.PostTrainOps
+    def row(rendered: String, spans: String, nChars: Long, nMask: Long,
+        nTurns: Long) = (rendered, spans, nChars, nMask, nTurns)
+    val good = row("<|user|>\nhi\n<|assistant|>\nyo\n", "25:28", 28L, 3L, 2L)
+    val rows = Seq(
+      good,
+      row("<|assistant|>\nunprompted\n", "", 25L, 0L, 1L), // bad open (+1 unmasked? n_turns=1 → no)
+      row("<|user|>\nx\n", "", 11L, 0L, 0L),               // no turns
+      row("<|user|>\nhi\n<|assistant|>\nyo\n", "25:99", 28L, 74L, 2L), // out of bounds
+      row("<|user|>\nhi\n<|assistant|>\nyo\n<|assistant|>\nzz\n",
+        "25:28,27:31", 45L, 7L, 3L),                       // overlapping spans
+      row("<|user|>\nhi\n<|assistant|>\nyo\n", "25:28", 28L, 99L, 2L), // mask total wrong
+      row("<|user|>\nhi\n<|assistant|>\nyo\n", "", 28L, 0L, 2L)) // assistant but no mask
+      .toDF("rendered", "mask_spans", "n_chars", "n_mask_chars", "n_turns")
+    val got = PostTrainOps.validateChatRules(rows).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "opens_with_user" -> 1L, "has_turns" -> 1L, "spans_in_bounds" -> 1L,
+      "spans_ordered" -> 1L, "mask_total_consistent" -> 1L,
+      "masked_when_assistant" -> 1L))
+    // the good row alone: all six rules zero
+    val clean = PostTrainOps.validateChatRules(Seq(good)
+        .toDF("rendered", "mask_spans", "n_chars", "n_mask_chars", "n_turns"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L) && clean.size === 6)
+    // and the REAL rendered corpus ships clean (chatRender emits
+    // well-formed data by construction — the gate certifies it)
+    val real = PostTrainOps.validateChat(
+      spark.read.parquet(s"$sf/events.parquet")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(real.values.forall(_ == 0L) && real.size === 6)
+  }
+
   // ---------------------------------------------------------- html_extract
 
   test("htmlExtract: title, strip, anchor accounting, chrome gate") {
