@@ -366,6 +366,9 @@ object SparkEntry {
     // URL canonicalization (fragment/utm/case/port/slash rules, pinned
     // order) + crawl-frontier dedup on the canonical key
     "url_normalize" -> ((s, dir) => TextOps.urlNormalize(tbl(s, dir, "documents"))),
+    // label-noise monitor: declared lang vs detected, an L×L confusion
+    // matrix at any corpus size
+    "lang_consistency" -> ((s, dir) => TextOps.langConsistency(docsT(s, dir))),
     "dedup_url" -> ((s, dir) => TextOps.dedupUrl(tbl(s, dir, "documents"))),
     // C4/RefinedWeb boilerplate-line removal: drop lines with corpus doc
     // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
@@ -939,6 +942,7 @@ object SparkEntry {
     "text_scrub" -> TextOps.sqlTextScrub,
     "html_extract" -> TextOps.sqlHtmlExtract,
     "url_normalize" -> TextOps.sqlUrlNormalize,
+    "lang_consistency" -> TextOps.sqlLangConsistency,
     "dedup_url" -> TextOps.sqlDedupUrl,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,

@@ -168,6 +168,37 @@ object TextOps {
        |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // ------------------------------------------------------ lang_consistency
+
+  /** Label-noise monitor: the confusion matrix between the DECLARED
+    * `lang` column and the stopword detector ([[langId]]) — (declared,
+    * detected, n_docs, agree). Mislabeled language is among the most
+    * common metadata defects in assembled corpora (upstream crawls
+    * trust HTTP headers); this row says how much of each declared
+    * stratum the detector disputes, and feeds the decision of which
+    * column the mixture sampler should trust. A MONITOR, not a gate —
+    * it reports, the reader decides (on this word-salad fixture the
+    * detector is ≈ chance BY DESIGN, documented at [[langId]]; on
+    * distinct vocabularies it is exact — see LangIdSpec).
+    *
+    * Shape: the detector's narrow in-row scoring + ONE (declared,
+    * detected) groupBy — a ≤ L² row result at any corpus size.
+    */
+  def langConsistency(docs: DataFrame): DataFrame =
+    langId(docs)
+      .select(col("doc_id"), col("detected_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("detected_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("agree", col("lang") === col("detected_lang"))
+
+  def sqlLangConsistency: String =
+    "WITH l AS (" + sqlLangId + ")\n" +
+      """SELECT d.lang, l.detected_lang, count(*) AS n_docs,
+        |  d.lang = l.detected_lang AS agree
+        |FROM documents d JOIN l USING (doc_id)
+        |GROUP BY d.lang, l.detected_lang""".stripMargin
+
   // --------------------------------------------------------- lang_id_ngram
 
   /** Char-n-gram width and per-language profile size for

@@ -153,6 +153,28 @@ class CurationR9Spec extends SparkSuite {
     assert(c.head.getLong(2) === 3L && c.head.getLong(3) === 1L)
   }
 
+  // ------------------------------------------------------- lang_consistency
+
+  test("langConsistency: diagonal on true labels, off-diagonal flags the planted mislabel") {
+    // stopword-bearing texts the detector resolves exactly (LangIdSpec's
+    // regime); doc 4 is English text DECLARED German — the label defect
+    // this monitor exists to surface
+    val corpus = Seq(
+      (1L, "the house and the tree with a bird", "en", "s"),
+      (2L, "der Hund und die Katze mit einem Vogel", "de", "s"),
+      (3L, "el perro y la casa con un gato", "es", "s"),
+      (4L, "the cat and the dog with a fish", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextOps.langConsistency(corpus).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(("en", "en")) === ((1L, true)))
+    assert(got(("de", "de")) === ((1L, true)))
+    assert(got(("es", "es")) === ((1L, true)))
+    assert(got(("de", "en")) === ((1L, false)), "the mislabel must surface")
+    assert(got.size === 4)
+  }
+
   // ---------------------------------------------------------- validate_chat
 
   test("validateChat rules each fire on a hand-broken row and stay zero on good data") {
