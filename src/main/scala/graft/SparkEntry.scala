@@ -369,6 +369,10 @@ object SparkEntry {
     // label-noise monitor: declared lang vs detected, an L×L confusion
     // matrix at any corpus size
     "lang_consistency" -> ((s, dir) => TextOps.langConsistency(docsT(s, dir))),
+    // exact adjacent-word phrase search via positional posting-list
+    // intersection (ES match_phrase corpus-side) — only query-term
+    // postings ever shuffle
+    "phrase_match" -> ((s, dir) => TextOps.phraseMatch(docsT(s, dir))),
     "dedup_url" -> ((s, dir) => TextOps.dedupUrl(tbl(s, dir, "documents"))),
     // C4/RefinedWeb boilerplate-line removal: drop lines with corpus doc
     // frequency ≥ K, rebuild docs in order; df counts from in-row-deduped
@@ -585,6 +589,9 @@ object SparkEntry {
     // the SFT-data ship gate: six rule counts over the rendered corpus
     // (role opening, span bounds/order, mask accounting) — zero or no ship
     "validate_chat" -> ((s, dir) => PostTrainOps.validateChat(tbl(s, dir, "events"))),
+    // pass@k (Chen et al. 2021): the unbiased estimator over verified
+    // candidate groups — one group-keyed agg, then in-row arithmetic
+    "pass_at_k" -> ((s, dir) => PostTrainOps.passAtK(docsT(s, dir))),
     // DPO preference pairs: per prompt group chosen=max/rejected=min by
     // (reward, doc_id) struct — ONE map-side-combinable agg, zero-margin
     // and singleton groups dropped
@@ -943,6 +950,7 @@ object SparkEntry {
     "html_extract" -> TextOps.sqlHtmlExtract,
     "url_normalize" -> TextOps.sqlUrlNormalize,
     "lang_consistency" -> TextOps.sqlLangConsistency,
+    "phrase_match" -> TextOps.sqlPhraseMatch,
     "dedup_url" -> TextOps.sqlDedupUrl,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,
     "profile_corpus" -> ProfileOps.sqlProfileCorpus,
@@ -1015,6 +1023,7 @@ object SparkEntry {
     "conversation_flatten" -> SessionOps.sqlConversationFlatten,
     "chat_render" -> PostTrainOps.sqlChatRender,
     "validate_chat" -> PostTrainOps.sqlValidateChat,
+    "pass_at_k" -> PostTrainOps.sqlPassAtK,
     "dpo_pairs" -> PostTrainOps.sqlDpoPairs,
     "best_of_n" -> PostTrainOps.sqlBestOfN,
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,

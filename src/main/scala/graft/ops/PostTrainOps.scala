@@ -563,6 +563,83 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
         (floor(col("best.reward") * 1e6).cast("long") * col("n_candidates") -
           col("sum_micros")).as("lift_micros_x_n"))
 
+  // ---------------------------------------------------------------
+  // pass@k: the unbiased estimator over verified candidate groups
+  // ---------------------------------------------------------------
+
+  /** Prompt-group width for [[passAtK]] — its OWN modulus, coarser than
+    * [[NumPromptGroups]]: the estimator needs n ≥ k samples per group
+    * (256 groups over the 500-doc fixture leaves n≈2, unestimable at
+    * k=4; 32 groups leaves n≈15).
+    */
+  val PassGroups = 32
+
+  /** The two k values published per group. Literal constants: the
+    * product unrolls into fixed codegen'd arithmetic.
+    */
+  val PassAtKs: Seq[Int] = Seq(1, 4)
+
+  /** pass@k (Chen et al. 2021, eq. 1) — THE metric of verified
+    * generation: per prompt group of n candidates with c verified
+    * passes, the unbiased estimator 1 − C(n−c, k)/C(n−k... expanded as
+    * the stable product form 1 − Π_{i=0..k−1} (n−c−i)/(n−i). "Verified
+    * pass" = reward ≥ [[graft.ops.CorpusOps.QualityThreshold]] — the
+    * deterministic verifier stand-in, exactly the role a unit-test
+    * harness or reward model plays (the [[candidates]] note).
+    *
+    * Estimator edge algebra, pinned in the spec: n < k ⇒ NULL (not
+    * estimable — a loud gap beats a silent 0); n−c < k ⇒ the product
+    * crosses a zero factor and the estimate is exactly 1 (some k-subset
+    * must contain a pass); c = 0 ⇒ 0. The product is UNROLLED (k is a
+    * literal) in one pinned operation order over exact integer n and c
+    * — both engines compute bit-identical doubles.
+    *
+    * Shape: one prompt-keyed map-side-combined agg to ≤[[PassGroups]]
+    * rows, then in-row arithmetic. Nothing else moves.
+    */
+  def passAtK(docs: DataFrame): DataFrame = {
+    def est(k: Int): Column = {
+      val n = col("n_candidates"); val c = col("n_passing")
+      val prod = (0 until k).map(i =>
+        (n - c - lit(i)).cast("double") / (n - lit(i)).cast("double"))
+        .reduce(_ * _)
+      when(n < k, lit(null).cast("double"))
+        .when(n - c < k, lit(1.0))
+        .otherwise(lit(1.0) - prod)
+    }
+    candidates(docs)
+      .select((col("doc_id") % PassGroups).as("prompt_id"),
+        (col("reward") >= graft.ops.CorpusOps.QualityThreshold).as("pass"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("pass"), 1)).as("n_passing"))
+      .select(
+        col("prompt_id") +: col("n_candidates") +: col("n_passing") +:
+          PassAtKs.map(k => est(k).as(s"pass_at_$k")): _*)
+  }
+
+  def sqlPassAtK: String = {
+    def est(k: Int): String = {
+      val prod = (0 until k).map(i =>
+        s"(CAST(n_candidates - n_passing - $i AS DOUBLE) / " +
+          s"CAST(n_candidates - $i AS DOUBLE))").mkString(" * ")
+      s"CASE WHEN n_candidates < $k THEN NULL " +
+        s"WHEN n_candidates - n_passing < $k THEN 1.0 " +
+        s"ELSE 1.0 - $prod END AS pass_at_$k"
+    }
+    val ests = PassAtKs.map(est).mkString(",\n       |  ")
+    s"""SELECT prompt_id, n_candidates, n_passing,
+       |  $ests
+       |FROM (
+       |  SELECT doc_id % $PassGroups AS prompt_id,
+       |    count(*) AS n_candidates,
+       |    count(CASE WHEN quality >= ${graft.ops.CorpusOps.QualityThreshold}
+       |      THEN 1 END) AS n_passing
+       |  FROM (${TextOps.sqlQualityScore})
+       |  WHERE quality IS NOT NULL
+       |  GROUP BY 1)""".stripMargin
+  }
+
   /** Margin-pipe-safe embedding of a complete oracle SQL into another
     * stripMargin block: every embedded line gets its own margin pipe so
     * the OUTER stripMargin cannot eat the first '|' of a '||' concat.

@@ -1323,6 +1323,80 @@ object TextOps {
        |WHERE rank <= $Bm25TopK""".stripMargin
   }
 
+  // -------------------------------------------------------- phrase_match
+
+  /** The published phrase-query set — fixed literals (a search API's
+    * query side), chosen to have hits at every fixture SF. The operator
+    * is generic over any word sequence ≥ 2.
+    */
+  val PhraseQueries: Seq[String] = Seq("big order scan", "group slow spark")
+
+  /** Positional phrase search — the other half of the IR story beside
+    * [[bm25TopK]]'s ranked bag-of-words: exact ADJACENT-WORD phrase
+    * matching by positional posting-list intersection (what an
+    * Elasticsearch `match_phrase` runs against its positions index).
+    * For a phrase [w0..wL-1]: postings of w0 join postings of each wi
+    * on (doc_id, pos_i = pos_0 + i); one row per (phrase, matching doc)
+    * with the match count and first position.
+    *
+    * Scale shape — the decontaminate asymmetry again: the postings
+    * table is filtered to THE QUERY'S OWN TERMS at the scan (an `isin`
+    * over a literal set — pushed below the explode), so only
+    * query-term postings ever shuffle: O(Σ df(term)) rows, not the
+    * corpus. The filtered postings materialize ONCE and every phrase's
+    * join branches read them; joins key on (doc_id, pos) — exact,
+    * skew-free (a position is unique per doc). A substring scan
+    * (`contains`) would re-read every text byte per query; the postings
+    * form pays the explode once for ALL queries and each new query
+    * costs only its own df.
+    */
+  def phraseMatch(docs: DataFrame,
+      queries: Seq[String] = PhraseQueries): DataFrame = {
+    val phrases = queries.map(p => p -> p.split(" ").toSeq)
+    val allTerms = phrases.flatMap(_._2).distinct
+    val post = graft.ops.DedupOps.materialize(
+      graft.ops.DedupOps.fanout(docs)
+        .select(col("doc_id"), posexplode_outer(toksOf(docs)).as(Seq("pos", "token")))
+        .filter(col("token").isin(allTerms: _*))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token")),
+      "phrase_postings")
+    phrases.map { case (q, ws) =>
+      val base = post.filter(col("token") === ws.head)
+        .select(col("doc_id"), col("pos"))
+      val joined = ws.zipWithIndex.drop(1).foldLeft(base) { case (acc, (w, i)) =>
+        acc.join(
+          post.filter(col("token") === w)
+            .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      joined.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+        .select(lit(q).as("phrase"), col("doc_id"),
+          col("n_matches"), col("first_pos"))
+    }.reduce(_ unionByName _)
+  }
+
+  def sqlPhraseMatch: String = {
+    val allTerms = PhraseQueries.flatMap(_.split(" ")).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val branches = PhraseQueries.map { q =>
+      val ws = q.split(" ").toSeq
+      val joins = ws.zipWithIndex.drop(1).map { case (w, i) =>
+        s"JOIN post p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.token = '$w'"
+      }.mkString(" ")
+      s"SELECT '$q' AS phrase, p0.doc_id, count(*) AS n_matches, " +
+        s"min(p0.pos) AS first_pos FROM post p0 $joins " +
+        s"WHERE p0.token = '${ws.head}' GROUP BY p0.doc_id"
+    }.mkString(" UNION ALL ")
+    s"""WITH post AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+       |  FROM (
+       |    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+       |    FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))
+       |  WHERE toks[i] IN ($allTerms))
+       |$branches""".stripMargin
+  }
+
   // ----------------------------------------------------- length_histogram
 
   /** Per-source doc-length distribution as a log₂ histogram — the

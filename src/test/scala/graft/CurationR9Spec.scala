@@ -211,6 +211,76 @@ class CurationR9Spec extends SparkSuite {
     assert(real.values.forall(_ == 0L) && real.size === 6)
   }
 
+  // ----------------------------------------------------------- phrase_match
+
+  test("phraseMatch ≡ naive sliding window; self-overlaps and repeated terms exact") {
+    val corpus = docs(
+      (1L, "big order scan big order scan ends", "s"),   // 2 matches
+      (2L, "the big order scan sits here", "s"),          // 1 match, offset
+      (3L, "big scan order", "s"),                        // words, wrong order
+      (4L, "a a a b", "s"),                               // repeated-term phrase
+      (5L, "big order", "s"))                             // shorter than phrase
+    val queries = Seq("big order scan", "a a b")
+    val got = TextOps.phraseMatch(corpus, queries).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // naive reference over every (phrase, doc)
+    val texts = Map(1L -> "big order scan big order scan ends",
+      2L -> "the big order scan sits here", 3L -> "big scan order",
+      4L -> "a a a b", 5L -> "big order")
+    val expect = (for {
+      q <- queries; (id, t) <- texts
+      ws = q.split(" ").toSeq; toks = t.split(" ").toSeq
+      hits = toks.indices.filter(i =>
+        i + ws.length <= toks.length && toks.slice(i, i + ws.length) == ws)
+      if hits.nonEmpty
+    } yield (q, id) -> ((hits.length.toLong, hits.head.toLong))).toMap
+    assert(got === expect)
+    // the edges the reference proves: doc 1 matches twice (positions 0, 3);
+    // "a a b" matches once in "a a a b" (at 1 — the a,a prefix at 0 fails on b)
+    assert(got(("big order scan", 1L)) === ((2L, 0L)))
+    assert(got(("a a b", 4L)) === ((1L, 1L)))
+    assert(!got.contains(("big order scan", 3L)))
+    assert(!got.contains(("big order scan", 5L)))
+  }
+
+  // -------------------------------------------------------------- pass_at_k
+
+  test("passAtK ≡ exact combinatorics; NULL below k, exactly 1 when fails < k") {
+    import graft.ops.PostTrainOps
+    // texts engineered to pass/fail the quality gate deterministically:
+    // pass = varied prose-like tokens, fail = one token repeated
+    val passTxt = "the quick brown fox jumps over the lazy dog again and again"
+    val failTxt = Seq.fill(30)("spam").mkString(" ")
+    // group g gets doc_ids g, g+32, g+64, … (the PassGroups modulus)
+    def grp(g: Long, nPass: Int, nFail: Int) =
+      (0 until nPass).map(i => (g + 32L * i, passTxt, "s")) ++
+        (nPass until nPass + nFail).map(i => (g + 32L * i, failTxt, "s"))
+    // g0: n=6 c=2 | g1: n=3 < 4 | g2: n=5, fails=2 < 4 | g3: n=6 c=0
+    val corpus = docs((grp(0, 2, 4) ++ grp(1, 1, 2) ++ grp(2, 3, 2)
+      ++ grp(3, 0, 6)): _*)
+    val got = PostTrainOps.passAtK(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    def exact(n: Int, c: Int, k: Int): Double = {
+      def comb(a: Int, b: Int): Double =
+        if (b > a) 0.0 else (0 until b).map(i => (a - i).toDouble / (i + 1)).product
+      1.0 - comb(n - c, k) / comb(n, k)
+    }
+    val g0 = got(0L)
+    assert(g0.getAs[Long]("n_candidates") === 6L && g0.getAs[Long]("n_passing") === 2L)
+    assert(math.abs(g0.getAs[Double]("pass_at_1") - exact(6, 2, 1)) < 1e-12)
+    assert(math.abs(g0.getAs[Double]("pass_at_4") - exact(6, 2, 4)) < 1e-12)
+    // n < k → NULL, never a silent 0
+    assert(got(1L).isNullAt(got(1L).fieldIndex("pass_at_4")))
+    assert(math.abs(got(1L).getAs[Double]("pass_at_1") - 1.0 / 3) < 1e-12)
+    // fails < k → some k-subset must contain a pass: exactly 1
+    assert(got(2L).getAs[Double]("pass_at_4") === 1.0)
+    // no passes → exactly 0 at every k
+    assert(got(3L).getAs[Double]("pass_at_1") === 0.0)
+    assert(got(3L).getAs[Double]("pass_at_4") === 0.0)
+  }
+
   // ---------------------------------------------------------- html_extract
 
   test("htmlExtract: title, strip, anchor accounting, chrome gate") {
