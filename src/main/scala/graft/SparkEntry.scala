@@ -322,6 +322,9 @@ object SparkEntry {
     // structurally blind to (small A in large B has low Jaccard)
     "dedup_containment" -> ((s, dir) => DedupOps.dedupContainment(docsT(s, dir))),
     "dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docsT(s, dir))),
+    // data-card view of the near-dup graph: cluster-size histogram with
+    // the honest size-1 row (unclustered corpus remainder)
+    "dup_cluster_histogram" -> ((s, dir) => DedupOps.dupClusterHistogram(docsT(s, dir))),
     // incremental dedup: today's batch (doc_id % 5 = 0) against the
     // historical corpus index — exact-hash membership + cross-set LSH
     "dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(docsT(s, dir))),
@@ -928,6 +931,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> DedupOps.sqlDedupNgramJaccard,
     "dedup_containment" -> DedupOps.sqlDedupContainment,
     "dedup_components" -> DedupOps.sqlDedupComponents,
+    "dup_cluster_histogram" -> DedupOps.sqlDupClusterHistogram,
     "dedup_incremental" -> DedupOps.sqlDedupIncremental,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
     "dedup_semantic" -> DedupOps.sqlDedupSemantic,

@@ -211,6 +211,21 @@ class CurationR9Spec extends SparkSuite {
     assert(real.values.forall(_ == 0L) && real.size === 6)
   }
 
+  // ------------------------------------------------- dup_cluster_histogram
+
+  test("dupClusterHistogram: exact sizes plus the honest singleton row") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val b = "one two three four five six seven eight nine ten " * 3
+    val corpus = docs(
+      (1L, a, "s"), (2L, a, "s"), (3L, a, "s"),        // 3-cluster
+      (4L, b, "s"), (5L, b, "s"),                       // 2-cluster
+      (6L, "a completely unrelated document body here", "s"),
+      (7L, "another text that matches nothing else at all", "s"))
+    val got = TextOps.tokenize(corpus).transform(graft.ops.DedupOps.dupClusterHistogram)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((3L, 1L, 3L), (2L, 1L, 2L), (1L, 2L, 2L)))
+  }
+
   // ----------------------------------------------------------- phrase_match
 
   test("phraseMatch ≡ naive sliding window; self-overlaps and repeated terms exact") {
