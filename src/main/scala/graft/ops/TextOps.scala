@@ -750,7 +750,9 @@ object TextOps {
     val html = concat(
       lit("<html><head><title>"), title3, lit("</title></head><body>"),
       lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a></nav>"),
-      lit("<p>"), col("text"), lit("</p>"),
+      // null ≡ empty (the tokens() house rule): a null text must not
+      // null-propagate through the whole wrapper
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
       when(col("doc_id") % 3 === 0,
         lit("<div class=\"promo\"><a href=\"/buy\">click here for great deals and top offers</a></div>"))
         .otherwise(lit("")),
@@ -790,7 +792,7 @@ object TextOps {
        |      || array_to_string(list_slice(${sqlTokens("text")}, 1, 3), ' ')
        |      || '</title></head><body>'
        |      || '<nav><a href="/">home</a> <a href="/about">about us</a></nav>'
-       |      || '<p>' || text || '</p>'
+       |      || '<p>' || coalesce(text, '') || '</p>'
        |      || CASE WHEN doc_id % 3 = 0 THEN
        |           '<div class="promo"><a href="/buy">click here for great deals and top offers</a></div>'
        |         ELSE '' END

@@ -296,6 +296,51 @@ class CurationR9Spec extends SparkSuite {
     assert(got(3L).getAs[Double]("pass_at_4") === 0.0)
   }
 
+  // ------------------------------------------------------ degenerate inputs
+
+  test("degenerate inputs: empty corpus, null/empty text, single doc") {
+    import graft.ops.{DedupOps, PostTrainOps, PretrainOps}
+    val empty = docs()
+    // every new batch op returns an empty (or constant-shape) frame on an
+    // empty corpus, never a throw
+    assert(PretrainOps.tokenBudgetFill(empty).count() === 0L)
+    assert(DedupOps.dedupPrefix(empty).count() === 0L)
+    assert(DedupOps.softDedupWeight(empty).count() === 0L)
+    assert(TextOps.htmlExtract(empty).count() === 0L)
+    assert(TextOps.urlNormalize(empty).count() === 0L)
+    assert(TextOps.dedupUrl(empty).count() === 0L)
+    assert(TextOps.langConsistency(
+      Seq.empty[(Long, String, String, String)]
+        .toDF("doc_id", "text", "lang", "source")).count() === 0L)
+    assert(TextOps.phraseMatch(empty).count() === 0L)
+    assert(PostTrainOps.passAtK(empty).count() === 0L)
+    // the rule table keeps its six rows (all zero) even over nothing —
+    // a gate that vanishes on an empty input reads as "no violations"
+    val chatRules = PostTrainOps.validateChatRules(
+      Seq.empty[(String, String, Long, Long, Long)]
+        .toDF("rendered", "mask_spans", "n_chars", "n_mask_chars", "n_turns"))
+      .collect()
+    assert(chatRules.length === 6 && chatRules.forall(_.getLong(1) === 0L))
+
+    // null and empty text: tokens() folds null ≡ '' (one empty token)
+    val nulls = docs((1L, null, "s"), (2L, "", "s"))
+    assert(PretrainOps.tokenBudgetFill(nulls).count() === 2L) // n_tok=1 each
+    assert(DedupOps.dedupPrefix(nulls).count() === 1L)        // same empty prefix
+    // content-hash semantics (dedupExact's): null text hashes NULL — its
+    // own cluster, distinct from md5('') — engines agree, so soft dedup
+    // emits two singleton clusters here, not one pair
+    val soft = DedupOps.softDedupWeight(nulls).collect()
+    assert(soft.length === 2 && soft.forall(_.getLong(2) === 1L))
+    val h = TextOps.htmlExtract(nulls).collect()
+    assert(h.length === 2 && h.forall(_.getAs[String]("title") === ""))
+    assert(h.forall(r => !r.isNullAt(r.fieldIndex("link_density"))))
+    assert(TextOps.phraseMatch(nulls).count() === 0L)
+
+    // single doc: budget fill admits it with cum_before 0
+    val one = PretrainOps.tokenBudgetFill(docs((9L, "just one doc", "s"))).collect()
+    assert(one.length === 1 && one.head.getAs[Long]("cum_before") === 0L)
+  }
+
   // ---------------------------------------------------------- html_extract
 
   test("htmlExtract: title, strip, anchor accounting, chrome gate") {
