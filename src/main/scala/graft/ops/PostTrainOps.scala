@@ -597,7 +597,24 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
     * Shape: one prompt-keyed map-side-combined agg to ≤[[PassGroups]]
     * rows, then in-row arithmetic. Nothing else moves.
     */
-  def passAtK(docs: DataFrame): DataFrame = {
+  /** Per-prompt verification STATE: (prompt_id, n_candidates,
+    * n_passing) — two SUMS, so states from shards or micro-batches
+    * merge into exactly the state of the union (the prefState/sketch
+    * discipline; [[graft.stream.PassStream]] accumulates this
+    * compacted-versioned and both faces share [[passFromState]]).
+    */
+  private[graft] def passState(docs: DataFrame): DataFrame =
+    candidates(docs)
+      .select((col("doc_id") % PassGroups).as("prompt_id"),
+        (col("reward") >= graft.ops.CorpusOps.QualityThreshold).as("pass"))
+      .groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_candidates"),
+        count(when(col("pass"), 1)).as("n_passing"))
+
+  /** The estimator table from a (prompt_id, n_candidates, n_passing)
+    * state — ONE emission rule for the batch and streaming faces.
+    */
+  private[graft] def passFromState(state: DataFrame): DataFrame = {
     def est(k: Int): Column = {
       val n = col("n_candidates"); val c = col("n_passing")
       val prod = (0 until k).map(i =>
@@ -607,16 +624,12 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
         .when(n - c < k, lit(1.0))
         .otherwise(lit(1.0) - prod)
     }
-    candidates(docs)
-      .select((col("doc_id") % PassGroups).as("prompt_id"),
-        (col("reward") >= graft.ops.CorpusOps.QualityThreshold).as("pass"))
-      .groupBy(col("prompt_id"))
-      .agg(count(lit(1)).as("n_candidates"),
-        count(when(col("pass"), 1)).as("n_passing"))
-      .select(
-        col("prompt_id") +: col("n_candidates") +: col("n_passing") +:
-          PassAtKs.map(k => est(k).as(s"pass_at_$k")): _*)
+    state.select(
+      col("prompt_id") +: col("n_candidates") +: col("n_passing") +:
+        PassAtKs.map(k => est(k).as(s"pass_at_$k")): _*)
   }
+
+  def passAtK(docs: DataFrame): DataFrame = passFromState(passState(docs))
 
   def sqlPassAtK: String = {
     def est(k: Int): String = {
