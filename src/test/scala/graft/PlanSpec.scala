@@ -584,4 +584,34 @@ class PlanSpec extends SparkSuite {
         s"$name degraded to a cartesian")
     }
   }
+
+  test("round-9 (cont.): crawl-curation + eval shapes") {
+    // html_extract / url_normalize: pure codegen'd projections — the
+    // entire operator rides the scan
+    for (name <- Seq("html_extract", "url_normalize")) {
+      assert(exchanges(q(name)) == 0, s"$name grew a shuffle")
+    }
+    // soft_dedup_weight: exactly the one content-hash window shuffle
+    assert(exchanges(q("soft_dedup_weight")) == 1, "soft_dedup_weight grew")
+    // dedup_prefix / dedup_url: the dedup_exact minimal shape (fanout
+    // insurance + one hash-keyed agg at most)
+    for (name <- Seq("dedup_prefix", "dedup_url")) {
+      assert(exchanges(q(name)) <= 2, s"$name grew past the minimal shape")
+    }
+    // token_budget_fill: the DECOMPOSED prefix sum — the offset ladder
+    // must come back as a BROADCAST (a shuffled ladder join would mean
+    // the decomposition regressed to a corpus-sized co-partition)
+    val tb = q("token_budget_fill")
+    assert(exchanges(tb) <= 5, "token_budget_fill grew a shuffle")
+    assert(nodes(tb).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "the bucket-offset ladder must broadcast back")
+    // pass_at_k: ONE group agg then in-row arithmetic
+    assert(exchanges(q("pass_at_k")) <= 2, "pass_at_k grew a shuffle")
+    // phrase_match: postings filtered to query terms — joins on
+    // (doc, pos) only, never a cartesian; count cap covers the
+    // per-phrase branches + the materialized postings build
+    val pm = q("phrase_match")
+    assert(!nodesDeep(pm).exists(_.isInstanceOf[CartesianProductExec]),
+      "phrase_match degraded to a cartesian")
+  }
 }
