@@ -325,6 +325,9 @@ object SparkEntry {
     // data-card view of the near-dup graph: cluster-size histogram with
     // the honest size-1 row (unclustered corpus remainder)
     "dup_cluster_histogram" -> ((s, dir) => DedupOps.dupClusterHistogram(docsT(s, dir))),
+    // the τ-tuning table: K thresholds over ONE blocked pair-cosine pass
+    "semantic_threshold_sweep" -> ((s, dir) =>
+      DedupOps.semanticThresholdSweep(tbl(s, dir, "embeddings"))),
     // incremental dedup: today's batch (doc_id % 5 = 0) against the
     // historical corpus index — exact-hash membership + cross-set LSH
     "dedup_incremental" -> ((s, dir) => DedupOps.dedupIncremental(docsT(s, dir))),
@@ -932,6 +935,7 @@ object SparkEntry {
     "dedup_containment" -> DedupOps.sqlDedupContainment,
     "dedup_components" -> DedupOps.sqlDedupComponents,
     "dup_cluster_histogram" -> DedupOps.sqlDupClusterHistogram,
+    "semantic_threshold_sweep" -> DedupOps.sqlSemanticThresholdSweep,
     "dedup_incremental" -> DedupOps.sqlDedupIncremental,
     "dedup_embedding_cosine" -> DedupOps.sqlDedupEmbeddingCosine,
     "dedup_semantic" -> DedupOps.sqlDedupSemantic,

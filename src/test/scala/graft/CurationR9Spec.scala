@@ -296,6 +296,26 @@ class CurationR9Spec extends SparkSuite {
     assert(got(3L).getAs[Double]("pass_at_4") === 0.0)
   }
 
+  // ----------------------------------------------- semantic_threshold_sweep
+
+  test("semanticThresholdSweep: monotone in τ and consistent with the decision op") {
+    import graft.ops.DedupOps
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = DedupOps.semanticThresholdSweep(emb).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1) === graft.ops.DedupOps.SweepThresholds)
+    // tightening τ can only shrink both counts
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"not monotone: $lo -> $hi") }
+    // the τ = SemanticDupThreshold row must equal the decision op's drops
+    val atShipped = rows.find(_._1 == DedupOps.SemanticDupThreshold).get
+    val dropped = DedupOps.dedupSemantic(emb)
+      .filter(!col("keep")).count()
+    assert(atShipped._3 === dropped,
+      "the sweep and the decision op disagree at the shipped threshold")
+    assert(rows.head._2 > rows.last._2, "the fixture must spread across τ")
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
