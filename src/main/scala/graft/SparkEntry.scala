@@ -504,6 +504,10 @@ object SparkEntry {
     // PageRank centrality over the knn graph (coreset/survivor authority)
     "knn_pagerank" -> ((s, dir) =>
       SimilarityOps.knnPagerank(tbl(s, dir, "embeddings"))),
+    // synchronous label propagation over the same knn edges: the
+    // community granularity between components and raw edges
+    "knn_communities" -> ((s, dir) =>
+      SimilarityOps.knnCommunities(tbl(s, dir, "embeddings"))),
     // Unicode NFC hygiene pass (codegen'd kernel; DuckDB nfc_normalize twin)
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     // embedding-space drift monitor: per-dim mean delta between splits
@@ -1005,6 +1009,7 @@ object SparkEntry {
     "source_overlap" -> PretrainOps.sqlSourceOverlap,
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
     "knn_pagerank" -> SimilarityOps.sqlKnnPagerank,
+    "knn_communities" -> SimilarityOps.sqlKnnCommunities,
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,

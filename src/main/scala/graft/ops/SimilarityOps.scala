@@ -718,6 +718,105 @@ object SimilarityOps {
        |FROM pr$PrIters""".stripMargin
   }
 
+  // ------------------------------------------------------ knn_communities
+
+  /** Label-propagation rounds for [[knnCommunities]] — synchronous LP
+    * converges fast on knn graphs (small diameter within communities);
+    * 3 pinned rounds keep the unrolled oracle tractable.
+    */
+  val LpIters = 3
+
+  /** Community detection over the knn graph — synchronous label
+    * propagation (Raghavan et al. 2007): every node starts labeled by
+    * its own id, and each round adopts the MODE of its neighbors'
+    * labels (tie → smallest label — deterministic, engine-independent).
+    * Communities are the granularity between [[graft.ops.DedupOps
+    * .dedupComponents]]' connected components (too coarse: one bridge
+    * edge fuses two topic clusters) and the raw knn edges (too fine) —
+    * the unit a diversity sampler or topic-balance card works in.
+    * Graph-face sibling of [[knnPagerank]]: same edges, mode instead of
+    * rank mass. Edges symmetrize first (knn is directed; communities
+    * are not).
+    *
+    * Shape per round: ONE labels⋈edges join + one (dst, label) count
+    * agg + one per-dst arg-max — all map-side combinable; plan linear
+    * in rounds (labels feed one join side — the pagerank discipline).
+    */
+  def knnCommunities(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    val knn = knnGraph(emb, centroids = centroids)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    labelPropagate(knn)
+  }
+
+  /** LP over an explicit edge list — split out so the spec can feed a
+    * hand-built graph with a known community structure.
+    */
+  private[graft] def labelPropagate(knn: DataFrame): DataFrame = {
+    val edges = DedupOps.materialize(
+      knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct(),
+      "lp_edges")
+    val nodes = DedupOps.materialize(
+      edges.select(col("src").as("vec_id")).distinct(), "lp_nodes")
+    var labels = nodes.withColumn("label", col("vec_id"))
+    for (_ <- 1 to LpIters) {
+      labels = labels
+        .join(edges, labels("vec_id") === edges("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("dst").as("vec_id"), (-col("m.nl")).as("label"))
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("vec_id"), col("label").as("community_id"), col("n_members"))
+  }
+
+  /** DuckDB twin: [[sqlKnnPagerank]]'s graph CTEs with the rounds
+    * unrolled as l0..l3; the per-node arg-max is a row_number ordered
+    * (cnt DESC, label ASC) — the same tie rule as the struct max.
+    */
+  def sqlKnnCommunities: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT eg.dst AS vec_id, p.label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY eg.dst
+         |        ORDER BY count(*) DESC, p.label) AS r
+         |    FROM $prev p JOIN eg ON eg.src = p.vec_id
+         |    GROUP BY eg.dst, p.label)
+         |  WHERE r = 1)""".stripMargin
+    val rounds = (1 to LpIters)
+      .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} DESC,
+       |          b.vec_id) AS BIGINT) AS rank
+       |    FROM e a JOIN e b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KnnGraphK),
+       |eg AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+       |nodes AS (SELECT DISTINCT src AS vec_id FROM eg),
+       |l0 AS (SELECT vec_id, vec_id AS label FROM nodes),
+       |$rounds
+       |SELECT l.vec_id, l.label AS community_id, s.n_members
+       |FROM l$LpIters l JOIN (
+       |  SELECT label, count(*) AS n_members FROM l$LpIters GROUP BY label) s
+       |  ON s.label = l.label""".stripMargin
+  }
+
   // ----------------------------------------------------- ann_graph_search
 
   /** Graph-search entry points (fixed, deterministic: the [[SearchSeeds]]

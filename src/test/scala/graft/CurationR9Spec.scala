@@ -316,6 +316,23 @@ class CurationR9Spec extends SparkSuite {
     assert(rows.head._2 > rows.last._2, "the fixture must spread across τ")
   }
 
+  // --------------------------------------------------------- knn_communities
+
+  test("labelPropagate splits bridged triangles components would fuse") {
+    import graft.ops.SimilarityOps
+    // two triangles {1,2,3} and {4,5,6} joined by ONE bridge edge 3—4:
+    // connected components see one blob; LP's mode rule cuts the bridge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = SimilarityOps.labelPropagate(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCommunity = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCommunity.values.toSet === Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)),
+      s"LP must recover the two triangles, got $byCommunity")
+    assert(got.forall(_._3 === 3L))
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
