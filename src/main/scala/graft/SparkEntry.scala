@@ -375,6 +375,9 @@ object SparkEntry {
     // label-noise monitor: declared lang vs detected, an L×L confusion
     // matrix at any corpus size
     "lang_consistency" -> ((s, dir) => TextOps.langConsistency(docsT(s, dir))),
+    // pairwise Pearson over the quality ladder's raw integer features
+    // (exact moment sums, one pass): the signal-double-counting card
+    "quality_feature_corr" -> ((s, dir) => TextOps.qualityFeatureCorr(tbl(s, dir, "documents"))),
     // exact adjacent-word phrase search via positional posting-list
     // intersection (ES match_phrase corpus-side) — only query-term
     // postings ever shuffle
@@ -962,6 +965,7 @@ object SparkEntry {
     "html_extract" -> TextOps.sqlHtmlExtract,
     "url_normalize" -> TextOps.sqlUrlNormalize,
     "lang_consistency" -> TextOps.sqlLangConsistency,
+    "quality_feature_corr" -> TextOps.sqlQualityFeatureCorr,
     "phrase_match" -> TextOps.sqlPhraseMatch,
     "dedup_url" -> TextOps.sqlDedupUrl,
     "scrub_boilerplate_lines" -> TextOps.sqlScrubBoilerplateLines,

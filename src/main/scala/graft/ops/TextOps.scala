@@ -168,6 +168,107 @@ object TextOps {
        |  FROM (SELECT doc_id, ${sqlTokens("text")} AS toks FROM documents))""".stripMargin
   }
 
+  // -------------------------------------------------- quality_feature_corr
+
+  /** The integer quality features whose pairwise correlations
+    * [[qualityFeatureCorr]] publishes, with their in-row expressions —
+    * the raw signals under [[qualityScore]]'s weighted blend.
+    */
+  private def corrFeatures: Seq[(String, Column)] = {
+    val toks = tokens(col("text"))
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "n_stop" -> stopScore(toks, StopwordProfiles.head._2),
+      "n_alpha" ->
+        regexp_count(coalesce(col("text"), lit("")), lit("[A-Za-z]")).cast("long"),
+      "n_chars" -> length(coalesce(col("text"), lit(""))).cast("long"))
+  }
+
+  /** Pairwise Pearson correlations between the quality ladder's raw
+    * integer features — the feature-engineering data card: two features
+    * correlated ≈ 1 are one signal counted twice (the gate's weights
+    * then over-count it), and a near-zero pair justifies keeping both.
+    * One row per unordered pair (feature order pinned by the
+    * [[corrFeatures]] list).
+    *
+    * The [[graft.ops.PostTrainOps]] reward_length_bias discipline
+    * generalized to F×F: every moment (n, Σx, Σx², Σxy) is an EXACT
+    * integer sum — map-side-combined, partition-order independent — and
+    * the fp correlation formula runs ONCE per pair in a pinned
+    * operation order, so both engines produce bit-identical doubles.
+    * Zero-variance features emit NULL (corr undefined, loudly). ONE agg
+    * over one scan; output is C(F,2) rows at any corpus size.
+    */
+  def qualityFeatureCorr(docs: DataFrame): DataFrame = {
+    val fs = corrFeatures
+    val pairs = for {
+      i <- fs.indices; j <- fs.indices if i < j
+    } yield (i, j)
+    val aggs =
+      count(lit(1)).as("n") +:
+        (fs.zipWithIndex.flatMap { case ((_, e), i) => Seq(
+          sum(e).as(s"s$i"), sum(e * e).as(s"q$i")) } ++
+          pairs.map { case (i, j) =>
+            sum(fs(i)._2 * fs(j)._2).as(s"x${i}_$j") })
+    def corr(i: Int, j: Int): Column = {
+      val num = col("n") * col(s"x${i}_$j") - col(s"s$i") * col(s"s$j")
+      val vx = col("n") * col(s"q$i") - col(s"s$i") * col(s"s$i")
+      val vy = col("n") * col(s"q$j") - col(s"s$j") * col(s"s$j")
+      when(vx === 0 || vy === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") /
+          sqrt(vx.cast("double")) / sqrt(vy.cast("double")))
+    }
+    val entries = pairs.flatMap { case (i, j) =>
+      Seq(lit(s"${fs(i)._1}:${fs(j)._1}"), corr(i, j))
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(entries: _*)))
+      .toDF("feature_pair", "corr")
+  }
+
+  def sqlQualityFeatureCorr: String = {
+    val stopSet = StopwordProfiles.head._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val fexpr = Seq(
+      "n_tokens" -> "CAST(len(toks) AS BIGINT)",
+      "n_stop" ->
+        s"CAST(len(list_filter(toks, t -> list_contains($stopSet, t))) AS BIGINT)",
+      "n_alpha" ->
+        "CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]')) AS BIGINT)",
+      "n_chars" -> "CAST(length(coalesce(text, '')) AS BIGINT)")
+    val pairs = for {
+      i <- fexpr.indices; j <- fexpr.indices if i < j
+    } yield (i, j)
+    val moments =
+      ("CAST(count(*) AS BIGINT) AS n" +:
+        (fexpr.zipWithIndex.flatMap { case ((_, _), i) => Seq(
+          s"CAST(sum(f$i) AS BIGINT) AS s$i",
+          s"CAST(sum(f$i * f$i) AS BIGINT) AS q$i") } ++
+          pairs.map { case (i, j) =>
+            s"CAST(sum(f$i * f$j) AS BIGINT) AS x${i}_$j" })).mkString(",\n    ")
+    def corr(i: Int, j: Int): String = {
+      val num = s"n * x${i}_$j - s$i * s$j"
+      val vx = s"n * q$i - s$i * s$i"
+      val vy = s"n * q$j - s$j * s$j"
+      s"CASE WHEN ($vx) = 0 OR ($vy) = 0 THEN NULL ELSE " +
+        s"CAST($num AS DOUBLE) / sqrt(CAST($vx AS DOUBLE)) / sqrt(CAST($vy AS DOUBLE)) END"
+    }
+    val rows = pairs.map { case (i, j) =>
+      s"SELECT '${fexpr(i)._1}:${fexpr(j)._1}' AS feature_pair, ${corr(i, j)} AS corr FROM m"
+    }.mkString("\nUNION ALL\n")
+    val feats = fexpr.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS f$i" }.mkString(",\n    ")
+    s"""WITH feats AS (
+       |  SELECT
+       |    $feats
+       |  FROM (SELECT text, ${sqlTokens("text")} AS toks FROM documents)),
+       |m AS MATERIALIZED (
+       |  SELECT
+       |    $moments
+       |  FROM feats)
+       |$rows""".stripMargin
+  }
+
   // ------------------------------------------------------ lang_consistency
 
   /** Label-noise monitor: the confusion matrix between the DECLARED

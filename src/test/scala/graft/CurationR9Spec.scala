@@ -316,6 +316,26 @@ class CurationR9Spec extends SparkSuite {
     assert(rows.head._2 > rows.last._2, "the fixture must spread across τ")
   }
 
+  // ---------------------------------------------------- quality_feature_corr
+
+  test("qualityFeatureCorr: ±1 on engineered colinearity, NULL on zero variance") {
+    // n_chars is an exact linear function of n_tokens here (every token
+    // 4 chars + 1 space, built to keep the relation affine) → corr = 1;
+    // n_stop is constant 0 → its pairs are NULL
+    val corpus = docs(
+      (1L, Seq.fill(2)("abcd").mkString(" "), "s"),
+      (2L, Seq.fill(5)("abcd").mkString(" "), "s"),
+      (3L, Seq.fill(9)("abcd").mkString(" "), "s"))
+    val got = TextOps.qualityFeatureCorr(corpus).collect()
+      .map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+      .toMap
+    assert(got.size === 6)
+    assert(math.abs(got("n_tokens:n_chars").get - 1.0) < 1e-12)
+    assert(math.abs(got("n_tokens:n_alpha").get - 1.0) < 1e-12)
+    assert(got("n_tokens:n_stop").isEmpty, "zero-variance feature must be NULL")
+    assert(got("n_stop:n_chars").isEmpty)
+  }
+
   // --------------------------------------------------------- knn_communities
 
   test("labelPropagate splits bridged triangles components would fuse") {
