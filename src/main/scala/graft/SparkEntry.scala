@@ -511,6 +511,9 @@ object SparkEntry {
     // community granularity between components and raw edges
     "knn_communities" -> ((s, dir) =>
       SimilarityOps.knnCommunities(tbl(s, dir, "embeddings"))),
+    // the graph-face coreset: pagerank-max member per community
+    "community_representatives" -> ((s, dir) =>
+      SimilarityOps.communityRepresentatives(tbl(s, dir, "embeddings"))),
     // Unicode NFC hygiene pass (codegen'd kernel; DuckDB nfc_normalize twin)
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     // embedding-space drift monitor: per-dim mean delta between splits
@@ -1014,6 +1017,7 @@ object SparkEntry {
     "ann_graph_search" -> SimilarityOps.sqlAnnGraphSearch,
     "knn_pagerank" -> SimilarityOps.sqlKnnPagerank,
     "knn_communities" -> SimilarityOps.sqlKnnCommunities,
+    "community_representatives" -> SimilarityOps.sqlCommunityRepresentatives,
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,

@@ -817,6 +817,95 @@ object SimilarityOps {
        |  ON s.label = l.label""".stripMargin
   }
 
+  // ---------------------------------------------- community_representatives
+
+  /** The graph-face coreset: per [[knnCommunities]] community, the
+    * member with the highest [[knnPagerank]] authority (tie → smallest
+    * vec_id) — "one representative per topic, the most central one".
+    * The survivor rule [[graft.ops.DedupOps.dedupSurvivors]] applies at
+    * the near-dup level, lifted to the community level; the geometric
+    * sibling is `cluster_sample`'s prototypes. Both inputs are
+    * already-verified operators over the SAME knn edges; this is one
+    * vec_id-keyed join + one community-keyed arg-max on top — the
+    * composition costs two metadata-scale exchanges beyond what the
+    * graph ops already paid.
+    */
+  def communityRepresentatives(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    knnCommunities(emb, centroids)
+      .join(knnPagerank(emb, centroids).select(col("vec_id"), col("pr_micro")),
+        "vec_id")
+      .groupBy(col("community_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("pr_micro"), (-col("vec_id")).as("nv"))).as("m"))
+      .select(col("community_id"), (-col("m.nv")).as("rep_vec_id"),
+        col("m.pr_micro").as("rep_pr_micro"), col("n_members"))
+
+  /** DuckDB twin: ONE shared e/g graph prefix, the LP and PR round
+    * chains side by side, then the same join + arg-max (row_number
+    * ordered pr DESC, vec_id ASC — the struct-max tie rule).
+    */
+  def sqlCommunityRepresentatives: String = {
+    val teleport = (15L * 1000000L) / 100L
+    def prRound(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.vec_id,
+         |    $teleport + ($PrDampNum * coalesce(s.in_sum, 0)) // 100
+         |      AS pr_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT g.dst AS vec_id,
+         |      CAST(sum(p.pr_micro // d.deg) AS BIGINT) AS in_sum
+         |    FROM $prev p
+         |    JOIN g ON g.src = p.vec_id
+         |    JOIN deg d ON d.src = g.src
+         |    GROUP BY g.dst) s ON s.vec_id = n.vec_id)""".stripMargin
+    def lpRound(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT eg.dst AS vec_id, p.label, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY eg.dst
+         |        ORDER BY count(*) DESC, p.label) AS r
+         |    FROM $prev p JOIN eg ON eg.src = p.vec_id
+         |    GROUP BY eg.dst, p.label)
+         |  WHERE r = 1)""".stripMargin
+    val prRounds = (1 to PrIters)
+      .map(i => prRound(s"pr${i - 1}", s"pr$i")).mkString(",\n")
+    val lpRounds = (1 to LpIters)
+      .map(i => lpRound(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, emb_d, norm,
+       |    CAST(list_position(dots, list_max(dots)) - 1 AS BIGINT) AS cluster_id
+       |  FROM (SELECT *, ${sqlCentDots("emb_d")} AS dots
+       |        FROM (${sqlWithNorm("embeddings")}))),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |      CAST(row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlCosine("a.emb_d", "a.norm", "b.emb_d", "b.norm")} DESC,
+       |          b.vec_id) AS BIGINT) AS rank
+       |    FROM e a JOIN e b
+       |      ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id)
+       |  WHERE rank <= $KnnGraphK),
+       |eg AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM g UNION ALL SELECT dst, src FROM g)),
+       |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+       |nodes AS (SELECT DISTINCT vec_id FROM (
+       |  SELECT src AS vec_id FROM g UNION ALL SELECT dst FROM g)),
+       |pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr_micro FROM nodes),
+       |$prRounds,
+       |l0 AS (SELECT src AS vec_id, src AS label FROM (SELECT DISTINCT src FROM eg)),
+       |$lpRounds
+       |SELECT community_id, rep_vec_id, rep_pr_micro, n_members FROM (
+       |  SELECT l.label AS community_id, l.vec_id AS rep_vec_id,
+       |    p.pr_micro AS rep_pr_micro,
+       |    count(*) OVER (PARTITION BY l.label) AS n_members,
+       |    row_number() OVER (PARTITION BY l.label
+       |      ORDER BY p.pr_micro DESC, l.vec_id) AS r
+       |  FROM l$LpIters l JOIN pr$PrIters p ON p.vec_id = l.vec_id)
+       |WHERE r = 1""".stripMargin
+  }
+
   // ----------------------------------------------------- ann_graph_search
 
   /** Graph-search entry points (fixed, deterministic: the [[SearchSeeds]]

@@ -353,6 +353,25 @@ class CurationR9Spec extends SparkSuite {
     assert(got.forall(_._3 === 3L))
   }
 
+  // -------------------------------------------- community_representatives
+
+  test("communityRepresentatives ≡ composing the two graph ops by hand") {
+    import graft.ops.SimilarityOps
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val comm = SimilarityOps.knnCommunities(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq // (vec, community)
+    val pr = SimilarityOps.knnPagerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap // vec -> pr_micro
+    val expect = comm.groupBy(_._2).map { case (c, ms) =>
+      val best = ms.map(_._1).minBy(v => (-pr(v), v))
+      (c, best, pr(best), ms.length.toLong)
+    }.toSet
+    val got = SimilarityOps.communityRepresentatives(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size > 1)
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
