@@ -646,11 +646,16 @@ object SimilarityOps {
     * engines).
     */
   def knnPagerank(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
-    val edges = DedupOps.materialize(
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    pagerankOn(DedupOps.materialize(
       knnGraph(emb, centroids = centroids)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
-      "pr_edges")
+      "pr_edges"))
+
+  /** PR over an explicit (already-materialized) edge list — split out so
+    * [[communityRepresentatives]] runs LP and PR over ONE knn build.
+    */
+  private[graft] def pagerankOn(edges: DataFrame): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = DedupOps.materialize(
       edges.select(col("src").as("vec_id"))
@@ -831,15 +836,25 @@ object SimilarityOps {
     * graph ops already paid.
     */
   def communityRepresentatives(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
-    knnCommunities(emb, centroids)
-      .join(knnPagerank(emb, centroids).select(col("vec_id"), col("pr_micro")),
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+    // ONE knn build: LP and PR both read the same materialized edges.
+    // Honest x32 note: measured ≈ even with two builds (6.83 vs 6.85 s)
+    // because at fixture scale the 8 iterative rounds' fixed per-stage
+    // overhead dominates, not the 25k-edge build — the sharing pays at
+    // real scale where the blocked pair join is the cost
+    val edges = DedupOps.materialize(
+      knnGraph(emb, centroids = centroids)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+      "cr_edges")
+    labelPropagate(edges)
+      .join(pagerankOn(edges).select(col("vec_id"), col("pr_micro")),
         "vec_id")
       .groupBy(col("community_id"))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col("pr_micro"), (-col("vec_id")).as("nv"))).as("m"))
       .select(col("community_id"), (-col("m.nv")).as("rep_vec_id"),
         col("m.pr_micro").as("rep_pr_micro"), col("n_members"))
+  }
 
   /** DuckDB twin: ONE shared e/g graph prefix, the LP and PR round
     * chains side by side, then the same join + arg-max (row_number
