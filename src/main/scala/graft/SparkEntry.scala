@@ -620,6 +620,9 @@ object SparkEntry {
     // SFT packing: rendered chats packed per-user into SeqLen-char
     // sequences, loss-mask spans remapped/split across boundaries
     "chat_pack_spans" -> ((s, dir) => PostTrainOps.chatPackSpans(tbl(s, dir, "events"))),
+    // the published SFT pipeline as one flow: render -> gate (drop
+    // completion-less conversations) -> pack with remapped masks
+    "corpus_to_sft" -> ((s, dir) => PostTrainOps.corpusToSft(tbl(s, dir, "events"))),
     // self-consistency majority vote: modal answer per prompt group —
     // two map-side-combinable aggs, RLVR's verification-free reduction
     "majority_vote" -> ((s, dir) => PostTrainOps.majorityVote(docsT(s, dir))),
@@ -1049,6 +1052,7 @@ object SparkEntry {
     "best_of_n" -> PostTrainOps.sqlBestOfN,
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,
     "chat_pack_spans" -> PostTrainOps.sqlChatPackSpans,
+    "corpus_to_sft" -> PostTrainOps.sqlCorpusToSft,
     "majority_vote" -> PostTrainOps.sqlMajorityVote,
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,

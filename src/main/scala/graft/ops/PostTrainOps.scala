@@ -334,10 +334,29 @@ object PostTrainOps {
     * is entirely user turns keep a row with an empty span list — the
     * loader needs to know the sequence exists and contributes no loss.
     */
-  def chatPackSpans(rawEvents: DataFrame): DataFrame = {
+  def chatPackSpans(rawEvents: DataFrame): DataFrame =
+    packRenderedChats(chatRender(rawEvents).filter(col("n_chars") >= 1))
+
+  /** The published SFT pipeline as ONE flow — the chat sibling of
+    * `corpus_to_sequences`/`corpus_to_preferences`: assemble + render
+    * sessions, GATE (drop conversations with no assistant completion —
+    * n_turns < 2 contributes zero loss and pads every sequence it lands
+    * in — and any with an empty mask), then pack the survivors with
+    * masks remapped across boundaries. The gate is the difference from
+    * [[chatPackSpans]]: packing everything is the audit face, shipping
+    * gates first — and on this fixture the single-turn drop REALLY
+    * fires (sessions with one event exist by construction).
+    */
+  def corpusToSft(rawEvents: DataFrame): DataFrame =
+    packRenderedChats(chatRender(rawEvents).filter(
+      col("n_chars") >= 1 && col("n_turns") >= 2 && col("n_mask_chars") >= 1))
+
+  /** Pack an already-rendered (and gated) chat frame — the shared tail
+    * of [[chatPackSpans]] and [[corpusToSft]].
+    */
+  private def packRenderedChats(rendered: DataFrame): DataFrame = {
     val L = PretrainOps.SeqLen
-    val base = chatRender(rawEvents)
-      .filter(col("n_chars") >= 1)
+    val base = rendered
       .select(col("session_seq").as("doc_id"), col("user_id").as("source"),
         col("n_chars").as("n_tokens"), col("mask_spans"))
     val bySeq = PretrainOps.packWindowCols(base)
@@ -370,7 +389,12 @@ object PostTrainOps {
         coalesce(col("mask_spans"), lit("")).as("mask_spans"))
   }
 
-  def sqlChatPackSpans: String = {
+  def sqlChatPackSpans: String = sqlPackChain("")
+
+  def sqlCorpusToSft: String =
+    sqlPackChain("AND n_turns >= 2 AND n_mask_chars >= 1")
+
+  private def sqlPackChain(extraGate: String): String = {
     val L = PretrainOps.SeqLen
     // each embedded line carries its OWN margin pipe: the outer
     // stripMargin would otherwise eat the first '|' of any embedded
@@ -381,7 +405,7 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
        |base AS (
        |  SELECT user_id AS source, session_seq AS doc_id,
        |    n_chars AS n_tokens, mask_spans
-       |  FROM rendered WHERE n_chars >= 1),
+       |  FROM rendered WHERE n_chars >= 1 $extraGate),
        |packed AS (
        |  SELECT source, doc_id, n_tokens, mask_spans,
        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -372,6 +372,32 @@ class CurationR9Spec extends SparkSuite {
     assert(got.nonEmpty && got.size > 1)
   }
 
+  // ----------------------------------------------------------- corpus_to_sft
+
+  test("corpusToSft: the completion-less gate fires and the pack matches a hand-gated recompose") {
+    import graft.ops.PostTrainOps
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val rendered = PostTrainOps.chatRender(events)
+    // the gate must have something real to drop on this fixture
+    val dropped = rendered.filter(col("n_turns") < 2 || col("n_mask_chars") < 1)
+    assert(dropped.count() > 0, "fixture must contain completion-less sessions")
+
+    val got = PostTrainOps.corpusToSft(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    val all = PostTrainOps.chatPackSpans(events).collect()
+    assert(got.size < all.length,
+      "gating must produce fewer sequences than packing everything")
+    // spans still tile consistently: mask_chars equals the reparsed span sum
+    got.values.foreach { case (_, nSpans, maskChars, spans) =>
+      val parsed = spans.split(",").filter(_.nonEmpty)
+        .map { s => val Array(a, b) = s.split(":").map(_.toLong); (a, b) }
+      assert(parsed.length.toLong === nSpans)
+      assert(parsed.map(p => p._2 - p._1).sum === maskChars)
+      assert(parsed.forall(p => p._1 >= 0 && p._2 <= graft.ops.PretrainOps.SeqLen))
+    }
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
