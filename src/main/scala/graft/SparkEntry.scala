@@ -623,6 +623,9 @@ object SparkEntry {
     // the published SFT pipeline as one flow: render -> gate (drop
     // completion-less conversations) -> pack with remapped masks
     "corpus_to_sft" -> ((s, dir) => PostTrainOps.corpusToSft(tbl(s, dir, "events"))),
+    // the chat data card: conversations/chars/mean mask fraction per
+    // turn count — exact integer micros, divided once
+    "turn_stats" -> ((s, dir) => PostTrainOps.turnStats(tbl(s, dir, "events"))),
     // self-consistency majority vote: modal answer per prompt group —
     // two map-side-combinable aggs, RLVR's verification-free reduction
     "majority_vote" -> ((s, dir) => PostTrainOps.majorityVote(docsT(s, dir))),
@@ -1053,6 +1056,7 @@ object SparkEntry {
     "reward_length_bias" -> PostTrainOps.sqlRewardLengthBias,
     "chat_pack_spans" -> PostTrainOps.sqlChatPackSpans,
     "corpus_to_sft" -> PostTrainOps.sqlCorpusToSft,
+    "turn_stats" -> PostTrainOps.sqlTurnStats,
     "majority_vote" -> PostTrainOps.sqlMajorityVote,
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,

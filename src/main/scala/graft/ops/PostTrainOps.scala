@@ -198,6 +198,45 @@ object PostTrainOps {
   }
 
   // ---------------------------------------------------------------
+  // turn_stats: the chat data card
+  // ---------------------------------------------------------------
+
+  /** The conversation-shape table every SFT dataset card reports: per
+    * turn count, how many conversations, their total rendered chars,
+    * and the mean loss (mask) fraction — the "is this corpus mostly
+    * single-turn prompts or real dialogs, and how much of it does the
+    * loss actually see" row. Means come from EXACT integer sums divided
+    * once (the domain_stats discipline): mask fractions are summed as
+    * per-conversation floor micros, so partition order cannot move a
+    * digit. One turn-count-keyed agg over [[chatRender]]'s output —
+    * ≤ MaxTurns rows at any corpus size.
+    */
+  def turnStats(rawEvents: DataFrame): DataFrame =
+    chatRender(rawEvents)
+      .select(col("n_turns"), col("n_chars"),
+        when(col("n_chars") > 0,
+          floor(col("n_mask_chars") * lit(1000000L) / col("n_chars")))
+          .otherwise(lit(0L)).cast("long").as("mf_micro"))
+      .groupBy(col("n_turns"))
+      .agg(count(lit(1)).as("n_conversations"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("mf_micro")).as("sum_mf_micro"))
+      .select(col("n_turns"), col("n_conversations"), col("sum_chars"),
+        (col("sum_mf_micro").cast("double") / col("n_conversations") / lit(1e6))
+          .as("mean_mask_fraction"))
+
+  def sqlTurnStats: String =
+    s"""WITH r AS MATERIALIZED (
+${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
+       |)
+       |SELECT n_turns, count(*) AS n_conversations,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(sum(CASE WHEN n_chars > 0
+       |    THEN CAST(floor(n_mask_chars * 1000000 / n_chars) AS BIGINT)
+       |    ELSE 0 END) AS DOUBLE) / count(*) / 1e6 AS mean_mask_fraction
+       |FROM r GROUP BY n_turns""".stripMargin
+
+  // ---------------------------------------------------------------
   // validate_chat: the SFT-data quality gate
   // ---------------------------------------------------------------
 

@@ -398,6 +398,30 @@ class CurationR9Spec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------------- turn_stats
+
+  test("turnStats: counts conserve and mask fraction is the exact micro mean") {
+    import graft.ops.PostTrainOps
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val rendered = PostTrainOps.chatRender(events).collect()
+      .map(r => (r.getAs[Long]("n_turns"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_mask_chars")))
+    val got = PostTrainOps.turnStats(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.values.map(_._1).sum === rendered.length.toLong)
+    rendered.groupBy(_._1).foreach { case (nt, rows) =>
+      val (n, sc, mf) = got(nt)
+      assert(n === rows.length.toLong && sc === rows.map(_._2).sum)
+      val micros = rows.map(r =>
+        if (r._2 > 0) math.floor(r._3 * 1000000.0 / r._2).toLong else 0L)
+      assert(math.abs(mf - micros.sum.toDouble / rows.length / 1e6) < 1e-12)
+    }
+    // single-turn conversations exist and have mask fraction 0 (no
+    // assistant turn) — the row corpus_to_sft's gate is about
+    assert(got.contains(1L) && got(1L)._3 === 0.0)
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
