@@ -518,6 +518,14 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(tbl(s, dir, "documents"))),
     // embedding-space drift monitor: per-dim mean delta between splits
     "embed_drift" -> ((s, dir) => PretrainOps.embedDrift(tbl(s, dir, "embeddings"))),
+    // vector-health card: norm histogram (zero-spike = collapsed
+    // vectors, fat tail = mixed encoder versions)
+    "embed_norm_histogram" -> ((s, dir) =>
+      PretrainOps.embedNormHistogram(tbl(s, dir, "embeddings"))),
+    // the streaming-dashboard reduction batch-side: per (hour, type)
+    // count + exact micro value sum
+    "event_window_counts" -> ((s, dir) =>
+      SessionOps.eventWindowCounts(tbl(s, dir, "events"))),
     // char-trigram profile language ID (textcat family), self-evaluating
     "lang_id_ngram" -> ((s, dir) => TextOps.langIdNgram(tbl(s, dir, "documents"))),
     // exact-parity HyperLogLog per source, self-evaluated vs true distinct
@@ -1026,6 +1034,8 @@ object SparkEntry {
     "community_representatives" -> SimilarityOps.sqlCommunityRepresentatives,
     "text_normalize" -> TextOps.sqlTextNormalize,
     "embed_drift" -> PretrainOps.sqlEmbedDrift,
+    "embed_norm_histogram" -> PretrainOps.sqlEmbedNormHistogram,
+    "event_window_counts" -> SessionOps.sqlEventWindowCounts,
     "lang_id_ngram" -> TextOps.sqlLangIdNgram,
     "source_distinct_hll" -> PretrainOps.sqlSourceDistinctHll,
     "token_freq_cms" -> PretrainOps.sqlTokenFreqCms,

@@ -2572,6 +2572,37 @@ object PretrainOps {
        |  SELECT vec_id, norm, emb_d, unnest(range(1, len(emb_d) + 1)) AS i
        |  FROM e WHERE norm <> 0)""".stripMargin
 
+  // -------------------------------------------------- embed_norm_histogram
+
+  /** Bin cap for [[embedNormHistogram]] (bin width 0.1, everything
+    * ≥ 2.0 folds into the top bin) — fixed output shape regardless of
+    * outliers.
+    */
+  val NormHistCap = 20L
+
+  /** Embedding-norm histogram — the vector-health card beside
+    * [[embedDrift]]'s mean monitor: a healthy encoder emits norms in a
+    * tight band; a spike at 0 is collapsed/zero vectors (they break
+    * cosine), a fat right tail is un-normalized mixing of encoder
+    * versions. Bin = ⌊norm·10⌋ clamped to [[NormHistCap]] — sqrt and
+    * floor are IEEE-deterministic, so both engines bin identically.
+    * ONE map-side-combined agg to ≤ 21 rows at any corpus size.
+    */
+  def embedNormHistogram(emb: DataFrame): DataFrame =
+    SimilarityOps.withNorm(emb)
+      .select(least(floor(col("norm") * 10).cast("long"), lit(NormHistCap))
+        .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("bin_lo", col("bin").cast("double") / 10.0)
+
+  def sqlEmbedNormHistogram: String =
+    s"""SELECT bin, count(*) AS n_vecs, CAST(bin AS DOUBLE) / 10.0 AS bin_lo
+       |FROM (
+       |  SELECT least(CAST(floor(norm * 10) AS BIGINT), $NormHistCap) AS bin
+       |  FROM (${SimilarityOps.sqlWithNorm("embeddings")}))
+       |GROUP BY bin""".stripMargin
+
   // -------------------------------------------------- source_distinct_hll
 
   /** HLL precision: 2^7 = 128 registers per source — chosen so the raw

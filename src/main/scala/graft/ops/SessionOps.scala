@@ -43,6 +43,43 @@ object SessionOps {
         col("event_id").cast("long"),
         col("event_type"), col("value"))
 
+  // ----------------------------------------------------- event_window_counts
+
+  /** Tumbling-window width for [[eventWindowCounts]], in MICROSECONDS
+    * (1 h) — window id = ts_us div this, so bucket boundaries are exact
+    * integer arithmetic in both engines (never a timezone-dependent
+    * date_trunc).
+    */
+  val WindowUs: Long = 3600L * 1000000
+
+  /** Tumbling-window event aggregation — the classic streaming-dashboard
+    * reduction as a batch operator: per (hour window, event_type),
+    * count and exact value sum (micros — a parallel double sum is
+    * partition-order dependent; the card divides once at read time).
+    * The batch face of what `SessionStream`'s watermark machinery does
+    * continuously; at 100 TB this is ONE map-side-combined agg on a
+    * (window, type) key whose cardinality is hours × types — output is
+    * metadata-scale at any event volume.
+    */
+  def eventWindowCounts(rawEvents: DataFrame): DataFrame =
+    eventsUs(rawEvents)
+      .select((col("ts_us").cast("long")).as("ts_us"), col("event_type"),
+        floor(col("value") * lit(1000000L)).cast("long").as("v_micro"))
+      .withColumn("window_start_us",
+        expr(s"(ts_us div $WindowUs) * $WindowUs"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_micro")).as("sum_v_micro"))
+
+  def sqlEventWindowCounts: String =
+    s"""SELECT (ts_us // $WindowUs) * $WindowUs AS window_start_us,
+       |  event_type, count(*) AS n_events,
+       |  CAST(sum(v_micro) AS BIGINT) AS sum_v_micro
+       |FROM (
+       |  SELECT epoch_us(ts) AS ts_us, event_type,
+       |    CAST(floor(value * 1000000) AS BIGINT) AS v_micro
+       |  FROM events)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Per-user gap-based session table: a session closes after
     * [[SessionGapUs]] of inactivity. `session_seq` is the per-user
     * session ordinal (1-based, by time); ties inside a user break by

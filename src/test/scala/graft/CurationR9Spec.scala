@@ -422,6 +422,43 @@ class CurationR9Spec extends SparkSuite {
     assert(got.contains(1L) && got(1L)._3 === 0.0)
   }
 
+  // ---------------------------------- event_window_counts / norm histogram
+
+  test("eventWindowCounts: exact hour buckets, counts and micro sums conserve") {
+    import graft.ops.SessionOps
+    val h = 3600L * 1000000 // one window in micros
+    val ts = (us: Long) => new java.sql.Timestamp(us / 1000)
+    val events = Seq(
+      (1L, ts(10L), 7L, "click", 1.25),
+      (2L, ts(h - 1), 7L, "click", 2.5),   // same hour as event 1
+      (3L, ts(h + 5), 7L, "click", 0.5),   // next hour
+      (4L, ts(10L), 8L, "view", 1.0))      // same hour, other type
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = SessionOps.eventWindowCounts(events).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      (0L, "click") -> ((2L, 3750000L)),
+      (h, "click") -> ((1L, 500000L)),
+      (0L, "view") -> ((1L, 1000000L))))
+  }
+
+  test("embedNormHistogram: exact bins, zero-spike visible, cap clamps the tail") {
+    import graft.ops.PretrainOps
+    def vec(xs: Float*) = xs.toArray
+    val emb = Seq(
+      (1L, vec(0f, 0f), 0),      // norm 0      -> bin 0 (the collapse alarm)
+      (2L, vec(0.3f, 0.4f), 0),  // norm 0.5    -> bin 5
+      (3L, vec(0.6f, 0.8f), 0),  // norm 1.0    -> bin 10
+      (4L, vec(30f, 40f), 0))    // norm 50     -> clamped to cap
+      .toDF("vec_id", "embedding", "label")
+    val got = PretrainOps.embedNormHistogram(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === Map(
+      0L -> ((1L, 0.0)), 5L -> ((1L, 0.5)), 10L -> ((1L, 1.0)),
+      PretrainOps.NormHistCap -> ((1L, 2.0))))
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
