@@ -951,23 +951,42 @@ object TextOps {
     */
   private[graft] def canonUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "utm_[a-z]+=[^&]*&?", "")
+    // utm params strip at PARAMETER boundaries only (review round-9: the
+    // unanchored form ate the tail of 'xutm_source=…' and utm-like path
+    // text) — three backref-free steps: '&utm…' mid-list, '?utm…&' at
+    // the head of a longer list, '?utm…$' as the only param
+    val noUtm = regexp_replace(regexp_replace(regexp_replace(noFrag,
+      "&utm_[a-z]+=[^&]*", ""),
+      "\\?utm_[a-z]+=[^&]*&", "?"),
+      "\\?utm_[a-z]+=[^&]*$", "")
     val noDangle = regexp_replace(noUtm, "[?&]$", "")
-    val lowAuth = concat(
-      lower(regexp_extract(noDangle, "^(https?://[^/]*)", 1)),
-      regexp_replace(noDangle, "^https?://[^/]*", ""))
-    val noPort = regexp_replace(lowAuth, ":(443|80)/", "/")
-    regexp_replace(noPort, "/$", "")
+    // authority = scheme://host[:port], STOPPING at /, ? or # (review:
+    // '[^/]*' swallowed the query string of a path-less URL and matched
+    // only lowercase schemes); (?i) covers 'HTTPS://' spellings, and the
+    // default port strips at the END of the isolated authority only —
+    // never inside a path segment. Simplification (documented): both
+    // :80 and :443 strip for either scheme.
+    val authPat = "(?i)^(https?://[^/?#]*)"
+    val auth = regexp_replace(
+      lower(regexp_extract(noDangle, authPat, 1)), ":(443|80)$", "")
+    val lowAuth = concat(auth, regexp_replace(noDangle, authPat, ""))
+    regexp_replace(lowAuth, "/$", "")
   }
 
-  // single-line for the same nested-stripMargin reason as sqlRawUrl
+  // single-line for the same nested-stripMargin reason as sqlRawUrl;
+  // every regex matches the Spark twin above step for step (all 'g'
+  // flags explicit — a missing one silently de-globals DuckDB)
   private[graft] def sqlCanonUrl(e: String): String = {
-    val stripped = s"regexp_replace(regexp_replace(regexp_replace($e, " +
-      "'#.*$', ''), 'utm_[a-z]+=[^&]*&?', '', 'g'), '[?&]$', '')"
+    val stripped = "regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace($e, " +
+      "'#.*$', ''), '&utm_[a-z]+=[^&]*', '', 'g'), " +
+      "'\\?utm_[a-z]+=[^&]*&', '?', 'g'), " +
+      "'\\?utm_[a-z]+=[^&]*$', ''), '[?&]$', '')"
     s"regexp_replace(regexp_replace(" +
-      s"lower(regexp_extract($stripped, '^(https?://[^/]*)', 1)) " +
-      s"|| regexp_replace($stripped, '^https?://[^/]*', ''), " +
-      "':(443|80)/', '/'), '/$', '')"
+      s"lower(regexp_extract($stripped, '(?i)^(https?://[^/?#]*)', 1)), " +
+      "':(443|80)$', '') " +
+      s"|| regexp_replace($stripped, '(?i)^https?://[^/?#]*', ''), " +
+      "'/$', '')"
   }
 
   /** Per-doc URL canonicalization: (doc_id, url_raw, url_canon,

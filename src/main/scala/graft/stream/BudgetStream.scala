@@ -88,10 +88,11 @@ object BudgetStream {
 
         // merged totals AFTER the decision write: a replay that died
         // between the two writes re-reads the same predecessor version
-        // and reproduces both outputs byte-identically
-        val batchTotals = batch
-          .select(col("source"), size(TextOps.toksOf(batch)).cast("long").as("n_tok"))
-          .groupBy("source").agg(sum("n_tok").as("seen_tokens"))
+        // and reproduces both outputs byte-identically. Totals reduce
+        // the SAME `t` frame as the decisions (one n_tok definition,
+        // one tokenization pass — review round-9)
+        val batchTotals = t.groupBy("source")
+          .agg(sum("n_tok").as("seen_tokens"))
         val merged = prior.fold(batchTotals)(p =>
           p.unionByName(batchTotals).groupBy("source")
             .agg(sum("seen_tokens").as("seen_tokens")))

@@ -135,6 +135,24 @@ class CurationR9Spec extends SparkSuite {
         .as("c")).head().getString(0)
     assert(twice === "https://src.example.com/item/5")
 
+    // review-round edge pins — the cases the synthetic fixture never hits:
+    def canon(u: String): String =
+      corpus.select(TextOps.canonUrl(lit(u)).as("c")).head().getString(0)
+    // ':443' inside a PATH segment is content, not a port
+    assert(canon("https://h.com:443/a:443/b") === "https://h.com/a:443/b")
+    // 'xutm_source' is a real parameter, not tracking noise
+    assert(canon("https://h.com/p?xutm_source=1") === "https://h.com/p?xutm_source=1")
+    // utm in the middle and at the head of a longer list
+    assert(canon("https://h.com/p?utm_a=1&x=2") === "https://h.com/p?x=2")
+    assert(canon("https://h.com/p?a=1&utm_b=2&c=3") === "https://h.com/p?a=1&c=3")
+    // path-less URL: the QUERY keeps its case; only the authority lowers
+    assert(canon("https://HOST.example.com?Token=AbC")
+      === "https://host.example.com?Token=AbC")
+    // uppercase scheme spellings fold too
+    assert(canon("HTTPS://Host.com/x") === "https://host.com/x")
+    // port strips at the END of the authority on a path-less URL
+    assert(canon("https://h.com:443?q=1") === "https://h.com?q=1")
+
     // dedup on the canonical key: 0 and 8 fold into one cluster of 2 with
     // 1 raw variant (both clean-shaped); 1,2,3 are singletons
     val clusters = TextOps.dedupUrl(corpus).collect()
