@@ -471,6 +471,9 @@ object SparkEntry {
     // the decomposed prefix sum: bucket ladder + bucket-local windows,
     // never one source through one window partition
     "token_budget_fill" -> ((s, dir) => PretrainOps.tokenBudgetFill(docsT(s, dir))),
+    // the sampler's closing monitor: declared targets vs realized token
+    // shares, keep_rate alongside so a clamped source explains itself
+    "mixture_realized" -> ((s, dir) => PretrainOps.mixtureRealized(docsT(s, dir))),
     // exact per-stratum COUNT (deterministic reservoir) — the manifest
     // counterpart of sample_stratified's keep-RATE
     "sample_reservoir" -> ((s, dir) => PretrainOps.sampleReservoir(tbl(s, dir, "documents"))),
@@ -1081,6 +1084,7 @@ object SparkEntry {
     "sample_stratified" -> PretrainOps.sqlSampleStratified,
     "sample_mixture" -> PretrainOps.sqlSampleMixture,
     "token_budget_fill" -> PretrainOps.sqlTokenBudgetFill,
+    "mixture_realized" -> PretrainOps.sqlMixtureRealized,
     "sample_reservoir" -> PretrainOps.sqlSampleReservoir,
     "sample_temperature" -> PretrainOps.sqlSampleTemperature,
     "epoch_schedule" -> PretrainOps.sqlEpochSchedule,

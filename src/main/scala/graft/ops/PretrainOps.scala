@@ -2468,6 +2468,60 @@ object PretrainOps {
        |WHERE d.bucket < r.keep_rate * $MixBuckets.0""".stripMargin
   }
 
+  // ------------------------------------------------------ mixture_realized
+
+  /** The mixture sampler's closing monitor: DECLARED per-source targets
+    * ([[MixTargets]]) beside the REALIZED token shares of the admitted
+    * set — the row a training run reads before trusting its data mix.
+    * Realized ≈ target⁄Σtargets only while no source is CLAMPED
+    * (keep_rate = 1 means the source ran out of tokens at the feasible
+    * budget and its share falls short — [[sampleMixture]]'s documented
+    * largest-feasible-budget semantics), so the keep_rate column rides
+    * along: a clamped row explains its own deviation.
+    *
+    * Shape: the sampler's own admitted set (already one broadcast-rate
+    * filter over the corpus), one source-keyed token agg, a 1-row total
+    * broadcast — shares divide exact longs once, both engines bit-equal.
+    */
+  def mixtureRealized(docs: DataFrame): DataFrame = {
+    val kept = sampleMixture(docs).select(col("doc_id"), col("keep_rate"))
+    val tok = docs.select(col("doc_id"), col("source"),
+      size(TextOps.toksOf(docs)).cast("long").as("n_tok"))
+    val realized = tok.join(kept, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("kept_tokens"),
+        max(col("keep_rate")).as("keep_rate"))
+    val t = MixTargets.tail.foldLeft(
+      when(col("source") === MixTargets.head._1, lit(MixTargets.head._2))) {
+      case (acc, (s2, tw)) => acc.when(col("source") === s2, lit(tw))
+    }.otherwise(lit(1.0))
+    realized
+      .crossJoin(broadcast(realized.agg(sum(col("kept_tokens")).as("tot"))))
+      .select(col("source"), t.as("target_w"), col("keep_rate"),
+        col("kept_tokens"),
+        (col("kept_tokens").cast("double") / col("tot").cast("double"))
+          .as("realized_share"))
+  }
+
+  def sqlMixtureRealized: String = {
+    val cases = MixTargets.map { case (s, tw) => s"WHEN '$s' THEN $tw" }.mkString(" ")
+    "WITH kept AS (" + sqlSampleMixture + "),\n" +
+      s"""tok AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(${TextOps.sqlTokens("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |realized AS (
+         |  SELECT t.source, CAST(sum(t.n_tok) AS BIGINT) AS kept_tokens,
+         |    max(k.keep_rate) AS keep_rate
+         |  FROM tok t JOIN kept k USING (doc_id)
+         |  GROUP BY t.source),
+         |tot AS (SELECT CAST(sum(kept_tokens) AS BIGINT) AS tot FROM realized)
+         |SELECT source, CASE source $cases ELSE 1.0 END AS target_w,
+         |  keep_rate, kept_tokens,
+         |  CAST(kept_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS realized_share
+         |FROM realized CROSS JOIN tot""".stripMargin
+  }
+
   // ----------------------------------------------------- token_budget_fill
 
   /** Per-source token budget for [[tokenBudgetFill]] — deliberately below

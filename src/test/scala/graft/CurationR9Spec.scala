@@ -477,6 +477,34 @@ class CurationR9Spec extends SparkSuite {
       PretrainOps.NormHistCap -> ((1L, 2.0))))
   }
 
+  // -------------------------------------------------------- mixture_realized
+
+  test("mixtureRealized: shares sum to 1, unclamped rates encode one feasible budget") {
+    import graft.ops.PretrainOps
+    val got = PretrainOps.mixtureRealized(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-9)
+    // the binding source (smallest tokens/target ratio) is clamped at
+    // keep_rate 1 by construction of the largest-feasible-budget rule
+    assert(got.values.exists(_._2 == 1.0))
+    // the DETERMINISTIC invariant (realized counts carry doc-level
+    // Bernoulli variance — ~8 kept docs per source here — so they are
+    // REPORTED, not asserted): for every unclamped source,
+    // keep_rate·src_tokens⁄target_w equals the one feasible budget rmin
+    val srcTok = graft.ops.TextOps.tokenize(
+      spark.read.parquet(s"$sf/documents.parquet"))
+      .groupBy("source")
+      .agg(sum(size(col("toks"))).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = got.collect { case (s, (tw, kr, _, _)) if kr < 1.0 =>
+      kr * srcTok(s) / tw }
+    assert(budgets.nonEmpty &&
+      budgets.max - budgets.min < 1e-6 * budgets.max,
+      s"unclamped keep rates must encode ONE feasible budget: $budgets")
+  }
+
   // ------------------------------------------------------ degenerate inputs
 
   test("degenerate inputs: empty corpus, null/empty text, single doc") {
