@@ -197,7 +197,15 @@ object TextOps {
     * the fp correlation formula runs ONCE per pair in a pinned
     * operation order, so both engines produce bit-identical doubles.
     * Zero-variance features emit NULL (corr undefined, loudly). ONE agg
-    * over one scan; output is C(F,2) rows at any corpus size.
+    * over one scan; output is C(F,2) rows.
+    *
+    * Overflow discipline (review round-10): the formula terms n·Σxy and
+    * Σx·Σy leave BIGINT range around 10^9 docs (n·Σxy ≈ n²·10^8), so
+    * the moments are widened to DECIMAL(38,0) in Spark / HUGEINT
+    * (int128) in DuckDB BEFORE the products — both exact integers with
+    * the same ~1.7·10^38 ceiling, so the doubles stay bit-identical.
+    * Hard bound, documented: exact up to n·Σxy < 10^38 — i.e. ~10^12
+    * docs of ~10^6 chars, four orders past the 100 TB target.
     */
   def qualityFeatureCorr(docs: DataFrame): DataFrame = {
     val fs = corrFeatures
@@ -210,10 +218,11 @@ object TextOps {
           sum(e).as(s"s$i"), sum(e * e).as(s"q$i")) } ++
           pairs.map { case (i, j) =>
             sum(fs(i)._2 * fs(j)._2).as(s"x${i}_$j") })
+    def d(c: Column): Column = c.cast("decimal(38,0)")
     def corr(i: Int, j: Int): Column = {
-      val num = col("n") * col(s"x${i}_$j") - col(s"s$i") * col(s"s$j")
-      val vx = col("n") * col(s"q$i") - col(s"s$i") * col(s"s$i")
-      val vy = col("n") * col(s"q$j") - col(s"s$j") * col(s"s$j")
+      val num = d(col("n")) * d(col(s"x${i}_$j")) - d(col(s"s$i")) * d(col(s"s$j"))
+      val vx = d(col("n")) * d(col(s"q$i")) - d(col(s"s$i")) * d(col(s"s$i"))
+      val vy = d(col("n")) * d(col(s"q$j")) - d(col(s"s$j")) * d(col(s"s$j"))
       when(vx === 0 || vy === 0, lit(null).cast("double"))
         .otherwise(num.cast("double") /
           sqrt(vx.cast("double")) / sqrt(vy.cast("double")))
@@ -247,9 +256,10 @@ object TextOps {
           pairs.map { case (i, j) =>
             s"CAST(sum(f$i * f$j) AS BIGINT) AS x${i}_$j" })).mkString(",\n    ")
     def corr(i: Int, j: Int): String = {
-      val num = s"n * x${i}_$j - s$i * s$j"
-      val vx = s"n * q$i - s$i * s$i"
-      val vy = s"n * q$j - s$j * s$j"
+      def d(e: String) = s"CAST($e AS HUGEINT)"
+      val num = s"${d("n")} * ${d(s"x${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}"
+      val vx = s"${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")}"
+      val vy = s"${d("n")} * ${d(s"q$j")} - ${d(s"s$j")} * ${d(s"s$j")}"
       s"CASE WHEN ($vx) = 0 OR ($vy) = 0 THEN NULL ELSE " +
         s"CAST($num AS DOUBLE) / sqrt(CAST($vx AS DOUBLE)) / sqrt(CAST($vy AS DOUBLE)) END"
     }
@@ -867,17 +877,22 @@ object TextOps {
         length(concat_ws("",
           regexp_extract_all(col("html"), lit("<a[^>]*>([^<]*)</a>"), lit(1))))
           .cast("long").as("n_anchor_chars"))
+      // empty-extraction guard (review round-10): Spark (non-ANSI)
+      // double-divides to NULL where DuckDB gives IEEE Infinity — pin
+      // NULL explicitly in BOTH faces so the twins agree even on the
+      // real-crawl inputs the synthesized wrapper can't produce
       .withColumn("link_density",
-        col("n_anchor_chars").cast("double") /
-          length(col("extracted")).cast("double"))
+        when(length(col("extracted")) === 0, lit(null).cast("double"))
+          .otherwise(col("n_anchor_chars").cast("double") /
+            length(col("extracted")).cast("double")))
       .withColumn("is_chrome", col("link_density") > LinkDensityMax)
   }
 
   def sqlHtmlExtract: String =
     s"""SELECT doc_id, title, extracted, n_anchor_chars,
-       |  CAST(n_anchor_chars AS DOUBLE) / CAST(length(extracted) AS DOUBLE)
+       |  CAST(n_anchor_chars AS DOUBLE) / CAST(nullif(length(extracted), 0) AS DOUBLE)
        |    AS link_density,
-       |  CAST(n_anchor_chars AS DOUBLE) / CAST(length(extracted) AS DOUBLE)
+       |  CAST(n_anchor_chars AS DOUBLE) / CAST(nullif(length(extracted), 0) AS DOUBLE)
        |    > $LinkDensityMax AS is_chrome
        |FROM (
        |  SELECT doc_id,
@@ -954,11 +969,13 @@ object TextOps {
     // utm params strip at PARAMETER boundaries only (review round-9: the
     // unanchored form ate the tail of 'xutm_source=…' and utm-like path
     // text) — three backref-free steps: '&utm…' mid-list, '?utm…&' at
-    // the head of a longer list, '?utm…$' as the only param
+    // the head of a longer list, '?utm…$' as the only param. (?i)
+    // (review round-10): UTM_SOURCE= / utm_Campaign= spellings appear in
+    // the wild and must fold into the same frontier key
     val noUtm = regexp_replace(regexp_replace(regexp_replace(noFrag,
-      "&utm_[a-z]+=[^&]*", ""),
-      "\\?utm_[a-z]+=[^&]*&", "?"),
-      "\\?utm_[a-z]+=[^&]*$", "")
+      "(?i)&utm_[a-z]+=[^&]*", ""),
+      "(?i)\\?utm_[a-z]+=[^&]*&", "?"),
+      "(?i)\\?utm_[a-z]+=[^&]*$", "")
     val noDangle = regexp_replace(noUtm, "[?&]$", "")
     // authority = scheme://host[:port], STOPPING at /, ? or # (review:
     // '[^/]*' swallowed the query string of a path-less URL and matched
@@ -979,9 +996,9 @@ object TextOps {
   private[graft] def sqlCanonUrl(e: String): String = {
     val stripped = "regexp_replace(regexp_replace(regexp_replace(" +
       s"regexp_replace(regexp_replace($e, " +
-      "'#.*$', ''), '&utm_[a-z]+=[^&]*', '', 'g'), " +
-      "'\\?utm_[a-z]+=[^&]*&', '?', 'g'), " +
-      "'\\?utm_[a-z]+=[^&]*$', ''), '[?&]$', '')"
+      "'#.*$', ''), '(?i)&utm_[a-z]+=[^&]*', '', 'g'), " +
+      "'(?i)\\?utm_[a-z]+=[^&]*&', '?', 'g'), " +
+      "'(?i)\\?utm_[a-z]+=[^&]*$', ''), '[?&]$', '')"
     s"regexp_replace(regexp_replace(" +
       s"lower(regexp_extract($stripped, '(?i)^(https?://[^/?#]*)', 1)), " +
       "':(443|80)$', '') " +

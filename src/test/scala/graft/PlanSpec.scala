@@ -591,8 +591,13 @@ class PlanSpec extends SparkSuite {
     for (name <- Seq("html_extract", "url_normalize")) {
       assert(exchanges(q(name)) == 0, s"$name grew a shuffle")
     }
-    // soft_dedup_weight: exactly the one content-hash window shuffle
-    assert(exchanges(q("soft_dedup_weight")) == 1, "soft_dedup_weight grew")
+    // soft_dedup_weight (round-10: window → agg+join-back, the hot-dup
+    // skew fix): the one content-hash agg shuffle; the cluster-size
+    // table must come back as a broadcast, not a second co-partition
+    val sdw = q("soft_dedup_weight")
+    assert(exchanges(sdw) == 1, "soft_dedup_weight grew")
+    assert(nodes(sdw).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "soft_dedup_weight cluster sizes must broadcast back")
     // dedup_prefix / dedup_url: the dedup_exact minimal shape (fanout
     // insurance + one hash-keyed agg at most)
     for (name <- Seq("dedup_prefix", "dedup_url")) {
