@@ -647,6 +647,11 @@ object SparkEntry {
     // hash projection per side + one full-outer join on doc_id; output
     // proportional to churn, not corpus
     "corpus_diff" -> ((s, dir) => CorpusOps.corpusDiffKey(tbl(s, dir, "documents"))),
+    // incremental corpus rebuild: v1 clean state + diff(v1→v2) patched to
+    // clean(v2), touching only churn — the oracle twin cleans v2 from
+    // scratch, so a hash match IS the patch ≡ rebuild equivalence proof
+    "corpus_clean_incremental" -> ((s, dir) =>
+      CorpusOps.cleanIncrementalKey(tbl(s, dir, "documents"))),
     // DPO pair hygiene: drop pairs whose two sides are near-duplicates
     // (simhash, hamming ≤ 3) — the pair table broadcasts into the anti-join
     "dpo_pairs_nodup" -> ((s, dir) => PostTrainOps.dpoPairsNodup(docsT(s, dir))),
@@ -1073,6 +1078,7 @@ object SparkEntry {
     "majority_vote" -> PostTrainOps.sqlMajorityVote,
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,
+    "corpus_clean_incremental" -> CorpusOps.sqlCleanIncremental,
     "dpo_pairs_nodup" -> PostTrainOps.sqlDpoPairsNodup,
     "corpus_to_preferences" -> CorpusOps.sqlCorpusToPreferences,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,

@@ -381,6 +381,270 @@ object CorpusOps {
           when(col("doc_id") % 11 === 0, upper(col("text")))
             .otherwise(col("text"))))
 
+  // ------------------------------------------- corpus_clean_incremental
+
+  /** The artifacts a [[cleanCorpus]] run persists so the NEXT corpus
+    * version can be cleaned incrementally — the daily-rebuild production
+    * story ([[corpusDiff]]'s doc comment promises exactly this use):
+    *
+    *   - `gated`: (doc_id, content_hash, n_tokens, quality,
+    *     detected_lang, is_rep) for every doc passing the quality +
+    *     language gates — metadata only, text never persists here.
+    *     `is_rep` marks each hash group's min doc_id (the exact-dedup
+    *     survivor), so survivor membership is readable without a
+    *     corpus-wide re-aggregation.
+    *   - `sigs`: the MinHash signature table (doc_id, hs, mh) of the
+    *     exact-dedup survivors — the standing LSH index
+    *     ([[DedupOps.historySignatureTable]]'s role), from which band
+    *     rows derive narrowly.
+    *   - `cands`: the capped per-bucket candidate pairs WITH bucket
+    *     provenance (band_idx, band_sig, doc_a, doc_b). Provenance is
+    *     load-bearing: the deterministic bucket cap means a NEW small
+    *     doc_id entering a bucket can evict an old member and delete
+    *     pairs between two UNTOUCHED docs — only per-bucket bookkeeping
+    *     replays that exactly.
+    *   - `verdicts`: (doc_a, doc_b, jaccard, is_dup) for every distinct
+    *     candidate pair — complete (false verdicts included), so the
+    *     incremental pass can tell "verified below threshold" from
+    *     "never verified" and re-verify only genuinely new pairs.
+    *
+    * At 100 TB each face is written via [[BucketedLayout]] (gated by
+    * content_hash, sigs/bands by band_sig, cands/verdicts by doc pair),
+    * so every churn-keyed semi/anti-join below prunes to the touched
+    * buckets instead of scanning the index.
+    */
+  final case class CleanState(gated: DataFrame, sigs: DataFrame,
+      cands: DataFrame, verdicts: DataFrame)
+
+  /** Build [[CleanState]] from scratch — the v1 full run. Stage
+    * semantics are IDENTICAL to [[cleanStages]]/[[DedupOps
+    * .dedupMinhashLsh]] (same gates, same min-per-hash rep rule, same
+    * band/cap geometry, same shared [[DedupOps.verifyPairs]] kernel), so
+    * `state.gated.filter(is_rep)` minus `verdicts(is_dup).doc_b` IS the
+    * [[cleanCorpus]] output set.
+    */
+  def cleanState(docs: DataFrame): CleanState = {
+    // state faces are lineage-TRUNCATED, not merely cached: each round's
+    // state is the next round's input, so a cache()-backed plan doubles
+    // per chained version (the connectedComponents lesson — canonicalizing
+    // a 3-versions-deep clean plan OOMs before any data moves). With
+    // [[DedupOps.CheckpointDirConf]] set this is the durable parquet
+    // write a production daily rebuild does anyway.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def trunc(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"cleanstate-$runId", name)
+    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val gatedRaw = docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality", quality)
+      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .filter(col("quality") >= QualityThreshold &&
+        col("detected_lang").isin(AcceptedLangs: _*))
+      .select(col("doc_id"),
+        DedupOps.normalizedContentHash.as("content_hash"),
+        col("n_tokens"), col("quality"), col("detected_lang"))
+    val reps = gatedRaw.groupBy("content_hash")
+      .agg(min("doc_id").as("rep_id"))
+    val gated = trunc(
+      gatedRaw.join(reps, "content_hash")
+        .withColumn("is_rep", col("doc_id") === col("rep_id"))
+        .select("doc_id", "content_hash", "n_tokens", "quality",
+          "detected_lang", "is_rep"),
+      "clean_state_gated")
+    val survivorIds = gated.filter(col("is_rep")).select("doc_id")
+    val sigs = trunc(
+      DedupOps.historySignatureTable(docs.join(survivorIds, "doc_id")),
+      "clean_state_sigs")
+    val capped = DedupOps.capBuckets(DedupOps.bandRows(sigs),
+      DedupOps.BandBucketCap)
+    val a = capped.alias("a")
+    val b = capped.alias("b")
+    val cands = trunc(
+      a.join(b,
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_sig") === col("b.band_sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.band_idx").as("band_idx"),
+          col("a.band_sig").as("band_sig"),
+          col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")),
+      "clean_state_cands")
+    val verdicts = trunc(
+      DedupOps.verifyPairs(
+        cands.select("doc_a", "doc_b").distinct(), sigs),
+      "clean_state_verdicts")
+    CleanState(gated, sigs, cands, verdicts)
+  }
+
+  /** Incremental corpus rebuild: given the v1 [[CleanState]] and the
+    * [[corpusDiff]] v1→v2, produce clean(v2) — IDENTICAL to running
+    * [[cleanCorpus]] on v2 from scratch — touching only churn-
+    * proportional slices, plus the v2 state for the next day's rebuild.
+    *
+    * The exactness argument, stage by stage:
+    *   - gates are per-doc pure → only churned docs re-gate;
+    *   - `is_rep` can change only inside AFFECTED hash groups (a hash a
+    *     churned doc had in v1 or has in v2) — an untouched group has
+    *     identical membership in both versions, so its rep carries. This
+    *     replays both demotion (a removed/changed rep's next-min
+    *     promotes) and eviction (an added smaller id demotes an
+    *     unchanged rep);
+    *   - LSH candidates can change only inside AFFECTED band buckets
+    *     (buckets holding a band row of a survivor-set delta doc) — the
+    *     deterministic cap makes this per-bucket, not per-doc: a plus
+    *     doc entering a bucket can evict an old member and delete pairs
+    *     between two untouched docs, and a minus doc leaving can pull a
+    *     beyond-cap doc INTO the capped set, creating pairs between two
+    *     untouched docs. Both replay exactly because affected buckets
+    *     recompute from the v2 membership;
+    *   - verdicts are per-pair pure given signatures → only pairs
+    *     touching churn re-verify, through the same shared
+    *     [[DedupOps.verifyPairs]] kernel.
+    *
+    * Cost ∝ churn: every recompute below is keyed by diff ids, affected
+    * hashes or affected buckets; with the state faces bucket-stored
+    * (see [[CleanState]]) the semi/anti-joins prune I/O to the touched
+    * buckets. The one full-width pass is the narrow band-row projection
+    * over the signature index (no text, no shuffle), and even that
+    * vanishes when band rows are persisted beside the signatures.
+    */
+  def cleanCorpusIncremental(v2docs: DataFrame, state: CleanState,
+      diff: DataFrame): (DataFrame, CleanState) = {
+    import DedupOps.materialize
+    // returned state faces lineage-truncate (see [[cleanState]]): the
+    // chained daily-rebuild use stacks one version's state on the last,
+    // and cache-backed plans double per version
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def trunc(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"cleaninc-$runId", name)
+    val diffIds = materialize(diff.select("doc_id"), "inc_diff_ids")
+    val churnNewIds = diff
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+    // 1. re-gate the churn (per-doc pure — the only text the gates read)
+    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val gatedChurn = v2docs.join(churnNewIds, "doc_id")
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality", quality)
+      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .filter(col("quality") >= QualityThreshold &&
+        col("detected_lang").isin(AcceptedLangs: _*))
+      .select(col("doc_id"),
+        DedupOps.normalizedContentHash.as("content_hash"),
+        col("n_tokens"), col("quality"), col("detected_lang"),
+        lit(false).as("is_rep"))
+    // 2. exact-dedup reps: recompute min-per-hash ONLY for hash groups a
+    // churned doc touches (old hash of a churned doc ∪ new hash of gated
+    // churn); every other group's membership — hence its rep — is
+    // untouched and carries
+    val oldKept = state.gated.join(diffIds, Seq("doc_id"), "left_anti")
+    val affectedHashes = materialize(
+      state.gated.join(diffIds, "doc_id").select("content_hash")
+        .union(gatedChurn.select("content_hash")).distinct(),
+      "inc_affected_hashes")
+    val merged = oldKept.unionByName(gatedChurn)
+    val untouched = merged.join(affectedHashes, Seq("content_hash"), "left_anti")
+    val touched = merged.join(affectedHashes, "content_hash")
+    val touchedReps = touched.groupBy("content_hash")
+      .agg(min("doc_id").as("rep_id"))
+    val retouched = touched.join(touchedReps, "content_hash")
+      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+      .drop("rep_id")
+    val gatedV2 = trunc(
+      untouched.unionByName(retouched.select(untouched.columns.map(col): _*)),
+      "inc_gated_v2")
+    // 3. survivor-set delta: carried = survived both versions with
+    // unchanged text (their signatures stand); plus = new/changed/
+    // promoted reps (signatures must enter the index); minus = removed/
+    // changed/demoted reps (signatures must leave it)
+    val survV2Ids = gatedV2.filter(col("is_rep")).select("doc_id")
+    val oldSurvIds = state.gated.filter(col("is_rep")).select("doc_id")
+    val carried = survV2Ids.join(diffIds, Seq("doc_id"), "left_anti")
+      .join(oldSurvIds, Seq("doc_id"), "left_semi")
+    val plus = materialize(
+      survV2Ids.join(carried, Seq("doc_id"), "left_anti"), "inc_plus")
+    val minus = materialize(
+      oldSurvIds.join(carried, Seq("doc_id"), "left_anti"), "inc_minus")
+    // 4. signature index update + affected band buckets
+    val plusSigs = materialize(
+      DedupOps.historySignatureTable(v2docs.join(plus, "doc_id")),
+      "inc_plus_sigs")
+    val minusSigs = state.sigs.join(minus, "doc_id")
+    val sigsV2 = trunc(
+      state.sigs.join(minus, Seq("doc_id"), "left_anti")
+        .unionByName(plusSigs),
+      "inc_sigs_v2")
+    val affectedBuckets = materialize(
+      DedupOps.bandRows(plusSigs.unionByName(minusSigs))
+        .select("band_idx", "band_sig").distinct(),
+      "inc_affected_buckets")
+    // 5. candidates: affected buckets re-rank + re-pair from the v2
+    // membership; unaffected buckets carry with provenance
+    val touchedBands = DedupOps.bandRows(sigsV2)
+      .join(affectedBuckets, Seq("band_idx", "band_sig"), "left_semi")
+    val cappedTouched =
+      DedupOps.capBuckets(touchedBands, DedupOps.BandBucketCap)
+    val ca = cappedTouched.alias("ca")
+    val cb = cappedTouched.alias("cb")
+    val candsTouched = ca.join(cb,
+        col("ca.band_idx") === col("cb.band_idx") &&
+          col("ca.band_sig") === col("cb.band_sig") &&
+          col("ca.doc_id") < col("cb.doc_id"))
+      .select(col("ca.band_idx").as("band_idx"),
+        col("ca.band_sig").as("band_sig"),
+        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
+    val candsV2 = trunc(
+      state.cands.join(affectedBuckets, Seq("band_idx", "band_sig"), "left_anti")
+        .unionByName(candsTouched),
+      "inc_cands_v2")
+    // 6. verdicts: drop any touching churn (stale text), re-verify only
+    // touched-bucket pairs without a kept verdict
+    val verdictsKept = state.verdicts
+      .join(diffIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(diffIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
+    val toVerify = candsTouched.select("doc_a", "doc_b").distinct()
+      .join(verdictsKept.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+    val verdictsV2 = trunc(
+      verdictsKept.select("doc_a", "doc_b", "jaccard", "is_dup")
+        .unionByName(DedupOps.verifyPairs(toVerify, sigsV2)),
+      "inc_verdicts_v2")
+    // 7. losers = doc_b of pairs that are BOTH current candidates and
+    // verified dups (a kept verdict whose candidacy was cap-evicted must
+    // not fire) → clean(v2)
+    val losers = candsV2.select("doc_a", "doc_b").distinct()
+      .join(verdictsV2.filter(col("is_dup")), Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    val clean = gatedV2.filter(col("is_rep"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("detected_lang"))
+    (clean, CleanState(gatedV2, sigsV2, candsV2, verdictsV2))
+  }
+
+  /** The oracle key: the [[corpusDiffKey]] fixture versions (v1 drops
+    * doc_id % 7 == 0; v2 drops doc_id % 5 == 0 and upper-cases
+    * doc_id % 11 == 0), cleaned INCREMENTALLY — full v1 state build,
+    * diff, patch — while the DuckDB twin cleans v2 from scratch.
+    * Hash-exact agreement is the equivalence proof the operator exists
+    * for: patch(clean(v1), diff(v1→v2)) ≡ clean(v2).
+    */
+  def cleanIncrementalKey(docs: DataFrame): DataFrame = {
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    cleanCorpusIncremental(v2, cleanState(v1), corpusDiff(v1, v2))._1
+  }
+
+  /** Oracle twin: [[sqlCleanCorpus]] rebased wholesale onto the v2
+    * snapshot — the full-recompute answer the incremental path must
+    * reproduce bit-for-bit.
+    */
+  def sqlCleanIncremental: String =
+    "WITH v2docs AS (SELECT * REPLACE (CASE WHEN doc_id % 11 = 0 " +
+      "THEN upper(text) ELSE text END AS text) " +
+      "FROM documents WHERE doc_id % 5 <> 0),\n" +
+      sqlCleanCorpus.stripPrefix("WITH ").replace("FROM documents", "FROM v2docs")
+
   def sqlCorpusDiff: String =
     """WITH a AS (
       |  SELECT doc_id, md5(coalesce(text, '')) AS hash_a

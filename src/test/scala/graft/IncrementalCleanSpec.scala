@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.CorpusOps
+
+/** The incremental corpus rebuild's equivalence contract:
+  * patch(clean(v1), diff(v1→v2)) must be IDENTICAL to clean(v2) from
+  * scratch — not just on the happy path but on every cascade the
+  * deterministic rules create: exact-dup promotion (a removed rep's
+  * next-min takes over), demotion (an added smaller id evicts an
+  * unchanged rep), near-dup loser re-admission (the doc it lost to
+  * left), and text edits that flip a doc's dup status. Plus chaining:
+  * the state the patch returns must itself patch correctly into v3.
+  */
+class IncrementalCleanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "source")
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def incremental(v1: DataFrame, v2: DataFrame): (DataFrame, CorpusOps.CleanState) =
+    CorpusOps.cleanCorpusIncremental(v2,
+      CorpusOps.cleanState(v1), CorpusOps.corpusDiff(v1, v2))
+
+  private def assertEquiv(v1: DataFrame, v2: DataFrame): CorpusOps.CleanState = {
+    val (inc, state) = incremental(v1, v2)
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)),
+      "incremental clean(v2) diverged from the from-scratch rebuild")
+    state
+  }
+
+  // gate-passing English filler: stopword-dense, long enough for quality
+  private def en(tail: String): String =
+    "the quick brown fox jumps over the lazy dog and then the " +
+      "small cat sits on the warm mat near the open door " + tail
+
+  test("fixture corpus: incremental ≡ from-scratch on the oracle versions") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val v1 = base.filter(col("doc_id") % 7 =!= 0)
+    val v2 = base.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    assertEquiv(v1, v2)
+    // and the registered key is exactly this composition
+    assert(rows(CorpusOps.cleanIncrementalKey(base)) ===
+      rows(CorpusOps.cleanCorpus(v2)))
+  }
+
+  test("exact-dup promotion: removing a rep promotes its loser") {
+    // 10 and 20 share a content hash; 10 is rep, 20 the exact-dup loser
+    val v1 = docs(
+      (10L, en("alpha version"), "s"),
+      (20L, en("alpha version"), "s"),
+      (30L, en("unrelated body about rivers and mountains here"), "s"))
+    val v2 = v1.filter(col("doc_id") =!= 10L)
+    val st1 = CorpusOps.cleanState(v1)
+    // precondition: both planted docs gated, 10 the rep
+    val gated = st1.gated.collect().map(r =>
+      r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(gated.keySet === Set(10L, 20L, 30L), s"gate precondition: $gated")
+    assert(gated(10L) && !gated(20L))
+    val (inc, _) = incremental(v1, v2)
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)))
+    assert(inc.select("doc_id").as[Long].collect().toSet.contains(20L),
+      "the orphaned exact-dup loser must be promoted into clean(v2)")
+  }
+
+  test("exact-dup demotion: an added smaller id evicts an unchanged rep") {
+    val v1 = docs(
+      (10L, en("beta version"), "s"),
+      (30L, en("unrelated body about rivers and mountains here"), "s"))
+    val v2 = docs(
+      (5L, en("beta version"), "s"), // same hash, smaller id → new rep
+      (10L, en("beta version"), "s"),
+      (30L, en("unrelated body about rivers and mountains here"), "s"))
+    assertEquiv(v1, v2)
+    val clean2 = CorpusOps.cleanCorpus(v2).select("doc_id").as[Long].collect().toSet
+    assert(clean2.contains(5L) && !clean2.contains(10L),
+      "rebuild precondition: the smaller id must be the new rep")
+  }
+
+  test("near-dup loser re-admission and edit-flip, v2 then chained v3") {
+    // 40/41: near-dups (long shared shingle run, divergent tails);
+    // 41 loses to 40 in v1. Removing 40 in v2 must re-admit 41.
+    val shared = en("the long shared body of this pair continues with " +
+      "many identical words in a row for the shingles to agree on")
+    val v1 = docs(
+      (40L, shared + " tail one", "s"),
+      (41L, shared + " tail two", "s"),
+      (50L, en("unrelated body about rivers and mountains here"), "s"))
+    // precondition: the planted pair IS a verified near-dup pair
+    val st1 = CorpusOps.cleanState(v1)
+    val pairs1 = st1.verdicts.filter(col("is_dup"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs1.contains((40L, 41L)), s"LSH precondition: $pairs1")
+    val v2 = v1.filter(col("doc_id") =!= 40L)
+    val (inc2, st2) = incremental(v1, v2)
+    assert(rows(inc2) === rows(CorpusOps.cleanCorpus(v2)))
+    assert(inc2.select("doc_id").as[Long].collect().toSet.contains(41L),
+      "near-dup loser must be re-admitted once its winner left")
+    // v3: 41's text is EDITED to become a near-dup of a NEW doc 39
+    // (changed + added churn in one step, chained off the v2 state)
+    val v3 = docs(
+      (39L, shared + " tail three", "s"),
+      (41L, shared + " tail four", "s"),
+      (50L, en("unrelated body about rivers and mountains here"), "s"))
+    val (inc3, _) = CorpusOps.cleanCorpusIncremental(
+      v3, st2, CorpusOps.corpusDiff(v2, v3))
+    assert(rows(inc3) === rows(CorpusOps.cleanCorpus(v3)),
+      "chained v2→v3 patch diverged from the from-scratch rebuild")
+    val clean3 = inc3.select("doc_id").as[Long].collect().toSet
+    assert(clean3.contains(39L) && !clean3.contains(41L),
+      "the edited doc must lose to the new smaller-id near-dup")
+  }
+
+  test("gate flips ride the churn: quality/lang edits enter and leave") {
+    val v1 = docs(
+      (60L, en("gate subject body with enough english stopwords"), "s"),
+      (61L, "zzz qqq xxx", "s"), // fails gates in v1
+      (70L, en("unrelated body about rivers and mountains here"), "s"))
+    val v2 = docs(
+      (60L, "zzz qqq xxx", "s"), // edited to FAIL gates
+      (61L, en("now a perfectly fine english document body here"), "s"),
+      (70L, en("unrelated body about rivers and mountains here"), "s"))
+    assertEquiv(v1, v2)
+    val got = incremental(v1, v2)._1.select("doc_id").as[Long].collect().toSet
+    assert(got.contains(61L) && !got.contains(60L))
+  }
+
+  test("empty churn: identical versions patch to the identical corpus") {
+    val v1 = docs(
+      (80L, en("a stable body that does not change at all"), "s"),
+      (81L, en("another stable body that also does not change"), "s"))
+    val (inc, _) = incremental(v1, v1)
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v1)))
+  }
+}
