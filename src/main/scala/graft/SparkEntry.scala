@@ -483,6 +483,11 @@ object SparkEntry {
     "shard_checksums" -> ((s, dir) => PretrainOps.shardChecksums(docsT(s, dir))),
     "lang_mix" -> ((s, dir) => TextOps.langMix(docsT(s, dir))),
     "length_percentiles" -> ((s, dir) => TextOps.lengthPercentiles(docsT(s, dir))),
+    // mergeable deterministic rank sketch: the percentile family without
+    // the per-source global sort — hash-level compaction, O(cap·log n)
+    // state, exact-integer determinism both engines reproduce
+    "length_percentiles_sketch" -> ((s, dir) =>
+      TextOps.lengthPercentilesSketch(docsT(s, dir))),
     "pack_sequences" -> ((s, dir) => PretrainOps.packSequences(docsT(s, dir))),
     // loader-side inverse of pack_sequences: sequence → contributing docs
     "sequence_manifest" -> ((s, dir) => PretrainOps.sequenceManifest(docsT(s, dir))),
@@ -1097,6 +1102,7 @@ object SparkEntry {
     "shard_checksums" -> PretrainOps.sqlShardChecksums,
     "lang_mix" -> TextOps.sqlLangMix,
     "length_percentiles" -> TextOps.sqlLengthPercentiles,
+    "length_percentiles_sketch" -> TextOps.sqlLengthPercentilesSketch,
     "winnow_fingerprint" -> DedupOps.sqlWinnowFingerprint,
     "dedup_winnow" -> DedupOps.sqlDedupWinnow,
     "vocab_coverage" -> PretrainOps.sqlVocabCoverage,

@@ -452,6 +452,163 @@ object TextOps {
         (qcols :+ max(col("n")).as("max_tokens")): _*)
   }
 
+  // ------------------------------------------- length_percentiles_sketch
+
+  /** Retained-sample cap per source for the rank sketch — the accuracy
+    * knob: relative rank error concentrates around 1/√cap (≈3% at
+    * 1024), state is O(cap · log n) rows per source.
+    */
+  val SketchCap = 1024
+
+  /** Mergeable DETERMINISTIC rank sketch for the percentile family —
+    * retiring [[lengthPercentiles]]' per-source full-sort window (the
+    * last per-source-global-sort shape; `approx_percentile` fixes the
+    * cost but can't be oracle-checked). The KLL-style compactor made
+    * order-independent: instead of buffer-order compaction decisions,
+    * every doc draws a LEVEL from its own md5 (trailing-zero count of
+    * [[tokenHash]](doc_id) — a hash-coin geometric), and the sketch of a
+    * multiset S is the PURE FUNCTION
+    *
+    *   t(S) = min{ t ≥ 0 : |{x ∈ S : lvl(x) ≥ t}| ≤ cap },
+    *   retained(S) = {x ∈ S : lvl(x) ≥ t(S)}, each weighing 2^t(S)
+    *
+    * — no arrival order anywhere, so Spark and DuckDB reproduce it
+    * bit-identically, and merge is LOSSLESS: t(A∪B) ≥ max(t(A), t(B))
+    * (surv counts only grow), and for every t ≥ that max the survivor
+    * count of A∪B is exact from the retained rows alone — so
+    * compact(retained(A) ∪ retained(B)) ≡ sketch(A∪B), the
+    * split-invariance the shard/stream story needs (spec'd, and the
+    * streaming face rides it).
+    *
+    * Estimator: rank̂(v) = 2^t · |{retained ≤ v}| (Bernoulli(2^-t)
+    * sampling ⇒ std ≈ n/√cap); percentile q = the smallest retained
+    * value whose estimated rank reaches the EXACT target ceil(q·n/100)
+    * (n rides the same agg exactly), falling back to the retained max
+    * when sampling undershoots the tail.
+    *
+    * Shape: one map-side-combined (source, lvl) count (≤33 rows per
+    * source), one ≤cap-row-per-source window — the corpus-wide sort is
+    * gone; at 100 TB each executor compacts its partition and the
+    * O(cap·sources) survivors merge, exactly the HLL/CMS sketch
+    * discipline with exact-integer determinism.
+    */
+  def lengthPercentilesSketch(docs: DataFrame): DataFrame =
+    sketchPercentiles(sketchCompact(sketchLevels(docs), None))
+
+  /** (source, doc_id, n, lvl) — the per-doc hash level, a narrow
+    * projection riding the scan.
+    */
+  private[graft] def sketchLevels(docs: DataFrame): DataFrame = {
+    val h = tokenHash(col("doc_id").cast("string"))
+    graft.ops.DedupOps.fanout(docs)
+      .select(col("source"), col("doc_id"),
+        size(toksOf(docs)).cast("long").as("n"), h.as("h"))
+      .withColumn("lvl",
+        when(col("h") === 0, lit(32))
+          .otherwise(log2(col("h").bitwiseAND(-col("h"))).cast("int")))
+      .drop("h")
+  }
+
+  /** Compact level rows (plus an optional PRIOR compacted state) to the
+    * sketch state (source, doc_id, n, lvl, t, n_docs). The prior's `t`
+    * is a floor (t can only grow as data accrues — see
+    * [[lengthPercentilesSketch]]'s merge argument) and its `n_docs`
+    * accumulates; with `prior` None this IS the from-scratch sketch.
+    */
+  private[graft] def sketchCompact(lv: DataFrame,
+      prior: Option[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rowsAll = prior match {
+      case Some(p) => lv.unionByName(p.select("source", "doc_id", "n", "lvl"))
+      case None => lv
+    }
+    val nBatch = lv.groupBy("source").agg(count(lit(1)).as("n_new"))
+    val meta = prior match {
+      case Some(p) =>
+        val pm = p.groupBy("source")
+          .agg(max("t").as("t_floor"), max("n_docs").as("n_prior"))
+        nBatch.join(pm, Seq("source"), "full_outer")
+          .select(col("source"),
+            coalesce(col("t_floor"), lit(0)).as("t_floor"),
+            (coalesce(col("n_new"), lit(0L)) +
+              coalesce(col("n_prior"), lit(0L))).as("n_docs"))
+      case None =>
+        nBatch.select(col("source"), lit(0).as("t_floor"),
+          col("n_new").as("n_docs"))
+    }
+    val wDesc = Window.partitionBy("source")
+      .orderBy(col("lvl").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tstar = rowsAll.groupBy("source", "lvl").agg(count(lit(1)).as("c"))
+      .withColumn("surv", sum("c").over(wDesc))
+      .groupBy("source")
+      .agg(coalesce(max(when(col("surv") > SketchCap, col("lvl") + 1)),
+        lit(0)).as("t_raw"))
+    val perSource = broadcast(meta.join(tstar, "source")
+      .select(col("source"),
+        greatest(col("t_raw"), col("t_floor")).as("t"), col("n_docs")))
+    rowsAll.join(perSource, "source").filter(col("lvl") >= col("t"))
+  }
+
+  /** The query face over a compacted state: per source, exact n_docs,
+    * the sketch's t and retained count, and the estimated percentile
+    * points ([[PercentileQs]] + max).
+    */
+  private[graft] def sketchPercentiles(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("n").asc, col("doc_id").asc)
+    val est = state
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("est_rank",
+        col("rk") * pow(lit(2.0), col("t")).cast("long"))
+    val qcols = PercentileQs.map(q =>
+      coalesce(
+        min(when(col("est_rank") >=
+          ceil(col("n_docs") * lit(q) / lit(100.0)), col("n"))),
+        max(col("n"))).as(s"p$q"))
+    est.groupBy("source")
+      .agg(max("n_docs").as("n_docs"),
+        (max(col("t")).cast("long").as("sketch_t") +:
+          count(lit(1)).as("n_retained") +: qcols): _*)
+  }
+
+  def sqlLengthPercentilesSketch: String = {
+    val h = sqlTokenHash("CAST(doc_id AS VARCHAR)")
+    val qcols = PercentileQs.map(q =>
+      s"coalesce(CAST(min(CASE WHEN est_rank >= ceil(n_docs * $q / 100.0) " +
+        s"THEN n END) AS BIGINT), CAST(max(n) AS BIGINT)) AS p$q")
+      .mkString(",\n  ")
+    s"""WITH lv AS (
+       |  SELECT source, doc_id, n,
+       |    CASE WHEN h = 0 THEN 32 ELSE CAST(log2(h & -h) AS INT) END AS lvl
+       |  FROM (
+       |    SELECT source, doc_id, CAST(len(${sqlTokens("text")}) AS BIGINT) AS n,
+       |      $h AS h
+       |    FROM documents)),
+       |ts AS (
+       |  SELECT source,
+       |    coalesce(max(CASE WHEN surv > $SketchCap THEN lvl + 1 END), 0) AS t,
+       |    CAST(sum(c) AS BIGINT) AS n_docs
+       |  FROM (
+       |    SELECT source, lvl, c,
+       |      sum(c) OVER (PARTITION BY source ORDER BY lvl DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv
+       |    FROM (SELECT source, lvl, count(*) AS c FROM lv GROUP BY source, lvl))
+       |  GROUP BY source),
+       |est AS (
+       |  SELECT lv.source, lv.n, ts.n_docs, ts.t,
+       |    CAST(row_number() OVER (PARTITION BY lv.source ORDER BY lv.n, lv.doc_id)
+       |      AS BIGINT) * CAST(power(2.0, ts.t) AS BIGINT) AS est_rank
+       |  FROM lv JOIN ts USING (source)
+       |  WHERE lv.lvl >= ts.t)
+       |SELECT source, max(n_docs) AS n_docs,
+       |  CAST(max(t) AS BIGINT) AS sketch_t,
+       |  CAST(count(*) AS BIGINT) AS n_retained,
+       |  $qcols
+       |FROM est GROUP BY source""".stripMargin
+  }
+
   def sqlLengthPercentiles: String = {
     val qcols = PercentileQs.map(q =>
       s"CAST(max(CASE WHEN rn = ceil(cnt * $q / 100.0) THEN n END) AS BIGINT) AS p$q")
