@@ -660,6 +660,10 @@ object SparkEntry {
     // DPO pair hygiene: drop pairs whose two sides are near-duplicates
     // (simhash, hamming ≤ 3) — the pair table broadcasts into the anti-join
     "dpo_pairs_nodup" -> ((s, dir) => PostTrainOps.dpoPairsNodup(docsT(s, dir))),
+    // Bradley–Terry policy strengths from pairwise outcomes: one
+    // distributed reduction to a ≤C(P,2) win matrix, then the Hunter MM
+    // iteration in exact integer micros (driver-side over ≤64 rows)
+    "bt_strength" -> ((s, dir) => PostTrainOps.btStrength(docsT(s, dir))),
     // the published preference-data pipeline: clean+decontaminate, then
     // DPO pairs over the survivors — the corpus_to_sequences sibling
     "corpus_to_preferences" -> ((s, dir) => CorpusOps.corpusToPreferences(docsT(s, dir))),
@@ -1085,6 +1089,7 @@ object SparkEntry {
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,
     "corpus_clean_incremental" -> CorpusOps.sqlCleanIncremental,
     "dpo_pairs_nodup" -> PostTrainOps.sqlDpoPairsNodup,
+    "bt_strength" -> PostTrainOps.sqlBtStrength,
     "corpus_to_preferences" -> CorpusOps.sqlCorpusToPreferences,
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,

@@ -631,6 +631,185 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
           col("sum_micros")).as("lift_micros_x_n"))
 
   // ---------------------------------------------------------------
+  // Bradley–Terry strength fit over pairwise preference outcomes
+  // ---------------------------------------------------------------
+
+  /** Candidate-policy count for [[btStrength]]: policy_id =
+    * [[TextOps.tokenHash]](doc_id) % NumPolicies — md5-derived, so the
+    * assignment is independent of the prompt-group modulus at ANY
+    * doc_id range (a div- or mod-based split correlates with the group
+    * key on a small-id fixture and starves the match matrix), and both
+    * engines reproduce it exactly.
+    */
+  val NumPolicies = 8
+
+  /** Fixed MM rounds for [[btStrength]] — bounded like the PageRank /
+    * label-propagation loops; convergence on the fixture is
+    * spec-measured (monotone likelihood), not assumed.
+    */
+  val BtRounds = 10
+
+  private val BtMicro = 1000000L
+  private val BtScale = 1000000000000L // 1e12: micros of 1/micros
+
+  /** Bradley–Terry strength per candidate policy — the reward-model
+    * data card's missing column: [[prefState]] says who won each group;
+    * this says how strong each POLICY is from all pairwise outcomes,
+    * via Hunter (2004)'s minorization-maximization iteration
+    *
+    *   σ_i ← W_i / Σ_{j≠i} n_ij / (σ_i + σ_j),  then rescale
+    *
+    * run for [[BtRounds]] fixed rounds in EXACT INTEGER MICROS: the
+    * per-pair term quantizes to n_ij·1e12 div (s_i+s_j) BEFORE the
+    * cross-pair sum (integer, associative, partition-order free), the
+    * rational update divides once in a pinned IEEE order, floors back
+    * to micros, and clamps at 1 micro (a never-winning policy's
+    * strength → 0 would zero a later denominator). Both engines replay
+    * the identical integer/double sequence — the [[grpoAdvantage]]
+    * determinism discipline applied to an iterative fit.
+    *
+    * Shape: ONE distributed reduction — within-group cross-policy
+    * match outcomes aggregated to a ≤ C(P,2)-row win matrix (the
+    * self-join is per prompt group, fan-out bounded by group width;
+    * the agg is map-side combined) — then the MM loop runs driver-side
+    * over ≤64 rows (the BPE/k-means driver-decides-small pattern: the
+    * matrix IS the model's sufficient statistic; corpus size only ever
+    * changes the counts in it). Policies with no cross-policy match
+    * have no estimable strength and emit nothing, loudly.
+    *
+    * Output: (policy_id, n_wins, n_matches, strength_micros, strength)
+    * with strengths normalized to mean 1.0 across estimable policies.
+    */
+  def btStrength(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cand = candidates(docs)
+      .withColumn("policy_id",
+        pmod(TextOps.tokenHash(col("doc_id").cast("string")),
+          lit(NumPolicies.toLong)))
+    val a = cand.select(col("prompt_id"), col("doc_id").as("id_a"),
+      col("reward").as("rw_a"), col("policy_id").as("pol_a"))
+    val b = cand.select(col("prompt_id"), col("doc_id").as("id_b"),
+      col("reward").as("rw_b"), col("policy_id").as("pol_b"))
+    val games = a.join(b, Seq("prompt_id"))
+      .filter(col("id_a") < col("id_b") && col("pol_a") =!= col("pol_b"))
+      // winner by (reward, doc_id) — the dpoPairs struct-order contract
+      .withColumn("a_wins", col("rw_a") > col("rw_b") ||
+        (col("rw_a") === col("rw_b") && col("id_a") > col("id_b")))
+    val matrix = games
+      .select(least(col("pol_a"), col("pol_b")).as("pol_lo"),
+        greatest(col("pol_a"), col("pol_b")).as("pol_hi"),
+        when(col("a_wins") === (col("pol_a") < col("pol_b")), lit(1L))
+          .otherwise(lit(0L)).as("lo_win"))
+      .groupBy("pol_lo", "pol_hi")
+      .agg(count(lit(1)).as("n"), sum("lo_win").as("wins_lo"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = btIterate(matrix)
+    if (rows.isEmpty)
+      Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("policy_id", "n_wins", "n_matches", "strength_micros", "strength")
+    else rows.toSeq
+      .toDF("policy_id", "n_wins", "n_matches", "strength_micros", "strength")
+  }
+
+  /** The MM loop over the collected win matrix — EXACTLY the arithmetic
+    * the unrolled SQL twin runs: ordered match list, per-round integer
+    * term quantization, one pinned double division, floor, clamp,
+    * mean-1 rescale. Pure function of the matrix (the spec's naive
+    * reimplementation target).
+    */
+  private[graft] def btIterate(matrix: Seq[(Long, Long, Long, Long)])
+      : Seq[(Long, Long, Long, Long, Double)] = {
+    // ordered both ways: (i, j, n_ij, wins_of_i)
+    val m = matrix.flatMap { case (lo, hi, n, winsLo) =>
+      Seq((lo, hi, n, winsLo), (hi, lo, n, n - winsLo)) }
+    val policies = m.map(_._1).distinct.sorted
+    if (policies.isEmpty) return Seq.empty
+    val wins = m.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._4).sum }
+    val nm = m.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).sum }
+    var s: Map[Long, Long] = policies.map(_ -> BtMicro).toMap
+    for (_ <- 1 to BtRounds) {
+      val d = policies.map { i =>
+        i -> m.filter(_._1 == i)
+          .map { case (_, j, n, _) => n * BtScale / (s(i) + s(j)) }.sum
+      }.toMap
+      val raw = policies.map { i =>
+        i -> math.max(math.floor(
+          wins(i).toDouble * BtScale.toDouble / d(i).toDouble).toLong, 1L)
+      }.toMap
+      val tot = policies.map(raw).sum
+      s = policies.map { i =>
+        i -> math.max(math.floor(raw(i).toDouble *
+          (policies.size * BtMicro).toDouble / tot.toDouble).toLong, 1L)
+      }.toMap
+    }
+    policies.map(i =>
+      (i, wins(i), nm(i), s(i), s(i).toDouble / BtMicro.toDouble))
+  }
+
+  /** Oracle twin: the match matrix in SQL, then [[BtRounds]] rounds
+    * UNROLLED as CTEs over the ≤64-row ordered match list (the
+    * TokenizerOps learn-chain style) — every integer div, double
+    * division, floor and clamp mirrored operation for operation.
+    */
+  def sqlBtStrength: String = {
+    val rounds = (0 until BtRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT m.i,
+         |    CAST(sum(m.n * $BtScale // (si.s + sj.s)) AS BIGINT) AS d
+         |  FROM m JOIN s$r si ON si.policy_id = m.i
+         |         JOIN s$r sj ON sj.policy_id = m.j
+         |  GROUP BY m.i),
+         |u$r AS MATERIALIZED (
+         |  SELECT d$r.i AS policy_id,
+         |    greatest(CAST(floor(CAST(w.wins AS DOUBLE) * $BtScale.0 /
+         |      CAST(d$r.d AS DOUBLE)) AS BIGINT), 1) AS s
+         |  FROM d$r JOIN w ON w.i = d$r.i),
+         |s${r + 1} AS MATERIALIZED (
+         |  SELECT policy_id,
+         |    greatest(CAST(floor(CAST(s AS DOUBLE) *
+         |      CAST(np.np * $BtMicro AS DOUBLE) /
+         |      CAST(t.tot AS DOUBLE)) AS BIGINT), 1) AS s
+         |  FROM u$r, (SELECT sum(s) AS tot FROM u$r) t,
+         |       (SELECT count(*) AS np FROM u$r) np)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH reward AS (${TextOps.sqlQualityScore}),
+       |cand AS (
+       |  SELECT doc_id % $NumPromptGroups AS prompt_id, doc_id,
+       |    quality AS reward,
+       |    ${TextOps.sqlTokenHash("CAST(doc_id AS VARCHAR)")} % $NumPolicies AS policy_id
+       |  FROM reward WHERE quality IS NOT NULL),
+       |games AS (
+       |  SELECT least(a.policy_id, b.policy_id) AS pol_lo,
+       |    greatest(a.policy_id, b.policy_id) AS pol_hi,
+       |    CASE WHEN (a.reward > b.reward OR
+       |               (a.reward = b.reward AND a.doc_id > b.doc_id))
+       |              = (a.policy_id < b.policy_id)
+       |         THEN 1 ELSE 0 END AS lo_win
+       |  FROM cand a JOIN cand b ON a.prompt_id = b.prompt_id
+       |   AND a.doc_id < b.doc_id AND a.policy_id <> b.policy_id),
+       |mat AS MATERIALIZED (
+       |  SELECT pol_lo, pol_hi, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(lo_win) AS BIGINT) AS wins_lo
+       |  FROM games GROUP BY pol_lo, pol_hi),
+       |m AS MATERIALIZED (
+       |  SELECT pol_lo AS i, pol_hi AS j, n, wins_lo AS w FROM mat
+       |  UNION ALL
+       |  SELECT pol_hi AS i, pol_lo AS j, n, n - wins_lo AS w FROM mat),
+       |w AS MATERIALIZED (
+       |  SELECT i, CAST(sum(w) AS BIGINT) AS wins,
+       |    CAST(sum(n) AS BIGINT) AS n_matches
+       |  FROM m GROUP BY i),
+       |s0 AS MATERIALIZED (SELECT DISTINCT i AS policy_id, CAST($BtMicro AS BIGINT) AS s FROM m),
+       |$rounds
+       |SELECT w.i AS policy_id, w.wins AS n_wins, w.n_matches,
+       |  f.s AS strength_micros,
+       |  CAST(f.s AS DOUBLE) / $BtMicro.0 AS strength
+       |FROM w JOIN s$BtRounds f ON f.policy_id = w.i""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // pass@k: the unbiased estimator over verified candidate groups
   // ---------------------------------------------------------------
 
