@@ -656,26 +656,43 @@ object SimilarityOps {
     * [[communityRepresentatives]] runs LP and PR over ONE knn build.
     */
   private[graft] def pagerankOn(edges: DataFrame): DataFrame = {
-    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nodes = DedupOps.materialize(
+    // same per-round truncation as [[labelPropagate]] (review round-10):
+    // checkpointed rank/degree tables are sized blocks, so the
+    // rank⋈edges⋈degree joins broadcast instead of sort-merging on the
+    // stats-less iterative lineage
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def truncate(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"pr-$runId", name)
+    val outDeg = truncate(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), "pr_deg")
+    val nodes = truncate(
       edges.select(col("src").as("vec_id"))
         .union(edges.select(col("dst").as("vec_id"))).distinct(),
       "pr_nodes")
     val teleport = (15L * 1000000L) / 100L
     var pr = nodes.withColumn("pr_micro", lit(1000000L))
-    for (_ <- 1 to PrIters) {
+    var spent: DataFrame = null
+    for (i <- 1 to PrIters) {
       val contrib = pr
         .join(edges, pr("vec_id") === edges("src"))
         .join(outDeg, Seq("src"))
         .select(col("dst").as("vec_id"),
           expr("pr_micro div deg").as("c"))
         .groupBy("vec_id").agg(sum(col("c")).as("in_sum"))
-      pr = nodes.join(contrib, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(teleport) +
-            expr(s"($PrDampNum * coalesce(in_sum, 0)) div 100"))
-            .as("pr_micro"))
+      val next = truncate(
+        nodes.join(contrib, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            (lit(teleport) +
+              expr(s"($PrDampNum * coalesce(in_sum, 0)) div 100"))
+              .as("pr_micro")),
+        s"pr_rank_${i % 2}")
+      if (spent != null)
+        org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(spent)
+      spent = next
+      pr = next
     }
+    org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(outDeg)
+    org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(nodes)
     pr.select(col("vec_id"), col("pr_micro"),
       (col("pr_micro").cast("double") / 1000000.0).as("pr"))
   }
@@ -758,22 +775,39 @@ object SimilarityOps {
     * hand-built graph with a known community structure.
     */
   private[graft] def labelPropagate(knn: DataFrame): DataFrame = {
-    val edges = DedupOps.materialize(
+    // per-round lineage truncation (the connectedComponents discipline,
+    // review round-10): a cache-backed label table gives AQE no size
+    // stats on the iterative lineage, so the mid-pipeline label⋈edges
+    // joins fell back to sort-merge; a checkpointed round is a sized
+    // block AQE broadcasts. Same pinned-RDD hygiene: each round's
+    // checkpoint is freed when the next materializes, the final one
+    // backs the returned frame.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def truncate(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"lp-$runId", name)
+    val edges = truncate(
       knn.union(knn.select(col("dst").as("src"), col("src").as("dst")))
         .distinct(),
       "lp_edges")
-    val nodes = DedupOps.materialize(
-      edges.select(col("src").as("vec_id")).distinct(), "lp_nodes")
-    var labels = nodes.withColumn("label", col("vec_id"))
-    for (_ <- 1 to LpIters) {
-      labels = labels
-        .join(edges, labels("vec_id") === edges("src"))
-        .groupBy(col("dst"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
-        .select(col("dst").as("vec_id"), (-col("m.nl")).as("label"))
+    var labels = edges.select(col("src").as("vec_id")).distinct()
+      .withColumn("label", col("vec_id"))
+    var spent: DataFrame = null
+    for (i <- 1 to LpIters) {
+      val next = truncate(
+        labels
+          .join(edges, labels("vec_id") === edges("src"))
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("dst"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+          .select(col("dst").as("vec_id"), (-col("m.nl")).as("label")),
+        s"lp_labels_${i % 2}")
+      if (spent != null)
+        org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(spent)
+      spent = next
+      labels = next
     }
+    org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(edges)
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("n_members"))
     labels.join(sizes, "label")

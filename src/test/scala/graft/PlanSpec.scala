@@ -527,6 +527,21 @@ class PlanSpec extends SparkSuite {
       "source_distinct_hll grew an extra shuffle")
     assert(!nodesDeep(q("source_distinct_hll"))
       .exists(_.isInstanceOf[CartesianProductExec]))
+    // community_representatives (round-10): per-round LP/PR truncation
+    // gives AQE sized inputs, so the mid-pipeline joins broadcast —
+    // SMJ=0 post-AQE and the exchange budget under 20 are pinned (the
+    // sweep's most expensive query carried the only non-deliberate
+    // SMJs). Executed first: checkpointed-RDD leaves carry no static
+    // size stats, so the pre-execution plan still drafts SMJs that AQE
+    // converts — the FINAL plan is the claim.
+    // collect(), not a noop write: the write action spawns its OWN
+    // QueryExecution, leaving this df's adaptive plan unfinalized
+    val cr = q("community_representatives")
+    cr.collect()
+    assert(!nodesDeep(cr).exists(
+      _.getClass.getSimpleName.startsWith("SortMergeJoin")),
+      "community_representatives regressed to a sort-merge join")
+    assert(exchanges(cr) < 20, "community_representatives exchange budget")
     // knn_pagerank: five rank⋈edges rounds, no cartesian anywhere
     assert(!nodesDeep(q("knn_pagerank"))
       .exists(_.isInstanceOf[CartesianProductExec]))
