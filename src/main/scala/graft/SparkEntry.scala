@@ -680,6 +680,12 @@ object SparkEntry {
     // the per-distinct-word Viterbi fold + broadcast join-back
     "tokenize_unigram" -> ((s, dir) =>
       TokenizerOps.tokenizeUnigram(docsT(s, dir), trainedUnigram(s, dir))),
+    // byte fallback (SentencePiece --byte_fallback): uncovered chars
+    // decompose to UTF-8 byte tokens — no OOV by construction; planted
+    // deterministic OOV tails make the fallback path oracle-verifiable
+    "tokenize_unigram_bytefb" -> ((s, dir) =>
+      TokenizerOps.tokenizeUnigramByteFbKey(docsT(s, dir),
+        trainedUnigram(s, dir))),
     // tokenizer bake-off: BPE vs unigram fertility per source, one row
     // per source with both ratios in exact micros
     "tokenizer_fertility_compare" -> ((s, dir) =>
@@ -1094,6 +1100,7 @@ object SparkEntry {
     "dedup_audio_fingerprint" -> AudioOps.sqlDedupAudioFp,
     "unigram_train" -> TokenizerOps.sqlUnigramTrain,
     "tokenize_unigram" -> TokenizerOps.sqlTokenizeUnigram,
+    "tokenize_unigram_bytefb" -> TokenizerOps.sqlTokenizeUnigramByteFb,
     "tokenizer_fertility_compare" -> TokenizerOps.sqlTokenizerFertilityCompare,
     "pii_count" -> PretrainOps.sqlPiiCount,
     "quality_repetition" -> PretrainOps.sqlQualityRepetition,

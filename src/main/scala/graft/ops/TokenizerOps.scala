@@ -516,6 +516,119 @@ object TokenizerOps {
         coalesce(sum(col("n_p")), lit(0L)).as("n_tokens"))
   }
 
+  /** [[tokenizeUnigram]] with BYTE FALLBACK — the production tokenizer
+    * contract (SentencePiece `--byte_fallback`, every Llama-family
+    * tokenizer): no OOV by construction. A character outside the vocab
+    * does not emit one opaque UNK; it decomposes into its UTF-8 bytes,
+    * each a byte token from the always-present 256-entry byte alphabet.
+    * Structurally the Viterbi PATH is unchanged — an uncovered char can
+    * only ever be covered by its own single-char step (no multi-char
+    * vocab piece contains it) — so fallback changes the COUNTING, not
+    * the segmentation: an uncovered char contributes octet_length(char)
+    * tokens. Surfaced per doc: `n_fallback_chars` / `n_fallback_bytes`
+    * and `fb_rate_micro` (fallback bytes per million tokens) — the
+    * tokenizer-health number: a rising rate means the corpus drifted
+    * off the vocab's training distribution.
+    *
+    * Same scale shape as [[tokenizeUnigram]]: the fold runs per
+    * DISTINCT word, fallback accounting rides the same in-row pass, and
+    * the corpus side is one broadcast probe.
+    */
+  def tokenizeUnigramByteFb(docs: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val wp = broadcast(wordByteFbCounts(wordFreq(docs), vocab))
+    fanout(docs)
+      .select(col("doc_id"), col("source"),
+        explode_outer(TextOps.toksOf(docs)).as("word"))
+      .join(wp, Seq("word"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(when(col("word") =!= "", 1)).as("n_words"),
+        coalesce(sum(col("n_pieces") - col("n_fb_chars") + col("n_fb_bytes")),
+          lit(0L)).as("n_tokens"),
+        coalesce(sum(col("n_fb_chars")), lit(0L)).as("n_fallback_chars"),
+        coalesce(sum(col("n_fb_bytes")), lit(0L)).as("n_fallback_bytes"))
+      .withColumn("fb_rate_micro",
+        when(col("n_tokens") > 0,
+          expr(microRatio("n_fallback_bytes", "n_tokens")))
+          .otherwise(lit(0L)))
+  }
+
+  /** Per-distinct-word byte-fallback accounting: piece count plus the
+    * uncovered-piece (char, byte) tallies — one in-row pass over the
+    * Viterbi path, vocab membership via the same map the fold read.
+    */
+  private def wordByteFbCounts(wf: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val costs = vocab.map(u => u.piece -> pieceCost(u.score)).toMap
+    val cmap = typedLit(costs)
+    wf.select(col("word"),
+        unigramSegment(col("word"), costs).as("path"))
+      .withColumn("fb",
+        filter(col("path"), p => element_at(cmap, p).isNull))
+      .select(col("word"),
+        size(col("path")).cast("long").as("n_pieces"),
+        size(col("fb")).cast("long").as("n_fb_chars"),
+        coalesce(aggregate(col("fb"), lit(0L),
+          (a, p) => a + length(encode(p, "UTF-8")).cast("long")), lit(0L))
+          .as("n_fb_bytes"))
+  }
+
+  /** Oracle key: vocab trained on the RAW corpus, applied to the corpus
+    * with a deterministic planted OOV tail (`" å§"` on doc_id % 10 == 0
+    * — two chars outside the English fixture's char alphabet, two UTF-8
+    * bytes each; the multimodal declared-fake discipline, so fallback
+    * fires verifiably in both engines).
+    */
+  def tokenizeUnigramByteFbKey(docs: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val planted = docs.drop(TextOps.ToksCol)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" å§")))
+          .otherwise(col("text")))
+    tokenizeUnigramByteFb(planted, vocab)
+  }
+
+  def sqlTokenizeUnigramByteFb: String = {
+    val rounds = UniPruneSizes.length
+    s"""WITH ${sqlUnigramCtes()},
+       |planted AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 10 = 0 THEN coalesce(text, '') || ' å§'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |pw AS MATERIALIZED (
+       |  SELECT word, count(*) AS cnt FROM (
+       |    SELECT unnest(${sqlTokens("text")}) AS word FROM planted)
+       |  WHERE word <> '' GROUP BY word),
+       |pe AS MATERIALIZED (
+       |  SELECT word,
+       |    CAST(len(path) AS BIGINT) AS n_pieces,
+       |    CAST(len(fb) AS BIGINT) AS n_fb_chars,
+       |    CAST(coalesce(list_sum(list_transform(fb, p -> strlen(p))), 0)
+       |      AS BIGINT) AS n_fb_bytes
+       |  FROM (
+       |    SELECT word, path, list_filter(path, p -> len(mp[p]) = 0) AS fb
+       |    FROM (SELECT word, mp, ${sqlUniFold} AS path
+       |          FROM pw, umap$rounds)))
+       |SELECT doc_id, source,
+       |  CAST(count(*) FILTER (WHERE word <> '') AS BIGINT) AS n_words,
+       |  CAST(coalesce(sum(p.n_pieces - p.n_fb_chars + p.n_fb_bytes), 0)
+       |    AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(sum(p.n_fb_chars), 0) AS BIGINT) AS n_fallback_chars,
+       |  CAST(coalesce(sum(p.n_fb_bytes), 0) AS BIGINT) AS n_fallback_bytes,
+       |  CASE WHEN coalesce(sum(p.n_pieces - p.n_fb_chars + p.n_fb_bytes), 0) > 0
+       |    THEN ${sqlMicroRatio(
+                "CAST(coalesce(sum(p.n_fb_bytes), 0) AS BIGINT)",
+                "CAST(coalesce(sum(p.n_pieces - p.n_fb_chars + p.n_fb_bytes), 0) AS BIGINT)")}
+       |    ELSE 0 END AS fb_rate_micro
+       |FROM (
+       |  SELECT doc_id, source, unnest(${sqlTokens("text")}) AS word
+       |  FROM planted) d
+       |LEFT JOIN pe p USING (word)
+       |GROUP BY doc_id, source""".stripMargin
+  }
+
   /** Side-by-side fertility of the two trained tokenizers per source —
     * the evaluation row a tokenizer bake-off reports: same corpus, same
     * word counts, BPE vs unigram tokens-per-word in exact micros.
@@ -526,15 +639,23 @@ object TokenizerOps {
       .select(col("source"), col("n_words"),
         col("n_tokens").as("bpe_tokens"),
         col("fertility_micro").as("bpe_fertility_micro"))
-    val uni = tokenizeUnigram(docs, vocab)
+    val uni = tokenizeUnigramByteFb(docs, vocab)
       .groupBy("source")
-      .agg(sum("n_tokens").as("unigram_tokens"))
+      .agg(sum("n_tokens").as("unigram_tokens"),
+        sum("n_fallback_bytes").as("u_fb_bytes"))
     bpe.join(uni, Seq("source"))
       .select(col("source"), col("n_words"), col("bpe_tokens"),
         col("unigram_tokens"), col("bpe_fertility_micro"),
         when(col("n_words") > 0,
           expr(microRatio("unigram_tokens", "n_words"))).otherwise(lit(0L))
-          .as("unigram_fertility_micro"))
+          .as("unigram_fertility_micro"),
+        // tokenizer health: fallback bytes per million unigram tokens —
+        // 0 when the vocab covers the corpus alphabet (always true when
+        // tokenizing the training corpus itself); nonzero means the
+        // corpus drifted off the vocab's training distribution
+        when(col("unigram_tokens") > 0,
+          expr(microRatio("u_fb_bytes", "unigram_tokens"))).otherwise(lit(0L))
+          .as("unigram_fallback_micro"))
   }
 
   /** The Viterbi fold of [[unigramSegment]] in DuckDB — same rolling
@@ -636,10 +757,17 @@ object TokenizerOps {
          |    v := 1000000 - (length(bin(greatest(s, 1))) - 1)))) AS mp
          |  FROM uvocab$rounds),
          |ue${rounds + 1} AS MATERIALIZED (
-         |  SELECT word, cnt,
+         |  SELECT word, cnt, mp,
          |    ${sqlUniFold} AS path
          |  FROM uw, umap$rounds),
-         |uwp AS (SELECT word, CAST(len(path) AS BIGINT) AS n_p FROM ue${rounds + 1})""".stripMargin
+         |uwp AS (
+         |  SELECT word, CAST(len(path) AS BIGINT) AS n_p,
+         |    CAST(len(fb) AS BIGINT) AS n_fb_chars,
+         |    CAST(coalesce(list_sum(list_transform(fb, p -> strlen(p))), 0)
+         |      AS BIGINT) AS n_fb_bytes
+         |  FROM (
+         |    SELECT word, path, list_filter(path, p -> len(mp[p]) = 0) AS fb
+         |    FROM ue${rounds + 1}))""".stripMargin
     (base +: steps :+ finalSeg).mkString(",\n")
   }
 
@@ -672,7 +800,9 @@ object TokenizerOps {
        |  GROUP BY source),
        |uniagg AS (
        |  SELECT source,
-       |    CAST(coalesce(sum(p.n_p), 0) AS BIGINT) AS unigram_tokens
+       |    CAST(coalesce(sum(p.n_p - p.n_fb_chars + p.n_fb_bytes), 0)
+       |      AS BIGINT) AS unigram_tokens,
+       |    CAST(coalesce(sum(p.n_fb_bytes), 0) AS BIGINT) AS u_fb_bytes
        |  FROM occ LEFT JOIN uwp p USING (word)
        |  GROUP BY source)
        |SELECT b.source, b.n_words, b.bpe_tokens, u.unigram_tokens,
@@ -681,7 +811,10 @@ object TokenizerOps {
        |    AS bpe_fertility_micro,
        |  CASE WHEN b.n_words > 0
        |    THEN ${sqlMicroRatio("u.unigram_tokens", "b.n_words")} ELSE 0 END
-       |    AS unigram_fertility_micro
+       |    AS unigram_fertility_micro,
+       |  CASE WHEN u.unigram_tokens > 0
+       |    THEN ${sqlMicroRatio("u.u_fb_bytes", "u.unigram_tokens")} ELSE 0 END
+       |    AS unigram_fallback_micro
        |FROM bpeagg b JOIN uniagg u USING (source)""".stripMargin
 
   /** Persist a learned merge table — the tokenizer's model artifact, so

@@ -77,6 +77,29 @@ class Round9OpsSpec extends SparkSuite {
     assert(got.getAs[Long]("n_tokens") == 3L + 3L)
   }
 
+  test("byte fallback: planted OOV decomposes to UTF-8 bytes, rate surfaces") {
+    // "zzß日" outside the hand vocab: z (1 byte), z, ß (2 bytes),
+    // 日 (3 bytes) → 4 fallback chars, 7 fallback bytes; banana → 3
+    // vocab pieces → n_tokens = 3 + 7
+    val corpus = Seq((1L, "zzß日 banana", "s"), (2L, "banana", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = TokenizerOps.tokenizeUnigramByteFb(corpus, handVocab)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") === 10L)
+    assert(got(1L).getAs[Long]("n_fallback_chars") === 4L)
+    assert(got(1L).getAs[Long]("n_fallback_bytes") === 7L)
+    // rate = floor(7e6/10) = 700000 micros
+    assert(got(1L).getAs[Long]("fb_rate_micro") === 700000L)
+    // fully-covered doc: zero fallback, counts agree with tokenizeUnigram
+    assert(got(2L).getAs[Long]("n_fallback_bytes") === 0L)
+    assert(got(2L).getAs[Long]("n_tokens") === 3L)
+    assert(got(2L).getAs[Long]("fb_rate_micro") === 0L)
+    // with full coverage the bytefb and plain faces agree everywhere
+    val plain = TokenizerOps.tokenizeUnigram(corpus.filter(col("doc_id") === 2L),
+      handVocab).collect()(0).getAs[Long]("n_tokens")
+    assert(plain === 3L)
+  }
+
   test("unigramTrain: deterministic, covers every corpus char, respects prune caps") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val v1 = TokenizerOps.unigramTrain(docs)
