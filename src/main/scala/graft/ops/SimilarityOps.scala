@@ -1015,7 +1015,8 @@ object SimilarityOps {
     * beam's first prune lands the walk in the query's own region. At
     * production K the prototype table is still tiny (K rows); for K in
     * the millions, recurse — prototypes of prototype-clusters — which is
-    * exactly HNSW's layer stack.
+    * exactly HNSW's layer stack: [[annGraphSearchHier2]] is that
+    * two-level form.
     */
   def annGraphSearchHier(emb: DataFrame, k: Int = KnnGraphK,
       hops: Int = BeamHops, beam: Int = BeamWidth,
@@ -1029,14 +1030,71 @@ object SimilarityOps {
         .select(col("vec_id").as("cand_id"))))
   }
 
+  /** Super-cell count for [[annGraphSearchHier2]]'s level-2 entry layer. */
+  val HierSuperK = 4
+
+  /** The TWO-LEVEL entry hierarchy [[annGraphSearchHier]]'s doc promises
+    * — HNSW's layer stack in its first recursion: the K level-1
+    * prototypes (one per coarse cell) are themselves clustered into
+    * [[HierSuperK]] super-cells, and hop 0 enters at each super-cell's
+    * most prototypical member only. The walk then spends ONE hop on the
+    * PROTOTYPE graph (k-NN among the K prototypes, blocked by
+    * super-cell — every prototype is one hop from its super-cell's
+    * entry) to land on the query's region's prototype, and the
+    * remaining `hops` on the base graph, same beam discipline
+    * throughout.
+    *
+    * Why this matters at scale: with K cells (millions at 100 TB /
+    * granularity-∝-N), the one-level hier scores |Q|·K entry candidates
+    * at hop 0 — itself a brute-force pass. Two levels score
+    * |Q|·superK, then |Q|·beam·k — entry cost drops from O(K) to
+    * O(√K-ish) per query, and recursing again is the same move (each
+    * added layer divides the exponent, which is exactly HNSW's log
+    * structure). Recall is preserved because the prototype graph is
+    * fully covered: each super-cell contributes its own entry, so every
+    * prototype is reachable in the one prototype hop (spec-pinned ≥
+    * one-level at equal beam on the clustered fixture).
+    */
+  def annGraphSearchHier2(emb: DataFrame, k: Int = KnnGraphK,
+      hops: Int = BeamHops, beam: Int = BeamWidth,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids,
+      superK: Int = HierSuperK): DataFrame = {
+    val baseEdges = DedupOps.materialize(
+      knnGraph(emb, centroids = centroids).select(col("vec_id").as("src"),
+        col("neighbor_id").as("dst")),
+      "graph_search_edges")
+    val protoIds = clusterSampleWith(emb, 1, centroids).select("vec_id")
+    val protoVecs = DedupOps.materialize(
+      emb.join(protoIds, "vec_id"), "hier2_protos")
+    val superCents = autoCentroidSet(superK)
+    val superSeeds = clusterSampleWith(protoVecs, 1, superCents)
+      .select(col("vec_id").as("cand_id"))
+    val protoEdges = DedupOps.materialize(
+      knnGraph(protoVecs, centroids = superCents)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+      "hier2_proto_edges")
+    graphBeamSearch(emb, baseEdges, k, hops + 1, beam,
+      Some(superSeeds),
+      Some(protoEdges +: Seq.fill(hops)(baseEdges)))
+  }
+
   /** The search loop over an ALREADY-BUILT edge list — shared by the
     * in-memory face and the indexed face, so the two cannot diverge.
     */
+  /** @param hopEdgesOpt per-hop edge lists (length = number of hops) —
+    *        the two-level entry hierarchy walks its FIRST hop on the
+    *        prototype graph and the rest on the base graph; None = every
+    *        hop on `edges` (the one-level faces).
+    */
   private def graphBeamSearch(emb: DataFrame, edges: DataFrame, k: Int,
       hops: Int, beam: Int,
-      seedsOpt: Option[DataFrame] = None): DataFrame = {
+      seedsOpt: Option[DataFrame] = None,
+      hopEdgesOpt: Option[Seq[DataFrame]] = None): DataFrame = {
     require(hops >= 1, s"annGraphSearch: hops must be >= 1, got $hops")
     require(beam >= k, s"annGraphSearch: beam $beam must cover k=$k")
+    val perHop = hopEdgesOpt.getOrElse(Seq.fill(hops)(edges))
+    require(perHop.length == hops,
+      s"annGraphSearch: ${perHop.length} hop edge lists for $hops hops")
     val e = DedupOps.materialize(
       withNorm(emb).select(col("vec_id"), col("emb_d"), col("norm")),
       "graph_search_vectors")
@@ -1056,9 +1114,10 @@ object SimilarityOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("cand_id"))
     var beam0 = q.select(col("query_id")).crossJoin(broadcast(seeds))
-    for (_ <- 1 to hops) {
+    for (h <- 0 until hops) {
+      val eh = perHop(h)
       val expanded = beam0.select(col("query_id"), col("cand_id"))
-        .union(beam0.join(edges, beam0("cand_id") === edges("src"))
+        .union(beam0.join(eh, beam0("cand_id") === eh("src"))
           .select(col("query_id"), col("dst").as("cand_id")))
         .filter(col("cand_id") =!= col("query_id"))
         .distinct()

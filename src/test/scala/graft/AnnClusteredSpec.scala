@@ -78,6 +78,33 @@ class AnnClusteredSpec extends SparkSuite {
     } finally { exact.unpersist(); () }
   }
 
+  test("two-level entry hierarchy: recall ≥ one-level at equal beam; both beat fixed seeds") {
+    val fp = SimilarityOps.farthestPointInit(emb)
+    val (cents, _) = SimilarityOps.ivfTrain(emb, init = fp)
+    val exact = SimilarityOps.annTopkBruteForce(emb)
+      .filter(col("rank") <= SimilarityOps.KnnGraphK)
+      .select("query_id", "neighbor_id").cache()
+    try {
+      val n = exact.count()
+      def recallOf(g: DataFrame): Double =
+        exact.join(g.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id")).count().toDouble / n
+      val hier2 = recallOf(
+        SimilarityOps.annGraphSearchHier2(emb, hops = 2, centroids = cents))
+      val hier1 = recallOf(
+        SimilarityOps.annGraphSearchHier(emb, hops = 2, centroids = cents))
+      val fixed = recallOf(
+        SimilarityOps.annGraphSearch(emb, hops = 2, centroids = cents))
+      // the prototype layer is fully covered (one entry per super-cell,
+      // every prototype one proto-hop away), so descending through two
+      // levels must not LOSE entry coverage vs scoring all K prototypes
+      // at hop 0 — while the hop-0 candidate count drops from K to
+      // superK, the scale story the layer exists for
+      assert(hier2 >= hier1, s"two-level $hier2 < one-level $hier1")
+      assert(hier2 > fixed, s"two-level $hier2 ≤ fixed seeds $fixed")
+    } finally { exact.unpersist(); () }
+  }
+
   test("matryoshka truncation: recall rises with prefix dims; clustered structure survives 16 of 64 dims") {
     val byDims = SimilarityOps.matryoshkaRecall(emb)
       .groupBy("mrl_dims").agg(avg("recall").as("r")).collect()
