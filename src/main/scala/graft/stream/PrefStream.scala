@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.PostTrainOps
@@ -47,6 +48,14 @@ object PrefStream {
           case None => mine
         }
         merged.write.mode("overwrite").parquet(s"$root/b_$batchId")
+        // pair-hygiene index: each batch ALSO appends its docs' simhash
+        // signatures (doc_id, simhash — never text) as its own delta,
+        // the UrlStream append-only discipline: a replayed batch
+        // overwrites only its own version, so the union of deltas is
+        // exactly one signature per ingested doc
+        graft.ops.DedupOps.simhashSignature(batch)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(VersionedState.versionDir(s"$outDir/_sims", batchId))
         ()
       }
       .start()
@@ -54,6 +63,37 @@ object PrefStream {
   /** Current DPO pairs over everything ingested so far. */
   def pairs(spark: SparkSession, outDir: String): DataFrame =
     PostTrainOps.pairsFromState(latestState(spark, outDir))
+
+  /** [[pairs]] with the near-dup hygiene gate —
+    * [[graft.ops.PostTrainOps.dpoPairsNodup]]'s streaming face: a pair
+    * whose chosen and rejected texts are simhash near-duplicates
+    * (hamming ≤ [[graft.ops.DedupOps.MaxHamming]]) expresses no real
+    * preference and is dropped. The check joins the ≤groups-row pair
+    * table against the ACCUMULATED signature index (every doc ever
+    * ingested, across restarts) and evaluates the pair's hamming
+    * DIRECTLY — exact and cap-free: the batch face's banded join exists
+    * to avoid the corpus² pair space, but here the candidate pairs are
+    * already enumerated, so the pigeonhole detour (lossless by the
+    * hamming < bands argument) is unnecessary. Streamed ≡ batch
+    * `dpoPairsNodup` over everything ingested, across a restart —
+    * spec-asserted.
+    */
+  def pairsNodup(spark: SparkSession, outDir: String): DataFrame = {
+    val simDirs =
+      VersionedState.allBefore(spark, s"$outDir/_sims", Long.MaxValue)
+    val p = pairs(spark, outDir)
+    if (simDirs.isEmpty) return p
+    val sims = spark.read.parquet(simDirs: _*)
+    p
+      .join(sims.select(col("doc_id").as("chosen_id"),
+        col("simhash").as("sim_c")), Seq("chosen_id"), "left")
+      .join(sims.select(col("doc_id").as("rejected_id"),
+        col("simhash").as("sim_r")), Seq("rejected_id"), "left")
+      .filter(coalesce(
+        bit_count(col("sim_c").bitwiseXOR(col("sim_r")))
+          > graft.ops.DedupOps.MaxHamming, lit(true)))
+      .select(p.columns.map(col): _*)
+  }
 
   /** GRPO advantages for `docs` against the CURRENT accumulated group
     * statistics — the frozen-stats apply ([[ScoreStream]]'s λ

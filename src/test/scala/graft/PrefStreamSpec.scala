@@ -46,6 +46,41 @@ class PrefStreamSpec extends SparkSuite {
       "post-restart pairs must equal batch dpoPairs over everything")
   }
 
+  test("nodup face: streamed ≡ batch dpoPairsNodup across restart; cross-batch near-dup pair dropped") {
+    import spark.implicits._
+    val docsDir = tmp("prefnd-docs")
+    val outDir = tmp("prefnd-out")
+    val ckpt = tmp("prefnd-ckpt")
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat sits on the warm mat near the open door while many " +
+      "other gentle words continue in this long sentence about nothing"
+    // prompt group 250 is vacated in the fixture and repopulated with a
+    // planted near-dup candidate pair (one token apart → simhash within
+    // the hamming gate, rewards strictly differing → a pair IS emitted)
+    val planted = Seq(
+      (250L, base, "s"),
+      (506L, base + " okay then", "s")).toDF("doc_id", "text", "source")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+      .filter(pmod(col("doc_id"), lit(256)) =!= 250)
+    val corpus = fixture.unionByName(planted)
+    // the planted pair SPANS the restart: 506 in the first ingest, 250
+    // in the second — the accumulated signature index must connect them
+    val f1 = corpus.filter(col("doc_id") < 150 || col("doc_id") === 506L)
+    val f2 = corpus.filter(col("doc_id") >= 150 && col("doc_id") =!= 506L)
+    f1.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    f2.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    val streamedAll = pairSet(PrefStream.pairs(spark, outDir))
+    val streamedNodup = pairSet(PrefStream.pairsNodup(spark, outDir))
+    assert(streamedNodup == pairSet(PostTrainOps.dpoPairsNodup(corpus)),
+      "streamed nodup pairs must equal batch dpoPairsNodup over everything")
+    val dropped = streamedAll -- streamedNodup
+    assert(dropped.exists(p => Set(p._2, p._3) == Set(250L, 506L)),
+      s"the planted cross-batch near-dup pair must be dropped: $dropped")
+  }
+
   test("advantages face: frozen accumulated stats over the full corpus reproduce batch grpoAdvantage exactly") {
     val docsDir = tmp("prefadv-docs")
     val outDir = tmp("prefadv-out")
