@@ -434,7 +434,9 @@ object CorpusOps {
     def trunc(df: DataFrame, name: String): DataFrame =
       DedupOps.truncateIter(df, s"cleanstate-$runId", name)
     val (nTok, quality) = TextOps.qualityCols(col("text"))
-    val gatedRaw = docs
+    // materialized: feeds both the rep election and the join-back —
+    // uncached, the gate+hash scan over the corpus would run twice
+    val gatedRaw = DedupOps.materialize(docs
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
       .withColumn("detected_lang", TextOps.detectLang(col("text")))
@@ -442,7 +444,8 @@ object CorpusOps {
         col("detected_lang").isin(AcceptedLangs: _*))
       .select(col("doc_id"),
         DedupOps.normalizedContentHash.as("content_hash"),
-        col("n_tokens"), col("quality"), col("detected_lang"))
+        col("n_tokens"), col("quality"), col("detected_lang")),
+      "clean_state_gated_raw")
     val reps = gatedRaw.groupBy("content_hash")
       .agg(min("doc_id").as("rep_id"))
     val gated = trunc(
@@ -510,18 +513,28 @@ object CorpusOps {
   def cleanCorpusIncremental(v2docs: DataFrame, state: CleanState,
       diff: DataFrame): (DataFrame, CleanState) = {
     import DedupOps.materialize
-    // returned state faces lineage-truncate (see [[cleanState]]): the
-    // chained daily-rebuild use stacks one version's state on the last,
-    // and cache-backed plans double per version
+    // BASE + DELTA state discipline (review round-10, measured): an
+    // eager checkpoint of each returned face re-COPIES the corpus-sized
+    // state every version, making patch cost ∝ corpus however small the
+    // churn. Instead, only CHURN-SIZED deltas are checkpointed; each
+    // returned face is `lazy-filter(prior checkpoint) ∪ delta` — the
+    // LSM shape. Every other reference a round makes to a prior face is
+    // cut by a delta checkpoint of its own, so the lazy spine holds
+    // exactly ONE reference per face per version (linear plan growth;
+    // a long-lived chain periodically compacts the base — production
+    // rewrites the bucketed parquet, the same LSM compaction).
     val runId = java.util.UUID.randomUUID().toString.take(8)
     def trunc(df: DataFrame, name: String): DataFrame =
       DedupOps.truncateIter(df, s"cleaninc-$runId", name)
-    val diffIds = materialize(diff.select("doc_id"), "inc_diff_ids")
-    val churnNewIds = diff
+    // the diff materializes ONCE: it is a two-corpus-scan full-outer
+    // join, and every churn-keyed step below reads it
+    val diffM = materialize(diff, "inc_diff")
+    val diffIds = diffM.select("doc_id")
+    val churnNewIds = diffM
       .filter(col("status").isin("added", "changed")).select("doc_id")
     // 1. re-gate the churn (per-doc pure — the only text the gates read)
     val (nTok, quality) = TextOps.qualityCols(col("text"))
-    val gatedChurn = v2docs.join(churnNewIds, "doc_id")
+    val gatedChurn = materialize(v2docs.join(churnNewIds, "doc_id")
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
       .withColumn("detected_lang", TextOps.detectLang(col("text")))
@@ -530,82 +543,103 @@ object CorpusOps {
       .select(col("doc_id"),
         DedupOps.normalizedContentHash.as("content_hash"),
         col("n_tokens"), col("quality"), col("detected_lang"),
-        lit(false).as("is_rep"))
-    // 2. exact-dedup reps: recompute min-per-hash ONLY for hash groups a
-    // churned doc touches (old hash of a churned doc ∪ new hash of gated
-    // churn); every other group's membership — hence its rep — is
-    // untouched and carries
-    val oldKept = state.gated.join(diffIds, Seq("doc_id"), "left_anti")
-    val affectedHashes = materialize(
+        lit(false).as("is_rep")), "inc_gated_churn")
+    // 2. exact-dedup reps: recompute min-per-hash ONLY inside AFFECTED
+    // hash groups (a hash a churned doc had in v1 or has in v2); every
+    // other group's membership — hence its rep — is untouched and rides
+    // the base unchanged
+    val affectedHashes = trunc(
       state.gated.join(diffIds, "doc_id").select("content_hash")
         .union(gatedChurn.select("content_hash")).distinct(),
       "inc_affected_hashes")
-    val merged = oldKept.unionByName(gatedChurn)
-    val untouched = merged.join(affectedHashes, Seq("content_hash"), "left_anti")
-    val touched = merged.join(affectedHashes, "content_hash")
+    val touchedOld = state.gated.join(diffIds, Seq("doc_id"), "left_anti")
+      .join(affectedHashes, Seq("content_hash"), "left_semi")
+    val touched = touchedOld.unionByName(gatedChurn)
     val touchedReps = touched.groupBy("content_hash")
       .agg(min("doc_id").as("rep_id"))
-    val retouched = touched.join(touchedReps, "content_hash")
-      .withColumn("is_rep", col("doc_id") === col("rep_id"))
-      .drop("rep_id")
-    val gatedV2 = trunc(
-      untouched.unionByName(retouched.select(untouched.columns.map(col): _*)),
-      "inc_gated_v2")
-    // 3. survivor-set delta: carried = survived both versions with
-    // unchanged text (their signatures stand); plus = new/changed/
-    // promoted reps (signatures must enter the index); minus = removed/
-    // changed/demoted reps (signatures must leave it)
-    val survV2Ids = gatedV2.filter(col("is_rep")).select("doc_id")
+    // the gated DELTA: affected groups re-elected — churn-sized ckpt
+    val gatedDelta = trunc(
+      touched.join(touchedReps, "content_hash")
+        .withColumn("is_rep", col("doc_id") === col("rep_id"))
+        .drop("rep_id")
+        .select("doc_id", "content_hash", "n_tokens", "quality",
+          "detected_lang", "is_rep"),
+      "inc_gated_delta")
+    val gatedV2 = state.gated
+      .join(diffIds, Seq("doc_id"), "left_anti")
+      .join(affectedHashes, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash", "n_tokens", "quality",
+        "detected_lang", "is_rep")
+      .unionByName(gatedDelta)
+    // 3. survivor-set delta, read off the gated delta alone (survivors
+    // can only change inside affected groups): plus = newly-rep docs
+    // whose signature must enter the index (new/changed text, or
+    // promoted); minus = old survivors whose signature must leave
+    // (removed/changed, or demoted inside an affected group)
     val oldSurvIds = state.gated.filter(col("is_rep")).select("doc_id")
-    val carried = survV2Ids.join(diffIds, Seq("doc_id"), "left_anti")
-      .join(oldSurvIds, Seq("doc_id"), "left_semi")
-    val plus = materialize(
-      survV2Ids.join(carried, Seq("doc_id"), "left_anti"), "inc_plus")
-    val minus = materialize(
-      oldSurvIds.join(carried, Seq("doc_id"), "left_anti"), "inc_minus")
-    // 4. signature index update + affected band buckets
-    val plusSigs = materialize(
+    val plus = trunc(
+      gatedDelta.filter(col("is_rep")).select("doc_id")
+        .join(oldSurvIds.join(diffIds, Seq("doc_id"), "left_anti"),
+          Seq("doc_id"), "left_anti"),
+      "inc_plus")
+    val minus = trunc(
+      oldSurvIds.join(diffIds, Seq("doc_id"), "left_semi")
+        .union(oldSurvIds.join(
+          gatedDelta.filter(!col("is_rep")).select("doc_id"),
+          Seq("doc_id"), "left_semi"))
+        .distinct(),
+      "inc_minus")
+    // 4. signature index delta + affected band buckets
+    val plusSigs = trunc(
       DedupOps.historySignatureTable(v2docs.join(plus, "doc_id")),
       "inc_plus_sigs")
-    val minusSigs = state.sigs.join(minus, "doc_id")
-    val sigsV2 = trunc(
+    // cached, not checkpointed: three consumers (touched-band build +
+    // both verify sides) would each re-scan the base otherwise; cache
+    // materializes once and keeps the delta-state lineage intact
+    val sigsV2 = materialize(
       state.sigs.join(minus, Seq("doc_id"), "left_anti")
         .unionByName(plusSigs),
       "inc_sigs_v2")
-    val affectedBuckets = materialize(
-      DedupOps.bandRows(plusSigs.unionByName(minusSigs))
+    val affectedBuckets = trunc(
+      DedupOps.bandRows(
+        plusSigs.unionByName(state.sigs.join(minus, "doc_id")
+          .select(plusSigs.columns.map(col): _*)))
         .select("band_idx", "band_sig").distinct(),
       "inc_affected_buckets")
     // 5. candidates: affected buckets re-rank + re-pair from the v2
-    // membership; unaffected buckets carry with provenance
+    // membership (this replays cap eviction/back-fill exactly);
+    // unaffected buckets ride the base with provenance
     val touchedBands = DedupOps.bandRows(sigsV2)
       .join(affectedBuckets, Seq("band_idx", "band_sig"), "left_semi")
     val cappedTouched =
       DedupOps.capBuckets(touchedBands, DedupOps.BandBucketCap)
     val ca = cappedTouched.alias("ca")
     val cb = cappedTouched.alias("cb")
-    val candsTouched = ca.join(cb,
+    val candsTouched = trunc(ca.join(cb,
         col("ca.band_idx") === col("cb.band_idx") &&
           col("ca.band_sig") === col("cb.band_sig") &&
           col("ca.doc_id") < col("cb.doc_id"))
       .select(col("ca.band_idx").as("band_idx"),
         col("ca.band_sig").as("band_sig"),
-        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
-    val candsV2 = trunc(
-      state.cands.join(affectedBuckets, Seq("band_idx", "band_sig"), "left_anti")
-        .unionByName(candsTouched),
-      "inc_cands_v2")
+        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b")),
+      "inc_cands_touched")
+    val candsV2 = state.cands
+      .join(affectedBuckets, Seq("band_idx", "band_sig"), "left_anti")
+      .unionByName(candsTouched)
     // 6. verdicts: drop any touching churn (stale text), re-verify only
     // touched-bucket pairs without a kept verdict
     val verdictsKept = state.verdicts
       .join(diffIds.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
       .join(diffIds.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_anti")
-    val toVerify = candsTouched.select("doc_a", "doc_b").distinct()
-      .join(verdictsKept.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
-    val verdictsV2 = trunc(
-      verdictsKept.select("doc_a", "doc_b", "jaccard", "is_dup")
-        .unionByName(DedupOps.verifyPairs(toVerify, sigsV2)),
-      "inc_verdicts_v2")
+      .select("doc_a", "doc_b", "jaccard", "is_dup")
+    val freshVerdicts = trunc(
+      DedupOps.verifyPairs(
+        candsTouched.select("doc_a", "doc_b").distinct()
+          .join(verdictsKept.select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_anti"),
+        sigsV2),
+      "inc_verdicts_fresh")
+    val verdictsV2 = verdictsKept.unionByName(freshVerdicts)
     // 7. losers = doc_b of pairs that are BOTH current candidates and
     // verified dups (a kept verdict whose candidacy was cap-evicted must
     // not fire) → clean(v2)
@@ -618,6 +652,7 @@ object CorpusOps {
         col("detected_lang"))
     (clean, CleanState(gatedV2, sigsV2, candsV2, verdictsV2))
   }
+
 
   /** The oracle key: the [[corpusDiffKey]] fixture versions (v1 drops
     * doc_id % 7 == 0; v2 drops doc_id % 5 == 0 and upper-cases
