@@ -518,11 +518,25 @@ object TextOps {
   private[graft] def sketchCompact(lv: DataFrame,
       prior: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ONE corpus-wide reduction: the per-(source, lvl) batch histogram
+    // — n_docs, the survivor curve and t* all derive from these ≤33
+    // rows per source (an uncached form paid the level scan once for
+    // the histogram and AGAIN for the count)
+    val lvCnts = graft.ops.DedupOps.materialize(
+      lv.groupBy("source", "lvl").agg(count(lit(1)).as("c")),
+      "sketch_lv_cnts")
     val rowsAll = prior match {
       case Some(p) => lv.unionByName(p.select("source", "doc_id", "n", "lvl"))
       case None => lv
     }
-    val nBatch = lv.groupBy("source").agg(count(lit(1)).as("n_new"))
+    val cnts = prior match {
+      case Some(p) =>
+        lvCnts.unionByName(
+          p.groupBy("source", "lvl").agg(count(lit(1)).as("c")))
+          .groupBy("source", "lvl").agg(sum("c").as("c"))
+      case None => lvCnts
+    }
+    val nBatch = lvCnts.groupBy("source").agg(sum("c").as("n_new"))
     val meta = prior match {
       case Some(p) =>
         val pm = p.groupBy("source")
@@ -539,7 +553,7 @@ object TextOps {
     val wDesc = Window.partitionBy("source")
       .orderBy(col("lvl").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tstar = rowsAll.groupBy("source", "lvl").agg(count(lit(1)).as("c"))
+    val tstar = cnts
       .withColumn("surv", sum("c").over(wDesc))
       .groupBy("source")
       .agg(coalesce(max(when(col("surv") > SketchCap, col("lvl") + 1)),
