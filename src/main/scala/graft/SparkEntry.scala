@@ -568,6 +568,10 @@ object SparkEntry {
     "dedup_substring_sa" -> ((s, dir) =>
       SuffixOps.dedupSubstringSaOn(saMergedArray(s, dir), saShards05(s, dir))),
     "quality_perplexity_bucket" -> ((s, dir) => PretrainOps.qualityPerplexityBuckets(docsT(s, dir))),
+    // the CCNet cuts from the deterministic rank sketch — no per-source
+    // full-sort window; the production swap the bucket op's doc defers to
+    "quality_perplexity_bucket_sketch" -> ((s, dir) =>
+      PretrainOps.qualityPerplexityBucketsSketch(docsT(s, dir))),
     // rank-based thirds (CCNet's volume rule): ~n/3 per bucket even
     // under score ties — the mixture-tier-sizing face of the split
     "quality_perplexity_bucket_rank" -> ((s, dir) =>
@@ -1069,6 +1073,8 @@ object SparkEntry {
     "suffix_array_merged" -> SuffixOps.sqlSuffixArrayFor(SaShardPred),
     "dedup_substring_sa" -> SuffixOps.sqlDedupSubstringSaFor(SaShardPred),
     "quality_perplexity_bucket" -> PretrainOps.sqlQualityPerplexityBuckets,
+    "quality_perplexity_bucket_sketch" ->
+      PretrainOps.sqlQualityPerplexityBucketsSketch,
     "quality_perplexity_bucket_rank" -> PretrainOps.sqlQualityPerplexityBucketsRank,
     "quality_linear_score" -> TextOps.sqlQualityLinearScore,
     "bpe_pair_counts" -> TokenizerOps.sqlBpePairCounts,

@@ -2332,6 +2332,95 @@ object PretrainOps {
        |       ELSE 'tail' END AS bucket
        |FROM scored s JOIN th USING (source)""".stripMargin
 
+  /** [[qualityPerplexityBuckets]] with the cuts from the DETERMINISTIC
+    * rank sketch instead of the per-source full-sort window — closing
+    * the production swap both bucket ops' doc comments defer to
+    * (`approx_percentile` can't be oracle-checked; the hash-level
+    * sketch can): [[TextOps.sketchLevelsOf]] draws each doc's level
+    * from its id hash (value-agnostic), [[TextOps.sketchCompact]]
+    * reduces every source to ≤cap retained scores via one map-side-
+    * combined level histogram, and the t33/t67 cut VALUES are the
+    * smallest retained scores whose estimated rank reaches the exact
+    * ceil(n/3) / ceil(2n/3) targets (n rides the sketch exactly).
+    * Bucketing then applies the same strict-> rule to every doc — the
+    * cut table is sources-sized and broadcasts, and the dominant-
+    * source single-task sort partition is GONE: the only corpus-wide
+    * stages are the fluency aggregate the operator already pays and
+    * one (source, lvl) count. Cut-rank error concentrates around
+    * n/√cap (spec-bounded vs the exact cuts); the emitted t33/t67
+    * columns are the reusable standalone quality bars.
+    */
+  def qualityPerplexityBucketsSketch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = pplScored(docs)
+    val state = TextOps.sketchCompact(
+      TextOps.sketchLevelsOf(scored.select(col("source"), col("doc_id"),
+        col("p_mean_micro").as("n"))),
+      None)
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("n").asc, col("doc_id").asc)
+    val est = state
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("est_rank",
+        col("rk") * pow(lit(2.0), col("t")).cast("long"))
+    def cutAt(target: Column, name: String) =
+      coalesce(min(when(col("est_rank") >= target, col("n"))),
+        max(col("n"))).as(name)
+    val cuts = est.groupBy("source").agg(
+      cutAt(ceil(col("n_docs") / lit(3.0)), "t33"),
+      cutAt(ceil(col("n_docs") * lit(2) / lit(3.0)), "t67"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("p_mean_micro"),
+        when(col("p_mean_micro") > col("t67"), lit("head"))
+          .when(col("p_mean_micro") > col("t33"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        col("t33"), col("t67"))
+  }
+
+  def sqlQualityPerplexityBucketsSketch: String = {
+    val h = TextOps.sqlTokenHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH flu AS MATERIALIZED (
+       |$sqlQualityTrigramFluency
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT d.source, flu.doc_id,
+       |    (sum_micro // n_trigrams) AS n
+       |  FROM flu JOIN documents d USING (doc_id)),
+       |lv AS (
+       |  SELECT source, doc_id, n,
+       |    CASE WHEN h = 0 THEN 32 ELSE CAST(log2(h & -h) AS INT) END AS lvl
+       |  FROM (SELECT source, doc_id, n, $h AS h FROM scored)),
+       |ts AS (
+       |  SELECT source,
+       |    coalesce(max(CASE WHEN surv > ${TextOps.SketchCap} THEN lvl + 1 END), 0) AS t,
+       |    CAST(sum(c) AS BIGINT) AS n_docs
+       |  FROM (
+       |    SELECT source, lvl, c,
+       |      sum(c) OVER (PARTITION BY source ORDER BY lvl DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS surv
+       |    FROM (SELECT source, lvl, count(*) AS c FROM lv GROUP BY source, lvl))
+       |  GROUP BY source),
+       |est AS (
+       |  SELECT lv.source, lv.n, ts.n_docs,
+       |    CAST(row_number() OVER (PARTITION BY lv.source ORDER BY lv.n, lv.doc_id)
+       |      AS BIGINT) * CAST(power(2.0, ts.t) AS BIGINT) AS est_rank
+       |  FROM lv JOIN ts USING (source)
+       |  WHERE lv.lvl >= ts.t),
+       |cuts AS (
+       |  SELECT source,
+       |    coalesce(CAST(min(CASE WHEN est_rank >= ceil(n_docs / 3.0)
+       |      THEN n END) AS BIGINT), CAST(max(n) AS BIGINT)) AS t33,
+       |    coalesce(CAST(min(CASE WHEN est_rank >= ceil(n_docs * 2 / 3.0)
+       |      THEN n END) AS BIGINT), CAST(max(n) AS BIGINT)) AS t67
+       |  FROM est GROUP BY source)
+       |SELECT s.doc_id, s.source, s.n AS p_mean_micro,
+       |  CASE WHEN s.n > c.t67 THEN 'head'
+       |       WHEN s.n > c.t33 THEN 'middle'
+       |       ELSE 'tail' END AS bucket,
+       |  c.t33, c.t67
+       |FROM scored s JOIN cuts c USING (source)""".stripMargin
+  }
+
   // ------------------------------------- quality_perplexity_bucket_rank
 
   /** RANK-based per-source thirds — CCNet's actual volume rule, the

@@ -498,11 +498,21 @@ object TextOps {
   /** (source, doc_id, n, lvl) — the per-doc hash level, a narrow
     * projection riding the scan.
     */
-  private[graft] def sketchLevels(docs: DataFrame): DataFrame = {
-    val h = tokenHash(col("doc_id").cast("string"))
-    graft.ops.DedupOps.fanout(docs)
+  private[graft] def sketchLevels(docs: DataFrame): DataFrame =
+    sketchLevelsOf(graft.ops.DedupOps.fanout(docs)
       .select(col("source"), col("doc_id"),
-        size(toksOf(docs)).cast("long").as("n"), h.as("h"))
+        size(toksOf(docs)).cast("long").as("n")))
+
+  /** The level draw over an ARBITRARY (source, doc_id, n) value table —
+    * the sketch is value-agnostic (the level comes from the doc_id
+    * hash, never the value), so any per-doc metric rides the same
+    * machinery: token lengths here, fluency micros for the CCNet
+    * bucket cuts ([[PretrainOps.qualityPerplexityBucketsSketch]]).
+    */
+  private[graft] def sketchLevelsOf(rows: DataFrame): DataFrame = {
+    val h = tokenHash(col("doc_id").cast("string"))
+    rows
+      .withColumn("h", h)
       .withColumn("lvl",
         when(col("h") === 0, lit(32))
           .otherwise(log2(col("h").bitwiseAND(-col("h"))).cast("int")))

@@ -88,6 +88,24 @@ class SketchSpec extends SparkSuite {
       "post-restart sketch must cover everything ever ingested")
   }
 
+  test("CCNet bucket cuts via the sketch: high agreement with the exact cuts") {
+    import graft.ops.PretrainOps
+    val exact = PretrainOps.qualityPerplexityBuckets(fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val est = PretrainOps.qualityPerplexityBucketsSketch(fixture).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(exact.keySet === est.keySet,
+      "both bucket ops must cover the same scored docs")
+    // sub-cap sources retain EVERYTHING (t = 0, weights 1) so the
+    // estimated cuts are the exact order statistics — bit-equal
+    // buckets. On the sf0.001 fixture every source is sub-cap, making
+    // this the exactness-degenerates-gracefully pin; the rank-error
+    // bound for super-cap sources is covered by the length test above.
+    val agree = exact.count { case (id, b) => est(id) == b }
+    assert(agree === exact.size,
+      s"sub-cap sources must bucket identically: $agree/${exact.size}")
+  }
+
   test("degenerate inputs: empty corpus, single doc, sub-cap source") {
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     assert(TextOps.lengthPercentilesSketch(empty).count() === 0L)
