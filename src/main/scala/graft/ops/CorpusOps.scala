@@ -478,6 +478,39 @@ object CorpusOps {
     CleanState(gated, sigs, cands, verdicts)
   }
 
+  /** Persist a [[CleanState]] as four bucketed tables — the artifact a
+    * daily rebuild writes so the next day's patch starts from DISK
+    * (and the LSM compaction for a long-lived in-memory chain: the
+    * write collapses base+delta lineage into a flat layout). Bucket
+    * keys match the patch's own join keys, so the churn-keyed
+    * semi/anti-joins plan against pre-partitioned bases: gated by
+    * content_hash (affected-group splits), sigs by doc_id (±survivor
+    * joins), cands by band_sig (affected-bucket splits), verdicts by
+    * doc_a (churn drops).
+    */
+  def writeCleanState(state: CleanState, tablePrefix: String,
+      dir: String, buckets: Int = 8): Unit = {
+    BucketedLayout.writeBucketed(state.gated, s"${tablePrefix}_gated",
+      "content_hash", buckets, s"$dir/gated")
+    BucketedLayout.writeBucketed(state.sigs, s"${tablePrefix}_sigs",
+      "doc_id", buckets, s"$dir/sigs")
+    BucketedLayout.writeBucketed(state.cands, s"${tablePrefix}_cands",
+      "band_sig", buckets, s"$dir/cands")
+    BucketedLayout.writeBucketed(state.verdicts, s"${tablePrefix}_verdicts",
+      "doc_a", buckets, s"$dir/verdicts")
+  }
+
+  /** Read a persisted [[CleanState]] back (bucket metadata intact — the
+    * base-side exchanges of the next patch vanish).
+    */
+  def readCleanState(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): CleanState =
+    CleanState(
+      BucketedLayout.table(spark, s"${tablePrefix}_gated"),
+      BucketedLayout.table(spark, s"${tablePrefix}_sigs"),
+      BucketedLayout.table(spark, s"${tablePrefix}_cands"),
+      BucketedLayout.table(spark, s"${tablePrefix}_verdicts"))
+
   /** Incremental corpus rebuild: given the v1 [[CleanState]] and the
     * [[corpusDiff]] v1→v2, produce clean(v2) — IDENTICAL to running
     * [[cleanCorpus]] on v2 from scratch — touching only churn-

@@ -132,6 +132,27 @@ class IncrementalCleanSpec extends SparkSuite {
     assert(got.contains(61L) && !got.contains(60L))
   }
 
+  test("persisted state round-trip: the disk-loaded base patches identically") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val v1 = base.filter(col("doc_id") % 7 =!= 0)
+    val v2 = base.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("cleanstate").toString
+    CorpusOps.writeCleanState(CorpusOps.cleanState(v1), "ics_rt", dir)
+    val loaded = CorpusOps.readCleanState(spark, "ics_rt")
+    val (inc, next) = CorpusOps.cleanCorpusIncremental(
+      v2, loaded, CorpusOps.corpusDiff(v1, v2))
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)),
+      "patching from the persisted state diverged from the rebuild")
+    // and the returned v2 state persists in turn (the daily loop)
+    CorpusOps.writeCleanState(next, "ics_rt2", dir + "2")
+    assert(CorpusOps.readCleanState(spark, "ics_rt2")
+      .gated.filter(col("is_rep")).count() ===
+      next.gated.filter(col("is_rep")).count())
+  }
+
   test("empty churn: identical versions patch to the identical corpus") {
     val v1 = docs(
       (80L, en("a stable body that does not change at all"), "s"),
