@@ -478,6 +478,25 @@ object CorpusOps {
     CleanState(gated, sigs, cands, verdicts)
   }
 
+  /** clean(v) read off a [[CleanState]] alone — survivors minus the
+    * doc_b side of pairs that are BOTH current candidates and verified
+    * dups (a verdict whose candidacy was cap-evicted must not fire).
+    * `cleanFromState(cleanState(docs))` ≡ [[cleanCorpus]](docs); ONE
+    * definition shared by the batch composition, the incremental patch
+    * and the streaming face, so the three cannot drift on the loser
+    * rule.
+    */
+  def cleanFromState(state: CleanState): DataFrame = {
+    val losers = state.cands.select("doc_a", "doc_b").distinct()
+      .join(state.verdicts.filter(col("is_dup")),
+        Seq("doc_a", "doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id")).distinct()
+    state.gated.filter(col("is_rep"))
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("detected_lang"))
+  }
+
   /** Persist a [[CleanState]] as four bucketed tables — the artifact a
     * daily rebuild writes so the next day's patch starts from DISK
     * (and the LSM compaction for a long-lived in-memory chain: the
@@ -673,17 +692,9 @@ object CorpusOps {
         sigsV2),
       "inc_verdicts_fresh")
     val verdictsV2 = verdictsKept.unionByName(freshVerdicts)
-    // 7. losers = doc_b of pairs that are BOTH current candidates and
-    // verified dups (a kept verdict whose candidacy was cap-evicted must
-    // not fire) → clean(v2)
-    val losers = candsV2.select("doc_a", "doc_b").distinct()
-      .join(verdictsV2.filter(col("is_dup")), Seq("doc_a", "doc_b"), "left_semi")
-      .select(col("doc_b").as("doc_id")).distinct()
-    val clean = gatedV2.filter(col("is_rep"))
-      .join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_tokens"), col("quality"),
-        col("detected_lang"))
-    (clean, CleanState(gatedV2, sigsV2, candsV2, verdictsV2))
+    // 7. clean(v2) via the shared state→clean projection
+    val next = CleanState(gatedV2, sigsV2, candsV2, verdictsV2)
+    (cleanFromState(next), next)
   }
 
 
