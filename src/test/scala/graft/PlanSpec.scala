@@ -634,4 +634,33 @@ class PlanSpec extends SparkSuite {
     assert(!nodesDeep(pm).exists(_.isInstanceOf[CartesianProductExec]),
       "phrase_match degraded to a cartesian")
   }
+
+  test("round-10: sketch, byte-fallback and incremental-clean shapes") {
+    // length_percentiles_sketch: the per-source corpus sort is GONE —
+    // the only corpus-wide stages are the fanout insurance and ONE
+    // (source, lvl) map-side-combined count; everything after operates
+    // on ≤33-row histograms / ≤cap retained rows, and the per-source
+    // (t, n_docs) table must come back as a broadcast
+    val lps = q("length_percentiles_sketch")
+    assert(exchanges(lps) <= 8, "length_percentiles_sketch grew a shuffle")
+    assert(nodes(lps).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "the sketch per-source (t, n_docs) table must broadcast")
+    // the CCNet sketch cuts: same discipline — the cut table broadcasts
+    // back over the scored corpus
+    val qps = q("quality_perplexity_bucket_sketch")
+    assert(nodes(qps).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "the sketch cut table must broadcast")
+    assert(!nodesDeep(qps).exists(_.isInstanceOf[CartesianProductExec]))
+    // byte-fallback tokenizer: the per-distinct-word probe stays a
+    // broadcast (fallback accounting must not have added a corpus-keyed
+    // co-partition join)
+    val fb = q("tokenize_unigram_bytefb")
+    assert(nodes(fb).exists(_.isInstanceOf[BroadcastExchangeExec]),
+      "tokenize_unigram_bytefb word probe lost its broadcast")
+    // incremental clean: blocked/banded throughout — never a cartesian
+    // anywhere in the state build or the patch
+    assert(!nodesDeep(q("corpus_clean_incremental"))
+      .exists(_.isInstanceOf[CartesianProductExec]),
+      "corpus_clean_incremental degraded to a cartesian")
+  }
 }
