@@ -661,6 +661,11 @@ object SparkEntry {
     // scratch, so a hash match IS the patch ≡ rebuild equivalence proof
     "corpus_clean_incremental" -> ((s, dir) =>
       CorpusOps.cleanIncrementalKey(tbl(s, dir, "documents"))),
+    // the FULL published composition patched (… + decontamination):
+    // churned train docs re-check against the frozen benchmark grams;
+    // oracle twin runs cleanCorpusDecontam on v2 from scratch
+    "corpus_clean_incremental_decontam" -> ((s, dir) =>
+      CorpusOps.cleanIncrementalDecontamKey(tbl(s, dir, "documents"))),
     // DPO pair hygiene: drop pairs whose two sides are near-duplicates
     // (simhash, hamming ≤ 3) — the pair table broadcasts into the anti-join
     "dpo_pairs_nodup" -> ((s, dir) => PostTrainOps.dpoPairsNodup(docsT(s, dir))),
@@ -1100,6 +1105,7 @@ object SparkEntry {
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,
     "corpus_clean_incremental" -> CorpusOps.sqlCleanIncremental,
+    "corpus_clean_incremental_decontam" -> CorpusOps.sqlCleanIncrementalDecontam,
     "dpo_pairs_nodup" -> PostTrainOps.sqlDpoPairsNodup,
     "bt_strength" -> PostTrainOps.sqlBtStrength,
     "corpus_to_preferences" -> CorpusOps.sqlCorpusToPreferences,

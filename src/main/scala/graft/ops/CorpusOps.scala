@@ -698,6 +698,113 @@ object CorpusOps {
   }
 
 
+  // -------------------------------- corpus_clean_incremental_decontam
+
+  /** [[CleanState]] extended to the FULL published composition
+    * ([[cleanCorpusDecontam]]): the contamination hit list, the
+    * benchmark-doc membership, and the frozen benchmark gram set.
+    */
+  final case class DecontamState(clean: CleanState, contamIds: DataFrame,
+      benchIds: DataFrame, benchGrams: DataFrame)
+
+  def cleanStateDecontam(docs: DataFrame,
+      gramWidth: Int = PretrainOps.DecontamGramProd): DecontamState = {
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def trunc(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"decontamstate-$runId", name)
+    DecontamState(
+      cleanState(docs),
+      trunc(PretrainOps.decontaminate(docs, gramWidth)
+        .select("doc_id").distinct(), "contam_ids"),
+      trunc(docs.filter(col("source") === PretrainOps.BenchmarkSource)
+        .select("doc_id"), "bench_ids"),
+      trunc(PretrainOps.benchGramSetOf(docs, gramWidth), "bench_grams"))
+  }
+
+  /** The FULL published pipeline patched — [[cleanCorpusIncremental]]
+    * plus the decontamination stage. Contamination is per-doc pure
+    * GIVEN the benchmark gram set, so while the benchmark side is
+    * untouched by the churn (the overwhelmingly common case — eval
+    * suites are static between corpus versions) only churned train
+    * docs re-check, against the FROZEN state grams, and the hit list
+    * rides base+delta like every other face. When the churn TOUCHES a
+    * benchmark doc the gram set itself moves, and grams can LEAVE it —
+    * un-contaminating arbitrary unchanged train docs — so exactness
+    * demands a full hit-list recompute (one broadcast-gram pass over
+    * the corpus, no LSH, no gates: still far below a full rebuild);
+    * surgical gram-level patching would need the gram→docs inverted
+    * index, which is the containment index's cost, not a daily
+    * patch's. The O(1) bench-churn decision is driver-side (the
+    * k-means-stats pattern).
+    */
+  def cleanCorpusIncrementalDecontam(v2docs: DataFrame,
+      state: DecontamState, diff: DataFrame,
+      gramWidth: Int = PretrainOps.DecontamGramProd)
+      : (DataFrame, DecontamState) = {
+    import DedupOps.materialize
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    def trunc(df: DataFrame, name: String): DataFrame =
+      DedupOps.truncateIter(df, s"decontaminc-$runId", name)
+    val (clean, nextClean) = cleanCorpusIncremental(v2docs, state.clean, diff)
+    val diffM = materialize(diff, "incd_diff")
+    val diffIds = diffM.select("doc_id")
+    val churnNewIds = diffM
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+    val churnDocs = v2docs.join(churnNewIds, "doc_id")
+    val benchChurned = state.benchIds
+      .join(diffIds, Seq("doc_id"), "left_semi")
+      .unionByName(churnDocs
+        .filter(col("source") === PretrainOps.BenchmarkSource)
+        .select("doc_id"))
+      .head(1).nonEmpty
+    val benchIdsV2 = trunc(
+      state.benchIds.join(diffIds, Seq("doc_id"), "left_anti")
+        .unionByName(churnDocs
+          .filter(col("source") === PretrainOps.BenchmarkSource)
+          .select("doc_id")),
+      "bench_ids_v2")
+    val (contamV2, benchGramsV2) =
+      if (benchChurned) (
+        trunc(PretrainOps.decontaminate(v2docs, gramWidth)
+          .select("doc_id").distinct(), "contam_ids_v2"),
+        trunc(PretrainOps.benchGramSetOf(v2docs, gramWidth), "bench_grams_v2"))
+      else (
+        state.contamIds.join(diffIds, Seq("doc_id"), "left_anti")
+          .unionByName(trunc(
+            PretrainOps.contaminatedAgainst(churnDocs, state.benchGrams,
+              gramWidth), "contam_delta")),
+        state.benchGrams)
+    (clean.join(contamV2, Seq("doc_id"), "left_anti"),
+      DecontamState(nextClean, contamV2, benchIdsV2, benchGramsV2))
+  }
+
+  /** Oracle key for the decontam-inclusive patch: the
+    * [[corpusDiffKey]] churn shape restricted to TRAIN docs (benchmark
+    * docs ride both versions unchanged — the static-eval-suite case,
+    * so the key exercises the churn-only patch path; the bench-churn
+    * full-redo path is spec-driven). The DuckDB twin runs the full
+    * [[sqlCleanCorpusDecontam]] on v2 from scratch.
+    */
+  def cleanIncrementalDecontamKey(docs: DataFrame): DataFrame = {
+    val isBench = col("source") === PretrainOps.BenchmarkSource
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0 || isBench)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0 || isBench)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0 && !isBench, upper(col("text")))
+          .otherwise(col("text")))
+    cleanCorpusIncrementalDecontam(v2, cleanStateDecontam(v1),
+      corpusDiff(v1, v2))._1
+  }
+
+  def sqlCleanIncrementalDecontam: String =
+    "WITH v2docs AS (SELECT * REPLACE (CASE WHEN doc_id % 11 = 0 " +
+      s"AND source <> '${PretrainOps.BenchmarkSource}' " +
+      "THEN upper(text) ELSE text END AS text) " +
+      "FROM documents WHERE doc_id % 5 <> 0 " +
+      s"OR source = '${PretrainOps.BenchmarkSource}'),\n" +
+      sqlCleanCorpusDecontam.stripPrefix("WITH ")
+        .replace("FROM documents", "FROM v2docs")
+
   /** The oracle key: the [[corpusDiffKey]] fixture versions (v1 drops
     * doc_id % 7 == 0; v2 drops doc_id % 5 == 0 and upper-cases
     * doc_id % 11 == 0), cleaned INCREMENTALLY — full v1 state build,

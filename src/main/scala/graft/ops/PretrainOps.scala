@@ -113,6 +113,33 @@ object PretrainOps {
     * and push the full gram computation below the fanout exchange (a
     * duplicated, pre-shuffle sketch build — see DedupOps.minhashSignature).
     */
+  /** The distinct benchmark gram set of a corpus — [[decontaminate]]'s
+    * broadcast side as a standalone artifact (the incremental clean
+    * keeps it as state: benchmark suites are static between versions,
+    * so churned docs re-check against the SAME set).
+    */
+  private[graft] def benchGramSetOf(docs: DataFrame,
+      gramWidth: Int = DecontamGram): DataFrame =
+    fanout(docs).filter(col("source") === BenchmarkSource)
+      .select(explode_outer(
+        decontamGramsOf(TextOps.toksOf(docs), gramWidth)).as("g"))
+      .filter(col("g").isNotNull).distinct()
+
+  /** Contaminated TRAIN-side doc ids of `docs` against a FROZEN
+    * benchmark gram set — `contaminatedAgainst(docs,
+    * benchGramSetOf(docs, w), w)` ≡ `decontaminate(docs, w)`'s id set
+    * (same gram kernel, same benchmark-source exclusion), which is the
+    * agreement the incremental patch rests on.
+    */
+  private[graft] def contaminatedAgainst(docs: DataFrame,
+      benchGrams: DataFrame, gramWidth: Int): DataFrame =
+    fanout(docs).filter(col("source") =!= BenchmarkSource)
+      .select(col("doc_id"), explode_outer(
+        decontamGramsOf(TextOps.toksOf(docs), gramWidth)).as("g"))
+      .filter(col("g").isNotNull)
+      .join(broadcast(benchGrams), "g")
+      .select("doc_id").distinct()
+
   def decontaminate(docs: DataFrame, gramWidth: Int = DecontamGram): DataFrame = {
     val g = fanout(docs).select(col("doc_id"), col("source"),
       decontamGramsOf(TextOps.toksOf(docs), gramWidth).as("gs"))

@@ -153,6 +153,52 @@ class IncrementalCleanSpec extends SparkSuite {
       next.gated.filter(col("is_rep")).count())
   }
 
+  test("decontam patch: train churn rides frozen grams; bench churn forces the exact redo") {
+    import graft.ops.PretrainOps
+    val g8 = "alpha beta gamma delta epsilon zeta eta theta"
+    // NO en() prefix on the bench doc: the shared English filler would
+    // itself be an 8-gram overlap with every train doc
+    val bench = (1L, "which of the following statements is true about " + g8,
+      PretrainOps.BenchmarkSource)
+    val leaked = (20L, en("a train document that leaked the span " + g8), "s1")
+    val cleanDoc = (30L, en("an ordinary train document about rivers"), "s1")
+    val v1 = docs(bench, leaked, cleanDoc)
+    val st1 = CorpusOps.cleanStateDecontam(v1)
+    // precondition: the planted 8-gram contaminates doc 20 in v1
+    assert(st1.contamIds.collect().map(_.getLong(0)).toSet === Set(20L))
+
+    // (a) train-only churn: doc 30 edited — the patch path (frozen grams)
+    val v2a = docs(bench, leaked,
+      (30L, en("an ordinary train document about mountains"), "s1"))
+    val (incA, _) = CorpusOps.cleanCorpusIncrementalDecontam(
+      v2a, st1, CorpusOps.corpusDiff(v1, v2a))
+    assert(rows(incA) === rows(CorpusOps.cleanCorpusDecontam(v2a)))
+    assert(!incA.select("doc_id").as[Long].collect().contains(20L),
+      "the leaked doc must stay removed under frozen grams")
+
+    // (b) benchmark churn: the bench doc LEAVES — its grams leave the
+    // set, un-contaminating doc 20; only the full-redo path sees that
+    val v2b = docs(leaked, cleanDoc)
+    val (incB, stB) = CorpusOps.cleanCorpusIncrementalDecontam(
+      v2b, st1, CorpusOps.corpusDiff(v1, v2b))
+    assert(rows(incB) === rows(CorpusOps.cleanCorpusDecontam(v2b)))
+    assert(incB.select("doc_id").as[Long].collect().toSet.contains(20L),
+      "removing the benchmark doc must un-contaminate the leaked doc")
+    assert(stB.contamIds.count() === 0L)
+  }
+
+  test("decontam fixture parity: the key ≡ from-scratch cleanCorpusDecontam(v2)") {
+    import graft.ops.PretrainOps
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val isBench = col("source") === PretrainOps.BenchmarkSource
+    val v2 = base.filter(col("doc_id") % 5 =!= 0 || isBench)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0 && !isBench, upper(col("text")))
+          .otherwise(col("text")))
+    assert(rows(CorpusOps.cleanIncrementalDecontamKey(base)) ===
+      rows(CorpusOps.cleanCorpusDecontam(v2)))
+  }
+
   test("empty churn: identical versions patch to the identical corpus") {
     val v1 = docs(
       (80L, en("a stable body that does not change at all"), "s"),
