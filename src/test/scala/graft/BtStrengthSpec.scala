@@ -94,6 +94,25 @@ class BtStrengthSpec extends SparkSuite {
       Seq("policy_id", "n_wins", "n_matches", "strength_micros", "strength"))
   }
 
+  test("match matrix merges across shards: sum-fold ≡ union's matrix, strengths identical") {
+    // the sufficient statistic is an associative (n, wins) sum per
+    // policy pair — shard matrices merge into exactly the union's
+    // matrix, so the MM fit over merged shards IS the global fit (the
+    // prefState split-invariance discipline). Prompt GROUPS must stay
+    // intact within a shard (a group's pairs are within-group), which
+    // the prompt_id partitioning provides by construction.
+    val shardA = Seq((0L, 1L, 60L, 50L), (1L, 2L, 40L, 30L))
+    val shardB = Seq((0L, 1L, 40L, 40L), (0L, 2L, 50L, 48L), (1L, 2L, 60L, 50L))
+    val merged = (shardA ++ shardB)
+      .groupBy { case (lo, hi, _, _) => (lo, hi) }
+      .map { case ((lo, hi), xs) =>
+        (lo, hi, xs.map(_._3).sum, xs.map(_._4).sum) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val direct = Seq((0L, 1L, 100L, 90L), (0L, 2L, 50L, 48L), (1L, 2L, 100L, 80L))
+    assert(merged === direct.sortBy(x => (x._1, x._2)))
+    assert(PostTrainOps.btIterate(merged) === PostTrainOps.btIterate(direct))
+  }
+
   test("one-sided matrix: the never-winning policy pins at the 1-micro clamp") {
     val oneSided = Seq((0L, 1L, 50L, 50L)) // policy 1 never wins
     val got = PostTrainOps.btIterate(oneSided).map(r => r._1 -> r._4).toMap
