@@ -17,10 +17,15 @@ object BenchProbe {
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     exec(SparkEntry.queries("message_typing")(spark, sfDir)) // warm
+    // same shared-cache discipline as graft.Bench: materialize the
+    // corpus-level shared tables once, keep them across queries
+    try SparkEntry.warmShared(spark, sfDir)
+    catch { case e: Throwable => println(s"PROBE warmShared failed: ${e.getMessage}") }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
       // same per-query hygiene as graft.Bench
-      org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(spark)
+      org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(spark,
+        SparkEntry.sharedCaches(spark, sfDir))
       try {
         val t = (1 to 2).map { _ =>
           val t0 = System.nanoTime()

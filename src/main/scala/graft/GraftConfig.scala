@@ -14,9 +14,23 @@ import scala.concurrent.duration._
   */
 object conf {
 
+  /** ≙ config.RejectionLog (config/config.go:28-31): route REJECTED
+    * actions (per-item `_bulk` failures, invalid actions) as INDEX
+    * actions into a dedicated ES index through the normal bulk encode
+    * path — the rejection document carries the failed doc's identity,
+    * the original target index and the server's error text, plus the
+    * original `source` when `includeSource`. The reference DECLARES the
+    * struct but never consumes it (no reference outside config.go), so
+    * the routing semantics here follow the struct's evident intent; the
+    * file dead-letter stays the durable local record either way.
+    */
+  case class RejectionLogConfig(
+      index: String,
+      includeSource: Boolean = false)
+
   /** ≙ config.Elasticsearch (config/config.go:9-26) with SetDefault
     * semantics (config/config.go:37-58): ticker 10s, batch 1000 actions,
-    * 10mb, 1 concurrent request.
+    * 10mb, 1 concurrent request, 5-minute node rediscovery.
     */
   case class EsSinkConfig(
       tableIndexMapping: Map[String, String],
@@ -30,6 +44,22 @@ object conf {
       // with the reference's "7.0.0" detection-failure fallback,
       // client.go:37-74). The zero-egress default is modern ES (no
       // `_type` emitted).
+      rejectionLog: Option[RejectionLogConfig] = None,
+      // ≙ config.go:27-31; None = file dead-letter only (the default the
+      // reference effectively ships, since it never reads the struct).
+      maxIdleConnDuration: Option[FiniteDuration] = None,
+      // ≙ MaxIdleConnDuration (config/config.go:15, fasthttp's idle-conn
+      // eviction): a transport connection idle longer than this is
+      // dropped before the next request (EsHttpClient rebuilds its
+      // pooled JDK client — same effect: no request rides a stale
+      // keep-alive through a dead NAT/LB mapping). None = JDK default.
+      disableDiscoverNodesOnStart: Boolean = false,
+      // ≙ DisableDiscoverNodesOnStart (config/config.go:24). Start-time
+      // only: periodic rediscovery is governed by discoverNodesInterval,
+      // exactly as in the reference where the two knobs are independent.
+      discoverNodesInterval: FiniteDuration = 5.minutes,
+      // ≙ DiscoverNodesInterval (config/config.go:16; default at
+      // SetDefault config/config.go:54-57).
       maxBytesPerTrigger: Option[String] = None
       // Spark-side ADMISSION knob (no reference analog): bounds the bytes
       // a micro-batch ingests, for executor-memory control. Deliberately

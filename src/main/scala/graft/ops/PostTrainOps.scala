@@ -730,9 +730,14 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
     val nm = m.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._3).sum }
     var s: Map[Long, Long] = policies.map(_ -> BtMicro).toMap
     for (_ <- 1 to BtRounds) {
+      // BigInt: the per-pair product n_ij × 1e12 wraps Long once a pair
+      // accumulates > ~9.2e6 matches — exactly the production regime
+      // where "corpus size only ever changes the counts". The SQL twin
+      // widens to HUGEINT at the same spot; the quotient (≤ n_ij × 5e5
+      // at clamped strengths) and the round's output stay Long-sized.
       val d = policies.map { i =>
         i -> m.filter(_._1 == i)
-          .map { case (_, j, n, _) => n * BtScale / (s(i) + s(j)) }.sum
+          .map { case (_, j, n, _) => BigInt(n) * BtScale / (s(i) + s(j)) }.sum
       }.toMap
       val raw = policies.map { i =>
         i -> math.max(math.floor(
@@ -757,7 +762,7 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
     val rounds = (0 until BtRounds).map { r =>
       s"""d$r AS MATERIALIZED (
          |  SELECT m.i,
-         |    CAST(sum(m.n * $BtScale // (si.s + sj.s)) AS BIGINT) AS d
+         |    sum(CAST(m.n AS HUGEINT) * $BtScale // (si.s + sj.s)) AS d
          |  FROM m JOIN s$r si ON si.policy_id = m.i
          |         JOIN s$r sj ON sj.policy_id = m.j
          |  GROUP BY m.i),

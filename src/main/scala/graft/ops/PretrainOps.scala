@@ -2299,20 +2299,29 @@ object PretrainOps {
     * production swap (approx_percentile cuts, no window) when one
     * source is most of 100 TB.
     */
-  /** The per-doc (source, mean-fluency-micro) score table BOTH bucket
-    * variants read — materialized once (same name ⇒ CacheManager shares
-    * it across the two queries in one session).
+  /** The per-doc (source, mean-fluency-micro) score table ALL THREE
+    * bucket variants read. The trio's only corpus-proportional work is
+    * this fluency aggregate, so the production sweep computes it ONCE —
+    * `SparkEntry` persists it per corpus dir (the token-table
+    * discipline) and feeds the `...On` forms below; the single-query
+    * faces materialize it themselves ([[pplScored]]).
     */
-  private def pplScored(docs: DataFrame): DataFrame =
-    DedupOps.materialize(
-      qualityTrigramFluency(docs)
-        .select(col("doc_id"), expr("sum_micro div n_trigrams").as("p_mean_micro"))
-        .join(fanout(docs).select(col("doc_id"), col("source")), Seq("doc_id")),
-      "ppl_bucket_scored")
+  private[graft] def pplScoreTable(docs: DataFrame): DataFrame =
+    qualityTrigramFluency(docs)
+      .select(col("doc_id"), expr("sum_micro div n_trigrams").as("p_mean_micro"))
+      .join(fanout(docs).select(col("doc_id"), col("source")), Seq("doc_id"))
 
-  def qualityPerplexityBuckets(docs: DataFrame): DataFrame = {
+  private def pplScored(docs: DataFrame): DataFrame =
+    DedupOps.materialize(pplScoreTable(docs), "ppl_bucket_scored")
+
+  def qualityPerplexityBuckets(docs: DataFrame): DataFrame =
+    qualityPerplexityBucketsOn(pplScored(docs))
+
+  /** [[qualityPerplexityBuckets]] over an already-materialized
+    * [[pplScoreTable]] — the shared-score-table form the sweep drives.
+    */
+  def qualityPerplexityBucketsOn(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = pplScored(docs)
     val w = Window.partitionBy("source")
       .orderBy(col("p_mean_micro").asc, col("doc_id").asc)
     val ranked = scored
@@ -2377,9 +2386,12 @@ object PretrainOps {
     * n/√cap (spec-bounded vs the exact cuts); the emitted t33/t67
     * columns are the reusable standalone quality bars.
     */
-  def qualityPerplexityBucketsSketch(docs: DataFrame): DataFrame = {
+  def qualityPerplexityBucketsSketch(docs: DataFrame): DataFrame =
+    qualityPerplexityBucketsSketchOn(pplScored(docs))
+
+  /** Shared-score-table form (see [[qualityPerplexityBucketsOn]]). */
+  def qualityPerplexityBucketsSketchOn(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = pplScored(docs)
     val state = TextOps.sketchCompact(
       TextOps.sketchLevelsOf(scored.select(col("source"), col("doc_id"),
         col("p_mean_micro").as("n"))),
@@ -2464,9 +2476,12 @@ object PretrainOps {
     * with the value variant in-session), ONE per-source window carries
     * rank and count together, and the bucket label is an in-row CASE.
     */
-  def qualityPerplexityBucketsRank(docs: DataFrame): DataFrame = {
+  def qualityPerplexityBucketsRank(docs: DataFrame): DataFrame =
+    qualityPerplexityBucketsRankOn(pplScored(docs))
+
+  /** Shared-score-table form (see [[qualityPerplexityBucketsOn]]). */
+  def qualityPerplexityBucketsRankOn(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = pplScored(docs)
     val w = Window.partitionBy("source")
       .orderBy(col("p_mean_micro").asc, col("doc_id").asc)
     scored

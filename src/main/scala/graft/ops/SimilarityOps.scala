@@ -1050,10 +1050,14 @@ object SimilarityOps {
     * |Q|·superK, then |Q|·beam·k — entry cost drops from O(K) to
     * O(√K-ish) per query, and recursing again is the same move (each
     * added layer divides the exponent, which is exactly HNSW's log
-    * structure). Recall is preserved because the prototype graph is
-    * fully covered: each super-cell contributes its own entry, so every
-    * prototype is reachable in the one prototype hop (spec-pinned ≥
-    * one-level at equal beam on the clustered fixture).
+    * structure). Recall is preserved because one-hop coverage is TOTAL
+    * by construction: the prototype k-NN graph alone covers a
+    * super-cell only while its members ≤ KnnGraphK out-edges, so the
+    * prototype edge list additionally connects each super-cell's entry
+    * to EVERY member of its cell — K extra rows, and exactly the
+    * explicit entry→layer-member links HNSW maintains per upper-layer
+    * node (spec-pinned ≥ one-level at equal beam on the clustered
+    * fixture).
     */
   def annGraphSearchHier2(emb: DataFrame, k: Int = KnnGraphK,
       hops: Int = BeamHops, beam: Int = BeamWidth,
@@ -1067,11 +1071,25 @@ object SimilarityOps {
     val protoVecs = DedupOps.materialize(
       emb.join(protoIds, "vec_id"), "hier2_protos")
     val superCents = autoCentroidSet(superK)
-    val superSeeds = clusterSampleWith(protoVecs, 1, superCents)
-      .select(col("vec_id").as("cand_id"))
+    val entries = clusterSampleWith(protoVecs, 1, superCents)
+      .select(col("centroid"), col("vec_id"))
+    val superSeeds = entries.select(col("vec_id").as("cand_id"))
+    // entry→member edges: every prototype one hop from its super-cell's
+    // entry REGARDLESS of cell size (the k-NN graph caps out-degree at
+    // KnnGraphK, so a super-cell with more members than that would
+    // otherwise leave some prototypes unreachable in the single
+    // prototype hop — the millions-of-cells regime this operator is for)
+    val protoCells = clusterSampleWith(protoVecs, Int.MaxValue, superCents)
+      .select(col("centroid"), col("vec_id"))
+    val coverage = protoCells
+      .join(entries.select(col("centroid"), col("vec_id").as("entry_id")),
+        Seq("centroid"))
+      .filter(col("vec_id") =!= col("entry_id"))
+      .select(col("entry_id").as("src"), col("vec_id").as("dst"))
     val protoEdges = DedupOps.materialize(
       knnGraph(protoVecs, centroids = superCents)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+        .union(coverage).distinct(),
       "hier2_proto_edges")
     graphBeamSearch(emb, baseEdges, k, hops + 1, beam,
       Some(superSeeds),

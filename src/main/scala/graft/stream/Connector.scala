@@ -49,8 +49,8 @@ object Connector {
       infoProbe: Option[() => String] = None,
       responseHandler: Option[ResponseHandler] = None): Connector = {
     val resolved = graft.conf.resolveVersion(cfg, infoProbe)
-    val rh = responseHandler.getOrElse(
-      ResponseHandler.deadLetter(io.deadLetterDir))
+    val rh = ResponseHandler.forConfig(resolved, responseHandler,
+      io.deadLetterDir, io.bulkOutDir)
     rh.onInit(spark, resolved)
     new Connector(spark, resolved, io, handler, trigger, rh)
   }

@@ -44,17 +44,65 @@ final case class EsHttpConfig(
     maxRetries: Int = 5,
     compressionEnabled: Boolean = false,
     discoverNodesOnStart: Boolean = true,
+    // ≙ !DisableDiscoverNodesOnStart (config/config.go:24). START-time
+    // only — the periodic rediscovery below is governed by its own
+    // interval, as in the reference where the two knobs are independent.
     discoverNodesIntervalMs: Long = 300000L,
+    // ≙ DiscoverNodesInterval (config/config.go:16,54-57); <= 0 disables
+    // periodic rediscovery.
+    maxIdleConnDurationMs: Long = 0L,
+    // ≙ MaxIdleConnDuration (config/config.go:15 — fasthttp's idle-conn
+    // eviction): when the client has been idle longer than this, the next
+    // request runs on a REBUILT JDK client, dropping every pooled
+    // keep-alive connection — the same protection fasthttp's eviction
+    // gives against riding a stale keep-alive through a dead NAT/LB
+    // mapping. 0 = keep the JDK pool's own policy.
     connectTimeoutMs: Long = 5000L,
     requestTimeoutMs: Long = 30000L,
     retryBackoffBaseMs: Long = 50L)
 
+object EsHttpConfig {
+  /** Apply [[graft.conf.EsSinkConfig]]'s transport knobs onto a seeded
+    * transport config — the YAML-parity bridge (a reference user's
+    * elasticsearch section maps field-for-field).
+    */
+  def withSinkConfig(base: EsHttpConfig,
+      es: graft.conf.EsSinkConfig): EsHttpConfig =
+    base.copy(
+      discoverNodesOnStart = !es.disableDiscoverNodesOnStart,
+      discoverNodesIntervalMs = es.discoverNodesInterval.toMillis,
+      maxIdleConnDurationMs =
+        es.maxIdleConnDuration.map(_.toMillis).getOrElse(0L))
+}
+
 final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   require(cfg.urls.nonEmpty, "at least one Elasticsearch URL is required")
 
-  private val http = HttpClient.newBuilder()
+  private def newHttp(): HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(cfg.connectTimeoutMs))
     .build()
+
+  /** Swappable so idle eviction can drop the pool (see
+    * [[EsHttpConfig.maxIdleConnDurationMs]]).
+    */
+  private val httpRef = new AtomicReference[HttpClient](newHttp())
+  private val lastRequestMs =
+    new java.util.concurrent.atomic.AtomicLong(System.currentTimeMillis())
+  private val idleEvictionCount = new AtomicInteger(0)
+
+  /** Times the pool was dropped by idle eviction (test observability). */
+  private[stream] def idleEvictions: Int = idleEvictionCount.get()
+
+  private def http: HttpClient = {
+    val now = System.currentTimeMillis()
+    val last = lastRequestMs.getAndSet(now)
+    if (cfg.maxIdleConnDurationMs > 0 && now - last >= cfg.maxIdleConnDurationMs) {
+      httpRef.set(newHttp())
+      idleEvictionCount.incrementAndGet()
+      ()
+    }
+    httpRef.get()
+  }
 
   private def normalize(u: String): String = u.stripSuffix("/")
 
@@ -81,8 +129,12 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def maybeRediscover(): Unit = {
+    // governed by the interval ALONE: the reference's
+    // DisableDiscoverNodesOnStart suppresses only the construction-time
+    // discovery, never the ticker (config/config.go:16,24 are
+    // independent knobs)
     val iv = cfg.discoverNodesIntervalMs
-    if (cfg.discoverNodesOnStart && iv > 0 &&
+    if (iv > 0 &&
         System.currentTimeMillis() - lastDiscoveryMs.get() >= iv &&
         discovering.compareAndSet(false, true))
       try discoverNodes() // sets lastDiscoveryMs; nested requests skip (flag)

@@ -1,7 +1,6 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -25,12 +24,19 @@ import graft.ops.CorpusOps
   * strictly below its own id and overwrites its own version, so
   * replays are byte-stable):
   *
-  *   - `_docs/b_<id>`: the batch's doc rows verbatim (tombstones
-  *     included) — APPEND-ONLY deltas whose last-writer-wins fold IS
-  *     the current corpus snapshot. The clean state never stores text,
-  *     but a PROMOTED doc (unchanged text, re-entering the survivor
-  *     set because its better twin left) needs its text re-read to
-  *     enter the signature index — production reads its document
+  *   - `_docs/b_<id>`: the FOLDED document snapshot as of this batch
+  *     (prior snapshot patched by the batch's churn, tombstones folded
+  *     out) — the LSM compaction applied to the doc store itself, so
+  *     per-batch fold cost is one churn-sized anti-join + union (never a
+  *     corpus-wide window over an ever-growing delta chain) and versions
+  *     below the replay horizon are PRUNED ([[VersionedState.prune]]):
+  *     file count and fold input stay O(corpus), not O(corpus × batches).
+  *     The snapshot WRITE is corpus-proportional — the same cadence-
+  *     priced daily-index write as the `_state` faces below; only the
+  *     clean-state PATCH is churn-proportional. The clean state never
+  *     stores text, but a PROMOTED doc (unchanged text, re-entering the
+  *     survivor set because its better twin left) needs its text re-read
+  *     to enter the signature index — production reads its document
   *     store; this stream maintains its own.
   *   - `_state/b_<id>/{gated,sigs,cands,verdicts}`: the patched
   *     [[CorpusOps.CleanState]] faces. Writing them flat each batch is
@@ -71,26 +77,29 @@ object IncCleanStream {
       batchId: Long, outDir: String): Unit = {
     val docsRoot = s"$outDir/_docs"
     val stateRoot = s"$outDir/_state"
-    // 1. persist this batch's change rows (tombstones included)
-    batch.withColumn("batch_id", lit(batchId))
-      .coalesce(1).write.mode("overwrite")
+    // 1+2. fold the doc store: prior SNAPSHOT patched by this batch's
+    // churn (batch rows win; tombstones fold out), written as THIS
+    // batch's snapshot. Replay-stable: a replayed batch re-reads the
+    // same prior snapshot (strictly below its id, untouched) and
+    // re-derives b_<id> content-identical. Feed contract: at most one
+    // row per doc_id per batch (a CDC pipe with finer granularity
+    // pre-folds on its own sequence column).
+    val live = batch.filter(!col("deleted")).select("doc_id", "text", "source")
+    val folded = VersionedState.latestBefore(spark, docsRoot, batchId) match {
+      case Some(prev) =>
+        spark.read.parquet(prev)
+          // churn ids are batch-sized — AQE broadcasts the anti-join side
+          .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
+          .unionByName(live)
+      case None => live
+    }
+    folded.write.mode("overwrite")
       .parquet(VersionedState.versionDir(docsRoot, batchId))
-    // 2. the current corpus snapshot: last writer wins per doc_id over
-    // (prior deltas ∪ this batch), tombstones folded out
-    val priorDeltas = VersionedState.allBefore(spark, docsRoot, batchId)
-    val allRows =
-      (if (priorDeltas.isEmpty) batch.withColumn("batch_id", lit(batchId))
-       else spark.read.parquet(priorDeltas: _*)
-         .unionByName(batch.withColumn("batch_id", lit(batchId))))
-    // feed contract: at most one row per doc_id per batch (a CDC pipe
-    // with finer granularity pre-folds on its own sequence column);
-    // across batches the newest batch wins
-    val wLast = Window.partitionBy("doc_id")
-      .orderBy(col("batch_id").desc)
-    val docStore = allRows
-      .withColumn("rn", row_number().over(wLast))
-      .filter(col("rn") === 1 && !col("deleted"))
-      .select("doc_id", "text", "source")
+    // compaction: snapshots below the replay horizon (current - 1) are
+    // unreachable — prune them so the store holds ≤ 2 versions
+    VersionedState.prune(spark, docsRoot, batchId - 1)
+    val docStore =
+      spark.read.parquet(VersionedState.versionDir(docsRoot, batchId))
     // 3. patch (or, on the first batch, build) the clean state
     val (clean, next) = VersionedState.latestBefore(spark, stateRoot, batchId) match {
       case Some(prev) =>

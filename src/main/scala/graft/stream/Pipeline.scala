@@ -131,7 +131,8 @@ object Pipeline {
     // entry the reference's detection-failure fallback (7.0.0) applies —
     // Connector.newConnector is the probe-carrying entry (client.go:37-46)
     val cfg = graft.conf.resolveVersion(cfg0, None)
-    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    val rh = ResponseHandler.forConfig(cfg, responseHandler,
+      deadLetterDir, bulkOutDir)
     // ≙ ResponseHandler.OnInit (response_handler.go:9-12, invoked when the
     // handler is installed, bulk/option.go:19-27): users bootstrap
     // indices/templates here, before any batch flows
@@ -179,7 +180,8 @@ object Pipeline {
       trigger: Option[Trigger],
       responseHandler: Option[ResponseHandler]): StreamingQuery = {
     val cfg = graft.conf.resolveVersion(cfg0, None)
-    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    val rh = ResponseHandler.forConfig(cfg, responseHandler,
+      deadLetterDir, bulkOutDir)
     rh.onInit(spark, cfg)
     runTypedResolved(spark, cfg, eventsDir, handler, bulkOutDir,
       checkpointDir, trigger, rh)
@@ -287,7 +289,15 @@ object Pipeline {
         (c, http.copy(urls = (http.urls ++ probe.nodes).distinct,
           discoverNodesOnStart = false))
       } finally probe.close()
-    val rh = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    // rejection route over the REAL transport: rejects post to the
+    // configured index through the same cluster the data actions use
+    val rh0 = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
+    val rh = cfg.es.rejectionLog match {
+      case Some(rl) => ResponseHandler.withRejectionShip(rh0, rl,
+        ResponseHandler.httpShip(httpForTasks), cfg.es.esMajorVersion,
+        cfg.es.typeNameOrDefault)
+      case None => rh0
+    }
     rh.onInit(spark, cfg)
     registerMetrics(spark)
     CdcOps.handlerActions(CdcOps.typedMessages(
@@ -415,6 +425,107 @@ object ResponseHandler {
           .write.mode("append").parquet(dir)
       }
     }
+
+  /** `inner` plus the RejectionLog route (≙ config.RejectionLog,
+    * config/config.go:27-31): every rejected action ALSO becomes an
+    * INDEX action into `rl.index`, encoded through the SAME NDJSON path
+    * as data actions and written as a `rejection_<batchId>` bulk payload
+    * beside the batch flushes — the file-sink face of "index the
+    * rejects into ES" (a transport-backed deployment posts the same
+    * payload through its client). The rejection document body is
+    * `{rejected_index, error[, source]}` — the failed doc's original
+    * target, the server's per-item `_bulk` error text (or the
+    * invalid-action reason for key-less rows), and the original source
+    * when `rl.includeSource`. The inner handler runs FIRST, so the file
+    * dead-letter record is unchanged by this route.
+    */
+  def withRejectionLog(inner: ResponseHandler,
+      rl: graft.conf.RejectionLogConfig, bulkOutDir: String,
+      esMajor: Int = 8, typeName: String = "_doc"): ResponseHandler =
+    withRejectionShip(inner, rl, fileShip(bulkOutDir), esMajor, typeName)
+
+  /** File transport for the rejection payload: one
+    * `rejection_<batchId>` NDJSON dir beside the batch flushes
+    * (overwrite — replays clobber their own output).
+    */
+  private def fileShip(bulkOutDir: String): (DataFrame, Long) => Unit =
+    (payload, batchId) =>
+      payload.coalesce(1).write.mode("overwrite")
+        .text(s"$bulkOutDir/rejection_$batchId")
+
+  /** HTTP transport for the rejection payload: one driver-side `_bulk`
+    * POST into the cluster — rejections are failure-proportional, so
+    * the driver-side collect is bounded by the batch's error count, not
+    * the batch.
+    */
+  private[stream] def httpShip(http: EsHttpConfig): (DataFrame, Long) => Unit =
+    (payload, _) => {
+      val lines = payload.collect().map(_.getString(0))
+      if (lines.nonEmpty) {
+        val client = new EsHttpClient(http.copy(discoverNodesOnStart = false))
+        try {
+          val (status, body) = client.bulk(
+            (lines.mkString("\n") + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          if (status >= 300)
+            throw new java.io.IOException(
+              s"rejection-log _bulk HTTP $status: ${body.take(500)}")
+        } finally client.close()
+      }
+    }
+
+  /** [[withRejectionLog]] under an arbitrary payload transport. */
+  private[stream] def withRejectionShip(inner: ResponseHandler,
+      rl: graft.conf.RejectionLogConfig, ship: (DataFrame, Long) => Unit,
+      esMajor: Int, typeName: String): ResponseHandler =
+    new ResponseHandler {
+      override def onInit(spark: SparkSession,
+          cfg: graft.conf.GraftConfig): Unit = inner.onInit(spark, cfg)
+      override def onSuccess(actions: DataFrame, batchId: Long): Unit =
+        inner.onSuccess(actions, batchId)
+      override def onError(actions: DataFrame, batchId: Long): Unit = {
+        inner.onError(actions, batchId)
+        // item failures arrive with the server's `_bulk_error`
+        // (EsBulkSink.handleResponse*); the bad-split class (no doc key)
+        // has no server text — stamp the reason
+        val err =
+          if (actions.columns.contains("_bulk_error")) col("_bulk_error")
+          else lit("invalid action: missing doc id or index name")
+        val bodyFields =
+          Seq(col("index_name").as("rejected_index"), err.as("error")) ++
+            (if (rl.includeSource) Seq(col("source").as("source")) else Nil)
+        val rej = actions.select(
+          lit("index").as("action_type"),
+          // key-less rejects still need a deterministic `_id` (replays
+          // must clobber, not duplicate): derive one from the event id
+          coalesce(col("doc_id"), concat(lit("event-"), col("event_id")))
+            .as("doc_id"),
+          lit(rl.index).as("index_name"),
+          to_json(struct(bodyFields: _*)).as("source"))
+        val payload =
+          (if (esMajor < 8)
+            CdcOps.versionGatedMeta(rej, lit(esMajor), typeName)
+          else CdcOps.ndjsonEncode(rej))
+            .select(concat_ws("\n", col("meta"), col("source")).as("value"))
+        ship(payload, batchId)
+      }
+    }
+
+  /** Config-derived handler assembly, shared by every config-driven
+    * entry (Pipeline.run/runTyped and Connector.newConnector): the
+    * explicit handler (or the file dead-letter default), wrapped with
+    * the RejectionLog route when the config declares one.
+    */
+  private[stream] def forConfig(cfg: graft.conf.GraftConfig,
+      explicit: Option[ResponseHandler], deadLetterDir: String,
+      bulkOutDir: String): ResponseHandler = {
+    val inner = explicit.getOrElse(deadLetter(deadLetterDir))
+    cfg.es.rejectionLog match {
+      case Some(rl) => withRejectionLog(inner, rl, bulkOutDir,
+        cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
+      case None => inner
+    }
+  }
 }
 
 /** S3/R1 — the bulk sink: NDJSON `_bulk` payload files + dead-letter split.

@@ -51,9 +51,14 @@ object PrefStream {
         // pair-hygiene index: each batch ALSO appends its docs' simhash
         // signatures (doc_id, simhash — never text) as its own delta,
         // the UrlStream append-only discipline: a replayed batch
-        // overwrites only its own version, so the union of deltas is
-        // exactly one signature per ingested doc
+        // overwrites only its own version. The batch_id column makes the
+        // read-side fold deterministic when a doc_id is RE-ingested in a
+        // later batch (changed text → changed signature): latest batch
+        // wins, mirroring the doc-store fold — without it the two left
+        // joins in [[pairsNodup]] would fan each affected pair into
+        // duplicate rows and diverge from batch dpoPairsNodup
         graft.ops.DedupOps.simhashSignature(batch)
+          .withColumn("batch_id", lit(batchId))
           .coalesce(1).write.mode("overwrite")
           .parquet(VersionedState.versionDir(s"$outDir/_sims", batchId))
         ()
@@ -83,7 +88,15 @@ object PrefStream {
       VersionedState.allBefore(spark, s"$outDir/_sims", Long.MaxValue)
     val p = pairs(spark, outDir)
     if (simDirs.isEmpty) return p
+    // fold to ONE signature per doc_id, latest batch wins: a doc_id
+    // re-ingested with changed text carries two delta rows, and an
+    // unfolded join would duplicate every pair it touches (and pick
+    // stale signatures nondeterministically)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("batch_id").desc)
     val sims = spark.read.parquet(simDirs: _*)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
     p
       .join(sims.select(col("doc_id").as("chosen_id"),
         col("simhash").as("sim_c")), Seq("chosen_id"), "left")

@@ -39,4 +39,22 @@ object VersionedState {
 
   /** The write-side path for this batch's version. */
   def versionDir(root: String, batchId: Long): String = s"$root/b_$batchId"
+
+  /** Compaction sweep for SNAPSHOT-per-version stores (each `b_<id>` is a
+    * full fold, not a delta): delete versions with id < `keepFrom`. A
+    * batch's replay reads only `latestBefore(id)`, so after batch B has
+    * durably written `b_B`, everything below B-1 is unreachable — B-1
+    * itself stays because Structured Streaming may replay batch B after
+    * a restart and re-read it. Deletion failures are swallowed: a
+    * leftover version is dead weight, never wrong (reads resolve by
+    * NEWEST id).
+    */
+  def prune(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    idsBefore(spark, root, keepFrom).foreach { id =>
+      try { fs.delete(new Path(versionDir(root, id)), true); () }
+      catch { case _: Exception => () }
+    }
+  }
 }
