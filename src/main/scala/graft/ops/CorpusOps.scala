@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The canonical training-data cleaning pipeline — the composition the
@@ -517,7 +517,24 @@ object CorpusOps {
       "band_sig", buckets, s"$dir/cands")
     BucketedLayout.writeBucketed(state.verdicts, s"${tablePrefix}_verdicts",
       "doc_a", buckets, s"$dir/verdicts")
+    // the band-row projection persisted beside the signatures — the one
+    // full-width pass [[cleanCorpusIncremental]]'s doc promises away
+    // "when band rows are persisted beside the signatures": the pruned
+    // patch reads affected buckets straight off this face instead of
+    // re-exploding every survivor's bands
+    BucketedLayout.writeBucketed(DedupOps.bandRows(state.sigs),
+      s"${tablePrefix}_bands", "band_sig", buckets, s"$dir/bands")
   }
+
+  /** The persisted band-row face (see [[writeCleanState]]); derived on
+    * the fly for states written before the face existed.
+    */
+  def readBands(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String): DataFrame =
+    if (spark.catalog.tableExists(s"${tablePrefix}_bands"))
+      BucketedLayout.table(spark, s"${tablePrefix}_bands")
+    else DedupOps.bandRows(
+      BucketedLayout.table(spark, s"${tablePrefix}_sigs"))
 
   /** Read a persisted [[CleanState]] back (bucket metadata intact — the
     * base-side exchanges of the next patch vanish).
@@ -697,6 +714,353 @@ object CorpusOps {
     (cleanFromState(next), next)
   }
 
+  /** Churn-key bound above which [[cleanCorpusIncrementalPruned]] falls
+    * back to the generic join-driven patch: the pruned path drives every
+    * probe through DRIVER-COLLECTED literal key sets, which is only the
+    * right trade while those sets are plan-literal-sized.
+    */
+  val PrunedPatchMaxChurn = 200000
+
+  /** The BUCKET-PRUNED daily patch — [[cleanCorpusIncremental]] driven
+    * from the PERSISTED bucketed state ([[writeCleanState]]) with every
+    * churn-keyed probe expressed as a driver-collected literal key set
+    * instead of a join. Identical output by construction (same affected-
+    * hash / affected-bucket / plus-minus set algebra, same shared
+    * [[capBuckets]]/[[DedupOps.verifyPairs]]/[[cleanFromState]] kernels —
+    * spec-pinned ≡ from-scratch [[cleanCorpus]](v2)); what changes is the
+    * PLAN:
+    *
+    *   - churn/affected sets are `InSet` predicates ON THE BUCKET COLUMN
+    *     of each face (gated by content_hash, sigs by doc_id, bands by
+    *     band_sig, verdicts by doc_a), so the scans BUCKET-PRUNE —
+    *     `SelectedBucketsCount: k out of n` in the executed plan, I/O ∝
+    *     touched buckets, not corpus;
+    *   - the band-row projection reads the persisted `_bands` face
+    *     filtered to affected sigs instead of re-exploding every
+    *     survivor (the one full-width pass of the generic path, gone);
+    *   - the verify join's signature side prunes to the candidate doc
+    *     ids before the join, so the signature ARRAYS read from disk are
+    *     candidate-proportional;
+    *   - zero churn-side shuffles: literal filters replace every
+    *     semi/anti-join the generic path pays a broadcast or exchange
+    *     for, and the patch runs ~6 bounded jobs instead of ~12
+    *     checkpoint rounds.
+    *
+    * The lazy v2 faces (base minus churn, plus delta) remain full
+    * bucketed scans — they are the next daily WRITE, corpus-proportional
+    * by nature and priced at the daily cadence.
+    *
+    * Falls back to the generic patch when the diff exceeds
+    * `maxChurnKeys` (driver-literal sets stop being the right trade).
+    */
+  /** Literal-set predicates with the empty-set edge pinned (an empty
+    * literal list must read as FALSE, not lean on In(empty) behavior).
+    */
+  private def inIds(c: Column, ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false) else c.isInCollection(ids)
+  private def inStrs(c: Column, ks: Seq[String]): Column =
+    if (ks.isEmpty) lit(false) else c.isInCollection(ks)
+
+  /** Key-set size above which a literal InSet stops being the right plan
+    * and the probe becomes a broadcast semi/anti-join instead: giant
+    * literal sets are re-canonicalized by every AQE stage (measured at
+    * x32: a ~25k-literal predicate pushed single probe jobs to ~9 s of
+    * DRIVER time), while a LocalRelation join side carries the keys as
+    * data. Below the threshold the literal form wins THREE ways: no
+    * join at all, parquet predicate pushdown (row-group skipping on the
+    * probe column — a join side pushes nothing, so e.g. the churn
+    * re-gate would scan every text row), and — on the bucketed state
+    * faces — BUCKET PRUNING (`SelectedBucketsCount`), which a join
+    * predicate never triggers. 8192 sits under the measured
+    * pathological regime (~25k literals) with margin.
+    */
+  val InSetMaxKeys = 1024
+
+  /** Wider literal bound for the CORPUS-SCAN probes (the churn re-gate
+    * and the plus-doc signature source): those plans are single-stage
+    * scan→filter→project jobs where the literal set pushes into the
+    * parquet reader (row-group skipping over the TEXT column's table —
+    * a join side pushes nothing and forces a full text scan), and with
+    * no AQE stage chain behind them the per-stage literal
+    * re-canonicalization cost that caps [[InSetMaxKeys]] never
+    * multiplies.
+    */
+  val LiteralPushdownMaxKeys = 8192
+
+  private def keepIdsPushdown(df: DataFrame, c: String,
+      ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) df.filter(lit(false))
+    else if (ids.size <= LiteralPushdownMaxKeys)
+      df.filter(inIds(col(c), ids))
+    else df.join(keySide(df.sparkSession, ids,
+      org.apache.spark.sql.Encoders.scalaLong),
+      df(c) === col("_graft_k"), "left_semi")
+
+  private def keySide[T](spark: org.apache.spark.sql.SparkSession,
+      keys: Seq[T], enc: org.apache.spark.sql.Encoder[T]): DataFrame =
+    broadcast(spark.createDataset(keys)(enc).toDF("_graft_k"))
+
+  private def keepIds(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) df.filter(lit(false))
+    else if (ids.size <= InSetMaxKeys) df.filter(inIds(col(c), ids))
+    else df.join(keySide(df.sparkSession, ids,
+      org.apache.spark.sql.Encoders.scalaLong),
+      df(c) === col("_graft_k"), "left_semi")
+
+  private def dropIds(df: DataFrame, c: String, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) df
+    else if (ids.size <= InSetMaxKeys) df.filter(!inIds(col(c), ids))
+    else df.join(keySide(df.sparkSession, ids,
+      org.apache.spark.sql.Encoders.scalaLong),
+      df(c) === col("_graft_k"), "left_anti")
+
+  private def keepStrs(df: DataFrame, c: String, ks: Seq[String]): DataFrame =
+    if (ks.isEmpty) df.filter(lit(false))
+    else if (ks.size <= InSetMaxKeys) df.filter(inStrs(col(c), ks))
+    else df.join(keySide(df.sparkSession, ks,
+      org.apache.spark.sql.Encoders.STRING),
+      df(c) === col("_graft_k"), "left_semi")
+
+  private def dropStrs(df: DataFrame, c: String, ks: Seq[String]): DataFrame =
+    if (ks.isEmpty) df
+    else if (ks.size <= InSetMaxKeys) df.filter(!inStrs(col(c), ks))
+    else df.join(keySide(df.sparkSession, ks,
+      org.apache.spark.sql.Encoders.STRING),
+      df(c) === col("_graft_k"), "left_anti")
+
+  /** (band_idx, band_sig) membership — semi/anti against the affected
+    * bucket list. Literal form: band_sig InSet FIRST (the bucket-pruning
+    * predicate on the bands/cands faces), exact-pair refinement second.
+    */
+  private def pairSide(spark: org.apache.spark.sql.SparkSession,
+      pairs: Seq[(Int, String)]): DataFrame =
+    broadcast(spark.createDataset(pairs)(
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.STRING))
+      .toDF("_graft_bi", "_graft_bs"))
+
+  private def keepPairs(df: DataFrame, pairs: Seq[(Int, String)]): DataFrame =
+    if (pairs.isEmpty) df.filter(lit(false))
+    else if (pairs.size <= InSetMaxKeys)
+      df.filter(inStrs(col("band_sig"), pairs.map(_._2).distinct) &&
+        concat_ws("|", col("band_idx"), col("band_sig"))
+          .isInCollection(pairs.map { case (i, g) => s"$i|$g" }))
+    else df.join(pairSide(df.sparkSession, pairs),
+      df("band_idx") === col("_graft_bi") &&
+        df("band_sig") === col("_graft_bs"), "left_semi")
+
+  private def dropPairs(df: DataFrame, pairs: Seq[(Int, String)]): DataFrame =
+    if (pairs.isEmpty) df
+    else if (pairs.size <= InSetMaxKeys)
+      df.filter(!(inStrs(col("band_sig"), pairs.map(_._2).distinct) &&
+        concat_ws("|", col("band_idx"), col("band_sig"))
+          .isInCollection(pairs.map { case (i, g) => s"$i|$g" })))
+    else df.join(pairSide(df.sparkSession, pairs),
+      df("band_idx") === col("_graft_bi") &&
+        df("band_sig") === col("_graft_bs"), "left_anti")
+
+  def cleanCorpusIncrementalPruned(
+      spark: org.apache.spark.sql.SparkSession, v2docs: DataFrame,
+      statePrefix: String, diff: DataFrame,
+      maxChurnKeys: Int = PrunedPatchMaxChurn): (DataFrame, CleanState) =
+    cleanCorpusIncrementalInSet(spark, v2docs,
+      readCleanState(spark, statePrefix), readBands(spark, statePrefix),
+      diff, maxChurnKeys)
+
+  /** The set-driven patch core over state faces IN HAND — shared by
+    * [[cleanCorpusIncrementalPruned]] (bucketed disk state — where
+    * literal-sized probes additionally BUCKET-PRUNE the scans) and
+    * in-memory callers. Every churn-derived key set is collected to the
+    * driver once; each probe is then a literal InSet (small sets — no
+    * join, bucket pruning fires) or a broadcast semi/anti-join against a
+    * LocalRelation key side (large sets — keys ride as DATA, not as
+    * plan-tree literals AQE re-canonicalizes per stage). Versus the
+    * generic join path: no 12-round checkpoint chain, the persisted
+    * `_bands` face replaces the full band re-projection, and the verify
+    * join's signature side prunes to candidate doc ids before reading
+    * any array column.
+    */
+  def cleanCorpusIncrementalInSet(
+      spark: org.apache.spark.sql.SparkSession, v2docs: DataFrame,
+      st: CleanState, bandsV1: DataFrame, diff: DataFrame,
+      maxChurnKeys: Int = PrunedPatchMaxChurn): (DataFrame, CleanState) = {
+    // bucket pruning only fires on a BUCKETED scan, and Spark's
+    // DisableUnnecessaryBucketedScan rule turns bucketed scans off for
+    // filter-only plans (it credits interesting-partitioning consumers,
+    // not bucket-filter pruning) — pin it off for the probe collects
+    // below, restore after (the returned lazy faces are full scans
+    // either way)
+    val AutoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val autoScanPrev = spark.conf.getOption(AutoScanKey)
+    spark.conf.set(AutoScanKey, "false")
+    try cleanCorpusIncrementalInSetBody(spark, v2docs, st, bandsV1, diff,
+      maxChurnKeys)
+    finally autoScanPrev match {
+      case Some(v) => spark.conf.set(AutoScanKey, v)
+      case None => spark.conf.unset(AutoScanKey)
+    }
+  }
+
+  private def cleanCorpusIncrementalInSetBody(
+      spark: org.apache.spark.sql.SparkSession, v2docs: DataFrame,
+      st: CleanState, bandsV1: DataFrame, diff: DataFrame,
+      maxChurnKeys: Int): (DataFrame, CleanState) = {
+    import spark.implicits._
+    // opt-in stage timing (`spark.graft.patch.verbose=true`): each probe
+    // stage's wall to stderr — the first question about any slow patch
+    // is WHICH probe paid, and a conf beats re-instrumenting
+    val verbose = spark.conf.getOption("spark.graft.patch.verbose")
+      .contains("true")
+    def staged[T](name: String)(f: => T): T =
+      if (!verbose) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[graft-patch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val diffRows = staged("diff_collect")(
+      diff.select("doc_id", "status").as[(Long, String)].collect())
+    if (diffRows.length > maxChurnKeys)
+      return cleanCorpusIncremental(v2docs, st, diff)
+    val diffIds = diffRows.map(_._1).toSeq
+    val churnNewIds = diffRows.collect {
+      case (id, s) if s == "added" || s == "changed" => id
+    }.toSeq
+
+    // 1. re-gate the churn (per-doc pure) — churn-sized scan of v2
+    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val gatedChurn = keepIdsPushdown(v2docs, "doc_id", churnNewIds)
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality", quality)
+      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .filter(col("quality") >= QualityThreshold &&
+        col("detected_lang").isin(AcceptedLangs: _*))
+      .select(col("doc_id"),
+        DedupOps.normalizedContentHash.as("content_hash"),
+        col("n_tokens"), col("quality"), col("detected_lang"),
+        lit(false).as("is_rep"))
+      .cache()
+
+    // 2. affected hash groups: old rows of churned docs (ONE doc-id
+    // probe of the gated face — hash AND old survivor bit together, so
+    // no separate survivor probe later) ∪ the churn's new hashes
+    val oldRows = staged("old_rows")(
+      keepIds(st.gated, "doc_id", diffIds)
+        .select("doc_id", "content_hash", "is_rep")
+        .as[(Long, String, Boolean)].collect())
+    val newHashes = staged("new_hashes")(
+      gatedChurn.select("content_hash").as[String].collect())
+    val affHashes = (oldRows.map(_._2) ++ newHashes).distinct.toSeq
+
+    // touched groups: probe of gated keyed by its BUCKET column
+    // content_hash — literal-sized churn bucket-prunes the scan
+    val touched = dropIds(
+      keepStrs(st.gated, "content_hash", affHashes), "doc_id", diffIds)
+      .unionByName(gatedChurn)
+    val touchedReps = touched.groupBy("content_hash")
+      .agg(min("doc_id").as("rep_id"))
+    // `was_rep` rides the delta so the survivor-membership probe needs
+    // no extra pass: an affected-group member's OLD survivor bit is
+    // st.gated's is_rep (false for churn rows — their old bit, if any,
+    // came back on the oldRows probe)
+    val gatedDelta = touched
+      .withColumn("was_rep",
+        when(col("is_rep").isNull, lit(false)).otherwise(col("is_rep")))
+      .drop("is_rep")
+      .join(touchedReps, "content_hash")
+      .withColumn("is_rep", col("doc_id") === col("rep_id"))
+      .drop("rep_id")
+      .select("doc_id", "content_hash", "n_tokens", "quality",
+        "detected_lang", "is_rep", "was_rep")
+      .cache()
+
+    // 3. survivor-set delta, all driver-side set algebra over the ONE
+    // churn-sized delta collect
+    val deltaRows = staged("delta_collect")(
+      gatedDelta.select("doc_id", "is_rep", "was_rep")
+        .as[(Long, Boolean, Boolean)].collect())
+    val repIds = deltaRows.collect { case (id, true, _) => id }
+    val nonRepIds = deltaRows.collect { case (id, false, _) => id }
+    val oldSurvAmong = (deltaRows.collect { case (id, _, true) => id } ++
+      oldRows.collect { case (id, _, true) => id }).toSet
+    val diffSet = diffIds.toSet
+    val plusSet = repIds.filter(id =>
+      !(oldSurvAmong.contains(id) && !diffSet.contains(id))).toSeq
+    val minusSet = (diffIds.filter(oldSurvAmong.contains) ++
+      nonRepIds.filter(oldSurvAmong.contains)).distinct
+
+    // 4. signature delta + affected band buckets (plus docs' fresh band
+    // rows; minus docs' rows off the persisted bands face)
+    val plusSigs = DedupOps.historySignatureTable(
+      keepIdsPushdown(v2docs, "doc_id", plusSet)).cache()
+    val affPairs = staged("affected_bands")(DedupOps.bandRows(plusSigs)
+      .select("band_idx", "band_sig")
+      .unionByName(keepIds(bandsV1, "doc_id", minusSet)
+        .select("band_idx", "band_sig"))
+      .distinct()
+      .as[(Int, String)].collect()).toSeq
+
+    // 5. candidates: affected buckets re-rank from v2 membership —
+    // probe of the bands face keyed by its bucket column band_sig
+    val touchedBands = dropIds(
+      keepPairs(bandsV1, affPairs), "doc_id", minusSet)
+      .select("doc_id", "band_idx", "band_sig")
+      .unionByName(keepPairs(DedupOps.bandRows(plusSigs), affPairs)
+        .select("doc_id", "band_idx", "band_sig"))
+    val cappedTouched =
+      DedupOps.capBuckets(touchedBands, DedupOps.BandBucketCap)
+    val ca = cappedTouched.alias("ca")
+    val cb = cappedTouched.alias("cb")
+    val candsTouched = ca.join(cb,
+        col("ca.band_idx") === col("cb.band_idx") &&
+          col("ca.band_sig") === col("cb.band_sig") &&
+          col("ca.doc_id") < col("cb.doc_id"))
+      .select(col("ca.band_idx").as("band_idx"),
+        col("ca.band_sig").as("band_sig"),
+        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
+      .cache()
+
+    // 6. verdicts: fresh pairs = touched-bucket pairs without a kept
+    // verdict; the kept probe keys the verdict face by its bucket
+    // column doc_a, and the verify signature side prunes to candidate
+    // doc ids before reading any array column
+    val candPairs = staged("cand_pairs")(
+      candsTouched.select("doc_a", "doc_b").distinct()
+        .as[(Long, Long)].collect())
+    val candA = candPairs.map(_._1).distinct.toSeq
+    val candDocIds = (candPairs.map(_._1) ++ candPairs.map(_._2))
+      .distinct.toSeq
+    val keptAmongCand = staged("kept_probe")(
+      dropIds(dropIds(keepIds(st.verdicts, "doc_a", candA),
+        "doc_a", diffIds), "doc_b", diffIds)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+    val freshPairs = candPairs.filter(p => !keptAmongCand.contains(p))
+    val sigsForVerify = dropIds(
+      keepIds(st.sigs, "doc_id", candDocIds), "doc_id", minusSet)
+      .unionByName(keepIds(plusSigs, "doc_id", candDocIds))
+    val freshVerdicts = DedupOps.verifyPairs(
+      freshPairs.toSeq.toDF("doc_a", "doc_b"), sigsForVerify)
+
+    // 7. the lazy v2 faces (the next daily write) + the shared
+    // state→clean projection
+    val gatedV2 = dropStrs(dropIds(st.gated, "doc_id", diffIds),
+      "content_hash", affHashes)
+      .unionByName(gatedDelta.drop("was_rep"))
+    val sigsV2 = dropIds(st.sigs, "doc_id", minusSet)
+      .unionByName(plusSigs)
+    val candsV2 = dropPairs(st.cands, affPairs)
+      .unionByName(candsTouched)
+    val verdictsV2 = dropIds(dropIds(st.verdicts, "doc_a", diffIds),
+      "doc_b", diffIds)
+      .select("doc_a", "doc_b", "jaccard", "is_dup")
+      .unionByName(freshVerdicts)
+    val next = CleanState(gatedV2, sigsV2, candsV2, verdictsV2)
+    (cleanFromState(next), next)
+  }
+
 
   // -------------------------------- corpus_clean_incremental_decontam
 
@@ -818,6 +1182,10 @@ object CorpusOps {
       .withColumn("text",
         when(col("doc_id") % 11 === 0, upper(col("text")))
           .otherwise(col("text")))
+    // generic join-driven patch: the key's fixture churn is ~40% of the
+    // corpus, where the InSet core's driver-set probes cost more than
+    // the joins they replace (measured: 10.4 s vs 8.2 s in-sweep) — the
+    // InSet/bucket-pruned path is the SMALL-churn production patch
     cleanCorpusIncremental(v2, cleanState(v1), corpusDiff(v1, v2))._1
   }
 

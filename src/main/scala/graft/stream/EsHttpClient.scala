@@ -91,7 +91,7 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   private val idleEvictionCount = new AtomicInteger(0)
 
   /** Times the pool was dropped by idle eviction (test observability). */
-  private[stream] def idleEvictions: Int = idleEvictionCount.get()
+  private[graft] def idleEvictions: Int = idleEvictionCount.get()
 
   private def http: HttpClient = {
     val now = System.currentTimeMillis()

@@ -516,7 +516,7 @@ object ResponseHandler {
     * explicit handler (or the file dead-letter default), wrapped with
     * the RejectionLog route when the config declares one.
     */
-  private[stream] def forConfig(cfg: graft.conf.GraftConfig,
+  private[graft] def forConfig(cfg: graft.conf.GraftConfig,
       explicit: Option[ResponseHandler], deadLetterDir: String,
       bulkOutDir: String): ResponseHandler = {
     val inner = explicit.getOrElse(deadLetter(deadLetterDir))

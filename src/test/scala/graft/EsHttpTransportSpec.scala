@@ -367,4 +367,48 @@ class EsHttpTransportSpec extends SparkSuite {
     assert(errs("b:i2").contains("not_found"))
     assert(EsBulkResponse.itemErrors("""{"errors":false,"items":[]}""").isEmpty)
   }
+
+  test("maxIdleConnDuration: idle gap drops the pooled client, requests keep working") {
+    val es = new StubEs()
+    try {
+      // ≙ MaxIdleConnDuration (config/config.go:15): idle-conn eviction
+      val c = new EsHttpClient(EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = false, maxIdleConnDurationMs = 5))
+      assert(c.bulk("{\"index\":{}}\n{}\n".getBytes(UTF_8))._1 == 200)
+      Thread.sleep(25)
+      assert(c.bulk("{\"index\":{}}\n{}\n".getBytes(UTF_8))._1 == 200)
+      assert(c.idleEvictions >= 1,
+        "an idle gap past the limit must rebuild the pooled client")
+      assert(es.bulkCount.get() == 2)
+      // unset (0): same traffic pattern, no eviction
+      val c2 = new EsHttpClient(EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = false))
+      c2.bulk("{\"index\":{}}\n{}\n".getBytes(UTF_8))
+      Thread.sleep(25)
+      c2.bulk("{\"index\":{}}\n{}\n".getBytes(UTF_8))
+      assert(c2.idleEvictions == 0)
+    } finally es.stop()
+  }
+
+  test("disableDiscoverNodesOnStart suppresses only start-time discovery; the interval ticker still runs") {
+    val discovered = new AtomicInteger(0)
+    val es = new StubEs()
+    es.nodesOf = s => {
+      discovered.incrementAndGet()
+      s"""{"nodes":{"n1":{"http":{"publish_address":"127.0.0.1:${s.port}"}}}}"""
+    }
+    try {
+      // start-time discovery OFF (≙ DisableDiscoverNodesOnStart,
+      // config/config.go:24), periodic interval tiny (≙
+      // DiscoverNodesInterval, config/config.go:16) — the two knobs are
+      // independent in the reference
+      val c = new EsHttpClient(EsHttpConfig(Seq(es.url),
+        discoverNodesOnStart = false, discoverNodesIntervalMs = 5))
+      assert(discovered.get() == 0, "construction must not discover")
+      Thread.sleep(25)
+      c.ping() // past the deadline → the request path rediscovers
+      assert(discovered.get() >= 1,
+        "the interval ticker must rediscover even with on-start disabled")
+    } finally es.stop()
+  }
 }

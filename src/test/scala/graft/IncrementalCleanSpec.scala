@@ -153,6 +153,59 @@ class IncrementalCleanSpec extends SparkSuite {
       next.gated.filter(col("is_rep")).count())
   }
 
+  test("bucket-pruned patch: ≡ from-scratch, and the probes show SelectedBucketsCount") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val v1 = base.filter(col("doc_id") % 7 =!= 0)
+    val v2 = base.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("cleanstate-pr").toString
+    CorpusOps.writeCleanState(CorpusOps.cleanState(v1), "ics_pr", dir)
+    val (inc, next) = CorpusOps.cleanCorpusIncrementalPruned(
+      spark, v2, "ics_pr", CorpusOps.corpusDiff(v1, v2))
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)),
+      "pruned patch diverged from the from-scratch rebuild")
+    // the v2 state is the same state the generic patch returns
+    val (_, nextGeneric) = CorpusOps.cleanCorpusIncremental(
+      v2, CorpusOps.readCleanState(spark, "ics_pr"),
+      CorpusOps.corpusDiff(v1, v2))
+    assert(rows(next.gated) === rows(nextGeneric.gated), "gated face drifted")
+    assert(rows(next.verdicts) === rows(nextGeneric.verdicts),
+      "verdict face drifted")
+    // the pruning is REAL: an InSet probe on the bucket column of a
+    // state face plans a bucket-pruned scan (autoBucketedScan pinned off
+    // exactly as the pruned patch pins it for its own probes)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+      "false")
+    val probe = graft.ops.BucketedLayout.table(spark, "ics_pr_gated")
+      .filter(col("content_hash")
+        .isInCollection(Seq("00", "11").map(_ * 16)))
+    probe.collect()
+    spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"bucket pruning missing from the probe plan:\n$plan")
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      .findFirstMatchIn(plan)
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"probe must select a strict subset of buckets: $plan")
+  }
+
+  test("pruned patch edge: a pure-delete diff (no added/changed) patches exactly") {
+    val v1 = docs(
+      (10L, en("kappa version"), "s"),
+      (20L, en("kappa version"), "s"),
+      (30L, en("unrelated body about rivers and mountains here"), "s"))
+    val v2 = v1.filter(col("doc_id") =!= 10L)
+    val dir = java.nio.file.Files.createTempDirectory("cleanstate-pd").toString
+    CorpusOps.writeCleanState(CorpusOps.cleanState(v1), "ics_pd", dir)
+    val (inc, _) = CorpusOps.cleanCorpusIncrementalPruned(
+      spark, v2, "ics_pd", CorpusOps.corpusDiff(v1, v2))
+    assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)),
+      "pure-delete pruned patch diverged (promotion must still replay)")
+  }
+
   test("decontam patch: train churn rides frozen grams; bench churn forces the exact redo") {
     import graft.ops.PretrainOps
     val g8 = "alpha beta gamma delta epsilon zeta eta theta"
