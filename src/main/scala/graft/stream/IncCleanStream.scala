@@ -111,7 +111,12 @@ object IncCleanStream {
         val diff = batch.select(col("doc_id"),
           when(col("deleted"), lit("removed")).otherwise(lit("changed"))
             .as("status"))
-        CorpusOps.cleanCorpusIncremental(docStore, state, diff)
+        // the InSet patch core: per-batch churn is small by definition
+        // (a change feed), so the driver-set probes + pruned verify
+        // side beat the generic 12-round checkpoint chain; falls back
+        // to the generic path automatically on a big batch
+        CorpusOps.cleanCorpusIncrementalInSet(spark, docStore, state,
+          graft.ops.DedupOps.bandRows(state.sigs), diff)
       case None =>
         val st = CorpusOps.cleanState(docStore)
         (CorpusOps.cleanFromState(st), st)
