@@ -705,6 +705,12 @@ object SparkEntry {
     // scratch, so a hash match IS the patch ≡ rebuild equivalence proof
     "corpus_clean_incremental" -> ((s, dir) =>
       CorpusOps.cleanIncrementalKey(tbl(s, dir, "documents"))),
+    // the SMALL-churn sibling: the production daily-patch regime — every
+    // churn probe a driver-literal InSet (the bucket-pruned path) — while
+    // the key above prices the join-driven big-churn fallback; oracle
+    // twin cleans v2 from scratch either way
+    "corpus_clean_incremental_small" -> ((s, dir) =>
+      CorpusOps.cleanIncrementalSmallKey(tbl(s, dir, "documents"))),
     // the FULL published composition patched (… + decontamination):
     // churned train docs re-check against the frozen benchmark grams;
     // oracle twin runs cleanCorpusDecontam on v2 from scratch
@@ -1149,6 +1155,7 @@ object SparkEntry {
     "grpo_advantage" -> PostTrainOps.sqlGrpoAdvantage,
     "corpus_diff" -> CorpusOps.sqlCorpusDiff,
     "corpus_clean_incremental" -> CorpusOps.sqlCleanIncremental,
+    "corpus_clean_incremental_small" -> CorpusOps.sqlCleanIncrementalSmall,
     "corpus_clean_incremental_decontam" -> CorpusOps.sqlCleanIncrementalDecontam,
     "dpo_pairs_nodup" -> PostTrainOps.sqlDpoPairsNodup,
     "bt_strength" -> PostTrainOps.sqlBtStrength,

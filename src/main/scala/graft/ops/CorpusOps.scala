@@ -1199,6 +1199,31 @@ object CorpusOps {
       "FROM documents WHERE doc_id % 5 <> 0),\n" +
       sqlCleanCorpus.stripPrefix("WITH ").replace("FROM documents", "FROM v2docs")
 
+  /** The SMALL-churn oracle key — the production daily-patch shape
+    * ([[cleanCorpusIncrementalInSet]]'s literal/bucket-pruned regime:
+    * ~3% churn, every probe a driver-literal InSet), while the big-churn
+    * sibling [[cleanIncrementalKey]] prices the join-driven fallback.
+    * The DuckDB twin cleans v2 from scratch, so a hash match proves the
+    * InSet path's patch ≡ rebuild on REAL fixture data end-to-end, not
+    * just on the spec's planted corpus.
+    */
+  def cleanIncrementalSmallKey(docs: DataFrame): DataFrame = {
+    val v1 = docs
+    val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 89 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val st = cleanState(v1)
+    cleanCorpusIncrementalInSet(docs.sparkSession, v2, st,
+      DedupOps.bandRows(st.sigs), corpusDiff(v1, v2))._1
+  }
+
+  def sqlCleanIncrementalSmall: String =
+    "WITH v2docs AS (SELECT * REPLACE (CASE WHEN doc_id % 89 = 0 " +
+      "THEN upper(text) ELSE text END AS text) " +
+      "FROM documents WHERE doc_id % 97 <> 0),\n" +
+      sqlCleanCorpus.stripPrefix("WITH ").replace("FROM documents", "FROM v2docs")
+
   def sqlCorpusDiff: String =
     """WITH a AS (
       |  SELECT doc_id, md5(coalesce(text, '')) AS hash_a

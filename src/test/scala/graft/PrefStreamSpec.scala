@@ -81,6 +81,48 @@ class PrefStreamSpec extends SparkSuite {
       s"the planted cross-batch near-dup pair must be dropped: $dropped")
   }
 
+  test("re-ingested doc folds to ONE signature (latest batch wins): no pair fan-out") {
+    import spark.implicits._
+    val docsDir = tmp("prefri-docs")
+    val outDir = tmp("prefri-out")
+    val ckpt = tmp("prefri-ckpt")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    fixture.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    // re-ingest a slice with CHANGED text: each doc now carries two
+    // signature delta rows; the read-side fold must keep the newest
+    val reingested = fixture.filter(col("doc_id") < 50)
+      .withColumn("text", concat(col("text"), lit(" entirely new suffix")))
+    reingested.coalesce(1).write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    val nodup = PrefStream.pairsNodup(spark, outDir)
+    val rowsAll = nodup.collect()
+    assert(rowsAll.length == rowsAll.distinct.length &&
+      rowsAll.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct.length
+        == rowsAll.length,
+      "a re-ingested doc's duplicate signature rows must not fan pairs out")
+    // latest-wins: the gate must evaluate against the LATEST signatures
+    // of everything ingested — i.e. batch dpoPairsNodup over the folded
+    // corpus (original docs with the re-ingested slice's new text),
+    // with the re-ingested rewards MERGED into the accumulated state
+    // (max/min merge — the state face's own contract)
+    val foldedCorpus = fixture.filter(col("doc_id") >= 50)
+      .unionByName(reingested)
+    val latestSigs = graft.ops.DedupOps.simhashSignature(foldedCorpus)
+    val p = PrefStream.pairs(spark, outDir)
+    val expected = p
+      .join(latestSigs.select(col("doc_id").as("chosen_id"),
+        col("simhash").as("sim_c")), Seq("chosen_id"), "left")
+      .join(latestSigs.select(col("doc_id").as("rejected_id"),
+        col("simhash").as("sim_r")), Seq("rejected_id"), "left")
+      .filter(coalesce(
+        bit_count(col("sim_c").bitwiseXOR(col("sim_r")))
+          > graft.ops.DedupOps.MaxHamming, lit(true)))
+    assert(pairSet(nodup) == pairSet(expected.select(p.columns.map(col): _*)),
+      "nodup gate must evaluate against the latest-batch signatures")
+  }
+
   test("advantages face: frozen accumulated stats over the full corpus reproduce batch grpoAdvantage exactly") {
     val docsDir = tmp("prefadv-docs")
     val outDir = tmp("prefadv-out")
