@@ -28,6 +28,52 @@ object CorpusOps {
   val QualityThreshold = 0.5
   val AcceptedLangs: Seq[String] = Seq("en")
 
+  /** Scratch intermediates cached/checkpointed by the incremental-clean
+    * patches on this thread. The patch's cached probe frames back the
+    * returned LAZY faces, so the patch itself cannot unpersist them —
+    * but a long-running caller ([[graft.stream.IncCleanStream]] invokes
+    * a patch per micro-batch) must, or the CacheManager accumulates one
+    * generation of scratch blocks per batch without bound (and
+    * MEMORY_AND_DISK disk blocks are never LRU-evicted, so storage
+    * grows until the job degrades). Callers call
+    * [[releasePatchScratch]] once every returned face is materialized
+    * (e.g. written to parquet); frames routed to parquet by
+    * [[DedupOps.CheckpointDirConf]] release trivially (no cache entry,
+    * no pinned RDD — the write was the materialization). Thread-local
+    * because a patch builds and releases on one driver thread (the
+    * foreachBatch thread), while concurrent streams patch in parallel.
+    */
+  private val patchScratch =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+      override def initialValue():
+          scala.collection.mutable.ArrayBuffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty
+    }
+  private def scratch(df: DataFrame): DataFrame = {
+    patchScratch.get += df
+    df
+  }
+
+  /** Free every scratch frame registered by incremental-clean patch
+    * calls on THIS thread since the last release: cache entries
+    * unpersist, localCheckpoint pins free. Only call once every face a
+    * patch returned has been materialized — the scratch backs them.
+    */
+  def releasePatchScratch(): Unit = {
+    val buf = patchScratch.get
+    buf.foreach { df =>
+      if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        df.unpersist(blocking = false)
+      org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(df)
+    }
+    buf.clear()
+  }
+
+  /** Count of registered-but-unreleased scratch frames on this thread —
+    * spec observability for the release discipline.
+    */
+  private[graft] def pendingPatchScratch: Int = patchScratch.get.size
+
   /** The gated set + the two dedup-loser id lists the clean pipeline
     * derives from it — shared by [[cleanCorpus]] (which drops) and
     * [[filterReasons]] (which reports), so the two can never disagree on
@@ -431,12 +477,14 @@ object CorpusOps {
     // [[DedupOps.CheckpointDirConf]] set this is the durable parquet
     // write a production daily rebuild does anyway.
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    // registered as patch scratch too: the stream's FIRST batch builds
+    // the state here, writes it to parquet, then releases the pins
     def trunc(df: DataFrame, name: String): DataFrame =
-      DedupOps.truncateIter(df, s"cleanstate-$runId", name)
+      scratch(DedupOps.truncateIter(df, s"cleanstate-$runId", name))
     val (nTok, quality) = TextOps.qualityCols(col("text"))
     // materialized: feeds both the rep election and the join-back —
     // uncached, the gate+hash scan over the corpus would run twice
-    val gatedRaw = DedupOps.materialize(docs
+    val gatedRaw = scratch(DedupOps.materialize(docs
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
       .withColumn("detected_lang", TextOps.detectLang(col("text")))
@@ -445,7 +493,7 @@ object CorpusOps {
       .select(col("doc_id"),
         DedupOps.normalizedContentHash.as("content_hash"),
         col("n_tokens"), col("quality"), col("detected_lang")),
-      "clean_state_gated_raw")
+      "clean_state_gated_raw"))
     val reps = gatedRaw.groupBy("content_hash")
       .agg(min("doc_id").as("rep_id"))
     val gated = trunc(
@@ -593,17 +641,20 @@ object CorpusOps {
     // a long-lived chain periodically compacts the base — production
     // rewrites the bucketed parquet, the same LSM compaction).
     val runId = java.util.UUID.randomUUID().toString.take(8)
+    // every churn-sized checkpoint/cache below registers as patch
+    // scratch (see [[releasePatchScratch]]): the returned faces read
+    // them lazily, and a per-batch caller frees them after its write
     def trunc(df: DataFrame, name: String): DataFrame =
-      DedupOps.truncateIter(df, s"cleaninc-$runId", name)
+      scratch(DedupOps.truncateIter(df, s"cleaninc-$runId", name))
     // the diff materializes ONCE: it is a two-corpus-scan full-outer
     // join, and every churn-keyed step below reads it
-    val diffM = materialize(diff, "inc_diff")
+    val diffM = scratch(materialize(diff, "inc_diff"))
     val diffIds = diffM.select("doc_id")
     val churnNewIds = diffM
       .filter(col("status").isin("added", "changed")).select("doc_id")
     // 1. re-gate the churn (per-doc pure — the only text the gates read)
     val (nTok, quality) = TextOps.qualityCols(col("text"))
-    val gatedChurn = materialize(v2docs.join(churnNewIds, "doc_id")
+    val gatedChurn = scratch(materialize(v2docs.join(churnNewIds, "doc_id")
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
       .withColumn("detected_lang", TextOps.detectLang(col("text")))
@@ -612,7 +663,7 @@ object CorpusOps {
       .select(col("doc_id"),
         DedupOps.normalizedContentHash.as("content_hash"),
         col("n_tokens"), col("quality"), col("detected_lang"),
-        lit(false).as("is_rep")), "inc_gated_churn")
+        lit(false).as("is_rep")), "inc_gated_churn"))
     // 2. exact-dedup reps: recompute min-per-hash ONLY inside AFFECTED
     // hash groups (a hash a churned doc had in v1 or has in v2); every
     // other group's membership — hence its rep — is untouched and rides
@@ -665,10 +716,10 @@ object CorpusOps {
     // cached, not checkpointed: three consumers (touched-band build +
     // both verify sides) would each re-scan the base otherwise; cache
     // materializes once and keeps the delta-state lineage intact
-    val sigsV2 = materialize(
+    val sigsV2 = scratch(materialize(
       state.sigs.join(minus, Seq("doc_id"), "left_anti")
         .unionByName(plusSigs),
-      "inc_sigs_v2")
+      "inc_sigs_v2"))
     val affectedBuckets = trunc(
       DedupOps.bandRows(
         plusSigs.unionByName(state.sigs.join(minus, "doc_id")
@@ -930,19 +981,25 @@ object CorpusOps {
       case (id, s) if s == "added" || s == "changed" => id
     }.toSeq
 
-    // 1. re-gate the churn (per-doc pure) — churn-sized scan of v2
+    // 1. re-gate the churn (per-doc pure) — churn-sized scan of v2.
+    // All four probe materializations below register as patch scratch
+    // (see [[releasePatchScratch]]) and honor [[DedupOps
+    // .CheckpointDirConf]] — a per-micro-batch caller would otherwise
+    // accumulate one generation of cache blocks per batch forever
+    // (review round-11).
     val (nTok, quality) = TextOps.qualityCols(col("text"))
-    val gatedChurn = keepIdsPushdown(v2docs, "doc_id", churnNewIds)
-      .withColumn("n_tokens", nTok)
-      .withColumn("quality", quality)
-      .withColumn("detected_lang", TextOps.detectLang(col("text")))
-      .filter(col("quality") >= QualityThreshold &&
-        col("detected_lang").isin(AcceptedLangs: _*))
-      .select(col("doc_id"),
-        DedupOps.normalizedContentHash.as("content_hash"),
-        col("n_tokens"), col("quality"), col("detected_lang"),
-        lit(false).as("is_rep"))
-      .cache()
+    val gatedChurn = scratch(DedupOps.materialize(
+      keepIdsPushdown(v2docs, "doc_id", churnNewIds)
+        .withColumn("n_tokens", nTok)
+        .withColumn("quality", quality)
+        .withColumn("detected_lang", TextOps.detectLang(col("text")))
+        .filter(col("quality") >= QualityThreshold &&
+          col("detected_lang").isin(AcceptedLangs: _*))
+        .select(col("doc_id"),
+          DedupOps.normalizedContentHash.as("content_hash"),
+          col("n_tokens"), col("quality"), col("detected_lang"),
+          lit(false).as("is_rep")),
+      "inset_gated_churn"))
 
     // 2. affected hash groups: old rows of churned docs (ONE doc-id
     // probe of the gated face — hash AND old survivor bit together, so
@@ -966,16 +1023,17 @@ object CorpusOps {
     // no extra pass: an affected-group member's OLD survivor bit is
     // st.gated's is_rep (false for churn rows — their old bit, if any,
     // came back on the oldRows probe)
-    val gatedDelta = touched
-      .withColumn("was_rep",
-        when(col("is_rep").isNull, lit(false)).otherwise(col("is_rep")))
-      .drop("is_rep")
-      .join(touchedReps, "content_hash")
-      .withColumn("is_rep", col("doc_id") === col("rep_id"))
-      .drop("rep_id")
-      .select("doc_id", "content_hash", "n_tokens", "quality",
-        "detected_lang", "is_rep", "was_rep")
-      .cache()
+    val gatedDelta = scratch(DedupOps.materialize(
+      touched
+        .withColumn("was_rep",
+          when(col("is_rep").isNull, lit(false)).otherwise(col("is_rep")))
+        .drop("is_rep")
+        .join(touchedReps, "content_hash")
+        .withColumn("is_rep", col("doc_id") === col("rep_id"))
+        .drop("rep_id")
+        .select("doc_id", "content_hash", "n_tokens", "quality",
+          "detected_lang", "is_rep", "was_rep"),
+      "inset_gated_delta"))
 
     // 3. survivor-set delta, all driver-side set algebra over the ONE
     // churn-sized delta collect
@@ -994,8 +1052,10 @@ object CorpusOps {
 
     // 4. signature delta + affected band buckets (plus docs' fresh band
     // rows; minus docs' rows off the persisted bands face)
-    val plusSigs = DedupOps.historySignatureTable(
-      keepIdsPushdown(v2docs, "doc_id", plusSet)).cache()
+    val plusSigs = scratch(DedupOps.materialize(
+      DedupOps.historySignatureTable(
+        keepIdsPushdown(v2docs, "doc_id", plusSet)),
+      "inset_plus_sigs"))
     val affPairs = staged("affected_bands")(DedupOps.bandRows(plusSigs)
       .select("band_idx", "band_sig")
       .unionByName(keepIds(bandsV1, "doc_id", minusSet)
@@ -1014,14 +1074,15 @@ object CorpusOps {
       DedupOps.capBuckets(touchedBands, DedupOps.BandBucketCap)
     val ca = cappedTouched.alias("ca")
     val cb = cappedTouched.alias("cb")
-    val candsTouched = ca.join(cb,
-        col("ca.band_idx") === col("cb.band_idx") &&
-          col("ca.band_sig") === col("cb.band_sig") &&
-          col("ca.doc_id") < col("cb.doc_id"))
-      .select(col("ca.band_idx").as("band_idx"),
-        col("ca.band_sig").as("band_sig"),
-        col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b"))
-      .cache()
+    val candsTouched = scratch(DedupOps.materialize(
+      ca.join(cb,
+          col("ca.band_idx") === col("cb.band_idx") &&
+            col("ca.band_sig") === col("cb.band_sig") &&
+            col("ca.doc_id") < col("cb.doc_id"))
+        .select(col("ca.band_idx").as("band_idx"),
+          col("ca.band_sig").as("band_sig"),
+          col("ca.doc_id").as("doc_a"), col("cb.doc_id").as("doc_b")),
+      "inset_cands_touched"))
 
     // 6. verdicts: fresh pairs = touched-bucket pairs without a kept
     // verdict; the kept probe keys the verdict face by its bucket

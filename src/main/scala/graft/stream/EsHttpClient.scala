@@ -93,11 +93,26 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
   /** Times the pool was dropped by idle eviction (test observability). */
   private[graft] def idleEvictions: Int = idleEvictionCount.get()
 
+  /** Release a displaced/retired JDK client (review round-11): on
+    * JDK 21+ `HttpClient` implements `AutoCloseable` and `close()`
+    * gracefully releases the selector thread and pooled keep-alive
+    * sockets; on 17 no shutdown API exists — the last reference is
+    * dropped and reclamation is GC's (the documented JDK-17 behavior
+    * for abandoned clients). Matching on the interface keeps one build
+    * working on both runtimes.
+    */
+  private def shutdown(c: HttpClient): Unit = c match {
+    case ac: AutoCloseable => try ac.close() catch { case _: Exception => () }
+    case _ => ()
+  }
+
   private def http: HttpClient = {
     val now = System.currentTimeMillis()
     val last = lastRequestMs.getAndSet(now)
     if (cfg.maxIdleConnDurationMs > 0 && now - last >= cfg.maxIdleConnDurationMs) {
-      httpRef.set(newHttp())
+      // getAndSet so repeated evictions never leak the displaced pool:
+      // it shuts down (JDK 21+) or unreferences (17) exactly once
+      shutdown(httpRef.getAndSet(newHttp()))
       idleEvictionCount.incrementAndGet()
       ()
     }
@@ -272,7 +287,8 @@ final class EsHttpClient(cfg: EsHttpConfig) extends AutoCloseable {
     (r.statusCode(), r.body())
   }
 
-  override def close(): Unit = () // JDK HttpClient has no explicit close on 17
+  // graceful on JDK 21+ (AutoCloseable HttpClient); no-op shutdown on 17
+  override def close(): Unit = shutdown(httpRef.get())
 }
 
 /** `_bulk` response-body parsing — the reference's joinErrors

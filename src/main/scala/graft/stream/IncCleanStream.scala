@@ -73,8 +73,8 @@ object IncCleanStream {
       }
       .start()
 
-  private[stream] def processBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, outDir: String): Unit = {
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outDir: String): Unit = try {
     val docsRoot = s"$outDir/_docs"
     val stateRoot = s"$outDir/_state"
     // 1+2. fold the doc store: prior SNAPSHOT patched by this batch's
@@ -85,9 +85,29 @@ object IncCleanStream {
     // row per doc_id per batch (a CDC pipe with finer granularity
     // pre-folds on its own sequence column).
     val live = batch.filter(!col("deleted")).select("doc_id", "text", "source")
+    var migratedLegacy = false
     val folded = VersionedState.latestBefore(spark, docsRoot, batchId) match {
       case Some(prev) =>
-        spark.read.parquet(prev)
+        val prevRaw = spark.read.parquet(prev)
+        // one-time migration (review round-11): a store written by the
+        // pre-snapshot format holds APPEND-ONLY deltas per version
+        // (doc_id,text,source,deleted,batch_id) — detectable by the
+        // tombstone column. Fold ALL prior delta versions once (newest
+        // batch wins per doc, tombstones out) into this batch's
+        // snapshot; every later batch takes the cheap snapshot path.
+        val prevSnap =
+          if (prevRaw.columns.contains("deleted")) {
+            migratedLegacy = true
+            import org.apache.spark.sql.expressions.Window
+            val wLast = Window.partitionBy("doc_id")
+              .orderBy(col("batch_id").desc)
+            spark.read
+              .parquet(VersionedState.allBefore(spark, docsRoot, batchId): _*)
+              .withColumn("rn", row_number().over(wLast))
+              .filter(col("rn") === 1 && !col("deleted"))
+              .select("doc_id", "text", "source")
+          } else prevRaw
+        prevSnap
           // churn ids are batch-sized — AQE broadcasts the anti-join side
           .join(batch.select("doc_id"), Seq("doc_id"), "left_anti")
           .unionByName(live)
@@ -96,8 +116,11 @@ object IncCleanStream {
     folded.write.mode("overwrite")
       .parquet(VersionedState.versionDir(docsRoot, batchId))
     // compaction: snapshots below the replay horizon (current - 1) are
-    // unreachable — prune them so the store holds ≤ 2 versions
-    VersionedState.prune(spark, docsRoot, batchId - 1)
+    // unreachable — prune them so the store holds ≤ 2 versions. On the
+    // migration batch the prior versions are DELTAS, each load-bearing
+    // for a replay of this same batch — skip the prune once; the next
+    // batch (prior = a complete snapshot) prunes them all.
+    if (!migratedLegacy) VersionedState.prune(spark, docsRoot, batchId - 1)
     val docStore =
       spark.read.parquet(VersionedState.versionDir(docsRoot, batchId))
     // 3. patch (or, on the first batch, build) the clean state
@@ -130,7 +153,14 @@ object IncCleanStream {
     clean.write.mode("overwrite")
       .parquet(VersionedState.versionDir(s"$outDir/clean", batchId))
     ()
-  }
+  } finally
+    // every face the patch returned is now durable parquet — free the
+    // patch's cached/checkpointed scratch (review round-11: without
+    // this, a long-running stream accumulates one generation of
+    // MEMORY_AND_DISK blocks per micro-batch without bound). In the
+    // finally: a failed batch replays from scratch anyway, and its
+    // half-built scratch must not pile up across retries.
+    CorpusOps.releasePatchScratch()
 
   /** The current cleaned corpus — clean(v) for the newest ingested
     * version; identical to batch [[CorpusOps.cleanCorpus]] over the

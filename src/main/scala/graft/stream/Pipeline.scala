@@ -294,8 +294,9 @@ object Pipeline {
     val rh0 = responseHandler.getOrElse(ResponseHandler.deadLetter(deadLetterDir))
     val rh = cfg.es.rejectionLog match {
       case Some(rl) => ResponseHandler.withRejectionShip(rh0, rl,
-        ResponseHandler.httpShip(httpForTasks), cfg.es.esMajorVersion,
-        cfg.es.typeNameOrDefault)
+        ResponseHandler.httpShip(httpForTasks,
+          ResponseHandler.fileShip(deadLetterDir)),
+        cfg.es.esMajorVersion, cfg.es.typeNameOrDefault)
       case None => rh0
     }
     rh.onInit(spark, cfg)
@@ -448,29 +449,65 @@ object ResponseHandler {
     * `rejection_<batchId>` NDJSON dir beside the batch flushes
     * (overwrite — replays clobber their own output).
     */
-  private def fileShip(bulkOutDir: String): (DataFrame, Long) => Unit =
+  private[stream] def fileShip(bulkOutDir: String): (DataFrame, Long) => Unit =
     (payload, batchId) =>
       payload.coalesce(1).write.mode("overwrite")
         .text(s"$bulkOutDir/rejection_$batchId")
 
-  /** HTTP transport for the rejection payload: one driver-side `_bulk`
-    * POST into the cluster — rejections are failure-proportional, so
-    * the driver-side collect is bounded by the batch's error count, not
-    * the batch.
+  /** Driver-collect line bound for [[httpShip]]: rejections are
+    * failure-proportional, so the collect is usually tiny — but a
+    * batch-wide outage (every retry exhausted) rejects the WHOLE batch,
+    * and the worst case must not materialize a full batch in driver
+    * memory. Above the bound the payload ships through the
+    * executor-side file transport instead.
     */
-  private[stream] def httpShip(http: EsHttpConfig): (DataFrame, Long) => Unit =
-    (payload, _) => {
-      val lines = payload.collect().map(_.getString(0))
-      if (lines.nonEmpty) {
-        val client = new EsHttpClient(http.copy(discoverNodesOnStart = false))
+  val HttpShipMaxDriverLines = 10000
+
+  /** HTTP transport for the rejection payload: one driver-side `_bulk`
+    * POST into the cluster, bounded by [[HttpShipMaxDriverLines]] —
+    * above it (the batch-wide-outage shape) the payload spills through
+    * `spill` (the executor-side file transport) without ever landing on
+    * the driver. Ship FAILURES also spill, and never throw (review
+    * round-11): the inner dead-letter already recorded the rows
+    * durably, so an unhealthy rejection index must log-and-degrade, not
+    * wedge the pipeline into replaying an already-dead-lettered batch.
+    */
+  private[graft] def httpShip(http: EsHttpConfig,
+      spill: (DataFrame, Long) => Unit,
+      maxDriverLines: Int = HttpShipMaxDriverLines): (DataFrame, Long) => Unit =
+    (payload, batchId) => {
+      val lines =
+        payload.limit(maxDriverLines + 1).collect().map(_.getString(0))
+      if (lines.length > maxDriverLines) {
+        System.err.println(
+          s"[graft-pipeline] rejection payload for batch $batchId exceeds " +
+            s"$maxDriverLines lines — shipping via file transport instead " +
+            "of driver _bulk")
+        spill(payload, batchId)
+      } else if (lines.nonEmpty) {
         try {
-          val (status, body) = client.bulk(
-            (lines.mkString("\n") + "\n").getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-          if (status >= 300)
-            throw new java.io.IOException(
-              s"rejection-log _bulk HTTP $status: ${body.take(500)}")
-        } finally client.close()
+          val client = new EsHttpClient(http.copy(discoverNodesOnStart = false))
+          try {
+            val (status, body) = client.bulk(
+              (lines.mkString("\n") + "\n").getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+            if (status >= 300)
+              throw new java.io.IOException(
+                s"rejection-log _bulk HTTP $status: ${body.take(500)}")
+          } finally client.close()
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft-pipeline] rejection-log ship failed for batch " +
+                s"$batchId (${e.getMessage}) — payload spilled to the " +
+                "file transport; the file dead-letter stays the durable " +
+                "record")
+            try spill(payload, batchId)
+            catch {
+              case e2: Exception => System.err.println(
+                s"[graft-pipeline] rejection spill also failed: ${e2.getMessage}")
+            }
+        }
       }
     }
 

@@ -91,10 +91,17 @@ object PrefStream {
     // fold to ONE signature per doc_id, latest batch wins: a doc_id
     // re-ingested with changed text carries two delta rows, and an
     // unfolded join would duplicate every pair it touches (and pick
-    // stale signatures nondeterministically)
+    // stale signatures nondeterministically). The fold key is recovered
+    // from the `b_<id>` version-dir name rather than the stored
+    // batch_id column (review round-11): deltas written before the
+    // column existed would otherwise throw on schema inference or fold
+    // nondeterministically on nulls — the path encodes the same id
+    // exactly, for every vintage.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("batch_id").desc)
+      .partitionBy("doc_id").orderBy(col("_bid").desc)
     val sims = spark.read.parquet(simDirs: _*)
+      .withColumn("_bid",
+        regexp_extract(input_file_name(), "/b_(\\d+)/", 1).cast("long"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
     p

@@ -64,4 +64,93 @@ class IncCleanStreamSpec extends SparkSuite {
       rows(CorpusOps.cleanCorpus(v2)),
       "patched clean after churn must equal the from-scratch rebuild")
   }
+
+  test("legacy append-only _docs store folds once, then migrates to snapshots") {
+    import graft.stream.VersionedState
+    val outDir = tmp("incclean-legacy")
+    val docsRoot = s"$outDir/_docs"
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").filter(col("doc_id") < 200)
+    // hand-write the PRE-SNAPSHOT store format: per-version DELTA dirs
+    // carrying (doc_id, text, source, deleted, batch_id) — batch 0 the
+    // initial load, batch 1 an edit + a tombstone
+    fixture.withColumn("deleted", lit(false)).withColumn("batch_id", lit(0L))
+      .coalesce(1).write.parquet(VersionedState.versionDir(docsRoot, 0L))
+    val edit = fixture.filter(col("doc_id") === 11L)
+      .withColumn("text", upper(col("text")))
+      .withColumn("deleted", lit(false))
+    val tomb = fixture.filter(col("doc_id") === 5L)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        col("source"), lit(true).as("deleted"))
+    edit.unionByName(tomb).withColumn("batch_id", lit(1L))
+      .coalesce(1).write.parquet(VersionedState.versionDir(docsRoot, 1L))
+
+    // batch 2 under the NEW code: one more edit arrives
+    val batch2 = fixture.filter(col("doc_id") === 7L)
+      .withColumn("text", lower(col("text")))
+      .withColumn("deleted", lit(false))
+    IncCleanStream.processBatch(spark, batch2, 2L, outDir)
+
+    // the migrated snapshot: all deltas folded (newest wins, tombstones
+    // out) + batch 2's churn applied, in the 3-column snapshot schema
+    val expectedV2 = fixture.filter(col("doc_id") =!= 5L)
+      .withColumn("text",
+        when(col("doc_id") === 11L, upper(col("text")))
+          .when(col("doc_id") === 7L, lower(col("text")))
+          .otherwise(col("text")))
+    val snap2 = spark.read.parquet(VersionedState.versionDir(docsRoot, 2L))
+    assert(snap2.columns.toSeq === Seq("doc_id", "text", "source"),
+      "migrated store must write the snapshot schema")
+    assert(rows(snap2) === rows(expectedV2),
+      "migration must fold ALL legacy deltas, not just the latest")
+    assert(rows(IncCleanStream.currentClean(spark, outDir)) ===
+      rows(CorpusOps.cleanCorpus(expectedV2)),
+      "clean over the migrated store must equal the batch rebuild")
+    // the migration batch must NOT prune: the legacy deltas are still
+    // load-bearing for a replay of batch 2 itself
+    assert(Files.isDirectory(java.nio.file.Paths.get(
+      VersionedState.versionDir(docsRoot, 0L))),
+      "legacy deltas survive the migration batch (replay safety)")
+
+    // batch 3: the prior version is now a complete snapshot — the
+    // normal path resumes, and the legacy deltas prune away
+    val batch3 = fixture.filter(col("doc_id") === 13L)
+      .withColumn("text", concat(col("text"), lit(" appended tail")))
+      .withColumn("deleted", lit(false))
+    IncCleanStream.processBatch(spark, batch3, 3L, outDir)
+    val expectedV3 = expectedV2.withColumn("text",
+      when(col("doc_id") === 13L, concat(col("text"), lit(" appended tail")))
+        .otherwise(col("text")))
+    assert(rows(IncCleanStream.currentClean(spark, outDir)) ===
+      rows(CorpusOps.cleanCorpus(expectedV3)),
+      "post-migration batches must patch normally")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(
+      VersionedState.versionDir(docsRoot, 0L))),
+      "legacy deltas prune once a snapshot version exists below the horizon")
+  }
+
+  test("per-batch patch scratch releases: no cached/pinned blocks accumulate") {
+    val outDir = tmp("incclean-scratch")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").filter(col("doc_id") < 200)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // batch 0 builds the full state (cleanState trunc scratch), batches
+    // 1..2 patch (InSet-core cache scratch) — every generation must be
+    // released by the end of its processBatch
+    IncCleanStream.processBatch(spark,
+      fixture.withColumn("deleted", lit(false)), 0L, outDir)
+    (1 to 2).foreach { i =>
+      val churn = fixture.filter(col("doc_id") % 37 === i.toLong)
+        .withColumn("text", concat(col("text"), lit(s" v$i")))
+        .withColumn("deleted", lit(false))
+      IncCleanStream.processBatch(spark, churn, i.toLong, outDir)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    val detail = leaked.map(id => spark.sparkContext.getPersistentRDDs(id))
+      .map(r => s"${r.id}:${r.name}:${r.getStorageLevel}:${r.toString}")
+    assert(leaked.isEmpty,
+      s"patch scratch must release after each batch; leaked: $detail")
+    assert(graft.ops.CorpusOps.pendingPatchScratch === 0,
+      "the scratch registry must be empty after release")
+  }
 }

@@ -162,4 +162,30 @@ class PrefStreamSpec extends SparkSuite {
       PostTrainOps.prefState(a), PostTrainOps.prefState(b)))
     assert(merged == again)
   }
+
+  test("nodup face reads legacy _sims deltas written without a batch_id column") {
+    val docsDir = tmp("preflg-docs")
+    val outDir = tmp("preflg-out")
+    val ckpt = tmp("preflg-ckpt")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    fixture.filter(col("doc_id") < 150).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(docsDir)
+    fixture.filter(col("doc_id") >= 150).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(docsDir)
+    awaitDone(PrefStream.run(spark, docsDir, outDir, ckpt))
+    val expected = pairSet(PrefStream.pairsNodup(spark, outDir))
+    // rewrite batch 0's delta in the PRE-batch_id format (the legacy
+    // store): the fold key must recover from the b_<id> dir name, so a
+    // mixed-vintage store reads without schema failures or stale picks
+    val b0 = s"$outDir/_sims/b_0"
+    val legacy = spark.read.parquet(b0).drop("batch_id").collect()
+    val schema = spark.read.parquet(b0).drop("batch_id").schema
+    spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(legacy: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(b0)
+    assert(!spark.read.parquet(b0).columns.contains("batch_id"))
+    assert(pairSet(PrefStream.pairsNodup(spark, outDir)) == expected,
+      "legacy deltas must fold identically via the path-derived batch id")
+  }
 }

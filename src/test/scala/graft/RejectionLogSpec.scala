@@ -104,4 +104,35 @@ class RejectionLogSpec extends SparkSuite {
     assert(rejectionLines(bulkDir, 2L).size == 6,
       "three rejects -> three meta+source pairs")
   }
+
+  test("httpShip: a batch-wide payload spills to the file transport, never the driver") {
+    import spark.implicits._
+    // 5 lines against a 2-line driver bound — the batch-wide-outage
+    // shape: the payload must route through the spill transport, and no
+    // HTTP attempt happens (the target URL is unroutable; a connect
+    // would slow-fail and a throw would fail this spec)
+    var spilled: Option[Long] = None
+    val ship = ResponseHandler.httpShip(
+      graft.stream.EsHttpConfig(Seq("http://127.0.0.1:1"), maxRetries = 0),
+      (payload, batchId) => { spilled = Some(payload.count()); () },
+      maxDriverLines = 2)
+    ship((1 to 5).map(i => s"line$i").toDF("value"), 42L)
+    assert(spilled.contains(5L),
+      "payload above the driver bound must ship via the spill transport")
+  }
+
+  test("httpShip: a failed rejection-index post is swallowed and spilled, not thrown") {
+    import spark.implicits._
+    // small payload, dead endpoint (port 1 refuses), zero retries: the
+    // ship must NOT propagate — the file dead-letter is the durable
+    // record and an unhealthy rejection index must not wedge the stream
+    var spilledRows = -1L
+    val ship = ResponseHandler.httpShip(
+      graft.stream.EsHttpConfig(Seq("http://127.0.0.1:1"),
+        maxRetries = 0, connectTimeoutMs = 500, requestTimeoutMs = 500),
+      (payload, _) => { spilledRows = payload.count(); () })
+    ship(Seq("only-line").toDF("value"), 7L) // must not throw
+    assert(spilledRows == 1L,
+      "the failed payload must land on the fallback file transport")
+  }
 }
