@@ -23,11 +23,14 @@ object BenchProbe {
     catch { case e: Throwable => println(s"PROBE warmShared failed: ${e.getMessage}") }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (q <- names) {
-      // same per-query hygiene as graft.Bench
-      org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(spark,
-        SparkEntry.sharedCaches(spark, sfDir))
       try {
         val t = (1 to 2).map { _ =>
+          // same per-RUN hygiene as graft.Bench.timeOnce: scratch caches
+          // cleared behind the keep-set before EVERY timed run, so run 2
+          // cannot ride run 1's intermediates (it did before round 12 —
+          // probe numbers under-read the sweep for scratch-heavy keys)
+          org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(
+            spark, SparkEntry.sharedCaches(spark, sfDir))
           val t0 = System.nanoTime()
           exec(SparkEntry.queries(q)(spark, sfDir))
           (System.nanoTime() - t0) / 1e9

@@ -82,12 +82,15 @@ object CorpusOps {
   private def cleanStages(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // both gates are pure projections over `docs`, so their columns ride
     // ONE narrow select — no doc_id joins (which at corpus scale would be
-    // two full shuffles); expressions identical to qualityScore/langId
-    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    // two full shuffles); expressions identical to qualityScore/langId.
+    // toksOf: a caller holding the shared token table skips re-splitting
+    // the corpus text for the gates (identical result by table contract)
+    val toks = TextOps.toksOf(docs)
+    val (nTok, quality) = TextOps.qualityColsWith(col("text"), toks)
     val gated = docs
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
-      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .withColumn("detected_lang", TextOps.detectLangWith(toks))
       .filter(col("quality") >= QualityThreshold &&
         col("detected_lang").isin(AcceptedLangs: _*))
     // exact dedup: survivors are each hash group's min doc_id
@@ -129,10 +132,11 @@ object CorpusOps {
     val (_, reps, nearDupLosers) = cleanStages(docs)
     val contaminated = PretrainOps.decontaminate(docs, PretrainOps.DecontamGramProd)
       .select("doc_id").distinct()
-    val (_, quality) = TextOps.qualityCols(col("text"))
+    val toks = TextOps.toksOf(docs)
+    val (_, quality) = TextOps.qualityColsWith(col("text"), toks)
     val flagged = docs.select(col("doc_id"),
       (quality < QualityThreshold).as("fail_quality"),
-      (!TextOps.detectLang(col("text")).isin(AcceptedLangs: _*)).as("fail_lang"))
+      (!TextOps.detectLangWith(toks).isin(AcceptedLangs: _*)).as("fail_lang"))
     // gated membership is definitionally !fail_quality && !fail_lang —
     // already in hand, so no join against the gated frame (that would
     // re-evaluate both gates over the corpus a second time and add a
@@ -194,12 +198,16 @@ object CorpusOps {
     import org.apache.spark.sql.expressions.Window
     // the cleaned corpus is consumed twice (trim input + shard/source
     // join) and its subtree is the whole multi-stage clean pipeline —
-    // materialize it once (exactly what a production pipeline does:
-    // write the cleaned corpus, THEN pack), instead of re-running
-    // gates+LSH+decontam per consumer
-    val survivors = DedupOps.materialize(
-      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
-      "clean_survivors")
+    // materialize its ID SET once (exactly what a production pipeline
+    // does: write the cleaned corpus, THEN pack), instead of re-running
+    // gates+LSH+decontam per consumer. Only the doc_id column is
+    // materialized (review round-12): copying the wide token arrays
+    // into a second cache cost a full serialization pass of the
+    // corpus — the id set is doc-count-sized, AQE broadcasts it, and
+    // both consumers re-read the already-cached corpus table instead
+    val cleanIds = DedupOps.materialize(
+      cleanCorpusDecontam(docs).select("doc_id"), "clean_survivor_ids")
+    val survivors = docs.join(cleanIds, "doc_id")
     val trimmed = PretrainOps.dedupSubstringTrim(survivors)
       .filter(col("surviving_tokens") >= 1)
       .select(col("doc_id"), col("surviving_tokens").as("n_tokens"))
@@ -234,9 +242,12 @@ object CorpusOps {
     * tokenizer.
     */
   def corpusToSequencesBpe(docs: DataFrame): DataFrame = {
-    val survivors = DedupOps.materialize(
-      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
-      "clean_survivors_bpe")
+    // id-set materialization (see [[corpusToSequences]]): the trainer
+    // and the tokenizer both read the cached corpus through one cheap
+    // broadcast semi-join instead of a second wide cache copy
+    val cleanIds = DedupOps.materialize(
+      cleanCorpusDecontam(docs).select("doc_id"), "clean_survivor_ids_bpe")
+    val survivors = docs.join(cleanIds, "doc_id")
     val merges = TokenizerOps.bpeTrain(survivors, TokenizerOps.NumMerges)
     TokenizerOps.packSequencesBpe(survivors, merges)
   }
@@ -481,13 +492,14 @@ object CorpusOps {
     // the state here, writes it to parquet, then releases the pins
     def trunc(df: DataFrame, name: String): DataFrame =
       scratch(DedupOps.truncateIter(df, s"cleanstate-$runId", name))
-    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val toks = TextOps.toksOf(docs)
+    val (nTok, quality) = TextOps.qualityColsWith(col("text"), toks)
     // materialized: feeds both the rep election and the join-back —
     // uncached, the gate+hash scan over the corpus would run twice
     val gatedRaw = scratch(DedupOps.materialize(docs
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
-      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .withColumn("detected_lang", TextOps.detectLangWith(toks))
       .filter(col("quality") >= QualityThreshold &&
         col("detected_lang").isin(AcceptedLangs: _*))
       .select(col("doc_id"),
@@ -653,11 +665,12 @@ object CorpusOps {
     val churnNewIds = diffM
       .filter(col("status").isin("added", "changed")).select("doc_id")
     // 1. re-gate the churn (per-doc pure — the only text the gates read)
-    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val toks = TextOps.toksOf(v2docs)
+    val (nTok, quality) = TextOps.qualityColsWith(col("text"), toks)
     val gatedChurn = scratch(materialize(v2docs.join(churnNewIds, "doc_id")
       .withColumn("n_tokens", nTok)
       .withColumn("quality", quality)
-      .withColumn("detected_lang", TextOps.detectLang(col("text")))
+      .withColumn("detected_lang", TextOps.detectLangWith(toks))
       .filter(col("quality") >= QualityThreshold &&
         col("detected_lang").isin(AcceptedLangs: _*))
       .select(col("doc_id"),
@@ -987,12 +1000,13 @@ object CorpusOps {
     // .CheckpointDirConf]] — a per-micro-batch caller would otherwise
     // accumulate one generation of cache blocks per batch forever
     // (review round-11).
-    val (nTok, quality) = TextOps.qualityCols(col("text"))
+    val toks = TextOps.toksOf(v2docs)
+    val (nTok, quality) = TextOps.qualityColsWith(col("text"), toks)
     val gatedChurn = scratch(DedupOps.materialize(
       keepIdsPushdown(v2docs, "doc_id", churnNewIds)
         .withColumn("n_tokens", nTok)
         .withColumn("quality", quality)
-        .withColumn("detected_lang", TextOps.detectLang(col("text")))
+        .withColumn("detected_lang", TextOps.detectLangWith(toks))
         .filter(col("quality") >= QualityThreshold &&
           col("detected_lang").isin(AcceptedLangs: _*))
         .select(col("doc_id"),
@@ -1284,6 +1298,64 @@ object CorpusOps {
       "THEN upper(text) ELSE text END AS text) " +
       "FROM documents WHERE doc_id % 97 <> 0),\n" +
       sqlCleanCorpus.stripPrefix("WITH ").replace("FROM documents", "FROM v2docs")
+
+  // -------------------------------------------- bench-only stage pricing
+
+  /** Per-stage wall split of the incremental oracle keys — bench
+    * observability, not an operator (review round-11 §5): each oracle
+    * key deliberately prices v1-BUILD + diff + patch in ONE cell (the
+    * from-scratch oracle hash IS the patch ≡ rebuild proof), which
+    * makes the sweep's slowest entries read as "the patch is slow" when
+    * ~80% of each wall is the deliberate double-priced rebuild. These
+    * split the wall into `v1_build` (the from-scratch state build a
+    * daily deployment pays ONCE) and `patch` (the churn-proportional
+    * daily work: diff + patch + clean materialization). The timed
+    * computations are byte-identical to the oracle keys'.
+    */
+  private def secsOf[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def cleanIncrementalStages(docs: DataFrame): Map[String, Double] = {
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val (st, tBuild) = secsOf(cleanState(v1))
+    val (_, tPatch) = secsOf(
+      noop(cleanCorpusIncremental(v2, st, corpusDiff(v1, v2))._1))
+    Map("v1_build" -> tBuild, "patch" -> tPatch)
+  }
+
+  def cleanIncrementalSmallStages(docs: DataFrame): Map[String, Double] = {
+    val v2 = docs.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 89 === 0, upper(col("text")))
+          .otherwise(col("text")))
+    val (st, tBuild) = secsOf(cleanState(docs))
+    val (_, tPatch) = secsOf(
+      noop(cleanCorpusIncrementalInSet(docs.sparkSession, v2, st,
+        DedupOps.bandRows(st.sigs), corpusDiff(docs, v2))._1))
+    Map("v1_build" -> tBuild, "patch" -> tPatch)
+  }
+
+  def cleanIncrementalDecontamStages(docs: DataFrame): Map[String, Double] = {
+    val isBench = col("source") === PretrainOps.BenchmarkSource
+    val v1 = docs.filter(col("doc_id") % 7 =!= 0 || isBench)
+    val v2 = docs.filter(col("doc_id") % 5 =!= 0 || isBench)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0 && !isBench, upper(col("text")))
+          .otherwise(col("text")))
+    val (st, tBuild) = secsOf(cleanStateDecontam(v1))
+    val (_, tPatch) = secsOf(
+      noop(cleanCorpusIncrementalDecontam(v2, st, corpusDiff(v1, v2))._1))
+    Map("v1_build" -> tBuild, "patch" -> tPatch)
+  }
 
   def sqlCorpusDiff: String =
     """WITH a AS (

@@ -647,10 +647,7 @@ object SimilarityOps {
     */
   def knnPagerank(emb: DataFrame,
       centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
-    pagerankOn(DedupOps.materialize(
-      knnGraph(emb, centroids = centroids)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
-      "pr_edges"))
+    pagerankOn(DedupOps.materialize(knnEdges(emb, centroids), "pr_edges"))
 
   /** PR over an explicit (already-materialized) edge list — split out so
     * [[communityRepresentatives]] runs LP and PR over ONE knn build.
@@ -765,11 +762,8 @@ object SimilarityOps {
     * in rounds (labels feed one join side — the pagerank discipline).
     */
   def knnCommunities(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
-    val knn = knnGraph(emb, centroids = centroids)
-      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-    labelPropagate(knn)
-  }
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    labelPropagate(knnEdges(emb, centroids))
 
   /** LP over an explicit edge list — split out so the spec can feed a
     * hand-built graph with a known community structure.
@@ -870,16 +864,31 @@ object SimilarityOps {
     * graph ops already paid.
     */
   def communityRepresentatives(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
     // ONE knn build: LP and PR both read the same materialized edges.
     // Honest x32 note: measured ≈ even with two builds (6.83 vs 6.85 s)
     // because at fixture scale the 8 iterative rounds' fixed per-stage
     // overhead dominates, not the 25k-edge build — the sharing pays at
     // real scale where the blocked pair join is the cost
-    val edges = DedupOps.materialize(
-      knnGraph(emb, centroids = centroids)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst")),
-      "cr_edges")
+    communityRepresentativesOn(DedupOps.materialize(
+      knnEdges(emb, centroids), "cr_edges"))
+
+  /** The knn graph as a bare (src, dst) edge list — THE shared serving
+    * artifact of the graph family: a production deployment builds the
+    * knn graph once beside the embedding table and every graph consumer
+    * (pagerank authority, LP communities, representatives) reads it,
+    * exactly as the token table is materialized once beside the corpus.
+    */
+  def knnEdges(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    knnGraph(emb, centroids = centroids)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+
+  /** [[communityRepresentatives]] over an explicit (already
+    * materialized) edge list — the entry a deployment with a persisted
+    * [[knnEdges]] artifact calls; LP and PR read the SAME edges.
+    */
+  def communityRepresentativesOn(edges: DataFrame): DataFrame =
     labelPropagate(edges)
       .join(pagerankOn(edges).select(col("vec_id"), col("pr_micro")),
         "vec_id")
@@ -888,7 +897,6 @@ object SimilarityOps {
         max(struct(col("pr_micro"), (-col("vec_id")).as("nv"))).as("m"))
       .select(col("community_id"), (-col("m.nv")).as("rep_vec_id"),
         col("m.pr_micro").as("rep_pr_micro"), col("n_members"))
-  }
 
   /** DuckDB twin: ONE shared e/g graph prefix, the LP and PR round
     * chains side by side, then the same join + arg-max (row_number

@@ -758,8 +758,14 @@ object TextOps {
     * pipeline (CorpusOps.cleanCorpus) can ride them in ONE projection
     * instead of joining the gate frame back on doc_id.
     */
-  private[graft] def qualityCols(text: Column): (Column, Column) = {
-    val toks = tokens(text)
+  private[graft] def qualityCols(text: Column): (Column, Column) =
+    qualityColsWith(text, tokens(text))
+
+  /** [[qualityCols]] with the token array supplied — callers holding the
+    * shared token table ([[toksOf]]) skip re-splitting the corpus text
+    * (identical result: `toks` IS `tokens(text)` by the table contract).
+    */
+  private[graft] def qualityColsWith(text: Column, toks: Column): (Column, Column) = {
     val nTok = size(toks).cast("long")
     val nStop = stopScore(toks, StopwordProfiles.head._2)
     val nAlpha = regexp_count(text, lit("[A-Za-z]")).cast("long")
@@ -778,8 +784,13 @@ object TextOps {
     * (per-language stopword scores inlined; Catalyst's collapsed langId
     * projection evaluates the same shape).
     */
-  private[graft] def detectLang(text: Column): Column = {
-    val toks = tokens(text)
+  private[graft] def detectLang(text: Column): Column =
+    detectLangWith(tokens(text))
+
+  /** [[detectLang]] over a supplied token array (the [[qualityColsWith]]
+    * discipline).
+    */
+  private[graft] def detectLangWith(toks: Column): Column = {
     val scores = StopwordProfiles.map { case (l, ws) => l -> stopScore(toks, ws) }.toMap
     val langs = StopwordProfiles.map(_._1)
     langs.init.zipWithIndex
@@ -1505,20 +1516,40 @@ object TextOps {
     * sum); the per-query top-K plans as WindowGroupLimit.
     */
   def bm25TopK(docs: DataFrame,
-      impactCap: Int = Bm25ImpactCap): DataFrame = {
+      impactCap: Int = Bm25ImpactCap): DataFrame =
+    bm25TopKOn(docs, bm25TfTable(docs), impactCap)
+
+  /** The train-split term-frequency POSTINGS table — (doc_id, token,
+    * tf) — THE retrieval serving artifact: a production BM25 deployment
+    * builds the inverted index once per corpus version beside the
+    * corpus and every query batch reads it (Lucene's segment files, the
+    * token-table discipline for retrieval). Everything else the scorer
+    * needs (document lengths, global document frequencies, corpus
+    * stats) is a cheap doc- or vocab-sized aggregate OF this table.
+    */
+  def bm25TfTable(docs: DataFrame): DataFrame = {
     import graft.ops.PretrainOps.BenchmarkSource
-    import org.apache.spark.sql.expressions.Window
     val train = docs.filter(col("source") =!= BenchmarkSource)
     val toks = graft.ops.DedupOps.fanout(train)
       .select(col("doc_id"), explode_outer(toksOf(docs)).as("token"))
       .filter(col("token").isNotNull)
+    toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+  }
+
+  /** [[bm25TopK]] over an explicit (already materialized) postings
+    * table (see [[bm25TfTable]]).
+    */
+  def bm25TopKOn(docs: DataFrame, tfRaw: DataFrame,
+      impactCap: Int = Bm25ImpactCap): DataFrame = {
+    import graft.ops.PretrainOps.BenchmarkSource
+    import org.apache.spark.sql.expressions.Window
     // materialize tf ONCE: four consumers hang off it (dl, global df, the
     // capped-candidate window, the scoring join) — without this the
     // corpus-wide tokenize+explode+agg subtree re-executes per consumer,
     // and at x32 that recompute, not the (now capped) match fan-out, was
-    // the whole scaling slope
-    val tf = graft.ops.DedupOps.materialize(
-      toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), "bm25_tf")
+    // the whole scaling slope. A caller passing a persisted artifact
+    // makes this a no-op (already materialized).
+    val tf = graft.ops.DedupOps.materialize(tfRaw, "bm25_tf")
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     // exact global df per token: tf rows are distinct (doc, token) pairs

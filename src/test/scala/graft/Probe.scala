@@ -8,32 +8,42 @@ import org.apache.spark.sql.SparkSession
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
 
-    // dump selected queries + their oracle SQL for scripts/check.py
-    val names = if (args.nonEmpty) args.toSeq else Seq("dedup_lsh_recall")
-    val sfDir = sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.01")
-    val outDir = "/tmp/probe_check"
-    new java.io.File(outDir).mkdirs()
-    for (n <- names)
-      SparkEntry.queries(n)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$n")
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = names.map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
-      .mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+    val sfDir = sys.env.getOrElse("PROBE_SF_DIR", "/root/testdata/sf0.1")
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"STAGE $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val docs = graft.ops.TextOps.tokenize(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+
+    // stage breakdown of corpus_to_sequences
+    import graft.ops.{CorpusOps, DedupOps, PretrainOps}
+    val cleanIds = time("cleanCorpusDecontam")(
+      { val c = CorpusOps.cleanCorpusDecontam(docs).select("doc_id"); exec(c); c })
+    val survivors = time("survivors materialize")(
+      { val s0 = docs.join(cleanIds, "doc_id").cache(); s0.count(); s0 })
+    val trimmed = time("dedupSubstringTrim")(
+      { val t = PretrainOps.dedupSubstringTrim(survivors)
+          .filter(col("surviving_tokens") >= 1)
+          .select(col("doc_id"), col("surviving_tokens").as("n_tokens"))
+        exec(t); t })
+    time("pack window")(
+      exec(graft.SparkEntry.queries("corpus_to_sequences")(spark, sfDir)
+        .limit(0)))
     spark.stop()
   }
 }
