@@ -113,7 +113,18 @@ object IncCleanStream {
           .unionByName(live)
       case None => live
     }
-    folded.write.mode("overwrite")
+    // fan the snapshot out before writing (round 12, measured): a
+    // change feed arriving as one file leaves `folded` single-partition,
+    // so the snapshot lands as ONE file and every downstream
+    // corpus-wide scan of it — the whole batch-1 gate+hash+LSH state
+    // build — runs in one task (47.7 s vs 21.6 s at x32). The snapshot
+    // is the corpus artifact every later batch reads; one extra
+    // corpus-sized exchange at write time buys full parallelism on all
+    // of them. On a real cluster with multi-split feeds this shuffle
+    // is the same-sized insurance as DedupOps.fanout.
+    folded.repartition(
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      .write.mode("overwrite")
       .parquet(VersionedState.versionDir(docsRoot, batchId))
     // compaction: snapshots below the replay horizon (current - 1) are
     // unreachable — prune them so the store holds ≤ 2 versions. On the
