@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftext.PgOutputFunctions.pg_output_decode
+
+/** The pgoutput capture pipeline as declarative DataFrame stages — the
+  * reference's go-pq-cdc message layer (connector.go:54-58: pgoutput
+  * messages arrive as typed Insert/Update/Delete with the relation's
+  * column names resolved) re-expressed over CAPTURED replication frames:
+  *
+  *   1. [[decode]]: binary frame → typed message struct (one codegen'd
+  *      expression, [[graft.sources.PgWire]]);
+  *   2. [[relationalize]]: resolve each DML row against the LATEST
+  *      preceding Relation message (pgoutput sends schema metadata
+  *      in-band, before the first DML touching a table — the protocol's
+  *      own schema registry) and the enclosing Begin's transaction
+  *      metadata;
+  *   3. [[actions]]: route through the SAME three-tier table→index
+  *      resolution every other leg uses ([[CdcOps.resolveParentTable]])
+  *      and emit the engine's action schema — from here the existing
+  *      LWW dedup, NDJSON encode and bulk sink apply verbatim.
+  *
+  * Ordering/scale contract: a replication slot is ONE totally ordered
+  * WAL stream, so the metadata carries below use a global `seq` order —
+  * correct by the protocol, and cheap because carry applies to a
+  * capture SEGMENT (a micro-batch), not a corpus: pgoutput re-sends
+  * Relation messages per walsender session and on any schema change, so
+  * segments are self-describing, and the streaming face
+  * ([[graft.stream.PgCaptureStream]]) carries the registry across
+  * segment boundaries as explicit versioned state instead of window
+  * history. DML throughput stays partition-parallel: the decode is a
+  * narrow projection, and the heavy columns (tuple values) never enter
+  * the ordered windows — only the row-count-bounded metadata columns do.
+  */
+object PgOutputOps {
+
+  /** Frames (seq, frame binary) → (seq, pg struct). `seq` is the capture
+    * order — the file/offset order a capture tool preserves; the WAL
+    * positions inside the envelope ride along as `pg.wal_start`.
+    */
+  def decode(frames: DataFrame, frameCol: String = "frame",
+      seqCol: String = "seq"): DataFrame =
+    frames.select(col(seqCol).cast("long").as("seq"),
+      pg_output_decode(col(frameCol)).as("pg"))
+
+  /** Decoded messages → one row per DML (insert/update/delete) with the
+    * relation's column metadata and the transaction's Begin metadata
+    * resolved. Output columns: seq, wal_start, msg_type
+    * (INSERT/UPDATE/DELETE — the engine's convention), xid,
+    * event_time_us (commit timestamp of the enclosing Begin),
+    * table_namespace, table_name, doc_id (replica-identity key values
+    * joined with ':'), key_values, new_doc / old_doc
+    * (column-name → text-value maps; null where the message carries no
+    * tuple).
+    */
+  def relationalize(decoded: DataFrame): DataFrame =
+    relationalizeFlat(decoded.select(col("seq"), col("pg.*")))
+
+  /** [[relationalize]] over the flattened frame (seq, <PgWire fields>) —
+    * the streaming face unions its persisted registry seed rows into
+    * this shape before the carry windows run.
+    */
+  private[graft] def relationalizeFlat(d: DataFrame): DataFrame = {
+    // relation-metadata carry: per relation oid, the LAST Relation
+    // message at-or-before this row (pgoutput guarantees one precedes
+    // the first DML; a schema change re-sends it, and the new metadata
+    // applies from that point on — exactly last-non-null semantics)
+    val relW = Window.partitionBy(col("relation_oid")).orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // transaction carry: the stream is totally ordered, Begin precedes
+    // its DML — a global last-non-null. Metadata-only columns enter
+    // this window (xid, commit ts), never tuple payloads.
+    val txW = Window.orderBy(col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isRel = col("msg_type") === "relation"
+    val carried = d
+      .withColumn("r_namespace",
+        last(when(isRel, col("namespace")), ignoreNulls = true).over(relW))
+      .withColumn("r_name",
+        last(when(isRel, col("rel_name")), ignoreNulls = true).over(relW))
+      .withColumn("r_cols",
+        last(when(isRel, col("col_names")), ignoreNulls = true).over(relW))
+      .withColumn("r_keys",
+        last(when(isRel, col("col_key_flags")), ignoreNulls = true).over(relW))
+      .withColumn("tx_xid",
+        last(when(col("msg_type") === "begin", col("xid")),
+          ignoreNulls = true).over(txW))
+      .withColumn("tx_commit_ts",
+        last(when(col("msg_type") === "begin", col("commit_ts_micros")),
+          ignoreNulls = true).over(txW))
+      .filter(col("msg_type").isin("insert", "update", "delete"))
+    // replica-identity key: the OLD tuple when the message carries one
+    // (UPDATE with changed key / REPLICA IDENTITY FULL, every DELETE —
+    // the reference keys deletes by the old image, handler.go:7), else
+    // the new tuple; key columns selected by the relation's key flags
+    val keySource = coalesce(col("old_values"), col("new_values"))
+    val keyVals = expr(
+      "transform(filter(arrays_zip(r_cols, r_keys, _key_src), " +
+        "x -> x.r_keys), x -> x._key_src)")
+    carried
+      .withColumn("_key_src", keySource)
+      .withColumn("key_values", keyVals)
+      .select(
+        col("seq"),
+        col("wal_start"),
+        upper(col("msg_type")).as("msg_type"),
+        col("tx_xid").as("xid"),
+        col("tx_commit_ts").as("event_time_us"),
+        col("r_namespace").as("table_namespace"),
+        col("r_name").as("table_name"),
+        array_join(col("key_values"), ":").as("doc_id"),
+        col("key_values"),
+        when(col("new_values").isNotNull,
+          map_from_arrays(col("r_cols"), col("new_values"))).as("new_doc"),
+        when(col("old_values").isNotNull,
+          map_from_arrays(col("r_cols"), col("old_values"))).as("old_doc"))
+  }
+
+  /** Relationalized DML → the engine's action schema (event_id,
+    * action_type, doc_id, index_name, source): the reference handler's
+    * default shape (DELETE → delete action keyed by the old image,
+    * INSERT/UPDATE → index action carrying the serialized new image,
+    * example/simple/main.go:109-130), routed through the shared
+    * three-tier table→index resolution. From here
+    * [[CdcOps.dedupLastWriteWins]] / [[CdcOps.ndjsonEncode]] /
+    * [[graft.stream.EsBulkSink]] apply unchanged.
+    */
+  def actions(relationalized: DataFrame,
+      mapping: Map[String, String]): DataFrame =
+    CdcOps.resolveParentTable(relationalized, mapping).select(
+      col("seq").as("event_id"),
+      when(col("msg_type") === "DELETE", "delete")
+        .otherwise("index").as("action_type"),
+      col("doc_id"),
+      col("index_name"),
+      when(col("msg_type") === "DELETE", lit(null).cast("string"))
+        .otherwise(to_json(col("new_doc"))).as("source"))
+}

@@ -1,0 +1,306 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Decoder for PostgreSQL's `pgoutput` logical-replication wire format —
+  * the byte stream the reference consumes through go-pq-cdc (go.mod:6,
+  * connector.go:54-58). Message layouts follow the PUBLIC protocol
+  * documentation: "Logical Streaming Replication Protocol" +
+  * "Logical Replication Message Formats" (PostgreSQL docs §55.5/§55.10;
+  * protocol version 1, the non-streaming layout every supported server
+  * emits for `proto_version '1'`).
+  *
+  * Scope: this is the PROTOCOL half of the reference's source — the
+  * part that is pure computation and therefore testable in this
+  * zero-egress harness. Frames are decoded from CAPTURED bytes (a
+  * replication-slot capture written to files: each row one XLogData or
+  * keepalive frame, or a bare pgoutput message). The SOCKET half —
+  * START_REPLICATION over a walsender connection — remains the one
+  * production integration a user supplies (SURVEY.md §7.3); everything
+  * from the first byte onward exists here: envelope LSN bookkeeping,
+  * the full message family, relation-schema carry, tuple decode, and
+  * the mapping onto the engine's action pipeline
+  * ([[graft.ops.PgOutputOps]]).
+  *
+  * Two layers:
+  *   - [[decodeRow]]: one frame → one [[InternalRow]] of [[sparkSchema]]
+  *     (called from the codegen'd [[org.apache.spark.sql.graftext
+  *     .PgOutputFunctions.pg_output_decode]] expression — the
+  *     HashKernels static-call discipline). Malformed bytes yield a
+  *     `msg_type = "malformed"` row carrying the error text, NOT an
+  *     exception: the R1 dead-letter route handles them like any other
+  *     bad-split action, and one corrupt frame must not fail a batch.
+  *   - everything else: private byte-walking helpers.
+  *
+  * All integers are BIG-ENDIAN (network order) per the protocol; text
+  * tuple values arrive in PostgreSQL text representation (pgoutput
+  * default); binary ('b') values surface as lowercase hex. PostgreSQL
+  * timestamps count microseconds from 2000-01-01 and convert to unix
+  * epoch micros here ([[PgEpochOffsetMicros]]).
+  */
+object PgWire {
+
+  /** Unix micros of 2000-01-01T00:00:00Z — the PostgreSQL timestamp epoch. */
+  val PgEpochOffsetMicros: Long = 946684800000000L
+
+  val sparkSchema: StructType = StructType(Seq(
+    StructField("msg_type", StringType),
+    StructField("wal_start", LongType),
+    StructField("wal_end", LongType),
+    StructField("send_ts_micros", LongType),
+    StructField("xid", LongType),
+    StructField("lsn", LongType),
+    StructField("end_lsn", LongType),
+    StructField("commit_ts_micros", LongType),
+    StructField("relation_oid", LongType),
+    StructField("namespace", StringType),
+    StructField("rel_name", StringType),
+    StructField("replica_identity", StringType),
+    StructField("col_names", ArrayType(StringType)),
+    StructField("col_key_flags", ArrayType(BooleanType)),
+    StructField("col_type_oids", ArrayType(LongType)),
+    StructField("old_kind", StringType),
+    StructField("old_values", ArrayType(StringType)),
+    StructField("old_value_kinds", ArrayType(StringType)),
+    StructField("new_values", ArrayType(StringType)),
+    StructField("new_value_kinds", ArrayType(StringType)),
+    StructField("truncate_oids", ArrayType(LongType)),
+    StructField("truncate_cascade", BooleanType),
+    StructField("truncate_restart", BooleanType),
+    StructField("msg_prefix", StringType),
+    StructField("msg_content", StringType),
+    StructField("origin_name", StringType),
+    StructField("reply_requested", BooleanType)))
+
+  private val NFields = sparkSchema.length
+  private val idx: Map[String, Int] =
+    sparkSchema.fieldNames.zipWithIndex.toMap
+
+  // ---------------------------------------------------------- byte walkers
+
+  private def cstring(b: ByteBuffer): String = {
+    val start = b.position()
+    var end = start
+    while (b.get(end) != 0) end += 1
+    val bytes = new Array[Byte](end - start)
+    b.position(start)
+    b.get(bytes)
+    b.get() // consume the NUL
+    new String(bytes, StandardCharsets.UTF_8)
+  }
+
+  private def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** TupleData: Int16 ncols, then per column one of
+    * 'n' (null) | 'u' (unchanged TOAST) | 't' Int32 len + bytes (text) |
+    * 'b' Int32 len + bytes (binary, surfaced as hex).
+    * Returns (values, kinds) — values null for 'n'/'u'.
+    */
+  private def tupleData(b: ByteBuffer): (GenericArrayData, GenericArrayData) = {
+    val n = b.getShort().toInt
+    val values = new Array[Any](n)
+    val kinds = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val kind = b.get().toChar
+      kinds(i) = utf8(kind.toString)
+      kind match {
+        case 'n' | 'u' => values(i) = null
+        case 't' =>
+          val len = b.getInt()
+          val bytes = new Array[Byte](len)
+          b.get(bytes)
+          values(i) = UTF8String.fromBytes(bytes)
+        case 'b' =>
+          val len = b.getInt()
+          val bytes = new Array[Byte](len)
+          b.get(bytes)
+          values(i) = utf8(hex(bytes))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown TupleData column kind '$other'")
+      }
+      i += 1
+    }
+    (new GenericArrayData(values), new GenericArrayData(kinds))
+  }
+
+  private def pgTsToUnixMicros(pgMicros: Long): Long =
+    pgMicros + PgEpochOffsetMicros
+
+  // ------------------------------------------------------------- decoding
+
+  /** Decode ONE captured frame: an XLogData ('w') or keepalive ('k')
+    * replication envelope, or a bare pgoutput message. Never throws —
+    * malformed input yields a `msg_type = "malformed"` row with the
+    * error text in `msg_prefix` (dead-letter routing's contract).
+    */
+  def decodeRow(bytes: Array[Byte]): InternalRow =
+    try decodeRowStrict(bytes)
+    catch {
+      case e: Exception =>
+        val r = empty()
+        r.update(idx("msg_type"), utf8("malformed"))
+        r.update(idx("msg_prefix"),
+          utf8(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+        r
+    }
+
+  private def empty(): GenericInternalRow = new GenericInternalRow(NFields)
+
+  private def decodeRowStrict(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.isEmpty)
+      throw new IllegalArgumentException("empty frame")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val r = empty()
+    b.get().toChar match {
+      case 'w' => // XLogData envelope: walStart, walEnd, sendTime, payload
+        r.update(idx("wal_start"), b.getLong())
+        r.update(idx("wal_end"), b.getLong())
+        r.update(idx("send_ts_micros"), pgTsToUnixMicros(b.getLong()))
+        message(b, r)
+      case 'k' => // Primary keepalive: walEnd, sendTime, replyRequested
+        r.update(idx("msg_type"), utf8("keepalive"))
+        r.update(idx("wal_end"), b.getLong())
+        r.update(idx("send_ts_micros"), pgTsToUnixMicros(b.getLong()))
+        r.update(idx("reply_requested"), b.get() != 0)
+      case _ => // bare pgoutput message (captures that strip the envelope)
+        b.position(0)
+        message(b, r)
+    }
+    r
+  }
+
+  private def message(b: ByteBuffer, r: GenericInternalRow): Unit =
+    b.get().toChar match {
+      case 'B' => // Begin: finalLSN, commitTimestamp, xid
+        r.update(idx("msg_type"), utf8("begin"))
+        r.update(idx("lsn"), b.getLong())
+        r.update(idx("commit_ts_micros"), pgTsToUnixMicros(b.getLong()))
+        r.update(idx("xid"), b.getInt().toLong)
+      case 'C' => // Commit: flags(0), commitLSN, endLSN, commitTimestamp
+        r.update(idx("msg_type"), utf8("commit"))
+        b.get() // flags, unused (always 0 in v1)
+        r.update(idx("lsn"), b.getLong())
+        r.update(idx("end_lsn"), b.getLong())
+        r.update(idx("commit_ts_micros"), pgTsToUnixMicros(b.getLong()))
+      case 'O' => // Origin: commit LSN on origin, origin name
+        r.update(idx("msg_type"), utf8("origin"))
+        r.update(idx("lsn"), b.getLong())
+        r.update(idx("origin_name"), utf8(cstring(b)))
+      case 'R' => // Relation: oid, namespace, name, replident, columns
+        r.update(idx("msg_type"), utf8("relation"))
+        r.update(idx("relation_oid"), b.getInt().toLong & 0xffffffffL)
+        r.update(idx("namespace"), utf8(cstring(b)))
+        r.update(idx("rel_name"), utf8(cstring(b)))
+        val ident = b.get().toChar match {
+          case 'd' => "default"
+          case 'n' => "nothing"
+          case 'f' => "full"
+          case 'i' => "index"
+          case other => other.toString
+        }
+        r.update(idx("replica_identity"), utf8(ident))
+        val ncols = b.getShort().toInt
+        val names = new Array[Any](ncols)
+        val keys = new Array[Any](ncols)
+        val oids = new Array[Any](ncols)
+        var i = 0
+        while (i < ncols) {
+          val flags = b.get()
+          names(i) = utf8(cstring(b))
+          keys(i) = (flags & 1) != 0
+          oids(i) = b.getInt().toLong & 0xffffffffL
+          b.getInt() // type modifier (atttypmod) — not surfaced
+          i += 1
+        }
+        r.update(idx("col_names"), new GenericArrayData(names))
+        r.update(idx("col_key_flags"), new GenericArrayData(keys))
+        r.update(idx("col_type_oids"), new GenericArrayData(oids))
+      case 'Y' => // Type: oid, namespace, name
+        r.update(idx("msg_type"), utf8("type"))
+        r.update(idx("relation_oid"), b.getInt().toLong & 0xffffffffL)
+        r.update(idx("namespace"), utf8(cstring(b)))
+        r.update(idx("rel_name"), utf8(cstring(b)))
+      case 'I' => // Insert: relation oid, 'N', new tuple
+        r.update(idx("msg_type"), utf8("insert"))
+        r.update(idx("relation_oid"), b.getInt().toLong & 0xffffffffL)
+        val marker = b.get().toChar
+        if (marker != 'N')
+          throw new IllegalArgumentException(
+            s"Insert expects 'N' tuple marker, got '$marker'")
+        val (vals, kinds) = tupleData(b)
+        r.update(idx("new_values"), vals)
+        r.update(idx("new_value_kinds"), kinds)
+      case 'U' => // Update: relation oid, optional K/O old tuple, N new
+        r.update(idx("msg_type"), utf8("update"))
+        r.update(idx("relation_oid"), b.getInt().toLong & 0xffffffffL)
+        var marker = b.get().toChar
+        if (marker == 'K' || marker == 'O') {
+          r.update(idx("old_kind"),
+            utf8(if (marker == 'K') "key" else "old"))
+          val (ov, ok) = tupleData(b)
+          r.update(idx("old_values"), ov)
+          r.update(idx("old_value_kinds"), ok)
+          marker = b.get().toChar
+        }
+        if (marker != 'N')
+          throw new IllegalArgumentException(
+            s"Update expects 'N' tuple marker, got '$marker'")
+        val (nv, nk) = tupleData(b)
+        r.update(idx("new_values"), nv)
+        r.update(idx("new_value_kinds"), nk)
+      case 'D' => // Delete: relation oid, K/O old tuple
+        r.update(idx("msg_type"), utf8("delete"))
+        r.update(idx("relation_oid"), b.getInt().toLong & 0xffffffffL)
+        val marker = b.get().toChar
+        if (marker != 'K' && marker != 'O')
+          throw new IllegalArgumentException(
+            s"Delete expects 'K' or 'O' tuple marker, got '$marker'")
+        r.update(idx("old_kind"),
+          utf8(if (marker == 'K') "key" else "old"))
+        val (ov, ok) = tupleData(b)
+        r.update(idx("old_values"), ov)
+        r.update(idx("old_value_kinds"), ok)
+      case 'T' => // Truncate: nRelations, options, oids
+        r.update(idx("msg_type"), utf8("truncate"))
+        val n = b.getInt()
+        val options = b.get()
+        val oids = new Array[Any](n)
+        var i = 0
+        while (i < n) { oids(i) = b.getInt().toLong & 0xffffffffL; i += 1 }
+        r.update(idx("truncate_oids"), new GenericArrayData(oids))
+        r.update(idx("truncate_cascade"), (options & 1) != 0)
+        r.update(idx("truncate_restart"), (options & 2) != 0)
+      case 'M' => // Message: flags, lsn, prefix, length, content
+        r.update(idx("msg_type"), utf8("message"))
+        b.get() // flags (1 = transactional) — not surfaced
+        r.update(idx("lsn"), b.getLong())
+        r.update(idx("msg_prefix"), utf8(cstring(b)))
+        val len = b.getInt()
+        val content = new Array[Byte](len)
+        b.get(content)
+        r.update(idx("msg_content"), utf8(hex(content)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown pgoutput message type '$other'")
+    }
+}

@@ -1,0 +1,102 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.ops.PgOutputOps
+
+/** Streaming face of the pgoutput capture pipeline: a directory of
+  * capture segments (parquet files of `(seq, frame binary)` rows — each
+  * frame one XLogData/keepalive envelope or bare pgoutput message, in
+  * slot order) streams through decode → relationalize → route → the
+  * bulk sink, with the protocol's in-band schema registry carried
+  * ACROSS segment boundaries as versioned state.
+  *
+  * Why the carry: pgoutput sends a Relation message before the first
+  * DML touching a table — per walsender session. A capture split into
+  * segments can therefore open a segment with DML rows whose Relation
+  * message arrived segments ago. `_pgstate/b_<id>` persists the latest
+  * relation metadata per oid (plus the last Begin's transaction
+  * metadata) after every batch; the next batch seeds
+  * [[PgOutputOps.relationalize]] with those rows at `seq = -1`, exactly
+  * as go-pq-cdc's in-memory relation cache persists across message
+  * reads. Replay-safe by the [[VersionedState]] contract (a batch reads
+  * strictly below its own id and overwrites its own version).
+  *
+  * Malformed frames (decoder contract: `msg_type = "malformed"`, error
+  * text in `msg_prefix`) dead-letter as parquet beside the action
+  * dead-letters — one corrupt frame never fails a batch. Keepalive
+  * frames carry no DML and drop here; resume positions belong to the
+  * file source's checkpoint in this replay shape (the R2 contract), and
+  * the envelope's `wal_start` rides every action's lineage for a
+  * transport that acks by LSN.
+  */
+object PgCaptureStream {
+
+  val captureSchema: StructType = StructType(Seq(
+    StructField("seq", LongType),
+    StructField("frame", BinaryType)))
+
+  def run(spark: SparkSession, captureDir: String, bulkOutDir: String,
+      deadLetterDir: String, checkpointDir: String,
+      mapping: Map[String, String], concurrentRequest: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(captureSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(captureDir)
+      .writeStream
+      .queryName(s"graft-pgcapture-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, bulkOutDir, deadLetterDir,
+          mapping, concurrentRequest)
+      }
+      .start()
+
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, bulkOutDir: String, deadLetterDir: String,
+      mapping: Map[String, String], concurrentRequest: Int): Unit = {
+    val stateRoot = s"$bulkOutDir/_pgstate"
+    // one decode pass feeds the dead-letter split, the registry fold and
+    // the action pipeline
+    val flat = PgOutputOps.decode(batch).select(col("seq"), col("pg.*")).cache()
+    try {
+      flat.filter(col("msg_type") === "malformed")
+        .select(col("seq"), col("msg_prefix").as("error"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$deadLetterDir/pg_malformed")
+      // seed: the prior batch's registry snapshot at seq = -1 — ordered
+      // BEFORE every row of this batch, so the carry windows resolve
+      // cross-segment DML exactly like an in-memory relation cache
+      val seeded = VersionedState.latestBefore(spark, stateRoot, batchId) match {
+        case Some(prev) =>
+          spark.read.parquet(prev).withColumn("seq", lit(-1L))
+            .unionByName(flat)
+        case None => flat
+      }
+      val acts = PgOutputOps.actions(
+        PgOutputOps.relationalizeFlat(seeded), mapping)
+        // seed rows are prior-batch state, not this batch's events
+        .filter(col("event_id") >= 0)
+      EsBulkSink.writeBatch(acts, batchId, bulkOutDir, deadLetterDir,
+        concurrentRequest)
+      // registry snapshot for the NEXT batch: latest relation per oid +
+      // the last begin, folded over (prior seed ∪ this batch)
+      val relW = Window.partitionBy(col("relation_oid")).orderBy(col("seq").desc)
+      val latestRels = seeded.filter(col("msg_type") === "relation")
+        .withColumn("_rn", row_number().over(relW))
+        .filter(col("_rn") === 1).drop("_rn")
+      val lastBegin = seeded.filter(col("msg_type") === "begin")
+        .orderBy(col("seq").desc).limit(1)
+      latestRels.unionByName(lastBegin).drop("seq")
+        .write.mode("overwrite")
+        .parquet(VersionedState.versionDir(stateRoot, batchId))
+      VersionedState.prune(spark, stateRoot, batchId - 1)
+    } finally { flat.unpersist(); () }
+  }
+}

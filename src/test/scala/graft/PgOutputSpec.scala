@@ -1,0 +1,316 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CdcOps, PgOutputOps}
+import graft.sources.PgWire
+import graft.stream.PgCaptureStream
+
+/** pgoutput protocol decode — frames hand-crafted byte-for-byte from the
+  * PUBLIC message-format documentation (PostgreSQL §55.10, protocol
+  * version 1), driven through decode → relationalize → route → NDJSON:
+  * the reference's go-pq-cdc message layer (connector.go:54-58) minus
+  * only the walsender socket.
+  */
+class PgOutputSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------- frame builders
+
+  private def bytes(f: DataOutputStream => Unit): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos) // big-endian, like the protocol
+    f(out)
+    out.flush()
+    bos.toByteArray
+  }
+  private def cstr(out: DataOutputStream, s: String): Unit = {
+    out.write(s.getBytes("UTF-8")); out.writeByte(0)
+  }
+  /** µs since 2000-01-01 for a unix-µs instant (the wire's timestamp). */
+  private def pgTs(unixMicros: Long): Long =
+    unixMicros - PgWire.PgEpochOffsetMicros
+
+  private def xlog(walStart: Long, walEnd: Long, sendUnixUs: Long,
+      payload: Array[Byte]): Array[Byte] = bytes { o =>
+    o.writeByte('w'); o.writeLong(walStart); o.writeLong(walEnd)
+    o.writeLong(pgTs(sendUnixUs)); o.write(payload)
+  }
+  private def begin(finalLsn: Long, commitUnixUs: Long, xid: Int): Array[Byte] =
+    bytes { o =>
+      o.writeByte('B'); o.writeLong(finalLsn)
+      o.writeLong(pgTs(commitUnixUs)); o.writeInt(xid)
+    }
+  private def commit(lsn: Long, endLsn: Long, unixUs: Long): Array[Byte] =
+    bytes { o =>
+      o.writeByte('C'); o.writeByte(0); o.writeLong(lsn)
+      o.writeLong(endLsn); o.writeLong(pgTs(unixUs))
+    }
+  private def relation(oid: Int, ns: String, name: String,
+      cols: Seq[(String, Boolean, Int)]): Array[Byte] = bytes { o =>
+    o.writeByte('R'); o.writeInt(oid); cstr(o, ns); cstr(o, name)
+    o.writeByte('d'); o.writeShort(cols.size)
+    cols.foreach { case (cn, key, typeOid) =>
+      o.writeByte(if (key) 1 else 0); cstr(o, cn)
+      o.writeInt(typeOid); o.writeInt(-1)
+    }
+  }
+  /** TupleData: Some(Left(text)) | Some(Right(binary)) | None (null). */
+  private def tuple(o: DataOutputStream,
+      vals: Seq[Option[Either[String, Array[Byte]]]]): Unit = {
+    o.writeShort(vals.size)
+    vals.foreach {
+      case None => o.writeByte('n')
+      case Some(Left(t)) =>
+        val b = t.getBytes("UTF-8")
+        o.writeByte('t'); o.writeInt(b.length); o.write(b)
+      case Some(Right(b)) =>
+        o.writeByte('b'); o.writeInt(b.length); o.write(b)
+    }
+  }
+  private def t(s: String): Option[Either[String, Array[Byte]]] = Some(Left(s))
+  private def insert(oid: Int,
+      vals: Seq[Option[Either[String, Array[Byte]]]]): Array[Byte] =
+    bytes { o => o.writeByte('I'); o.writeInt(oid); o.writeByte('N'); tuple(o, vals) }
+  private def update(oid: Int,
+      old: Option[(Char, Seq[Option[Either[String, Array[Byte]]]])],
+      nw: Seq[Option[Either[String, Array[Byte]]]]): Array[Byte] = bytes { o =>
+    o.writeByte('U'); o.writeInt(oid)
+    old.foreach { case (k, ov) => o.writeByte(k); tuple(o, ov) }
+    o.writeByte('N'); tuple(o, nw)
+  }
+  private def delete(oid: Int, kind: Char,
+      old: Seq[Option[Either[String, Array[Byte]]]]): Array[Byte] =
+    bytes { o => o.writeByte('D'); o.writeInt(oid); o.writeByte(kind); tuple(o, old) }
+  private def keepalive(walEnd: Long, unixUs: Long, reply: Boolean): Array[Byte] =
+    bytes { o =>
+      o.writeByte('k'); o.writeLong(walEnd); o.writeLong(pgTs(unixUs))
+      o.writeByte(if (reply) 1 else 0)
+    }
+  private def truncateMsg(oids: Seq[Int], options: Int): Array[Byte] =
+    bytes { o =>
+      o.writeByte('T'); o.writeInt(oids.size); o.writeByte(options)
+      oids.foreach(o.writeInt)
+    }
+
+  private val T0 = 1700000000000000L // 2023-11-14T22:13:20Z in unix µs
+
+  private def framesDf(frames: Seq[Array[Byte]]): DataFrame =
+    frames.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+      .toDF("seq", "frame")
+
+  private def pgRows(frames: Seq[Array[Byte]]): Map[Long, Row] =
+    PgOutputOps.decode(framesDf(frames)).select(col("seq"), col("pg.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  // --------------------------------------------------------------- decode
+
+  test("decode: every message family field-exact, envelope LSNs and PG-epoch timestamps") {
+    val userCols = Seq(("id", true, 20), ("name", false, 25))
+    val frames = Seq(
+      xlog(100L, 200L, T0, begin(999L, T0 + 5, 42)),
+      xlog(101L, 200L, T0, relation(16385, "public", "users", userCols)),
+      xlog(102L, 200L, T0, insert(16385, Seq(t("1"), t("alice")))),
+      xlog(103L, 200L, T0,
+        update(16385, Some(('K', Seq(t("1"), None))), Seq(t("1"), t("alicia")))),
+      xlog(104L, 200L, T0, delete(16385, 'K', Seq(t("2"), None))),
+      xlog(105L, 200L, T0, commit(999L, 1000L, T0 + 5)),
+      keepalive(1000L, T0 + 6, reply = true),
+      xlog(106L, 200L, T0, truncateMsg(Seq(16385, 16999), 3)),
+      // binary tuple value -> hex; bare message (no envelope) also decodes
+      insert(16385, Seq(t("3"), Some(Right(Array[Byte](0xde.toByte, 0xad.toByte))))))
+    val rows = pgRows(frames)
+    def f(seq: Long, name: String): Any =
+      rows(seq).get(rows(seq).fieldIndex(name))
+
+    assert(f(0, "msg_type") == "begin" && f(0, "lsn") == 999L &&
+      f(0, "xid") == 42L && f(0, "commit_ts_micros") == T0 + 5)
+    assert(f(0, "wal_start") == 100L && f(0, "wal_end") == 200L &&
+      f(0, "send_ts_micros") == T0, "XLogData envelope fields")
+    assert(f(1, "msg_type") == "relation" && f(1, "relation_oid") == 16385L &&
+      f(1, "namespace") == "public" && f(1, "rel_name") == "users" &&
+      f(1, "replica_identity") == "default")
+    assert(rows(1).getSeq[String](rows(1).fieldIndex("col_names")) ==
+      Seq("id", "name"))
+    assert(rows(1).getSeq[Boolean](rows(1).fieldIndex("col_key_flags")) ==
+      Seq(true, false))
+    assert(rows(1).getSeq[Long](rows(1).fieldIndex("col_type_oids")) ==
+      Seq(20L, 25L))
+    assert(f(2, "msg_type") == "insert" &&
+      rows(2).getSeq[String](rows(2).fieldIndex("new_values")) ==
+        Seq("1", "alice"))
+    assert(f(3, "msg_type") == "update" && f(3, "old_kind") == "key" &&
+      rows(3).getSeq[String](rows(3).fieldIndex("old_values")) ==
+        Seq("1", null) &&
+      rows(3).getSeq[String](rows(3).fieldIndex("old_value_kinds")) ==
+        Seq("t", "n") &&
+      rows(3).getSeq[String](rows(3).fieldIndex("new_values")) ==
+        Seq("1", "alicia"))
+    assert(f(4, "msg_type") == "delete" && f(4, "old_kind") == "key")
+    assert(f(5, "msg_type") == "commit" && f(5, "lsn") == 999L &&
+      f(5, "end_lsn") == 1000L && f(5, "commit_ts_micros") == T0 + 5)
+    assert(f(6, "msg_type") == "keepalive" && f(6, "wal_end") == 1000L &&
+      f(6, "reply_requested") == true)
+    assert(f(7, "msg_type") == "truncate" &&
+      rows(7).getSeq[Long](rows(7).fieldIndex("truncate_oids")) ==
+        Seq(16385L, 16999L) &&
+      f(7, "truncate_cascade") == true && f(7, "truncate_restart") == true)
+    assert(f(8, "msg_type") == "insert" && rows(8).isNullAt(
+      rows(8).fieldIndex("wal_start")), "bare message: no envelope fields")
+    assert(rows(8).getSeq[String](rows(8).fieldIndex("new_values")) ==
+      Seq("3", "dead"), "binary tuple value surfaces as hex")
+    assert(rows(8).getSeq[String](rows(8).fieldIndex("new_value_kinds")) ==
+      Seq("t", "b"))
+  }
+
+  test("decode: malformed frames become dead-letterable rows, never exceptions") {
+    val rows = pgRows(Seq(
+      Array[Byte](), // empty
+      Array[Byte]('Z', 1, 2), // unknown type
+      xlog(1, 2, T0, Array[Byte]('I', 0, 0)))) // truncated insert
+    assert(rows.values.forall(r =>
+      r.getString(r.fieldIndex("msg_type")) == "malformed"))
+    assert(rows(1).getString(rows(1).fieldIndex("msg_prefix"))
+      .contains("unknown pgoutput message type"))
+  }
+
+  // -------------------------------------------------------- relationalize
+
+  private val usersCols = Seq(("id", true, 20), ("name", false, 25))
+
+  test("relationalize: relation metadata + transaction carry, schema change mid-stream") {
+    val frames = Seq(
+      xlog(100, 900, T0, begin(900L, T0 + 5, 7)),
+      xlog(101, 900, T0, relation(16385, "public", "users", usersCols)),
+      xlog(102, 900, T0, insert(16385, Seq(t("1"), t("alice")))),
+      xlog(103, 900, T0,
+        update(16385, Some(('K', Seq(t("1"), None))), Seq(t("1"), t("alicia")))),
+      xlog(104, 900, T0, delete(16385, 'K', Seq(t("2"), None))),
+      xlog(105, 900, T0, commit(900L, 901L, T0 + 5)),
+      // second tx: ALTER TABLE added a column -> pgoutput re-sends Relation
+      xlog(106, 950, T0, begin(950L, T0 + 60, 8)),
+      xlog(107, 950, T0, relation(16385, "public", "users",
+        usersCols :+ (("email", false, 25)))),
+      xlog(108, 950, T0, insert(16385, Seq(t("3"), t("bob"), t("b@x.io")))),
+      xlog(109, 950, T0, commit(950L, 951L, T0 + 60)))
+    val rel = PgOutputOps.relationalize(PgOutputOps.decode(framesDf(frames)))
+      .orderBy("seq").collect()
+    assert(rel.length == 4, "exactly the DML rows survive")
+    val ins = rel(0)
+    assert(ins.getString(ins.fieldIndex("msg_type")) == "INSERT" &&
+      ins.getString(ins.fieldIndex("table_namespace")) == "public" &&
+      ins.getString(ins.fieldIndex("table_name")) == "users" &&
+      ins.getString(ins.fieldIndex("doc_id")) == "1" &&
+      ins.getLong(ins.fieldIndex("xid")) == 7L &&
+      ins.getLong(ins.fieldIndex("event_time_us")) == T0 + 5)
+    assert(ins.getMap[String, String](ins.fieldIndex("new_doc")) ==
+      Map("id" -> "1", "name" -> "alice"))
+    val upd = rel(1)
+    assert(upd.getString(upd.fieldIndex("doc_id")) == "1",
+      "update keys by the OLD image when one is present")
+    assert(upd.getMap[String, String](upd.fieldIndex("new_doc")) ==
+      Map("id" -> "1", "name" -> "alicia"))
+    val del = rel(2)
+    assert(del.getString(del.fieldIndex("msg_type")) == "DELETE" &&
+      del.getString(del.fieldIndex("doc_id")) == "2" &&
+      del.isNullAt(del.fieldIndex("new_doc")))
+    val ins2 = rel(3)
+    assert(ins2.getLong(ins2.fieldIndex("xid")) == 8L &&
+      ins2.getLong(ins2.fieldIndex("event_time_us")) == T0 + 60,
+      "second transaction's Begin metadata carries")
+    assert(ins2.getMap[String, String](ins2.fieldIndex("new_doc")) ==
+      Map("id" -> "3", "name" -> "bob", "email" -> "b@x.io"),
+      "the re-sent Relation's new column applies from its position on")
+  }
+
+  test("actions + NDJSON: routed index/delete pairs; unmapped tables drop") {
+    val frames = Seq(
+      xlog(100, 900, T0, begin(900L, T0 + 5, 7)),
+      xlog(101, 900, T0, relation(16385, "public", "users", usersCols)),
+      xlog(102, 900, T0, relation(16500, "public", "shadow", usersCols)),
+      xlog(103, 900, T0, insert(16385, Seq(t("1"), t("alice")))),
+      xlog(104, 900, T0, insert(16500, Seq(t("9"), t("ghost")))),
+      xlog(105, 900, T0, delete(16385, 'K', Seq(t("2"), None))),
+      xlog(106, 900, T0, commit(900L, 901L, T0 + 5)))
+    val acts = PgOutputOps.actions(
+      PgOutputOps.relationalize(PgOutputOps.decode(framesDf(frames))),
+      Map("public.users" -> "users_idx")).orderBy("event_id")
+    val rows = acts.collect()
+    assert(rows.length == 2, "the unmapped table's insert drops (T2 skip)")
+    assert(rows(0).getString(rows(0).fieldIndex("action_type")) == "index" &&
+      rows(0).getString(rows(0).fieldIndex("index_name")) == "users_idx" &&
+      rows(0).getString(rows(0).fieldIndex("source"))
+        .contains("\"name\":\"alice\""))
+    assert(rows(1).getString(rows(1).fieldIndex("action_type")) == "delete" &&
+      rows(1).isNullAt(rows(1).fieldIndex("source")))
+    // the shared NDJSON tail applies verbatim: delete = meta-only line
+    val nd = CdcOps.ndjsonEncode(acts).orderBy("event_id").collect()
+    assert(nd(0).getString(nd(0).fieldIndex("meta")) ==
+      """{"index":{"_index":"users_idx","_id":"1"}}""")
+    assert(nd(1).getString(nd(1).fieldIndex("meta")) ==
+      """{"delete":{"_index":"users_idx","_id":"2"}}""")
+  }
+
+  // ------------------------------------------------------- streaming face
+
+  test("PgCaptureStream: relation registry carries across segments and a restart; malformed dead-letters") {
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val cap = tmp("pgcap-in")
+    val bulk = tmp("pgcap-bulk")
+    val dlq = tmp("pgcap-dlq")
+    val ckpt = tmp("pgcap-ckpt")
+    val mapping = Map("public.users" -> "users_idx")
+    // segment 1 carries the session preamble (Relation) + one insert
+    framesDf(Seq(
+      xlog(100, 900, T0, begin(900L, T0 + 5, 7)),
+      xlog(101, 900, T0, relation(16385, "public", "users", usersCols)),
+      xlog(102, 900, T0, insert(16385, Seq(t("1"), t("alice")))),
+      xlog(105, 900, T0, commit(900L, 901L, T0 + 5))))
+      .coalesce(1).write.mode("append").parquet(cap)
+    // segment 2: NO Relation message — resolves only via carried state —
+    // plus one malformed frame that must dead-letter, not fail the batch
+    framesDf(Seq(
+      xlog(200, 990, T0, begin(990L, T0 + 60, 8)),
+      xlog(201, 990, T0,
+        update(16385, Some(('K', Seq(t("1"), None))), Seq(t("1"), t("alicia")))),
+      xlog(202, 990, T0, Array[Byte]('Z', 9)),
+      xlog(203, 990, T0, commit(990L, 991L, T0 + 60))))
+      .withColumn("seq", col("seq") + 100)
+      .coalesce(1).write.mode("append").parquet(cap)
+    awaitDone(PgCaptureStream.run(spark, cap, bulk, dlq, ckpt, mapping))
+
+    def ndjson(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(java.nio.file.Paths.get(bulk)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.toString.contains("batch_"))
+        .flatMap(p => Files.readAllLines(p).asScala)
+        .toSeq.filter(_.nonEmpty)
+    }
+    val afterTwo = ndjson()
+    assert(afterTwo.exists(_.contains("\"alice\"")), "segment-1 insert shipped")
+    assert(afterTwo.exists(_.contains("\"alicia\"")),
+      "segment-2 update resolved through the CARRIED relation registry")
+    val dead = spark.read.parquet(s"$dlq/pg_malformed")
+    assert(dead.count() == 1 &&
+      dead.select("error").as[String].head().contains("unknown"),
+      "malformed frame dead-letters with its reason")
+
+    // segment 3 arrives after a RESTART: the registry must survive via
+    // versioned state, not session memory
+    framesDf(Seq(
+      xlog(300, 1100, T0, begin(1100L, T0 + 120, 9)),
+      xlog(301, 1100, T0, delete(16385, 'K', Seq(t("1"), None))),
+      xlog(302, 1100, T0, commit(1100L, 1101L, T0 + 120))))
+      .withColumn("seq", col("seq") + 200)
+      .coalesce(1).write.mode("append").parquet(cap)
+    awaitDone(PgCaptureStream.run(spark, cap, bulk, dlq, ckpt, mapping))
+    assert(ndjson().exists(_.contains(
+      """{"delete":{"_index":"users_idx","_id":"1"}}""")),
+      "post-restart delete resolved through the persisted registry")
+  }
+}
