@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PostTrainOps, PretrainOps, ProfileOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
+import graft.ops.{AudioOps, BinaryOps, CdcOps, CorpusOps, DedupOps, PgOutputOps, PostTrainOps, PretrainOps, ProfileOps, SessionOps, SimilarityOps, SuffixOps, TextOps, TokenizerOps, VideoOps}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -321,6 +321,11 @@ object SparkEntry {
 
     // T8 — oversize-batch chunking (internal/slices/slices.go:3-16)
     "chunk_split" -> ((s, dir) => CdcOps.chunkSplit(actions(s, dir), 100)),
+    // pgoutput wire round trip: events encode as Insert frames behind a
+    // Begin+Relation preamble, decode + relationalize back; the oracle
+    // derives the same table straight from `events` — encode/decode/
+    // relationalize proven lossless by an independent engine
+    "pg_roundtrip" -> ((s, dir) => PgOutputOps.roundtrip(events(s, dir))),
 
     // B1 — last-write-wins in-batch dedup (bulk.go:141-157)
     "dedup_lww" -> ((s, dir) =>
@@ -987,6 +992,7 @@ object SparkEntry {
          |  '","event_time_us":' || event_time_us || '}' AS source
          |FROM typed""".stripMargin,
 
+    "pg_roundtrip" -> PgOutputOps.sqlRoundtrip,
     "chunk_split" -> withActions(
       """SELECT index_name, chunk_id,
         |  count(*) AS n_actions, min(event_id) AS min_event_id, max(event_id) AS max_event_id

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.PgOutputFunctions.pg_output_decode
 
+import graft.sources.PgWire
+
 /** The pgoutput capture pipeline as declarative DataFrame stages — the
   * reference's go-pq-cdc message layer (connector.go:54-58: pgoutput
   * messages arrive as typed Insert/Update/Delete with the relation's
@@ -127,6 +129,64 @@ object PgOutputOps {
     * [[CdcOps.dedupLastWriteWins]] / [[CdcOps.ndjsonEncode]] /
     * [[graft.stream.EsBulkSink]] apply unchanged.
     */
+  /** Oracle-bearing round trip over the `events` fixture: each event
+    * encodes as one pgoutput Insert frame (behind a Begin + Relation
+    * preamble, exactly the wire sequence a server emits), the frames
+    * decode and relationalize back, and the projected result must
+    * hash-match an oracle that derives the same table DIRECTLY from
+    * `events` — encode ∘ decode ∘ relationalize proven lossless by an
+    * independent engine, not by our own inverse. Text-mode tuples only
+    * (longs/strings — float text forms differ across engines by
+    * design, so the fixture's numeric payload column stays out).
+    */
+  val RoundtripRelOid = 51234L
+  val RoundtripXid = 77
+  val RoundtripTs = 1700000000000000L
+
+  def roundtrip(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.PgOutputFunctions.pg_encode_dml
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cols = Seq(("event_id", true, 20L), ("event_type", false, 25L),
+      ("user_id", false, 20L), ("props", false, 25L))
+    val preamble = Seq(
+      (0L, PgWire.encodeXLogData(10L, 999L, RoundtripTs,
+        PgWire.encodeBegin(999L, RoundtripTs, RoundtripXid))),
+      (1L, PgWire.encodeXLogData(11L, 999L, RoundtripTs,
+        PgWire.encodeRelation(RoundtripRelOid, "public", "events", cols)))
+    ).toDF("seq", "frame")
+    val dml = events.select(
+      (col("event_id") + lit(2L)).as("seq"),
+      pg_encode_dml("insert", lit(RoundtripRelOid),
+        lit(null).cast("array<string>"),
+        array(col("event_id").cast("string"), col("event_type"),
+          col("user_id").cast("string"), col("props"))).as("frame"))
+    relationalize(decode(preamble.unionByName(dml)))
+      .select(
+        (col("seq") - lit(2L)).as("event_id"),
+        col("msg_type").as("op"),
+        col("table_namespace"), col("table_name"),
+        col("doc_id"), col("xid"), col("event_time_us"),
+        element_at(col("new_doc"), "event_type").as("event_type"),
+        element_at(col("new_doc"), "user_id").as("user_id_str"),
+        element_at(col("new_doc"), "props").as("props"))
+  }
+
+  /** DuckDB twin of [[roundtrip]]: the expected relational output
+    * straight off the source table — no bytes involved, which is the
+    * point.
+    */
+  def sqlRoundtrip: String =
+    s"""SELECT event_id, 'INSERT' AS op,
+       |  'public' AS table_namespace, 'events' AS table_name,
+       |  CAST(event_id AS VARCHAR) AS doc_id,
+       |  CAST($RoundtripXid AS BIGINT) AS xid,
+       |  CAST($RoundtripTs AS BIGINT) AS event_time_us,
+       |  event_type,
+       |  CAST(user_id AS VARCHAR) AS user_id_str,
+       |  props
+       |FROM events""".stripMargin
+
   def actions(relationalized: DataFrame,
       mapping: Map[String, String]): DataFrame =
     CdcOps.resolveParentTable(relationalized, mapping).select(

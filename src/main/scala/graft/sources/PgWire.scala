@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -303,4 +303,112 @@ object PgWire {
         throw new IllegalArgumentException(
           s"unknown pgoutput message type '$other'")
     }
+
+  // ------------------------------------------------------------- encoding
+
+  /** Message/envelope ENCODERS — the write half of the wire: capture
+    * fixtures for tests, synthetic replication streams for drills, and
+    * the one frame a CLIENT sends upstream — the Standby Status Update
+    * that acks a flushed LSN (protocol §55.4 `r` message: the byte-level
+    * form of the reference's ack-after-flush, bulk.go:271-276). Byte
+    * layouts mirror [[decodeRow]] exactly; `decode(encode(m)) == m` is
+    * spec-pinned per family, and the oracle-bearing round-trip key
+    * ([[graft.ops.PgOutputOps.roundtrip]]) proves encode → decode →
+    * relationalize lossless against an independent engine.
+    */
+  private def out(f: java.io.DataOutputStream => Unit): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    f(o)
+    o.flush()
+    bos.toByteArray
+  }
+  private def wcstr(o: java.io.DataOutputStream, s: String): Unit = {
+    o.write(s.getBytes(StandardCharsets.UTF_8)); o.writeByte(0)
+  }
+
+  def encodeXLogData(walStart: Long, walEnd: Long, sendUnixMicros: Long,
+      payload: Array[Byte]): Array[Byte] = out { o =>
+    o.writeByte('w'); o.writeLong(walStart); o.writeLong(walEnd)
+    o.writeLong(sendUnixMicros - PgEpochOffsetMicros); o.write(payload)
+  }
+
+  def encodeKeepalive(walEnd: Long, sendUnixMicros: Long,
+      replyRequested: Boolean): Array[Byte] = out { o =>
+    o.writeByte('k'); o.writeLong(walEnd)
+    o.writeLong(sendUnixMicros - PgEpochOffsetMicros)
+    o.writeByte(if (replyRequested) 1 else 0)
+  }
+
+  /** Standby Status Update — the client→server ack ('r'): WAL written /
+    * flushed / applied positions, client clock, reply flag. Sending
+    * `flushed` past a commit's end LSN is the replication-slot advance
+    * the reference performs on `lastAckCtx.Ack()`.
+    */
+  def encodeStandbyStatusUpdate(written: Long, flushed: Long, applied: Long,
+      clockUnixMicros: Long, replyRequested: Boolean): Array[Byte] = out { o =>
+    o.writeByte('r'); o.writeLong(written); o.writeLong(flushed)
+    o.writeLong(applied); o.writeLong(clockUnixMicros - PgEpochOffsetMicros)
+    o.writeByte(if (replyRequested) 1 else 0)
+  }
+
+  def encodeBegin(finalLsn: Long, commitUnixMicros: Long, xid: Int): Array[Byte] =
+    out { o =>
+      o.writeByte('B'); o.writeLong(finalLsn)
+      o.writeLong(commitUnixMicros - PgEpochOffsetMicros); o.writeInt(xid)
+    }
+
+  def encodeCommit(commitLsn: Long, endLsn: Long,
+      commitUnixMicros: Long): Array[Byte] = out { o =>
+    o.writeByte('C'); o.writeByte(0); o.writeLong(commitLsn)
+    o.writeLong(endLsn); o.writeLong(commitUnixMicros - PgEpochOffsetMicros)
+  }
+
+  /** cols: (name, isKey, typeOid). Replica identity 'd' (default). */
+  def encodeRelation(oid: Long, namespace: String, name: String,
+      cols: Seq[(String, Boolean, Long)]): Array[Byte] = out { o =>
+    o.writeByte('R'); o.writeInt(oid.toInt); wcstr(o, namespace)
+    wcstr(o, name); o.writeByte('d'); o.writeShort(cols.size)
+    cols.foreach { case (cn, key, typeOid) =>
+      o.writeByte(if (key) 1 else 0); wcstr(o, cn)
+      o.writeInt(typeOid.toInt); o.writeInt(-1)
+    }
+  }
+
+  private def writeTuple(o: java.io.DataOutputStream, values: ArrayData): Unit = {
+    val n = values.numElements()
+    o.writeShort(n)
+    var i = 0
+    while (i < n) {
+      if (values.isNullAt(i)) o.writeByte('n')
+      else {
+        val b = values.getUTF8String(i).getBytes
+        o.writeByte('t'); o.writeInt(b.length); o.write(b)
+      }
+      i += 1
+    }
+  }
+
+  /** DML encoder kernel (codegen'd through [[org.apache.spark.sql
+    * .graftext.PgOutputFunctions.pg_encode_dml]]): op ∈
+    * insert|update|delete, text-mode tuples (null column → 'n').
+    * Updates carry the old tuple as 'O' when present; deletes emit 'K'.
+    */
+  def encodeDml(op: UTF8String, relOid: Long, oldValues: ArrayData,
+      newValues: ArrayData): Array[Byte] = out { o =>
+    op.toString match {
+      case "insert" =>
+        o.writeByte('I'); o.writeInt(relOid.toInt)
+        o.writeByte('N'); writeTuple(o, newValues)
+      case "update" =>
+        o.writeByte('U'); o.writeInt(relOid.toInt)
+        if (oldValues != null) { o.writeByte('O'); writeTuple(o, oldValues) }
+        o.writeByte('N'); writeTuple(o, newValues)
+      case "delete" =>
+        o.writeByte('D'); o.writeInt(relOid.toInt)
+        o.writeByte('K'); writeTuple(o, oldValues)
+      case other =>
+        throw new IllegalArgumentException(s"encodeDml: unknown op '$other'")
+    }
+  }
 }

@@ -1,10 +1,10 @@
 package org.apache.spark.sql.graftext
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Native Catalyst expression: one captured PostgreSQL replication frame
   * (XLogData / keepalive envelope or bare pgoutput message, binary) →
@@ -38,7 +38,80 @@ case class PgOutputDecode(child: Expression)
     copy(child = newChild)
 }
 
+/** Encode half: (relOid long, oldValues array<string>, newValues
+  * array<string>) → one pgoutput DML frame (binary); `op` is a
+  * call-site constant (insert/update/delete), so it rides the
+  * expression as a parameter, not a child. Same static-kernel codegen
+  * as the decoder.
+  */
+case class PgDmlEncode(op: String, relOid: Expression, oldValues: Expression,
+    newValues: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def first: Expression = relOid
+  override def second: Expression = oldValues
+  override def third: Expression = newValues
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(LongType, ArrayType(StringType), ArrayType(StringType))
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "pg_encode_dml"
+
+  // old/new tuples are legitimately absent per op (insert has no old,
+  // delete no new) — null children must reach the kernel, not null the
+  // result, so evaluation is manual rather than nullSafe
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val oid = relOid.eval(input)
+    if (oid == null) return null
+    val o = oldValues.eval(input)
+    val n = newValues.eval(input)
+    graft.sources.PgWire.encodeDml(
+      org.apache.spark.unsafe.types.UTF8String.fromString(op),
+      oid.asInstanceOf[Long],
+      o.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val oidG = relOid.genCode(ctx)
+    val oldG = oldValues.genCode(ctx)
+    val newG = newValues.genCode(ctx)
+    val opLit = ctx.addReferenceObj("pgOp",
+      org.apache.spark.unsafe.types.UTF8String.fromString(op),
+      "org.apache.spark.unsafe.types.UTF8String")
+    ev.copy(code =
+      code"""
+        |${oidG.code}
+        |${oldG.code}
+        |${newG.code}
+        |boolean ${ev.isNull} = ${oidG.isNull};
+        |byte[] ${ev.value} = null;
+        |if (!${ev.isNull}) {
+        |  ${ev.value} = graft.sources.PgWire.encodeDml($opLit, ${oidG.value},
+        |    ${oldG.isNull} ? null : ${oldG.value},
+        |    ${newG.isNull} ? null : ${newG.value});
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): PgDmlEncode =
+    copy(relOid = newFirst, oldValues = newSecond, newValues = newThird)
+}
+
 object PgOutputFunctions {
   def pg_output_decode(frame: Column): Column =
     ExpressionUtils.column(PgOutputDecode(ExpressionUtils.expression(frame)))
+
+  def pg_encode_dml(op: String, relOid: Column, oldValues: Column,
+      newValues: Column): Column =
+    ExpressionUtils.column(PgDmlEncode(op,
+      ExpressionUtils.expression(relOid),
+      ExpressionUtils.expression(oldValues),
+      ExpressionUtils.expression(newValues)))
 }

@@ -255,6 +255,83 @@ class PgOutputSpec extends SparkSuite {
       """{"delete":{"_index":"users_idx","_id":"2"}}""")
   }
 
+  // --------------------------------------------------------------- encode
+
+  test("encoders are decodeRow's inverse per family; standby status update byte-exact") {
+    // encode with PgWire, decode with the spec's INDEPENDENT builders'
+    // counterpart (decodeRow) — same assertions as the hand-built frames
+    val rows = pgRows(Seq(
+      PgWire.encodeXLogData(100L, 200L, T0, PgWire.encodeBegin(999L, T0 + 5, 42)),
+      PgWire.encodeRelation(16385L, "public", "users",
+        Seq(("id", true, 20L), ("name", false, 25L))),
+      PgWire.encodeDml(org.apache.spark.unsafe.types.UTF8String.fromString("insert"),
+        16385L, null,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString("1"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("alice")))),
+      PgWire.encodeCommit(999L, 1000L, T0 + 5),
+      PgWire.encodeKeepalive(1000L, T0 + 6, replyRequested = true)))
+    def f(seq: Long, name: String): Any =
+      rows(seq).get(rows(seq).fieldIndex(name))
+    assert(f(0, "msg_type") == "begin" && f(0, "wal_start") == 100L &&
+      f(0, "commit_ts_micros") == T0 + 5 && f(0, "xid") == 42L)
+    assert(f(1, "msg_type") == "relation" && f(1, "rel_name") == "users" &&
+      rows(1).getSeq[Boolean](rows(1).fieldIndex("col_key_flags")) ==
+        Seq(true, false))
+    assert(f(2, "msg_type") == "insert" &&
+      rows(2).getSeq[String](rows(2).fieldIndex("new_values")) ==
+        Seq("1", "alice"))
+    assert(f(3, "msg_type") == "commit" && f(3, "end_lsn") == 1000L)
+    assert(f(4, "msg_type") == "keepalive" && f(4, "reply_requested") == true)
+
+    // Standby Status Update ('r') — the client-side ack frame, pinned
+    // byte-for-byte against the documented layout (1 + 8·4 + 1 bytes,
+    // big-endian, PG-epoch clock)
+    val ssu = PgWire.encodeStandbyStatusUpdate(
+      written = 0x0102030405060708L, flushed = 0x1112131415161718L,
+      applied = 0x2122232425262728L,
+      clockUnixMicros = PgWire.PgEpochOffsetMicros + 1L,
+      replyRequested = true)
+    assert(ssu.length == 34)
+    assert(ssu(0) == 'r'.toByte)
+    assert(ssu.slice(1, 9).toSeq ==
+      Seq(1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte))
+    assert(ssu.slice(9, 17).toSeq ==
+      Seq(0x11, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x18).map(_.toByte))
+    assert(ssu.slice(25, 33).toSeq ==
+      Seq(0, 0, 0, 0, 0, 0, 0, 1).map(_.toByte), "clock = pg-epoch micros")
+    assert(ssu(33) == 1.toByte)
+  }
+
+  test("pg_roundtrip key: encode -> decode -> relationalize over events, update/delete forms included") {
+    // the oracle key covers inserts end-to-end at sf scale; here the
+    // update (old image present) and delete forms round-trip too
+    val frames = Seq(
+      (0L, PgWire.encodeXLogData(1, 9, T0, PgWire.encodeBegin(9L, T0, 5))),
+      (1L, PgWire.encodeRelation(42L, "s", "t", Seq(("k", true, 20L), ("v", false, 25L)))),
+      (2L, PgWire.encodeDml(
+        org.apache.spark.unsafe.types.UTF8String.fromString("update"), 42L,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString("7"), null)),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString("7"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("new"))))),
+      (3L, PgWire.encodeDml(
+        org.apache.spark.unsafe.types.UTF8String.fromString("delete"), 42L,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString("8"), null)),
+        null)))
+    val rel = PgOutputOps.relationalize(
+      PgOutputOps.decode(frames.toDF("seq", "frame"))).orderBy("seq").collect()
+    assert(rel.length == 2)
+    assert(rel(0).getString(rel(0).fieldIndex("msg_type")) == "UPDATE" &&
+      rel(0).getString(rel(0).fieldIndex("doc_id")) == "7" &&
+      rel(0).getMap[String, String](rel(0).fieldIndex("new_doc")) ==
+        Map("k" -> "7", "v" -> "new"))
+    assert(rel(1).getString(rel(1).fieldIndex("msg_type")) == "DELETE" &&
+      rel(1).getString(rel(1).fieldIndex("doc_id")) == "8")
+  }
+
   // ------------------------------------------------------- streaming face
 
   test("PgCaptureStream: relation registry carries across segments and a restart; malformed dead-letters") {
