@@ -332,6 +332,44 @@ class PgOutputSpec extends SparkSuite {
       rel(1).getString(rel(1).fieldIndex("doc_id")) == "8")
   }
 
+  test("wire sweep: adversarial tuple values, wide tuples, unsigned oids round-trip exactly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(vals: Seq[String]): GenericArrayData =
+      new GenericArrayData(vals.map(v =>
+        if (v == null) null else UTF8String.fromString(v)).toArray[Any])
+    val edgeVals: Seq[Seq[String]] = Seq(
+      Seq(""),                               // empty string != null
+      Seq("a\u0000b"),                       // NUL inside a length-prefixed value
+      Seq("🦊 ünïcöde 中文"), // surrogate pair + CJK
+      Seq("line1\nline2\t\"quoted\\"),       // control chars the NDJSON tail escapes later
+      Seq("x" * 100000),                     // 100 KB value
+      Seq(null, "", null),                   // null/empty interleave
+      (0 until 300).map(i => s"v$i"))        // 300-column tuple
+    // oid above Int.MaxValue: PostgreSQL oids are unsigned 32-bit
+    val oids = Seq(1L, 4294967295L)
+    for (vals <- edgeVals; oid <- oids) {
+      val ins = PgWire.encodeDml(
+        org.apache.spark.unsafe.types.UTF8String.fromString("insert"),
+        oid, null, arr(vals))
+      val rows = pgRows(Seq(ins))
+      val r = rows(0L)
+      assert(r.getString(r.fieldIndex("msg_type")) == "insert",
+        s"oid=$oid vals=${vals.take(2)}")
+      assert(r.getLong(r.fieldIndex("relation_oid")) == oid)
+      assert(r.getSeq[String](r.fieldIndex("new_values")) == vals,
+        s"tuple must round-trip exactly (n=${vals.size})")
+    }
+    // update with a full old image of edge values
+    val upd = PgWire.encodeDml(
+      org.apache.spark.unsafe.types.UTF8String.fromString("update"),
+      7L, arr(Seq("old\u0000", null)), arr(Seq("", "🦊")))
+    val r = pgRows(Seq(upd))(0L)
+    assert(r.getString(r.fieldIndex("old_kind")) == "old")
+    assert(r.getSeq[String](r.fieldIndex("old_values")) == Seq("old\u0000", null))
+    assert(r.getSeq[String](r.fieldIndex("new_values")) == Seq("", "🦊"))
+  }
+
   // ------------------------------------------------------- streaming face
 
   test("PgCaptureStream: relation registry carries across segments and a restart; malformed dead-letters") {
