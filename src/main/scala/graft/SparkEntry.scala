@@ -93,6 +93,13 @@ object SparkEntry {
 
   private def docsT(s: SparkSession, dir: String): DataFrame =
     cachedFor(tokenTableCache, s, dir)(d =>
+      // NOT pre-partitioned (round 12, measured both ways): fanning the
+      // cache to 8/32 partitions parallelized the few heavy-map
+      // consumers but charged EVERY tiny-stage consumer 8-32 task
+      // launches per stage on a 600 KB table — net sweep LOSS (176 ->
+      // 192/206 s). Parallelism insurance stays at the operator level
+      // (DedupOps.fanout before genuinely heavy per-row work), where it
+      // parallelizes exactly the expensive map and nothing else.
       TextOps.tokenize(tbl(s, d, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 

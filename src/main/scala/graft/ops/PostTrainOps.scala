@@ -1011,8 +1011,12 @@ ${embedSql(DedupOps.sqlDedupSimhash)}
     * constant-size, so the join never shuffles the candidate table a
     * second time.
     */
-  def grpoAdvantage(docs: DataFrame): DataFrame =
-    advantageAgainst(docs, prefState(docs))
+  def grpoAdvantage(docs: DataFrame): DataFrame = {
+    // both the stats scan and the candidate scan run the heavy quality
+    // fold per row — fan a serial-scan input once for both
+    val d = graft.ops.DedupOps.fanoutIfNarrow(docs)
+    advantageAgainst(d, prefState(d))
+  }
 
   def sqlGrpoAdvantage: String =
     s"""WITH reward AS (${TextOps.sqlQualityScore}),

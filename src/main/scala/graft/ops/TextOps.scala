@@ -1829,8 +1829,11 @@ object TextOps {
     (0L until LinearBuckets).map(b =>
       b -> (((b + 1L) * 2654435761L) % LinearWeightMod - 1000L)).toMap
 
-  private def linearScored(docs: DataFrame,
+  private def linearScored(docs0: DataFrame,
       weight: Column => Column): DataFrame = {
+    // the per-token weight fold is the heavy map — fan a serial-scan
+    // input out first (fixture insurance, no-op on multi-split corpora)
+    val docs = graft.ops.DedupOps.fanoutIfNarrow(docs0)
     val toks = toksOf(docs)
     docs.select(
         col("doc_id"),
@@ -1902,8 +1905,10 @@ object TextOps {
     * [[qualityLinearScoreWith]] plan), not at the seed. `None` keeps the
     * oracle face's arithmetic seed weights.
     */
-  def qualityLinearTrainStepWith(docs: DataFrame,
+  def qualityLinearTrainStepWith(docs0: DataFrame,
       weightsMicro: Option[Map[Long, Long]]): DataFrame = {
+    // gradient scan = the same heavy per-token fold (see linearScored)
+    val docs = graft.ops.DedupOps.fanoutIfNarrow(docs0)
     val weight: Column => Column = weightsMicro match {
       case None => seedWeight(_)
       case Some(w) =>
@@ -2070,8 +2075,9 @@ ${sqlQualityGopherGates.linesIterator.map(l => "       |    " + l).mkString("\n"
     * gauge: label, logit and fast-sigmoid prediction all compute IN-ROW
     * in one scan, one 1-row agg. None on empty input.
     */
-  def linearMeanAbsResidual(docs: DataFrame,
+  def linearMeanAbsResidual(docs0: DataFrame,
       weightsMicro: Map[Long, Long]): Option[Double] = {
+    val docs = graft.ops.DedupOps.fanoutIfNarrow(docs0)
     val wmap = typedlit(weightsMicro)
     val weight = (c: Column) =>
       coalesce(element_at(wmap, linearBucket(c)), lit(0L))
@@ -2100,7 +2106,13 @@ ${sqlQualityGopherGates.linesIterator.map(l => "       |    " + l).mkString("\n"
   def qualityLinearTrainLoop(docs: DataFrame, maxIter: Int = 5,
       etaInv: Long = LinearEtaInv, tol: Double = 1e-6)
       : (Map[Long, Long], Seq[Double]) = {
-    val d = docs.select("doc_id", "text").cache()
+    // fan ONCE into the iteration cache (every loop scan re-reads it),
+    // and carry the shared token table's column so the ~2·maxIter scans
+    // skip re-splitting the text
+    val keep = Seq("doc_id", "text") ++
+      (if (docs.columns.contains(ToksCol)) Seq(ToksCol) else Nil)
+    val d = graft.ops.DedupOps.fanoutIfNarrow(
+      docs.select(keep.map(col): _*)).cache()
     try {
       val nDocs = d.count()
       var w = seedWeightsMicro
