@@ -76,9 +76,11 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(q("embed_pca_project")) == 1,
       "embed_pca_project must stay a narrow projection")
     // classifier train step: label+logit+residual in-row, then exactly
-    // the ≤1024-key bucket-gradient agg
-    assert(exchanges(q("quality_linear_train")) == 1,
-      "quality_linear_train is one map-side-combined gradient agg")
+    // the ≤1024-key bucket-gradient agg — plus (round 12) the
+    // narrow-input fanout insurance repartition the one-file fixture
+    // triggers (a no-op exchange-count-wise on multi-split corpora)
+    assert(exchanges(q("quality_linear_train")) == 2,
+      "quality_linear_train is fanout + one map-side-combined gradient agg")
   }
 
   test("dedup_semantic_pca / ann_pca_refine: broadcasts, no cartesian") {

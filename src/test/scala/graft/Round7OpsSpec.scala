@@ -63,11 +63,23 @@ class Round7OpsSpec extends SparkSuite {
     assert(a == b, "explicit seed weights must reproduce the arithmetic weights")
   }
 
-  test("qualityLinearScoreWith: zero-shuffle plan, same shape as the arithmetic scorer") {
+  test("qualityLinearScoreWith: in-row fold; only the narrow-input insurance may exchange") {
+    // round 12: fanoutIfNarrow adds ONE RoundRobin insurance exchange
+    // when the input is a serial scan (this fixture); the fold itself
+    // must stay in-row — no keyed exchange ever
     val plan = TextOps.qualityLinearScoreWith(docs, TextOps.seedWeightsMicro)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"trained-weight scoring must stay a narrow in-row fold:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"trained-weight scoring must never shuffle by key:\n$plan")
+    // a pre-fanned input takes the zero-added-exchange path (the no-op
+    // probe): the only Exchange in the plan is the input's OWN
+    // repartition
+    val wide = docs.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val widePlan = TextOps.qualityLinearScoreWith(wide, TextOps.seedWeightsMicro)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(widePlan).size == 1,
+      s"already-parallel input must not re-shuffle:\n$widePlan")
   }
 
   test("qualityLinearTrain: one step moves predictions toward the gopher labels") {
