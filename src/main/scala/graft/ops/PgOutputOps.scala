@@ -112,11 +112,14 @@ object PgOutputOps {
       .withColumn("r_keys", col("_rv.col_key_flags"))
       .withColumn("tx_xid", col("_tx.xid"))
       .withColumn("tx_commit_ts", col("_tx.commit_ts_micros"))
-    // replica-identity key: the OLD tuple when the message carries one
-    // (UPDATE with changed key / REPLICA IDENTITY FULL, every DELETE —
-    // the reference keys deletes by the old image, handler.go:7), else
-    // the new tuple; key columns selected by the relation's key flags
-    val keySource = coalesce(col("old_values"), col("new_values"))
+    // doc-key source follows the reference handler's keying
+    // (example/simple/main.go:109-130): INSERT and UPDATE key by the NEW
+    // image — a key-changing UPDATE indexes under the new key — and only
+    // DELETE keys by the old image (the only image a delete carries).
+    // Key columns are then selected by the relation's key flags.
+    val keySource = when(col("msg_type") === "delete",
+      coalesce(col("old_values"), col("new_values")))
+      .otherwise(coalesce(col("new_values"), col("old_values")))
     val keyVals = expr(
       "transform(filter(arrays_zip(r_cols, r_keys, _key_src), " +
         "x -> x.r_keys), x -> x._key_src)")

@@ -109,13 +109,30 @@ object PgWire {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** Validate a wire length/count prefix against the bytes actually
+    * remaining BEFORE allocating. A corrupt Int32 prefix (up to ~2 GB)
+    * must become a 'malformed' dead-letter row like any other bad frame;
+    * allocating first would raise OutOfMemoryError — an Error, not an
+    * Exception — which escapes [[decodeRow]]'s never-throws contract and
+    * kills the executor. `unitBytes` is the minimum wire bytes one
+    * counted element occupies (1 for raw payload bytes, 4 for an OID
+    * list, etc.), so `count * unitBytes > remaining` is provably corrupt.
+    */
+  private def checked(count: Int, unitBytes: Int, b: ByteBuffer,
+      what: String): Int = {
+    if (count < 0 || count.toLong * unitBytes > b.remaining())
+      throw new IllegalArgumentException(
+        s"$what $count exceeds ${b.remaining()} remaining bytes")
+    count
+  }
+
   /** TupleData: Int16 ncols, then per column one of
     * 'n' (null) | 'u' (unchanged TOAST) | 't' Int32 len + bytes (text) |
     * 'b' Int32 len + bytes (binary, surfaced as hex).
     * Returns (values, kinds) — values null for 'n'/'u'.
     */
   private def tupleData(b: ByteBuffer): (GenericArrayData, GenericArrayData) = {
-    val n = b.getShort().toInt
+    val n = checked(b.getShort().toInt, 1, b, "TupleData column count")
     val values = new Array[Any](n)
     val kinds = new Array[Any](n)
     var i = 0
@@ -125,12 +142,12 @@ object PgWire {
       kind match {
         case 'n' | 'u' => values(i) = null
         case 't' =>
-          val len = b.getInt()
+          val len = checked(b.getInt(), 1, b, "text column length")
           val bytes = new Array[Byte](len)
           b.get(bytes)
           values(i) = UTF8String.fromBytes(bytes)
         case 'b' =>
-          val len = b.getInt()
+          val len = checked(b.getInt(), 1, b, "binary column length")
           val bytes = new Array[Byte](len)
           b.get(bytes)
           values(i) = utf8(hex(bytes))
@@ -219,7 +236,9 @@ object PgWire {
           case other => other.toString
         }
         r.update(idx("replica_identity"), utf8(ident))
-        val ncols = b.getShort().toInt
+        // each column occupies ≥ 10 wire bytes: flag(1) + name NUL(≥1)
+        // + type oid(4) + atttypmod(4)
+        val ncols = checked(b.getShort().toInt, 10, b, "Relation column count")
         val names = new Array[Any](ncols)
         val keys = new Array[Any](ncols)
         val oids = new Array[Any](ncols)
@@ -282,7 +301,7 @@ object PgWire {
         r.update(idx("old_value_kinds"), ok)
       case 'T' => // Truncate: nRelations, options, oids
         r.update(idx("msg_type"), utf8("truncate"))
-        val n = b.getInt()
+        val n = checked(b.getInt(), 4, b, "Truncate relation count")
         val options = b.get()
         val oids = new Array[Any](n)
         var i = 0
@@ -295,7 +314,7 @@ object PgWire {
         b.get() // flags (1 = transactional) — not surfaced
         r.update(idx("lsn"), b.getLong())
         r.update(idx("msg_prefix"), utf8(cstring(b)))
-        val len = b.getInt()
+        val len = checked(b.getInt(), 1, b, "Message content length")
         val content = new Array[Byte](len)
         b.get(content)
         r.update(idx("msg_content"), utf8(hex(content)))

@@ -66,10 +66,18 @@ object PgCaptureStream {
     // the action pipeline
     val flat = PgOutputOps.decode(batch).select(col("seq"), col("pg.*")).cache()
     try {
+      // per-batch partition dir + overwrite: a replayed micro-batch
+      // (Structured Streaming is at-least-once into external sinks)
+      // clobbers its own prior output instead of appending duplicates —
+      // the same replay-idempotence contract every other sink here
+      // follows (EsBulkSink/SampleStream/ManifestStream). Hive-style
+      // `batch_id=N` naming keeps a plain parquet read of
+      // `$deadLetterDir/pg_malformed` working (discovery restores the
+      // batch_id column).
       flat.filter(col("msg_type") === "malformed")
         .select(col("seq"), col("msg_prefix").as("error"))
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(s"$deadLetterDir/pg_malformed")
+        .write.mode("overwrite")
+        .parquet(s"$deadLetterDir/pg_malformed/batch_id=$batchId")
       // seed: the prior batch's registry snapshot at seq = -1 — ordered
       // BEFORE every row of this batch, so the carry windows resolve
       // cross-segment DML exactly like an in-memory relation cache

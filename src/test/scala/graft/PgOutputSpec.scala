@@ -178,6 +178,59 @@ class PgOutputSpec extends SparkSuite {
       .contains("unknown pgoutput message type"))
   }
 
+  test("decode: corrupt length prefixes dead-letter WITHOUT allocating") {
+    // each frame claims a length/count far beyond the bytes present —
+    // pre-r13 these allocated first (a ~2 GB new Array) and the resulting
+    // OutOfMemoryError, being an Error, escaped decodeRow's never-throws
+    // contract; they must now land as ordinary malformed rows
+    val hugeTextCol = bytes { o =>
+      o.writeByte('I'); o.writeInt(16385); o.writeByte('N')
+      o.writeShort(1); o.writeByte('t'); o.writeInt(Int.MaxValue)
+    }
+    val hugeTupleCount = bytes { o =>
+      o.writeByte('I'); o.writeInt(16385); o.writeByte('N')
+      o.writeShort(32767) // no column bytes follow
+    }
+    val hugeTruncate = bytes { o =>
+      o.writeByte('T'); o.writeInt(Int.MaxValue); o.writeByte(0)
+    }
+    val hugeRelationCols = bytes { o =>
+      o.writeByte('R'); o.writeInt(16385); cstr(o, "public"); cstr(o, "t")
+      o.writeByte('d'); o.writeShort(32767)
+    }
+    val hugeMessage = bytes { o =>
+      o.writeByte('M'); o.writeByte(0); o.writeLong(1L); cstr(o, "p")
+      o.writeInt(Int.MaxValue)
+    }
+    val rows = pgRows(Seq(hugeTextCol, hugeTupleCount, hugeTruncate,
+      hugeRelationCols, hugeMessage).map(p => xlog(1, 2, T0, p)))
+    rows.values.foreach { r =>
+      assert(r.getString(r.fieldIndex("msg_type")) == "malformed")
+      assert(r.getString(r.fieldIndex("msg_prefix")).contains("exceeds"),
+        s"bounds check names the oversize prefix: ${r.getString(r.fieldIndex("msg_prefix"))}")
+    }
+  }
+
+  test("relationalize: key-changing UPDATE keys by the NEW image") {
+    // reference handler keying (example/simple/main.go:109-130): INSERT
+    // and UPDATE index by the NEW image's key; only DELETE keys by old.
+    // Old key '1' arrives as a 'K' tuple; the new row's key is '2'.
+    val frames = Seq(
+      xlog(100, 900, T0, begin(900L, T0 + 5, 7)),
+      xlog(101, 900, T0, relation(16385, "public", "users", usersCols)),
+      xlog(102, 900, T0,
+        update(16385, Some(('K', Seq(t("1"), None))), Seq(t("2"), t("moved")))),
+      xlog(103, 900, T0, commit(900L, 901L, T0 + 5)))
+    val rel = PgOutputOps.relationalize(PgOutputOps.decode(framesDf(frames)))
+      .collect()
+    assert(rel.length == 1)
+    val upd = rel(0)
+    assert(upd.getString(upd.fieldIndex("doc_id")) == "2",
+      "key-changing update indexes under the NEW key")
+    assert(upd.getMap[String, String](upd.fieldIndex("old_doc"))("id") == "1",
+      "the old key image still rides in old_doc for enrichment")
+  }
+
   // -------------------------------------------------------- relationalize
 
   private val usersCols = Seq(("id", true, 20), ("name", false, 25))
@@ -211,7 +264,7 @@ class PgOutputSpec extends SparkSuite {
       Map("id" -> "1", "name" -> "alice"))
     val upd = rel(1)
     assert(upd.getString(upd.fieldIndex("doc_id")) == "1",
-      "update keys by the OLD image when one is present")
+      "update keys by the NEW image (reference keying; old key rides in old_doc)")
     assert(upd.getMap[String, String](upd.fieldIndex("new_doc")) ==
       Map("id" -> "1", "name" -> "alicia"))
     val del = rel(2)
@@ -427,5 +480,29 @@ class PgOutputSpec extends SparkSuite {
     assert(ndjson().exists(_.contains(
       """{"delete":{"_index":"users_idx","_id":"1"}}""")),
       "post-restart delete resolved through the persisted registry")
+  }
+
+  test("PgCaptureStream: a REPLAYED batch overwrites its own dead letters") {
+    // foreachBatch is at-least-once: after a crash between sink write and
+    // checkpoint commit, the same batchId replays. Dead letters write to
+    // a per-batch partition dir with overwrite, so the replay clobbers
+    // its prior output instead of appending duplicates.
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val bulk = tmp("pgcap-replay-bulk")
+    val dlq = tmp("pgcap-replay-dlq")
+    val batch = framesDf(Seq(
+      xlog(100, 900, T0, begin(900L, T0 + 5, 7)),
+      xlog(101, 900, T0, relation(16385, "public", "users", usersCols)),
+      xlog(102, 900, T0, insert(16385, Seq(t("1"), t("alice")))),
+      xlog(103, 900, T0, Array[Byte]('Z', 9)), // malformed
+      xlog(104, 900, T0, commit(900L, 901L, T0 + 5))))
+    PgCaptureStream.processBatch(spark, batch, 0L, bulk, dlq,
+      Map("public.users" -> "users_idx"), 1)
+    PgCaptureStream.processBatch(spark, batch, 0L, bulk, dlq,
+      Map("public.users" -> "users_idx"), 1) // the replay
+    val dead = spark.read.parquet(s"$dlq/pg_malformed")
+    assert(dead.count() == 1, "replayed batch does not duplicate dead letters")
+    assert(dead.select("batch_id").as[Long].head() == 0L,
+      "partition discovery restores the batch id")
   }
 }
