@@ -42,7 +42,9 @@ import graft.ops.CorpusOps
   *     [[CorpusOps.CleanState]] faces. Writing them flat each batch is
   *     the daily index write (and the LSM compaction of the in-memory
   *     base+delta chain); the cadence this face targets is the daily/
-  *     hourly rebuild, not a per-second ticker.
+  *     hourly rebuild, not a per-second ticker. Like the doc store,
+  *     versions below the replay horizon PRUNE each batch, so a k-day
+  *     chain holds ≤2 state versions — disk O(corpus), not O(corpus×k).
   *
   * `added` vs `changed` needs no prior-text knowledge: the patch
   * treats them identically (both re-gate; the old rows, if any,
@@ -163,6 +165,14 @@ object IncCleanStream {
     next.verdicts.write.mode("overwrite").parquet(s"$sd/verdicts")
     clean.write.mode("overwrite")
       .parquet(VersionedState.versionDir(s"$outDir/clean", batchId))
+    // face compaction (round 13): every `_state/b_<id>` and `clean/b_<id>`
+    // is a FULL snapshot (the faces write flat each batch — that write IS
+    // the LSM compaction of the in-memory base+delta chain), so versions
+    // below the replay horizon are unreachable exactly like doc-store
+    // snapshots. Without this prune a 10-day chain holds 10 corpus-sized
+    // state copies: disk O(corpus x days) instead of O(corpus).
+    VersionedState.prune(spark, stateRoot, batchId - 1)
+    VersionedState.prune(spark, s"$outDir/clean", batchId - 1)
     ()
   } finally
     // every face the patch returned is now durable parquet — free the

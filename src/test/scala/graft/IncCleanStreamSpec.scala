@@ -65,6 +65,50 @@ class IncCleanStreamSpec extends SparkSuite {
       "patched clean after churn must equal the from-scratch rebuild")
   }
 
+  test("chained 10-batch feed: clean ≡ rebuild, and EVERY store compacts to ≤2 versions") {
+    import graft.stream.VersionedState
+    val changesDir = tmp("incclean10-chg")
+    val outDir = tmp("incclean10-out")
+    val ckpt = tmp("incclean10-ckpt")
+    val fixture = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source").filter(col("doc_id") < 200)
+    // batch 0: initial load; batches 1..9: disjoint per-day churn
+    // (edit 3k, tombstone 100+k, add 900000+k) — written up front, one
+    // file per batch (maxFilesPerTrigger=1 makes each a micro-batch)
+    fixture.withColumn("deleted", lit(false))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(changesDir)
+    val cur = scala.collection.mutable.LinkedHashMap[Long, (String, String)]()
+    fixture.collect().foreach(r => cur(r.getLong(0)) = (r.getString(1), r.getString(2)))
+    for (day <- 1 to 9) {
+      val editId = 3L * day
+      val edit = cur.get(editId).toSeq.map { case (t, s) =>
+        (editId, t + s" day $day edit", s, false) }
+      cur.remove(100L + day)
+      val added = (900000L + day,
+        "the quick brown fox jumps over the lazy dog and then the small " +
+          s"cat sits on the warm mat near the open door on day $day", "s0", false)
+      edit.foreach { case (id, t, s, _) => cur(id) = (t, s) }
+      cur(added._1) = (added._2, added._3)
+      (edit :+ added :+ ((100L + day, null: String, "s0", true)))
+        .toDF("doc_id", "text", "source", "deleted")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(changesDir)
+    }
+    awaitDone(IncCleanStream.run(spark, changesDir, outDir, ckpt), 600000)
+    val finalCorpus = cur.toSeq.map { case (id, (t, s)) => (id, t, s) }
+      .toDF("doc_id", "text", "source")
+    assert(rows(IncCleanStream.currentClean(spark, outDir)) ===
+      rows(CorpusOps.cleanCorpus(finalCorpus)),
+      "day-10 chained clean diverged from the from-scratch rebuild")
+    // compaction held on EVERY versioned store: face snapshots below the
+    // replay horizon pruned — disk O(corpus), not O(corpus × days)
+    for (store <- Seq("_docs", "_state", "clean")) {
+      val vs = VersionedState.idsBefore(spark, s"$outDir/$store", Long.MaxValue)
+      assert(vs.size <= 2,
+        s"$store holds ${vs.size} versions after 10 batches: $vs")
+      assert(vs.max === 9L, s"$store newest version must be batch 9: $vs")
+    }
+  }
+
   test("legacy append-only _docs store folds once, then migrates to snapshots") {
     import graft.stream.VersionedState
     val outDir = tmp("incclean-legacy")

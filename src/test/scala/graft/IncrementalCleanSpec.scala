@@ -132,6 +132,42 @@ class IncrementalCleanSpec extends SparkSuite {
     assert(got.contains(61L) && !got.contains(60L))
   }
 
+  test("chained 10-day patches ≡ from-scratch at day 5 and day 10") {
+    // the long-horizon daily loop (round 13): every earlier chain spec
+    // stopped at v3; a production pipeline runs v1→v2→…→v30 and the
+    // base+delta faces accumulate one lazy filter per version. Ten
+    // chained in-memory patches must (a) still equal the from-scratch
+    // rebuild and (b) not blow the plan up — the per-round lineage
+    // truncation inside cleanCorpusIncremental is what makes 10 rounds
+    // finish at all (an untruncated chain OOMs in plan canonicalization
+    // well before day 10).
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 200).select("doc_id", "text", "source")
+    val cur = scala.collection.mutable.LinkedHashMap[Long, (String, String)]()
+    base.collect().foreach(r => cur(r.getLong(0)) = (r.getString(1), r.getString(2)))
+    def corpusDf = cur.toSeq.map { case (id, (t, s)) => (id, t, s) }
+      .toDF("doc_id", "text", "source")
+    var prev = corpusDf
+    var state = CorpusOps.cleanState(prev)
+    for (day <- 1 to 9) {
+      // deterministic disjoint churn: one edit, one delete, one add
+      val editId = 3L * day
+      if (cur.contains(editId))
+        cur(editId) = (cur(editId)._1 + s" day $day edit", cur(editId)._2)
+      cur.remove(100L + day)
+      cur(900000L + day) = (en(s"fresh arrival on day $day"), "s0")
+      val nxt = corpusDf
+      val (inc, st) = CorpusOps.cleanCorpusIncremental(
+        nxt, state, CorpusOps.corpusDiff(prev, nxt))
+      if (day == 4 || day == 9)
+        assert(rows(inc) === rows(CorpusOps.cleanCorpus(nxt)),
+          s"chained patch diverged from the rebuild at day ${day + 1}")
+      prev = nxt
+      state = st
+    }
+    CorpusOps.releasePatchScratch()
+  }
+
   test("persisted state round-trip: the disk-loaded base patches identically") {
     val base = spark.read.parquet(s"$sf/documents.parquet")
     val v1 = base.filter(col("doc_id") % 7 =!= 0)
