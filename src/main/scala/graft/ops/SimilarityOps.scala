@@ -191,15 +191,37 @@ object SimilarityOps {
     */
   def knnGraph(emb: DataFrame, k: Int = KnnGraphK,
       centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
-    val salt = DedupOps.saltB(emb)
     // assignment strategy by K (withClusterId): the oracle-pinned
     // literal-dot shape for small K, broadcast-join arg-max past the
     // measured literal-codegen cliff (granularity-∝-N territory)
-    val e = DedupOps.materialize(
-      withClusterId(
-        withNorm(emb).select(col("vec_id"), col("emb_d"), col("norm")),
-        centroids),
+    val e = DedupOps.materialize(knnAssign(emb, centroids),
       "knn_graph_clusters")
+    knnEdgesWithinClusters(e, k)
+      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** The graph's cluster-assignment face — (vec_id, emb_d, norm,
+    * cluster_id) — shared by [[knnGraph]] and the streamed maintainer
+    * ([[graft.stream.GraphStream]]), so batch and stream cannot disagree
+    * on which list a vector lives in.
+    */
+  private[graft] def knnAssign(emb: DataFrame,
+      centroids: Seq[IndexedSeq[Double]]): DataFrame =
+    withClusterId(
+      withNorm(emb).select(col("vec_id"), col("emb_d"), col("norm")),
+      centroids)
+
+  /** Within-cluster top-k edge build over an assigned (cluster_id,
+    * vec_id, emb_d, norm) frame — [[knnGraph]]'s self-join + window
+    * kernel as a shared definition: the streamed maintainer re-ranks
+    * TOUCHED clusters through this exact kernel, so a recomputed
+    * cluster's edges are bit-identical to the batch build's (same
+    * cosine doubles, same neighbor-id tie rule). Output keeps
+    * `cluster_id` (the stream's partition-overwrite key); [[knnGraph]]
+    * projects it away.
+    */
+  private[graft] def knnEdgesWithinClusters(e: DataFrame, k: Int): DataFrame = {
+    val salt = DedupOps.saltB(e)
     val a = e.select(col("cluster_id"), col("vec_id"),
         col("emb_d").as("ea"), col("norm").as("na"))
       .withColumn("salt", pmod(col("vec_id"), lit(salt)))
@@ -211,13 +233,13 @@ object SimilarityOps {
         col("cluster_id") === col("cluster2") &&
           col("salt") === col("salt2") &&
           col("vec_id") =!= col("neighbor_id"))
-      .select(col("vec_id"), col("neighbor_id"),
+      .select(col("cluster_id"), col("vec_id"), col("neighbor_id"),
         cosine(col("ea"), col("na"), col("eb"), col("nb")).as("cos_sim"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select("vec_id", "neighbor_id", "rank", "cos_sim")
+      .select("cluster_id", "vec_id", "neighbor_id", "rank", "cos_sim")
   }
 
   /** DuckDB twin — the e CTE is [[DedupOps.sqlDedupSemantic]]'s cluster

@@ -168,4 +168,19 @@ object CheckpointBlocks {
     */
   def flushListeners(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+
+  /** Partition count of a cached relation WITHOUT forcing it: Some(n)
+    * when the cached RDD is already built and loaded (getNumPartitions
+    * is pure driver metadata on the existing RDD object), None when the
+    * buffers are unbuilt — calling `cachedColumnBuffers` then would
+    * execute the cached plan, and under AQE that runs real shuffle jobs.
+    * Backs [[graft.ops.DedupOps.fanoutIfNarrow]]'s job-free probe for
+    * InMemoryRelation leaves.
+    */
+  def loadedCachePartitions(
+      im: org.apache.spark.sql.execution.columnar.InMemoryRelation)
+      : Option[Int] =
+    if (im.cacheBuilder.isCachedColumnBuffersLoaded)
+      Some(im.cacheBuilder.cachedColumnBuffers.getNumPartitions)
+    else None
 }

@@ -1,0 +1,149 @@
+package graft.stream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.SimilarityOps
+
+/** Streaming k-NN GRAPH maintenance — the graph-ANN serving artifact
+  * ([[SimilarityOps.writeKnnGraphIndex]]) kept current under a daily
+  * embedding crawl, closing the gap [[IndexStream]] leaves: IVF/IVFPQ
+  * lists are append-only (a new vector only ADDS rows to its list), but
+  * graph edges are not — a vector entering a cluster can displace the
+  * top-k neighbors of every EXISTING vector in that cluster. So the
+  * stream maintains two stores under `outDir`:
+  *
+  *   - `vectors/batch_id=<id>/cluster_id=<c>/`: the assigned embedding
+  *     rows (vec_id, emb_d, norm), append-only — per-batch dirs written
+  *     with overwrite are replay-idempotent, Hive-style naming keeps one
+  *     plain parquet read over the whole store with both columns
+  *     restored, and the cluster partition level means a touched-cluster
+  *     re-read PRUNES to the touched directories instead of scanning
+  *     the corpus.
+  *   - `edges/cluster_id=<c>/`: the serving edge list, partitioned by
+  *     cluster. Each batch recomputes edges ONLY for clusters its
+  *     vectors touch — through the batch build's own kernel
+  *     ([[SimilarityOps.knnEdgesWithinClusters]]), from the FULL v2
+  *     membership of those clusters — and replaces exactly those
+  *     partitions via dynamic partition overwrite. Untouched clusters'
+  *     files are never rewritten. A replayed batch recomputes the same
+  *     partitions to the same content: replay-idempotent.
+  *
+  * Equivalence contract (spec-pinned, across restarts): after any prefix
+  * of the feed, `edges/` is IDENTICAL to batch
+  * [[SimilarityOps.knnGraph]] over all ingested vectors with the same
+  * frozen centroids — per-cluster recompute is exact, not approximate,
+  * because the batch graph's candidate set is itself within-cluster
+  * (nProbe=1 semantics). [[SimilarityOps.annGraphSearchIndexed]] serves
+  * from `edges/` unchanged.
+  *
+  * The centroids FREEZE at stream start ([[IndexStream]]'s quantizer
+  * rationale: lists/edges are defined by their quantizer; retraining —
+  * including re-deriving the granularity-∝-N count as the corpus grows
+  * past its sizing band — is a scheduled batch rebuild into a NEW
+  * directory, never an in-place mutation under live readers). Size the
+  * frozen count for the corpus the stream is expected to reach
+  * ([[SimilarityOps.knnAutoCentroidCount]] of the target N, not of the
+  * first batch).
+  *
+  * Cost ∝ churn: per batch, assignment is batch-sized; the edge
+  * recompute reads touched clusters only (partition-pruned) and its
+  * pair space is Σ|touched cluster|² — with granularity ∝ N that is
+  * ~|touched| · targetClusterSize, independent of corpus size.
+  */
+object GraphStream {
+
+  /** Driver-literal bound for the touched-cluster pushdown filter;
+    * bigger touch sets join instead (the keySide discipline —
+    * giant literal sets cost driver time under AQE re-canonicalization).
+    */
+  val TouchedClusterLiteralMax = 8192
+
+  def run(spark: SparkSession, embDir: String, outDir: String,
+      checkpointDir: String,
+      centroids: Seq[IndexedSeq[Double]] = SimilarityOps.defaultCentroids,
+      k: Int = SimilarityOps.KnnGraphK,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(IndexStream.embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(embDir)
+      .writeStream
+      .queryName(s"graft-knn-graph-stream-${QueryNames.suffix(checkpointDir)}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(spark, batch, batchId, outDir, centroids, k)
+      }
+      .start()
+
+  /** The streamed edge list, served exactly like the batch index dir
+    * (`annGraphSearchIndexed(spark, GraphStream.edgesDir(outDir), …)`).
+    */
+  def edgesDir(outDir: String): String = s"$outDir/edges"
+
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outDir: String, centroids: Seq[IndexedSeq[Double]],
+      k: Int): Unit = {
+    val vecRoot = s"$outDir/vectors"
+    val assigned = SimilarityOps.knnAssign(batch, centroids).cache()
+    try {
+      // 1. append this batch's vectors (replay: overwrite of the same
+      // per-batch dir). repartition on the cluster key → one file per
+      // touched cluster per batch, not partitions × clusters.
+      assigned.repartition(col("cluster_id"))
+        .write.mode("overwrite").partitionBy("cluster_id")
+        .parquet(s"$vecRoot/batch_id=$batchId")
+      // 2. touched clusters: batch-bounded by construction
+      val touched = assigned.select("cluster_id").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (touched.nonEmpty) {
+        // 3. full v2 membership of the touched clusters: prior batches
+        // (strictly below this id — a replayed batch must not read its
+        // own half-write; its own rows ride in memory) + this batch
+        val prior =
+          if (exists(spark, vecRoot)) {
+            val all = spark.read.parquet(vecRoot)
+              .filter(col("batch_id") < batchId)
+            val pruned =
+              if (touched.size <= TouchedClusterLiteralMax)
+                all.filter(col("cluster_id").isInCollection(touched))
+              else
+                all.join(touched.toDF("cluster_id"), Seq("cluster_id"),
+                  "left_semi")
+            Some(pruned.select("cluster_id", "vec_id", "emb_d", "norm"))
+          } else None
+        val members = prior match {
+          case Some(p) =>
+            p.unionByName(
+              assigned.select("cluster_id", "vec_id", "emb_d", "norm"))
+          case None =>
+            assigned.select("cluster_id", "vec_id", "emb_d", "norm")
+        }
+        // 4. re-rank exactly the touched clusters through the batch
+        // kernel; replace exactly those edge partitions
+        SimilarityOps.knnEdgesWithinClusters(members, k)
+          .repartition(col("cluster_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster_id")
+          .parquet(edgesDir(outDir))
+      }
+    } finally { assigned.unpersist(); () }
+  }
+
+  private implicit class SeqToDf(private val ids: Seq[Long]) {
+    def toDF(name: String): DataFrame = {
+      val spark = SparkSession.active
+      import spark.implicits._
+      ids.toDF(name)
+    }
+  }
+}

@@ -58,14 +58,42 @@ object PgCaptureStream {
       }
       .start()
 
+  /** Opt-in per-stage wall prints to stderr (`spark.graft.pgcapture
+    * .verbose=true`) — the first question about any slow batch, the
+    * `spark.graft.patch.verbose` precedent.
+    */
+  private def staged[T](spark: SparkSession, name: String)(f: => T): T =
+    if (!spark.conf.getOption("spark.graft.pgcapture.verbose")
+        .contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[pgcapture] $name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, bulkOutDir: String, deadLetterDir: String,
       mapping: Map[String, String], concurrentRequest: Int): Unit = {
     val stateRoot = s"$bulkOutDir/_pgstate"
+    // fan a NARROW batch out before decoding (round 13, measured on the
+    // 4M-frame load): a capture segment is typically ONE file, so the
+    // micro-batch arrives in 1-2 input splits and the whole
+    // decode→relationalize chain runs near-serial — 55k ev/s, vs 124k+
+    // with the insurance shuffle. The exchange moves only the raw
+    // (seq, frame) pairs; when the batch already arrives wide it is
+    // skipped. (Streaming plans have no AQE, so getNumPartitions here
+    // is a static plan property — no job runs.)
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val wide =
+      if (batch.rdd.getNumPartitions * 2 >= par) batch
+      else batch.repartition(par)
     // one decode pass feeds the dead-letter split, the registry fold and
     // the action pipeline
-    val flat = PgOutputOps.decode(batch).select(col("seq"), col("pg.*")).cache()
+    val flat = PgOutputOps.decode(wide).select(col("seq"), col("pg.*")).cache()
     try {
+      staged(spark, "cache_build")(flat.count())
       // per-batch partition dir + overwrite: a replayed micro-batch
       // (Structured Streaming is at-least-once into external sinks)
       // clobbers its own prior output instead of appending duplicates —
@@ -74,10 +102,11 @@ object PgCaptureStream {
       // `batch_id=N` naming keeps a plain parquet read of
       // `$deadLetterDir/pg_malformed` working (discovery restores the
       // batch_id column).
-      flat.filter(col("msg_type") === "malformed")
-        .select(col("seq"), col("msg_prefix").as("error"))
-        .write.mode("overwrite")
-        .parquet(s"$deadLetterDir/pg_malformed/batch_id=$batchId")
+      staged(spark, "dead_letter")(
+        flat.filter(col("msg_type") === "malformed")
+          .select(col("seq"), col("msg_prefix").as("error"))
+          .write.mode("overwrite")
+          .parquet(s"$deadLetterDir/pg_malformed/batch_id=$batchId"))
       // seed: the prior batch's registry snapshot at seq = -1 — ordered
       // BEFORE every row of this batch, so the carry windows resolve
       // cross-segment DML exactly like an in-memory relation cache
@@ -91,8 +120,9 @@ object PgCaptureStream {
         PgOutputOps.relationalizeFlat(seeded), mapping)
         // seed rows are prior-batch state, not this batch's events
         .filter(col("event_id") >= 0)
-      EsBulkSink.writeBatch(acts, batchId, bulkOutDir, deadLetterDir,
-        concurrentRequest)
+      staged(spark, "sink_writeBatch")(
+        EsBulkSink.writeBatch(acts, batchId, bulkOutDir, deadLetterDir,
+          concurrentRequest))
       // registry snapshot for the NEXT batch: latest relation per oid +
       // the last begin, folded over (prior seed ∪ this batch)
       val relW = Window.partitionBy(col("relation_oid")).orderBy(col("seq").desc)
@@ -101,9 +131,10 @@ object PgCaptureStream {
         .filter(col("_rn") === 1).drop("_rn")
       val lastBegin = seeded.filter(col("msg_type") === "begin")
         .orderBy(col("seq").desc).limit(1)
-      latestRels.unionByName(lastBegin).drop("seq")
-        .write.mode("overwrite")
-        .parquet(VersionedState.versionDir(stateRoot, batchId))
+      staged(spark, "registry_snapshot")(
+        latestRels.unionByName(lastBegin).drop("seq")
+          .write.mode("overwrite")
+          .parquet(VersionedState.versionDir(stateRoot, batchId)))
       VersionedState.prune(spark, stateRoot, batchId - 1)
     } finally { flat.unpersist(); () }
   }

@@ -36,6 +36,20 @@ class FanoutProbeSpec extends graft.SparkSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("a MATERIALIZED one-file cache still fans out (the token-table case)") {
+    // the bench's shared token table is a cached one-file scan — the r12
+    // win was fanning its consumers out; the cache probe must report the
+    // cached RDD's true (serial) partitioning without forcing anything
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs = spark.read.parquet(s"$sf/documents.parquet").cache()
+    try {
+      docs.count() // materialize: the probe may only read a LOADED cache
+      val fanned = DedupOps.fanoutIfNarrow(docs.select("doc_id", "text"))
+      assert(fanned.rdd.getNumPartitions == target,
+        "consumers of a serial materialized cache get the insurance shuffle")
+    } finally { docs.unpersist(); () }
+  }
+
   test("one-file fixture scans fan out; already-wide inputs pass through") {
     val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.ops.SimilarityOps
+import graft.stream.GraphStream
+
+/** Streamed k-NN graph maintenance: after any ingested prefix —
+  * including across a restart — the edge store must be IDENTICAL to the
+  * batch graph over all vectors so far (per-cluster recompute is exact:
+  * the batch candidate set is itself within-cluster), and the graph-ANN
+  * search must serve from the streamed store unchanged.
+  */
+class GraphStreamSpec extends SparkSuite {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private val edgeCols = Seq("vec_id", "neighbor_id", "rank", "cos_sim")
+
+  test("streamed graph ≡ batch knnGraphAuto per prefix, across a restart") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embDir = tmp("gstream-emb")
+    val outDir = tmp("gstream-out")
+    val ckpt = tmp("gstream-ckpt")
+
+    // two files up front -> two micro-batches (maxFilesPerTrigger=1)
+    emb.filter(col("vec_id") % 3 === 0).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(embDir)
+    emb.filter(col("vec_id") % 3 === 1).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(GraphStream.run(spark, embDir, outDir, ckpt))
+    val prefix = emb.filter(col("vec_id") % 3 =!= 2)
+    assert(rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+        .select(edgeCols.map(col): _*)) ===
+      rows(SimilarityOps.knnGraphAuto(prefix)),
+      "after two batches the streamed graph must equal the batch build")
+
+    // third file after a RESTART (fresh query, same checkpoint)
+    emb.filter(col("vec_id") % 3 === 2).coalesce(1)
+      .write.mode(SaveMode.Append).parquet(embDir)
+    awaitDone(GraphStream.run(spark, embDir, outDir, ckpt))
+    val streamed = spark.read.parquet(GraphStream.edgesDir(outDir))
+    assert(rows(streamed.select(edgeCols.map(col): _*)) ===
+      rows(SimilarityOps.knnGraphAuto(emb)),
+      "post-restart the streamed graph must equal the full batch build")
+
+    // the serving path reads the streamed store UNCHANGED
+    assert(rows(SimilarityOps.annGraphSearchIndexed(
+        spark, GraphStream.edgesDir(outDir), emb)) ===
+      rows(SimilarityOps.annGraphSearchAuto(emb)),
+      "graph-ANN search over the streamed index diverged from batch")
+  }
+
+  test("a replayed batch leaves the stores byte-stable (no duplication)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val outDir = tmp("gstream-replay")
+    val b0 = emb.filter(col("vec_id") % 2 === 0)
+    val b1 = emb.filter(col("vec_id") % 2 === 1)
+    GraphStream.processBatch(spark, b0, 0L, outDir,
+      SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    GraphStream.processBatch(spark, b1, 1L, outDir,
+      SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    val before = rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+      .select(edgeCols.map(col): _*))
+    // crash-between-write-and-commit: batch 1 replays
+    GraphStream.processBatch(spark, b1, 1L, outDir,
+      SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    val after = spark.read.parquet(GraphStream.edgesDir(outDir))
+    assert(rows(after.select(edgeCols.map(col): _*)) === before,
+      "replay must replace its own partitions, not append")
+    assert(after.count() ===
+      SimilarityOps.knnGraph(emb).count(),
+      "edge count matches the batch graph after replay")
+  }
+}
