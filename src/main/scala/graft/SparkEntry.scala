@@ -204,6 +204,21 @@ object SparkEntry {
       TextOps.bm25TfTable(docsT(s, d))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The corpus bigram-type count table for a dir, built once per
+    * process — [[graft.ops.PretrainOps.bigramCounts]]'s n-gram-counts
+    * serving artifact (KenLM's counts pass): all three LM-fluency rungs
+    * read it instead of re-aggregating the corpus per measurement
+    * (round 13 — ~1 s apiece at sf0.1). The oracle re-derives the table
+    * from raw text per query, so hash parity proves the sharing is
+    * semantics-free.
+    */
+  private val bigramCountsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def bigramCountsT(s: SparkSession, dir: String): DataFrame =
+    cachedFor(bigramCountsCache, s, dir)(d =>
+      PretrainOps.bigramCounts(docsT(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The sweep-lifetime shared tables for a corpus dir — the frames a
     * measurement barrier must NOT drop between queries
     * ([[org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement]]'s
@@ -218,7 +233,7 @@ object SparkEntry {
   def sharedCaches(s: SparkSession, dir: String): Seq[DataFrame] =
     Seq(docsT(s, dir), saShardArray(s, dir), saShard5Array(s, dir),
       saMergedArray(s, dir), pplScoredT(s, dir), knnEdgesT(s, dir),
-      compsT(s, dir), bm25TfT(s, dir))
+      compsT(s, dir), bm25TfT(s, dir), bigramCountsT(s, dir))
 
   /** Bench-only per-stage wall split for the incremental trio (review
     * round-11 §5): the oracle keys deliberately price v1-build + patch
@@ -612,12 +627,14 @@ object SparkEntry {
     // exact-arithmetic KenLM-style stand-in: mean corpus token frequency
     "unigram_commonness" -> ((s, dir) => PretrainOps.unigramCommonness(docsT(s, dir))),
     // the 2-gram rung of the LM ladder: mean conditional P(w2|w1)
-    "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluency(docsT(s, dir))),
+    "quality_bigram_fluency" -> ((s, dir) => PretrainOps.qualityBigramFluencyOn(docsT(s, dir), bigramCountsT(s, dir))),
     // top rung: Jelinek-Mercer interpolated trigram, all-integer micros
-    "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluency(docsT(s, dir))),
+    "quality_trigram_fluency" -> ((s, dir) => PretrainOps.qualityTrigramFluencyOn(docsT(s, dir),
+      bigramCountsT(s, dir).select(col("w1").as("v1"),
+        col("w2").as("v2"), col("c2")))),
     // the published-smoothing rung: Kneser-Ney absolute discounting with
     // continuation-count backoff (KenLM's family), exact integer micros
-    "quality_kn_fluency" -> ((s, dir) => PretrainOps.qualityKnFluency(docsT(s, dir))),
+    "quality_kn_fluency" -> ((s, dir) => PretrainOps.qualityKnFluencyOn(docsT(s, dir), bigramCountsT(s, dir))),
     // DSIR hashed-bigram importance weights (target-vs-raw distribution
     // ratio, bounded rational log surrogate)
     "dsir_weight" -> ((s, dir) => PretrainOps.dsirWeight(docsT(s, dir))),

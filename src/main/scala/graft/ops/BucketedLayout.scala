@@ -38,4 +38,26 @@ object BucketedLayout {
   /** Read a bucketed table back (bucket metadata intact). */
   def table(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** ATTACH an existing bucketed artifact in a NEW session: the bucket
+    * spec lives in table metadata, not the files, so a session that did
+    * not run the write (a serving job, the next day's patch driver)
+    * must re-register the external table before bucket pruning and
+    * exchange elision apply. Schema is inferred from the parquet
+    * footers; the (key, buckets) pair MUST match the writing
+    * [[writeBucketed]] call — registering a different spec than the
+    * files were laid out with silently mis-buckets every downstream
+    * join.
+    */
+  def register(spark: SparkSession, tableName: String, key: String,
+      buckets: Int, path: String): Unit = {
+    val schema = spark.read.parquet(path).schema
+    val cols = schema.fields
+      .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    spark.sql(s"CREATE TABLE `$tableName` ($cols) USING parquet " +
+      s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
+      s"LOCATION '$path'")
+    ()
+  }
 }

@@ -599,6 +599,24 @@ object CorpusOps {
   /** Read a persisted [[CleanState]] back (bucket metadata intact — the
     * base-side exchanges of the next patch vanish).
     */
+  /** Re-attach a [[writeCleanState]] artifact in a NEW session (the
+    * next day's patch driver): registers all five faces with the same
+    * bucket spec the writer used ([[BucketedLayout.register]]).
+    */
+  def registerCleanState(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, dir: String, buckets: Int = 8): Unit = {
+    BucketedLayout.register(spark, s"${tablePrefix}_gated",
+      "content_hash", buckets, s"$dir/gated")
+    BucketedLayout.register(spark, s"${tablePrefix}_sigs",
+      "doc_id", buckets, s"$dir/sigs")
+    BucketedLayout.register(spark, s"${tablePrefix}_cands",
+      "band_sig", buckets, s"$dir/cands")
+    BucketedLayout.register(spark, s"${tablePrefix}_verdicts",
+      "doc_a", buckets, s"$dir/verdicts")
+    BucketedLayout.register(spark, s"${tablePrefix}_bands",
+      "band_sig", buckets, s"$dir/bands")
+  }
+
   def readCleanState(spark: org.apache.spark.sql.SparkSession,
       tablePrefix: String): CleanState =
     CleanState(
@@ -1179,17 +1197,77 @@ object CorpusOps {
   def cleanCorpusIncrementalDecontam(v2docs: DataFrame,
       state: DecontamState, diff: DataFrame,
       gramWidth: Int = PretrainOps.DecontamGramProd)
-      : (DataFrame, DecontamState) = {
+      : (DataFrame, DecontamState) =
+    decontamPatchBody(v2docs, state, diff, gramWidth,
+      cleanCorpusIncremental(v2docs, state.clean, diff))
+
+  /** Persist a [[DecontamState]]: the [[CleanState]] via
+    * [[writeCleanState]] (bucketed), plus the three decontam faces as
+    * plain parquet — id lists and the frozen benchmark gram set, all
+    * broadcast-consumed by the patch, so bucketing buys nothing there.
+    */
+  def writeDecontamState(state: DecontamState, tablePrefix: String,
+      dir: String, buckets: Int = 8): Unit = {
+    writeCleanState(state.clean, tablePrefix, dir, buckets)
+    state.contamIds.write.mode("overwrite").parquet(s"$dir/contam_ids")
+    state.benchIds.write.mode("overwrite").parquet(s"$dir/bench_ids")
+    state.benchGrams.write.mode("overwrite").parquet(s"$dir/bench_grams")
+  }
+
+  def readDecontamState(spark: org.apache.spark.sql.SparkSession,
+      tablePrefix: String, dir: String): DecontamState =
+    DecontamState(
+      readCleanState(spark, tablePrefix),
+      spark.read.parquet(s"$dir/contam_ids"),
+      spark.read.parquet(s"$dir/bench_ids"),
+      spark.read.parquet(s"$dir/bench_grams"))
+
+  /** The decontam-inclusive DAILY patch from PERSISTED state — the full
+    * published composition ([[cleanCorpusDecontam]]) with the clean core
+    * running the bucket-pruned InSet path ([[cleanCorpusIncrementalPruned]])
+    * instead of the generic join chain, and the decontam faces read from
+    * disk. Identical output to [[cleanCorpusIncrementalDecontam]] over
+    * the same state by construction (one shared [[decontamPatchBody]]).
+    */
+  def cleanCorpusIncrementalDecontamPruned(
+      spark: org.apache.spark.sql.SparkSession, v2docs: DataFrame,
+      tablePrefix: String, dir: String, diff: DataFrame,
+      gramWidth: Int = PretrainOps.DecontamGramProd,
+      maxChurnKeys: Int = PrunedPatchMaxChurn): (DataFrame, DecontamState) = {
+    val state = readDecontamState(spark, tablePrefix, dir)
+    decontamPatchBody(v2docs, state, diff, gramWidth,
+      cleanCorpusIncrementalPruned(spark, v2docs, tablePrefix, diff,
+        maxChurnKeys))
+  }
+
+  private def decontamPatchBody(v2docs: DataFrame, state: DecontamState,
+      diff: DataFrame, gramWidth: Int,
+      cleanCore: => (DataFrame, CleanState)): (DataFrame, DecontamState) = {
     import DedupOps.materialize
     val runId = java.util.UUID.randomUUID().toString.take(8)
     def trunc(df: DataFrame, name: String): DataFrame =
       DedupOps.truncateIter(df, s"decontaminc-$runId", name)
-    val (clean, nextClean) = cleanCorpusIncremental(v2docs, state.clean, diff)
+    val (clean, nextClean) = cleanCore
     val diffM = materialize(diff, "incd_diff")
     val diffIds = diffM.select("doc_id")
     val churnNewIds = diffM
       .filter(col("status").isin("added", "changed")).select("doc_id")
-    val churnDocs = v2docs.join(churnNewIds, "doc_id")
+    // churn docs through the InSet pushdown discipline (round 13: the
+    // plain join here cost THREE full corpus text scans per patch — one
+    // per consumer below — putting a corpus term into the decontam
+    // leg's slope; x512 measured 35.4 s vs 15.9 at x128 on identical
+    // churn). Literal-sized churn pushes into the parquet scan;
+    // above the InSet bound the join leg still runs, but ONE scratch
+    // materialization feeds all three consumers either way.
+    val churnIdProbe = diffM
+      .filter(col("status").isin("added", "changed")).select("doc_id")
+      .limit(PrunedPatchMaxChurn + 1).collect().map(_.getLong(0))
+    val churnDocs = scratch(materialize(
+      if (churnIdProbe.length <= PrunedPatchMaxChurn)
+        keepIdsPushdown(v2docs, "doc_id",
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(churnIdProbe))
+      else v2docs.join(churnNewIds, "doc_id"),
+      "decontam_churn_docs"))
     val benchChurned = state.benchIds
       .join(diffIds, Seq("doc_id"), "left_semi")
       .unionByName(churnDocs

@@ -2040,17 +2040,41 @@ object PretrainOps {
     * corpus tokenizes twice (count build + score side), same deliberate
     * trade as [[unigramCommonness]].
     */
-  def qualityBigramFluency(docs: DataFrame): DataFrame = {
+  /** Doc-id'd bigram occurrences (doc_id, w1, w2) — the in-row zip all
+    * three LM-fluency rungs explode and score over.
+    */
+  private def bigramPairs(docs: DataFrame): DataFrame = {
     val toksC = TextOps.toksOf(docs)
-    val bi = fanout(docs).select(col("doc_id"),
+    fanout(docs).select(col("doc_id"),
         explode_outer(zip_with(
           slice(toksC, lit(1), size(toksC) - 1),
           slice(toksC, lit(2), size(toksC) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cnt2 = DedupOps.materialize(
-      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")), "bigram_counts")
+  }
+
+  /** The corpus bigram-TYPE count table (w1, w2, c2) — the ONE
+    * statistics table every LM-fluency rung derives from (raw ML:
+    * c2/c1; Kneser–Ney: discounts + continuation counts; the JM
+    * trigram's bigram back-off level). A deployment materializes its
+    * n-gram count tables once beside the corpus (KenLM's counts pass is
+    * exactly this); [[graft.SparkEntry]] ships it as a sweep-lifetime
+    * shared artifact (round 13 — each rung previously re-aggregated the
+    * same table per measurement, ~1 s apiece at sf0.1), and the DuckDB
+    * oracles re-derive it per query, so hash parity proves the sharing
+    * is semantics-free.
+    */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    bigramPairs(docs).groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+  def qualityBigramFluency(docs: DataFrame): DataFrame =
+    qualityBigramFluencyOn(docs,
+      DedupOps.materialize(bigramCounts(docs), "bigram_counts"))
+
+  /** [[qualityBigramFluency]] over a PRE-BUILT count table. */
+  def qualityBigramFluencyOn(docs: DataFrame, cnt2: DataFrame): DataFrame = {
+    val bi = bigramPairs(docs)
     val cnt1 = cnt2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     bi.join(cnt2, Seq("w1", "w2")).join(cnt1, Seq("w1"))
       .select(col("doc_id"), expr("(c2 * 1000000) div c1").as("p_micro"))
@@ -2173,7 +2197,16 @@ object PretrainOps {
     * territory, like every vocab join in this file. N is a 1-row
     * broadcast. Lazy: building this launches zero jobs.
     */
-  def qualityTrigramFluency(docs: DataFrame): DataFrame = {
+  def qualityTrigramFluency(docs: DataFrame): DataFrame =
+    qualityTrigramFluencyOn(docs,
+      DedupOps.materialize(bigramCounts(docs), "trigram_bigram_counts")
+        .select(col("w1").as("v1"), col("w2").as("v2"), col("c2")))
+
+  /** [[qualityTrigramFluency]] over a PRE-BUILT bigram count table
+    * ((v1, v2, c2) — the back-off level; the trigram and unigram count
+    * tables stay per-query, they have no second consumer).
+    */
+  def qualityTrigramFluencyOn(docs: DataFrame, cnt2: DataFrame): DataFrame = {
     val toksC = TextOps.toksOf(docs)
     val len3 = greatest(size(toksC) - 2, lit(0))
     val tri = fanout(docs).select(col("doc_id"),
@@ -2188,21 +2221,11 @@ object PretrainOps {
       .filter(col("t").isNotNull)
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
-    val len2 = greatest(size(toksC) - 1, lit(0))
-    val bi = fanout(docs).select(
-        explode_outer(zip_with(
-          slice(toksC, lit(1), len2),
-          slice(toksC, lit(2), len2),
-          (a, b) => struct(a.as("v1"), b.as("v2")))).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("p.v1").as("v1"), col("p.v2").as("v2"))
     val uni = fanout(docs).select(explode_outer(toksC).as("u"))
       .filter(col("u").isNotNull)
     val cnt3 = DedupOps.materialize(
       tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")), "trigram_counts")
     val ctx3 = cnt3.groupBy("w1", "w2").agg(sum(col("c3")).as("d3"))
-    val cnt2 = DedupOps.materialize(
-      bi.groupBy("v1", "v2").agg(count(lit(1)).as("c2")), "trigram_bigram_counts")
     val ctx2 = cnt2.groupBy("v1").agg(sum(col("c2")).as("d2"))
     val cnt1 = uni.groupBy("u").agg(count(lit(1)).as("c1"))
     val n = cnt1.agg(sum(col("c1")).as("n_total"))
@@ -3510,17 +3533,15 @@ object PretrainOps {
     * 1-row broadcast; the occurrence joins skew at the Zipf head (AQE
     * skew-join territory, like every vocab join in this file).
     */
-  def qualityKnFluency(docs: DataFrame): DataFrame = {
-    val toksC = TextOps.toksOf(docs)
-    val bi = fanout(docs).select(col("doc_id"),
-        explode_outer(zip_with(
-          slice(toksC, lit(1), size(toksC) - 1),
-          slice(toksC, lit(2), size(toksC) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .filter(col("p").isNotNull)
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val cnt2 = DedupOps.materialize(
-      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2")), "kn_bigram_counts")
+  def qualityKnFluency(docs: DataFrame): DataFrame =
+    qualityKnFluencyOn(docs,
+      DedupOps.materialize(bigramCounts(docs), "kn_bigram_counts"))
+
+  /** [[qualityKnFluency]] over a PRE-BUILT count table (all four KN
+    * statistics tables derive from it).
+    */
+  def qualityKnFluencyOn(docs: DataFrame, cnt2: DataFrame): DataFrame = {
+    val bi = bigramPairs(docs)
     val pre = cnt2.groupBy("w1")
       .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
     val bwd = cnt2.groupBy("w2").agg(count(lit(1)).as("n1b"))

@@ -276,6 +276,27 @@ class IncrementalCleanSpec extends SparkSuite {
     assert(stB.contamIds.count() === 0L)
   }
 
+  test("pruned decontam patch from persisted state ≡ from-scratch cleanCorpusDecontam(v2)") {
+    import graft.ops.PretrainOps
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val isBench = col("source") === PretrainOps.BenchmarkSource
+    val v1 = base.filter(col("doc_id") % 7 =!= 0 || isBench)
+    val v2 = base.filter(col("doc_id") % 5 =!= 0 || isBench)
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0 && !isBench, upper(col("text")))
+          .otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("decontamstate").toString
+    CorpusOps.writeDecontamState(CorpusOps.cleanStateDecontam(v1), "ics_dc", dir)
+    val (inc, next) = CorpusOps.cleanCorpusIncrementalDecontamPruned(
+      spark, v2, "ics_dc", dir, CorpusOps.corpusDiff(v1, v2))
+    assert(rows(inc) === rows(CorpusOps.cleanCorpusDecontam(v2)),
+      "pruned decontam patch diverged from the from-scratch rebuild")
+    // the returned state persists in turn (the daily loop closes)
+    CorpusOps.writeDecontamState(next, "ics_dc2", dir + "2")
+    assert(CorpusOps.readDecontamState(spark, "ics_dc2", dir + "2")
+      .contamIds.count() === next.contamIds.count())
+  }
+
   test("decontam fixture parity: the key ≡ from-scratch cleanCorpusDecontam(v2)") {
     import graft.ops.PretrainOps
     val base = spark.read.parquet(s"$sf/documents.parquet")

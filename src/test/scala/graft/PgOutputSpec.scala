@@ -482,6 +482,81 @@ class PgOutputSpec extends SparkSuite {
       "post-restart delete resolved through the persisted registry")
   }
 
+  test("PgCaptureStream soak: 10 segments, two mid-stream schema changes, registry stays pruned") {
+    // the long-horizon registry question (round 13): a capture session
+    // that lives for many segments re-sends Relation only on schema
+    // change. Rows BEFORE each change must decode with their as-of
+    // schema, rows after with the new one — across segment boundaries
+    // and restarts — and the registry state store must stay pruned to
+    // the replay horizon (<=2 versions), one row per oid.
+    import graft.stream.VersionedState
+    def tmp(p: String) = Files.createTempDirectory(p).toString
+    val cap = tmp("pgsoak-cap")
+    val bulk = tmp("pgsoak-bulk")
+    val dlq = tmp("pgsoak-dlq")
+    val ckpt = tmp("pgsoak-ckpt")
+    val mapping = Map("public.users" -> "users_idx")
+    val colsV1 = usersCols // (id, name)
+    val colsV2 = usersCols :+ (("email", false, 25)) // ALTER TABLE ADD
+    val colsV3 = Seq(("id", true, 20), ("email", false, 25)) // DROP name
+    def seg(s: Int, frames: Seq[Array[Byte]]): Unit =
+      framesDf(frames).withColumn("seq", col("seq") + lit(1000L * s))
+        .coalesce(1).write.mode("append").parquet(cap)
+
+    for (s <- 0 until 10) {
+      val base: Seq[Array[Byte]] =
+        Seq(xlog(100, 900 + s, T0, begin(900L + s, T0 + s, 100 + s)))
+      val body: Seq[Array[Byte]] = s match {
+        case 0 => Seq(
+          xlog(101, 900, T0, relation(16385, "public", "users", colsV1)),
+          xlog(102, 900, T0, insert(16385, Seq(t("u0"), t("ann")))))
+        case 3 => Seq( // schema change: email column appears
+          xlog(101, 903, T0, relation(16385, "public", "users", colsV2)),
+          xlog(102, 903, T0, insert(16385, Seq(t("u3"), t("cat"), t("c@x.io")))))
+        case 7 => Seq( // second change: name column dropped
+          xlog(101, 907, T0, relation(16385, "public", "users", colsV3)),
+          xlog(102, 907, T0, insert(16385, Seq(t("u7"), t("g@x.io")))))
+        case k if k < 3 => Seq( // v1-shape rows, relation carried
+          xlog(102, 900 + k, T0, insert(16385, Seq(t(s"u$k"), t("bob")))))
+        case k if k < 7 => Seq(
+          xlog(102, 900 + k, T0,
+            insert(16385, Seq(t(s"u$k"), t("dan"), t("d@x.io")))))
+        case k => Seq(
+          xlog(102, 900 + k, T0, insert(16385, Seq(t(s"u$k"), t("h@x.io")))))
+      }
+      val commitF = Seq(
+        xlog(110, 900 + s, T0, commit(900L + s, 901L + s, T0 + s)))
+      seg(s, base ++ body ++ commitF)
+      // restart every segment: fresh query, same checkpoint — the
+      // registry must carry through the persisted state every time
+      awaitDone(PgCaptureStream.run(spark, cap, bulk, dlq, ckpt, mapping))
+    }
+    import scala.jdk.CollectionConverters._
+    val nd = Files.walk(java.nio.file.Paths.get(bulk)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("part-") &&
+        p.toString.contains("batch_"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq.filter(_.nonEmpty).mkString("\n")
+    // as-of decode held on BOTH sides of each change
+    assert(nd.contains("\"name\":\"bob\"") && !nd.contains("\"email\":\"b"),
+      "pre-change rows decode with the v1 schema")
+    assert(nd.contains("\"email\":\"d@x.io\"") && nd.contains("\"name\":\"dan\""),
+      "post-ADD rows carry the new column through the carried registry")
+    assert(nd.contains("\"email\":\"h@x.io\"") && !nd.contains("\"name\":\"h"),
+      "post-DROP rows decode with the narrowed schema")
+    // the registry store stays pruned: <=2 versions, one live row per
+    // oid (+ the carried Begin row)
+    val vs = VersionedState.idsBefore(spark, s"$bulk/_pgstate", Long.MaxValue)
+    assert(vs.size <= 2, s"registry store must stay pruned, holds $vs")
+    val snap = spark.read.parquet(
+      VersionedState.versionDir(s"$bulk/_pgstate", vs.max))
+    assert(snap.filter(col("msg_type") === "relation").count() === 1,
+      "one live relation version per oid in the carried registry")
+    val live = snap.filter(col("msg_type") === "relation").head()
+    assert(live.getSeq[String](live.fieldIndex("col_names")) ===
+      Seq("id", "email"), "the carried version is the NEWEST schema")
+  }
+
   test("PgCaptureStream: a REPLAYED batch overwrites its own dead letters") {
     // foreachBatch is at-least-once: after a crash between sink write and
     // checkpoint commit, the same batchId replays. Dead letters write to
