@@ -330,6 +330,14 @@ object Bench {
     val nFailed = results.values.count(_.failed)
     val starved = results.collect { case (k, t) if isStarved(t) => k }
     val lowPar = results.collect { case (k, t) if isLowParallelism(t) => k }
+    // final-tail adjudication (round 13, after the r12 chunk_split
+    // episode: the driver's contended-tail sweep flagged low_par:1 while
+    // the quiet sweep showed 0, and the artifact could not say which to
+    // believe): a low_par flag measured under a HOT load average is
+    // about the box, not the plan — name those queries so a reader
+    // discounts them without a quiet re-probe
+    val lowParHotLoad = results.collect {
+      case (k, t) if isLowParallelism(t) && t.load > loadThreshold => k }
     val diverged = results.collect { case (k, t) if t.divBaseline => k }
     val contended = contendedAtStart || starved.size >= 3 || lowPar.size >= 3
     val top5 = results.toSeq.sortBy(-_._2.wall).take(5)
@@ -347,7 +355,9 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","summary":true,""" +
         s""""failed":$nFailed,"contended":$contended,""" +
         s""""contended_at_start":$contendedAtStart,"starved":${starved.size},""" +
-        s""""low_par":${lowPar.size},"div_baseline":${diverged.size},""" +
+        s""""low_par":${lowPar.size},""" +
+        s""""low_par_hot_load":${lowParHotLoad.map(k => s"\"$k\"").mkString("[", ",", "]")},""" +
+        s""""div_baseline":${diverged.size},""" +
         s""""median_eff_cores":${f(medianEff)},"cpus":$cpus,""" +
         s""""gc_total_sec":${f(gcTotal)},""" +
         s""""retimed":${results.values.count(_.retimed)},""" +
@@ -380,6 +390,7 @@ object Bench {
            |  "load_at_start": ${f(loadAtStart)},
            |  "median_eff_cores": ${f(medianEff)},
            |  "starved": ${starved.size}, "low_par": ${lowPar.size},
+           |  "low_par_hot_load": ${lowParHotLoad.map(k => s"\"$k\"").mkString("[", ",", "]")},
            |  "div_baseline": ${diverged.size},
            |  "baseline_entries": ${baseline.size},
            |  "retimed": ${results.values.count(_.retimed)},
