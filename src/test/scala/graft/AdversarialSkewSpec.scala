@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{CdcOps, DedupOps}
+
+/** Adversarial-input robustness (round 13): the degenerate corpora that
+  * break naive blocking — every embedding in ONE cluster, 90% of actions
+  * on ONE key — must stay bounded. Companion measurements in SCALING.md
+  * ("Adversarial skew cells").
+  */
+class AdversarialSkewSpec extends SparkSuite {
+  private val oneCentroid = Seq(IndexedSeq(1.0, 0.0))
+
+  private def identicalVecs(n: Int) = spark.range(n.toLong)
+    .select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f)).as("embedding"))
+
+  test("semantic candidate cap is a no-op for clusters within the cap") {
+    // 50 identical vectors, one cluster: every C(50,2) pair must still be
+    // produced — the cap removes no lower-id candidate when |c| <= cap
+    val rows = DedupOps.semanticThresholdSweep(identicalVecs(50), oneCentroid)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._2 == 50L * 49 / 2), s"pairs lost under cap: ${rows.toSeq}")
+    assert(rows.forall(_._3 == 49), "every non-minimum vector is a dup")
+    val kept = DedupOps.dedupSemantic(identicalVecs(50), oneCentroid)
+      .filter(col("keep")).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(0L), "only the min id survives")
+  }
+
+  test("semantic candidate cap bounds a collapsed mega-cluster linearly") {
+    val n = DedupOps.SemanticCandidateCap + 104 // past the cap
+    val cap = DedupOps.SemanticCandidateCap
+    // capped pair count: sum over rank r of min(r-1, cap) — LINEAR tail,
+    // vs C(n,2) uncapped (the adversarial quadratic this cap exists for)
+    val expected = cap.toLong * (cap + 1) / 2 + (n - cap - 1).toLong * cap
+    val uncapped = n.toLong * (n - 1) / 2
+    assert(expected < uncapped, "fixture must actually exercise the cap")
+    val rows = DedupOps.semanticThresholdSweep(identicalVecs(n), oneCentroid)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._1 == expected),
+      s"pair count ${rows.head._1} != capped-geometry $expected")
+    // decision semantics unchanged on collapse: the earliest members are
+    // tau-neighbors of everything, so all but the minimum are dropped
+    assert(rows.forall(_._2 == n - 1))
+    val kept = DedupOps.dedupSemantic(identicalVecs(n), oneCentroid)
+      .filter(col("keep")).count()
+    assert(kept == 1)
+  }
+
+  test("LWW dedup pushes a map-side WindowGroupLimit (hot keys cannot straggle)") {
+    val hot = spark.range(100000).select(
+      when(pmod(col("id"), lit(10)) < 9, lit("HOT"))
+        .otherwise(concat(lit("k"), col("id"))).as("doc_id"),
+      lit("idx1").as("index_name"),
+      col("id").as("event_id"))
+    val out = CdcOps.dedupLastWriteWins(hot)
+    // rn = 1 filter over the keyed window must compile to WindowGroupLimit
+    // (partial mode runs BEFORE the exchange — the hot key arrives at the
+    // reducer as one row per upstream partition, not 90k rows)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    val winners = out.collect()
+    assert(winners.length == 10000 + 1) // 10k cold keys + HOT
+    val hotRow = winners.find(_.getString(0) == "HOT").get
+    assert(hotRow.getLong(2) == 99998L, "latest event must win the hot key")
+  }
+}
