@@ -44,6 +44,12 @@ object PgStreamLoad {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // per-stage walls of every processBatch to stderr — the first
+      // question about any slow batch (PgCaptureStream.staged)
+      .config("spark.graft.pgcapture.verbose",
+        sys.env.getOrElse("SPARK_GRAFT_PGCAPTURE_VERBOSE", "false"))
+      .config("spark.graft.sink.verbose",
+        sys.env.getOrElse("SPARK_GRAFT_SINK_VERBOSE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -86,14 +86,44 @@ object PgCaptureStream {
     // skipped. (Streaming plans have no AQE, so getNumPartitions here
     // is a static plan property — no job runs.)
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val wide =
-      if (batch.rdd.getNumPartitions * 2 >= par) batch
-      else batch.repartition(par)
-    // one decode pass feeds the dead-letter split, the registry fold and
-    // the action pipeline
-    val flat = PgOutputOps.decode(wide).select(col("seq"), col("pg.*")).cache()
+    // UNCONDITIONAL fanout (round 13, root-caused on the 4M-event load):
+    // the earlier skip-when-wide guard trusted getNumPartitions, but a
+    // capture segment is ONE parquet file written as ONE row group —
+    // the file source still cuts it into byte-range splits (20 of them
+    // at 4M events), of which every one but the row-group owner is
+    // EMPTY. The guard saw "20 partitions, wide enough", skipped the
+    // shuffle, and the whole decode→actions chain ran as a single task
+    // (3-4 of 32 cores busy, sink build 30-38 s vs ~6 s at 3M where the
+    // split count was low enough for the guard to fire). Split count is
+    // a byte-size fiction, not row width; the repartition moves only
+    // the raw (seq, frame) pairs (~2-3 s per 4M) and is the difference
+    // between serial and parallel everything downstream.
+    val wide0 = batch.repartition(par)
+    // cache the RAW (seq, frame) pairs, not the decoded rows (round 13,
+    // measured on the 4M-event batch): the serial single-file segment
+    // read must happen exactly once, but the wide decoded projection is
+    // the wrong thing to pin — building the actions chain over the
+    // decoded cache cost 25-28 s/4M in-stream while a decode pass from
+    // the compact binary cache is ~2 s, so each consumer (dead-letter
+    // split, action pipeline, registry fold) re-decodes from the pinned
+    // raw bytes instead. Decode is a codegen'd expression — recomputing
+    // it three times is cheaper than one wide-row cache round-trip
+    // (sink cache_build 25-28 s -> ~8 s, whole 4M batch ~50 -> ~25 s).
+    val wide = wide0.cache()
+    val flat = PgOutputOps.decode(wide).select(col("seq"), col("pg.*"))
     try {
-      staged(spark, "cache_build")(flat.count())
+      staged(spark, "cache_build")(wide.count())
+      // verbose-only diagnostic: a decode pass from the pinned raw bytes
+      // should run in ~seconds — if this reads like the serial segment
+      // scan, the cache is NOT being hit and every consumer below pays
+      // the serial read again
+      if (spark.conf.getOption("spark.graft.pgcapture.verbose")
+          .contains("true")) {
+        staged(spark, "cache_probe")(
+          flat.filter(col("msg_type") === "relation").count())
+        System.err.println("[pgcapture] raw cache partitions: " +
+          wide.rdd.getNumPartitions)
+      }
       // per-batch partition dir + overwrite: a replayed micro-batch
       // (Structured Streaming is at-least-once into external sinks)
       // clobbers its own prior output instead of appending duplicates —
@@ -136,6 +166,6 @@ object PgCaptureStream {
           .write.mode("overwrite")
           .parquet(VersionedState.versionDir(stateRoot, batchId)))
       VersionedState.prune(spark, stateRoot, batchId - 1)
-    } finally { flat.unpersist(); () }
+    } finally { wide.unpersist(); () }
   }
 }

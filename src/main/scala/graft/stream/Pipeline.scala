@@ -710,11 +710,40 @@ object EsBulkSink {
     // (incl. the dead-letter write) still unpersists in finally — a
     // streaming engine retries failed batches, and a leak per retry
     // accumulates for the life of the query.
+    // opt-in per-stage walls (`spark.graft.sink.verbose=true`) — the
+    // pgcapture.verbose precedent, one level deeper: the first question
+    // about a slow sink batch is which of cache-build / dedup / write
+    // owns the wall
+    def staged[T](name: String)(f: => T): T =
+      if (!batch.sparkSession.conf.getOption("spark.graft.sink.verbose")
+          .contains("true")) f
+      else {
+        import scala.jdk.CollectionConverters._
+        def gcMs = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[sink] $name%-18s ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+            f"(gc ${(gcMs - g0) / 1000.0}%.1f s)")
+        r
+      }
     val cached = batch.cache()
     var deduped: DataFrame = null
     try {
-      val (d, payloadWithId) = flushPrologue(cached, batchId,
-        responseHandler, esMajor, typeName)
+      // force the cache with one full pass BEFORE the demux probe, so the
+      // whole upstream-chain materialization lands in ONE named stage
+      // (the probe's early-terminating isEmpty otherwise caches only the
+      // partitions it touches and smears the build across later
+      // consumers, which makes a slow batch unattributable). Measured on
+      // the 4M-event pgoutput batch: this build IS the sink's dominant
+      // cost (25-28 s of a ~37 s sink wall; payload write 8-9 s) — the
+      // reason batch sizing, not sink tuning, is the throughput knob
+      // (README "size the admission knobs").
+      staged("cache_build")(cached.count())
+      val (d, payloadWithId) = staged("prologue")(flushPrologue(cached, batchId,
+        responseHandler, esMajor, typeName))
       deduped = d
       val payload = payloadWithId.select("value")
       // B2 flush triggers: when a byte and/or action-count limit is set,
@@ -741,19 +770,19 @@ object EsBulkSink {
       // after partial write, before checkpoint commit) clobbers its own
       // partial output instead of duplicating it — effectively-once files
       // on top of the at-least-once ack contract
-      payload
+      staged("payload_write")(payload
         .repartition(nRequests)
         .write.mode("overwrite")
-        .text(s"$bulkOutDir/batch_$batchId")
+        .text(s"$bulkOutDir/batch_$batchId"))
       // R3 per-index action counters (metric.go:56-96): one tiny agg over
       // the cached batch after the flush succeeds. At-least-once like the
       // reference (its counters bump in handleResponse BEFORE the LSN ack,
       // bulk.go:392-411 vs 271-276): a crash between flush and checkpoint
       // commit replays the batch and re-counts it.
-      deduped.groupBy("index_name", "action_type").count()
+      staged("metrics_agg")(deduped.groupBy("index_name", "action_type").count()
         .collect()
-        .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2)))
-      responseHandler.onSuccess(deduped, batchId)
+        .foreach(r => Metrics.record(r.getString(0), r.getString(1), r.getLong(2))))
+      staged("on_success")(responseHandler.onSuccess(deduped, batchId))
     } finally {
       if (deduped != null) deduped.unpersist()
       cached.unpersist()
