@@ -26,6 +26,8 @@ object StreamLoad {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.graft.sink.verbose",
+        sys.env.getOrElse("SPARK_GRAFT_SINK_VERBOSE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -68,7 +68,7 @@ object Pipeline {
       case Some(bytes) => base.option("maxBytesPerTrigger", bytes.toString)
       case None => base.option("maxFilesPerTrigger", maxFilesPerTrigger)
     }
-    format match {
+    val src = format match {
       case "parquet" => reader.parquet(dir)
       case "json" => reader.json(dir)
       case "csv" => reader.option("header", "true").csv(dir)
@@ -85,6 +85,19 @@ object Pipeline {
           .load()
       case other => throw new IllegalArgumentException(s"unsupported replay format: $other")
     }
+    // Fan a files-admitted batch out before the chain (round 13 — the
+    // PgCaptureStream lesson applied at the source): a micro-batch of
+    // `maxFilesPerTrigger` files is narrow BY CONSTRUCTION, and split
+    // counts cannot be trusted to say otherwise (a one-row-group file
+    // fans into byte-range splits of which all but one are EMPTY — the
+    // guard that trusted them serialized a whole 4M-event chain). The
+    // decision is static, from the admission ARGUMENTS: few admitted
+    // files → shuffle the raw events wide once (cheap, pre-chain);
+    // byte admission spans many files → already wide, no exchange.
+    val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger * 2 < par)
+      src.repartition(par)
+    else src
   }
 
   /** Event-time column + watermark bound for late data (the reference has
