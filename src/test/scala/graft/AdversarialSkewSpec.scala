@@ -47,6 +47,25 @@ class AdversarialSkewSpec extends SparkSuite {
     assert(kept == 1)
   }
 
+  test("files-admitted change streams fan out at the source; byte-admitted do not") {
+    // the round-13 lesson: a maxFilesPerTrigger=1 micro-batch is narrow
+    // BY CONSTRUCTION (and a one-row-group file lies about its width
+    // through empty byte-range splits), so the source itself must carry
+    // the fanout shuffle; byte admission spans many files and must NOT
+    // pay an extra exchange
+    import graft.stream.Pipeline
+    val dir = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    def hasRepartition(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+      }.nonEmpty
+    assert(hasRepartition(Pipeline.changeStream(spark, dir)),
+      "files-admitted stream must fan out pre-chain")
+    assert(!hasRepartition(Pipeline.changeStream(spark, dir,
+        maxBytesPerTrigger = Some(1L << 30))),
+      "byte-admitted stream must not pay an extra exchange")
+  }
+
   test("LWW dedup pushes a map-side WindowGroupLimit (hot keys cannot straggle)") {
     val hot = spark.range(100000).select(
       when(pmod(col("id"), lit(10)) < 9, lit("HOT"))
