@@ -35,6 +35,24 @@ object PgStreamLoad {
 
   val RelOid = 51300L
 
+  /** seq/LSN base of segment `s`, spaced by the SEGMENT SIZE (not a
+    * fixed constant — round-14 ADVICE: fixed 1M spacing overlapped once
+    * per-segment counts passed it, benign only under
+    * maxFilesPerTrigger=1). A segment emits begin + optional relation +
+    * (hi-lo) DMLs + commit, and its commit payload reaches
+    * base + per + 1, so `per + 16` headroom keeps every frame's seq AND
+    * every embedded LSN strictly below the next segment's base: seq is
+    * globally monotone in slot order under ANY files-per-trigger
+    * admission ([[PgStreamLoadSpec]] pins the non-overlap).
+    */
+  def segmentBase(s: Int, per: Int): Long = s.toLong * (per + 16)
+
+  /** Largest seq a non-last segment of `per` DMLs emits (its commit
+    * frame); the last segment has no successor, so its remainder
+    * overflow past `per` is unconstrained.
+    */
+  def segmentMaxSeq(s: Int, per: Int): Long = segmentBase(s, per) + 2 + per
+
   def main(args: Array[String]): Unit = {
     val nEvents = args.headOption.map(_.toInt).getOrElse(1000000)
     val nSegments = args.drop(1).headOption.map(_.toInt).getOrElse(8)
@@ -65,7 +83,7 @@ object PgStreamLoad {
     for (s <- 0 until nSegments) {
       val lo = s.toLong * per
       val hi = if (s == nSegments - 1) nEvents.toLong else lo + per
-      val segBase = 1000000L * s
+      val segBase = segmentBase(s, per)
       val pre: Seq[(Long, Array[Byte])] =
         (segBase, PgWire.encodeXLogData(segBase, segBase, ts,
           PgWire.encodeBegin(segBase + per, ts + s, 1000 + s))) +:

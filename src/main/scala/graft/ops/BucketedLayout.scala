@@ -1,5 +1,8 @@
 package graft.ops
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed table layout — the pre-partitioning that makes repeated
@@ -26,7 +29,7 @@ object BucketedLayout {
     * sort-merge consumers skip their per-partition sort.
     */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-      buckets: Int, path: String): Unit =
+      buckets: Int, path: String): Unit = {
     df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
@@ -34,6 +37,13 @@ object BucketedLayout {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(tableName)
+    // Persist the spec BESIDE the data: the bucket layout lives in
+    // catalog metadata, which a later session re-registering the table
+    // does not have — without this sidecar, register() has to trust
+    // the caller and a mismatched (key, buckets) silently mis-buckets
+    // every downstream join.
+    writeSpec(df.sparkSession, path, key, buckets)
+  }
 
   /** Read a bucketed table back (bucket metadata intact). */
   def table(spark: SparkSession, tableName: String): DataFrame =
@@ -51,6 +61,19 @@ object BucketedLayout {
     */
   def register(spark: SparkSession, tableName: String, key: String,
       buckets: Int, path: String): Unit = {
+    // Cross-check against the spec the writer persisted: registering a
+    // different (key, buckets) than the files' physical layout is the
+    // silent-corruption case the docstring warns about — fail loudly
+    // instead. Artifacts written before the sidecar existed register
+    // as before (no file → trust the caller, as documented).
+    readSpec(spark, path).foreach { case (specKey, specBuckets) =>
+      require(specKey == key && specBuckets == buckets,
+        s"BucketedLayout.register($tableName): caller spec (key=$key, " +
+        s"buckets=$buckets) does not match the _bucket_spec.json the " +
+        s"writer persisted at $path (key=$specKey, buckets=$specBuckets)" +
+        " - registering a mismatched spec silently mis-buckets every " +
+        "downstream join")
+    }
     val schema = spark.read.parquet(path).schema
     val cols = schema.fields
       .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -59,5 +82,44 @@ object BucketedLayout {
       s"CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS " +
       s"LOCATION '$path'")
     ()
+  }
+
+  /** Sidecar file name — the leading underscore keeps it out of Spark's
+    * data-file listing (the `_SUCCESS` convention), so the parquet read
+    * in [[register]] never sees it.
+    */
+  private val SpecFile = "_bucket_spec.json"
+
+  private def writeSpec(spark: SparkSession, path: String, key: String,
+      buckets: Int): Unit = {
+    val p = new Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"key":"$key","buckets":$buckets}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted (key, buckets) spec, if the writer left one. */
+  private[graft] def readSpec(spark: SparkSession,
+      path: String): Option[(String, Int)] = {
+    val p = new Path(path, SpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          StandardCharsets.UTF_8)
+        finally in.close()
+      val keyRe = """"key"\s*:\s*"([^"]*)"""".r
+      val bktRe = """"buckets"\s*:\s*(\d+)""".r
+      for {
+        k <- keyRe.findFirstMatchIn(txt).map(_.group(1))
+        b <- bktRe.findFirstMatchIn(txt).map(_.group(1).toInt)
+      } yield (k, b)
+    }
   }
 }

@@ -2047,8 +2047,10 @@ object PretrainOps {
     val toksC = TextOps.toksOf(docs)
     fanout(docs).select(col("doc_id"),
         explode_outer(zip_with(
-          slice(toksC, lit(1), size(toksC) - 1),
-          slice(toksC, lit(2), size(toksC) - 1),
+          // slice throws on a negative length: clamp at 0 so 0/1-token
+          // docs yield no bigrams instead of failing the whole stage
+          slice(toksC, lit(1), greatest(size(toksC) - 1, lit(0))),
+          slice(toksC, lit(2), greatest(size(toksC) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .filter(col("p").isNotNull)
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))

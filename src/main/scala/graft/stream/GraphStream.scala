@@ -89,10 +89,43 @@ object GraphStream {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Largest `batch_id=N` child dir under the vectors store, if any —
+    * one driver-side listing of O(batches) names, no data read.
+    */
+  private def maxBatchDirId(spark: SparkSession,
+      vecRoot: String): Option[Long] = {
+    val p = new Path(vecRoot)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch_id=") =>
+        s.stripPrefix("batch_id=").toLong }
+      .sorted.lastOption
+  }
+
   private[graft] def processBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, outDir: String, centroids: Seq[IndexedSeq[Double]],
       k: Int): Unit = {
     val vecRoot = s"$outDir/vectors"
+    // Fresh-checkpoint-on-existing-outDir guard: a new checkpoint
+    // restarts batch ids at 0, so the `batch_id < batchId` prior-read
+    // would silently EXCLUDE every previously ingested vector while
+    // dynamic overwrite replaces touched-cluster edges computed from
+    // the new batch alone (and the batch_id=0 dir clobbers old data).
+    // Genuine replay only ever re-runs the LATEST batch id, so any
+    // existing dir with a strictly larger id proves a checkpoint/store
+    // mismatch — refuse before touching either store. (A store holding
+    // only batch_id=0 is indistinguishable from replay of batch 0 and
+    // cannot be caught here; everything past the first batch is.)
+    maxBatchDirId(spark, vecRoot).filter(_ > batchId).foreach { maxId =>
+      throw new IllegalStateException(
+        s"GraphStream: vectors store $vecRoot already holds batch dirs " +
+        s"up to batch_id=$maxId but this micro-batch is $batchId - the " +
+        "checkpoint does not match the store. Reuse the original " +
+        "checkpointDir to resume, or point outDir at a new directory.")
+    }
     val assigned = SimilarityOps.knnAssign(batch, centroids).cache()
     try {
       // 1. append this batch's vectors (replay: overwrite of the same

@@ -57,6 +57,29 @@ class GraphStreamSpec extends SparkSuite {
       "graph-ANN search over the streamed index diverged from batch")
   }
 
+  test("fresh checkpoint over an existing outDir is refused, not corrupted") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val outDir = tmp("gstream-freshckpt")
+    GraphStream.processBatch(spark, emb.filter(col("vec_id") % 2 === 0),
+      0L, outDir, SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    GraphStream.processBatch(spark, emb.filter(col("vec_id") % 2 === 1),
+      1L, outDir, SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    val before = rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+      .select(edgeCols.map(col): _*))
+    // a NEW checkpoint restarts batch ids at 0: without the guard, the
+    // batch_id < 0 prior-read excludes every ingested vector, touched
+    // edges get rewritten from the new batch alone, and the batch_id=0
+    // vectors dir is clobbered — refuse instead
+    val ex = intercept[IllegalStateException] {
+      GraphStream.processBatch(spark, emb.limit(5), 0L, outDir,
+        SimilarityOps.defaultCentroids, SimilarityOps.KnnGraphK)
+    }
+    assert(ex.getMessage.contains("checkpoint"), ex.getMessage)
+    assert(rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+        .select(edgeCols.map(col): _*)) === before,
+      "both stores must be untouched after the refusal")
+  }
+
   test("a replayed batch leaves the stores byte-stable (no duplication)") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val outDir = tmp("gstream-replay")

@@ -287,6 +287,19 @@ class PretrainOpsSpec extends SparkSuite {
     assert(PretrainOps.qualityBigramFluency(tiny).count() == 0)
   }
 
+  test("bigram rungs tolerate a 0-token pre-tokenized doc (guarded slice)") {
+    // raw tokens("") is never empty (split yields [""]), but a shared
+    // token table can legally carry a 0-token array (a filtered toks
+    // column); slice(toks, 1, size-1) throws on the negative length
+    // without the greatest(…, 0) clamp the trigram-local path had
+    // before the r13 bigram-cache sharing (round-14 ADVICE)
+    val planted = Seq((1L, Seq.empty[String]), (2L, Seq("x", "y", "x")))
+      .toDF("doc_id", graft.ops.TextOps.ToksCol)
+    val counts = PretrainOps.bigramCounts(planted)
+      .as[(String, String, Long)].collect().toSet
+    assert(counts === Set(("x", "y", 1L), ("y", "x", 1L)))
+  }
+
   test("embed_covariance: hand-checkable moments, upper triangle only") {
     val planted = Seq(
       (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f))
