@@ -800,8 +800,41 @@ object CorpusOps {
     * back to the generic join-driven patch: the pruned path drives every
     * probe through DRIVER-COLLECTED literal key sets, which is only the
     * right trade while those sets are plan-literal-sized.
+    *
+    * Driver memory model (why 200k is safe on a default driver, and
+    * what a 100 TB deployment tunes against): the patch holds the diff
+    * rows, the gated delta and the old-row probe on the driver at once —
+    * ~5 sets of ≤churn (Long, flag) tuples ≈ churn × 5 × 48 B ≈ 50 MB
+    * at the default. PAIR collects are governed separately by
+    * [[PatchMaxPairCollect]] (pairs ≈ 32 B each + the kept-set hash
+    * overhead ≈ 3×), because pair count amplifies beyond churn keys by
+    * bands × [[DedupOps.BandBucketCap]]. Override per deployment via
+    * `spark.graft.patch.maxChurnKeys` ([[PatchMaxChurnConf]]) — a 4 GB
+    * driver might push 1M keys; a shared 1 GB driver should drop it.
     */
   val PrunedPatchMaxChurn = 200000
+
+  /** Session-conf override for [[PrunedPatchMaxChurn]] — when set it
+    * takes precedence over the method default (NOT over an explicit
+    * caller argument, which wins as the more specific intent).
+    */
+  val PatchMaxChurnConf = "spark.graft.patch.maxChurnKeys"
+
+  /** Candidate-PAIR bound for the step-6 driver collects of the InSet
+    * patch (`cand_pairs`/`kept_probe`): at 2M pairs the collected array
+    * is ~64 MB and the kept-set ~3× that — comfortably driver-sized —
+    * while the adversarial regime (churn concentrated in near-cap band
+    * buckets: up to churn × bands × cap pairs, i.e. multi-GB) falls to
+    * the distributed anti-join instead. Override via
+    * `spark.graft.patch.maxPairCollect` ([[PatchMaxPairCollectConf]]).
+    */
+  val PatchMaxPairCollect = 2000000L
+  val PatchMaxPairCollectConf = "spark.graft.patch.maxPairCollect"
+
+  private def patchMaxPairCollect(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(PatchMaxPairCollectConf).map(_.toLong)
+      .getOrElse(PatchMaxPairCollect)
 
   /** The BUCKET-PRUNED daily patch — [[cleanCorpusIncremental]] driven
     * from the PERSISTED bucketed state ([[writeCleanState]]) with every
@@ -869,11 +902,32 @@ object CorpusOps {
     */
   val LiteralPushdownMaxKeys = 8192
 
-  private def keepIdsPushdown(df: DataFrame, c: String,
-      ids: Seq[Long]): DataFrame =
+  /** Chunk ceiling for [[keepIdsPushdown]]: a key set up to
+    * chunks × [[LiteralPushdownMaxKeys]] becomes a UNION of ≤8192-literal
+    * filtered scans instead of falling straight to the broadcast join
+    * (round 14 — the x512 cells showed the 12,489-key churn re-gate
+    * crossing the 8192 bound and paying one FULL text scan, the
+    * dominant corpus term in the fixed-churn patch slope). The chunks
+    * are contiguous runs of the SORTED key set, so each leg's
+    * parquet-pushed range predicate (min ≤ c ≤ max — what a >10-literal
+    * In pushes down) is tight: row groups outside the run's span skip,
+    * and total I/O stays churn-shaped at any corpus size. One plan, one
+    * job — the legs share the cached relation listing. Beyond the
+    * ceiling the leg count itself becomes the overhead and the
+    * broadcast-join form wins again.
+    */
+  val LiteralPushdownMaxChunks = 8
+
+  private[graft] def keepIdsPushdown(df: DataFrame, c: String,
+      ids: Seq[Long],
+      maxLiteral: Int = LiteralPushdownMaxKeys): DataFrame =
     if (ids.isEmpty) df.filter(lit(false))
-    else if (ids.size <= LiteralPushdownMaxKeys)
+    else if (ids.size <= maxLiteral)
       df.filter(inIds(col(c), ids))
+    else if (ids.size <= maxLiteral.toLong * LiteralPushdownMaxChunks)
+      ids.sorted.grouped(maxLiteral)
+        .map(chunk => df.filter(inIds(col(c), chunk)))
+        .reduce(_.unionByName(_))
     else df.join(keySide(df.sparkSession, ids,
       org.apache.spark.sql.Encoders.scalaLong),
       df(c) === col("_graft_k"), "left_semi")
@@ -976,8 +1030,14 @@ object CorpusOps {
     val AutoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val autoScanPrev = spark.conf.getOption(AutoScanKey)
     spark.conf.set(AutoScanKey, "false")
+    // deployment tuning: the session conf overrides the compiled-in
+    // default (a caller passing an explicit bound keeps it)
+    val churnBound =
+      if (maxChurnKeys != PrunedPatchMaxChurn) maxChurnKeys
+      else spark.conf.getOption(PatchMaxChurnConf).map(_.toInt)
+        .getOrElse(PrunedPatchMaxChurn)
     try cleanCorpusIncrementalInSetBody(spark, v2docs, st, bandsV1, diff,
-      maxChurnKeys)
+      churnBound)
     finally autoScanPrev match {
       case Some(v) => spark.conf.set(AutoScanKey, v)
       case None => spark.conf.unset(AutoScanKey)
@@ -1117,25 +1177,56 @@ object CorpusOps {
       "inset_cands_touched"))
 
     // 6. verdicts: fresh pairs = touched-bucket pairs without a kept
-    // verdict; the kept probe keys the verdict face by its bucket
-    // column doc_a, and the verify signature side prunes to candidate
-    // doc ids before reading any array column
-    val candPairs = staged("cand_pairs")(
-      candsTouched.select("doc_a", "doc_b").distinct()
-        .as[(Long, Long)].collect())
-    val candA = candPairs.map(_._1).distinct.toSeq
-    val candDocIds = (candPairs.map(_._1) ++ candPairs.map(_._2))
-      .distinct.toSeq
-    val keptAmongCand = staged("kept_probe")(
-      dropIds(dropIds(keepIds(st.verdicts, "doc_a", candA),
-        "doc_a", diffIds), "doc_b", diffIds)
-        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
-    val freshPairs = candPairs.filter(p => !keptAmongCand.contains(p))
-    val sigsForVerify = dropIds(
-      keepIds(st.sigs, "doc_id", candDocIds), "doc_id", minusSet)
-      .unionByName(keepIds(plusSigs, "doc_id", candDocIds))
-    val freshVerdicts = DedupOps.verifyPairs(
-      freshPairs.toSeq.toDF("doc_a", "doc_b"), sigsForVerify)
+    // verdict. The churn-key guard above bounds KEYS, not PAIRS: pair
+    // count is churn × bands × BandBucketCap-amplified, so adversarial
+    // churn concentrated in near-cap buckets can legally produce tens
+    // of millions of pairs — a multi-GB driver array — without tripping
+    // maxChurnKeys. A count-probe gates the two pair collects
+    // (candsTouched is already materialized, so the count is one cheap
+    // agg over cached partitions); above [[patchMaxPairCollect]] the
+    // fresh-pair anti-join and the signature pruning stay DISTRIBUTED —
+    // the generic core's step-6 shape ([[cleanCorpusIncremental]]) with
+    // the verdict scan still doc_a-pruned to candidates via semi-join.
+    val nCandPairs = staged("cand_count")(candsTouched.count())
+    val (freshPairsDf, sigsForVerify) =
+      if (nCandPairs <= patchMaxPairCollect(spark)) {
+        // collected regime: literal probes bucket-prune the verdict and
+        // signature faces; the kept probe keys the verdict face by its
+        // bucket column doc_a, and the verify signature side prunes to
+        // candidate doc ids before reading any array column
+        val candPairs = staged("cand_pairs")(
+          candsTouched.select("doc_a", "doc_b").distinct()
+            .as[(Long, Long)].collect())
+        val candA = candPairs.map(_._1).distinct.toSeq
+        val candDocIds = (candPairs.map(_._1) ++ candPairs.map(_._2))
+          .distinct.toSeq
+        val keptAmongCand = staged("kept_probe")(
+          dropIds(dropIds(keepIds(st.verdicts, "doc_a", candA),
+            "doc_a", diffIds), "doc_b", diffIds)
+            .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet)
+        val freshPairs = candPairs.filter(p => !keptAmongCand.contains(p))
+        (freshPairs.toSeq.toDF("doc_a", "doc_b"),
+          dropIds(keepIds(st.sigs, "doc_id", candDocIds),
+            "doc_id", minusSet)
+            .unionByName(keepIds(plusSigs, "doc_id", candDocIds)))
+      } else staged("fresh_pairs_distributed") {
+        val candDistinct = candsTouched.select("doc_a", "doc_b").distinct()
+        val keptVerdicts = dropIds(dropIds(
+            st.verdicts.join(candDistinct.select("doc_a").distinct(),
+              Seq("doc_a"), "left_semi"),
+            "doc_a", diffIds), "doc_b", diffIds)
+          .select("doc_a", "doc_b")
+        val candIds = candsTouched.select(col("doc_a").as("doc_id"))
+          .unionByName(candsTouched.select(col("doc_b").as("doc_id")))
+          .distinct()
+        (candDistinct.join(keptVerdicts, Seq("doc_a", "doc_b"),
+            "left_anti"),
+          dropIds(st.sigs.join(candIds, Seq("doc_id"), "left_semi"),
+            "doc_id", minusSet)
+            .unionByName(
+              plusSigs.join(candIds, Seq("doc_id"), "left_semi")))
+      }
+    val freshVerdicts = DedupOps.verifyPairs(freshPairsDf, sigsForVerify)
 
     // 7. the lazy v2 faces (the next daily write) + the shared
     // state→clean projection

@@ -66,6 +66,52 @@ class AdversarialSkewSpec extends SparkSuite {
       "byte-admitted stream must not pay an extra exchange")
   }
 
+  test("patch pair amplification: dense churn buckets fall back to the distributed anti-join") {
+    // The r13 hole: the InSet patch's maxChurnKeys guard bounds churn
+    // KEYS, but candidate PAIRS amplify by bands × BandBucketCap — a
+    // churn of near-duplicate docs concentrates into shared band
+    // buckets and can legally produce a driver-killing pair collect.
+    // With the pair bound forced tiny the patch must take the
+    // DISTRIBUTED fresh-pair anti-join and still be ≡ from-scratch.
+    import graft.ops.CorpusOps
+    import spark.implicits._
+    val en = "the quick brown fox jumps over the lazy dog and then " +
+      "the small cat sits on the warm mat near the open door "
+    val shared = (1 to 30).map(i => s"body$i").mkString(" ")
+    val base = (1L to 20L).map(i => (i, en + s"distinct document $i " +
+      (1 to 12).map(j => s"u$i$j").mkString(" "), "s"))
+    // 90 ADDED near-dups: long shared shingle run + one unique tail
+    // word → most bands collide into the same buckets
+    val added = (100L to 189L).map(i => (i, en + shared + s" tail$i", "s"))
+    val v1 = base.toDF("doc_id", "text", "source")
+    val v2 = (base ++ added).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("cleanstate-pa").toString
+    CorpusOps.writeCleanState(CorpusOps.cleanState(v1), "ics_pa", dir)
+    val diff = CorpusOps.corpusDiff(v1, v2)
+    val scratch = CorpusOps.cleanCorpus(v2).collect().map(_.toSeq).toSet
+
+    // collected regime (default bound): the reference behavior
+    val (incC, nextC) = CorpusOps.cleanCorpusIncrementalPruned(
+      spark, v2, "ics_pa", diff)
+    assert(incC.collect().map(_.toSeq).toSet === scratch,
+      "collected-regime patch diverged from the rebuild")
+    // the fixture genuinely amplifies: far more candidate pairs than
+    // churn keys (90), so a tiny pair bound will actually gate
+    assert(nextC.cands.select("doc_a", "doc_b").distinct().count() > 500,
+      "fixture must produce an amplified pair space")
+
+    spark.conf.set(CorpusOps.PatchMaxPairCollectConf, "10")
+    try {
+      val (incD, nextD) = CorpusOps.cleanCorpusIncrementalPruned(
+        spark, v2, "ics_pa", diff)
+      assert(incD.collect().map(_.toSeq).toSet === scratch,
+        "distributed-fallback patch diverged from the rebuild")
+      assert(nextD.verdicts.collect().map(_.toSeq).toSet ===
+        nextC.verdicts.collect().map(_.toSeq).toSet,
+        "verdict face drifted between collected and distributed regimes")
+    } finally spark.conf.unset(CorpusOps.PatchMaxPairCollectConf)
+  }
+
   test("LWW dedup pushes a map-side WindowGroupLimit (hot keys cannot straggle)") {
     val hot = spark.range(100000).select(
       when(pmod(col("id"), lit(10)) < 9, lit("HOT"))

@@ -228,6 +228,23 @@ class IncrementalCleanSpec extends SparkSuite {
       s"probe must select a strict subset of buckets: $plan")
   }
 
+  test("chunked literal probe: sorted ≤max-literal legs ≡ one filter, tight per-leg ranges") {
+    val df = spark.range(1000).select(col("id").as("doc_id"),
+      concat(lit("t"), col("id")).as("text"))
+    // 20 keys, max 8 literals per leg → 3 chunks; same rows as the
+    // single-filter form, no duplicates (chunks are disjoint)
+    val ids = (0L until 1000L by 50L).toSeq
+    val chunked = CorpusOps.keepIdsPushdown(df, "doc_id", ids, maxLiteral = 8)
+    assert(rows(chunked) === rows(df.filter(col("doc_id").isInCollection(ids))))
+    assert(chunked.count() === ids.size.toLong)
+    // beyond chunks × maxLiteral the probe becomes the broadcast join
+    val joined = CorpusOps.keepIdsPushdown(df, "doc_id",
+      (0L until 200L).toSeq, maxLiteral = 2)
+    assert(joined.count() === 200L)
+    assert(joined.queryExecution.optimizedPlan.toString.contains("Join"),
+      "past the chunk ceiling the probe must fall back to the join form")
+  }
+
   test("pruned patch edge: a pure-delete diff (no added/changed) patches exactly") {
     val v1 = docs(
       (10L, en("kappa version"), "s"),
