@@ -84,6 +84,56 @@ object GraphStream {
     */
   def edgesDir(outDir: String): String = s"$outDir/edges"
 
+  /** Compact the VECTORS store — the GraphStream face of the
+    * small-files maintenance [[SimilarityOps.compactIndex]] does for
+    * IVF lists. The per-batch `batch_id=<id>/cluster_id=<c>/` dirs are
+    * what make appends replay-idempotent, but a long-running feed
+    * accumulates one dir per batch: after 30 daily batches every
+    * touched-cluster re-read lists O(batches × clusters) directories.
+    * This folds all batches STRICTLY BELOW the newest one into a single
+    * consolidated dir (one file per cluster — the `repartition` on the
+    * cluster key), leaving the newest batch dir alone: genuine replay
+    * only ever re-runs the LATEST batch id, so the newest dir is the
+    * only one a restart may legally overwrite, and the folded rows keep
+    * a batch id (`maxId - 1`) every future batch's `batch_id < current`
+    * prior-read still includes. The edges store needs no compaction —
+    * dynamic partition overwrite already leaves one file per cluster.
+    *
+    * Run BETWEEN stream runs (the AvailableNow daily cadence): the
+    * rewrite stages into a sibling temp dir, then swaps — a concurrent
+    * micro-batch reading mid-swap could see a partial store. Returns
+    * the number of batch dirs folded (0 = nothing to do).
+    */
+  def compactVectors(spark: SparkSession, outDir: String): Int = {
+    val vecRoot = s"$outDir/vectors"
+    val maxId = maxBatchDirId(spark, vecRoot).getOrElse(return 0)
+    if (maxId < 1) return 0
+    val foldTo = maxId - 1
+    val fs = new Path(vecRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldDirs = fs.listStatus(new Path(vecRoot)).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch_id=") &&
+          n.stripPrefix("batch_id=").toLong <= foldTo
+      }
+    if (foldDirs.size < 2) return 0
+    val tmp = new Path(s"$outDir/_vectors_compact_tmp")
+    fs.delete(tmp, true)
+    // batch_id is a dir-derived partition column: drop it before the
+    // write, the swapped-in dir name restores it as foldTo
+    spark.read.parquet(vecRoot)
+      .filter(col("batch_id") <= foldTo)
+      .select("cluster_id", "vec_id", "emb_d", "norm")
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(tmp.toString)
+    foldDirs.foreach(p => fs.delete(p, true))
+    fs.rename(tmp, new Path(vecRoot, s"batch_id=$foldTo"))
+    foldDirs.size
+  }
+
   private def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -57,6 +57,55 @@ class GraphStreamSpec extends SparkSuite {
       "graph-ANN search over the streamed index diverged from batch")
   }
 
+  test("vector-store compaction: O(clusters) files, stream continues identically") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val outDir = tmp("gstream-compact")
+    val k = SimilarityOps.KnnGraphK
+    for (b <- 0 until 4)
+      GraphStream.processBatch(spark, emb.filter(col("vec_id") % 5 === b),
+        b.toLong, outDir, SimilarityOps.defaultCentroids, k)
+    val vecRoot = s"$outDir/vectors"
+    def vecRows = spark.read.parquet(vecRoot)
+      .select("cluster_id", "vec_id", "emb_d", "norm")
+      .collect().map(_.toSeq).toSet
+    def parquetFiles = {
+      val root = new java.io.File(vecRoot)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+    }
+    val before = vecRows
+    val filesBefore = parquetFiles.size
+    val edgesBefore = rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+      .select(edgeCols.map(col): _*))
+    // fold batches 0..2 into one consolidated dir; batch 3 (the only
+    // one a replay may overwrite) stays
+    assert(GraphStream.compactVectors(spark, outDir) === 3)
+    assert(vecRows === before, "compaction must not change store content")
+    assert(parquetFiles.size < filesBefore,
+      s"compaction must shrink file count ($filesBefore -> ${parquetFiles.size})")
+    // one file per cluster in the folded dir
+    val foldedDir = new java.io.File(s"$vecRoot/batch_id=2")
+    val clusterDirs = foldedDir.listFiles().filter(_.isDirectory)
+    assert(clusterDirs.nonEmpty &&
+      clusterDirs.forall(
+        _.listFiles().count(_.getName.endsWith(".parquet")) === 1),
+      "folded dir must hold one file per cluster")
+    assert(rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+        .select(edgeCols.map(col): _*)) === edgesBefore,
+      "edges store must be untouched by vector compaction")
+    // compacting again is a no-op (only the newest dir + the fold left)
+    assert(GraphStream.compactVectors(spark, outDir) === 0)
+    // the stream continues over the compacted store: next batch's
+    // prior-read (batch_id < 4) sees the folded base, edges end ≡ batch
+    GraphStream.processBatch(spark, emb.filter(col("vec_id") % 5 === 4),
+      4L, outDir, SimilarityOps.defaultCentroids, k)
+    assert(rows(spark.read.parquet(GraphStream.edgesDir(outDir))
+        .select(edgeCols.map(col): _*)) ===
+      rows(SimilarityOps.knnGraphAuto(emb)),
+      "post-compaction continuation diverged from the batch build")
+  }
+
   test("fresh checkpoint over an existing outDir is refused, not corrupted") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val outDir = tmp("gstream-freshckpt")
