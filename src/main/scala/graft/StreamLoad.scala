@@ -47,6 +47,12 @@ object StreamLoad {
       .repartition(nSegments)
       .write.parquet(eventsDir)
 
+    // declare the segment size to the fan-out gate the way a real
+    // operator would (they sized the segments): small batches skip the
+    // pre-chain exchange, big ones keep it
+    spark.conf.set(stream.Pipeline.FanoutEventsPerFileHintConf,
+      math.max(1, nEvents / nSegments).toString)
+
     val t0 = System.nanoTime()
     val q = stream.Pipeline.run(spark, eventsDir, s"$base/bulk", s"$base/dlq",
       s"$base/ckpt", concurrentRequest = cpus.toInt,

@@ -112,7 +112,15 @@ object PgCaptureStream {
     val wide = wide0.cache()
     val flat = PgOutputOps.decode(wide).select(col("seq"), col("pg.*"))
     try {
-      staged(spark, "cache_build")(wide.count())
+      // one pass forces the raw cache AND counts malformed frames: the
+      // dead-letter write below previously paid its own full decode pass
+      // per batch just to discover the (overwhelmingly common) zero-
+      // corrupt case — ~0.5-0.8 s per 2M-frame batch of pure overhead
+      // (round 14, stage-measured). Same cache-materialization effect
+      // as the old wide.count(): the agg scans every cached partition.
+      val nBad = staged(spark, "cache_build")(
+        flat.agg(count_if(col("msg_type") === "malformed"))
+          .collect()(0).getLong(0))
       // verbose-only diagnostic: a decode pass from the pinned raw bytes
       // should run in ~seconds — if this reads like the serial segment
       // scan, the cache is NOT being hit and every consumer below pays
@@ -132,7 +140,11 @@ object PgCaptureStream {
       // `batch_id=N` naming keeps a plain parquet read of
       // `$deadLetterDir/pg_malformed` working (discovery restores the
       // batch_id column).
-      staged(spark, "dead_letter")(
+      // skipped when the batch decoded clean (nBad from the cache-build
+      // pass): replay safety is unchanged — a replayed batch decodes the
+      // same frames to the same count, so the write happens exactly when
+      // it did before
+      if (nBad > 0) staged(spark, "dead_letter")(
         flat.filter(col("msg_type") === "malformed")
           .select(col("seq"), col("msg_prefix").as("error"))
           .write.mode("overwrite")

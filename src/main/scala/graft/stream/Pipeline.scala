@@ -94,11 +94,41 @@ object Pipeline {
     // decision is static, from the admission ARGUMENTS: few admitted
     // files → shuffle the raw events wide once (cheap, pre-chain);
     // byte admission spans many files → already wide, no exchange.
+    //
+    // Round 14 refinement, measured both ways: at the reference's actual
+    // operating point (10k-event ticker batches, example/simple
+    // main.go:88-89) the unconditional exchange itself dominates the
+    // chain (~25% throughput tax — 6.3k → 4.5k ev/s at 200k/20seg),
+    // while skipping it on a 4M-event segment was the r13 catastrophe
+    // (58.8k serialized). The gate stays STATIC — the operator DECLARES
+    // their per-file event count via [[FanoutEventsPerFileHintConf]]
+    // (they size their capture segments; the reference sizes its ticker
+    // the same way) and small declared batches skip the exchange. No
+    // hint → fan out (big-batch safety is the default; the small-batch
+    // tax is bounded, the serialization cliff is not).
     val par = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger * 2 < par)
+    val declaredSmall = spark.conf.getOption(FanoutEventsPerFileHintConf)
+      .map(_.toLong)
+      .exists(_ * maxFilesPerTrigger < FanoutMinEvents)
+    if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger * 2 < par &&
+        !declaredSmall)
       src.repartition(par)
     else src
   }
+
+  /** Operator-declared events per capture file/segment — the STATIC
+    * input to the files-admitted fan-out gate (partition-count probes
+    * are forbidden here: round 13 showed a one-row-group file faking
+    * its width through empty byte-range splits). Unset = always fan out.
+    */
+  val FanoutEventsPerFileHintConf = "spark.graft.fanout.eventsPerFileHint"
+
+  /** Declared events per micro-batch below which the pre-chain exchange
+    * costs more than it buys: a <100k-event chain finishes in ~1-2 s on
+    * one task, and the exchange adds ~0.5 s of its own (measured at
+    * 200k/20seg — see SCALING.md round 14).
+    */
+  val FanoutMinEvents = 100000L
 
   /** Event-time column + watermark bound for late data (the reference has
     * no watermark concept — its batches are arrival-ordered; we bound state

@@ -64,6 +64,17 @@ class AdversarialSkewSpec extends SparkSuite {
     assert(!hasRepartition(Pipeline.changeStream(spark, dir,
         maxBytesPerTrigger = Some(1L << 30))),
       "byte-admitted stream must not pay an extra exchange")
+    // round 14: the operator-declared events-per-file hint gates the
+    // exchange STATICALLY — small declared batches (the reference's
+    // 10k-event ticker regime) skip it, big ones keep it, unset keeps it
+    spark.conf.set(Pipeline.FanoutEventsPerFileHintConf, "10000")
+    try {
+      assert(!hasRepartition(Pipeline.changeStream(spark, dir)),
+        "a declared-small batch must skip the pre-chain exchange")
+      spark.conf.set(Pipeline.FanoutEventsPerFileHintConf, "2000000")
+      assert(hasRepartition(Pipeline.changeStream(spark, dir)),
+        "a declared-big batch must keep the exchange")
+    } finally spark.conf.unset(Pipeline.FanoutEventsPerFileHintConf)
   }
 
   test("patch pair amplification: dense churn buckets fall back to the distributed anti-join") {
