@@ -130,7 +130,15 @@ object GraphStream {
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(tmp.toString)
     foldDirs.foreach(p => fs.delete(p, true))
-    fs.rename(tmp, new Path(vecRoot, s"batch_id=$foldTo"))
+    // the folded data lives ONLY in tmp between the deletes and this
+    // rename — a silent rename failure would leave the store missing
+    // every folded batch, so fail loudly with the recovery path
+    val target = new Path(vecRoot, s"batch_id=$foldTo")
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(
+        s"compactVectors: rename $tmp -> $target failed after the old " +
+        "batch dirs were deleted - the folded vectors are intact in the " +
+        "temp dir; move it to the target path manually to recover.")
     foldDirs.size
   }
 

@@ -228,6 +228,28 @@ class IncrementalCleanSpec extends SparkSuite {
       s"probe must select a strict subset of buckets: $plan")
   }
 
+  test("maxChurnKeys conf: a tiny bound falls the pruned patch back to the generic core, output identical") {
+    val v1 = docs(
+      (10L, en("omega version"), "s"),
+      (20L, en("omega version"), "s"),
+      (30L, en("unrelated body about rivers and mountains here"), "s"),
+      (40L, en("another quite distinct body about forests and lakes"), "s"))
+    val v2 = v1.filter(col("doc_id") =!= 10L)
+      .withColumn("text", when(col("doc_id") === 30L,
+        concat(col("text"), lit(" edited"))).otherwise(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("cleanstate-ck").toString
+    CorpusOps.writeCleanState(CorpusOps.cleanState(v1), "ics_ck", dir)
+    spark.conf.set(CorpusOps.PatchMaxChurnConf, "1")
+    try {
+      // churn (2 keys) exceeds the conf bound -> generic join core; the
+      // equivalence contract is unchanged either way
+      val (inc, _) = CorpusOps.cleanCorpusIncrementalPruned(
+        spark, v2, "ics_ck", CorpusOps.corpusDiff(v1, v2))
+      assert(rows(inc) === rows(CorpusOps.cleanCorpus(v2)),
+        "conf-bounded fallback diverged from the rebuild")
+    } finally spark.conf.unset(CorpusOps.PatchMaxChurnConf)
+  }
+
   test("chunked literal probe: sorted ≤max-literal legs ≡ one filter, tight per-leg ranges") {
     val df = spark.range(1000).select(col("id").as("doc_id"),
       concat(lit("t"), col("id")).as("text"))
