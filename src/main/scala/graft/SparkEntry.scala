@@ -642,9 +642,13 @@ object SparkEntry {
     "dsir_resample" -> ((s, dir) => PretrainOps.dsirResample(docsT(s, dir))),
     // cross-source contamination matrix: pairwise gram Jaccard/containment
     "source_overlap" -> ((s, dir) => PretrainOps.sourceOverlap(docsT(s, dir))),
-    // graph-based ANN: lock-step beam search over the knn_graph edges
+    // graph-based ANN: lock-step beam search over the knn_graph edges —
+    // served from the SHARED materialized edge list like the other
+    // graph faces (round 14; the oracle twin re-derives the graph from
+    // scratch, so the hash match proves the sharing is semantics-free)
     "ann_graph_search" -> ((s, dir) =>
-      SimilarityOps.annGraphSearch(tbl(s, dir, "embeddings"))),
+      SimilarityOps.annGraphSearchOn(tbl(s, dir, "embeddings"),
+        knnEdgesT(s, dir))),
     // PageRank centrality over the knn graph (coreset/survivor
     // authority) — all three graph keys read the SHARED materialized
     // edge list (the serving artifact, see knnEdgesT)

@@ -1037,6 +1037,21 @@ object SimilarityOps {
     graphBeamSearch(emb, edges, k, hops, beam)
   }
 
+  /** [[annGraphSearch]] over an explicit (already materialized) edge
+    * list — the [[communityRepresentativesOn]] discipline applied to the
+    * beam search: a deployment serves every graph face (search, PR, LP,
+    * representatives) from ONE persisted [[knnEdges]] artifact instead
+    * of rebuilding the graph per consumer. Identical output to
+    * [[annGraphSearch]] when handed `knnEdges(emb)` — same build, same
+    * projection (round 14: the registered key joins the shared-cache
+    * ledger this way; the DuckDB twin re-derives the graph from
+    * scratch, so hash parity proves the sharing is semantics-free).
+    */
+  def annGraphSearchOn(emb: DataFrame, edges: DataFrame,
+      k: Int = KnnGraphK, hops: Int = BeamHops,
+      beam: Int = BeamWidth): DataFrame =
+    graphBeamSearch(emb, edges, k, hops, beam)
+
   /** [[annGraphSearch]] with HIERARCHICAL entry points — the HNSW
     * upper-layer idea in its one-level form: instead of arbitrary fixed
     * seeds, the walk enters at each cluster's best PROTOTYPE (the

@@ -119,6 +119,10 @@ object ArrayFunctions {
   def char_windows(text: Column, width: Int): Column =
     ExpressionUtils.column(CharWindows(ExpressionUtils.expression(text), width))
 
+  /** Column DSL entry for [[SlidingMin]]. */
+  def sliding_min(xs: Column, width: Int): Column =
+    ExpressionUtils.column(SlidingMin(ExpressionUtils.expression(xs), width))
+
   /** Column DSL entry for [[RollingFingerprint]]. */
   def rolling_fingerprint(xs: Column, width: Int, mult: Long, mod: Long): Column =
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(xs), width, mult, mod))
@@ -502,6 +506,33 @@ case class SortedDistinct(child: Expression)
     defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.sortedDistinct($xs)")
 
   override protected def withNewChildInternal(c: Expression): SortedDistinct =
+    copy(child = c)
+}
+
+/** Min over each `width`-element window of a long array — the winnowing
+  * SELECTION step ([[graft.ops.DedupOps.winnowFingerprints]]) as one
+  * codegen'd pass: replaces `transform(sequence(1, greatest(n-w+1, 1)),
+  * j -> array_min(slice(xs, j, w)))`, whose per-position slice allocates
+  * a fresh window array (the winnow table's dominant CPU term). Short
+  * inputs (< width) yield one window over all elements, matching the
+  * HOF form; kernel [[HashKernels.slidingMin]] on both paths.
+  */
+case class SlidingMin(child: Expression, width: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(width > 0, s"sliding_min: width must be positive, got $width")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.slidingMin(v.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.slidingMin($xs, $width)")
+
+  override protected def withNewChildInternal(c: Expression): SlidingMin =
     copy(child = c)
 }
 

@@ -105,6 +105,10 @@ object GraftExtensions {
     }),
     "sorted_distinct" -> (args =>
       SortedDistinct(arity(args, 1, "sorted_distinct", "longArr")(0))),
+    "sliding_min" -> (args => {
+      val a = arity(args, 2, "sliding_min", "longArr, width")
+      SlidingMin(a(0), intArg(a(1), "sliding_min"))
+    }),
     // the default (oracle-shared) codebook: an arbitrary codebook is a
     // kilobyte of doubles — not a SQL-literal shape; spark.sql users who
     // train their own go through the Column DSL

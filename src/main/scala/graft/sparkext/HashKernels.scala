@@ -191,6 +191,35 @@ object HashKernels {
     * intersections, minima) is order-insensitive — and the sorted order
     * is exactly what the merge-scan intersection requires.
     */
+  /** Min over each `width`-element window — the winnowing selection
+    * step as one allocation-free pass, matching
+    * `transform(sequence(1, greatest(n-w+1, 1)), j ->
+    * array_min(slice(xs, j, w)))` exactly: inputs shorter than `width`
+    * yield ONE window over all elements. (An interpreted slice
+    * allocates a fresh w-element array per position — the dominant CPU
+    * term of the winnow fingerprint table, round 14.) Empty input would
+    * yield [Long.MaxValue] where the HOF form yields [null] — latent
+    * internally, tokens() never yields an empty array (the
+    * rollingWindowHashes precedent).
+    */
+  def slidingMin(xs: ArrayData, width: Int): ArrayData = {
+    val n = xs.numElements()
+    val nWin = math.max(n - width + 1, 1)
+    val out = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var min = Long.MaxValue
+      var j = i
+      val end = math.min(i + width, n)
+      while (j < end) {
+        val v = xs.getLong(j); if (v < min) min = v; j += 1
+      }
+      out(i) = min
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def sortedDistinct(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
     val arr = new Array[Long](n)

@@ -33,6 +33,31 @@ class SqlFunctionsSpec extends SparkSuite {
     assert(nfc == "caf\u00e9")
   }
 
+  test("sliding_min ≡ the HOF transform/slice form, incl. short inputs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftext.ArrayFunctions.sliding_min
+    import spark.implicits._
+    val w = 4
+    val rows = Seq(
+      Seq(9L, 3L, 7L, 5L, 1L, 8L, 2L), // normal: 4 windows
+      Seq(5L, 6L, 7L, 8L),             // exactly one full window
+      Seq(4L, 2L),                     // shorter than width → one window
+      Seq(42L))                        // singleton
+      .toDF("hs")
+    val both = rows.select(
+      sliding_min(col("hs"), w).as("kernel"),
+      transform(
+        sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+        j => array_min(slice(col("hs"), j, lit(w)))).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    // and via SQL registration
+    val sql = spark.sql(
+      "SELECT sliding_min(array(9L,3L,7L,5L,1L,8L,2L), 4) AS m")
+      .head().getSeq[Long](0)
+    assert(sql === Seq(3L, 1L, 1L, 1L))
+  }
+
   test("SQL pq_dist_tables: default codebook, agrees with the kernel directly") {
     GraftExtensions.register(spark)
     val emb = (1 to graft.ops.SimilarityOps.Dim).map(i => i / 64.0)
