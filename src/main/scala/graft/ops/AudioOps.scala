@@ -276,7 +276,17 @@ object AudioOps {
     * The energy table materializes through a projection boundary so
     * the 85 samples are computed once, not once per referencing bit.
     */
-  def audioFpStub(docs: DataFrame): DataFrame = {
+  def audioFpStub(docs: DataFrame): DataFrame =
+    // one codegen'd kernel call (round 14): energy sampling + the
+    // frame×band temporal-diff bits in one pass — bit-identical to the
+    // energies-array expression form below (StubKernelSpec)
+    DedupOps.fanout(docs)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftext.ArrayFunctions.audio_fp_stub(
+          coalesce(col("text"), lit("")), FpFrames, FpBands, 7).as("afp"))
+
+  /** The pre-kernel expression form — spec reference ONLY. */
+  private[graft] def audioFpStubExpr(docs: DataFrame): DataFrame = {
     val t = coalesce(col("text"), lit(""))
     val n = length(t)
     // ANSI-safe divisor: the energy array sits OUTSIDE the n=0 guard
@@ -286,7 +296,7 @@ object AudioOps {
     val nSafe = greatest(n, lit(1))
     val energies = array((0 until FpFramesE * FpBandsE).map(i =>
       ascii(t.substr((lit(i * 7) % nSafe) + 1, lit(1))).cast("long")): _*)
-    DedupOps.fanout(docs)
+    docs
       .select(col("doc_id"), n.cast("long").as("n"), energies.as("e"))
       .select(col("doc_id"), afpFromEnergies(col("n"), col("e")).as("afp"))
   }

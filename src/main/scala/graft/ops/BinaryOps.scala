@@ -284,7 +284,18 @@ object BinaryOps {
     * cascade, banding and pair join downstream are the REAL operator,
     * and the oracle mirrors the byte arithmetic over the UTF-8 text.
     */
-  private def dhashStubCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private def dhashStubCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // one codegen'd kernel call (round 14) — bit-identical to the
+    // 128-substr expression form below, which stays as the spec's
+    // reference implementation (StubKernelSpec pins kernel ≡ expression)
+    org.apache.spark.sql.graftext.ArrayFunctions.dhash_stub(
+      coalesce(text, lit("")), lit(0L), DhashRows, DhashCols)
+
+  /** The pre-kernel expression form — spec reference ONLY (the 128-substr
+    * `when` chain the kernel replaced; [[dhashStubCol]] must stay
+    * bit-identical to this on every input).
+    */
+  private[graft] def dhashStubColExpr(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val t = coalesce(text, lit(""))
     val n = length(t)
     def sample(j: Int) = ascii(t.substr(lit(j) % n + 1, lit(1)))

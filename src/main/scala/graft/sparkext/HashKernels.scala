@@ -434,4 +434,137 @@ object HashKernels {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
+
+  /** Byte offset of each CODEPOINT of `s` (the one-pass index the stub
+    * samplers below share): offsets(p) = byte index where character p
+    * starts. `ascii(substr(s, p+1, 1))` in Spark returns the CODE POINT
+    * of character p (measured: ascii('é') = 233, ascii('日') = 26085) —
+    * the samplers reproduce exactly that via [[codePointAt]].
+    */
+  @inline private def charOffsets(bytes: Array[Byte], numChars: Int): Array[Int] = {
+    val offsets = new Array[Int](numChars)
+    var i = 0
+    var c = 0
+    while (c < numChars) {
+      offsets(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offsets
+  }
+
+  /** The upper-triangle micro-quantized second-moment pairs of an
+    * embedding ([[graft.ops.PretrainOps.embedCovariance]]'s in-row
+    * D²/2 expansion) in ONE pass: struct rows (di, dj,
+    * floor(e(di)·e(dj)·micro + 0.5)) for 0 ≤ di ≤ dj < D. Replaces the
+    * nested `transform(…, transform(slice(…)))` HOF pair, which Spark
+    * evaluates INTERPRETED (higher-order lambdas are CodegenFallback) at
+    * a boxed allocation per element — the dominant CPU term of the
+    * covariance family. floor-then-long matches Spark's
+    * `floor(x·y·micro + 0.5).cast("long")` exactly.
+    */
+  def covPairsMicro(e: ArrayData, micro: Double): ArrayData = {
+    val d = e.numElements()
+    val arr = e.toDoubleArray()
+    val out = new Array[AnyRef](d * (d + 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < d) {
+      val xi = arr(i)
+      var j = i
+      while (j < d) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i.toLong, j.toLong,
+            math.floor(xi * arr(j) * micro + 0.5).toLong))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** UTF-8 code point starting at byte `off`. */
+  @inline private def codePointAt(bytes: Array[Byte], off: Int): Int = {
+    val b0 = bytes(off) & 0xFF
+    if (b0 < 0x80) b0
+    else if ((b0 & 0xE0) == 0xC0)
+      ((b0 & 0x1F) << 6) | (bytes(off + 1) & 0x3F)
+    else if ((b0 & 0xF0) == 0xE0)
+      ((b0 & 0x0F) << 12) | ((bytes(off + 1) & 0x3F) << 6) |
+        (bytes(off + 2) & 0x3F)
+    else
+      ((b0 & 0x07) << 18) | ((bytes(off + 1) & 0x3F) << 12) |
+        ((bytes(off + 2) & 0x3F) << 6) | (bytes(off + 3) & 0x3F)
+  }
+
+  /** The 64-bit byte-sampling dHash stub ([[graft.ops.BinaryOps]] image
+    * stub and [[graft.ops.VideoOps]] per-frame stub) in ONE pass: bit k
+    * (row r = k/cols, col c = k%cols) is set when sample(r·(cols+1)+c) >
+    * sample(r·(cols+1)+c+1), where sample(j) = code point of
+    * character ((j + offset) mod numChars) — exactly
+    * `ascii(substr(t, (j + offset) % n + 1, 1))`. Empty string → 0
+    * (the expression form's `when(n === 0, 0L)` guard). Replaces a
+    * 128-substr codegen tree whose generated method both dwarfed the
+    * JIT and paid an O(position) UTF-8 seek per sample.
+    */
+  def dhashStub(s: UTF8String, offset: Long, rows: Int, cols: Int): Long = {
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    if (numChars == 0) return 0L
+    val offsets = charOffsets(bytes, numChars)
+    @inline def sample(j: Int): Int =
+      codePointAt(bytes, offsets(((j + offset) % numChars).toInt))
+    var bits = 0L
+    var k = 0
+    while (k < rows * cols) {
+      val r = k / cols
+      val c = k % cols
+      val j = r * (cols + 1) + c
+      if (sample(j) > sample(j + 1)) bits |= (1L << k)
+      k += 1
+    }
+    bits
+  }
+
+  /** The Philips-style audio fingerprint STUB ([[graft.ops.AudioOps
+    * .audioFpStub]]) in one pass: energy e(i) = code point of
+    * character ((i·stride) mod numChars) for i < framesE·bandsE —
+    * exactly `ascii(substr(t, (i·stride) % greatest(n,1) + 1, 1))` —
+    * and bit (fr-1)·bands+m is set when e(fr,m)-e(fr,m+1) >
+    * e(fr-1,m)-e(fr-1,m+1) over the frame×band energy grid
+    * (e(fr,m) = e(fr·bandsE + m)). Empty string → 0 (the expression
+    * form's n = 0 guard).
+    */
+  def audioFpStub(s: UTF8String, frames: Int, bands: Int,
+      stride: Int): Long = {
+    val bytes = s.getBytes
+    val numChars = s.numChars()
+    if (numChars == 0) return 0L
+    val offsets = charOffsets(bytes, numChars)
+    val framesE = frames + 1
+    val bandsE = bands + 1
+    val e = new Array[Long](framesE * bandsE)
+    var i = 0
+    while (i < framesE * bandsE) {
+      e(i) = codePointAt(bytes,
+        offsets(((i.toLong * stride) % numChars).toInt)).toLong
+      i += 1
+    }
+    @inline def energy(fr: Int, m: Int): Long = e(fr * bandsE + m)
+    var bits = 0L
+    var fr = 1
+    while (fr <= frames) {
+      var m = 0
+      while (m < bands) {
+        val k = (fr - 1) * bands + m
+        if (energy(fr, m) - energy(fr, m + 1) >
+            energy(fr - 1, m) - energy(fr - 1, m + 1))
+          bits |= (1L << k)
+        m += 1
+      }
+      fr += 1
+    }
+    bits
+  }
 }

@@ -172,6 +172,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("ordinal ops evaluate their input chain once (slim cache)") {
+    // round 14: globalOrdinals reads its input from three plan branches
+    // (bounds agg, block counts, stamped rows), so without the slim
+    // narrow-projection materialize the whole typed->routed->handler
+    // chain re-evaluated per branch — 4 source scans / 2.2-2.7 s per key
+    // in-sweep at sf0.1. The cached projection makes every branch read
+    // ONE InMemoryRelation whose build holds the only source scan.
+    for (name <- Seq("chunk_split", "batch_accumulate", "concurrent_partition")) {
+      val df = q(name)
+      df.queryExecution.toRdd.foreach(_ => ()) // finalize AQE stages
+      val deep = nodesDeep(df).distinct
+      val scans = deep.count(_.isInstanceOf[FileSourceScanExec])
+      assert(scans <= 1,
+        s"$name scans its source $scans times — the slim cache is gone")
+      assert(deep.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec]),
+        s"$name lost the slim input materialization")
+    }
+  }
+
   test("ordinal ops build lazily: no job at DataFrame-construction time") {
     // round 2's globalOrdinals ran head() + collect() at BUILD time (two
     // eager evaluations of the whole upstream pipeline per invocation) —
