@@ -62,8 +62,25 @@ class MeasurementBarrierSpec extends SparkSuite {
       "a materialized cache must show as storage memory in use")
     // explicit unpersist must NOT register (removeRdd doesn't report per
     // block): the counter reads pressure drops only, uncontaminated by
-    // the barrier's own cleanup
-    val before = drops.count
+    // the barrier's own cleanup. Settle the counter FIRST: in the shared
+    // test JVM the async ContextCleaner sweeps earlier suites' leftover
+    // RDDs at arbitrary times, and one of those events landing between
+    // the sample and the assert is a flake, not a barrier bug (seen
+    // once in a 65-suite run; passes in isolation).
+    def settled(): Long = {
+      var prev = -1L
+      var cur = drops.count
+      var rounds = 0
+      while (cur != prev && rounds < 50) {
+        prev = cur
+        Thread.sleep(100)
+        CheckpointBlocks.flushListeners(spark)
+        cur = drops.count
+        rounds += 1
+      }
+      cur
+    }
+    val before = settled()
     df.unpersist(blocking = true)
     CheckpointBlocks.flushListeners(spark)
     assert(drops.count == before,
