@@ -66,10 +66,19 @@ import java.lang.management.ManagementFactory
   * Staged sub-walls (round 12): the three incremental-clean oracle keys
   * deliberately price v1-build + patch in one cell (the from-scratch
   * oracle hash is the patch ≡ rebuild proof), so after the normal
-  * measurement Bench runs `SparkEntry.stagedWalls` once per key and
-  * ships a `"stages"` map — the top of the table then reads as "the
-  * deliberate rebuild costs X, the daily patch costs Y" from the
-  * artifact alone.
+  * measurement Bench runs `SparkEntry.stagedWalls` (best-of-2 per key
+  * since round 15) and ships a `"stages"` map — the top of the table
+  * then reads as "the deliberate rebuild costs X, the daily patch
+  * costs Y" from the artifact alone.
+  *
+  * Driver parse contract (round 15): stdout ends with a COMPACT
+  * `{"metric":"total",...,"queries":{name:2-decimal wall,...},...}` line —
+  * BENCH_r01-r14 all carry `"parsed": null` because the full line never
+  * fit the driver's stdout capture and the trailing summary line had no
+  * "queries". The full-precision line with `queries_detail` still prints
+  * first and is written byte-identical to `bench/driver_line.json`; the
+  * compact line keeps its summary scalars AFTER the queries map so a
+  * 2000-char tail capture still ends with complete totals.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -267,20 +276,34 @@ object Bench {
         divBaseline = divergesBaseline(name, adjudicated))
     }
     // staged sub-walls for the deliberately double-priced incremental
-    // trio (see object doc): one run each, after the competitive
-    // measurements, behind the same barrier; failures degrade to an
-    // absent entry rather than a failed sweep
+    // trio (see object doc): after the competitive measurements, behind
+    // the same barrier; failures degrade to an absent entry rather than
+    // a failed sweep. Best-of-2 per staged key (round 15, after the r14
+    // driver artifact shipped a one-shot 34 s contended patch reading
+    // that six repo sweeps place at 4.8-6.9 s): every other channel
+    // earned retiming discipline, this one now has it — per-STAGE min
+    // across the two runs, so one contended run can't ship unflagged.
     val stages: Map[String, Map[String, Double]] =
       SparkEntry.stagedWalls.flatMap { case (name, fn) =>
-        CheckpointBlocks.resetForMeasurement(spark, keepSet)
-        try {
-          val m = fn(spark, sfDir)
-          graft.ops.CorpusOps.releasePatchScratch()
-          Some(name -> m)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] staged $name failed: ${e.getMessage}")
-            None
+        def once(): Option[Map[String, Double]] = {
+          CheckpointBlocks.resetForMeasurement(spark, keepSet)
+          try {
+            val m = fn(spark, sfDir)
+            graft.ops.CorpusOps.releasePatchScratch()
+            Some(m)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] staged $name failed: ${e.getMessage}")
+              None
+          }
+        }
+        (once(), once()) match {
+          case (Some(a), Some(b)) =>
+            Some(name -> (a.keySet ++ b.keySet).map { st =>
+              st -> math.min(a.getOrElse(st, Double.MaxValue),
+                b.getOrElse(st, Double.MaxValue))
+            }.toMap)
+          case (a, b) => a.orElse(b).map(name -> _)
         }
       }
     // Locale.ROOT: a comma-decimal default locale (de_DE, fr_FR) would
@@ -390,6 +413,29 @@ object Bench {
         s""""gc_total_sec":${f(gcTotal)},""" +
         s""""retimed":${results.values.count(_.retimed)},""" +
         s""""top5":$top5,"top5_clean":$top5Clean}""")
+    // FINAL stdout line (round 15, the judging-loop contract): the driver
+    // parses the END of stdout and BENCH_r01-r14 all carry "parsed": null —
+    // the full line above (~40 KB with queries_detail) never fit its
+    // capture, and the summary line lacks "queries". This line is the
+    // compact contract form — per-query walls at 2 decimals, no detail
+    // (detail lives in bench/last_run.json and bench/driver_line.json).
+    // Field order is deliberate: the summary scalars and top5_clean come
+    // AFTER the queries map, so even a capture that keeps only the last
+    // ~2000 characters of stdout still ends with complete totals plus the
+    // tail of the per-query map (the stored 2000-char artifact tails can
+    // never hold all 190 query names — those alone are ~3 KB).
+    def f2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val qsCompact = results.map { case (k, t) => s"\"$k\":${f2(t.wall)}" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""failed":$nFailed,"contended":$contended,""" +
+        s""""cpu_total_sec":${f2(cpuTotal)},""" +
+        s""""median_wall_vs_baseline":${f(medianVsBaseline)},""" +
+        s""""median_eff_cores":${f2(medianEff)},"cpus":$cpus,""" +
+        s""""retimed":${results.values.count(_.retimed)},""" +
+        s""""low_par":${lowPar.size},"div_baseline":${diverged.size},""" +
+        s""""top5_clean":$top5Clean,"sf":"$sfDir"}""")
     // Complete per-query history to a repo file (BENCH_r* artifact tails
     // truncate to ~13 of 115 entries): every entry with wall/cpu/load/
     // eff_cores/flags, pretty-enough for git diffs, so round-over-round

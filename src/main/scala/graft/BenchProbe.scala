@@ -22,20 +22,26 @@ object BenchProbe {
     try SparkEntry.warmShared(spark, sfDir)
     catch { case e: Throwable => println(s"PROBE warmShared failed: ${e.getMessage}") }
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos: Long = osBean match {
+      case s: com.sun.management.OperatingSystemMXBean => s.getProcessCpuTime
+      case _ => -1L
+    }
     for (q <- names) {
       try {
-        val t = (1 to 2).map { _ =>
+        val (t, c) = (1 to 2).map { _ =>
           // same per-RUN hygiene as graft.Bench.timeOnce: scratch caches
           // cleared behind the keep-set before EVERY timed run, so run 2
           // cannot ride run 1's intermediates (it did before round 12 —
           // probe numbers under-read the sweep for scratch-heavy keys)
           org.apache.spark.sql.graftext.CheckpointBlocks.resetForMeasurement(
             spark, SparkEntry.sharedCaches(spark, sfDir))
+          val c0 = cpuNanos
           val t0 = System.nanoTime()
           exec(SparkEntry.queries(q)(spark, sfDir))
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        println(f"PROBE $q%-24s $t%.2f s")
+          ((System.nanoTime() - t0) / 1e9, (cpuNanos - c0) / 1e9)
+        }.minBy(_._1)
+        println(f"PROBE $q%-24s $t%.2f s  cpu $c%.2f s")
       } catch {
         // one broken query must not kill the sweep (Bench does the same)
         case e: Throwable => println(s"PROBE $q FAILED: ${e.getMessage}")

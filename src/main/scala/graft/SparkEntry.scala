@@ -171,12 +171,22 @@ object SparkEntry {
     * oracles rebuild the graph from raw embeddings per query, so hash
     * parity proves the sharing is semantics-free.
     */
-  private val knnEdgesCache =
+  private val knnGraphCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def knnEdgesT(s: SparkSession, dir: String): DataFrame =
-    cachedFor(knnEdgesCache, s, dir)(d =>
-      SimilarityOps.knnEdges(tbl(s, d, "embeddings"))
+  /** Round 15: the persisted artifact is the FULL knn-graph edge frame
+    * (vec_id, neighbor_id, rank, cos_sim), not just the (src, dst)
+    * projection — contrastive mining needs the similarity column, and a
+    * deployment materializes the graph once with its scores rather than
+    * keeping a second score-bearing copy. The graph consumers project
+    * what they need from the one cached table.
+    */
+  private def knnGraphT(s: SparkSession, dir: String): DataFrame =
+    cachedFor(knnGraphCache, s, dir)(d =>
+      SimilarityOps.knnGraph(tbl(s, d, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  private def knnEdgesT(s: SparkSession, dir: String): DataFrame =
+    knnGraphT(s, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
 
   /** The near-dup COMPONENT TABLE for a dir's documents, built once per
     * process — [[graft.ops.DedupOps.dedupComponents]]' artifact note:
@@ -232,7 +242,7 @@ object SparkEntry {
     */
   def sharedCaches(s: SparkSession, dir: String): Seq[DataFrame] =
     Seq(docsT(s, dir), saShardArray(s, dir), saShard5Array(s, dir),
-      saMergedArray(s, dir), pplScoredT(s, dir), knnEdgesT(s, dir),
+      saMergedArray(s, dir), pplScoredT(s, dir), knnGraphT(s, dir),
       compsT(s, dir), bm25TfT(s, dir), bigramCountsT(s, dir))
 
   /** Bench-only per-stage wall split for the incremental trio (review
@@ -526,8 +536,14 @@ object SparkEntry {
     // zero shuffles, all in-row over the shared token table
     "fim_split" -> ((s, dir) => PretrainOps.fimSplit(docsT(s, dir))),
     // contrastive triplets with HARD negative mining over the cluster-
-    // blocked knn graph: one anchor-keyed agg, two structs of state
-    "contrastive_triplets" -> ((s, dir) => SimilarityOps.contrastiveTriplets(tbl(s, dir, "embeddings"))),
+    // blocked knn graph: one anchor-keyed agg, two structs of state —
+    // served from the SHARED materialized edge artifact like the other
+    // graph faces (round 15; the artifact now carries cos_sim, and the
+    // oracle twin re-derives the graph from raw embeddings, so the hash
+    // match proves the sharing is semantics-free)
+    "contrastive_triplets" -> ((s, dir) =>
+      SimilarityOps.contrastiveTripletsOn(knnGraphT(s, dir),
+        tbl(s, dir, "embeddings"))),
     // matryoshka ablation: recall@K of prefix-truncated brute search vs
     // the full-dim exact top-K — is the 2-4x index shrink safe?
     "matryoshka_recall" -> ((s, dir) => SimilarityOps.matryoshkaRecall(tbl(s, dir, "embeddings"))),

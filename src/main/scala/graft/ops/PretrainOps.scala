@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftext.ArrayFunctions.{sorted_distinct, word_shingle_hashes}
+import org.apache.spark.sql.graftext.ArrayFunctions.{sorted_distinct, string_pairs, word_shingle_hashes}
 
 /** Pre-training corpus operators beyond the dedup/ANN/text families:
   * benchmark decontamination, repeated-span (substring) detection, PII
@@ -3810,18 +3810,26 @@ object PretrainOps {
     * this operator's contract is the curated-mixture audit.
     */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val gs = DedupOps.materialize(
+    // ONE gram-keyed exchange (round 15, §2.4 remove shuffles outright):
+    // collect_set dedups map-side, so the former `.distinct()` pre-pass
+    // (a full second exchange + hash-agg over the occurrence table) folds
+    // into the same aggregation — source ∈ ss(g) ⟺ (source, g) was in
+    // the old distinct table, so the per-source gram counts are recovered
+    // from the per-gram source sets by one explode of the S-bounded sets.
+    // Pair expansion is ONE codegen'd kernel call (string_pairs) instead
+    // of the nested transform/slice HOF tree — HOF lambdas are
+    // CodegenFallback (interpreted per element, a fresh slice array per
+    // outer element); same pairs in the same order (spec-pinned).
+    val bySets = DedupOps.materialize(
       fanout(docs).select(col("source"),
           explode(decontamGramsOf(TextOps.toksOf(docs))).as("g"))
-        .distinct(),
-      "source_grams")
-    val sizes = gs.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = gs.groupBy("g")
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .groupBy("g").agg(sort_array(collect_set(col("source"))).as("ss")),
+      "source_gram_sets")
+    val sizes = bySets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = bySets
       .filter(size(col("ss")) >= 2)
-      .select(explode(flatten(transform(col("ss"), (x, i) =>
-        transform(slice(col("ss"), i + lit(2), size(col("ss"))), y =>
-          struct(x.as("s1"), y.as("s2")))))).as("p"))
+      .select(explode(string_pairs(col("ss"))).as("p"))
       .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
       .agg(count(lit(1)).as("n_inter"))
     val a = sizes.select(col("source").as("s1"), col("n").as("n_s1"))

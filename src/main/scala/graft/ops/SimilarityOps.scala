@@ -355,13 +355,24 @@ object SimilarityOps {
       autoCentroidSet(knnAutoCentroidCount(emb.count())))
 
   def contrastiveTriplets(emb: DataFrame,
-      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame = {
+      centroids: Seq[IndexedSeq[Double]] = defaultCentroids): DataFrame =
+    contrastiveTripletsOn(knnGraph(emb, KnnGraphK, centroids), emb)
+
+  /** [[contrastiveTriplets]] over an explicit (already materialized) knn
+    * edge frame `(vec_id, neighbor_id, rank, cos_sim)` — the entry a
+    * deployment with a persisted [[knnGraph]] artifact calls, exactly the
+    * pagerank / label-propagation / representatives serving discipline
+    * (the oracle twin re-derives the graph from raw embeddings, so hash
+    * parity proves the sharing is semantics-free). Labels come from the
+    * embedding table; the mining itself is unchanged.
+    */
+  def contrastiveTripletsOn(edges: DataFrame, emb: DataFrame): DataFrame = {
     val labels = emb.select(col("vec_id"), col("label").cast("long"))
-    val edges = knnGraph(emb, KnnGraphK, centroids)
+    val labeled = edges
       .join(labels.withColumnRenamed("label", "label_a"), Seq("vec_id"))
       .join(labels.select(col("vec_id").as("neighbor_id"),
         col("label").as("label_b")), Seq("neighbor_id"))
-    edges.groupBy(col("vec_id"), col("label_a"))
+    labeled.groupBy(col("vec_id"), col("label_a"))
       .agg(
         max(when(col("label_a") === col("label_b"),
           struct(col("cos_sim"), col("neighbor_id")))).as("p"),

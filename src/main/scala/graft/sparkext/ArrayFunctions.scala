@@ -150,6 +150,10 @@ object ArrayFunctions {
   def cov_pairs_micro(emb: Column, micro: Double): Column =
     ExpressionUtils.column(CovPairsMicro(ExpressionUtils.expression(emb), micro))
 
+  /** Column DSL entry for [[StringPairs]]. */
+  def string_pairs(xs: Column): Column =
+    ExpressionUtils.column(StringPairs(ExpressionUtils.expression(xs)))
+
   /** Column DSL entry for [[DhashStub]]. */
   def dhash_stub(text: Column, offset: Column, rows: Int, cols: Int): Column =
     ExpressionUtils.column(DhashStub(ExpressionUtils.expression(text),
@@ -735,5 +739,36 @@ case class CovPairsMicro(child: Expression, micro: Double)
     defineCodeGen(ctx, ev, x => s"${ArrayFunctions.Kernels}.covPairsMicro($x, ${micro}D)")
 
   override protected def withNewChildInternal(c: Expression): CovPairsMicro =
+    copy(child = c)
+}
+
+/** In-row upper-triangle pair expansion of a string array
+  * ([[HashKernels.stringPairs]] on both paths): array of (s1, s2) structs
+  * for all index pairs i < j. Replaces [[graft.ops.PretrainOps
+  * .sourceOverlap]]'s nested transform/slice HOF tree (CodegenFallback,
+  * interpreted per element, a fresh slice array per outer element). Pair
+  * order matches the HOF form; bit-identical output (spec-pinned).
+  */
+case class StringPairs(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s1",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("s2",
+        org.apache.spark.sql.types.StringType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "string_pairs"
+
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.stringPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, xs => s"${ArrayFunctions.Kernels}.stringPairs($xs)")
+
+  override protected def withNewChildInternal(c: Expression): StringPairs =
     copy(child = c)
 }

@@ -484,6 +484,34 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** All ordered index pairs (xs(i), xs(j)), i < j, of a string array as
+    * (s1, s2) structs — the [[graft.ops.PretrainOps.sourceOverlap]] in-row
+    * pair expansion. Replaces the nested `transform(ss, (x, i) =>
+    * transform(slice(ss, i+2, n), y => struct(x, y)))` + `flatten` HOF
+    * tree, which Spark evaluates INTERPRETED (higher-order lambdas are
+    * CodegenFallback) with a boxed slice allocation per outer element.
+    * Same pair order as the HOF form (outer index asc, inner asc); output
+    * size n(n−1)/2 is bounded by the caller's source-set cardinality.
+    */
+  def stringPairs(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n) {
+      val a = xs.getUTF8String(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, xs.getUTF8String(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** UTF-8 code point starting at byte `off`. */
   @inline private def codePointAt(bytes: Array[Byte], off: Int): Int = {
     val b0 = bytes(off) & 0xFF
