@@ -387,8 +387,16 @@ object CdcOps {
     // pass + cached re-reads after (guide §2.3 project-early + §5 cache
     // what is reused AND expensive; at 100 TB the narrow projection is
     // ~16 B/row against a re-read of the full typed/routed batch)
-    val slim = DedupOps.materialize(
-      actions.select(col("index_name"), col("event_id")), "chunk_split_slim")
+    // plain .cache(), not DedupOps.materialize (review r14): these CDC
+    // ops run per flush batch, and materialize under
+    // spark.graft.dedup.checkpointDir writes parquet EAGERLY — breaking
+    // the lazy-build contract PlanSpec pins — while the checkpoint-dir
+    // round trip buys nothing for a ~16 B/row frame. cache() is lazy
+    // under every conf; a long-lived per-batch caller should unpersist
+    // the returned frame's lineage (or run a scratch barrier) per batch,
+    // since CacheManager entries otherwise accumulate.
+    val slim =
+      actions.select(col("index_name"), col("event_id")).cache()
     val (ord, _) = globalOrdinals(slim, Seq("index_name"), "event_id")
     ord
       .withColumn("chunk_id", floor(col("_ord") / chunkSize))
@@ -412,10 +420,11 @@ object CdcOps {
     // narrow-projection materialize, as in [[chunkSplit]] — the byte
     // accounting needs only octet_length(source), computed BEFORE the
     // cache so the payload itself is never stored or re-read
-    val slim = DedupOps.materialize(
+    // plain lazy .cache() — see [[chunkSplit]]'s slim-cache note
+    val slim =
       actions.select(col("event_id"),
-        coalesce(octet_length(col("source")), lit(0)).as("_src_bytes")),
-      "batch_acc_slim")
+        coalesce(octet_length(col("source")), lit(0)).as("_src_bytes"))
+        .cache()
     val (ord, _) = globalOrdinals(slim, Nil, "event_id")
     ord
       .withColumn("batch_id", floor(col("_ord") / batchSizeLimit))
@@ -512,9 +521,8 @@ object CdcOps {
     * Spark's task-per-partition.
     */
   def concurrentPartition(actions: DataFrame, n: Int): DataFrame = {
-    // narrow-projection materialize, as in [[chunkSplit]]
-    val slim = DedupOps.materialize(
-      actions.select(col("event_id")), "concurrent_partition_slim")
+    // narrow-projection lazy cache, as in [[chunkSplit]]
+    val slim = actions.select(col("event_id")).cache()
     val (ord, totals) = globalOrdinals(slim, Nil, "event_id")
     // Slice arithmetic from the LAZY 1-row totals frame (broadcast cross
     // join) — same chunk sizes as slices.go:18-39, zero eager jobs

@@ -396,12 +396,15 @@ object CorpusOps {
     * preferences specifically: a contaminated or duplicated candidate
     * that wins a group poisons every pair it appears in.
     */
-  def corpusToPreferences(docs: DataFrame): DataFrame = {
-    val survivors = DedupOps.materialize(
-      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"),
-      "clean_survivors_pref")
-    PostTrainOps.dpoPairs(survivors)
-  }
+  def corpusToPreferences(docs: DataFrame): DataFrame =
+    // no materialize (round 15): dpoPairs is ONE linear aggregation over
+    // the survivors, so the former full-width survivor cache (doc text
+    // serialized into a second InMemoryRelation) was a pure extra pass —
+    // the slim-cache rule's degenerate case: one consumer needs no cache
+    // at all. The clean chain's internal signature/gram materializations
+    // are unchanged.
+    PostTrainOps.dpoPairs(
+      docs.join(cleanCorpusDecontam(docs).select("doc_id"), "doc_id"))
 
   def sqlCorpusToPreferences: String =
     s"""WITH cleaned AS (SELECT doc_id FROM (
@@ -1305,7 +1308,22 @@ object CorpusOps {
         trunc(docs.filter(col("source") === PretrainOps.BenchmarkSource)
           .select("doc_id"), "bench_ids"),
         trunc(PretrainOps.benchGramSetOf(docs, gramWidth), "bench_grams")))
-      val cs = cleanState(docs)
+      val cs =
+        try cleanState(docs)
+        catch {
+          case t: Throwable =>
+            // a caller-thread failure must not leak the background chain
+            // (review r14): its eager rounds run to completion on the
+            // pool thread whatever we do — pool.shutdown() cancels
+            // nothing — so drain it and DROP the checkpoint blocks its
+            // truncation rounds pinned; no caller will ever read them
+            try {
+              val (c, b, g) = Await.result(decontamF, Duration.Inf)
+              Seq(c, b, g).foreach(
+                org.apache.spark.sql.graftext.CheckpointBlocks.unpersist)
+            } catch { case _: Throwable => () }
+            throw t
+        }
       val (contamIds, benchIds, benchGrams) =
         Await.result(decontamF, Duration.Inf)
       DecontamState(cs, contamIds, benchIds, benchGrams)

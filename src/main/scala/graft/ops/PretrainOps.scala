@@ -527,6 +527,23 @@ object PretrainOps {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("span_hash")
 
+  /** The (doc_id, n_tokens) spine of the span family, derived from the
+    * DOC table instead of `sp.select("doc_id", "n").distinct()` (round 15,
+    * §2.4): the distinct was a full exchange + hash-agg over the exploded
+    * span table just to recover one row per doc. Row-set equivalence:
+    * [[HashKernels.wordShingle]] emits max(n−w+1, 1) ≥ 1 hashes for every
+    * non-null token array (short docs get one window), and the span
+    * table's posexplode_outer + null filter keeps exactly the docs whose
+    * token array is non-null — so `toks IS NOT NULL` here reproduces the
+    * span table's distinct doc set, with `n` computed by the same
+    * `size(toks)` expression.
+    */
+  private def docSpine(docs: DataFrame): DataFrame = {
+    val toksC = TextOps.toksOf(docs)
+    docs.select(col("doc_id"), size(toksC).cast("long").as("n"))
+      .filter(col("n").isNotNull)
+  }
+
   def substringCoverage(docs: DataFrame): DataFrame = {
     val w = SpanWords
     val sp = spanTable(docs)
@@ -538,7 +555,7 @@ object PretrainOps {
       .filter(col("tok").isNotNull)
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("covered"))
-    sp.select("doc_id", "n").distinct()
+    docSpine(docs)
       .join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n").as("n_tokens"),
         coalesce(col("covered"), lit(0L)).as("covered_tokens"),
@@ -646,7 +663,7 @@ object PretrainOps {
           array_sort(collect_list(struct(col("rs"), col("re")))),
           x => concat(x.getField("rs").cast("string"), lit("-"),
             x.getField("re").cast("string")))).as("ranges"))
-    sp.select("doc_id", "n").distinct()
+    docSpine(docs)
       .join(perDoc, Seq("doc_id", "n"), "left")
       .select(col("doc_id"), col("n").as("n_tokens"),
         coalesce(col("n_ranges"), lit(0L)).as("n_ranges"),

@@ -939,8 +939,18 @@ object SimilarityOps {
     try {
       val lpF = Future(labelPropagate(edges))
       val prF = Future(pagerankOn(edges))
-      val lp = Await.result(lpF, Duration.Inf)
-      val pr = Await.result(prF, Duration.Inf)
+      // one chain failing must not leak the other (review r14): the pool
+      // thread runs its eager rounds to completion regardless — drain the
+      // survivor and drop the checkpoint blocks nobody will read
+      def drained(t: Throwable, other: => DataFrame): Nothing = {
+        try org.apache.spark.sql.graftext.CheckpointBlocks.unpersist(other)
+        catch { case _: Throwable => () }
+        throw t
+      }
+      val lp = try Await.result(lpF, Duration.Inf)
+        catch { case t: Throwable => drained(t, Await.result(prF, Duration.Inf)) }
+      val pr = try Await.result(prF, Duration.Inf)
+        catch { case t: Throwable => drained(t, lp) }
       lp.join(pr.select(col("vec_id"), col("pr_micro")), "vec_id")
         .groupBy(col("community_id"))
         .agg(count(lit(1)).as("n_members"),

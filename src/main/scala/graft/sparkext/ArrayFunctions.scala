@@ -660,7 +660,10 @@ case class PqDistTables(child: Expression, subspaces: Int, codes: Int,
   * and paid an O(position) UTF-8 seek per sample; the kernel indexes
   * every character's byte offset in one pass. Bit-identical to the
   * expression form (spec-pinned), including the empty-string → 0 guard
-  * and Spark `ascii`'s signed-first-byte semantics.
+  * and Spark `ascii`'s code-point semantics (the kernel decodes the full
+  * UTF-8 code point at each sampled character offset — the measured
+  * Spark 4.1 `ascii(substr(s, p, 1))` behavior and the DuckDB
+  * `unicode()` oracle).
   */
 case class DhashStub(left: Expression, right: Expression, rows: Int, cols: Int)
     extends BinaryExpression with ExpectsInputTypes {

@@ -23,8 +23,12 @@ class StubKernelSpec extends SparkSuite {
     "abcdefgh",                           // shorter than the 73-sample span
     "The quick brown fox jumps over the lazy dog 0123456789",
     ("x" * 37) + ("q" * 41) + ("m" * 29), // runs with internal structure
-    "héllo wörld ünïcode β∂ƒ©",           // multi-byte: signed-byte ascii
+    "héllo wörld ünïcode β∂ƒ©",           // multi-byte: code-point ascii
     "日本語テキストのサンプル",            // all multi-byte
+    // 4-byte UTF-8 (supplementary plane: emoji as surrogate pairs) — pins
+    // HashKernels.codePointAt's 4-byte branch against Spark's ascii
+    "😀 test 🌀 mixed 🚀🚀 tail",
+    "💩💩💩", // all supplementary
     (1 to 300).map(i => ('a' + i % 26).toChar).mkString  // longer than span
   )
 
