@@ -24,13 +24,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedLayout {
 
-  /** Write `df` as an external bucketed+sorted parquet table. One
-    * sorted file per bucket per writing task; `sortBy` additionally lets
-    * sort-merge consumers skip their per-partition sort.
+  /** Write `df` as an external bucketed+sorted parquet table — exactly
+    * ONE sorted file per bucket. Spark's bucketed writer emits one file
+    * per bucket per WRITING TASK, so a 32-partition frame written into
+    * 8 buckets lands up to 256 files; every later bucket-pruned probe
+    * then pays listing + a footer open per file (the guide's §6
+    * small-files tax — the round-15 x-scale cells measured it as the
+    * dominant remaining patch term). The pre-write `repartition(buckets,
+    * key)` uses the same murmur3-pmod hash as the bucket-id computation,
+    * so each task holds exactly one bucket's rows and writes exactly one
+    * file; `sortBy` additionally lets sort-merge consumers skip their
+    * per-partition sort. The one-exchange cost lands on the untimed
+    * daily write — the write-once/probe-many trade `hash`
+    * write-distribution modes make in table formats.
     */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
       buckets: Int, path: String): Unit = {
-    df.write
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .option("path", path)
